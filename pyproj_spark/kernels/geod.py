@@ -1,0 +1,175 @@
+"""Geod — pyproj-compatible facade over the Karney kernel.
+
+Mirrors the API semantics of ``pyproj/geod.py`` (reference
+``pyproj/geod.py:239-421`` fwd/inv, ``:423-534`` npts, ``:536-846``
+intermediate, ``:848-920`` line lengths, ``:1150-1184``
+reverse_azimuth), vectorized over numpy arrays. The Spark layer exposes
+these as pandas-UDF kernels; line/polygon aggregations are expressed as
+window + groupBy compositions instead (SURVEY.md §2.2 G6-G8).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyproj_spark.kernels.ellipsoid import Ellipsoid, get_ellipsoid
+from pyproj_spark.kernels.geodesic import Geodesic
+
+
+def reverse_azimuth(az, radians: bool = False):
+    """Flip azimuth by 180 deg — reference ``pyproj/_geod.pyx:70-85``."""
+    az = np.asarray(az, dtype=np.float64)
+    half = math.pi if radians else 180.0
+    out = np.where(az > 0.0, az - half, az + half)
+    return out
+
+
+class Geod:
+    """Ellipsoid geodesic computations (pyproj.Geod semantics)."""
+
+    def __init__(self, ellps: str | None = None, a: float | None = None,
+                 b: float | None = None, rf: float | None = None,
+                 f: float | None = None, es: float | None = None,
+                 e: float | None = None, sphere: bool = False,
+                 R: float | None = None):
+        if R is not None:
+            ell = Ellipsoid.from_params(a=R, f=0.0, name="sphere")
+        elif a is not None:
+            ell = Ellipsoid.from_params(a=a, b=b, rf=rf, f=f, es=es, e=e)
+        elif ellps is not None:
+            ell = get_ellipsoid(ellps)
+        elif sphere:
+            ell = get_ellipsoid("sphere")
+        else:
+            ell = get_ellipsoid("WGS84")
+        self.ellipsoid = ell
+        self.a, self.f, self.b, self.es = ell.a, ell.f, ell.b, ell.e2
+        self.sphere = ell.is_sphere
+        self._g = Geodesic(ell)
+
+    # -- kernels ------------------------------------------------------------
+
+    def fwd(self, lons, lats, az, dist, radians: bool = False,
+            return_back_azimuth: bool = True):
+        """Direct geodesic — ``pyproj/geod.py:239-329``."""
+        lons, lats, az = self._in(lons, lats, az, radians=radians)
+        dist = np.asarray(dist, dtype=np.float64)
+        lon2, lat2, az2 = self._g.direct(lons, lats, az, dist)
+        if return_back_azimuth:
+            az2 = reverse_azimuth(az2)
+        return self._out(lon2, radians), self._out(lat2, radians), \
+            self._out(az2, radians)
+
+    def inv(self, lons1, lats1, lons2, lats2, radians: bool = False,
+            return_back_azimuth: bool = True):
+        """Inverse geodesic — ``pyproj/geod.py:331-421``."""
+        lons1, lats1, lons2, lats2 = self._in(lons1, lats1, lons2, lats2,
+                                              radians=radians)
+        az1, az2, s12 = self._g.inverse(lons1, lats1, lons2, lats2)
+        if return_back_azimuth:
+            az2 = reverse_azimuth(az2)
+        return self._out(az1, radians), self._out(az2, radians), s12
+
+    def npts(self, lon1, lat1, lon2, lat2, npts: int, radians: bool = False,
+             initial_idx: int = 1, terminus_idx: int = 1):
+        """npts equally-spaced intermediate points — ``pyproj/geod.py:423-534``.
+
+        Scalar endpoints -> list of (lon, lat) tuples, matching the
+        reference's return shape.
+        """
+        lons, lats, _ = self.inv_intermediate(
+            lon1, lat1, lon2, lat2, npts=npts, radians=radians,
+            initial_idx=initial_idx, terminus_idx=terminus_idx)
+        return list(zip(lons.tolist(), lats.tolist()))
+
+    def inv_intermediate(self, lon1, lat1, lon2, lat2, npts: int = 0,
+                         del_s: float = 0.0, radians: bool = False,
+                         initial_idx: int = 1, terminus_idx: int = 1,
+                         return_back_azimuth: bool = True):
+        """Points along the geodesic between two endpoints (scalar endpoints).
+
+        Matches ``pyproj/geod.py:536-698`` / ``pyproj/_geod.pyx:360-474``:
+        exactly one of npts / del_s given; with del_s the point count is
+        rounded so points are evenly spaced at ~del_s.
+        """
+        if (npts != 0) == (del_s != 0.0):
+            raise ValueError("npts XOR del_s must be given")
+        a1, a2, dist = self._g.inverse(
+            *(np.degrees(v) if radians else float(v)
+              for v in (lon1, lat1, lon2, lat2)))
+        dist = float(dist)
+        if npts:
+            n_seg = npts + initial_idx + terminus_idx - 1
+            d = dist / n_seg
+        else:
+            n_seg = int(round(dist / del_s))
+            d = dist / n_seg
+            npts = n_seg - initial_idx - terminus_idx + 1
+        idx = np.arange(initial_idx, initial_idx + npts, dtype=np.float64)
+        s = idx * d
+        lon1d = np.degrees(lon1) if radians else float(lon1)
+        lat1d = np.degrees(lat1) if radians else float(lat1)
+        lons, lats, azis = self._g.direct(
+            np.full(npts, lon1d), np.full(npts, lat1d),
+            np.full(npts, float(a1)), s)
+        if return_back_azimuth:
+            azis = reverse_azimuth(azis)
+        return (self._out(lons, radians), self._out(lats, radians),
+                self._out(azis, radians))
+
+    def fwd_intermediate(self, lon1, lat1, azi1, npts: int, del_s: float,
+                         radians: bool = False, initial_idx: int = 1,
+                         terminus_idx: int = 1,
+                         return_back_azimuth: bool = True):
+        """Points every del_s metres along an azimuth —
+        ``pyproj/geod.py:700-846``."""
+        idx = np.arange(initial_idx, initial_idx + npts, dtype=np.float64)
+        s = idx * float(del_s)
+        lon1d = np.degrees(lon1) if radians else float(lon1)
+        lat1d = np.degrees(lat1) if radians else float(lat1)
+        az1d = np.degrees(azi1) if radians else float(azi1)
+        lons, lats, azis = self._g.direct(
+            np.full(npts, lon1d), np.full(npts, lat1d),
+            np.full(npts, az1d), s)
+        if return_back_azimuth:
+            azis = reverse_azimuth(azis)
+        return (self._out(lons, radians), self._out(lats, radians),
+                self._out(azis, radians))
+
+    def line_lengths(self, lons, lats, radians: bool = False):
+        """Per-segment distances (n-1 values) — ``pyproj/geod.py:885-920``."""
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        if radians:
+            lons, lats = np.degrees(lons), np.degrees(lats)
+        _, _, d = self._g.inverse(lons[:-1], lats[:-1], lons[1:], lats[1:])
+        return d
+
+    def line_length(self, lons, lats, radians: bool = False) -> float:
+        """Total polyline length — ``pyproj/geod.py:848-883``."""
+        return float(np.sum(self.line_lengths(lons, lats, radians=radians)))
+
+    def polygon_area_perimeter(self, lons, lats, radians: bool = False):
+        """Signed geodesic area (m^2, CCW positive) + perimeter of a ring —
+        ``pyproj/geod.py:922-970``. See kernels/area.py for the math."""
+        from pyproj_spark.kernels.area import polygon_area_perimeter
+        return polygon_area_perimeter(self._g, lons, lats, radians=radians)
+
+    # -- unit plumbing -------------------------------------------------------
+
+    @staticmethod
+    def _in(*arrs, radians: bool = False):
+        out = []
+        for v in arrs:
+            v = np.asarray(v, dtype=np.float64)
+            out.append(np.degrees(v) if radians else v)
+        return out
+
+    @staticmethod
+    def _out(v, radians: bool):
+        return np.radians(v) if radians else v
+
+    def __repr__(self):
+        return f"Geod(a={self.a}, f={self.f})"
