@@ -1,0 +1,134 @@
+"""Bundled EPSG-subset parameter catalog.
+
+Replaces PROJ's proj.db (reference ``pyproj/_context.pyx:138``) with a
+small static table of the codes the engine supports. All parameter
+values are public EPSG registry facts (also printed by ``projinfo``).
+
+Each entry: kind, name, datum (name, ellps, towgs84 -> WGS84),
+projection params (PROJ-style), axis order, unit.
+
+Axis order strings: "enu" (x/east first — projected and lon/lat),
+"neu" (lat/lon or northing/easting first — EPSG geographic authority
+order). ``always_xy=True`` on the Transformer forces "enu" at both ends
+(reference ``pyproj/_transformer.pyx:736-750`` normalization).
+"""
+
+from __future__ import annotations
+
+US_FT = 0.30480060960121924  # US survey foot, EPSG:9003
+
+# datum name -> (ellps, towgs84 tuple or None)
+DATUMS = {
+    "WGS84": ("WGS84", (0, 0, 0)),
+    "ETRS89": ("GRS80", (0, 0, 0)),
+    "NAD83": ("GRS80", (0, 0, 0)),
+    "GGRS87": ("GRS80", (-199.87, 74.79, 246.62)),
+    "ED50": ("intl", (-87, -98, -121)),
+    "NAD27": ("clrk66", (-8, 160, 176)),
+    "OSGB36": ("airy", (446.448, -125.157, 542.060,
+                        0.1502, 0.2470, 0.8421, -20.4894)),
+    "potsdam": ("bessel", (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
+    "monte_mario": ("intl", (-104.1, -49.1, -9.9, 0.971, -2.917, 0.714,
+                             -11.68)),
+    "ITRF2014": ("GRS80", (0, 0, 0)),
+    "NZGD2000": ("GRS80", (0, 0, 0)),
+}
+
+_GEOG = {
+    4326: ("WGS84 / geographic 2D", "WGS84", "neu"),
+    4979: ("WGS84 / geographic 3D", "WGS84", "neu"),
+    4258: ("ETRS89 / geographic 2D", "ETRS89", "neu"),
+    4269: ("NAD83 / geographic 2D", "NAD83", "neu"),
+    4267: ("NAD27 / geographic 2D", "NAD27", "neu"),
+    4121: ("GGRS87 / geographic 2D", "GGRS87", "neu"),
+    4230: ("ED50 / geographic 2D", "ED50", "neu"),
+    4277: ("OSGB36 / geographic 2D", "OSGB36", "neu"),
+}
+
+_GEOCENT = {
+    4978: ("WGS84 / geocentric", "WGS84"),
+}
+
+_PROJECTED = {
+    3857: ("WGS 84 / Pseudo-Mercator", "WGS84",
+           dict(proj="webmerc"), "enu", 1.0),
+    2100: ("GGRS87 / Greek Grid", "GGRS87",
+           dict(proj="tmerc", lat_0=0, lon_0=24, k_0=0.9996, x_0=500000,
+                y_0=0), "enu", 1.0),
+    2263: ("NAD83 / New York Long Island (ftUS)", "NAD83",
+           dict(proj="lcc", lat_1=41.03333333333333, lat_2=40.66666666666666,
+                lat_0=40.16666666666666, lon_0=-74,
+                x_0=300000.0000000001, y_0=0.0), "enu", US_FT),
+    26915: ("NAD83 / UTM zone 15N", "NAD83",
+            dict(proj="utm", zone=15), "enu", 1.0),
+    # note: authority axis order of 2193 is (northing, easting) -> "neu";
+    # exercised by reference test/test_transformer.py:388-397
+    2193: ("NZGD2000 / New Zealand Transverse Mercator 2000", "NZGD2000",
+           dict(proj="tmerc", lat_0=0, lon_0=173, k_0=0.9996, x_0=1600000,
+                y_0=10000000), "neu", 1.0),
+    27700: ("OSGB36 / British National Grid", "OSGB36",
+            dict(proj="tmerc", lat_0=49, lon_0=-2, k_0=0.9996012717,
+                 x_0=400000, y_0=-100000), "enu", 1.0),
+    3035: ("ETRS89-extended / LAEA Europe", "ETRS89",
+           dict(proj="laea", lat_0=52, lon_0=10, x_0=4321000, y_0=3210000),
+           "neu", 1.0),
+    3031: ("WGS 84 / Antarctic Polar Stereographic", "WGS84",
+           dict(proj="stere", lat_0=-90, lat_ts=-71, lon_0=0, x_0=0, y_0=0),
+           "enu", 1.0),
+    3413: ("WGS 84 / NSIDC Sea Ice Polar Stereographic North", "WGS84",
+           dict(proj="stere", lat_0=90, lat_ts=70, lon_0=-45, x_0=0, y_0=0),
+           "enu", 1.0),
+}
+
+# NAD83 UTM zones 1-23 (EPSG 26901-26923)
+for _z in range(1, 24):
+    _PROJECTED[26900 + _z] = (
+        f"NAD83 / UTM zone {_z}N", "NAD83", dict(proj="utm", zone=_z),
+        "enu", 1.0)
+# WGS84 UTM north 32601-32660 / south 32701-32760
+for _z in range(1, 61):
+    _PROJECTED[32600 + _z] = (
+        f"WGS 84 / UTM zone {_z}N", "WGS84", dict(proj="utm", zone=_z),
+        "enu", 1.0)
+    _PROJECTED[32700 + _z] = (
+        f"WGS 84 / UTM zone {_z}S", "WGS84",
+        dict(proj="utm", zone=_z, south=True), "enu", 1.0)
+
+
+def epsg_entry(code: int) -> dict:
+    """Resolve an EPSG code to a normalized catalog record."""
+    code = int(code)
+    if code in _GEOG:
+        name, datum, axis = _GEOG[code]
+        ellps, towgs84 = DATUMS[datum]
+        return dict(kind="geographic", code=code, name=name, datum=datum,
+                    ellps=ellps, towgs84=towgs84, axis=axis,
+                    proj_params=dict(proj="longlat"), to_meter=None)
+    if code in _GEOCENT:
+        name, datum = _GEOCENT[code]
+        ellps, towgs84 = DATUMS[datum]
+        return dict(kind="geocentric", code=code, name=name, datum=datum,
+                    ellps=ellps, towgs84=towgs84, axis="enu",
+                    proj_params=dict(proj="geocent"), to_meter=1.0)
+    if code in _PROJECTED:
+        name, datum, params, axis, to_meter = _PROJECTED[code]
+        ellps, towgs84 = DATUMS[datum]
+        return dict(kind="projected", code=code, name=name, datum=datum,
+                    ellps=ellps, towgs84=towgs84, axis=axis,
+                    proj_params=dict(params), to_meter=to_meter)
+    raise ValueError(f"EPSG:{code} is not in the bundled catalog "
+                     f"({len(_GEOG) + len(_GEOCENT) + len(_PROJECTED)} "
+                     f"codes supported)")
+
+
+def all_codes():
+    """All supported (authority, code, kind, name) rows — backs the
+    catalog_api DataFrame queries (reference pyproj/database.pyx:82-126)."""
+    rows = []
+    for c, (name, datum, axis) in _GEOG.items():
+        rows.append(("EPSG", c, "GEOGRAPHIC_2D_CRS", name, datum))
+    for c, (name, datum) in _GEOCENT.items():
+        rows.append(("EPSG", c, "GEOCENTRIC_CRS", name, datum))
+    for c, (name, datum, *_rest) in _PROJECTED.items():
+        rows.append(("EPSG", c, "PROJECTED_CRS", name, datum))
+    return rows

@@ -1,0 +1,546 @@
+"""Map-projection kernels — vectorized numpy, radians in/out.
+
+Each projection converts geodetic (lam, phi) [radians, lam relative to
+lon_0] <-> projected (x, y) [metres, false easting/northing included].
+Formulas from public sources: Snyder, "Map Projections: A Working
+Manual" (USGS PP 1395, 1987); Karney, "Transverse Mercator with an
+accuracy of a few nanometers" (2011) — Krüger alpha/beta tables verified
+in 50-digit arithmetic by tools/verify_tm_series.py.
+
+These kernels are the Spark analogue of the reference's PROJ pipeline
+steps (``pyproj/_transformer.pyx:807-827`` executes them in C); here
+they run inside scalar pandas/Arrow UDFs, one Arrow batch per call.
+Failed points become NaN/inf in-band, matching pyproj's inf-on-error
+convention (``pyproj/_transformer.pyx:828-837``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyproj_spark.kernels.ellipsoid import Ellipsoid
+
+# --------------------------------------------------------------------------
+# Krüger series, order 6 in third flattening n (verified tools/verify_tm_series.py)
+_ALPHA = [
+    (1 / 2, -2 / 3, 5 / 16, 41 / 180, -127 / 288, 7891 / 37800),
+    (0, 13 / 48, -3 / 5, 557 / 1440, 281 / 630, -1983433 / 1935360),
+    (0, 0, 61 / 240, -103 / 140, 15061 / 26880, 167603 / 181440),
+    (0, 0, 0, 49561 / 161280, -179 / 168, 6601661 / 7257600),
+    (0, 0, 0, 0, 34729 / 80640, -3418889 / 1995840),
+    (0, 0, 0, 0, 0, 212378941 / 319334400),
+]
+_BETA = [
+    (1 / 2, -2 / 3, 37 / 96, -1 / 360, -81 / 512, 96199 / 604800),
+    (0, 1 / 48, 1 / 15, -437 / 1440, 46 / 105, -1118711 / 3870720),
+    (0, 0, 17 / 480, -37 / 840, -209 / 4480, 5569 / 90720),
+    (0, 0, 0, 4397 / 161280, -11 / 504, -830251 / 7257600),
+    (0, 0, 0, 0, 4583 / 161280, -108847 / 3991680),
+    (0, 0, 0, 0, 0, 20648693 / 638668800),
+]
+
+
+def _polyn(coeffs, n):
+    return sum(c * n ** (k + 1) for k, c in enumerate(coeffs))
+
+
+def _taupf(tau, e):
+    """tau' = tan(chi) from tau = tan(phi) — exact (Karney 2011 eq. 7-9)."""
+    tau1 = np.hypot(1.0, tau)
+    sig = np.sinh(e * np.arctanh(e * tau / tau1))
+    return np.hypot(1.0, sig) * tau - sig * tau1
+
+
+def _tauf(taup, e):
+    """Invert _taupf by Newton (Karney 2011 eq. 19-21)."""
+    e2m = 1.0 - e * e
+    tau = taup / e2m
+    stol = 0.1 * np.sqrt(np.finfo(float).eps) * np.maximum(1.0, np.abs(taup))
+    for _ in range(8):
+        taupa = _taupf(tau, e)
+        dtau = ((taup - taupa) * (1.0 + e2m * tau ** 2)
+                / (e2m * np.hypot(1.0, tau) * np.hypot(1.0, taupa)))
+        tau = tau + dtau
+        if np.all(np.abs(dtau) < stol):
+            break
+    return tau
+
+
+def _ts(phi, e):
+    """Snyder's t(phi) = exp(-psi): isometric-latitude exponential."""
+    return np.exp(-(np.arcsinh(np.tan(phi)) - e * np.arctanh(e * np.sin(phi))))
+
+
+def _phi_from_ts(t, e):
+    """phi from t = exp(-psi) via the exact tau Newton."""
+    taup = (1.0 / t - t) / 2.0  # sinh(psi) = tan(chi)
+    return np.arctan(_tauf(taup, e))
+
+
+class Projection:
+    """Base: subclasses implement _fwd/_inv on (lam, phi) radians with lam
+    already relative to lon_0; this class handles lon_0/x_0/y_0."""
+
+    name = "base"
+
+    def __init__(self, E: Ellipsoid, lon_0=0.0, x_0=0.0, y_0=0.0, **kw):
+        self.E = E
+        self.lon_0 = np.radians(float(lon_0))
+        self.x_0 = float(x_0)
+        self.y_0 = float(y_0)
+        self._setup(**kw)
+
+    def _setup(self, **kw):
+        pass
+
+    def forward(self, lam, phi):
+        dl = lam - self.lon_0
+        dl = np.remainder(dl + np.pi, 2.0 * np.pi) - np.pi
+        x, y = self._fwd(dl, phi)
+        return x + self.x_0, y + self.y_0
+
+    def inverse(self, x, y):
+        lam, phi = self._inv(x - self.x_0, y - self.y_0)
+        lam = lam + self.lon_0
+        lam = np.remainder(lam + np.pi, 2.0 * np.pi) - np.pi
+        return lam, phi
+
+
+class LongLat(Projection):
+    name = "longlat"
+
+    def __init__(self, E, **kw):
+        super().__init__(E, lon_0=0.0, x_0=0.0, y_0=0.0)
+
+    def _fwd(self, lam, phi):
+        return lam, phi
+
+    def _inv(self, x, y):
+        return x, y
+
+
+class WebMercator(Projection):
+    """EPSG:3857 — spherical formulas on the WGS84 semi-major axis.
+    Golden: (33, 98) -> (10909310.098, 3895303.963)
+    (reference pyproj/transformer.py:903-907)."""
+
+    name = "webmerc"
+
+    def _fwd(self, lam, phi):
+        a = self.E.a
+        bad = np.abs(phi) > np.pi / 2 - 1e-10  # pole: PROJ errors -> inf
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = np.where(bad, np.sign(phi) * np.inf,
+                         a * np.arcsinh(np.tan(np.where(bad, 0.0, phi))))
+        return a * lam, y
+
+    def _inv(self, x, y):
+        a = self.E.a
+        return x / a, np.arctan(np.sinh(y / a))
+
+
+class Mercator(Projection):
+    """Ellipsoidal Mercator (PROJ merc). k_0 or lat_ts."""
+
+    name = "merc"
+
+    def _setup(self, k_0=1.0, lat_ts=None, **kw):
+        E = self.E
+        if lat_ts is not None:
+            pts = np.radians(float(lat_ts))
+            k_0 = np.cos(pts) / np.sqrt(1.0 - E.e2 * np.sin(pts) ** 2)
+        self.k0 = float(k_0)
+
+    def _fwd(self, lam, phi):
+        a, e = self.E.a, self.E.e
+        bad = np.abs(phi) > np.pi / 2 - 1e-10  # pole: PROJ errors -> inf
+        phis = np.where(bad, 0.0, phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            psi = np.arcsinh(np.tan(phis)) - e * np.arctanh(e * np.sin(phis))
+            psi = np.where(bad, np.sign(phi) * np.inf, psi)
+        return a * self.k0 * lam, a * self.k0 * psi
+
+    def _inv(self, x, y):
+        a, e = self.E.a, self.E.e
+        taup = np.sinh(y / (a * self.k0))
+        return x / (a * self.k0), np.arctan(_tauf(taup, e))
+
+
+class TransverseMercator(Projection):
+    """Exact transverse Mercator (Krüger order-6; Karney 2011). Used for
+    UTM (k_0=0.9996, x_0=500000) and national TM grids (e.g. EPSG:2100)."""
+
+    name = "tmerc"
+
+    def _setup(self, k_0=1.0, lat_0=0.0, **kw):
+        E = self.E
+        n = E.n
+        self.k0 = float(k_0)
+        self.A = E.a / (1.0 + n) * (1.0 + n ** 2 / 4 + n ** 4 / 64 + n ** 6 / 256)
+        self.alpha = [_polyn(c, n) for c in _ALPHA]
+        self.beta = [_polyn(c, n) for c in _BETA]
+        lat0 = np.radians(float(lat_0))
+        if lat0 != 0.0:
+            xi0, _ = self._zeta(np.array([0.0]), np.array([lat0]))
+            self.m0 = float(self.k0 * self.A * xi0[0])
+        else:
+            self.m0 = 0.0
+
+    def _zeta(self, dl, phi):
+        e = self.E.e
+        with np.errstate(divide="ignore", invalid="ignore"):
+            taup = _taupf(np.tan(phi), e)
+        cl = np.cos(dl)
+        xi_p = np.arctan2(taup, cl)
+        eta_p = np.arcsinh(np.sin(dl) / np.hypot(taup, cl))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, aj in enumerate(self.alpha, start=1):
+            xi = xi + aj * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta = eta + aj * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return xi, eta
+
+    def _fwd(self, dl, phi):
+        xi, eta = self._zeta(dl, phi)
+        return self.k0 * self.A * eta, self.k0 * self.A * xi - self.m0
+
+    def _inv(self, x, y):
+        e = self.E.e
+        xi = (y + self.m0) / (self.k0 * self.A)
+        eta = x / (self.k0 * self.A)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, bj in enumerate(self.beta, start=1):
+            xi_p = xi_p - bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p = eta_p - bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        sh = np.sinh(eta_p)
+        taup = np.sin(xi_p) / np.hypot(sh, np.cos(xi_p))
+        lam = np.arctan2(sh, np.cos(xi_p))
+        phi = np.arctan(_tauf(taup, e))
+        return lam, phi
+
+
+class UTM(TransverseMercator):
+    name = "utm"
+
+    def __init__(self, E, zone: int, south: bool = False, **kw):
+        super().__init__(E, lon_0=zone * 6 - 183, x_0=500000.0,
+                         y_0=10000000.0 if south else 0.0, k_0=0.9996)
+
+
+class LambertConformalConic(Projection):
+    """LCC 1SP/2SP ellipsoidal (Snyder pp. 104-110). EPSG:2263 family."""
+
+    name = "lcc"
+
+    def _setup(self, lat_0=0.0, lat_1=None, lat_2=None, k_0=1.0, **kw):
+        E = self.E
+        e = E.e
+        p0 = np.radians(float(lat_0))
+        p1 = np.radians(float(lat_1 if lat_1 is not None else lat_0))
+
+        def m(p):
+            return np.cos(p) / np.sqrt(1.0 - E.e2 * np.sin(p) ** 2)
+
+        t0, t1 = _ts(p0, e), _ts(p1, e)
+        if lat_2 is not None and float(lat_2) != float(lat_1):
+            p2 = np.radians(float(lat_2))
+            t2 = _ts(p2, e)
+            self.n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t1) - np.log(t2))
+        else:
+            self.n = np.sin(p1)
+        self.F = float(k_0) * m(p1) / (self.n * t1 ** self.n)
+        self.rho0 = E.a * self.F * t0 ** self.n
+
+    def _fwd(self, dl, phi):
+        a, e = self.E.a, self.E.e
+        t = _ts(phi, e)
+        with np.errstate(invalid="ignore"):
+            rho = a * self.F * t ** self.n
+        th = self.n * dl
+        return rho * np.sin(th), self.rho0 - rho * np.cos(th)
+
+    def _inv(self, x, y):
+        a, e = self.E.a, self.E.e
+        sgn = np.sign(self.n) or 1.0
+        rho = sgn * np.hypot(x, self.rho0 - y)
+        th = np.arctan2(sgn * x, sgn * (self.rho0 - y))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (rho / (a * self.F)) ** (1.0 / self.n)
+        return th / self.n, _phi_from_ts(t, e)
+
+
+class LambertAzimuthalEqualArea(Projection):
+    """LAEA, ellipsoidal via authalic latitude + spherical closed form
+    (Snyder pp. 182-190). Oblique/polar aspects."""
+
+    name = "laea"
+
+    def _setup(self, lat_0=0.0, **kw):
+        E = self.E
+        self.phi0 = np.radians(float(lat_0))
+        e = E.e
+        if E.is_sphere:
+            self.qp = 2.0
+        else:
+            self.qp = self._q(np.pi / 2)
+        self.polar = abs(abs(self.phi0) - np.pi / 2) < 1e-10
+        self.north = self.phi0 > 0
+        if not self.polar:
+            b0 = self._beta(self.phi0)
+            self.sinb0, self.cosb0 = np.sin(b0), np.cos(b0)
+            self.Rq = E.a * np.sqrt(self.qp / 2.0)
+            if E.is_sphere:
+                self.D = 1.0
+            else:
+                m0 = np.cos(self.phi0) / np.sqrt(
+                    1.0 - E.e2 * np.sin(self.phi0) ** 2)
+                self.D = E.a * m0 / (self.Rq * self.cosb0) \
+                    if abs(self.cosb0) > 1e-12 else 1.0
+
+    def _q(self, phi):
+        E = self.E
+        e, e2 = E.e, E.e2
+        s = np.sin(phi)
+        if e == 0:
+            return 2.0 * s
+        return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                             + np.arctanh(e * s) / e)
+
+    def _beta(self, phi):
+        return np.arcsin(np.clip(self._q(phi) / self.qp, -1.0, 1.0))
+
+    def _phi_from_q(self, q):
+        E = self.E
+        e, e2 = E.e, E.e2
+        if e == 0:
+            return np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(10):
+            s = np.sin(phi)
+            d = ((1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi) + 1e-300)
+                 * (q / (1.0 - e2) - s / (1.0 - e2 * s * s)
+                    - np.arctanh(e * s) / e))
+            phi = phi + d
+        return phi
+
+    def _fwd(self, dl, phi):
+        E = self.E
+        b = self._beta(phi)
+        sb, cb = np.sin(b), np.cos(b)
+        sl, cl = np.sin(dl), np.cos(dl)
+        if self.polar:
+            q = self._q(phi)
+            if self.north:
+                with np.errstate(invalid="ignore"):
+                    rho = E.a * np.sqrt(np.maximum(self.qp - q, 0.0))
+                return rho * sl, -rho * cl
+            rho = E.a * np.sqrt(np.maximum(self.qp + q, 0.0))
+            return rho * sl, rho * cl
+        denom = 1.0 + self.sinb0 * sb + self.cosb0 * cb * cl
+        with np.errstate(divide="ignore", invalid="ignore"):
+            B = self.Rq * np.sqrt(2.0 / denom)
+        x = B * self.D * cb * sl
+        y = (B / self.D) * (self.cosb0 * sb - self.sinb0 * cb * cl)
+        return x, y
+
+    def _inv(self, x, y):
+        E = self.E
+        if self.polar:
+            rho = np.hypot(x, y)
+            with np.errstate(invalid="ignore"):
+                if self.north:
+                    q = self.qp - (rho / E.a) ** 2
+                    lam = np.arctan2(x, -y)
+                else:
+                    q = -(self.qp - (rho / E.a) ** 2)
+                    lam = np.arctan2(x, y)
+            return lam, self._phi_from_q(q)
+        rho = np.hypot(x / self.D, self.D * y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+            sce, cce = np.sin(ce), np.cos(ce)
+            q = self.qp * (cce * self.sinb0
+                           + self.D * y * sce * self.cosb0 / np.where(
+                               rho == 0, 1.0, rho))
+            lam = np.arctan2(x * sce,
+                             self.D * rho * self.cosb0 * cce
+                             - self.D * self.D * y * self.sinb0 * sce)
+        q = np.where(rho == 0, self.qp * self.sinb0, q)
+        lam = np.where(rho == 0, 0.0, lam)
+        return lam, self._phi_from_q(q)
+
+
+class AzimuthalEquidistant(Projection):
+    """AEQD — ellipsoidal via Karney geodesics, like PROJ's aeqd."""
+
+    name = "aeqd"
+
+    def _setup(self, lat_0=0.0, **kw):
+        from pyproj_spark.kernels.geodesic import Geodesic
+        self.lat0 = float(lat_0)
+        self._geod = Geodesic(self.E)
+
+    def _fwd(self, dl, phi):
+        lon = np.degrees(dl)
+        lat = np.degrees(phi)
+        az1, _, s = self._geod.inverse(
+            np.zeros_like(lon), np.full_like(lon, self.lat0), lon, lat)
+        azr = np.radians(az1)
+        return s * np.sin(azr), s * np.cos(azr)
+
+    def _inv(self, x, y):
+        s = np.hypot(x, y)
+        az = np.degrees(np.arctan2(x, y))
+        lon, lat, _ = self._geod.direct(
+            np.zeros_like(s), np.full_like(s, self.lat0), az, s)
+        return np.radians(lon), np.radians(lat)
+
+
+class Stereographic(Projection):
+    """Polar/oblique ellipsoidal stereographic (Snyder pp. 154-163)."""
+
+    name = "stere"
+
+    def _setup(self, lat_0=90.0, k_0=1.0, lat_ts=None, **kw):
+        E = self.E
+        e = E.e
+        self.phi0 = np.radians(float(lat_0))
+        self.polar = abs(abs(self.phi0) - np.pi / 2) < 1e-10
+        self.north = self.phi0 > 0
+        k0 = float(k_0)
+        if self.polar:
+            if lat_ts is not None and abs(abs(float(lat_ts)) - 90.0) > 1e-10:
+                pts = np.radians(abs(float(lat_ts)))
+                mts = np.cos(pts) / np.sqrt(1.0 - E.e2 * np.sin(pts) ** 2)
+                tts = _ts(pts, e)
+                k0 = mts * np.sqrt((1.0 + e) ** (1.0 + e)
+                                   * (1.0 - e) ** (1.0 - e)) / (2.0 * tts)
+            self.k0 = k0
+            self.akm = (2.0 * E.a * k0
+                        / np.sqrt((1.0 + e) ** (1.0 + e)
+                                  * (1.0 - e) ** (1.0 - e)))
+        else:
+            self.k0 = k0
+            chi0 = np.arctan(_taupf(np.tan(self.phi0), e))
+            self.schi0, self.cchi0 = np.sin(chi0), np.cos(chi0)
+            self.m0 = np.cos(self.phi0) / np.sqrt(
+                1.0 - E.e2 * np.sin(self.phi0) ** 2)
+
+    def _fwd(self, dl, phi):
+        E = self.E
+        e = E.e
+        if self.polar:
+            sgn = 1.0 if self.north else -1.0
+            t = _ts(sgn * phi, e)
+            rho = self.akm * t
+            return rho * np.sin(dl), -sgn * rho * np.cos(dl)
+        chi = np.arctan(_taupf(np.tan(phi), e))
+        sc, cc = np.sin(chi), np.cos(chi)
+        sl, cl = np.sin(dl), np.cos(dl)
+        A = (2.0 * E.a * self.k0 * self.m0
+             / (self.cchi0 * (1.0 + self.schi0 * sc
+                              + self.cchi0 * cc * cl)))
+        return A * cc * sl, A * (self.cchi0 * sc - self.schi0 * cc * cl)
+
+    def _inv(self, x, y):
+        E = self.E
+        e = E.e
+        if self.polar:
+            sgn = 1.0 if self.north else -1.0
+            rho = np.hypot(x, y)
+            t = rho / self.akm
+            phi = sgn * _phi_from_ts(t, e)
+            lam = np.arctan2(x, -sgn * y)
+            return lam, phi
+        rho = np.hypot(x, y)
+        # Snyder 21-15: ce = 2 atan(rho * cos(chi0) / (2 a k0 m0))
+        ce = 2.0 * np.arctan2(rho * self.cchi0, 2.0 * E.a * self.k0 * self.m0)
+        sce, cce = np.sin(ce), np.cos(ce)
+        safe_rho = np.where(rho == 0, 1.0, rho)
+        chi = np.arcsin(np.clip(
+            cce * self.schi0 + y * sce * self.cchi0 / safe_rho, -1, 1))
+        chi = np.where(rho == 0, np.arcsin(self.schi0), chi)
+        lam = np.arctan2(x * sce,
+                         safe_rho * self.cchi0 * cce - y * self.schi0 * sce)
+        lam = np.where(rho == 0, 0.0, lam)
+        phi = np.arctan(_tauf(np.tan(chi), e))
+        return lam, phi
+
+
+class EquidistantCylindrical(Projection):
+    """eqc / Plate Carrée — spherical formulas like PROJ."""
+
+    name = "eqc"
+
+    def _setup(self, lat_ts=0.0, lat_0=0.0, **kw):
+        self.cos_ts = np.cos(np.radians(float(lat_ts)))
+        self.lat0 = np.radians(float(lat_0))
+
+    def _fwd(self, dl, phi):
+        a = self.E.a
+        return a * dl * self.cos_ts, a * (phi - self.lat0)
+
+    def _inv(self, x, y):
+        a = self.E.a
+        return x / (a * self.cos_ts), y / a + self.lat0
+
+
+class Sinusoidal(Projection):
+    """Sinusoidal (ellipsoidal, Snyder pp. 243-248) — equal-area."""
+
+    name = "sinu"
+
+    def _setup(self, **kw):
+        E = self.E
+        e2 = E.e2
+        # meridian-arc series (same rectifying machinery as TM)
+        n = E.n
+        self.A = E.a / (1.0 + n) * (1.0 + n ** 2 / 4 + n ** 4 / 64 + n ** 6 / 256)
+        self.alpha = [_polyn(c, n) for c in _ALPHA]
+        self.beta = [_polyn(c, n) for c in _BETA]
+
+    def _mdist(self, phi):
+        # meridian arc via rectifying latitude: m = A * mu(phi);
+        # mu = chi + sum alpha sin(2 j chi) evaluated through TM xi at lam=0
+        e = self.E.e
+        chi = np.arctan(_taupf(np.tan(phi), e))
+        mu = chi.copy()
+        for j, aj in enumerate(self.alpha, start=1):
+            mu = mu + aj * np.sin(2 * j * chi)
+        return self.A * mu
+
+    def _fwd(self, dl, phi):
+        E = self.E
+        s = np.sin(phi)
+        x = E.a * dl * np.cos(phi) / np.sqrt(1.0 - E.e2 * s * s)
+        return x, self._mdist(phi)
+
+    def _inv(self, x, y):
+        E = self.E
+        mu = y / self.A
+        chi = mu.copy()
+        for j, bj in enumerate(self.beta, start=1):
+            chi = chi - bj * np.sin(2 * j * mu)
+        phi = np.arctan(_tauf(np.tan(chi), E.e))
+        s = np.sin(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dl = x * np.sqrt(1.0 - E.e2 * s * s) / (E.a * np.cos(phi))
+        return dl, phi
+
+
+PROJECTIONS = {
+    "longlat": LongLat,
+    "latlong": LongLat,
+    "webmerc": WebMercator,
+    "merc": Mercator,
+    "tmerc": TransverseMercator,
+    "etmerc": TransverseMercator,
+    "utm": UTM,
+    "lcc": LambertConformalConic,
+    "laea": LambertAzimuthalEqualArea,
+    "aeqd": AzimuthalEquidistant,
+    "stere": Stereographic,
+    "eqc": EquidistantCylindrical,
+    "sinu": Sinusoidal,
+}

@@ -1,0 +1,290 @@
+"""TransformSpec + Transformer — the engine's query planner.
+
+The Spark analogue of ``pyproj.Transformer`` (reference
+``pyproj/transformer.py:667-752`` from_crs planning,
+``pyproj/_transformer.pyx:620-680`` option packing):
+
+* planning happens ONCE on the driver: resolve both CRSs, decide the
+  step chain (inverse projection -> datum shift via geocentric Helmert
+  -> forward projection), apply the noop elision rule
+  (``pyproj/_transformer.pyx:772-773``);
+* the resulting :class:`TransformSpec` is a small picklable object that
+  is broadcast to executors;
+* each python worker materializes the numpy kernel lazily, memoized by
+  spec key — the Spark analogue of the reference's per-thread
+  ``TransformerLocal`` (``pyproj/transformer.py:416-474``).
+
+Executing a transform is one numpy pass per Arrow batch; errors are
+in-band (NaN/inf), matching ``pyproj/_transformer.pyx:828-837``, with an
+``errcheck=True`` raise option.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+import numpy as np
+
+from pyproj_spark.crs.crs import CRS
+from pyproj_spark.kernels.datum import (
+    Helmert, geocentric_to_geodetic, geodetic_to_geocentric,
+)
+from pyproj_spark.kernels.projections import PROJECTIONS
+
+
+class TransformDirection(str, Enum):
+    FORWARD = "FORWARD"
+    INVERSE = "INVERSE"
+    IDENT = "IDENT"
+
+
+@dataclass(frozen=True)
+class TransformSpec:
+    """Picklable plan: everything a worker needs to build the kernel."""
+
+    src_srs: str
+    dst_srs: str
+    always_xy: bool = False
+
+    @property
+    def key(self) -> tuple:
+        return (self.src_srs, self.dst_srs, self.always_xy)
+
+
+class _Kernel:
+    """Compiled transform: callable on numpy arrays (x, y, z, t)."""
+
+    def __init__(self, spec: TransformSpec):
+        self.spec = spec
+        self.src = CRS.from_user_input(spec.src_srs)
+        self.dst = CRS.from_user_input(spec.dst_srs)
+        self.noop = self.src == self.dst
+        if self.noop:
+            return
+        E_s, E_d = self.src.ellipsoid, self.dst.ellipsoid
+        self.proj_src = self._make_proj(self.src)
+        self.proj_dst = self._make_proj(self.dst)
+        # datum legs: only when both sides define a shift and they differ
+        # (or the ellipsoids differ). Missing towgs84 on either side =>
+        # ballpark transform (reinterpret coordinates), like PROJ's
+        # ballpark when no path exists.
+        same_ell = (abs(E_s.a - E_d.a) < 1e-9 and abs(E_s.f - E_d.f) < 1e-15)
+        h_s = self.src.towgs84
+        h_d = self.dst.towgs84
+        self.datum_shift = not (
+            h_s is None or h_d is None or (tuple(h_s) == tuple(h_d)
+                                           and same_ell))
+        if self.datum_shift:
+            self.helm_src = Helmert.from_towgs84(h_s)
+            self.helm_dst = Helmert.from_towgs84(h_d)
+
+    @staticmethod
+    def _make_proj(crs: CRS):
+        if crs.is_geographic or crs.is_geocentric:
+            return None
+        params = dict(crs.proj_params)
+        name = params.pop("proj")
+        if name in ("geocent", "cart"):
+            return None
+        try:
+            cls = PROJECTIONS[name]
+        except KeyError:
+            raise ValueError(f"projection {name!r} not implemented") from None
+        if name == "utm":
+            zone = int(params.pop("zone"))
+            south = bool(params.pop("south", False))
+            params.pop("k_0", None)
+            return cls(crs.ellipsoid, zone=zone, south=south)
+        if "k" in params and "k_0" not in params:
+            params["k_0"] = params.pop("k")
+        params.pop("units", None)
+        return cls(crs.ellipsoid, **params)
+
+    # -- one side: native units -> geodetic radians (+h meters) ------------
+    def _to_geodetic(self, crs: CRS, proj, x, y, z):
+        if crs.is_geocentric:
+            lam, phi, h = geocentric_to_geodetic(crs.ellipsoid, x, y, z)
+            return lam, phi, h
+        if crs.is_geographic:
+            return np.radians(x), np.radians(y), z
+        u = crs.to_meter or 1.0
+        lam, phi = proj.inverse(x * u, y * u)
+        return lam, phi, z
+
+    def _from_geodetic(self, crs: CRS, proj, lam, phi, h):
+        if crs.is_geocentric:
+            return geodetic_to_geocentric(crs.ellipsoid, lam, phi, h)
+        if crs.is_geographic:
+            return np.degrees(lam), np.degrees(phi), h
+        u = crs.to_meter or 1.0
+        x, y = proj.forward(lam, phi)
+        return x / u, y / u, h
+
+    def __call__(self, x, y, z=None, t=None, direction="FORWARD"):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        has_z = z is not None
+        z = (np.asarray(z, dtype=np.float64) if has_z
+             else np.zeros_like(x))
+        if self.noop or direction == TransformDirection.IDENT or \
+                direction == "IDENT":
+            return (x, y, z) if has_z else (x, y, None)
+        if direction in (TransformDirection.INVERSE, "INVERSE"):
+            src, dst = self.dst, self.src
+            proj_s, proj_d = self.proj_dst, self.proj_src
+            helm_s = getattr(self, "helm_dst", None)
+            helm_d = getattr(self, "helm_src", None)
+        else:
+            src, dst = self.src, self.dst
+            proj_s, proj_d = self.proj_src, self.proj_dst
+            helm_s = getattr(self, "helm_src", None)
+            helm_d = getattr(self, "helm_dst", None)
+
+        with np.errstate(all="ignore"):
+            lam, phi, h = self._to_geodetic(src, proj_s, x, y, z)
+            if self.datum_shift:
+                X, Y, Z = geodetic_to_geocentric(src.ellipsoid, lam, phi, h)
+                X, Y, Z = helm_s.forward(X, Y, Z, t=t)
+                X, Y, Z = helm_d.inverse(X, Y, Z, t=t)
+                lam, phi, h = geocentric_to_geodetic(dst.ellipsoid, X, Y, Z)
+            elif (abs(src.ellipsoid.a - dst.ellipsoid.a) > 1e-9
+                  or abs(src.ellipsoid.f - dst.ellipsoid.f) > 1e-15) and \
+                    not (src.towgs84 is None or dst.towgs84 is None):
+                X, Y, Z = geodetic_to_geocentric(src.ellipsoid, lam, phi, h)
+                lam, phi, h = geocentric_to_geodetic(dst.ellipsoid, X, Y, Z)
+            xo, yo, zo = self._from_geodetic(dst, proj_d, lam, phi, h)
+        return (xo, yo, zo) if has_z else (xo, yo, None)
+
+
+_KERNEL_CACHE: dict[tuple, _Kernel] = {}
+
+
+def get_kernel(spec: TransformSpec) -> _Kernel:
+    """Per-worker memoized kernel table (the Spark analogue of the
+    reference's per-thread transformer, pyproj/transformer.py:416-426)."""
+    k = _KERNEL_CACHE.get(spec.key)
+    if k is None:
+        k = _Kernel(spec)
+        _KERNEL_CACHE[spec.key] = k
+    return k
+
+
+class Transformer:
+    """pyproj.Transformer-compatible facade over TransformSpec."""
+
+    def __init__(self, spec: TransformSpec):
+        self.spec = spec
+        self._kernel = get_kernel(spec)
+
+    @classmethod
+    def from_crs(cls, crs_from, crs_to, always_xy: bool = False,
+                 **_ignored) -> "Transformer":
+        src = CRS.from_user_input(crs_from)
+        dst = CRS.from_user_input(crs_to)
+        return cls(TransformSpec(src.srs, dst.srs, always_xy=always_xy))
+
+    @classmethod
+    def from_pipeline(cls, proj_pipeline: str, **_ignored) -> "Transformer":
+        """AUTH:CODE fast path like the reference regex
+        (_transformer.pyx:35, :711-722); full +proj=pipeline grammar is
+        out of round-1 scope."""
+        import re as _re
+        m = _re.match(r"^\s*([A-Za-z]+):(\d+)\s*$", proj_pipeline)
+        if m:
+            raise ValueError("operation codes not supported; use from_crs")
+        raise NotImplementedError("pipeline strings not yet supported")
+
+    # -- axis handling ------------------------------------------------------
+    def _axis_in(self, crs: CRS, xx, yy):
+        if not self.spec.always_xy and crs.axis == "neu":
+            return yy, xx
+        return xx, yy
+
+    def _axis_out(self, crs: CRS, xx, yy):
+        if not self.spec.always_xy and crs.axis == "neu":
+            return yy, xx
+        return xx, yy
+
+    def transform(self, xx, yy, zz=None, tt=None, radians: bool = False,
+                  errcheck: bool = False, direction="FORWARD",
+                  inplace: bool = False):
+        """Batch transform — semantics of pyproj/transformer.py:841-985.
+
+        Scalar in -> scalar out; array-likes in -> numpy arrays out.
+        """
+        scalar = np.isscalar(xx) and np.isscalar(yy)
+        x = np.atleast_1d(np.asarray(xx, dtype=np.float64))
+        y = np.atleast_1d(np.asarray(yy, dtype=np.float64))
+        z = (np.atleast_1d(np.asarray(zz, dtype=np.float64))
+             if zz is not None else None)
+        t = (np.atleast_1d(np.asarray(tt, dtype=np.float64))
+             if tt is not None else None)
+        fwd = direction in ("FORWARD", TransformDirection.FORWARD)
+        src = self._kernel.src if fwd else self._kernel.dst
+        dst = self._kernel.dst if fwd else self._kernel.src
+        x, y = self._axis_in(src, x, y)
+        if radians and src.is_geographic:
+            x, y = np.degrees(x), np.degrees(y)
+        xo, yo, zo = self._kernel(x, y, z, t=t, direction=direction)
+        # 2D<->2D semantics: PROJ brackets the pipeline in push/pop v_3,
+        # so the input z rides along the datum leg but is RESTORED on
+        # output (tested by reference test/test_datum_shift.py:38-70).
+        src3d = src.is_geocentric or src.epsg_code == 4979
+        dst3d = dst.is_geocentric or dst.epsg_code == 4979
+        if z is not None and not (src3d or dst3d):
+            zo = z
+        if radians and dst.is_geographic:
+            xo, yo = np.radians(xo), np.radians(yo)
+        xo, yo = self._axis_out(dst, xo, yo)
+        if errcheck:
+            bad = ~np.isfinite(xo) | ~np.isfinite(yo)
+            if bad.any():
+                raise RuntimeError(f"transform error on {int(bad.sum())} "
+                                   f"point(s)")
+        else:
+            xo = np.where(np.isfinite(xo), xo, np.inf)
+            yo = np.where(np.isfinite(yo), yo, np.inf)
+        if scalar:
+            if zz is not None:
+                return float(xo[0]), float(yo[0]), float(zo[0])
+            return float(xo[0]), float(yo[0])
+        if zz is not None:
+            return xo, yo, zo
+        return xo, yo
+
+    def itransform(self, points, switch: bool = False, **kw):
+        """Iterator facade (reference transformer.py:987-1113) — batches
+        the whole iterable at once (Spark is always batched)."""
+        pts = list(points)
+        if not pts:
+            return
+        arr = np.asarray(pts, dtype=np.float64)
+        if switch:
+            x, y = arr[:, 1], arr[:, 0]
+        else:
+            x, y = arr[:, 0], arr[:, 1]
+        rest = arr[:, 2:] if arr.shape[1] > 2 else None
+        xo, yo = self.transform(x, y, **kw)
+        for i in range(len(pts)):
+            head = (yo[i], xo[i]) if switch else (xo[i], yo[i])
+            if rest is not None:
+                yield (*head, *rest[i])
+            else:
+                yield head
+
+    @property
+    def source_crs(self) -> CRS:
+        return self._kernel.src
+
+    @property
+    def target_crs(self) -> CRS:
+        return self._kernel.dst
+
+    @property
+    def name(self) -> str:
+        return f"{self.spec.src_srs} -> {self.spec.dst_srs}"
+
+    def __repr__(self):
+        return f"Transformer({self.name}, always_xy={self.spec.always_xy})"

@@ -1,0 +1,248 @@
+"""Transformer/CRS tests against reference golden values.
+
+Golden constants from /root/reference/pyproj/transformer.py docstrings,
+/root/reference/test/test_transformer.py, and
+/root/reference/test/test_datum_shift.py, asserted at the same decimals.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_almost_equal
+
+from pyproj_spark.crs.crs import CRS
+from pyproj_spark.plans.spec import Transformer, TransformSpec, get_kernel
+
+
+def test_4326_to_3857_golden():
+    # reference pyproj/transformer.py:903-907
+    t = Transformer.from_crs("EPSG:4326", "EPSG:3857")
+    x, y = t.transform(33, 98)
+    assert_almost_equal((x, y), (10909310.098, 3895303.963), decimal=3)
+
+
+def test_3857_roundtrip():
+    t = Transformer.from_crs("EPSG:4326", "EPSG:3857")
+    lat, lon = t.transform(10909310.098, 3895303.963, direction="INVERSE")
+    assert_almost_equal((lat, lon), (33, 98), decimal=8)
+
+
+def test_always_xy():
+    # reference test/test_transformer.py:389-397 (EPSG:2193 has
+    # northing-first authority axis order)
+    t = Transformer.from_crs(2193, 4326, always_xy=True)
+    assert_almost_equal(
+        t.transform(1625350, 5504853),
+        (173.29964730317386, -40.60674802693758), decimal=7)
+
+
+def test_axis_order_default():
+    t = Transformer.from_crs(2193, 4326)
+    lat, lon = t.transform(5504853, 1625350)
+    assert_almost_equal((lat, lon), (-40.60674802693758, 173.29964730317386),
+                        decimal=7)
+
+
+def test_utm_golden():
+    # reference pyproj/proj.py:72-75
+    t = Transformer.from_crs("EPSG:4326", "EPSG:32610", always_xy=True)
+    assert_almost_equal(t.transform(-120.108, 34.36116666),
+                        (765975.641, 3805993.134), decimal=3)
+
+
+def test_itransform_greek_grid():
+    # reference pyproj/transformer.py:1030-1035
+    t = Transformer.from_crs(4326, 2100)
+    got = ["{:.3f} {:.3f}".format(*pt) for pt in t.itransform(
+        [(22.95, 40.63), (22.81, 40.53), (23.51, 40.86)])]
+    assert got == ["2221638.801 2637034.372", "2212924.125 2619851.898",
+                   "2238294.779 2703763.736"]
+
+
+def test_geocent_golden():
+    # reference pyproj/transformer.py:916-936
+    t = Transformer.from_crs(
+        {"proj": "geocent", "ellps": "WGS84", "datum": "WGS84"},
+        "EPSG:4326", always_xy=True)
+    x, y, z = t.transform(-2704026.010, -4253051.810, 3895878.820,
+                          radians=True)
+    assert_almost_equal((x, y, z), (-2.137, 0.661, -20.531), decimal=3)
+    tr = Transformer.from_crs(
+        "EPSG:4326",
+        {"proj": "geocent", "ellps": "WGS84", "datum": "WGS84"},
+        always_xy=True)
+    xr, yr, zr = tr.transform(x, y, z, radians=True)
+    assert_almost_equal((xr, yr, zr),
+                        (-2704026.010, -4253051.810, 3895878.820), decimal=3)
+
+
+def test_noop_elision():
+    # reference pyproj/transformer.py:937-940 + _transformer.pyx:772-773
+    t = Transformer.from_crs("EPSG:4326", 4326)
+    assert t.transform(33, 98) == (33.0, 98.0)
+    assert get_kernel(t.spec).noop
+
+
+DATUM_WGS84 = "+proj=latlong +datum=WGS84"
+DATUM_GB = ("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=2520000 +y_0=0 "
+            "+ellps=intl "
+            "+towgs84=-122.74,-34.27,-22.83,-1.884,-3.400,-3.030,-15.62")
+TRIESTE = (13.759554722, 45.647188611, 52.8)
+
+
+def test_datum_shift_wgs84_to_utm33():
+    # reference test/test_datum_shift.py:38-44 (decimal=7 default)
+    t = Transformer.from_crs(DATUM_WGS84, "+proj=utm +zone=33",
+                             always_xy=True)
+    out = t.transform(TRIESTE[0], TRIESTE[1], TRIESTE[2])
+    assert_almost_equal(out, (403340.9672367854, 5055597.175553089, 52.8),
+                        decimal=6)
+
+
+def test_datum_shift_wgs84_to_gaussb():
+    # reference test/test_datum_shift.py:55-70 (decimal=2 / 3)
+    t = Transformer.from_crs(DATUM_WGS84, DATUM_GB, always_xy=True)
+    out = t.transform(TRIESTE[0], TRIESTE[1], 0)
+    assert_almost_equal(out, (2423346.99, 5055619.899, 0), decimal=2)
+    tb = Transformer.from_crs(DATUM_GB, DATUM_WGS84, always_xy=True)
+    back = tb.transform(2423346.99, 5055619.87, 0)
+    assert_almost_equal(back, (TRIESTE[0], TRIESTE[1], 0), decimal=3)
+
+
+def test_lcc_us_feet_epsg2263():
+    # EPSG:2263 is in US survey feet; round-trip + unit handling
+    t = Transformer.from_crs("EPSG:4326", "EPSG:2263", always_xy=True)
+    x, y = t.transform(-73.9857, 40.7484)  # Empire State Building
+    # approximate NY-Long-Island state-plane coords (ftUS)
+    assert abs(x - 988220) < 500
+    assert abs(y - 211950) < 500
+    lon, lat = t.transform(x, y, direction="INVERSE")
+    assert_almost_equal((lon, lat), (-73.9857, 40.7484), decimal=7)
+
+
+def test_lcc_snyder_golden():
+    # Snyder 1987 pp. 296-297 ellipsoidal LCC numerical example
+    t = Transformer.from_crs(
+        "+proj=latlong +ellps=clrk66 +towgs84=0,0,0",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +ellps=clrk66 "
+        "+towgs84=0,0,0", always_xy=True)
+    assert_almost_equal(t.transform(-75.0, 35.0),
+                        (1894410.9, 1564649.5), decimal=1)
+
+
+def test_laea_snyder_golden():
+    # Snyder 1987 pp. 332-333 ellipsoidal LAEA numerical example
+    t = Transformer.from_crs(
+        "+proj=latlong +ellps=clrk66 +towgs84=0,0,0",
+        "+proj=laea +lat_0=40 +lon_0=-100 +ellps=clrk66 +towgs84=0,0,0",
+        always_xy=True)
+    assert_almost_equal(t.transform(-110.0, 30.0),
+                        (-965932.1, -1056814.9), decimal=1)
+
+
+def test_polar_stereographic_rho():
+    # analytic cross-check of south polar stereographic (Snyder 21-33/34):
+    # rho = a m(71) t(|phi|)/t(71); point (150E, 75S) on intl ellipsoid
+    import math
+    e2 = 0.006722670022333322  # intl
+    e = math.sqrt(e2)
+
+    def tf(phid):
+        p = math.radians(phid)
+        return math.tan(math.pi / 4 - p / 2) * (
+            (1 + e * math.sin(p)) / (1 - e * math.sin(p))) ** (e / 2)
+
+    m71 = math.cos(math.radians(71)) / math.sqrt(
+        1 - e2 * math.sin(math.radians(71)) ** 2)
+    rho = 6378388.0 * m71 * tf(75) / tf(71)
+    t = Transformer.from_crs(
+        "+proj=latlong +ellps=intl +towgs84=0,0,0",
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=-100 +ellps=intl "
+        "+towgs84=0,0,0", always_xy=True)
+    x, y = t.transform(150.0, -75.0)
+    assert_almost_equal(np.hypot(x, y), rho, decimal=3)
+    lon, lat = t.transform(x, y, direction="INVERSE")
+    assert_almost_equal((lon, lat), (150.0, -75.0), decimal=8)
+
+
+@pytest.mark.parametrize("epsg", [3035, 3031, 3413, 27700, 26915, 32733])
+def test_roundtrip_various_crs(epsg):
+    t = Transformer.from_crs(4326, epsg, always_xy=True)
+    rng = np.random.default_rng(epsg)
+    # sample points in a plausible domain per CRS
+    domains = {3035: (-10, 30, 35, 70), 3031: (-180, 180, -85, -60),
+               3413: (-180, 180, 60, 89), 27700: (-7, 2, 50, 60),
+               26915: (-98, -88, 25, 50), 32733: (12, 18, -80, 0)}
+    lo1, lo2, la1, la2 = domains[epsg]
+    lon = rng.uniform(lo1, lo2, 200)
+    lat = rng.uniform(la1, la2, 200)
+    x, y = t.transform(lon, lat)
+    lon2, lat2 = t.transform(x, y, direction="INVERSE")
+    assert_almost_equal(lon2, lon, decimal=7)
+    assert_almost_equal(lat2, lat, decimal=7)
+
+
+def test_out_of_domain_inf():
+    # in-band inf error convention (pyproj/_transformer.pyx:828-837)
+    t = Transformer.from_crs("EPSG:4326", "EPSG:3857", always_xy=True)
+    x, y = t.transform(0.0, 90.0)  # webmerc pole -> inf
+    assert np.isinf(y)
+    with pytest.raises(RuntimeError):
+        t.transform(0.0, 90.0, errcheck=True)
+
+
+def test_transform_spec_pickles():
+    import pickle
+    spec = TransformSpec("EPSG:4326", "EPSG:3857", always_xy=True)
+    spec2 = pickle.loads(pickle.dumps(spec))
+    assert spec2 == spec
+    t = Transformer(spec2)
+    assert_almost_equal(t.transform(98, 33), (10909310.098, 3895303.963),
+                        decimal=3)
+
+
+def test_crs_pickles():
+    import pickle
+    crs = CRS.from_epsg(2100)
+    crs2 = pickle.loads(pickle.dumps(crs))
+    assert crs2 == crs and crs2.epsg_code == 2100
+
+
+def test_crs_from_user_input_forms():
+    # reference pyproj/crs/crs.py:477-503 accepted forms
+    forms = [4326, "EPSG:4326", "epsg:4326", ("EPSG", "4326"),
+             {"proj": "longlat", "datum": "WGS84"},
+             "+proj=longlat +datum=WGS84"]
+    crss = [CRS.from_user_input(f) for f in forms]
+    for c in crss[1:]:
+        assert c == crss[0], c
+
+
+def test_crs_predicates():
+    assert CRS.from_epsg(4326).is_geographic
+    assert CRS.from_epsg(3857).is_projected
+    assert CRS.from_epsg(4978).is_geocentric
+    assert CRS.from_epsg(3857).geodetic_crs.is_geographic
+    assert CRS.from_epsg(2263).to_epsg() == 2263
+    assert CRS.from_epsg(2263).to_authority() == ("EPSG", "2263")
+
+
+def test_crs_exports():
+    crs = CRS.from_epsg(2100)
+    p4 = crs.to_proj4()
+    assert "+proj=tmerc" in p4 and "+towgs84=" in p4
+    crs2 = CRS.from_proj4(p4)
+    # proj4 round trip preserves the math (datum + projection)
+    t1 = Transformer.from_crs(4326, crs, always_xy=True)
+    t2 = Transformer.from_crs(4326, crs2, always_xy=True)
+    assert_almost_equal(t1.transform(24.0, 40.0), t2.transform(24.0, 40.0),
+                        decimal=6)
+    j = crs.to_json_dict()
+    assert j["type"] == "ProjectedCRS"
+
+
+def test_batch_matches_scalar():
+    # scalar/array duality (reference test/conftest.py:96-125)
+    t = Transformer.from_crs(4326, 32633, always_xy=True)
+    xs, ys = t.transform(14.0, 45.0)
+    xb, yb = t.transform(np.array([14.0, 15.0]), np.array([45.0, 46.0]))
+    assert xs == xb[0] and ys == yb[0]
