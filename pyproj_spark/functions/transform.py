@@ -1,0 +1,132 @@
+"""Spark column functions for CRS transforms — scalar pandas/Arrow UDFs.
+
+One Arrow batch in -> one out, never per-row Python (the engine-wide
+rule from BASELINE.json input_hint). The TransformSpec is resolved on
+the driver (plan once — reference ``docs/advanced_examples.rst:269-291``
+shows why) and captured in the UDF closure; each python worker
+materializes the numpy kernel once per spec via the module-level cache
+in ``pyproj_spark.plans.spec`` (the Spark analogue of the reference's
+per-thread ``TransformerLocal``, ``pyproj/transformer.py:416-474``).
+
+Noop elision: if src == dst CRS the returned Column is built from the
+input columns directly — no UDF enters the plan at all
+(``pyproj/_transformer.pyx:772-773`` semantics, §4 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pyproj_spark.crs.crs import CRS
+from pyproj_spark.plans.spec import TransformSpec, get_kernel
+
+
+def transform_xy(crs_from, crs_to, x: Column, y: Column,
+                 always_xy: bool = True) -> Column:
+    """struct<x:double, y:double> column transforming (x, y) between CRSs.
+
+    ``always_xy=True`` by default: engine-internal coordinate columns are
+    always (lon/easting, lat/northing); authority axis order only matters
+    at the user-facing Transformer API.
+    """
+    src = CRS.from_user_input(crs_from)
+    dst = CRS.from_user_input(crs_to)
+    spec = TransformSpec(src.srs, dst.srs, always_xy=always_xy)
+    if src == dst:
+        # noop elision: identity projection, no Python boundary
+        return F.struct(x.cast("double").alias("x"),
+                        y.cast("double").alias("y"))
+
+    @pandas_udf("struct<x:double,y:double>")
+    def _xf(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        k = get_kernel(spec)
+        xo, yo, _ = k(xs.to_numpy(), ys.to_numpy())
+        return pd.DataFrame({"x": xo, "y": yo})
+
+    return _xf(x, y)
+
+
+def transform_xyz(crs_from, crs_to, x: Column, y: Column, z: Column,
+                  always_xy: bool = True) -> Column:
+    """3D variant -> struct<x,y,z>."""
+    src = CRS.from_user_input(crs_from)
+    dst = CRS.from_user_input(crs_to)
+    spec = TransformSpec(src.srs, dst.srs, always_xy=always_xy)
+    if src == dst:
+        return F.struct(x.cast("double").alias("x"),
+                        y.cast("double").alias("y"),
+                        z.cast("double").alias("z"))
+
+    @pandas_udf("struct<x:double,y:double,z:double>")
+    def _xf(xs: pd.Series, ys: pd.Series, zs: pd.Series) -> pd.DataFrame:
+        k = get_kernel(spec)
+        xo, yo, zo = k(xs.to_numpy(), ys.to_numpy(), zs.to_numpy())
+        return pd.DataFrame({"x": xo, "y": yo, "z": zo})
+
+    return _xf(x, y, z)
+
+
+def geod_inverse(ellps: str, lon1: Column, lat1: Column, lon2: Column,
+                 lat2: Column) -> Column:
+    """struct<az12,az21,dist> — Karney inverse as a pandas UDF.
+    az21 is the back azimuth (pyproj default convention,
+    ``pyproj/_geod.pyx:294-295``)."""
+
+    @pandas_udf("struct<az12:double,az21:double,dist:double>")
+    def _inv(a: pd.Series, b: pd.Series, c: pd.Series,
+             d: pd.Series) -> pd.DataFrame:
+        from pyproj_spark.kernels.geod import Geod
+        g = _geod_cache(ellps)
+        az12, az21, dist = g.inv(a.to_numpy(), b.to_numpy(),
+                                 c.to_numpy(), d.to_numpy())
+        return pd.DataFrame({"az12": az12, "az21": az21, "dist": dist})
+
+    return _inv(lon1, lat1, lon2, lat2)
+
+
+def geod_forward(ellps: str, lon: Column, lat: Column, az: Column,
+                 dist: Column) -> Column:
+    """struct<lon,lat,backaz> — Karney direct as a pandas UDF."""
+
+    @pandas_udf("struct<lon:double,lat:double,backaz:double>")
+    def _fwd(a: pd.Series, b: pd.Series, c: pd.Series,
+             d: pd.Series) -> pd.DataFrame:
+        g = _geod_cache(ellps)
+        lo, la, baz = g.fwd(a.to_numpy(), b.to_numpy(), c.to_numpy(),
+                            d.to_numpy())
+        return pd.DataFrame({"lon": lo, "lat": la, "backaz": baz})
+
+    return _fwd(lon, lat, az, dist)
+
+
+_GEODS: dict = {}
+
+
+def _geod_cache(ellps: str):
+    g = _GEODS.get(ellps)
+    if g is None:
+        from pyproj_spark.kernels.geod import Geod
+        g = Geod(ellps=ellps)
+        _GEODS[ellps] = g
+    return g
+
+
+def reverse_azimuth(az: Column) -> Column:
+    """Native Catalyst version of pyproj.Geod reverse_azimuth
+    (``pyproj/_geod.pyx:70-85``) — no UDF needed (SURVEY.md §2.2 G10)."""
+    return F.when(az > 0, az - 180.0).otherwise(az + 180.0)
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+                radius: float = 6371008.8) -> Column:
+    """Great-circle distance in metres — pure Catalyst (codegen-friendly).
+    Used as the cheap pre-rank in kNN before the exact Karney re-rank."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = rl2 - rl1
+    dlon = F.radians(lon2) - F.radians(lon1)
+    h = (F.pow(F.sin(dlat / 2), 2)
+         + F.cos(rl1) * F.cos(rl2) * F.pow(F.sin(dlon / 2), 2))
+    return 2.0 * F.lit(radius) * F.asin(F.sqrt(h))

@@ -1,0 +1,100 @@
+"""Point-in-polygon join — cell-prefiltered equi-join + exact test.
+
+The graft's flagship join (SURVEY.md §2.6): instead of a theta-join
+(impossible at 10^12 rows), PIP becomes
+
+  1. anchors gain a geocell id (pure Catalyst bit math, no shuffle);
+  2. zones explode their covering cells -> (cell, zone) rows, BROADCAST
+     (zones are a dimension table);
+  3. equi-join on cell = the only join, map-side via broadcast hash join
+     (zero shuffle of the fact table);
+  4. exact even-odd crossing test as a vectorized pandas UDF, batched per
+     zone inside each Arrow batch (ring geometry is identical across a
+     zone's rows, so the inner loop is one numpy pass per distinct zone).
+
+Exact-match contract: the even-odd test below is the same algorithm as
+the brute-force oracle in tests (FIXTURES.md §9) — join output rows must
+match exactly. Antimeridian-crossing rings are handled by wrapping
+vertex longitudes into the point's local frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pyproj_spark.functions import cells
+
+
+def point_in_ring_np(lon: np.ndarray, lat: np.ndarray,
+                     ring_lon: np.ndarray, ring_lat: np.ndarray
+                     ) -> np.ndarray:
+    """Vectorized even-odd (crossing-number) test; lon wrap-aware.
+
+    Points on an edge are resolved by the half-open rule (y1 > lat) !=
+    (y2 > lat) — deterministic, matching the test oracle bit-for-bit.
+    """
+    # Ring-local continuous frame: unwrap every vertex to within +-180 of
+    # vertex 0 (rings span << 180 deg by construction), then wrap the
+    # point into the same frame. The seam lands ~antipodal to the ring,
+    # so no edge spans it and the planar ray test is globally correct
+    # (a per-vertex wrap would split far-away rings across the seam and
+    # let the eastward ray wrap around and hit them).
+    ref = ring_lon[0]
+    rx = ref + ((ring_lon - ref + 180.0) % 360.0 - 180.0)
+    px = ref + ((lon - ref + 180.0) % 360.0 - 180.0)
+    x1 = rx
+    x2 = np.roll(rx, -1)
+    y1 = ring_lat
+    y2 = np.roll(ring_lat, -1)
+    yy1 = y1[None, :]
+    yy2 = y2[None, :]
+    cross = (yy1 > lat[:, None]) != (yy2 > lat[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (lat[:, None] - yy1) * (x2 - x1)[None, :] \
+            / (yy2 - yy1)
+    hits = cross & (px[:, None] < xint)
+    return (hits.sum(axis=1) % 2).astype(bool)
+
+
+from pyspark.sql.types import BooleanType
+
+
+@pandas_udf(BooleanType())  # explicit DataType: no session needed at import
+def _pip_udf(lon: pd.Series, lat: pd.Series, ring: pd.Series) -> pd.Series:
+    lon_v = lon.to_numpy()
+    lat_v = lat.to_numpy()
+    out = np.zeros(len(lon_v), dtype=bool)
+    # rows arrive join-ordered: group identical rings (one numpy pass per
+    # distinct zone inside the batch)
+    key = ring.map(lambda r: (len(r), r[0]["lon"], r[0]["lat"])
+                   if len(r) else (0, 0.0, 0.0))
+    for _, idx in key.groupby(key).groups.items():
+        ii = np.asarray(idx)
+        r = ring.iloc[ii[0]]
+        rl = np.array([p["lon"] for p in r])
+        rb = np.array([p["lat"] for p in r])
+        out[ii] = point_in_ring_np(lon_v[ii], lat_v[ii], rl, rb)
+    return pd.Series(out)
+
+
+def pip_join(anchors: DataFrame, zones: DataFrame,
+             res: int = cells.DEFAULT_RES,
+             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """anchors ⋈ zones where the point lies inside the zone ring.
+
+    anchors: any DF with lon/lat columns. zones: zones_df schema
+    (zone_id, name, ring, cells). Returns anchors columns + zone_id.
+    """
+    a = anchors.withColumn(
+        "cell", cells.cell_of(F.col(lon_col), F.col(lat_col), res))
+    zc = zones.select(
+        "zone_id", "ring", F.explode("cells").alias("cell"))
+    cand = a.join(F.broadcast(zc), "cell")
+    hit = cand.filter(_pip_udf(F.col(lon_col), F.col(lat_col),
+                               F.col("ring")))
+    return hit.drop("ring", "cell")

@@ -1,0 +1,195 @@
+"""End-to-end Spark tests: pages -> anchors -> transform -> cells/tiles
+-> PIP join -> kNN, each checked against a brute-force python oracle
+(exact-match gates from FIXTURES.md §9)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from numpy.testing import assert_almost_equal
+
+from pyspark.sql import functions as F
+
+from pyproj_spark.functions import cells
+from pyproj_spark.functions.tiles import tile_xy_from_lonlat
+from pyproj_spark.functions.transform import transform_xy
+from pyproj_spark.operators.extract import extract_anchors, extract_anchors_py
+from pyproj_spark.operators.knn import knn_ring, knn_to_zones
+from pyproj_spark.operators.pip import pip_join, point_in_ring_np
+from pyproj_spark.sources.pages import pages_df, pages_pandas
+from pyproj_spark.sources.zones import make_zone_rings, zones_df
+
+N_PAGES = 600
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def anchors(spark, pages):
+    return extract_anchors(pages).cache()
+
+
+def test_pages_byte_identical(spark, pages):
+    """Spark generator == pure-python reference, byte for byte."""
+    got = pages.orderBy("url").toPandas()
+    ref = pages_pandas(N_PAGES).sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(ref["url"])
+    assert list(got["text"]) == list(ref["text"])
+    assert [bytes(b) for b in got["html"]] == list(ref["html"])
+    assert list(got["lang"]) == list(ref["lang"])
+
+
+def test_extraction_byte_identical(spark, pages, anchors):
+    """Per-url extracted anchor_text must equal the reference extractor
+    output exactly (BASELINE.json input_hint invariant)."""
+    got = (anchors.select("url", "anchor_idx", "anchor_text")
+           .orderBy("url", "anchor_idx").toPandas())
+    ref_rows = []
+    for _, row in pages_pandas(N_PAGES).iterrows():
+        for i, (tok, x, y, crs) in enumerate(extract_anchors_py(row["text"])):
+            ref_rows.append((row["url"], i, tok))
+    ref = pd.DataFrame(ref_rows, columns=["url", "anchor_idx", "anchor_text"])
+    ref = ref.sort_values(["url", "anchor_idx"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert (got["anchor_text"] == ref["anchor_text"]).all()
+    assert (got["url"] == ref["url"]).all()
+
+
+def test_anchor_crs_normalized(anchors):
+    """Projected anchors (EPSG:2100) must land inside Greece-ish bounds."""
+    proj = anchors.filter(F.col("src_crs") == "EPSG:2100") \
+                  .select("lon", "lat").toPandas()
+    assert len(proj) > 0
+    assert proj["lon"].between(15, 35).all()
+    assert proj["lat"].between(33, 45).all()
+
+
+def test_transform_udf_matches_kernel(spark, anchors):
+    sample = anchors.limit(200).withColumn(
+        "xy", transform_xy("EPSG:4326", "EPSG:3857",
+                           F.col("lon"), F.col("lat"))).toPandas()
+    from pyproj_spark.plans.spec import Transformer
+    t = Transformer.from_crs("EPSG:4326", "EPSG:3857", always_xy=True)
+    x, y = t.transform(sample["lon"].to_numpy(), sample["lat"].to_numpy())
+    got = np.array([(r["x"], r["y"]) for r in sample["xy"]])
+    assert_almost_equal(got[:, 0], x, decimal=6)
+    assert_almost_equal(got[:, 1], y, decimal=6)
+
+
+def test_cell_expr_matches_numpy(spark, anchors):
+    got = anchors.withColumn(
+        "cell", cells.cell_of(F.col("lon"), F.col("lat"), 9)) \
+        .select("lon", "lat", "cell").toPandas()
+    expect = cells.encode_np(got["lon"].to_numpy(), got["lat"].to_numpy(), 9)
+    assert (got["cell"].to_numpy() == expect).all()
+
+
+def test_kring_expr_matches_numpy(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (179.9, 45.0), (-179.9, -45.0), (10.0, 89.9)],
+        ["lon", "lat"])
+    got = df.withColumn("cell", cells.cell_of(F.col("lon"), F.col("lat"), 6)) \
+            .withColumn("ring", cells.k_ring(F.col("cell"), 1, 6)).toPandas()
+    for _, row in got.iterrows():
+        expect = sorted(cells.k_ring_np(row["cell"], 1).tolist())
+        assert sorted(row["ring"]) == expect
+
+
+def test_tile_assignment_exact(spark, anchors):
+    """Tile ids must match the brute-force slippy formula exactly
+    (FIXTURES.md §9 tile_expected)."""
+    for z in (4, 8, 12):
+        tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), z)
+        got = anchors.select("lon", "lat", tx.alias("tx"), ty.alias("ty")) \
+                     .toPandas()
+        n = 1 << z
+        lon = got["lon"].to_numpy()
+        lat = np.clip(got["lat"].to_numpy(), -85.05112877980659,
+                      85.05112877980659)
+        ex = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1)
+        my = np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+        ey = np.clip(np.floor((1 - my / np.pi) / 2 * n), 0, n - 1)
+        assert (got["tx"].to_numpy() == ex).all()
+        assert (got["ty"].to_numpy() == ey).all()
+
+
+def test_pip_join_exact(spark, anchors):
+    """PIP join output rows match brute force EXACTLY."""
+    zdf = zones_df(spark, n_zones=60)
+    got = pip_join(anchors, zdf).select("url", "anchor_idx", "zone_id") \
+        .toPandas()
+    got_set = set(map(tuple, got.to_numpy()))
+    apd = anchors.select("url", "anchor_idx", "lon", "lat").toPandas()
+    expect = set()
+    for zid, name, ring in make_zone_rings(60):
+        rl = np.array([p[0] for p in ring])
+        rb = np.array([p[1] for p in ring])
+        inside = point_in_ring_np(apd["lon"].to_numpy(),
+                                  apd["lat"].to_numpy(), rl, rb)
+        for i in np.nonzero(inside)[0]:
+            expect.add((apd["url"].iloc[i], int(apd["anchor_idx"].iloc[i]),
+                        zid))
+    assert len(expect) > 0
+    assert got_set == expect
+
+
+def test_covering_contains_all_inside_points(spark):
+    """Cell covering must be a superset: any point inside the ring has its
+    cell in the covering (otherwise the PIP prefilter would drop rows)."""
+    rng = np.random.default_rng(1)
+    for zid, name, ring in make_zone_rings(40):
+        rl = np.array([p[0] for p in ring])
+        rb = np.array([p[1] for p in ring])
+        cov = set(cells.covering_np(rl, rb, cells.DEFAULT_RES).tolist())
+        lon = rng.uniform(rl.min(), rl.max(), 50)
+        lat = rng.uniform(rb.min(), rb.max(), 50)
+        inside = point_in_ring_np(lon, lat, rl, rb)
+        cc = cells.encode_np(lon, lat, cells.DEFAULT_RES)
+        for i in np.nonzero(inside)[0]:
+            assert int(cc[i]) in cov, (zid, lon[i], lat[i])
+
+
+def test_knn_zones_exact(spark, anchors):
+    """knn_to_zones matches brute-force Karney kNN exactly (ids + rank;
+    dist at decimal=3 per FIXTURES.md §9)."""
+    from pyproj_spark.kernels.geodesic import Geodesic
+    zdf = zones_df(spark, n_zones=40)
+    sub = anchors.limit(150)
+    got = knn_to_zones(sub, zdf, k=3).orderBy("url", "anchor_idx", "rank") \
+        .toPandas()
+    apd = sub.select("url", "anchor_idx", "lon", "lat").toPandas()
+    g = Geodesic("WGS84")
+    cents = []
+    for zid, name, ring in make_zone_rings(40):
+        rl = np.array([p[0] for p in ring])
+        rb = np.array([p[1] for p in ring])
+        cents.append((zid, rl.mean(), rb.mean()))
+    exp_rows = []
+    for _, r in apd.iterrows():
+        ds = []
+        for zid, zlon, zlat in cents:
+            _, _, d = g.inverse(r["lon"], r["lat"], zlon, zlat)
+            ds.append((float(d), zid))
+        ds.sort()
+        for rank, (d, zid) in enumerate(ds[:3], start=1):
+            exp_rows.append((r["url"], int(r["anchor_idx"]), rank, zid, d))
+    exp = pd.DataFrame(exp_rows, columns=["url", "anchor_idx", "rank",
+                                          "zone_id", "dist_m"]) \
+        .sort_values(["url", "anchor_idx", "rank"]).reset_index(drop=True)
+    assert list(got["zone_id"]) == list(exp["zone_id"])
+    assert_almost_equal(got["dist_m"].to_numpy(), exp["dist_m"].to_numpy(),
+                        decimal=3)
+
+
+def test_knn_ring_finds_local_neighbors(spark):
+    pts = [(i, float(i) * 0.01, 50.0 + (i % 5) * 0.01) for i in range(100)]
+    df = spark.createDataFrame(pts, ["pid", "lon", "lat"])
+    left = df.withColumnRenamed("pid", "lid")
+    right = df.withColumnRenamed("pid", "rid")
+    got = knn_ring(left, right, k=2, ring=1, res=9).toPandas()
+    # every point has 2 neighbors (dense grid, ring covers immediate cells)
+    counts = got.groupby("lid").size()
+    assert (counts == 2).all()
+    assert (got["dist_m"] > 0).all()
