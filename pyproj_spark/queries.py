@@ -1,0 +1,439 @@
+"""The engine's oracle-checked query surface (driver contract).
+
+Each entry: a Spark callable (spark, sf_dir) -> DataFrame and a DuckDB
+SQL string computing the same result on the same parquet tables. Geo
+inputs are derived DETERMINISTICALLY from the provided tables with pure
+arithmetic (identical expression trees on both engines, so floats are
+bit-identical and floor/round boundaries cannot flip).
+
+Conventions for hash-stable comparison:
+* every computed column is aliased identically on both sides;
+* doubles are rounded at a precision far coarser than any engine float
+  divergence; ranks are computed ON the rounded value with an id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyproj_spark.functions import cells
+from pyproj_spark.functions.transform import haversine_m, transform_xy
+from pyproj_spark.operators.pip import pip_join
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: deterministic point derivation from doc_id (same text in SQL below)
+def _doc_points(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        ((F.col("doc_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("doc_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+
+
+_PTS_SQL = """
+  SELECT doc_id, lang,
+         (doc_id * 7919 % 360000) / 1000.0 - 180.0  AS lon,
+         (doc_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+  FROM documents
+"""
+
+# 5 big fixed test polygons (lon, lat vertex lists, CCW, far from the
+# antimeridian) — shared by the Spark build and the SQL oracle.
+PIP_ZONES = {
+    0: [(-90.0, 10.0), (-50.0, 15.0), (-40.0, 45.0), (-80.0, 55.0),
+        (-100.0, 35.0)],
+    1: [(0.0, 30.0), (40.0, 32.0), (50.0, 60.0), (10.0, 65.0), (-10.0, 50.0)],
+    2: [(60.0, -40.0), (110.0, -45.0), (120.0, -10.0), (80.0, -5.0)],
+    3: [(-30.0, -60.0), (20.0, -70.0), (30.0, -30.0), (-20.0, -25.0)],
+    4: [(100.0, 20.0), (140.0, 15.0), (150.0, 50.0), (110.0, 55.0)],
+}
+
+
+def _zone_edges_sql() -> str:
+    rows = []
+    for zid, ring in PIP_ZONES.items():
+        k = len(ring)
+        for i in range(k):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % k]
+            rows.append(f"({zid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS e(zone_id, x1, y1, x2, y2)")
+
+
+def _zones_df(spark):
+    from pyproj_spark.sources.zones import ZONE_SCHEMA
+    import numpy as np
+    rows = []
+    for zid, ring in PIP_ZONES.items():
+        lons = np.array([p[0] for p in ring])
+        lats = np.array([p[1] for p in ring])
+        cov = cells.covering_np(lons, lats, cells.DEFAULT_RES).tolist()
+        rows.append((zid, f"z{zid}",
+                     [{"lon": float(a), "lat": float(b)} for a, b in ring],
+                     cov))
+    return spark.createDataFrame(rows, ZONE_SCHEMA)
+
+
+# ------------------------------------------------------------ geo queries
+
+def q_webmerc_transform(spark, sf_dir):
+    """T3: batch CRS transform 4326->3857 through the pandas-UDF kernel.
+    The oracle recomputes with DuckDB's ln/tan — independent check of the
+    kernel math (SURVEY.md §2.1 T3)."""
+    pts = _doc_points(spark, sf_dir)
+    xy = transform_xy("EPSG:4326", "EPSG:3857", F.col("lon"), F.col("lat"))
+    return pts.withColumn("xy", xy).select(
+        "doc_id",
+        F.round(F.col("xy.x")).cast("long").alias("x_3857"),
+        F.round(F.col("xy.y")).cast("long").alias("y_3857"),
+    )
+
+
+SQL_WEBMERC = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT doc_id,
+       CAST(round(6378137.0 * radians(lon)) AS BIGINT) AS x_3857,
+       CAST(round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2))) AS BIGINT)
+           AS y_3857
+FROM pts
+"""
+
+
+def q_geocell(spark, sf_dir):
+    """Geocell encode (native bit math) + per-cell counts — the engine's
+    partition/join key (SURVEY.md §2.6)."""
+    pts = _doc_points(spark, sf_dir)
+    return (pts.withColumn("cell",
+                           cells.cell_of(F.col("lon"), F.col("lat"), 9))
+            .groupBy("cell").agg(F.count("*").alias("cnt")))
+
+
+SQL_GEOCELL = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT (CAST(9 AS BIGINT) << 58)
+       | ((CAST(floor((lon + 180.0) / 0.3515625) AS BIGINT) % 1024) << 29)
+       | least(greatest(CAST(floor((lat + 90.0) / 0.3515625) AS BIGINT), 0),
+               511) AS cell,
+       count(*) AS cnt
+FROM pts GROUP BY 1
+"""
+
+
+def q_tiles(spark, sf_dir):
+    """Raster tiling: slippy z/x/y assignment at z=8 + tile counts."""
+    from pyproj_spark.functions.tiles import tile_xy_from_lonlat
+    pts = _doc_points(spark, sf_dir)
+    tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), 8)
+    return (pts.select(tx.alias("tx"), ty.alias("ty"))
+            .groupBy("tx", "ty").agg(F.count("*").alias("cnt")))
+
+
+SQL_TILES = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT),
+                      0), 255) AS tx,
+       least(greatest(CAST(floor((1.0 - ln(tan(pi()/4 +
+             radians(least(greatest(lat, -85.05112877980659),
+                           85.05112877980659)) / 2)) / pi()) / 2.0 * 256)
+             AS BIGINT), 0), 255) AS ty,
+       count(*) AS cnt
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_pip(spark, sf_dir):
+    """Point-in-polygon join (cell prefilter + exact even-odd test)."""
+    pts = _doc_points(spark, sf_dir)
+    return (pip_join(pts, _zones_df(spark))
+            .select("doc_id", "zone_id").orderBy("doc_id", "zone_id"))
+
+
+SQL_PIP = f"""
+WITH pts AS ({_PTS_SQL}),
+edges AS ({_zone_edges_sql()})
+SELECT doc_id, zone_id
+FROM pts p CROSS JOIN edges e
+GROUP BY doc_id, zone_id, lon, lat
+HAVING SUM(CASE WHEN ((y1 > lat) != (y2 > lat))
+                 AND lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+                THEN 1 ELSE 0 END) % 2 = 1
+ORDER BY doc_id, zone_id
+"""
+
+
+def q_knn(spark, sf_dir):
+    """k=3 nearest zone centroids per point, haversine, rank on rounded
+    metres with zone tie-break (deterministic across engines)."""
+    pts = _doc_points(spark, sf_dir)
+    cents = [(zid, sum(p[0] for p in ring) / len(ring),
+              sum(p[1] for p in ring) / len(ring))
+             for zid, ring in PIP_ZONES.items()]
+    cdf = spark.createDataFrame(cents, ["zone_id", "zlon", "zlat"])
+    cand = pts.join(F.broadcast(cdf)).withColumn(
+        "dist_m",
+        F.round(haversine_m(F.col("lon"), F.col("lat"),
+                            F.col("zlon"), F.col("zlat"))).cast("long"))
+    w = Window.partitionBy("doc_id").orderBy("dist_m", "zone_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "rank", "zone_id", "dist_m"))
+
+
+def _cents_sql():
+    rows = []
+    for zid, ring in PIP_ZONES.items():
+        zlon = sum(p[0] for p in ring) / len(ring)
+        zlat = sum(p[1] for p in ring) / len(ring)
+        rows.append(f"({zid}, {zlon!r}, {zlat!r})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS c(zone_id, zlon, zlat)")
+
+
+SQL_KNN = f"""
+WITH pts AS ({_PTS_SQL}),
+cents AS ({_cents_sql()}),
+cand AS (
+  SELECT doc_id, zone_id,
+         CAST(round(2.0 * 6371008.8 * asin(sqrt(
+             pow(sin((radians(zlat) - radians(lat)) / 2), 2)
+             + cos(radians(lat)) * cos(radians(zlat))
+               * pow(sin((radians(zlon) - radians(lon)) / 2), 2)
+         ))) AS BIGINT) AS dist_m
+  FROM pts CROSS JOIN cents
+),
+ranked AS (
+  SELECT doc_id, zone_id, dist_m,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY dist_m, zone_id) AS rank
+  FROM cand
+)
+SELECT doc_id, rank, zone_id, dist_m FROM ranked WHERE rank <= 3
+"""
+
+
+def q_bbox_filter(spark, sf_dir):
+    """AOI bbox filter + per-lang counts (aoi.py:103-139 semantics)."""
+    pts = _doc_points(spark, sf_dir)
+    return (pts.filter((F.col("lon") > -30) & (F.col("lon") < 60)
+                       & (F.col("lat") > 20) & (F.col("lat") < 70))
+            .groupBy("lang").agg(F.count("*").alias("cnt")))
+
+
+SQL_BBOX = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT lang, count(*) AS cnt FROM pts
+WHERE lon > -30 AND lon < 60 AND lat > 20 AND lat < 70
+GROUP BY lang
+"""
+
+
+def q_utm_zone(spark, sf_dir):
+    """query_utm_crs_info analog: analytic UTM zone + hemisphere + EPSG
+    code per point, zone histogram (database.pyx:280-322)."""
+    pts = _doc_points(spark, sf_dir)
+    zone = (F.floor((F.col("lon") + 180.0) / 6.0) + 1).cast("long")
+    epsg = F.when(F.col("lat") >= 0, zone + 32600).otherwise(zone + 32700)
+    return (pts.select(zone.alias("zone"), epsg.alias("epsg"))
+            .groupBy("zone", "epsg").agg(F.count("*").alias("cnt")))
+
+
+SQL_UTM = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT CAST(floor((lon + 180.0) / 6.0) + 1 AS BIGINT) AS zone,
+       CAST(CASE WHEN lat >= 0
+            THEN floor((lon + 180.0) / 6.0) + 1 + 32600
+            ELSE floor((lon + 180.0) / 6.0) + 1 + 32700 END AS BIGINT)
+           AS epsg,
+       count(*) AS cnt
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_line_length(spark, sf_dir):
+    """G6 as window+agg: per-user polyline length over event sequence
+    (Window.lead + haversine + sum — SURVEY.md §2.2 G6 Spark mapping)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("lon2", F.lead("lon").over(w)) \
+           .withColumn("lat2", F.lead("lat").over(w))
+    seg = ev.filter(F.col("lon2").isNotNull()).withColumn(
+        "d", haversine_m(F.col("lon"), F.col("lat"),
+                         F.col("lon2"), F.col("lat2")))
+    return (seg.groupBy("user_id")
+            .agg(F.round(F.sum("d") / 1000.0).cast("long")
+                 .alias("track_km")))
+
+
+SQL_LINE_LENGTH = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 7919 % 360000) / 1000.0 - 180.0  AS lon,
+         (event_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events
+),
+seg AS (
+  SELECT user_id, lon, lat,
+         lead(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lon2,
+         lead(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lat2
+  FROM ev
+)
+SELECT user_id,
+       CAST(round(SUM(2.0 * 6371008.8 * asin(sqrt(
+           pow(sin((radians(lat2) - radians(lat)) / 2), 2)
+           + cos(radians(lat)) * cos(radians(lat2))
+             * pow(sin((radians(lon2) - radians(lon)) / 2), 2)
+       ))) / 1000.0) AS BIGINT) AS track_km
+FROM seg WHERE lon2 IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_transform_bounds(spark, sf_dir):
+    """T6 transform_bounds as a DataFrame op on derived per-doc bboxes
+    (densify-explode-agg); webmerc is separable so the oracle uses the
+    corner formula."""
+    from pyproj_spark.operators.bounds import transform_bounds_df
+    pts = _doc_points(spark, sf_dir).filter(F.col("doc_id") < 100)
+    lon_c = F.least(F.greatest(F.col("lon"), F.lit(-170.0)), F.lit(170.0))
+    lat_c = F.least(F.greatest(F.col("lat"), F.lit(-80.0)), F.lit(80.0))
+    boxes = pts.select(
+        "doc_id",
+        (lon_c - 2.0).alias("left"), (lat_c - 2.0).alias("bottom"),
+        (lon_c + 2.0).alias("right"), (lat_c + 2.0).alias("top"))
+    out = transform_bounds_df(boxes, "EPSG:4326", "EPSG:3857",
+                              densify_pts=11, id_cols=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.round("left").cast("long").alias("xmin"),
+        F.round("bottom").cast("long").alias("ymin"),
+        F.round("right").cast("long").alias("xmax"),
+        F.round("top").cast("long").alias("ymax"))
+
+
+SQL_BOUNDS = f"""
+WITH pts AS ({_PTS_SQL}),
+boxes AS (
+  SELECT doc_id,
+         least(greatest(lon, -170.0), 170.0) - 2.0 AS l,
+         least(greatest(lat, -80.0), 80.0) - 2.0   AS b,
+         least(greatest(lon, -170.0), 170.0) + 2.0 AS r,
+         least(greatest(lat, -80.0), 80.0) + 2.0   AS t
+  FROM pts WHERE doc_id < 100
+)
+SELECT doc_id,
+  CAST(round(6378137.0 * radians(l)) AS BIGINT) AS xmin,
+  CAST(round(6378137.0 * ln(tan(pi()/4 + radians(b)/2))) AS BIGINT) AS ymin,
+  CAST(round(6378137.0 * radians(r)) AS BIGINT) AS xmax,
+  CAST(round(6378137.0 * ln(tan(pi()/4 + radians(t)/2))) AS BIGINT) AS ymax
+FROM boxes
+"""
+
+
+# ------------------------------------------------------- relational queries
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style scan+filter+agg (classic operator coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2)                              AS sum_qty,
+       round(SUM(l_extendedprice), 2)                         AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Broadcast join chain: orders ⋈ customer ⋈ nation + agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count("*").alias("n_orders")))
+
+
+SQL_REVENUE = """
+SELECT n_name, round(SUM(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling 5-minute event windows (batch form of the streaming agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("w_start"), "event_type",
+                    "cnt", "sum_value"))
+
+
+SQL_EVENT_WINDOWS = """
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, event_type,
+       count(*) AS cnt, round(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Sort/top-k: top 20 customers by total order value (orderBy+limit)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+                 F.count("*").alias("n_orders"))
+            .orderBy(F.desc("total"), "o_custkey").limit(20))
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, round(SUM(o_totalprice), 2) AS total,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total DESC, o_custkey LIMIT 20
+"""
+
+
+QUERIES = {
+    "webmerc_transform": (q_webmerc_transform, SQL_WEBMERC),
+    "geocell": (q_geocell, SQL_GEOCELL),
+    "tiles": (q_tiles, SQL_TILES),
+    "pip_join": (q_pip, SQL_PIP),
+    "knn_zones": (q_knn, SQL_KNN),
+    "bbox_filter": (q_bbox_filter, SQL_BBOX),
+    "utm_zone": (q_utm_zone, SQL_UTM),
+    "line_length": (q_line_length, SQL_LINE_LENGTH),
+    "transform_bounds": (q_transform_bounds, SQL_BOUNDS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE),
+    "event_windows": (q_event_windows, SQL_EVENT_WINDOWS),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+}
