@@ -205,7 +205,13 @@ class CRS:
                    ellipsoid=self.ellipsoid, towgs84=self.towgs84,
                    axis="enu", proj_params=dict(proj="longlat"),
                    to_meter=None)
-        return CRS._from_record(rec, self.srs + " (geodetic)")
+        # srs must stay machine-parseable (TransformSpec re-resolves it
+        # on executors), so emit a proj string, not a display name
+        e = self.ellipsoid
+        srs = f"+proj=longlat +a={e.a!r} +f={e.f!r}"
+        if self.towgs84:
+            srs += " +towgs84=" + ",".join(str(v) for v in self.towgs84)
+        return CRS._from_record(rec, srs)
 
     # ------------------------------------------------------------- exports
     def to_epsg(self):

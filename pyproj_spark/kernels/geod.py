@@ -157,6 +157,70 @@ class Geod:
         from pyproj_spark.kernels.area import polygon_area_perimeter
         return polygon_area_perimeter(self._g, lons, lats, radians=radians)
 
+    # -- geometry dispatch (G9) ---------------------------------------------
+
+    def geometry_length(self, geometry, radians: bool = False) -> float:
+        """Recursive length over GeoJSON-like dicts (or objects exposing
+        ``__geo_interface__``) — reference ``pyproj/geod.py:972-1040``
+        dispatches over shapely types; shapely is absent here so the
+        engine speaks GeoJSON."""
+        g = getattr(geometry, "__geo_interface__", geometry)
+        t = g["type"]
+        c = g.get("coordinates")
+        if t == "Point":
+            return 0.0
+        if t in ("LineString", "LinearRing"):
+            lons = [p[0] for p in c]
+            lats = [p[1] for p in c]
+            return self.line_length(lons, lats, radians=radians)
+        if t == "Polygon":
+            return sum(self.line_length([p[0] for p in ring],
+                                        [p[1] for p in ring],
+                                        radians=radians)
+                       for ring in c)
+        if t.startswith("Multi") or t == "GeometryCollection":
+            parts = (g["geometries"] if t == "GeometryCollection" else
+                     [{"type": t[5:], "coordinates": part} for part in c])
+            return sum(self.geometry_length(p, radians=radians)
+                       for p in parts)
+        raise ValueError(f"unsupported geometry type {t!r}")
+
+    def geometry_area_perimeter(self, geometry, radians: bool = False):
+        """Signed area + perimeter over GeoJSON-like dicts — reference
+        ``pyproj/geod.py:1042-1105`` (hole areas subtracted, hole
+        perimeters NOT added to the exterior perimeter for polygons,
+        matching the reference's golden values)."""
+        g = getattr(geometry, "__geo_interface__", geometry)
+        t = g["type"]
+        c = g.get("coordinates")
+        if t == "Point" or t == "MultiPoint":
+            return 0.0, 0.0
+        if t in ("LineString", "LinearRing"):
+            return self.polygon_area_perimeter(
+                [p[0] for p in c], [p[1] for p in c], radians=radians)
+        if t == "Polygon":
+            area, perim = self.polygon_area_perimeter(
+                [p[0] for p in c[0]], [p[1] for p in c[0]], radians=radians)
+            for hole in c[1:]:
+                ha, _ = self.polygon_area_perimeter(
+                    [p[0] for p in hole], [p[1] for p in hole],
+                    radians=radians)
+                # hole area reduces |total|, keeping the exterior's sign
+                # (reference geod.py:1087-1095 golden behavior)
+                area -= math.copysign(abs(ha), area)
+            return area, perim
+        if t.startswith("Multi") or t == "GeometryCollection":
+            parts = (g["geometries"] if t == "GeometryCollection" else
+                     [{"type": t[5:], "coordinates": part} for part in c])
+            area = 0.0
+            perim = 0.0
+            for p in parts:
+                a, pe = self.geometry_area_perimeter(p, radians=radians)
+                area += a
+                perim += pe
+            return area, perim
+        raise ValueError(f"unsupported geometry type {t!r}")
+
     # -- unit plumbing -------------------------------------------------------
 
     @staticmethod

@@ -82,6 +82,10 @@ class Projection:
     already relative to lon_0; this class handles lon_0/x_0/y_0."""
 
     name = "base"
+    #: True for projections defined on a sphere regardless of the CRS
+    #: ellipsoid (webmerc, eqc) — distortion factors then use e2=0,
+    #: matching PROJ's proj_factors convention.
+    spherical_factors = False
 
     def __init__(self, E: Ellipsoid, lon_0=0.0, x_0=0.0, y_0=0.0, **kw):
         self.E = E
@@ -125,6 +129,7 @@ class WebMercator(Projection):
     (reference pyproj/transformer.py:903-907)."""
 
     name = "webmerc"
+    spherical_factors = True
 
     def _fwd(self, lam, phi):
         a = self.E.a
@@ -472,6 +477,7 @@ class EquidistantCylindrical(Projection):
     """eqc / Plate Carrée — spherical formulas like PROJ."""
 
     name = "eqc"
+    spherical_factors = True
 
     def _setup(self, lat_ts=0.0, lat_0=0.0, **kw):
         self.cos_ts = np.cos(np.radians(float(lat_ts)))

@@ -274,6 +274,58 @@ class Transformer:
             else:
                 yield head
 
+    def transform_bounds(self, left, bottom, right, top,
+                         densify_pts: int = 21, radians: bool = False,
+                         direction="FORWARD"):
+        """Transform a bbox by densifying its edges — reference
+        ``pyproj/transformer.py:1115-1195``. Inputs/outputs follow the
+        CRS axis order (or x/y when always_xy). Returns
+        (left, bottom, right, top). Golden-tested against
+        test/test_transformer.py:1449-1502."""
+        if densify_pts < 0:
+            raise RuntimeError("densify_pts must be >= 0")
+        fwd = direction in ("FORWARD", TransformDirection.FORWARD)
+        src = self._kernel.src if fwd else self._kernel.dst
+        dst = self._kernel.dst if fwd else self._kernel.src
+        n = densify_pts + 1
+        # to x/y frame of the source
+        if not self.spec.always_xy and src.axis == "neu":
+            left, bottom, right, top = bottom, left, top, right
+        f = np.arange(n, dtype=np.float64) / n
+        xs = np.concatenate([
+            left + (right - left) * f,            # bottom edge
+            np.full(n, right),                    # right edge
+            right - (right - left) * f,           # top edge
+            np.full(n, left),                     # left edge
+        ])
+        ys = np.concatenate([
+            np.full(n, bottom),
+            bottom + (top - bottom) * f,
+            np.full(n, top),
+            top - (top - bottom) * f,
+        ])
+        if radians and src.is_geographic:
+            xs, ys = np.degrees(xs), np.degrees(ys)
+        xo, yo, _ = self._kernel(xs, ys, direction=direction)
+        ok = np.isfinite(xo) & np.isfinite(yo)
+        xo, yo = xo[ok], yo[ok]
+        out_l, out_r = float(np.min(xo)), float(np.max(xo))
+        out_b, out_t = float(np.min(yo)), float(np.max(yo))
+        if dst.is_geographic and (out_r - out_l) > 180.0:
+            # antimeridian crossing: envelope in the wrapped frame
+            pos = xo[xo >= 0]
+            neg = xo[xo < 0]
+            if pos.size and neg.size:
+                out_l, out_r = float(np.min(pos)), float(np.max(neg))
+        if radians and dst.is_geographic:
+            out_l, out_b, out_r, out_t = (np.radians(out_l),
+                                          np.radians(out_b),
+                                          np.radians(out_r),
+                                          np.radians(out_t))
+        if not self.spec.always_xy and dst.axis == "neu":
+            return out_b, out_l, out_t, out_r
+        return out_l, out_b, out_r, out_t
+
     @property
     def source_crs(self) -> CRS:
         return self._kernel.src
