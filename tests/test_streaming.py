@@ -1,0 +1,107 @@
+"""Structured Streaming tests: windowed tile counts match the batch
+computation; stateful first-seen dedup emits each url exactly once."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyproj_spark.sources.pages import pages_df
+from pyproj_spark.streaming.tiles import streaming_tile_counts
+
+N = 1200  # ts step is 13s -> spans ~4.3 hours of event time
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    import time as _time
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    # write 4 chunks SEQUENTIALLY (increasing mtime) so the file source
+    # processes them in event-time order and the watermark advances
+    # monotonically — same-mtime files are picked in arbitrary order
+    from pyproj_spark.sources.pages import EPOCH_2024
+    pages = pages_df(spark, N, partitions=1)
+    ts = F.col("warc_ts").cast("double")
+    lo = float(EPOCH_2024)
+    for k in range(1, 5):
+        hi = EPOCH_2024 + N * 13.0 * k / 4
+        pages.filter((ts >= lo) & (ts < hi)) \
+            .coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+        lo = hi
+    return d
+
+
+def test_streaming_tiles_match_batch(spark, pages_dir):
+    batch = spark.read.parquet(pages_dir)
+    schema = batch.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(pages_dir))
+    out = streaming_tile_counts(stream, zoom=4, window="30 minutes",
+                                watermark="5 minutes")
+    q = (out.writeStream.format("memory").queryName("tiles_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from tiles_stream").toPandas()
+    # batch reference for the same windows
+    ref = (streaming_tile_counts_batch(batch, zoom=4, window="30 minutes")
+           .toPandas())
+    assert len(got) > 0
+    ref_map = {(r.w_start, r.tx, r.ty): r.n_anchors
+               for r in ref.itertuples()}
+    for r in got.itertuples():
+        assert ref_map[(r.w_start, r.tx, r.ty)] == r.n_anchors
+    # append mode only emits windows the watermark closed: subset is
+    # expected, equality per emitted row is required
+    assert len(got) <= len(ref)
+
+
+def streaming_tile_counts_batch(pages, zoom, window):
+    from pyproj_spark.functions import cells
+    from pyproj_spark.functions.tiles import tile_xy_from_lonlat
+    from pyproj_spark.operators.extract import ANCHOR_RE
+    a = (pages.select(
+        "warc_ts",
+        F.explode(F.regexp_extract_all("text", F.lit(ANCHOR_RE), 0))
+        .alias("anchor_text"))
+        .select(
+            "warc_ts",
+            F.regexp_extract("anchor_text", ANCHOR_RE, 1).cast("double")
+            .alias("lon"),
+            F.regexp_extract("anchor_text", ANCHOR_RE, 2).cast("double")
+            .alias("lat"),
+            F.regexp_extract("anchor_text", ANCHOR_RE, 3).alias("crs"))
+        .filter(F.col("crs") == ""))
+    tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), zoom)
+    return (a.withColumn("tx", tx).withColumn("ty", ty)
+            .groupBy(F.window("warc_ts", window).alias("w"), "tx", "ty")
+            .agg(F.count("*").alias("n_anchors"))
+            .select(F.col("w.start").alias("w_start"), "tx", "ty",
+                    "n_anchors"))
+
+
+def test_streaming_first_seen_dedup(spark, pages_dir, tmp_path):
+    from pyproj_spark.streaming.dedup import streaming_first_seen
+    batch = spark.read.parquet(pages_dir)
+    # duplicate the input: every url appears twice across micro-batches
+    dup_dir = str(tmp_path / "dup")
+    batch.write.mode("overwrite").parquet(dup_dir)
+    batch.write.mode("append").parquet(dup_dir)
+    schema = batch.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(dup_dir))
+    out = streaming_first_seen(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select url from dedup_stream").toPandas()
+    assert len(got) == N  # each url exactly once despite duplicates
+    assert got["url"].is_unique
