@@ -61,15 +61,38 @@ def _hash_with(salt: int):
     return lambda t: token_hash(t, salt)
 
 
+#: universal-hash constants for minhash permutations: h_i = (a_i*h + b_i)
+#: mod P with h < 2^31, a_i < 2^31 so products stay < 2^62 (no int64
+#: overflow in either Spark or DuckDB)
+MINHASH_P = (1 << 61) - 1
+MINHASH_A = [1103515245, 69069, 1664525, 22695477, 134775813, 214013,
+             1103, 48271, 16807, 75, 1366, 950706376]
+MINHASH_B = [12345, 362437, 1013904223, 1, 1, 2531011, 7, 3, 11, 74, 150889,
+             12345]
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 8) -> DataFrame:
-    """Adds minhash_0..minhash_{k-1} columns — native expressions only."""
+    """Adds minhash_0..minhash_{k-1} columns.
+
+    ONE md5 per token + num_hashes arithmetic permutations (universal
+    hashing), instead of num_hashes md5 passes — at 10^12 rows the md5
+    over the token stream dominates, so this is an O(num_hashes) saving.
+    The same formula is reproduced in the DuckDB oracle SQL.
+    """
     toks = tokens(F.col(text_col))
+    base = F.transform(toks, _hash_with(0))  # one md5 pass, h < 2^32
     out = df
     for i in range(num_hashes):
-        sig = F.array_min(F.transform(toks, _hash_with(i)))
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        sig = F.array_min(F.transform(
+            base, _perm_with(a, b)))
         out = out.withColumn(f"minhash_{i}", sig)
     return out
+
+
+def _perm_with(a: int, b: int):
+    return lambda h: (F.pmod(h, F.lit(1 << 31)) * a + b) % MINHASH_P
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -102,25 +125,32 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     return pairs
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 16
-            ) -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
+            id_col: str = "doc_id") -> DataFrame:
     """bits-wide SimHash: sign of per-bit sums of +-1 over token hashes.
-    Pure higher-order-function pipeline (no UDF, no explode)."""
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, _hash_with(999))
-
-    def _bit_sum(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1))
-
+    Returns (id_col, simhash)."""
+    # explode -> ONE md5 per token -> single groupBy with `bits`
+    # conditional sums. A per-bit F.aggregate over the token array would
+    # re-hash the tokens `bits` times and blow the codegen method-size
+    # limit into interpreted mode (measured 57s -> ~2s at sf0.1).
+    # Shuffle carries only (id, token hash) — never the text.
+    other_cols = [id_col]
+    tok = df.select(
+        *other_cols,
+        F.explode(tokens(F.col(text_col))).alias("_t"))
+    tok = tok.withColumn("_h", token_hash(F.col("_t"), 999))
+    sums = tok.groupBy(*other_cols).agg(
+        *[F.sum(F.when(F.shiftright(F.col("_h"), b)
+                       .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+          .alias(f"_b{b}") for b in range(bits)])
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        s = F.aggregate(hashes, F.lit(0).cast("long"), _bit_sum(b))
-        sim = sim.bitwiseOR(F.when(s > 0, F.shiftleft(F.lit(1).cast("long"),
-                                                      b))
-                            .otherwise(F.lit(0).cast("long")))
-    return df.withColumn("simhash", sim)
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_b{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long")))
+    return sums.withColumn("simhash", sim).drop(
+        *[f"_b{b}" for b in range(bits)])
 
 
 def ngram_shingles(df: DataFrame, id_col: str = "doc_id",

@@ -119,8 +119,11 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def _mh_sql(i):
-    h = _H8.format(expr=f"'{i}:' || t")
-    return (f"list_min([{h} FOR t IN str_split({_NORM_SQL}, ' ')])"
+    from pyproj_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+    h = _H8.format(expr="'0:' || t")
+    perm = (f"(({h}) % 2147483648 * {MINHASH_A[i]} + {MINHASH_B[i]}) "
+            f"% {MINHASH_P}")
+    return (f"list_min([{perm} FOR t IN str_split({_NORM_SQL}, ' ')])"
             f" AS mh{i}")
 
 
