@@ -186,15 +186,18 @@ class Transformer:
         return cls(TransformSpec(src.srs, dst.srs, always_xy=always_xy))
 
     @classmethod
-    def from_pipeline(cls, proj_pipeline: str, **_ignored) -> "Transformer":
-        """AUTH:CODE fast path like the reference regex
-        (_transformer.pyx:35, :711-722); full +proj=pipeline grammar is
-        out of round-1 scope."""
+    def from_pipeline(cls, proj_pipeline: str, **_ignored):
+        """Build a transformer from a +proj=pipeline string — reference
+        ``pyproj/transformer.py:754-803``. AUTH:CODE operation codes
+        (regex fast path, _transformer.pyx:35) are not in the bundled
+        catalog; pipeline strings compose step kernels."""
         import re as _re
         m = _re.match(r"^\s*([A-Za-z]+):(\d+)\s*$", proj_pipeline)
         if m:
-            raise ValueError("operation codes not supported; use from_crs")
-        raise NotImplementedError("pipeline strings not yet supported")
+            raise ValueError("operation codes are not in the bundled "
+                             "catalog; use from_crs or a pipeline string")
+        from pyproj_spark.plans.pipeline import PipelineTransformer
+        return PipelineTransformer(proj_pipeline)
 
     # -- axis handling ------------------------------------------------------
     def _axis_in(self, crs: CRS, xx, yy):

@@ -115,7 +115,7 @@ FROM documents
 
 def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8,
-                                   bands=4).orderBy("id_a", "id_b")
+                                   bands=4)
 
 
 def _mh_sql(i):
@@ -171,8 +171,7 @@ SELECT doc_id, CAST(SUM(bitv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
 
 def q_jaccard_3gram(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
-    return dedup.jaccard_pairs(docs, n=3, threshold=0.2) \
-        .orderBy("id_a", "id_b")
+    return dedup.jaccard_pairs(docs, n=3, threshold=0.2)
 
 
 SQL_JACCARD = f"""

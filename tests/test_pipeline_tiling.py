@@ -1,0 +1,111 @@
+"""Pipeline grammar, AWIPS-221 grid roundtrip invariant, tile
+materialization."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_almost_equal
+from pyspark.sql import functions as F
+
+from pyproj_spark.plans.spec import Transformer
+
+
+def test_from_pipeline_doctest():
+    # reference pyproj/transformer.py:908-915 doctest
+    t = Transformer.from_pipeline(
+        "+proj=pipeline +step +proj=longlat +ellps=WGS84 "
+        "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    x, y = t.transform(2.1, 0.001)
+    assert_almost_equal((x, y), (2.100, 0.001))
+
+
+def test_from_pipeline_projection_steps():
+    t = Transformer.from_pipeline(
+        "+proj=pipeline +step +proj=utm +zone=33 +ellps=WGS84")
+    assert_almost_equal(
+        t.transform(13.759554722, 45.647188611),
+        (403340.9672367854, 5055597.175553089), decimal=6)
+    ti = Transformer.from_pipeline(
+        "+proj=pipeline +step +inv +proj=utm +zone=33 +ellps=WGS84")
+    assert_almost_equal(
+        ti.transform(403340.9672367854, 5055597.175553089),
+        (13.759554722, 45.647188611), decimal=9)
+
+
+def test_from_pipeline_cart_helmert():
+    # full datum pipeline: geodetic -> cart -> helmert -> cart^-1
+    t = Transformer.from_pipeline(
+        "+proj=pipeline "
+        "+step +proj=cart +ellps=GRS80 "
+        "+step +proj=helmert +x=-199.87 +y=74.79 +z=246.62 "
+        "+step +inv +proj=cart +ellps=WGS84")
+    lon, lat = t.transform(24.0, 38.0)
+    # must match the catalog path 4121 -> 4326
+    ref = Transformer.from_crs(4121, 4326, always_xy=True)
+    assert_almost_equal((lon, lat), ref.transform(24.0, 38.0), decimal=9)
+
+
+def test_from_pipeline_opcode_rejected():
+    with pytest.raises(ValueError):
+        Transformer.from_pipeline("EPSG:1311")
+
+
+def test_awips221_roundtrip():
+    """Reference test/test_awips221.py:10-111: fwd∘inv over the full
+    349x277 AWIPS grid 221 (LCC sphere R=6371200), max abs err <= 1e-4 m."""
+    t = Transformer.from_crs(
+        "+proj=latlong +R=6371200",
+        "+proj=lcc +R=6371200 +lat_1=50 +lat_2=50 +lon_0=-107 "
+        "+x_0=0 +y_0=0", always_xy=True)
+    # grid origin at the (-145.5, 1.0) corner, dx=dy=32463.41 m
+    llcrnr = t.transform(-145.5, 1.0)
+    nx, ny, d = 349, 277, 32463.41
+    gx, gy = np.meshgrid(np.arange(nx), np.arange(ny))
+    x = llcrnr[0] + gx.ravel() * d
+    y = llcrnr[1] + gy.ravel() * d
+    lon, lat = t.transform(x, y, direction="INVERSE")
+    x2, y2 = t.transform(lon, lat)
+    err = np.hypot(x2 - x, y2 - y)
+    assert err.max() <= 1e-4
+
+
+def test_write_vector_tiles_partitioned(spark, tmp_path):
+    from pyproj_spark.operators.tiling import write_vector_tiles
+    from pyproj_spark.queries import _doc_points
+    pts = _doc_points(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "tiles")
+    write_vector_tiles(pts, out, zoom=4)
+    back = spark.read.parquet(out)
+    assert back.count() == pts.count()
+    # partition layout: z=../tx=../ty=..
+    import os
+    zdirs = [p for p in os.listdir(out) if p.startswith("z=")]
+    assert zdirs == ["z=4"]
+    # partition pruning: one-tile read scans a single directory
+    one = back.filter((F.col("tx") == 8) & (F.col("ty") == 7))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+
+def test_rasterize_tiles(spark):
+    from pyproj_spark.operators.tiling import rasterize_tiles
+    from pyproj_spark.queries import _doc_points
+    pts = _doc_points(spark, "/root/testdata/sf0.001")
+    r = rasterize_tiles(pts, zoom=2, tile_px=8).toPandas()
+    assert (r["n"] > 0).all()
+    # total rasterized count equals input points
+    assert r["n"].sum() == pts.count()
+    assert r["px"].between(0, 7).all() and r["py"].between(0, 7).all()
+
+
+def test_assign_tiles_multizoom(spark):
+    from pyproj_spark.operators.tiling import assign_tiles
+    from pyproj_spark.queries import _doc_points
+    pts = _doc_points(spark, "/root/testdata/sf0.001")
+    a = assign_tiles(pts, zooms=(4, 8))
+    assert a.count() == 2 * pts.count()
+    # tile hierarchy: z=8 tile >> z=4 parent relation (tx8 >> 4 == tx4)
+    pdf = a.toPandas()
+    by_doc = pdf.pivot_table(index="doc_id", columns="z",
+                             values=["tx", "ty"])
+    assert ((by_doc["tx"][8] // 16) == by_doc["tx"][4]).all()
+    assert ((by_doc["ty"][8] // 16) == by_doc["ty"][4]).all()
