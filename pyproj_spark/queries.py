@@ -438,3 +438,22 @@ QUERIES = {
     "event_windows": (q_event_windows, SQL_EVENT_WINDOWS),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
 }
+
+
+def q_geod_line_length(spark, sf_dir):
+    """G6 with the exact Karney kernel (rows-only check: the oracle
+    cannot compute geodesics; the kernel itself is golden-tested against
+    pyproj's reference values in tests/test_geodesic.py)."""
+    from pyproj_spark.operators.lines import line_lengths
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("line_id"),
+        F.col("event_id").alias("seq"),
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"))
+    out = line_lengths(ev)
+    return out.select("line_id",
+                      F.round(F.col("length_m") / 1000.0).cast("long")
+                      .alias("track_km"))
+
+
+QUERIES["geod_line_length"] = (q_geod_line_length, None)

@@ -109,3 +109,25 @@ def test_assign_tiles_multizoom(spark):
                              values=["tx", "ty"])
     assert ((by_doc["tx"][8] // 16) == by_doc["tx"][4]).all()
     assert ((by_doc["ty"][8] // 16) == by_doc["ty"][4]).all()
+
+
+def test_line_lengths_matches_kernel(spark):
+    """Spark window+UDF+agg line length == driver-side Geod.line_length."""
+    from pyproj_spark.kernels.geod import Geod
+    from pyproj_spark.operators.lines import line_lengths
+    import pandas as pd
+    rows = []
+    rng = np.random.default_rng(3)
+    for line in range(5):
+        k = int(rng.integers(3, 12))
+        for s in range(k):
+            rows.append((line, s, float(rng.uniform(-179, 179)),
+                         float(rng.uniform(-80, 80))))
+    df = spark.createDataFrame(rows, ["line_id", "seq", "lon", "lat"])
+    got = line_lengths(df).toPandas().set_index("line_id")["length_m"]
+    g = Geod(ellps="WGS84")
+    pdf = pd.DataFrame(rows, columns=["line_id", "seq", "lon", "lat"])
+    for line, grp in pdf.groupby("line_id"):
+        grp = grp.sort_values("seq")
+        ref = g.line_length(grp["lon"].tolist(), grp["lat"].tolist())
+        assert_almost_equal(got[line], ref, decimal=6)
