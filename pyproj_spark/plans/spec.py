@@ -192,6 +192,11 @@ class Transformer:
         (regex fast path, _transformer.pyx:35) are not in the bundled
         catalog; pipeline strings compose step kernels."""
         import re as _re
+        m = _re.match(r"^\s*\+?init=([A-Za-z0-9]+):([A-Za-z0-9]+)\s*$",
+                      proj_pipeline)
+        if m and m.group(1).upper().startswith("ITRF"):
+            from pyproj_spark.kernels.itrf import ITRFTransformer
+            return ITRFTransformer(m.group(1), m.group(2))
         m = _re.match(r"^\s*([A-Za-z]+):(\d+)\s*$", proj_pipeline)
         if m:
             raise ValueError("operation codes are not in the bundled "

@@ -246,3 +246,19 @@ def test_batch_matches_scalar():
     xs, ys = t.transform(14.0, 45.0)
     xb, yb = t.transform(np.array([14.0, 15.0]), np.array([45.0, 46.0]))
     assert xs == xb[0] and ys == yb[0]
+
+
+def test_4d_itrf_transform():
+    # reference test/test_transformer.py:87-102: ITRF2008->ITRF2000 with
+    # the published IERS 14-parameter time-dependent Helmert
+    t = Transformer.from_pipeline("+init=ITRF2008:ITRF2000")
+    out = t.transform(xx=3513638.19380, yy=778956.45250,
+                      zz=5248216.46900, tt=2008.75)
+    assert_almost_equal(
+        out, (3513638.1999428216, 778956.4532640711, 5248216.453456361,
+              2008.75))
+    # batch == scalar
+    xb, yb, zb, tb = t.transform(
+        xx=np.array([3513638.19380] * 3), yy=np.array([778956.45250] * 3),
+        zz=np.array([5248216.46900] * 3), tt=np.array([2008.75] * 3))
+    assert_almost_equal(xb, [out[0]] * 3)
