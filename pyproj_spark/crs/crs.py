@@ -265,6 +265,15 @@ class CRS:
         import json
         return json.dumps(self.to_json_dict())
 
+    def to_wkt(self, version: str = "WKT2_2019", pretty: bool = False
+               ) -> str:
+        """Minimal WKT2:2019 export — reference pyproj/_crs.pyx:93-102
+        (emit only; parsing is out of scope)."""
+        if not str(version).startswith("WKT2"):
+            raise ValueError("only WKT2_2019 output is supported")
+        from pyproj_spark.crs.wkt import to_wkt
+        return to_wkt(self, pretty=pretty)
+
     # ------------------------------------------------------------ equality
     def _key(self):
         e = self.ellipsoid

@@ -1,0 +1,125 @@
+"""Minimal WKT2:2019 emitter (reference ``pyproj/_crs.pyx:93-102``
+to_wkt with 6 dialects; the engine emits WKT2_2019 only — enough for
+interop with readers; WKT *parsing* is explicitly out of scope)."""
+
+from __future__ import annotations
+
+_METHOD_NAMES = {
+    "tmerc": ("Transverse Mercator", 9807),
+    "etmerc": ("Transverse Mercator", 9807),
+    "utm": ("Transverse Mercator", 9807),
+    "merc": ("Mercator (variant B)", 9805),
+    "webmerc": ("Popular Visualisation Pseudo Mercator", 1024),
+    "lcc": ("Lambert Conic Conformal (2SP)", 9802),
+    "laea": ("Lambert Azimuthal Equal Area", 9820),
+    "aeqd": ("Modified Azimuthal Equidistant", 9832),
+    "stere": ("Polar Stereographic (variant B)", 9829),
+    "eqc": ("Equidistant Cylindrical", 1028),
+    "sinu": ("Sinusoidal", 0),
+    "geos": ("Geostationary Satellite (Sweep Y)", 0),
+}
+
+_PARAM_NAMES = {
+    "lat_0": ("Latitude of natural origin", 8801, "angleunit"),
+    "lon_0": ("Longitude of natural origin", 8802, "angleunit"),
+    "k_0": ("Scale factor at natural origin", 8805, "scaleunit"),
+    "k": ("Scale factor at natural origin", 8805, "scaleunit"),
+    "x_0": ("False easting", 8806, "lengthunit"),
+    "y_0": ("False northing", 8807, "lengthunit"),
+    "lat_1": ("Latitude of 1st standard parallel", 8823, "angleunit"),
+    "lat_2": ("Latitude of 2nd standard parallel", 8824, "angleunit"),
+    "lat_ts": ("Latitude of standard parallel", 8832, "angleunit"),
+    "h": ("Satellite height", 0, "lengthunit"),
+}
+
+
+def _q(s: str) -> str:
+    return '"' + str(s).replace('"', "'") + '"'
+
+
+def _datum_wkt(crs) -> str:
+    e = crs.ellipsoid
+    inv_f = (1.0 / e.f) if e.f else 0.0
+    return (f'DATUM[{_q(crs.datum_name or "unknown")},'
+            f'ELLIPSOID[{_q(e.name)},{e.a!r},{inv_f!r},'
+            f'LENGTHUNIT["metre",1]]]')
+
+
+def _geog_cs() -> str:
+    return ('CS[ellipsoidal,2],'
+            'AXIS["geodetic latitude (Lat)",north],'
+            'AXIS["geodetic longitude (Lon)",east],'
+            'ANGLEUNIT["degree",0.0174532925199433]')
+
+
+def to_wkt(crs, pretty: bool = False) -> str:
+    """WKT2:2019 string for a CRS built by this engine."""
+    if crs.is_geographic:
+        wkt = (f'GEOGCRS[{_q(crs.name)},{_datum_wkt(crs)},'
+               f'{_geog_cs()}'
+               + (f',ID["EPSG",{crs.epsg_code}]' if crs.epsg_code else "")
+               + "]")
+    elif crs.is_geocentric:
+        wkt = (f'GEODCRS[{_q(crs.name)},{_datum_wkt(crs)},'
+               'CS[Cartesian,3],'
+               'AXIS["(X)",geocentricX],AXIS["(Y)",geocentricY],'
+               'AXIS["(Z)",geocentricZ],LENGTHUNIT["metre",1]'
+               + (f',ID["EPSG",{crs.epsg_code}]' if crs.epsg_code else "")
+               + "]")
+    else:
+        params = dict(crs.proj_params)
+        proj = params.pop("proj")
+        method, mcode = _METHOD_NAMES.get(proj, (proj, 0))
+        if proj == "utm":
+            zone = int(params.pop("zone"))
+            south = bool(params.pop("south", False))
+            params = {"lat_0": 0, "lon_0": zone * 6 - 183, "k_0": 0.9996,
+                      "x_0": 500000, "y_0": 10000000 if south else 0}
+        plist = []
+        for k, v in params.items():
+            if k not in _PARAM_NAMES or v is True:
+                continue
+            name, code, unit = _PARAM_NAMES[k]
+            uwkt = ('ANGLEUNIT["degree",0.0174532925199433]'
+                    if unit == "angleunit" else
+                    'SCALEUNIT["unity",1]' if unit == "scaleunit" else
+                    'LENGTHUNIT["metre",1]')
+            idp = f',ID["EPSG",{code}]' if code else ""
+            plist.append(f'PARAMETER[{_q(name)},{float(v)!r},{uwkt}{idp}]')
+        u = crs.to_meter or 1.0
+        unit_name = ("metre" if u == 1.0 else
+                     "US survey foot" if abs(u - 0.304800609601219) < 1e-12
+                     else "unknown")
+        base = (f'BASEGEOGCRS[{_q((crs.datum_name or "unknown"))},'
+                f'{_datum_wkt(crs)}]')
+        wkt = (f'PROJCRS[{_q(crs.name)},{base},'
+               f'CONVERSION[{_q(method)},METHOD[{_q(method)}'
+               + (f',ID["EPSG",{mcode}]' if mcode else "") + "],"
+               + ",".join(plist) + "],"
+               'CS[Cartesian,2],'
+               'AXIS["(E)",east],AXIS["(N)",north],'
+               f'LENGTHUNIT[{_q(unit_name)},{u!r}]'
+               + (f',ID["EPSG",{crs.epsg_code}]' if crs.epsg_code else "")
+               + "]")
+    if pretty:
+        wkt = _prettify(wkt)
+    return wkt
+
+
+def _prettify(wkt: str) -> str:
+    out = []
+    depth = 0
+    i = 0
+    in_str = False
+    for ch in wkt:
+        if ch == '"':
+            in_str = not in_str
+        if not in_str and ch == "[":
+            depth += 1
+        elif not in_str and ch == "]":
+            depth -= 1
+        if not in_str and ch == "," and depth <= 2:
+            out.append(",\n" + "    " * depth)
+        else:
+            out.append(ch)
+    return "".join(out)

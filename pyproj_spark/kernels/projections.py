@@ -535,7 +535,72 @@ class Sinusoidal(Projection):
         return dl, phi
 
 
+class Geostationary(Projection):
+    """geos — geostationary satellite view (derived from the view
+    geometry; conventions match PROJ/EUMETSAT CGMS: scan angles x
+    sweep-dependent, scaled by satellite height). Points on the far side
+    of the globe -> inf (in-band error)."""
+
+    name = "geos"
+
+    def _setup(self, h=35785831.0, sweep="y", **kw):
+        E = self.E
+        self.h = float(h)
+        self.sweep = str(sweep)
+        self.rg = 1.0 + self.h / E.a          # satellite radius, units of a
+        self.rp = E.b / E.a
+        self.rp2 = self.rp * self.rp
+
+    def _fwd(self, dl, phi):
+        E = self.E
+        with np.errstate(all="ignore"):
+            phic = np.arctan(self.rp2 * np.tan(phi))
+            cc, sc = np.cos(phic), np.sin(phic)
+            re = self.rp / np.hypot(self.rp * cc, sc)
+            Vx = re * cc * np.cos(dl)
+            Vy = re * cc * np.sin(dl)
+            Vz = re * sc
+            tmp = self.rg - Vx
+            # visibility: satellite must see the point (PROJ's test)
+            hidden = ((self.rg - Vx) * Vx - Vy * Vy
+                      - Vz * Vz / self.rp2) < 0.0
+            if self.sweep == "x":
+                x = self.h * np.arctan(Vy / np.hypot(Vz, tmp))
+                y = self.h * np.arctan(Vz / tmp)
+            else:
+                x = self.h * np.arctan(Vy / tmp)
+                y = self.h * np.arctan(Vz / np.hypot(Vy, tmp))
+            x = np.where(hidden, np.inf, x)
+            y = np.where(hidden, np.inf, y)
+        return x, y
+
+    def _inv(self, x, y):
+        with np.errstate(all="ignore"):
+            ax = x / self.h
+            ay = y / self.h
+            if self.sweep == "x":
+                dy = np.tan(ax) / np.cos(ay)
+                dz = np.tan(ay)
+            else:
+                dy = np.tan(ax)
+                dz = np.tan(ay) / np.cos(ax)
+            # ray P = S + s*(-1, dy, dz) from S = (rg, 0, 0); intersect
+            # the normalized ellipsoid u^2 + v^2 + (w/rp)^2 = 1
+            a_ = 1.0 + dy * dy + dz * dz / self.rp2
+            b_ = -2.0 * self.rg
+            c_ = self.rg * self.rg - 1.0
+            disc = b_ * b_ - 4.0 * a_ * c_
+            s = (-b_ - np.sqrt(disc)) / (2.0 * a_)
+            Px = self.rg - s
+            Py = s * dy
+            Pz = s * dz
+            lam = np.arctan2(Py, Px)
+            phi = np.arctan(Pz / (self.rp2 * np.hypot(Px, Py)))
+        return lam, phi
+
+
 PROJECTIONS = {
+    "geos": Geostationary,
     "longlat": LongLat,
     "latlong": LongLat,
     "webmerc": WebMercator,

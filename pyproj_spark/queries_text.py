@@ -263,3 +263,40 @@ QUERIES_TEXT = {
     "ann_lsh": (q_ann_lsh, None),
     "multimodal_stub": (q_multimodal_stub, None),
 }
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (driver-mandated dedup
+    family): all pairs above a cosine threshold, exact brute force over
+    a bounded id range (the LSH path is `ann_lsh`)."""
+    from pyspark.sql import functions as FF
+    from pyproj_spark.operators.similarity import cosine
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 300) \
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("v"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+             .withColumn("sim", F.round(cosine(F.col("va"),
+                                               F.col("vb")), 6))
+             .filter(F.col("sim") >= 0.30)
+             .select("id_a", "id_b", "sim"))
+    return pairs
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.30
+"""
+
+QUERIES_TEXT["embedding_neardup"] = (q_embedding_neardup,
+                                     SQL_EMBEDDING_NEARDUP)

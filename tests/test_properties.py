@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the numeric core + geos/WKT."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from numpy.testing import assert_almost_equal
+
+from pyproj_spark.functions import cells
+from pyproj_spark.kernels.geodesic import Geodesic
+from pyproj_spark.plans.spec import Transformer
+
+lons = st.floats(min_value=-179.99, max_value=179.99,
+                 allow_nan=False, allow_infinity=False)
+lats = st.floats(min_value=-89.0, max_value=89.0,
+                 allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats)
+def test_cell_center_roundtrip(lon, lat):
+    """encode(center(encode(p))) == encode(p) at any resolution."""
+    for res in (3, 9, 15):
+        c = cells.encode_np(np.array([lon]), np.array([lat]), res)
+        clon, clat = cells.cell_center_np(c)
+        c2 = cells.encode_np(clon, clat, res)
+        assert c2[0] == c[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(lons, lats)
+def test_cell_parent_consistency(lon, lat):
+    """parent(encode(p, r)) == encode(p, r-1)."""
+    c9 = cells.encode_np(np.array([lon]), np.array([lat]), 9)
+    c8 = cells.encode_np(np.array([lon]), np.array([lat]), 8)
+    assert cells.parent_np(c9)[0] == c8[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(lons, lats, lons, lats)
+def test_geodesic_symmetry(lon1, lat1, lon2, lat2):
+    """inv(A,B).dist == inv(B,A).dist; forward azimuths mirror."""
+    g = Geodesic("WGS84")
+    a1, a2, d = g.inverse(lon1, lat1, lon2, lat2)
+    b1, b2, d2 = g.inverse(lon2, lat2, lon1, lat1)
+    assert abs(float(d) - float(d2)) < 1e-6
+
+
+@settings(max_examples=50, deadline=None)
+@given(lons, lats)
+def test_transform_roundtrip_property(lon, lat):
+    t = Transformer.from_crs(4326, 32633, always_xy=True)
+    x, y = t.transform(lon, lat)
+    lon2, lat2 = t.transform(x, y, direction="INVERSE")
+    # TM far from the central meridian degrades; only assert where the
+    # projection is well-conditioned (PROJ behaves the same way)
+    if abs(((lon - 15 + 180) % 360) - 180) < 60:
+        assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7
+
+
+def test_geos_roundtrip_grid():
+    t = Transformer.from_crs(
+        "+proj=latlong +ellps=GRS80 +towgs84=0,0,0",
+        "+proj=geos +h=35785831.0 +lon_0=-75 +sweep=y +ellps=GRS80 "
+        "+towgs84=0,0,0", always_xy=True)
+    lon, lat = np.meshgrid(np.linspace(-130, -20, 40),
+                           np.linspace(-60, 60, 40))
+    x, y = t.transform(lon.ravel(), lat.ravel())
+    ok = np.isfinite(x)
+    assert ok.mean() > 0.95
+    lon2, lat2 = t.transform(x[ok], y[ok], direction="INVERSE")
+    assert_almost_equal(lon2, lon.ravel()[ok], decimal=9)
+    assert_almost_equal(lat2, lat.ravel()[ok], decimal=9)
+    # sub-satellite point is the origin; far side is inf
+    assert t.transform(-75.0, 0.0) == (0.0, 0.0)
+    assert np.isinf(t.transform(105.0, 0.0)[0])
+
+
+def test_wkt_export():
+    from pyproj_spark.crs.crs import CRS
+    w = CRS.from_epsg(4326).to_wkt()
+    assert w.startswith("GEOGCRS[") and 'ID["EPSG",4326]' in w
+    w2 = CRS.from_epsg(32610).to_wkt()
+    assert w2.startswith("PROJCRS[")
+    assert 'METHOD["Transverse Mercator",ID["EPSG",9807]]' in w2
+    assert 'PARAMETER["Longitude of natural origin",-123.0' in w2
+    w3 = CRS.from_epsg(2263).to_wkt()
+    assert '"US survey foot"' in w3
+    w4 = CRS.from_epsg(4978).to_wkt()
+    assert w4.startswith("GEODCRS[") and "geocentricX" in w4
