@@ -193,3 +193,45 @@ def test_knn_ring_finds_local_neighbors(spark):
     counts = got.groupby("lid").size()
     assert (counts == 2).all()
     assert (got["dist_m"] > 0).all()
+
+
+def test_knn_ring_exact_matches_bruteforce(spark):
+    """Iterative ring-expansion kNN must equal brute-force haversine kNN
+    exactly, including sparse neighborhoods and near-polar points."""
+    rng = np.random.default_rng(11)
+    # clustered + sparse + polar points
+    pts = []
+    for i in range(120):
+        pts.append((i, float(rng.uniform(-0.5, 0.5)),
+                    float(rng.uniform(49.5, 50.5))))      # dense cluster
+    for i in range(120, 140):
+        pts.append((i, float(rng.uniform(-170, 170)),
+                    float(rng.uniform(-80, 80))))          # sparse
+    for i in range(140, 146):
+        pts.append((i, float(rng.uniform(-170, 170)),
+                    float(rng.uniform(86.0, 89.5))))       # near-polar
+    df = spark.createDataFrame(pts, ["pid", "lon", "lat"])
+    left = df.withColumnRenamed("pid", "lid")
+    right = df.withColumnRenamed("pid", "rid")
+    from pyproj_spark.operators.knn import knn_ring_exact
+    got = knn_ring_exact(left, right, k=3, res=7).toPandas() \
+        .sort_values(["lid", "rank"]).reset_index(drop=True)
+
+    # brute force in numpy
+    import pandas as pd
+    arr = np.array([(p[1], p[2]) for p in pts])
+    R = 6371008.8
+    la = np.radians(arr[:, 1])[:, None]
+    lb = np.radians(arr[:, 1])[None, :]
+    dlon = np.radians(arr[:, 0])[None, :] - np.radians(arr[:, 0])[:, None]
+    h = (np.sin((lb - la) / 2) ** 2
+         + np.cos(la) * np.cos(lb) * np.sin(dlon / 2) ** 2)
+    D = 2 * R * np.arcsin(np.sqrt(h))
+    exp_rows = []
+    for i in range(len(pts)):
+        order = sorted((D[i, j], j) for j in range(len(pts)) if j != i)
+        for rank, (d, j) in enumerate(order[:3], start=1):
+            exp_rows.append((i, rank, j))
+    exp = pd.DataFrame(exp_rows, columns=["lid", "rank", "rid"])
+    assert len(got) == len(exp)
+    assert list(got["rid"]) == list(exp["rid"])
