@@ -265,6 +265,17 @@ class CRS:
         import json
         return json.dumps(self.to_json_dict())
 
+    def to_cf(self) -> dict:
+        """CF-1.8 grid-mapping dict — reference pyproj/crs/crs.py:620-756."""
+        from pyproj_spark.crs.cf import to_cf
+        return to_cf(self)
+
+    @classmethod
+    def from_cf(cls, in_cf: dict) -> "CRS":
+        """CRS from a CF grid-mapping dict — reference crs.py:758-876."""
+        from pyproj_spark.crs.cf import from_cf
+        return from_cf(in_cf)
+
     def to_wkt(self, version: str = "WKT2_2019", pretty: bool = False
                ) -> str:
         """Minimal WKT2:2019 export — reference pyproj/_crs.pyx:93-102

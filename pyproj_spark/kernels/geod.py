@@ -11,11 +11,28 @@ window + groupBy compositions instead (SURVEY.md §2.2 G6-G8).
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass, field
 
 import numpy as np
 
 from pyproj_spark.kernels.ellipsoid import Ellipsoid, get_ellipsoid
 from pyproj_spark.kernels.geodesic import Geodesic
+
+
+@dataclass
+class GeodIntermediateReturn:
+    """reference pyproj/_geod.pyx:18-42 — (npts, del_s, dist, lons,
+    lats, azis). Iterable as (lons, lats, azis) for tuple unpacking."""
+
+    npts: int
+    del_s: float
+    dist: float
+    lons: "np.ndarray"
+    lats: "np.ndarray"
+    azis: "np.ndarray"
+
+    def __iter__(self):
+        return iter((self.lons, self.lats, self.azis))
 
 
 def reverse_azimuth(az, radians: bool = False):
@@ -34,6 +51,18 @@ class Geod:
                  f: float | None = None, es: float | None = None,
                  e: float | None = None, sphere: bool = False,
                  R: float | None = None):
+        # initstring form: Geod("+ellps=clrk66") / Geod("+a=... +b=...")
+        # (reference pyproj/geod.py:143-237)
+        if isinstance(ellps, str) and ("+" in ellps or "=" in ellps):
+            from pyproj_spark.crs.crs import _parse_proj_string
+            p = _parse_proj_string(ellps)
+            ellps = p.get("ellps")
+            a = a if a is not None else p.get("a")
+            b = b if b is not None else p.get("b")
+            rf = rf if rf is not None else p.get("rf")
+            f = f if f is not None else p.get("f")
+            es = es if es is not None else p.get("es")
+            R = R if R is not None else p.get("R")
         if R is not None:
             ell = Ellipsoid.from_params(a=R, f=0.0, name="sphere")
         elif a is not None:
@@ -116,8 +145,9 @@ class Geod:
             np.full(npts, float(a1)), s)
         if return_back_azimuth:
             azis = reverse_azimuth(azis)
-        return (self._out(lons, radians), self._out(lats, radians),
-                self._out(azis, radians))
+        return GeodIntermediateReturn(
+            npts, d, dist, self._out(lons, radians),
+            self._out(lats, radians), self._out(azis, radians))
 
     def fwd_intermediate(self, lon1, lat1, azi1, npts: int, del_s: float,
                          radians: bool = False, initial_idx: int = 1,
@@ -135,8 +165,10 @@ class Geod:
             np.full(npts, az1d), s)
         if return_back_azimuth:
             azis = reverse_azimuth(azis)
-        return (self._out(lons, radians), self._out(lats, radians),
-                self._out(azis, radians))
+        return GeodIntermediateReturn(
+            npts, float(del_s), float(npts * del_s),
+            self._out(lons, radians), self._out(lats, radians),
+            self._out(azis, radians))
 
     def line_lengths(self, lons, lats, radians: bool = False):
         """Per-segment distances (n-1 values) — ``pyproj/geod.py:885-920``."""

@@ -203,3 +203,36 @@ def test_geod_param_init():
     g3 = Geod(a=6378137.0, rf=298.257223563)
     g4 = Geod(ellps="WGS84")
     assert g3.f == g4.f
+
+
+def test_inv_intermediate_return_object():
+    # reference test/test_geod.py:145-192: GeodIntermediateReturn fields
+    g = Geod(ellps="clrk66")
+    res = g.inv_intermediate(*BOSTON, *PORTLAND, npts=7,
+                             initial_idx=0, terminus_idx=0,
+                             return_back_azimuth=False)
+    assert res.npts == 7
+    assert_almost_equal(res.del_s, 694032.1180165777, decimal=3)
+    assert_almost_equal(res.dist, 4164192.7080994663, decimal=3)
+    assert_almost_equal(res.lons[0], BOSTON[0])
+    assert_almost_equal(res.lons[-1], PORTLAND[0])
+    # tuple-unpacking compatibility
+    lons, lats, azis = res
+    assert len(lons) == 7
+
+
+def test_geod_initstring():
+    # reference test/test_geod.py:506-523
+    g1 = Geod("+ellps=clrk66")
+    g2 = Geod(ellps="clrk66")
+    assert g1.a == g2.a and g1.f == g2.f
+    a12, a21, d = g1.inv(*BOSTON, *PORTLAND)
+    assert_almost_equal((a12, a21, d), (-66.531, 75.654, 4164192.708),
+                        decimal=3)
+
+
+def test_legacy_transform_function():
+    from pyproj_spark.proj import Proj
+    from pyproj_spark.transformer_compat import transform
+    out = transform(Proj(4326), Proj("EPSG:32610"), -120.108, 34.36116666)
+    assert_almost_equal(out, (765975.641, 3805993.134), decimal=3)

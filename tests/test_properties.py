@@ -87,3 +87,37 @@ def test_wkt_export():
     assert '"US survey foot"' in w3
     w4 = CRS.from_epsg(4978).to_wkt()
     assert w4.startswith("GEODCRS[") and "geocentricX" in w4
+
+
+def test_cf_roundtrip():
+    """to_cf -> from_cf preserves the transform math for every supported
+    projection family (reference test/test_crs_cf.py pattern)."""
+    from pyproj_spark.crs.crs import CRS
+    cases = [
+        "EPSG:32610", "EPSG:3857", "EPSG:2263",
+        "+proj=laea +lat_0=52 +lon_0=10 +a=6378137 +rf=298.257222101 "
+        "+towgs84=0,0,0",
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +ellps=WGS84 "
+        "+towgs84=0,0,0",
+        "+proj=geos +h=35785831.0 +lon_0=-75 +sweep=y +ellps=GRS80 "
+        "+towgs84=0,0,0",
+        "+proj=sinu +lon_0=0 +ellps=WGS84 +towgs84=0,0,0",
+    ]
+    for srs in cases:
+        crs = CRS.from_user_input(srs)
+        cf = crs.to_cf()
+        assert "grid_mapping_name" in cf and "crs_wkt" in cf
+        back = CRS.from_cf(cf)
+        t1 = Transformer.from_crs(4326, crs, always_xy=True)
+        t2 = Transformer.from_crs(4326, back, always_xy=True)
+        lon, lat = 10.0, (45.0 if "stere" not in srs else -75.0)
+        a = t1.transform(lon, lat)
+        b = t2.transform(lon, lat)
+        # CF grid mappings carry no linear-unit info (units live on the
+        # coordinate variables), so compare in metres
+        ua = crs.to_meter or 1.0
+        ub = back.to_meter or 1.0
+        assert_almost_equal((a[0] * ua, a[1] * ua), (b[0] * ub, b[1] * ub),
+                            decimal=5)
+    cf = CRS.from_epsg(4326).to_cf()
+    assert cf["grid_mapping_name"] == "latitude_longitude"
