@@ -60,7 +60,7 @@ def to_cf(crs) -> dict:
     out = {
         "semi_major_axis": e.a,
         "semi_minor_axis": e.b,
-        "inverse_flattening": (1.0 / e.f) if e.f else 0.0,
+        "inverse_flattening": e.rf,
         "reference_ellipsoid_name": e.name,
         "longitude_of_prime_meridian": 0.0,
         "prime_meridian_name": "Greenwich",
@@ -118,4 +118,10 @@ def from_cf(cf: dict):
             params["b"] = float(cf["semi_minor_axis"])
         else:
             params["f"] = 0.0
+    # recover the datum (and thus the WGS84 path) from the CF name —
+    # without it the rebuilt CRS would only support ballpark transforms
+    from pyproj_spark.crs.catalog import DATUMS
+    dname = cf.get("horizontal_datum_name")
+    if dname in DATUMS:
+        params["towgs84"] = ",".join(str(v) for v in DATUMS[dname][1])
     return CRS.from_dict(params)

@@ -39,7 +39,7 @@ def _q(s: str) -> str:
 
 def _datum_wkt(crs) -> str:
     e = crs.ellipsoid
-    inv_f = (1.0 / e.f) if e.f else 0.0
+    inv_f = e.rf
     return (f'DATUM[{_q(crs.datum_name or "unknown")},'
             f'ELLIPSOID[{_q(e.name)},{e.a!r},{inv_f!r},'
             f'LENGTHUNIT["metre",1]]]')

@@ -18,6 +18,7 @@ class Ellipsoid:
     a: float                      # semi-major axis (m)
     f: float                      # flattening
     name: str = "unknown"
+    rf_exact: float | None = None  # inverse flattening as given (exports)
     b: float = field(init=False)  # semi-minor axis
     e2: float = field(init=False)   # first eccentricity squared
     ep2: float = field(init=False)  # second eccentricity squared
@@ -35,6 +36,13 @@ class Ellipsoid:
         return math.sqrt(self.e2)
 
     @property
+    def rf(self) -> float:
+        """Inverse flattening, preserving the exact catalog value."""
+        if self.rf_exact is not None:
+            return self.rf_exact
+        return (1.0 / self.f) if self.f else 0.0
+
+    @property
     def is_sphere(self) -> bool:
         return abs(self.f) < 1e-8
 
@@ -47,6 +55,8 @@ class Ellipsoid:
             f = (a - b) / a
         elif rf is not None:
             f = 0.0 if rf == 0 else 1.0 / rf
+            return cls(a=float(a), f=float(f), name=name,
+                       rf_exact=float(rf))
         elif es is not None:
             f = 1.0 - math.sqrt(1.0 - es)
         elif e is not None:

@@ -110,7 +110,8 @@ def test_cf_roundtrip():
         back = CRS.from_cf(cf)
         t1 = Transformer.from_crs(4326, crs, always_xy=True)
         t2 = Transformer.from_crs(4326, back, always_xy=True)
-        lon, lat = 10.0, (45.0 if "stere" not in srs else -75.0)
+        lon = -70.0 if "geos" in srs else 10.0  # visible from the sat
+        lat = -75.0 if "stere" in srs else 45.0
         a = t1.transform(lon, lat)
         b = t2.transform(lon, lat)
         # CF grid mappings carry no linear-unit info (units live on the
