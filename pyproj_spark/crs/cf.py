@@ -67,6 +67,8 @@ def to_cf(crs) -> dict:
         "horizontal_datum_name": crs.datum_name or "unknown",
         "crs_wkt": crs.to_wkt(),
     }
+    if crs.towgs84 is not None:
+        out["towgs84"] = [float(v) for v in crs.towgs84]  # CF-1.8 optional
     params = dict(crs.proj_params)
     proj = params.pop("proj")
     if proj == "utm":
@@ -121,7 +123,10 @@ def from_cf(cf: dict):
     # recover the datum (and thus the WGS84 path) from the CF name —
     # without it the rebuilt CRS would only support ballpark transforms
     from pyproj_spark.crs.catalog import DATUMS
-    dname = cf.get("horizontal_datum_name")
-    if dname in DATUMS:
-        params["towgs84"] = ",".join(str(v) for v in DATUMS[dname][1])
+    if "towgs84" in cf:
+        params["towgs84"] = ",".join(str(float(v)) for v in cf["towgs84"])
+    else:
+        dname = cf.get("horizontal_datum_name")
+        if dname in DATUMS:
+            params["towgs84"] = ",".join(str(v) for v in DATUMS[dname][1])
     return CRS.from_dict(params)
