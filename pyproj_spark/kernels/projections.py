@@ -535,6 +535,213 @@ class Sinusoidal(Projection):
         return dl, phi
 
 
+def _authalic_q(E: Ellipsoid, phi):
+    """Snyder's q(phi) (eq. 3-12) — shared by laea/aea/cea."""
+    e, e2 = E.e, E.e2
+    s = np.sin(phi)
+    if e == 0:
+        return 2.0 * s
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s) + np.arctanh(e * s) / e)
+
+
+def _phi_from_q_iter(E: Ellipsoid, q):
+    """Invert q(phi) by Snyder 3-16 iteration — shared by laea/aea/cea."""
+    e, e2 = E.e, E.e2
+    if e == 0:
+        return np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    qp = _authalic_q(E, np.pi / 2)
+    phi = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    for _ in range(10):
+        s = np.sin(phi)
+        # Snyder 3-16
+        d = ((1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi) + 1e-300)
+             * (q / (1.0 - e2) - s / (1.0 - e2 * s * s)
+                - np.arctanh(e * s) / e))
+        phi = phi + d
+    return phi
+
+
+class AlbersEqualArea(Projection):
+    """aea — Albers equal-area conic, ellipsoidal (Snyder pp. 98-103)."""
+
+    name = "aea"
+
+    def _setup(self, lat_0=0.0, lat_1=29.5, lat_2=None, **kw):
+        E = self.E
+        p0 = np.radians(float(lat_0))
+        p1 = np.radians(float(lat_1))
+
+        def m(p):
+            return np.cos(p) / np.sqrt(1.0 - E.e2 * np.sin(p) ** 2)
+
+        q0, q1 = _authalic_q(E, p0), _authalic_q(E, p1)
+        if lat_2 is not None and float(lat_2) != float(lat_1):
+            p2 = np.radians(float(lat_2))
+            q2 = _authalic_q(E, p2)
+            self.n = (m(p1) ** 2 - m(p2) ** 2) / (q2 - q1)
+        else:
+            self.n = np.sin(p1)
+        self.C = m(p1) ** 2 + self.n * q1
+        self.rho0 = E.a * np.sqrt(self.C - self.n * q0) / self.n
+
+    def _fwd(self, dl, phi):
+        E = self.E
+        q = _authalic_q(E, phi)
+        with np.errstate(invalid="ignore"):
+            rho = E.a * np.sqrt(np.maximum(self.C - self.n * q, 0.0)) / self.n
+        th = self.n * dl
+        return rho * np.sin(th), self.rho0 - rho * np.cos(th)
+
+    def _inv(self, x, y):
+        E = self.E
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.hypot(x, self.rho0 - y)
+        th = np.arctan2(sgn * x, sgn * (self.rho0 - y))
+        q = (self.C - (rho * self.n / E.a) ** 2) / self.n
+        return th / self.n, _phi_from_q_iter(E, q)
+
+
+class CylindricalEqualArea(Projection):
+    """cea — Lambert cylindrical equal-area, ellipsoidal (Snyder
+    pp. 76-85)."""
+
+    name = "cea"
+
+    def _setup(self, lat_ts=0.0, k_0=None, **kw):
+        E = self.E
+        if k_0 is None:
+            pts = np.radians(float(lat_ts))
+            k_0 = np.cos(pts) / np.sqrt(1.0 - E.e2 * np.sin(pts) ** 2)
+        self.k0 = float(k_0)
+
+    def _fwd(self, dl, phi):
+        E = self.E
+        q = _authalic_q(E, phi)
+        return E.a * self.k0 * dl, E.a * q / (2.0 * self.k0)
+
+    def _inv(self, x, y):
+        E = self.E
+        q = 2.0 * y * self.k0 / E.a
+        return x / (E.a * self.k0), _phi_from_q_iter(E, q)
+
+
+class Orthographic(Projection):
+    """ortho — orthographic, spherical formulas (Snyder pp. 145-153);
+    far hemisphere -> inf."""
+
+    name = "ortho"
+
+    def _setup(self, lat_0=0.0, **kw):
+        self.phi0 = np.radians(float(lat_0))
+        self.s0, self.c0 = np.sin(self.phi0), np.cos(self.phi0)
+
+    def _fwd(self, dl, phi):
+        a = self.E.a
+        cosc = (self.s0 * np.sin(phi)
+                + self.c0 * np.cos(phi) * np.cos(dl))
+        hidden = cosc < -1e-12
+        x = a * np.cos(phi) * np.sin(dl)
+        y = a * (self.c0 * np.sin(phi) - self.s0 * np.cos(phi) * np.cos(dl))
+        return (np.where(hidden, np.inf, x), np.where(hidden, np.inf, y))
+
+    def _inv(self, x, y):
+        a = self.E.a
+        rho = np.hypot(x, y)
+        with np.errstate(invalid="ignore"):
+            c = np.arcsin(np.clip(rho / a, -1.0, 1.0))
+            sc, cc = np.sin(c), np.cos(c)
+            safe = np.where(rho == 0, 1.0, rho)
+            phi = np.arcsin(np.clip(cc * self.s0 + y * sc * self.c0 / safe,
+                                    -1, 1))
+            lam = np.arctan2(x * sc,
+                             safe * self.c0 * cc - y * self.s0 * sc)
+        phi = np.where(rho == 0, self.phi0, phi)
+        lam = np.where(rho == 0, 0.0, lam)
+        return lam, phi
+
+
+class VerticalPerspective(Projection):
+    """nsper — near-sided vertical perspective, spherical (Snyder
+    pp. 173-178)."""
+
+    name = "nsper"
+
+    def _setup(self, lat_0=0.0, h=35785831.0, **kw):
+        self.phi0 = np.radians(float(lat_0))
+        self.s0, self.c0 = np.sin(self.phi0), np.cos(self.phi0)
+        self.P = 1.0 + float(h) / self.E.a
+
+    def _fwd(self, dl, phi):
+        a = self.E.a
+        cosc = (self.s0 * np.sin(phi)
+                + self.c0 * np.cos(phi) * np.cos(dl))
+        hidden = cosc < 1.0 / self.P
+        with np.errstate(all="ignore"):
+            kp = (self.P - 1.0) / (self.P - cosc)
+            x = a * kp * np.cos(phi) * np.sin(dl)
+            y = a * kp * (self.c0 * np.sin(phi)
+                          - self.s0 * np.cos(phi) * np.cos(dl))
+        return (np.where(hidden, np.inf, x), np.where(hidden, np.inf, y))
+
+    def _inv(self, x, y):
+        a = self.E.a
+        P = self.P
+        rho = np.hypot(x, y) / a
+        with np.errstate(all="ignore"):
+            # Snyder 23-19: sin(c) from the perspective quadratic
+            num = P - np.sqrt(np.maximum(
+                1.0 - rho * rho * (P + 1.0) / (P - 1.0), 0.0))
+            den = (P - 1.0) / rho + rho / (P - 1.0)
+            sc = np.where(rho == 0, 0.0, num / np.where(den == 0, 1.0, den))
+            cc = np.sqrt(np.maximum(1.0 - sc * sc, 0.0))
+            safe = np.where(rho == 0, 1.0, rho)
+            phi = np.arcsin(np.clip(
+                cc * self.s0 + (y / a) * sc * self.c0 / safe, -1, 1))
+            lam = np.arctan2((x / a) * sc,
+                             safe * self.c0 * cc - (y / a) * self.s0 * sc)
+        phi = np.where(rho == 0, self.phi0, phi)
+        lam = np.where(rho == 0, 0.0, lam)
+        return lam, phi
+
+
+class RotatedLatLon(Projection):
+    """ob_tran o_proj=longlat — rotated-pole lat/lon grid (the CF
+    rotated_latitude_longitude / reference RotatedLatLon builder).
+    Output 'x/y' are rotated lon/lat in RADIANS times a (PROJ keeps
+    angular output for +o_proj=longlat; we scale by a like PROJ's
+    to-meter convention for ob_tran in metres)."""
+
+    name = "ob_tran"
+
+    def _setup(self, o_lat_p=90.0, o_lon_p=0.0, **kw):
+        # pole of the rotated system, in true coordinates
+        self.pla = np.radians(float(o_lat_p))
+        self.plo = np.radians(float(o_lon_p))
+        self.sp, self.cp = np.sin(self.pla), np.cos(self.pla)
+
+    def _fwd(self, dl, phi):
+        # true (dl, phi) -> rotated; dl is relative to lon_0 already
+        sp, cp = self.sp, self.cp
+        dlam = dl - self.plo
+        sphi, cphi = np.sin(phi), np.cos(phi)
+        s_rot = sp * sphi + cp * cphi * np.cos(dlam)
+        phi_r = np.arcsin(np.clip(s_rot, -1.0, 1.0))
+        lam_r = np.arctan2(cphi * np.sin(dlam),
+                           sp * cphi * np.cos(dlam) - cp * sphi)
+        return self.E.a * lam_r, self.E.a * phi_r
+
+    def _inv(self, x, y):
+        sp, cp = self.sp, self.cp
+        lam_r = x / self.E.a
+        phi_r = y / self.E.a
+        s, c = np.sin(phi_r), np.cos(phi_r)
+        sphi = sp * s - cp * c * np.cos(lam_r)
+        phi = np.arcsin(np.clip(sphi, -1.0, 1.0))
+        dlam = np.arctan2(c * np.sin(lam_r),
+                          sp * c * np.cos(lam_r) + cp * s)
+        return dlam + self.plo, phi
+
+
 class Geostationary(Projection):
     """geos — geostationary satellite view (derived from the view
     geometry; conventions match PROJ/EUMETSAT CGMS: scan angles x
@@ -601,6 +808,11 @@ class Geostationary(Projection):
 
 PROJECTIONS = {
     "geos": Geostationary,
+    "aea": AlbersEqualArea,
+    "cea": CylindricalEqualArea,
+    "ortho": Orthographic,
+    "nsper": VerticalPerspective,
+    "ob_tran": RotatedLatLon,
     "longlat": LongLat,
     "latlong": LongLat,
     "webmerc": WebMercator,

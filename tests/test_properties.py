@@ -122,3 +122,51 @@ def test_cf_roundtrip():
                             decimal=5)
     cf = CRS.from_epsg(4326).to_cf()
     assert cf["grid_mapping_name"] == "latitude_longitude"
+
+
+def test_new_projection_roundtrips_and_invariants():
+    """aea/cea/ortho/nsper/ob_tran: roundtrip exactness + the defining
+    invariant (areal_scale == 1 for equal-area; hidden -> inf)."""
+    from pyproj_spark.proj import Proj
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-60, -40, 300)
+    lat = rng.uniform(25, 48, 300)
+
+    def rt(src, dst):
+        t = Transformer.from_crs(src, dst, always_xy=True)
+        x, y = t.transform(lon, lat)
+        lo, la = t.transform(x, y, direction="INVERSE")
+        assert np.abs(lo - lon).max() < 1e-9
+        assert np.abs(la - lat).max() < 1e-9
+
+    W = "+proj=latlong +ellps=WGS84 +towgs84=0,0,0"
+    S = "+proj=latlong +R=6370997 +towgs84=0,0,0"
+    rt(W, "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+          "+ellps=WGS84 +towgs84=0,0,0")
+    rt(W, "+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84 +towgs84=0,0,0")
+    rt(S, "+proj=ortho +lat_0=40 +lon_0=-74 +R=6370997 +towgs84=0,0,0")
+    rt(S, "+proj=nsper +lat_0=40 +lon_0=-74 +h=5000000 +R=6370997 "
+          "+towgs84=0,0,0")
+    rt(S, "+proj=ob_tran +o_proj=longlat +o_lat_p=30 +o_lon_p=15 +lon_0=10 "
+          "+R=6370997 +towgs84=0,0,0")
+
+    # equal-area projections: areal scale exactly 1 everywhere
+    for srs in ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+                "+ellps=WGS84 +towgs84=0,0,0",
+                "+proj=cea +lat_ts=30 +ellps=WGS84 +towgs84=0,0,0"):
+        f = Proj(srs).get_factors(np.array([-96.0, -80.0, -110.0]),
+                                  np.array([30.0, 40.0, 55.0]))
+        assert_almost_equal(f.areal_scale, [1.0, 1.0, 1.0], decimal=7)
+
+    # conformal projections: h == k (isotropic scale)
+    for srs in ("EPSG:32610", "EPSG:3857",
+                "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 "
+                "+ellps=WGS84 +towgs84=0,0,0"):
+        f = Proj(srs).get_factors(np.array([-120.0, -118.0]),
+                                  np.array([34.0, 40.0]))
+        assert_almost_equal(f.meridional_scale, f.parallel_scale, decimal=8)
+
+    # ortho far hemisphere -> inf
+    t = Transformer.from_crs(S, "+proj=ortho +lat_0=40 +lon_0=-74 "
+                                "+R=6370997 +towgs84=0,0,0", always_xy=True)
+    assert np.isinf(t.transform(106.0, -40.0)[0])
