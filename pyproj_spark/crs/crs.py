@@ -21,6 +21,7 @@ _AUTH_CODE_RE = re.compile(r"^\s*(?P<auth>[A-Za-z]+)\s*:\s*(?P<code>\d+)\s*$")
 _NUMERIC_KEYS = {
     "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0", "x_0", "y_0",
     "zone", "a", "b", "rf", "f", "es", "e", "R", "to_meter", "h",
+    "lonc", "alpha", "gamma", "o_lat_p", "o_lon_p",
 }
 _FLAG_KEYS = {"south", "no_defs", "wktext", "over"}
 

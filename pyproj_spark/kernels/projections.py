@@ -535,6 +535,84 @@ class Sinusoidal(Projection):
         return dl, phi
 
 
+class HotineObliqueMercator(Projection):
+    """omerc variant B (EPSG 9815: center + azimuth + k_0), Snyder
+    pp. 70-75. Validated by roundtrip, conformality (h == k), and
+    scale k == k_0 at the projection center."""
+
+    name = "omerc"
+
+    def _setup(self, lat_0=0.0, alpha=90.0, gamma=None, k_0=1.0,
+               lonc=None, no_uoff=False, **kw):
+        E = self.E
+        e, e2 = E.e, E.e2
+        phi0 = np.radians(float(lat_0))
+        alphac = np.radians(float(alpha))
+        self.gammac = np.radians(float(gamma)) if gamma is not None \
+            else alphac
+        # lon_c rides in via lon_0 (PROJ's +lonc maps to the center lon)
+        lonc_r = np.radians(float(lonc)) if lonc is not None else 0.0
+        sphi0, cphi0 = np.sin(phi0), np.cos(phi0)
+        self.B = np.sqrt(1.0 + e2 * cphi0 ** 4 / (1.0 - e2))
+        self.A = (E.a * self.B * float(k_0) * np.sqrt(1.0 - e2)
+                  / (1.0 - e2 * sphi0 ** 2))
+        t0 = _ts(phi0, e)
+        D = (self.B * np.sqrt(1.0 - e2)
+             / (cphi0 * np.sqrt(1.0 - e2 * sphi0 ** 2)))
+        D2 = max(D * D, 1.0)
+        sgn = 1.0 if phi0 >= 0 else -1.0
+        Fc = D + np.sqrt(D2 - 1.0) * sgn
+        self.E_ = Fc * t0 ** self.B
+        G = (Fc - 1.0 / Fc) / 2.0
+        self.g0 = np.arcsin(np.clip(np.sin(alphac) / D, -1.0, 1.0))
+        self.sg0, self.cg0 = np.sin(self.g0), np.cos(self.g0)
+        # lam0 relative to the center longitude (lon_0 handles absolute)
+        self.lam0 = lonc_r - np.arcsin(
+            np.clip(G * np.tan(self.g0), -1.0, 1.0)) / self.B
+        if no_uoff:
+            self.uc = 0.0
+        else:
+            self.uc = ((self.A / self.B)
+                       * np.arctan2(np.sqrt(D2 - 1.0), np.cos(alphac))
+                       * sgn)
+
+    def _fwd(self, dl, phi):
+        e = self.E.e
+        with np.errstate(all="ignore"):
+            t = _ts(phi, e)
+            Q = self.E_ / t ** self.B
+            S = (Q - 1.0 / Q) / 2.0
+            T = (Q + 1.0 / Q) / 2.0
+            Bl = self.B * (dl - self.lam0)
+            V = np.sin(Bl)
+            U = (-V * self.cg0 + S * self.sg0) / T
+            v = self.A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * self.B)
+            u = self.A * np.arctan2(S * self.cg0 + V * self.sg0,
+                                    np.cos(Bl)) / self.B - self.uc
+            cg, sg = np.cos(self.gammac), np.sin(self.gammac)
+            x = v * cg + u * sg
+            y = u * cg - v * sg
+        return x, y
+
+    def _inv(self, x, y):
+        e = self.E.e
+        with np.errstate(all="ignore"):
+            cg, sg = np.cos(self.gammac), np.sin(self.gammac)
+            v = x * cg - y * sg
+            u = y * cg + x * sg + self.uc
+            Qp = np.exp(-self.B * v / self.A)
+            Sp = (Qp - 1.0 / Qp) / 2.0
+            Tp = (Qp + 1.0 / Qp) / 2.0
+            Vp = np.sin(self.B * u / self.A)
+            Up = (Vp * self.cg0 + Sp * self.sg0) / Tp
+            t = (self.E_ / np.sqrt((1.0 + Up) / (1.0 - Up))) ** (1.0 / self.B)
+            phi = _phi_from_ts(t, e)
+            lam = self.lam0 - np.arctan2(
+                Sp * self.cg0 - Vp * self.sg0,
+                np.cos(self.B * u / self.A)) / self.B
+        return lam, phi
+
+
 def _authalic_q(E: Ellipsoid, phi):
     """Snyder's q(phi) (eq. 3-12) — shared by laea/aea/cea."""
     e, e2 = E.e, E.e2
@@ -813,6 +891,7 @@ PROJECTIONS = {
     "ortho": Orthographic,
     "nsper": VerticalPerspective,
     "ob_tran": RotatedLatLon,
+    "omerc": HotineObliqueMercator,
     "longlat": LongLat,
     "latlong": LongLat,
     "webmerc": WebMercator,

@@ -170,3 +170,26 @@ def test_new_projection_roundtrips_and_invariants():
     t = Transformer.from_crs(S, "+proj=ortho +lat_0=40 +lon_0=-74 "
                                 "+R=6370997 +towgs84=0,0,0", always_xy=True)
     assert np.isinf(t.transform(106.0, -40.0)[0])
+
+
+def test_omerc_malaysia_rso():
+    """Hotine oblique Mercator (EPSG:3376 parameters): roundtrip,
+    conformality, and exact center scale/origin."""
+    from pyproj_spark.proj import Proj
+    SRS = ("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257964666666 "
+           "+k=0.99984 +x_0=804671 +y_0=0 +gamma=323.1301023611111 "
+           "+ellps=GRS80 +towgs84=0,0,0")
+    W = "+proj=latlong +ellps=GRS80 +towgs84=0,0,0"
+    t = Transformer.from_crs(W, SRS, always_xy=True)
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(99, 105, 300)
+    lat = rng.uniform(1, 7, 300)
+    x, y = t.transform(lon, lat)
+    lo, la = t.transform(x, y, direction="INVERSE")
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    # projection center maps to (x_0, y_0)
+    assert_almost_equal(t.transform(102.25, 4.0), (804671.0, 0.0), decimal=5)
+    f = Proj(SRS).get_factors(np.array([102.25, 101.0]), np.array([4.0, 2.0]))
+    assert_almost_equal(f.meridional_scale, f.parallel_scale, decimal=9)
+    assert_almost_equal(f.parallel_scale[0], 0.99984, decimal=7)
