@@ -32,6 +32,7 @@ DATUMS = {
                              -11.68)),
     "ITRF2014": ("GRS80", (0, 0, 0)),
     "NZGD2000": ("GRS80", (0, 0, 0)),
+    "GDM2000": ("GRS80", (0, 0, 0)),
 }
 
 _GEOG = {
@@ -78,6 +79,19 @@ _PROJECTED = {
     3413: ("WGS 84 / NSIDC Sea Ice Polar Stereographic North", "WGS84",
            dict(proj="stere", lat_0=90, lat_ts=70, lon_0=-45, x_0=0, y_0=0),
            "enu", 1.0),
+    3395: ("WGS 84 / World Mercator", "WGS84",
+           dict(proj="merc", lon_0=0, k_0=1, x_0=0, y_0=0), "enu", 1.0),
+    4087: ("WGS 84 / World Equidistant Cylindrical", "WGS84",
+           dict(proj="eqc", lat_ts=0, lon_0=0, x_0=0, y_0=0), "enu", 1.0),
+    5070: ("NAD83 / Conus Albers", "NAD83",
+           dict(proj="aea", lat_1=29.5, lat_2=45.5, lat_0=23, lon_0=-96,
+                x_0=0, y_0=0), "enu", 1.0),
+    6933: ("WGS 84 / NSIDC EASE-Grid 2.0 Global", "WGS84",
+           dict(proj="cea", lat_ts=30, lon_0=0, x_0=0, y_0=0), "enu", 1.0),
+    3376: ("GDM2000 / Peninsula RSO", "GDM2000",
+           dict(proj="omerc", lat_0=4, lonc=102.25,
+                alpha=323.0257964666666, gamma=323.1301023611111,
+                k_0=0.99984, x_0=804671, y_0=0), "enu", 1.0),
 }
 
 # NAD83 UTM zones 1-23 (EPSG 26901-26923)

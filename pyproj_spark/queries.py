@@ -457,3 +457,41 @@ def q_geod_line_length(spark, sf_dir):
 
 
 QUERIES["geod_line_length"] = (q_geod_line_length, None)
+
+
+def q_knn_ring(spark, sf_dir):
+    """Exact fact-to-fact kNN via iterative cell-ring expansion — the
+    oracle recomputes with brute force, so exactness of the expansion
+    algorithm is driver-verified every round."""
+    from pyproj_spark.operators.knn import knn_ring_exact
+    pts = _doc_points(spark, sf_dir).filter(F.col("doc_id") < 200) \
+        .select(F.col("doc_id"), "lon", "lat")
+    left = pts.withColumnRenamed("doc_id", "lid")
+    right = pts.withColumnRenamed("doc_id", "rid")
+    out = knn_ring_exact(left, right, k=3, res=3)
+    return out.select("lid", "rank", "rid",
+                      F.round("dist_m").cast("long").alias("dist_m"))
+
+
+SQL_KNN_RING = f"""
+WITH pts AS ({_PTS_SQL}),
+p AS (SELECT doc_id, lon, lat FROM pts WHERE doc_id < 200),
+cand AS (
+  SELECT a.doc_id AS lid, b.doc_id AS rid,
+         2.0 * 6371008.8 * asin(sqrt(
+             pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * pow(sin((radians(b.lon) - radians(a.lon)) / 2), 2)
+         )) AS d
+  FROM p a JOIN p b ON a.doc_id != b.doc_id
+),
+ranked AS (
+  SELECT lid, rid, d,
+         row_number() OVER (PARTITION BY lid ORDER BY d, rid) AS rank
+  FROM cand
+)
+SELECT lid, rank, rid, CAST(round(d) AS BIGINT) AS dist_m
+FROM ranked WHERE rank <= 3
+"""
+
+QUERIES["knn_ring"] = (q_knn_ring, SQL_KNN_RING)

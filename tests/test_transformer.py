@@ -164,14 +164,18 @@ def test_polar_stereographic_rho():
     assert_almost_equal((lon, lat), (150.0, -75.0), decimal=8)
 
 
-@pytest.mark.parametrize("epsg", [3035, 3031, 3413, 27700, 26915, 32733])
+@pytest.mark.parametrize("epsg", [3035, 3031, 3413, 27700, 26915, 32733,
+                                  3395, 4087, 5070, 6933, 3376])
 def test_roundtrip_various_crs(epsg):
     t = Transformer.from_crs(4326, epsg, always_xy=True)
     rng = np.random.default_rng(epsg)
     # sample points in a plausible domain per CRS
     domains = {3035: (-10, 30, 35, 70), 3031: (-180, 180, -85, -60),
                3413: (-180, 180, 60, 89), 27700: (-7, 2, 50, 60),
-               26915: (-98, -88, 25, 50), 32733: (12, 18, -80, 0)}
+               26915: (-98, -88, 25, 50), 32733: (12, 18, -80, 0),
+               3395: (-179, 179, -80, 80), 4087: (-179, 179, -89, 89),
+               5070: (-125, -65, 22, 50), 6933: (-179, 179, -85, 85),
+               3376: (99, 105, 1, 7)}
     lo1, lo2, la1, la2 = domains[epsg]
     lon = rng.uniform(lo1, lo2, 200)
     lat = rng.uniform(la1, la2, 200)
