@@ -13,7 +13,12 @@ pyproj_spark/queries_text.py (dedup/similarity/text analysis).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# import-safe regardless of the harness cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

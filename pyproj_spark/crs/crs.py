@@ -214,6 +214,56 @@ class CRS:
             srs += " +towgs84=" + ",".join(str(v) for v in self.towgs84)
         return CRS._from_record(rec, srs)
 
+    # ------------------------------------------------- component accessors
+    @property
+    def axis_info(self) -> list:
+        """Axis descriptors — reference pyproj/crs/crs.py:1093-1120."""
+        from types import SimpleNamespace as NS
+        if self.is_geocentric:
+            return [NS(name=n, abbrev=a, direction=d, unit_name="metre")
+                    for n, a, d in (("Geocentric X", "X", "geocentricX"),
+                                    ("Geocentric Y", "Y", "geocentricY"),
+                                    ("Geocentric Z", "Z", "geocentricZ"))]
+        if self.is_geographic:
+            lat = NS(name="Geodetic latitude", abbrev="Lat",
+                     direction="north", unit_name="degree")
+            lon = NS(name="Geodetic longitude", abbrev="Lon",
+                     direction="east", unit_name="degree")
+            return [lat, lon] if self.axis == "neu" else [lon, lat]
+        unit = ("metre" if (self.to_meter or 1.0) == 1.0
+                else "US survey foot")
+        e_ax = NS(name="Easting", abbrev="E", direction="east",
+                  unit_name=unit)
+        n_ax = NS(name="Northing", abbrev="N", direction="north",
+                  unit_name=unit)
+        return [n_ax, e_ax] if self.axis == "neu" else [e_ax, n_ax]
+
+    @property
+    def datum(self):
+        """Datum descriptor — reference pyproj/crs/crs.py:1122-1138."""
+        from types import SimpleNamespace as NS
+        return NS(name=self.datum_name or "unknown",
+                  type_name="Geodetic Reference Frame",
+                  ellipsoid=self.ellipsoid, towgs84=self.towgs84)
+
+    @property
+    def prime_meridian(self):
+        from types import SimpleNamespace as NS
+        return NS(name="Greenwich", longitude=0.0,
+                  unit_name="degree")
+
+    @property
+    def area_of_use(self):
+        """Rough area of use from the datum table — reference
+        pyproj/crs/crs.py:1140-1160 (AreaOfUse with .bounds)."""
+        from types import SimpleNamespace as NS
+        from pyproj_spark.catalog_api import _DATUM_AOU
+        w, s, e, n = _DATUM_AOU.get(self.datum_name,
+                                    (-180.0, -90.0, 180.0, 90.0))
+        return NS(west=w, south=s, east=e, north=n,
+                  bounds=(w, s, e, n),
+                  name=f"{self.datum_name or 'world'} area of use")
+
     # ------------------------------------------------------------- exports
     def to_epsg(self):
         return self.epsg_code

@@ -6,6 +6,7 @@ import pytest
 from numpy.testing import assert_almost_equal
 
 from pyproj_spark.aoi import AreaOfInterest, BBox
+from pyproj_spark.crs.crs import CRS
 from pyproj_spark.kernels.geod import Geod
 from pyproj_spark.plans.spec import Transformer
 from pyproj_spark.proj import Proj
@@ -173,3 +174,21 @@ def test_transformer_group():
     assert not tg.operations[0].is_ballpark
     assert tg.operations[1].is_ballpark
     assert len(tg.transformers) == 2
+
+
+def test_crs_component_accessors():
+    # reference pyproj/crs/crs.py:1093-1172 accessor surface
+    crs = CRS.from_epsg(4326)
+    ax = crs.axis_info
+    assert ax[0].direction == "north" and ax[1].direction == "east"
+    assert crs.datum.name == "WGS84"
+    assert crs.prime_meridian.longitude == 0.0
+    w, s, e, n = crs.area_of_use.bounds
+    assert (w, s, e, n) == (-180, -90, 180, 90)
+    p = CRS.from_epsg(2263)
+    assert p.axis_info[0].unit_name == "US survey foot"
+    assert p.datum.ellipsoid.name == "GRS80"
+    g = CRS.from_epsg(4121).area_of_use
+    assert 19 < g.west < 20 and g.north < 42
+    assert CRS.from_epsg(4978).axis_info[0].direction == "geocentricX"
+
