@@ -433,11 +433,14 @@ class Geodesic:
         somg12, comg12 = np.sin(omg12), np.cos(omg12)
 
         salp1 = cb2 * somg12
-        calp1 = np.where(
-            comg12 >= 0.0,
-            sbet12 + cb2 * sb1 * somg12 ** 2 / (1.0 + comg12),
-            sbet12a - cb2 * sb1 * somg12 ** 2 / (1.0 - comg12),
-        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            calp1 = np.where(
+                comg12 >= 0.0,
+                sbet12 + cb2 * sb1 * somg12 ** 2
+                / np.where(comg12 >= 0.0, 1.0 + comg12, 1.0),
+                sbet12a - cb2 * sb1 * somg12 ** 2
+                / np.where(comg12 >= 0.0, 1.0, 1.0 - comg12),
+            )
         ssig12 = np.hypot(salp1, calp1)
         csig12 = sb1 * sb2 + cb1 * cb2 * comg12
 
