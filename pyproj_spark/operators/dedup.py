@@ -97,9 +97,26 @@ def _perm_with(a: int, b: int):
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
-                      bands: int = 4) -> DataFrame:
+                      bands: int = 4, band_cap: int = 64) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: rows sharing any band of
-    the minhash signature. Output (id_a, id_b) with id_a < id_b."""
+    the minhash signature. Output (id_a, id_b) with id_a < id_b.
+
+    Hot-band guard (the 100-TB path): instead of a band self-join (a
+    degenerate band key — e.g. all empty-normalized docs — recreates the
+    O(n²) all-pairs blowup inside one bucket), bands are aggregated with
+    ONE groupBy(band_key):
+
+    * bands with <= band_cap members emit all pairs via a nested array
+      HOF (bounded at band_cap²/2 per band, computed map-side);
+    * hot bands (> band_cap members) emit STAR edges (min_id, member) —
+      O(n) per band, no information loss for connected-components dedup
+      (every member stays linked to its cluster representative; docs in
+      a hot band are near-identical by construction, which exact dedup
+      catches first anyway).
+
+    Total shuffles: groupBy(band_key) + the final pair dedup — both
+    partial-aggregated; no join, no unbounded bucket.
+    """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df.select(id_col, text_col), text_col,
                             num_hashes)
@@ -115,14 +132,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         F.explode(F.array(*[
             F.concat_ws(":", F.lit(str(b)), F.col(f"band_{b}"))
             for b in range(bands)])).alias("band_key"))
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    pairs = (a.join(b, "band_key")
-             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
-    return pairs
+    grouped = (stacked.groupBy("band_key")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"),
+                    F.count("*").alias("cnt"))
+               .filter(F.col("cnt") >= 2))
+    ids = F.col("ids")
+    all_pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(ids) - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size(ids) - 1),
+            lambda j: F.struct(
+                F.element_at(ids, (i + 1).cast("int")).alias("id_a"),
+                F.element_at(ids, (j + 1).cast("int")).alias("id_b")))))
+    star_edges = F.transform(
+        F.slice(ids, 2, F.size(ids) - 1),
+        lambda m: F.struct(F.element_at(ids, 1).alias("id_a"),
+                           m.alias("id_b")))
+    edges = grouped.select(F.explode(
+        F.when(F.col("cnt") <= band_cap, all_pairs)
+        .otherwise(star_edges)).alias("e"))
+    return edges.select(F.col("e.id_a").alias("id_a"),
+                        F.col("e.id_b").alias("id_b")).distinct()
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
@@ -170,16 +200,38 @@ def ngram_shingles(df: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle."""
+                  threshold: float = 0.5, df_max: int = 50) -> DataFrame:
+    """n-gram Jaccard over candidate pairs sharing >= 1 RARE shingle.
+
+    Document-frequency cap (the 100-TB guard): a shingle appearing in m
+    docs contributes m² candidate rows in a shingle self-join — common
+    boilerplate shingles ("click here to subscribe") blow up
+    quadratically on real web text. Shingles with document frequency
+    > df_max are excluded from candidate generation and intersection
+    counting (the standard rare-shingle approximation: the reported
+    jaccard is a lower bound — exact whenever no shared shingle is
+    hot). Denominator sizes n_a/n_b remain the TRUE distinct-shingle
+    counts. Like minhash_lsh_pairs, the per-shingle posting list is
+    aggregated with one groupBy and pairs are expanded with a bounded
+    array HOF — no self-join at all.
+    """
     sh = ngram_shingles(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, "shingle_hash")
-             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"))
+    g = (sh.groupBy("shingle_hash")
+         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"),
+              F.count("*").alias("cnt"))
+         .filter((F.col("cnt") >= 2) & (F.col("cnt") <= df_max)))
+    ids = F.col("ids")
+    pair_arr = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(ids) - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size(ids) - 1),
+            lambda j: F.struct(
+                F.element_at(ids, (i + 1).cast("int")).alias("id_a"),
+                F.element_at(ids, (j + 1).cast("int")).alias("id_b")))))
+    inter = (g.select(F.explode(pair_arr).alias("e"))
+             .groupBy(F.col("e.id_a").alias("id_a"),
+                      F.col("e.id_b").alias("id_b"))
              .agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col(id_col).alias("id_a"),
                       F.col("n_sh").alias("n_a"))

@@ -65,17 +65,20 @@ from pyspark.sql.types import BooleanType
 
 
 @pandas_udf(BooleanType())  # explicit DataType: no session needed at import
-def _pip_udf(lon: pd.Series, lat: pd.Series, ring: pd.Series) -> pd.Series:
+def _pip_udf(zone_id: pd.Series, lon: pd.Series, lat: pd.Series,
+             ring: pd.Series) -> pd.Series:
     lon_v = lon.to_numpy()
     lat_v = lat.to_numpy()
     out = np.zeros(len(lon_v), dtype=bool)
-    # rows arrive join-ordered: group identical rings (one numpy pass per
-    # distinct zone inside the batch)
-    key = ring.map(lambda r: (len(r), r[0]["lon"], r[0]["lat"])
-                   if len(r) else (0, 0.0, 0.0))
-    for _, idx in key.groupby(key).groups.items():
+    # rows arrive join-ordered: group by zone_id (one numpy pass per
+    # distinct zone inside the batch). zone_id is the grouping key — a
+    # (ring length, first vertex) key would collide for distinct zones
+    # sharing a vertex, silently testing against the wrong ring.
+    for _, idx in zone_id.groupby(zone_id).groups.items():
         ii = np.asarray(idx)
         r = ring.iloc[ii[0]]
+        if len(r) == 0:
+            continue
         rl = np.array([p["lon"] for p in r])
         rb = np.array([p["lat"] for p in r])
         out[ii] = point_in_ring_np(lon_v[ii], lat_v[ii], rl, rb)
@@ -95,6 +98,6 @@ def pip_join(anchors: DataFrame, zones: DataFrame,
     zc = zones.select(
         "zone_id", "ring", F.explode("cells").alias("cell"))
     cand = a.join(F.broadcast(zc), "cell")
-    hit = cand.filter(_pip_udf(F.col(lon_col), F.col(lat_col),
-                               F.col("ring")))
+    hit = cand.filter(_pip_udf(F.col("zone_id"), F.col(lon_col),
+                               F.col(lat_col), F.col("ring")))
     return hit.drop("ring", "cell")

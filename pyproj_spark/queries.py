@@ -170,21 +170,16 @@ ORDER BY doc_id, zone_id
 
 
 def q_knn(spark, sf_dir):
-    """k=3 nearest zone centroids per point, haversine, rank on rounded
-    metres with zone tie-break (deterministic across engines)."""
+    """k=3 nearest zone centroids per point via operators.knn.knn_to_zones
+    (native array-HOF prerank, single wide exchange), ranked on rounded
+    haversine metres with zone tie-break (deterministic across engines).
+    The centroid fold (F.aggregate over the ring) adds doubles in ring
+    order — the same order as the oracle's Python sum, so bit-identical."""
+    from pyproj_spark.operators.knn import knn_to_zones
     pts = _doc_points(spark, sf_dir)
-    cents = [(zid, sum(p[0] for p in ring) / len(ring),
-              sum(p[1] for p in ring) / len(ring))
-             for zid, ring in PIP_ZONES.items()]
-    cdf = spark.createDataFrame(cents, ["zone_id", "zlon", "zlat"])
-    cand = pts.join(F.broadcast(cdf)).withColumn(
-        "dist_m",
-        F.round(haversine_m(F.col("lon"), F.col("lat"),
-                            F.col("zlon"), F.col("zlat"))).cast("long"))
-    w = Window.partitionBy("doc_id").orderBy("dist_m", "zone_id")
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select("doc_id", "rank", "zone_id", "dist_m"))
+    return knn_to_zones(pts, _zones_df(spark), k=3, id_cols=("doc_id",),
+                        exact=False, round_m=True) \
+        .select("doc_id", "rank", "zone_id", "dist_m")
 
 
 def _cents_sql():

@@ -127,6 +127,8 @@ def _mh_sql(i):
             f" AS mh{i}")
 
 
+# mirrors minhash_lsh_pairs' hot-band guard: bands with <= 64 members
+# emit all pairs, hot bands emit star edges from the min id
 SQL_MINHASH = f"""
 WITH sig AS (
   SELECT doc_id, {', '.join(_mh_sql(i) for i in range(8))}
@@ -140,10 +142,23 @@ bands AS (
     '3:' || md5(concat_ws('_', '3', mh6, mh7))
   ]) AS band_key
   FROM sig
+),
+g AS (
+  SELECT band_key, list_sort(list(doc_id)) AS ids, count(*) AS cnt
+  FROM bands GROUP BY band_key HAVING count(*) >= 2
+),
+small AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM (SELECT band_key, unnest(ids) AS id FROM g WHERE cnt <= 64) a
+  JOIN (SELECT band_key, unnest(ids) AS id FROM g WHERE cnt <= 64) b
+    USING (band_key)
+  WHERE a.id < b.id
+),
+hot AS (
+  SELECT ids[1] AS id_a, unnest(ids[2:]) AS id_b FROM g WHERE cnt > 64
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b USING (band_key)
-WHERE a.doc_id < b.doc_id
+SELECT DISTINCT id_a, id_b
+FROM (SELECT id_a, id_b FROM small UNION ALL SELECT id_a, id_b FROM hot) u
 ORDER BY id_a, id_b
 """
 
@@ -186,9 +201,14 @@ sh AS (
   FROM toks, UNNEST(range(greatest(len(tk) - 2, 0))) AS u(i)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT shingle_hash FROM sh GROUP BY shingle_hash
+  HAVING count(*) BETWEEN 2 AND 50
+),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM sh a JOIN sh b USING (shingle_hash)
+  JOIN rare USING (shingle_hash)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
