@@ -15,6 +15,7 @@ _TO_CF = {
         "x_0": "false_easting", "y_0": "false_northing"}),
     "merc": ("mercator", {
         "lat_ts": "standard_parallel",
+        "k_0": "scale_factor_at_projection_origin",
         "lon_0": "longitude_of_projection_origin",
         "x_0": "false_easting", "y_0": "false_northing"}),
     "webmerc": ("popular_visualisation_pseudo_mercator", {
@@ -36,6 +37,7 @@ _TO_CF = {
         "lon_0": "straight_vertical_longitude_from_pole",
         "lat_0": "latitude_of_projection_origin",
         "lat_ts": "standard_parallel",
+        "k_0": "scale_factor_at_projection_origin",
         "x_0": "false_easting", "y_0": "false_northing"}),
     "sinu": ("sinusoidal", {
         "lon_0": "longitude_of_projection_origin",
@@ -50,8 +52,18 @@ _TO_CF = {
         "x_0": "false_easting", "y_0": "false_northing"}),
 }
 
+# oblique stereographic (CF "stereographic"): |lat_0| != 90 — polar_
+# stereographic would mislabel it (its lon attr means the pole meridian)
+_OBLIQUE_STERE = ("stereographic", {
+    "lon_0": "longitude_of_projection_origin",
+    "lat_0": "latitude_of_projection_origin",
+    "k_0": "scale_factor_at_projection_origin",
+    "x_0": "false_easting", "y_0": "false_northing"})
+
 _FROM_CF = {gm: (proj, {cf: pk for pk, cf in table.items()})
             for proj, (gm, table) in _TO_CF.items()}
+_FROM_CF["stereographic"] = (
+    "stere", {cf: pk for pk, cf in _OBLIQUE_STERE[1].items()})
 
 
 def to_cf(crs) -> dict:
@@ -80,6 +92,8 @@ def to_cf(crs) -> dict:
     if proj not in _TO_CF:
         raise ValueError(f"no CF grid mapping for +proj={proj}")
     gm, table = _TO_CF[proj]
+    if proj == "stere" and abs(float(params.get("lat_0", 0.0))) != 90.0:
+        gm, table = _OBLIQUE_STERE
     out["grid_mapping_name"] = gm
     for pk, cf in table.items():
         if pk in params:

@@ -116,26 +116,39 @@ class Geod:
     def inv_intermediate(self, lon1, lat1, lon2, lat2, npts: int = 0,
                          del_s: float = 0.0, radians: bool = False,
                          initial_idx: int = 1, terminus_idx: int = 1,
-                         return_back_azimuth: bool = True):
+                         flags=None, return_back_azimuth: bool = True):
         """Points along the geodesic between two endpoints (scalar endpoints).
 
         Matches ``pyproj/geod.py:536-698`` / ``pyproj/_geod.pyx:360-474``:
-        exactly one of npts / del_s given; with del_s the point count is
-        rounded so points are evenly spaced at ~del_s.
+        exactly one of npts / del_s given. With del_s, the point count is
+        npts = dist/del_s - initial_idx - terminus_idx + 1 adjusted per
+        the NPTS_* flag (ROUND = C half-away-from-zero — NOT Python
+        banker's rounding — /CEIL/TRUNC, _geod.pyx:420-430); with
+        DEL_S_RECALC (default) the increment is recomputed so points are
+        evenly spaced end to end, with DEL_S_NO_RECALC the given del_s
+        spacing is kept. AZIS_DISCARD (default) returns azis=None.
         """
+        from pyproj_spark.enums import GeodIntermediateFlag as GIF
+        if flags is None:
+            flags = GIF.DEFAULT
         if (npts != 0) == (del_s != 0.0):
             raise ValueError("npts XOR del_s must be given")
         a1, a2, dist = self._g.inverse(
             *(np.degrees(v) if radians else float(v)
               for v in (lon1, lat1, lon2, lat2)))
         dist = float(dist)
-        if npts:
-            n_seg = npts + initial_idx + terminus_idx - 1
-            d = dist / n_seg
+        if npts == 0:
+            x = dist / del_s - initial_idx - terminus_idx + 1
+            mode = flags & GIF.NPTS_MASK
+            if mode == GIF.NPTS_ROUND:
+                x = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+            elif mode == GIF.NPTS_CEIL:
+                x = math.ceil(x)
+            npts = int(x)  # NPTS_TRUNC: bare C-style truncation
+        if (flags & GIF.DEL_S_MASK) == GIF.DEL_S_RECALC:
+            d = dist / (npts + initial_idx + terminus_idx - 1)
         else:
-            n_seg = int(round(dist / del_s))
-            d = dist / n_seg
-            npts = n_seg - initial_idx - terminus_idx + 1
+            d = float(del_s)
         idx = np.arange(initial_idx, initial_idx + npts, dtype=np.float64)
         s = idx * d
         lon1d = np.degrees(lon1) if radians else float(lon1)
@@ -143,18 +156,19 @@ class Geod:
         lons, lats, azis = self._g.direct(
             np.full(npts, lon1d), np.full(npts, lat1d),
             np.full(npts, float(a1)), s)
-        if return_back_azimuth:
-            azis = reverse_azimuth(azis)
         return GeodIntermediateReturn(
             npts, d, dist, self._out(lons, radians),
-            self._out(lats, radians), self._out(azis, radians))
+            self._out(lats, radians),
+            self._azis_out(azis, flags, radians, return_back_azimuth))
 
     def fwd_intermediate(self, lon1, lat1, azi1, npts: int, del_s: float,
                          radians: bool = False, initial_idx: int = 1,
-                         terminus_idx: int = 1,
+                         terminus_idx: int = 1, flags=None,
                          return_back_azimuth: bool = True):
         """Points every del_s metres along an azimuth —
-        ``pyproj/geod.py:700-846``."""
+        ``pyproj/geod.py:700-846``; total line length is
+        del_s * (npts + initial_idx + terminus_idx - 1)
+        (``_geod.pyx:411-414``)."""
         idx = np.arange(initial_idx, initial_idx + npts, dtype=np.float64)
         s = idx * float(del_s)
         lon1d = np.degrees(lon1) if radians else float(lon1)
@@ -163,12 +177,22 @@ class Geod:
         lons, lats, azis = self._g.direct(
             np.full(npts, lon1d), np.full(npts, lat1d),
             np.full(npts, az1d), s)
+        dist = float(del_s) * (npts + initial_idx + terminus_idx - 1)
+        return GeodIntermediateReturn(
+            npts, float(del_s), dist,
+            self._out(lons, radians), self._out(lats, radians),
+            self._azis_out(azis, flags, radians, return_back_azimuth))
+
+    def _azis_out(self, azis, flags, radians: bool,
+                  return_back_azimuth: bool):
+        """AZIS_DISCARD (default) -> None, AZIS_KEEP -> the azimuth
+        array (reference ``_geod.pyx:436-446`` store_az)."""
+        from pyproj_spark.enums import GeodIntermediateFlag as GIF
+        if flags is None or (flags & GIF.AZIS_MASK) != GIF.AZIS_KEEP:
+            return None
         if return_back_azimuth:
             azis = reverse_azimuth(azis)
-        return GeodIntermediateReturn(
-            npts, float(del_s), float(npts * del_s),
-            self._out(lons, radians), self._out(lats, radians),
-            self._out(azis, radians))
+        return self._out(azis, radians)
 
     def line_lengths(self, lons, lats, radians: bool = False):
         """Per-segment distances (n-1 values) — ``pyproj/geod.py:885-920``."""

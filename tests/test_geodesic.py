@@ -236,3 +236,58 @@ def test_legacy_transform_function():
     from pyproj_spark.transformer_compat import transform
     out = transform(Proj(4326), Proj("EPSG:32610"), -120.108, 34.36116666)
     assert_almost_equal(out, (765975.641, 3805993.134), decimal=3)
+
+
+def test_inv_intermediate_npts_flags():
+    # reference test/test_geod.py:289-335 golden matrix: del_s scaled by
+    # 4.5/5 with TRUNC and 5.5/5 with CEIL must both land on 5 points
+    # with the increment recalculated (DEL_S_RECALC default)
+    from pyproj_spark.enums import GeodIntermediateFlag as GIF
+    g = Geod(ellps="clrk66")
+    dist = 4164192.7080994663
+    del_s = dist / 4
+    for fact, flag in [(1, GIF.NPTS_ROUND), (4.5 / 5, GIF.NPTS_TRUNC),
+                       (5.5 / 5, GIF.NPTS_CEIL)]:
+        res = g.inv_intermediate(
+            *BOSTON, *PORTLAND, del_s=del_s * fact,
+            initial_idx=0, terminus_idx=0,
+            flags=flag | GIF.AZIS_KEEP, return_back_azimuth=False)
+        assert res.npts == 5
+        assert_almost_equal(res.del_s, del_s)
+        assert_almost_equal(res.dist, dist)
+        assert_almost_equal(
+            res.lons, [BOSTON[0], -83.34061499, -96.62666098,
+                       -110.34292364, PORTLAND[0]])
+        assert_almost_equal(
+            res.azis[:-1],
+            [-66.53059479, -75.01125433, -84.6195982, -94.68069764])
+
+
+def test_inv_intermediate_azis_flag():
+    # reference test/test_geod.py:206-243: AZIS_DISCARD (default) -> None
+    from pyproj_spark.enums import GeodIntermediateFlag as GIF
+    g = Geod(ellps="clrk66")
+    res = g.inv_intermediate(*BOSTON, *PORTLAND, npts=3,
+                             initial_idx=0, terminus_idx=0,
+                             return_back_azimuth=False)
+    assert res.azis is None
+    res = g.inv_intermediate(*BOSTON, *PORTLAND, npts=3,
+                             initial_idx=0, terminus_idx=0,
+                             flags=GIF.AZIS_KEEP, return_back_azimuth=False)
+    assert_almost_equal(
+        res.azis, [-66.5305947876623, -84.61959820187617,
+                   -104.34636584443031])
+
+
+def test_inv_intermediate_del_s_no_recalc():
+    # DEL_S_NO_RECALC keeps the caller's increment verbatim
+    from pyproj_spark.enums import GeodIntermediateFlag as GIF
+    g = Geod(ellps="clrk66")
+    _, _, dist = g.inv(*BOSTON, *PORTLAND)
+    del_s = dist / 4 * 1.02  # ROUND still lands on npts=5
+    res = g.inv_intermediate(*BOSTON, *PORTLAND, del_s=del_s,
+                             initial_idx=0, terminus_idx=0,
+                             flags=GIF.DEL_S_NO_RECALC)
+    assert res.del_s == del_s
+    _, _, d01 = g.inv(res.lons[0], res.lats[0], res.lons[1], res.lats[1])
+    assert_almost_equal(d01, del_s, decimal=3)

@@ -193,3 +193,25 @@ def test_omerc_malaysia_rso():
     f = Proj(SRS).get_factors(np.array([102.25, 101.0]), np.array([4.0, 2.0]))
     assert_almost_equal(f.meridional_scale, f.parallel_scale, decimal=9)
     assert_almost_equal(f.parallel_scale[0], 0.99984, decimal=7)
+
+
+def test_cf_stereographic_variants():
+    # k_0 must survive to_cf/from_cf for merc + stere; oblique stere maps
+    # to CF 'stereographic', polar keeps 'polar_stereographic'
+    from pyproj_spark.crs.cf import from_cf, to_cf
+    from pyproj_spark.crs.crs import CRS
+
+    cf = to_cf(CRS.from_dict({"proj": "merc", "k_0": 0.7, "lon_0": 10.0}))
+    assert cf["scale_factor_at_projection_origin"] == 0.7
+    assert float(from_cf(cf).proj_params["k_0"]) == 0.7
+
+    cf = to_cf(CRS.from_dict({"proj": "stere", "lat_0": 90.0,
+                              "k_0": 0.994, "lon_0": -45.0}))
+    assert cf["grid_mapping_name"] == "polar_stereographic"
+    assert cf["straight_vertical_longitude_from_pole"] == -45.0
+
+    cf = to_cf(CRS.from_dict({"proj": "stere", "lat_0": 52.15,
+                              "k_0": 0.9999079, "lon_0": 5.38}))
+    assert cf["grid_mapping_name"] == "stereographic"
+    back = from_cf(cf).proj_params
+    assert back["proj"] == "stere" and float(back["lat_0"]) == 52.15
