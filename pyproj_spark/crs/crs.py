@@ -16,7 +16,16 @@ from functools import lru_cache
 from pyproj_spark.crs import catalog
 from pyproj_spark.kernels.ellipsoid import Ellipsoid, get_ellipsoid
 
-_AUTH_CODE_RE = re.compile(r"^\s*(?P<auth>[A-Za-z]+)\s*:\s*(?P<code>\d+)\s*$")
+_AUTH_CODE_RE = re.compile(
+    r"^\s*(?P<auth>[A-Za-z]+)\s*:\s*(?P<code>\w+)\s*$")
+#: 'urn:ogc:def:crs:EPSG::4326' / 'urn:ogc:def:crs:OGC:1.3:CRS84'
+_URN_RE = re.compile(
+    r"^urn:ogc:def:crs:(?P<auth>[A-Za-z]+):[\d.]*:(?P<code>\w+)$",
+    re.IGNORECASE)
+_WKT_ROOT_RE = re.compile(
+    r"^\s*(GEOGCRS|GEOGCS|GEOGRAPHICCRS|PROJCRS|PROJCS|PROJECTEDCRS|"
+    r"GEODCRS|GEOCCS|GEODETICCRS|BOUNDCRS|VERTCRS|VERT_CS|COMPOUNDCRS|"
+    r"COMPD_CS)\s*[\[\(]", re.IGNORECASE)
 
 _NUMERIC_KEYS = {
     "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0", "x_0", "y_0",
@@ -151,35 +160,75 @@ class CRS:
         return cls._from_record(rec, srs)
 
     @classmethod
+    def from_wkt(cls, in_wkt_string: str) -> "CRS":
+        """CRS from a WKT1 or WKT2 string — reference
+        pyproj/crs/crs.py:417-452 (PROJ WKT importer)."""
+        from pyproj_spark.crs.wkt_parse import crs_record_from_wkt
+        rec = crs_record_from_wkt(in_wkt_string)
+        return cls._from_record(rec, srs=in_wkt_string)
+
+    @classmethod
+    def from_json(cls, crs_json: str) -> "CRS":
+        """CRS from a PROJJSON string — reference crs.py:539-555."""
+        import json
+        return cls.from_json_dict(json.loads(crs_json))
+
+    @classmethod
+    def from_json_dict(cls, crs_dict: dict) -> "CRS":
+        """CRS from a PROJJSON dict — reference crs.py:557-575."""
+        import json
+        from pyproj_spark.crs.projjson import crs_record_from_json_dict
+        rec = crs_record_from_json_dict(crs_dict)
+        return cls._from_record(rec, srs=json.dumps(crs_dict))
+
+    @classmethod
+    def from_authority(cls, auth_name: str, code) -> "CRS":
+        """CRS from (authority, code) — reference crs.py:362-382.
+        EPSG codes resolve to the bundled catalog; OGC:CRS84 is WGS84
+        with forced lon/lat axis order."""
+        auth = str(auth_name).upper()
+        if auth == "EPSG":
+            return cls.from_epsg(int(code))
+        if auth == "OGC" and str(code).upper() == "CRS84":
+            rec = catalog.epsg_entry(4326)
+            rec.update(axis="enu", code=None, name="WGS 84 (CRS84)")
+            return cls._from_record(rec, "OGC:CRS84")
+        raise ValueError(f"unsupported authority {auth_name!r}")
+
+    @classmethod
     def from_user_input(cls, value) -> "CRS":
-        """Accepts: CRS, int, 'EPSG:n', ('EPSG', 'n'), proj string, dict —
+        """Accepts: CRS, int, 'AUTH:code', ('AUTH', 'code'), proj string,
+        dict, WKT string, PROJJSON string/dict, OGC urn —
         reference pyproj/crs/crs.py:477-503."""
         if isinstance(value, CRS):
             return value
         if isinstance(value, int):
             return cls.from_epsg(value)
         if isinstance(value, dict):
+            if "$schema" in value or str(value.get("type", "")).endswith(
+                    "CRS"):
+                return cls.from_json_dict(value)
             return cls.from_dict(value)
         if isinstance(value, (tuple, list)) and len(value) == 2:
-            auth, code = value
-            if str(auth).upper() != "EPSG":
-                raise ValueError(f"unsupported authority {auth!r}")
-            return cls.from_epsg(int(code))
+            return cls.from_authority(*value)
         if isinstance(value, str):
-            m = _AUTH_CODE_RE.match(value)
+            s = value.strip()
+            if s.startswith("{"):
+                return cls.from_json(s)
+            if _WKT_ROOT_RE.match(s):
+                return cls.from_wkt(s)
+            m = _URN_RE.match(s)
             if m:
-                if m.group("auth").upper() != "EPSG":
-                    raise ValueError(f"unsupported authority "
-                                     f"{m.group('auth')!r}")
-                return cls.from_epsg(int(m.group("code")))
-            if value.strip().isdigit():
-                return cls.from_epsg(int(value))
-            if "+" in value or "proj=" in value:
-                return cls.from_proj4(value)
+                return cls.from_authority(m.group("auth"), m.group("code"))
+            m = _AUTH_CODE_RE.match(s)
+            if m:
+                return cls.from_authority(m.group("auth"), m.group("code"))
+            if s.isdigit():
+                return cls.from_epsg(int(s))
+            if "+" in s or "proj=" in s:
+                return cls.from_proj4(s)
         if hasattr(value, "to_wkt"):
-            raise ValueError("WKT input is not supported by this engine "
-                             "(round-1 scope); use EPSG codes, proj "
-                             "strings, or dicts")
+            return cls.from_wkt(value.to_wkt())
         raise ValueError(f"cannot interpret CRS input {value!r}")
 
     # ---------------------------------------------------------- predicates
@@ -265,11 +314,44 @@ class CRS:
                   name=f"{self.datum_name or 'world'} area of use")
 
     # ------------------------------------------------------------- exports
-    def to_epsg(self):
-        return self.epsg_code
+    def to_epsg(self, min_confidence: int = 70):
+        """EPSG code of the best catalog match, or None — reference
+        pyproj/crs/crs.py:1300-1340 confidence tiers: 100 = full match
+        (params + axis order + name), 70 = parameters match but axis
+        order or name differ (e.g. OGC:CRS84 -> 4326), 25 = parameters
+        match only if the datum-shift leg is ignored."""
+        if self.epsg_code is not None:
+            return self.epsg_code
+        hit = self._identify()
+        if hit and hit[1] >= min_confidence:
+            return hit[0]
+        return None
 
-    def to_authority(self):
-        return ("EPSG", str(self.epsg_code)) if self.epsg_code else None
+    def to_authority(self, auth_name=None, min_confidence: int = 70):
+        """(authority, code) of the best match — reference
+        crs.py:1342-1377. Only 'EPSG' is in the bundled catalog."""
+        if auth_name not in (None, "EPSG", "any"):
+            return None
+        code = self.to_epsg(min_confidence)
+        return ("EPSG", str(code)) if code is not None else None
+
+    def _identify(self):
+        """(code, confidence) of the best catalog candidate, or None."""
+        me, me_nt = self._key(), self._key(with_towgs84=False)
+        best = None
+        for code, cand in _catalog_crss():
+            if cand._key() == me:
+                conf = 100 if (cand.axis == self.axis
+                               and cand.name == self.name) else 70
+            elif cand._key(with_towgs84=False) == me_nt:
+                conf = 25
+            else:
+                continue
+            if best is None or conf > best[1]:
+                best = (code, conf)
+                if conf == 100:
+                    break
+        return best
 
     def to_proj4(self) -> str:
         parts = []
@@ -288,29 +370,11 @@ class CRS:
         return " ".join(parts)
 
     def to_json_dict(self) -> dict:
-        """Minimal PROJJSON-shaped export (reference crs.py:1242-1274)."""
-        e = self.ellipsoid
-        return {
-            "$schema": "https://proj.org/schemas/v0.7/projjson.schema.json",
-            "type": {"geographic": "GeographicCRS",
-                     "geocentric": "GeodeticCRS",
-                     "projected": "ProjectedCRS"}[self.kind],
-            "name": self.name,
-            "datum": {
-                "type": "GeodeticReferenceFrame",
-                "name": self.datum_name or "unknown",
-                "ellipsoid": {"name": e.name, "semi_major_axis": e.a,
-                              "inverse_flattening":
-                                  (1.0 / e.f) if e.f else 0.0},
-            },
-            "id": ({"authority": "EPSG", "code": self.epsg_code}
-                   if self.epsg_code else None),
-            "conversion": ({"method": self.proj_params.get("proj"),
-                            "parameters": {
-                                k: v for k, v in self.proj_params.items()
-                                if k != "proj"}}
-                           if self.is_projected else None),
-        }
+        """PROJJSON dict (reference crs.py:1242-1274) — genuine schema
+        shape (method/parameter objects with EPSG ids, coordinate_system
+        axis list); parsed back by :meth:`from_json_dict`."""
+        from pyproj_spark.crs.projjson import to_json_dict
+        return to_json_dict(self)
 
     def to_json(self) -> str:
         import json
@@ -329,18 +393,25 @@ class CRS:
 
     def to_wkt(self, version: str = "WKT2_2019", pretty: bool = False
                ) -> str:
-        """Minimal WKT2:2019 export — reference pyproj/_crs.pyx:93-102
-        (emit only; parsing is out of scope)."""
+        """WKT2:2019 export — reference pyproj/_crs.pyx:93-102; parsed
+        back by :meth:`from_wkt` (round-trips over the full catalog,
+        tests/test_wkt_parse.py)."""
         if not str(version).startswith("WKT2"):
             raise ValueError("only WKT2_2019 output is supported")
         from pyproj_spark.crs.wkt import to_wkt
         return to_wkt(self, pretty=pretty)
 
     # ------------------------------------------------------------ equality
-    def _key(self):
+    def _key(self, with_towgs84: bool = True):
+        """Canonical comparison key: utm/etmerc expand to tmerc, k -> k_0,
+        zero/unity defaults filled, values floated — so a WKT round trip
+        (which always writes the expanded parameter set) compares equal
+        to the compact catalog/proj-string form."""
         e = self.ellipsoid
-        return (self.kind, round(e.a, 9), round(e.f, 15), self.towgs84,
-                tuple(sorted(self.proj_params.items())), self.to_meter)
+        return (self.kind, round(e.a, 9), round(e.f, 15),
+                self.towgs84 if with_towgs84 else None,
+                _canon_params(self.proj_params),
+                self.to_meter if self.kind != "geographic" else None)
 
     def __eq__(self, other):
         if not isinstance(other, CRS):
@@ -366,6 +437,51 @@ class CRS:
 @lru_cache(maxsize=512)
 def _crs_from_srs(srs: str) -> CRS:
     return CRS.from_user_input(srs)
+
+
+#: universal projection-parameter defaults (PROJ semantics) filled in
+#: for comparison so "+proj=tmerc +lon_0=24" == its fully-written WKT
+_PARAM_DEFAULTS = {"lat_0": 0.0, "lon_0": 0.0, "x_0": 0.0, "y_0": 0.0}
+
+
+def _canon_params(proj_params: dict):
+    p = dict(proj_params)
+    proj = p.get("proj")
+    if proj == "utm":
+        zone = int(p.pop("zone"))
+        south = bool(p.pop("south", False))
+        p.update(proj="tmerc", lat_0=0.0, lon_0=float(zone * 6 - 183),
+                 k_0=0.9996, x_0=500000.0,
+                 y_0=10000000.0 if south else 0.0)
+        proj = "tmerc"
+    elif proj == "etmerc":
+        p["proj"] = proj = "tmerc"
+    elif proj in ("latlong", "lonlat"):
+        p["proj"] = proj = "longlat"
+    if "k" in p:
+        p["k_0"] = p.pop("k")
+    if proj not in ("longlat", "geocent", "cart"):
+        for k, v in _PARAM_DEFAULTS.items():
+            p.setdefault(k, v)
+        p.setdefault("k_0", 1.0)
+    out = []
+    for k, v in p.items():
+        if isinstance(v, bool):
+            out.append((k, v))
+        elif isinstance(v, (int, float)):
+            out.append((k, float(v)))
+        else:
+            out.append((k, v))
+    return tuple(sorted(out))
+
+
+@lru_cache(maxsize=1)
+def _catalog_crss():
+    """All bundled catalog CRSs, built once — backs reverse lookup."""
+    out = []
+    for _auth, code, _kind, _name, _datum in catalog.all_codes():
+        out.append((code, CRS.from_epsg(code)))
+    return out
 
 
 def _build(projparams, kwargs):

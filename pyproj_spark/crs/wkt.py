@@ -1,6 +1,8 @@
-"""Minimal WKT2:2019 emitter (reference ``pyproj/_crs.pyx:93-102``
-to_wkt with 6 dialects; the engine emits WKT2_2019 only — enough for
-interop with readers; WKT *parsing* is explicitly out of scope)."""
+"""WKT2:2019 emitter (reference ``pyproj/_crs.pyx:93-102`` to_wkt with
+6 dialects; the engine emits WKT2_2019 only). The matching parser —
+which also reads WKT1-GDAL and PROJ's ENSEMBLE-style WKT2 — lives in
+``wkt_parse.py``; the two share these method/parameter tables via the
+parser's inverse maps."""
 
 from __future__ import annotations
 
@@ -17,6 +19,12 @@ _METHOD_NAMES = {
     "eqc": ("Equidistant Cylindrical", 1028),
     "sinu": ("Sinusoidal", 0),
     "geos": ("Geostationary Satellite (Sweep Y)", 0),
+    "aea": ("Albers Equal Area", 9822),
+    "cea": ("Lambert Cylindrical Equal Area", 9835),
+    "omerc": ("Hotine Oblique Mercator (variant B)", 9815),
+    "ortho": ("Orthographic", 9840),
+    "nsper": ("Vertical Perspective", 9838),
+    "poly": ("American Polyconic", 9818),
 }
 
 _PARAM_NAMES = {
@@ -30,6 +38,9 @@ _PARAM_NAMES = {
     "lat_2": ("Latitude of 2nd standard parallel", 8824, "angleunit"),
     "lat_ts": ("Latitude of standard parallel", 8832, "angleunit"),
     "h": ("Satellite height", 0, "lengthunit"),
+    "lonc": ("Longitude of projection centre", 8812, "angleunit"),
+    "alpha": ("Azimuth at projection centre", 8813, "angleunit"),
+    "gamma": ("Angle from Rectified to Skew Grid", 8814, "angleunit"),
 }
 
 

@@ -14,6 +14,8 @@ Conventions for hash-stable comparison:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -490,3 +492,69 @@ FROM ranked WHERE rank <= 3
 """
 
 QUERIES["knn_ring"] = (q_knn_ring, SQL_KNN_RING)
+
+
+def q_wkt_roundtrip(spark, sf_dir):
+    """Distributed WKT round trip: every point's UTM CRS is serialized
+    to WKT2 driver-side (120-row broadcast dimension), then PARSED BACK
+    inside a vectorized pandas UDF on the executors (CRS.from_wkt with a
+    per-batch cache — one parse per distinct WKT). The recovered EPSG
+    code and central meridian must equal the oracle's pure arithmetic —
+    so WKT parsing itself is driver-gated every round."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from pyproj_spark.crs.crs import CRS
+
+    schema = StructType([StructField("code", LongType()),
+                         StructField("lon_0", DoubleType())])
+
+    @pandas_udf(schema)
+    def _parse_wkt(wkt: pd.Series) -> pd.DataFrame:
+        from functools import lru_cache
+
+        @lru_cache(maxsize=256)
+        def parse(w):
+            c = CRS.from_wkt(w)
+            return (c.to_epsg(), float(c.proj_params.get("lon_0", 0.0)))
+
+        return pd.DataFrame([parse(w) for w in wkt],
+                            columns=["code", "lon_0"])
+
+    mapping = [(32600 + z, CRS.from_epsg(32600 + z).to_wkt())
+               for z in range(1, 61)]
+    mapping += [(32700 + z, CRS.from_epsg(32700 + z).to_wkt())
+                for z in range(1, 61)]
+    mdf = spark.createDataFrame(mapping, "epsg long, wkt string")
+
+    pts = _doc_points(spark, sf_dir)
+    zone = (F.floor((F.col("lon") + 180.0) / 6.0) + 1).cast("long")
+    epsg = F.when(F.col("lat") >= 0, zone + 32600).otherwise(zone + 32700)
+    joined = pts.select("doc_id", epsg.alias("epsg")) \
+        .join(F.broadcast(mdf), "epsg")
+    parsed = joined.withColumn("_p", _parse_wkt(F.col("wkt")))
+    return (parsed.groupBy("epsg",
+                           F.col("_p.code").alias("rt_code"),
+                           F.col("_p.lon_0").alias("lon_0"))
+            .agg(F.count("*").alias("cnt")))
+
+
+SQL_WKT_ROUNDTRIP = f"""
+WITH pts AS ({_PTS_SQL}),
+z AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 6.0) + 1 AS BIGINT) AS zone,
+         lat
+  FROM pts
+)
+SELECT CAST(CASE WHEN lat >= 0 THEN zone + 32600
+            ELSE zone + 32700 END AS BIGINT) AS epsg,
+       CAST(CASE WHEN lat >= 0 THEN zone + 32600
+            ELSE zone + 32700 END AS BIGINT) AS rt_code,
+       CAST(zone * 6 - 183 AS DOUBLE) AS lon_0,
+       count(*) AS cnt
+FROM z GROUP BY 1, 2, 3
+"""
+
+QUERIES["wkt_roundtrip"] = (q_wkt_roundtrip, SQL_WKT_ROUNDTRIP)
