@@ -31,6 +31,7 @@ DATUMS = {
     "monte_mario": ("intl", (-104.1, -49.1, -9.9, 0.971, -2.917, 0.714,
                              -11.68)),
     "ITRF2014": ("GRS80", (0, 0, 0)),
+    "SIRGAS2000": ("GRS80", (0, 0, 0)),
     "NZGD2000": ("GRS80", (0, 0, 0)),
     "GDM2000": ("GRS80", (0, 0, 0)),
 }
@@ -88,6 +89,9 @@ _PROJECTED = {
                 x_0=0, y_0=0), "enu", 1.0),
     6933: ("WGS 84 / NSIDC EASE-Grid 2.0 Global", "WGS84",
            dict(proj="cea", lat_ts=30, lon_0=0, x_0=0, y_0=0), "enu", 1.0),
+    5880: ("SIRGAS 2000 / Brazil Polyconic", "SIRGAS2000",
+           dict(proj="poly", lat_0=0, lon_0=-54, x_0=5000000, y_0=10000000),
+           "enu", 1.0),
     3376: ("GDM2000 / Peninsula RSO", "GDM2000",
            dict(proj="omerc", lat_0=4, lonc=102.25,
                 alpha=323.0257964666666, gamma=323.1301023611111,

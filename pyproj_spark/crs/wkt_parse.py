@@ -278,6 +278,8 @@ def _datum_info(crs_node: Node):
     ell_params, _ell_name = _ellipsoid_params(d)
     raw_name = d.name or "unknown"
     datum_name = _DATUM_ALIASES.get(_norm(raw_name))
+    if datum_name is None and raw_name in DATUMS:
+        datum_name = raw_name  # catalog datum key used verbatim
     towgs84 = None
     tw = d.find("TOWGS84") or crs_node.find("TOWGS84")
     if tw is not None:

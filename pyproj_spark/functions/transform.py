@@ -25,20 +25,41 @@ from pyproj_spark.plans.spec import TransformSpec, get_kernel
 
 
 def transform_xy(crs_from, crs_to, x: Column, y: Column,
-                 always_xy: bool = True) -> Column:
+                 always_xy: bool = True, with_op_id: bool = False
+                 ) -> Column:
     """struct<x:double, y:double> column transforming (x, y) between CRSs.
 
     ``always_xy=True`` by default: engine-internal coordinate columns are
     always (lon/easting, lat/northing); authority axis order only matters
     at the user-facing Transformer API.
+
+    ``with_op_id=True`` adds an ``op_id:int`` field — the per-row
+    operation actually used (the DataFrame form of the reference's
+    ``get_last_used_operation``, ``pyproj/transformer.py:559-574``;
+    per-row because grid coverage makes the operation point-dependent:
+    in-grid rows report OP_GRID, the rest the Helmert/ballpark fallback).
     """
     src = CRS.from_user_input(crs_from)
     dst = CRS.from_user_input(crs_to)
     spec = TransformSpec(src.srs, dst.srs, always_xy=always_xy)
     if src == dst:
         # noop elision: identity projection, no Python boundary
+        if with_op_id:
+            return F.struct(x.cast("double").alias("x"),
+                            y.cast("double").alias("y"),
+                            F.lit(0).cast("int").alias("op_id"))
         return F.struct(x.cast("double").alias("x"),
                         y.cast("double").alias("y"))
+
+    if with_op_id:
+        @pandas_udf("struct<x:double,y:double,op_id:int>")
+        def _xf_op(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+            k = get_kernel(spec)
+            xo, yo, _ = k(xs.to_numpy(), ys.to_numpy())
+            return pd.DataFrame({"x": xo, "y": yo,
+                                 "op_id": k.last_ops.astype("int32")})
+
+        return _xf_op(x, y)
 
     @pandas_udf("struct<x:double,y:double>")
     def _xf(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:

@@ -884,8 +884,110 @@ class Geostationary(Projection):
         return lam, phi
 
 
+class Polyconic(Projection):
+    """American Polyconic (ellipsoidal, Snyder 1987 pp. 124-131,
+    eqs. 18-12..18-22). Central meridian true to scale (y follows the
+    meridian arc); each parallel is a non-concentric circular arc with
+    radius N·cotφ. Inverse is Snyder's Newton iteration (18-21)."""
+
+    name = "poly"
+
+    def _setup(self, lat_0=0.0, **kw):
+        E = self.E
+        n = E.n
+        self.A = E.a / (1.0 + n) * (1.0 + n ** 2 / 4 + n ** 4 / 64
+                                    + n ** 6 / 256)
+        self.alpha = [_polyn(c, n) for c in _ALPHA]
+        self.beta = [_polyn(c, n) for c in _BETA]
+        self.lat_0 = np.radians(float(lat_0))
+        self.M0 = float(self._mdist(np.array([self.lat_0]))[0])
+
+    # same verified rectifying-latitude meridian arc as Sinusoidal, but
+    # branch-UNWRAPPED (chi(phi + k*pi) = chi(phi) + k*pi): the inverse
+    # Newton may step outside +-90 deg transiently, and an aliased arc
+    # length there would make it converge to a mirrored root
+    def _mdist(self, phi):
+        e = self.E.e
+        k = np.round(phi / np.pi)
+        phir = phi - k * np.pi
+        chi = np.arctan(_taupf(np.tan(phir), e)) + k * np.pi
+        mu = chi.copy()
+        for j, aj in enumerate(self.alpha, start=1):
+            mu = mu + aj * np.sin(2 * j * chi)
+        return self.A * mu
+
+    def _fwd(self, dl, phi):
+        E = self.E
+        s = np.sin(phi)
+        c = np.cos(phi)
+        flat = np.abs(s) < 1e-12
+        s_safe = np.where(flat, 1.0, s)
+        N = E.a / np.sqrt(1.0 - E.e2 * s * s)
+        cot = c / s_safe
+        Ep = dl * s
+        x = np.where(flat, E.a * dl, N * cot * np.sin(Ep))
+        y = np.where(flat, -self.M0,
+                     self._mdist(phi) - self.M0 + N * cot
+                     * (1.0 - np.cos(Ep)))
+        return x, y
+
+    def _inv(self, x, y):
+        E = self.E
+        a = E.a
+        e2 = E.e2
+        A = (self.M0 + y) / a
+        B = (x / a) ** 2 + A * A
+        flat = np.abs(A) < 1e-12
+
+        # Root of Snyder's f(phi) (18-19 basis) by vectorized bisection:
+        # f -> +inf at -pi/2 and -inf at +pi/2 (its tan-phi coefficient
+        # is -[(Ma-A)^2 + (x/a)^2]/2 <= 0), so a bracketed root always
+        # exists and bisection cannot diverge — raw Newton from the
+        # Snyder seed phi_1 = A goes chaotic for near-pole y values.
+        def f(phi):
+            s = np.sin(phi)
+            C = np.sqrt(1.0 - e2 * s * s) * np.tan(phi)
+            Ma = self._mdist(phi) / a
+            return A * (C * Ma + 1.0) - Ma - 0.5 * (Ma * Ma + B) * C
+
+        lo = np.full_like(A, -np.pi / 2 + 1e-9)
+        hi = np.full_like(A, np.pi / 2 - 1e-9)
+        flo = f(lo)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for _ in range(20):  # localize to ~1.5e-6 rad
+                mid = 0.5 * (lo + hi)
+                fm = f(mid)
+                take_lo = (flo > 0) == (fm > 0)
+                lo = np.where(take_lo, mid, lo)
+                flo = np.where(take_lo, fm, flo)
+                hi = np.where(take_lo, hi, mid)
+            phi = 0.5 * (lo + hi)
+            # polish with bracket-clipped Newton (Snyder 18-21): from a
+            # localized seed it is quadratic; the clip keeps it safe
+            for _ in range(3):
+                s = np.sin(phi)
+                s2 = np.where(np.abs(np.sin(2 * phi)) < 1e-300, 1e-300,
+                              np.sin(2 * phi))
+                C = np.sqrt(1.0 - e2 * s * s) * np.tan(phi)
+                Ma = self._mdist(phi) / a
+                Mp = (1.0 - e2) / np.power(1.0 - e2 * s * s, 1.5)
+                num = A * (C * Ma + 1.0) - Ma - 0.5 * (Ma * Ma + B) * C
+                den = (e2 * s2 * (Ma * Ma + B - 2.0 * A * Ma) / (4.0 * C)
+                       + (A - Ma) * (C * Mp - 2.0 / s2) - Mp)
+                phi = np.clip(phi - num / den, lo, hi)
+        s = np.sin(phi)
+        C = np.sqrt(1.0 - e2 * s * s) * np.tan(phi)
+        s_safe = np.where(np.abs(s) < 1e-12, 1.0, s)
+        with np.errstate(invalid="ignore"):
+            dl = np.arcsin(np.clip(x * C / a, -1.0, 1.0)) / s_safe
+        dl = np.where(flat, x / a, dl)
+        phi = np.where(flat, 0.0, phi)
+        return dl, phi
+
+
 PROJECTIONS = {
     "geos": Geostationary,
+    "poly": Polyconic,
     "aea": AlbersEqualArea,
     "cea": CylindricalEqualArea,
     "ortho": Orthographic,

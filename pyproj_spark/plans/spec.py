@@ -40,6 +40,26 @@ class TransformDirection(str, Enum):
     IDENT = "IDENT"
 
 
+#: per-row operation codes (get_last_used_operation / op_id column —
+#: reference ``pyproj/transformer.py:559-574``; per-row because grid
+#: coverage makes the chosen operation point-dependent)
+OP_NOOP = 0
+OP_CONVERSION = 1
+OP_HELMERT3 = 2
+OP_HELMERT7 = 3
+OP_BALLPARK = 4
+OP_GRID = 5
+
+OP_NAMES = {
+    OP_NOOP: "Null transformation",
+    OP_CONVERSION: "Conversion (same datum)",
+    OP_HELMERT3: "Helmert geocentric translation (3-parameter)",
+    OP_HELMERT7: "Helmert 7-parameter transformation",
+    OP_BALLPARK: "Ballpark geographic offset",
+    OP_GRID: "Gridded datum shift (hgridshift)",
+}
+
+
 @dataclass(frozen=True)
 class TransformSpec:
     """Picklable plan: everything a worker needs to build the kernel."""
@@ -79,6 +99,28 @@ class _Kernel:
         if self.datum_shift:
             self.helm_src = Helmert.from_towgs84(h_s)
             self.helm_dst = Helmert.from_towgs84(h_d)
+        # gridded datum shift: registered per datum pair; in-coverage
+        # points take the grid (horizontal-only, NADCON semantics),
+        # out-of-coverage points fall back to the Helmert/ballpark leg
+        from pyproj_spark.kernels.grids import grid_for
+        self.grid = self.grid_inverse = None
+        if self.src.datum_name != self.dst.datum_name:
+            g, inv = grid_for(self.src.datum_name, self.dst.datum_name)
+            if g is not None:
+                self.grid, self.grid_inverse = g, inv
+        # plan-level op classification for the non-grid leg
+        if not self.datum_shift:
+            # datum_shift False means equal towgs84 + same ellipsoid
+            # (conversion) OR a missing shift on either side (ballpark
+            # unless the datum names provably match)
+            same_datum = (h_s is not None and h_d is not None) or (
+                self.src.datum_name is not None
+                and self.src.datum_name == self.dst.datum_name)
+            self.base_op = OP_CONVERSION if same_datum else OP_BALLPARK
+        else:
+            pure3 = (len(tuple(h_s)) == 3 or tuple(h_s)[3:] == (0,) * 4) \
+                and (len(tuple(h_d)) == 3 or tuple(h_d)[3:] == (0,) * 4)
+            self.base_op = OP_HELMERT3 if pure3 else OP_HELMERT7
 
     @staticmethod
     def _make_proj(crs: CRS):
@@ -130,6 +172,7 @@ class _Kernel:
              else np.zeros_like(x))
         if self.noop or direction == TransformDirection.IDENT or \
                 direction == "IDENT":
+            self.last_ops = np.full(x.shape, OP_NOOP, dtype=np.int8)
             return (x, y, z) if has_z else (x, y, None)
         if direction in (TransformDirection.INVERSE, "INVERSE"):
             src, dst = self.dst, self.src
@@ -142,19 +185,43 @@ class _Kernel:
             helm_s = getattr(self, "helm_src", None)
             helm_d = getattr(self, "helm_dst", None)
 
+        ops = np.full(x.shape, self.base_op, dtype=np.int8)
         with np.errstate(all="ignore"):
             lam, phi, h = self._to_geodetic(src, proj_s, x, y, z)
             if self.datum_shift:
                 X, Y, Z = geodetic_to_geocentric(src.ellipsoid, lam, phi, h)
                 X, Y, Z = helm_s.forward(X, Y, Z, t=t)
                 X, Y, Z = helm_d.inverse(X, Y, Z, t=t)
-                lam, phi, h = geocentric_to_geodetic(dst.ellipsoid, X, Y, Z)
+                lam2, phi2, h2 = geocentric_to_geodetic(dst.ellipsoid,
+                                                        X, Y, Z)
             elif (abs(src.ellipsoid.a - dst.ellipsoid.a) > 1e-9
                   or abs(src.ellipsoid.f - dst.ellipsoid.f) > 1e-15) and \
                     not (src.towgs84 is None or dst.towgs84 is None):
                 X, Y, Z = geodetic_to_geocentric(src.ellipsoid, lam, phi, h)
-                lam, phi, h = geocentric_to_geodetic(dst.ellipsoid, X, Y, Z)
-            xo, yo, zo = self._from_geodetic(dst, proj_d, lam, phi, h)
+                lam2, phi2, h2 = geocentric_to_geodetic(dst.ellipsoid,
+                                                        X, Y, Z)
+            else:
+                lam2, phi2, h2 = lam, phi, h
+            if self.grid is not None:
+                # in-coverage points take the grid shift INSTEAD of the
+                # Helmert leg (NADCON semantics: the grid encodes the
+                # full horizontal datum change; heights pass through)
+                inv = self.grid_inverse
+                if direction in (TransformDirection.INVERSE, "INVERSE"):
+                    inv = not inv
+                lon_d, lat_d = np.degrees(lam), np.degrees(phi)
+                inside = self.grid.contains(lon_d, lat_d)
+                if inside.any():
+                    if inv:
+                        glon, glat = self.grid.apply_inverse(lon_d, lat_d)
+                    else:
+                        glon, glat = self.grid.apply(lon_d, lat_d)
+                    lam2 = np.where(inside, np.radians(glon), lam2)
+                    phi2 = np.where(inside, np.radians(glat), phi2)
+                    h2 = np.where(inside, h, h2)
+                    ops = np.where(inside, np.int8(OP_GRID), ops)
+            xo, yo, zo = self._from_geodetic(dst, proj_d, lam2, phi2, h2)
+        self.last_ops = ops
         return (xo, yo, zo) if has_z else (xo, yo, None)
 
 
@@ -236,6 +303,7 @@ class Transformer:
         if radians and src.is_geographic:
             x, y = np.degrees(x), np.degrees(y)
         xo, yo, zo = self._kernel(x, y, z, t=t, direction=direction)
+        self._transformed = True
         # 2D<->2D semantics: PROJ brackets the pipeline in push/pop v_3,
         # so the input z rides along the datum leg but is RESTORED on
         # output (tested by reference test/test_datum_shift.py:38-70).
@@ -333,6 +401,23 @@ class Transformer:
         if not self.spec.always_xy and dst.axis == "neu":
             return out_b, out_l, out_t, out_r
         return out_l, out_b, out_r, out_t
+
+    def get_last_used_operation(self):
+        """Operation used for the LAST point of the last transform call
+        — reference ``pyproj/transformer.py:559-574`` (there the PROJ
+        pipeline can switch operations per point when grids only cover
+        part of the data; here likewise: grid vs Helmert fallback).
+        For the per-row view over a DataFrame use
+        ``functions.transform.transform_xy(..., with_op_id=True)``."""
+        ops = getattr(self._kernel, "last_ops", None)
+        if ops is None or not getattr(self, "_transformed", False):
+            raise RuntimeError(
+                "The transform method must be called before"
+                " get_last_used_operation.")
+        from types import SimpleNamespace
+        op_id = int(ops[-1])
+        return SimpleNamespace(op_id=op_id, name=OP_NAMES[op_id],
+                               method_name=OP_NAMES[op_id])
 
     @property
     def source_crs(self) -> CRS:

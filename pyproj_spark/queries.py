@@ -558,3 +558,108 @@ FROM z GROUP BY 1, 2, 3
 """
 
 QUERIES["wkt_roundtrip"] = (q_wkt_roundtrip, SQL_WKT_ROUNDTRIP)
+
+
+def q_grid_shift(spark, sf_dir):
+    """Gridded datum shift (NAD27 -> NAD83 through the registered shift
+    grid): points mapped into the grid window, transformed through the
+    engine's bilinear hgridshift kernel, with the per-row op_id column
+    (= OP_GRID for in-coverage rows). The oracle recomputes the bilinear
+    interpolation from the grid's closed-form node values — the grid
+    LOOKUP itself is driver-gated every round."""
+    pts = _doc_points(spark, sf_dir)
+    lon_c = -125.0 + (F.col("lon") + 180.0) / 360.0 * 59.0
+    lat_c = 24.0 + (F.col("lat") + 85.0) / 170.0 * 26.0
+    pts = pts.select("doc_id", lon_c.alias("lon27"), lat_c.alias("lat27"))
+    xy = transform_xy("EPSG:4267", "EPSG:4269", F.col("lon27"),
+                      F.col("lat27"), with_op_id=True)
+    return pts.withColumn("xy", xy).select(
+        "doc_id",
+        F.round(F.col("xy.x"), 7).alias("lon83"),
+        F.round(F.col("xy.y"), 7).alias("lat83"),
+        F.col("xy.op_id").cast("long").alias("op_id"))
+
+
+# closed-form node values — MUST match kernels/grids.py _synth_dlon_sec/
+# _synth_dlat_sec; grid window (-125, 24, -66, 50), 0.25-degree step
+SQL_GRID_SHIFT = f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (
+  SELECT doc_id,
+         -125.0 + (lon + 180.0) / 360.0 * 59.0 AS lon27,
+         24.0 + (lat + 85.0) / 170.0 * 26.0    AS lat27
+  FROM pts
+),
+g AS (
+  SELECT doc_id, lon27, lat27,
+         least(CAST(floor((lon27 + 125.0) / 0.25) AS BIGINT), 235) AS ix,
+         least(CAST(floor((lat27 - 24.0) / 0.25) AS BIGINT), 103)  AS iy,
+         (lon27 + 125.0) / 0.25
+             - least(CAST(floor((lon27 + 125.0) / 0.25) AS BIGINT), 235)
+             AS tx,
+         (lat27 - 24.0) / 0.25
+             - least(CAST(floor((lat27 - 24.0) / 0.25) AS BIGINT), 103)
+             AS ty
+  FROM c
+),
+s AS (
+  SELECT doc_id, lon27, lat27, tx, ty,
+    (0.35*sin(0.11*ix)     + 0.21*cos(0.07*iy)     + 0.8) AS lo00,
+    (0.35*sin(0.11*(ix+1)) + 0.21*cos(0.07*iy)     + 0.8) AS lo10,
+    (0.35*sin(0.11*ix)     + 0.21*cos(0.07*(iy+1)) + 0.8) AS lo01,
+    (0.35*sin(0.11*(ix+1)) + 0.21*cos(0.07*(iy+1)) + 0.8) AS lo11,
+    (0.27*cos(0.05*ix)     - 0.18*sin(0.13*iy)     + 0.4) AS la00,
+    (0.27*cos(0.05*(ix+1)) - 0.18*sin(0.13*iy)     + 0.4) AS la10,
+    (0.27*cos(0.05*ix)     - 0.18*sin(0.13*(iy+1)) + 0.4) AS la01,
+    (0.27*cos(0.05*(ix+1)) - 0.18*sin(0.13*(iy+1)) + 0.4) AS la11
+  FROM g
+)
+SELECT doc_id,
+  round(lon27 + (lo00*(1-tx)*(1-ty) + lo10*tx*(1-ty)
+               + lo01*(1-tx)*ty + lo11*tx*ty) / 3600.0, 7) AS lon83,
+  round(lat27 + (la00*(1-tx)*(1-ty) + la10*tx*(1-ty)
+               + la01*(1-tx)*ty + la11*tx*ty) / 3600.0, 7) AS lat83,
+  CAST(5 AS BIGINT) AS op_id
+FROM s
+"""
+
+QUERIES["grid_shift"] = (q_grid_shift, SQL_GRID_SHIFT)
+
+
+def q_grid_inventory(spark, sf_dir):
+    """get_transform_grid_list surface as a DataFrame op: per grid, how
+    many derived points fall in its extent (broadcast bbox containment
+    join over the bundled inventory — sync.py:214-280 analog)."""
+    from pyproj_spark.sync import get_transform_grid_list
+    feats = get_transform_grid_list(include_already_downloaded=True)
+    rows = []
+    for f in feats:
+        ring = f["geometry"]["coordinates"][0]
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        rows.append((f["properties"]["name"], min(xs), min(ys),
+                     max(xs), max(ys)))
+    inv = spark.createDataFrame(
+        rows, "name string, w double, s double, e double, n double")
+    pts = _doc_points(spark, sf_dir)
+    cond = ((F.col("lon") >= F.col("w")) & (F.col("lon") <= F.col("e"))
+            & (F.col("lat") >= F.col("s")) & (F.col("lat") <= F.col("n")))
+    return (pts.join(F.broadcast(inv), cond)
+            .groupBy("name").agg(F.count("*").alias("cnt")))
+
+
+def _grid_inventory_sql() -> str:
+    from pyproj_spark.sync import _GRID_FEATURES
+    vals = ", ".join(f"('{n}', {w!r}, {s!r}, {e!r}, {no!r})"
+                     for n, _sid, _a, w, s, e, no in _GRID_FEATURES)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+inv AS (SELECT * FROM (VALUES {vals}) AS i(name, w, s, e, n))
+SELECT name, count(*) AS cnt
+FROM pts JOIN inv
+  ON lon >= w AND lon <= e AND lat >= s AND lat <= n
+GROUP BY name
+"""
+
+
+QUERIES["grid_inventory"] = (q_grid_inventory, _grid_inventory_sql())

@@ -254,12 +254,57 @@ SELECT qid, rank, vec_id, sim FROM ranked WHERE rank <= 3
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (scale path) — rows-only check (no SQL oracle):
-    the judge-facing exactness evidence is tests/test_text_ops.py's
-    recall measurement against brute force."""
+    """LSH-bucketed ANN (scale path). The md5-derived hyperplanes are
+    deterministic, so the full signature -> bucket -> re-rank pipeline
+    is reproduced in DuckDB SQL and hash-checked (recall vs brute force
+    is additionally measured in tests)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ann_topk_lsh(emb.filter(F.col("vec_id") < 500),
                                    k=3, n_planes=4)
+
+
+def _plane_sum_sql(p: int) -> str:
+    """Mirror of similarity._plane_component: a pseudo-random component
+    per (plane, dim) from md5, folded against the vector."""
+    comp = (f"((CAST(('0x' || substr(md5('{p}:' || k), 1, 8)) AS BIGINT)"
+            f" % 20001 - 10000) / 10000.0)")
+    return (f"list_sum([v[k + 1] * {comp} "
+            f"FOR k IN range(len(v))]) AS s{p}")
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 500
+),
+sig AS (
+  SELECT vec_id, v, {', '.join(_plane_sum_sql(p) for p in range(4))}
+  FROM e
+),
+b AS (
+  SELECT vec_id, v,
+         (CASE WHEN s0 > 0 THEN 1 ELSE 0 END)
+       | (CASE WHEN s1 > 0 THEN 2 ELSE 0 END)
+       | (CASE WHEN s2 > 0 THEN 4 ELSE 0 END)
+       | (CASE WHEN s3 > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM sig
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         round(list_dot_product(a.v, b2.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b2.v, b2.v))), 6) AS sim
+  FROM b a JOIN b b2 USING (bucket)
+  WHERE a.vec_id != b2.vec_id
+),
+ranked AS (
+  SELECT id_a, id_b, sim,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY sim DESC, id_b) AS rank
+  FROM cand
+)
+SELECT id_a, rank, id_b, sim FROM ranked WHERE rank <= 3
+"""
 
 
 def q_multimodal_stub(spark, sf_dir):
@@ -280,7 +325,7 @@ QUERIES_TEXT = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "jaccard_3gram": (q_jaccard_3gram, SQL_JACCARD),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
-    "ann_lsh": (q_ann_lsh, None),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "multimodal_stub": (q_multimodal_stub, None),
 }
 

@@ -1,0 +1,164 @@
+"""Gridded datum shift + grid inventory + get_last_used_operation
+(reference surfaces: ``pyproj/transformer.py:362-406`` grid operations,
+``pyproj/sync.py:214-280`` inventory, ``transformer.py:559-574``
+last-used operation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from numpy.testing import assert_almost_equal
+
+from pyproj_spark.aoi import BBox
+from pyproj_spark.kernels.grids import (
+    _synth_dlat_sec,
+    _synth_dlon_sec,
+    build_synthetic_conus_grid,
+    grid_for,
+)
+from pyproj_spark.plans.spec import (
+    OP_BALLPARK,
+    OP_CONVERSION,
+    OP_GRID,
+    OP_HELMERT3,
+    OP_HELMERT7,
+    OP_NOOP,
+    Transformer,
+)
+from pyproj_spark.sync import get_transform_grid_list
+
+
+def test_bilinear_exact_at_nodes_and_midpoints():
+    g = build_synthetic_conus_grid()
+    # exactly on nodes: interpolation returns the node value
+    for ix, iy in [(0, 0), (10, 7), (236, 104)]:
+        lon = g.west + ix * g.dx
+        lat = g.south + iy * g.dy
+        dlon, dlat = g.interpolate(np.array([lon]), np.array([lat]))
+        assert_almost_equal(dlon[0] * 3600, _synth_dlon_sec(ix, iy),
+                            decimal=10)
+        assert_almost_equal(dlat[0] * 3600, _synth_dlat_sec(ix, iy),
+                            decimal=10)
+    # cell midpoint: mean of the 4 corners
+    lon = g.west + 3.5 * g.dx
+    lat = g.south + 4.5 * g.dy
+    dlon, _ = g.interpolate(np.array([lon]), np.array([lat]))
+    corners = [_synth_dlon_sec(ix, iy) for ix in (3, 4) for iy in (4, 5)]
+    assert_almost_equal(dlon[0] * 3600, np.mean(corners), decimal=10)
+
+
+def test_grid_inverse_roundtrip():
+    g = build_synthetic_conus_grid()
+    lon = np.linspace(-120.0, -70.0, 40)
+    lat = np.linspace(25.0, 49.0, 40)
+    glon, glat = g.apply(lon, lat)
+    blon, blat = g.apply_inverse(glon, glat)
+    assert_almost_equal(blon, lon, decimal=9)
+    assert_almost_equal(blat, lat, decimal=9)
+
+
+def test_registry():
+    g, inv = grid_for("NAD27", "NAD83")
+    assert g is not None and inv is False
+    g2, inv2 = grid_for("NAD83", "NAD27")
+    assert g2 is g and inv2 is True
+    assert grid_for("WGS84", "OSGB36") == (None, False)
+
+
+def test_transform_uses_grid_in_coverage():
+    t = Transformer.from_crs(4267, 4269, always_xy=True)
+    g = build_synthetic_conus_grid()
+    lon, lat = -100.0, 40.0
+    glon, glat = t.transform(lon, lat)
+    elon, elat = g.apply(np.array([lon]), np.array([lat]))
+    assert_almost_equal((glon, glat), (elon[0], elat[0]), decimal=12)
+    assert t.get_last_used_operation().op_id == OP_GRID
+    # inverse direction recovers the NAD27 point
+    ti = Transformer.from_crs(4269, 4267, always_xy=True)
+    blon, blat = ti.transform(glon, glat)
+    assert_almost_equal((blon, blat), (lon, lat), decimal=9)
+    assert ti.get_last_used_operation().op_id == OP_GRID
+
+
+def test_transform_falls_back_outside_coverage():
+    # Paris is outside the CONUS grid -> Helmert 3-param fallback
+    t = Transformer.from_crs(4267, 4269, always_xy=True)
+    t.transform(2.35, 48.85)
+    assert t.get_last_used_operation().op_id == OP_HELMERT3
+    # mixed batch: per-row ops differ
+    t.transform(np.array([-100.0, 2.35]), np.array([40.0, 48.85]))
+    assert list(t._kernel.last_ops) == [OP_GRID, OP_HELMERT3]
+
+
+def test_last_used_operation_classification():
+    t = Transformer.from_crs(4326, 3857, always_xy=True)
+    with pytest.raises(RuntimeError, match="transform method"):
+        t.get_last_used_operation()
+    t.transform(10.0, 50.0)
+    assert t.get_last_used_operation().op_id == OP_CONVERSION
+    t = Transformer.from_crs(4326, 4326)
+    t.transform(10.0, 50.0)
+    assert t.get_last_used_operation().op_id == OP_NOOP
+    t = Transformer.from_crs(4326, 27700, always_xy=True)  # OSGB 7-param
+    t.transform(-2.0, 52.0)
+    assert t.get_last_used_operation().op_id == OP_HELMERT7
+    # ballpark: no datum info on one side
+    t = Transformer.from_crs("+proj=longlat +a=6378137 +f=0.0033",
+                             4326, always_xy=True)
+    t.transform(10.0, 50.0)
+    assert t.get_last_used_operation().op_id == OP_BALLPARK
+
+
+def test_grid_through_projection():
+    # NAD27 geographic -> NAD83 UTM 15N: grid leg + projection leg
+    t = Transformer.from_crs(4267, 26915, always_xy=True)
+    tn = Transformer.from_crs(4269, 26915, always_xy=True)
+    g = build_synthetic_conus_grid()
+    elon, elat = g.apply(np.array([-93.2]), np.array([41.5]))
+    x27, y27 = t.transform(-93.2, 41.5)
+    xn, yn = tn.transform(elon[0], elat[0])
+    assert_almost_equal((x27, y27), (xn, yn), decimal=6)
+    assert t.get_last_used_operation().op_id == OP_GRID
+
+
+def test_get_transform_grid_list_filters():
+    # not-downloaded only (default): the registered synthetic grid is
+    # "already downloaded" and excluded
+    names = {f["properties"]["name"] for f in get_transform_grid_list()}
+    assert "us_synth_conus.tif" not in names
+    allf = get_transform_grid_list(include_already_downloaded=True)
+    all_names = {f["properties"]["name"] for f in allf}
+    assert "us_synth_conus.tif" in all_names
+    # bbox intersects (CONUS window)
+    conus = BBox(west=-120.0, south=30.0, east=-80.0, north=45.0)
+    hits = get_transform_grid_list(bbox=conus,
+                                   include_already_downloaded=True)
+    hit_names = {f["properties"]["name"] for f in hits}
+    assert "us_noaa_conshpgn.tif" in hit_names
+    assert "de_adv_BETA2007.tif" not in hit_names
+    assert "us_nga_egm96_15.tif" in hit_names  # world coverage kept
+    nohits = get_transform_grid_list(bbox=conus,
+                                     include_world_coverage=False,
+                                     include_already_downloaded=True)
+    assert "us_nga_egm96_15.tif" not in {
+        f["properties"]["name"] for f in nohits}
+    # contains: grid extent must contain the query bbox
+    within = get_transform_grid_list(bbox=BBox(-100.0, 35.0, -95.0, 40.0),
+                                     spatial_test="contains",
+                                     include_already_downloaded=True)
+    wn = {f["properties"]["name"] for f in within}
+    assert "us_noaa_conshpgn.tif" in wn and "ca_nrc_ntv2_0.tif" not in wn
+    # property filters
+    assert all(f["properties"]["source_id"] == "us_noaa"
+               for f in get_transform_grid_list(
+                   source_id="us_noaa", include_already_downloaded=True))
+    assert len(get_transform_grid_list(
+        filename="BETA2007", include_already_downloaded=True)) == 1
+    with pytest.raises(ValueError):
+        get_transform_grid_list(spatial_test="touches")
+
+
+def test_download_stub():
+    from pyproj_spark.sync import _download_resource_file
+    with pytest.raises(NotImplementedError):
+        _download_resource_file("https://cdn.proj.org/x.tif", "x.tif")

@@ -266,3 +266,33 @@ def test_4d_itrf_transform():
         xx=np.array([3513638.19380] * 3), yy=np.array([778956.45250] * 3),
         zz=np.array([5248216.46900] * 3), tt=np.array([2008.75] * 3))
     assert_almost_equal(xb, [out[0]] * 3)
+
+
+def test_polyconic():
+    # American Polyconic (Snyder 1987 ch. 18) via EPSG:5880 (SIRGAS 2000
+    # / Brazil Polyconic). Structural goldens: central meridian true to
+    # scale (y = meridian arc + false northing), equator x = a*dlam, and
+    # a dense forward/inverse round trip within the usable domain.
+    import numpy as np
+
+    t = Transformer.from_crs(4674 if False else 4326, 5880, always_xy=True)
+    # known published grid value: origin of the grid
+    x0, y0 = t.transform(-54.0, 0.0)
+    assert_almost_equal((x0, y0), (5000000.0, 10000000.0), decimal=6)
+    # equator is true to scale: x - x_0 = a * dlam
+    x, y = t.transform(-44.0, 0.0)
+    assert_almost_equal(x - 5000000.0, 6378137.0 * np.radians(10.0),
+                        decimal=6)
+    assert_almost_equal(y, 10000000.0, decimal=6)
+    # round trip
+    ti = Transformer.from_crs(5880, 4326, always_xy=True)
+    lon = np.linspace(-74.0, -34.0, 21)
+    lat = np.linspace(-34.0, 6.0, 21)
+    X, Y = t.transform(lon, lat)
+    lon2, lat2 = ti.transform(X, Y)
+    assert_almost_equal(lon2, lon, decimal=9)
+    assert_almost_equal(lat2, lat, decimal=9)
+    # WKT + PROJJSON round trip for the poly method mapping
+    crs = CRS.from_epsg(5880)
+    assert CRS.from_wkt(crs.to_wkt())._key() == crs._key()
+    assert CRS.from_json(crs.to_json())._key() == crs._key()
