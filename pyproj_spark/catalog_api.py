@@ -149,6 +149,59 @@ def get_units_map() -> dict:
     }
 
 
+def get_proj_operations_map() -> dict:
+    """reference pyproj/list.pyx:4-28 — {proj id: description} for every
+    operation this engine's kernel registry implements."""
+    descriptions = {
+        "longlat": "Lat/long (Geodetic alias)",
+        "latlong": "Lat/long (Geodetic alias)",
+        "geocent": "Geocentric",
+        "webmerc": "Web Mercator / Pseudo Mercator",
+        "merc": "Mercator",
+        "tmerc": "Transverse Mercator",
+        "etmerc": "Extended Transverse Mercator",
+        "utm": "Universal Transverse Mercator (UTM)",
+        "lcc": "Lambert Conformal Conic",
+        "laea": "Lambert Azimuthal Equal Area",
+        "aeqd": "Azimuthal Equidistant",
+        "stere": "Stereographic",
+        "eqc": "Equidistant Cylindrical (Plate Carree)",
+        "sinu": "Sinusoidal (Sanson-Flamsteed)",
+        "geos": "Geostationary Satellite View",
+        "aea": "Albers Equal Area",
+        "cea": "Equal Area Cylindrical",
+        "ortho": "Orthographic",
+        "nsper": "Near-sided perspective",
+        "ob_tran": "General Oblique Transformation",
+        "omerc": "Oblique Mercator",
+        "poly": "Polyconic (American)",
+    }
+    from pyproj_spark.kernels.projections import PROJECTIONS
+    out = {k: descriptions.get(k, k) for k in sorted(PROJECTIONS)}
+    out["geocent"] = descriptions["geocent"]
+    return out
+
+
+def get_prime_meridians_map() -> dict:
+    """reference pyproj/list.pyx:43-57 — {name: proj offset string};
+    values are the public PROJ prime-meridian table."""
+    return {
+        "greenwich": "0dE",
+        "lisbon": "9d07'54.862\"W",
+        "paris": "2d20'14.025\"E",
+        "bogota": "74d04'51.3\"W",
+        "madrid": "3d41'16.58\"W",
+        "rome": "12d27'8.4\"E",
+        "bern": "7d26'22.5\"E",
+        "jakarta": "106d48'27.79\"E",
+        "ferro": "17d40'W",
+        "brussels": "4d22'4.71\"E",
+        "stockholm": "18d3'29.8\"E",
+        "athens": "23d42'58.815\"E",
+        "oslo": "10d43'22.5\"E",
+    }
+
+
 def get_database_metadata(key: str) -> str | None:
     """reference pyproj/database.pyx:428-468."""
     meta = {
@@ -168,24 +221,100 @@ class CandidateOperation:
     area_overlap: float        # [0,1] overlap with requested AOI
     is_ballpark: bool
     available: bool
+    grids: tuple = ()          # grid filenames the op depends on
+    superseded: bool = False
+
+
+#: datum pair -> inventory grids implementing the shift: (filename,
+#: accuracy metres, superseded?). Entries are public proj-data registry
+#: facts; availability = registered in kernels.grids (downloadable
+#: files are out of scope here, so unregistered ones land in
+#: unavailable_operations — the reference's not-downloaded semantics).
+_PAIR_GRIDS = {
+    ("NAD27", "NAD83"): (
+        ("us_synth_conus.tif", 0.15, False),
+        ("us_noaa_conshpgn.tif", 0.15, False),
+        ("us_noaa_alhpgn.tif", 0.5, False),
+        ("us_noaa_nadcon5_nad27_nad83_1986_conus.tif", 0.5, True),
+    ),
+    ("OSGB36", "ETRS89"): (
+        ("uk_os_OSTN15_NTv2_OSGBtoETRS.tif", 0.03, False),
+    ),
+}
 
 
 class TransformerGroup:
     """Enumerate candidate operations for a CRS pair, sorted by
     (area overlap desc, accuracy asc, unknown-accuracy last) — the sort
     contract of reference ``pyproj/transformer.py:215-222`` /
-    ``_transformer.pyx:141-149``. With the bundled catalog each datum
-    pair has one towgs84 path plus a ballpark fallback."""
+    ``_transformer.pyx:141-149``. Candidates: registered grid shifts
+    (best accuracy), inventory grids that are not downloaded (->
+    ``unavailable_operations``, reference transformer.py:206-413),
+    the towgs84 Helmert path, and a ballpark fallback.
+
+    ``allow_superseded`` includes superseded grid operations
+    (reference transformer.py:240). ``download_grids=True`` attempts to
+    fetch missing grids — network is out of scope in this engine, so it
+    only triggers the documented warning (reference downloads from the
+    PROJ CDN and re-runs the enumeration)."""
 
     def __init__(self, crs_from, crs_to,
                  area_of_interest: AreaOfInterest | None = None,
-                 allow_ballpark: bool = True, **_kw):
+                 allow_ballpark: bool = True,
+                 allow_superseded: bool = False,
+                 download_grids: bool = False, **_kw):
         from pyproj_spark.crs.crs import CRS
+        from pyproj_spark.kernels.grids import _GRIDS
         from pyproj_spark.plans.spec import Transformer
 
         src = CRS.from_user_input(crs_from)
         dst = CRS.from_user_input(crs_to)
         ops = []
+        unavailable = []
+
+        def _aoi_overlap(w, s, e, n) -> float:
+            if area_of_interest is None:
+                return 1.0
+            a = area_of_interest
+            iw = max(w, a.west_lon_degree)
+            ie = min(e, a.east_lon_degree)
+            is_ = max(s, a.south_lat_degree)
+            in_ = min(n, a.north_lat_degree)
+            if ie <= iw or in_ <= is_:
+                return 0.0
+            aoi_area = ((a.east_lon_degree - a.west_lon_degree)
+                        * (a.north_lat_degree - a.south_lat_degree))
+            return ((ie - iw) * (in_ - is_)) / aoi_area if aoi_area else 0.0
+
+        pair_grids = _PAIR_GRIDS.get((src.datum_name, dst.datum_name)) \
+            or _PAIR_GRIDS.get((dst.datum_name, src.datum_name)) or ()
+        for fname, acc, superseded in pair_grids:
+            if superseded and not allow_superseded:
+                continue
+            g = _GRIDS.get(fname)
+            if g is not None:
+                overlap = _aoi_overlap(g.west, g.south, g.east, g.north)
+                if overlap == 0.0 and area_of_interest is not None:
+                    continue
+                ops.append(CandidateOperation(
+                    name=f"{src.datum_name} to {dst.datum_name} "
+                         f"(hgridshift {fname})",
+                    accuracy=acc, area_overlap=overlap,
+                    is_ballpark=False, available=True, grids=(fname,),
+                    superseded=superseded))
+            else:
+                if download_grids:
+                    import warnings
+                    warnings.warn(
+                        f"grid {fname} cannot be downloaded in this "
+                        "environment; register node arrays via "
+                        "kernels.grids.register_grid", UserWarning)
+                unavailable.append(CandidateOperation(
+                    name=f"{src.datum_name} to {dst.datum_name} "
+                         f"(hgridshift {fname})",
+                    accuracy=acc, area_overlap=1.0, is_ballpark=False,
+                    available=False, grids=(fname,),
+                    superseded=superseded))
         if src.towgs84 is not None and dst.towgs84 is not None:
             n_params = max(
                 len([v for v in src.towgs84 if v != 0]) and
@@ -206,7 +335,7 @@ class TransformerGroup:
         ops.sort(key=lambda o: (-o.area_overlap,
                                 o.accuracy < 0, o.accuracy))
         self.operations = ops
-        self.unavailable_operations: list[CandidateOperation] = []
+        self.unavailable_operations = unavailable
         self._transformers = [
             Transformer.from_crs(src, dst, always_xy=False)
             for _ in ops]
@@ -218,3 +347,13 @@ class TransformerGroup:
     @property
     def best_available(self) -> bool:
         return bool(self.operations) and self.operations[0].available
+
+    def download_grids(self, directory=None, open_license: bool = True,
+                       verbose: bool = False):
+        """reference transformer.py:383-413 — network is out of scope;
+        see sync._download_resource_file."""
+        from pyproj_spark.sync import _download_resource_file
+        for op in self.unavailable_operations:
+            for g in op.grids:
+                _download_resource_file(f"https://cdn.proj.org/{g}", g,
+                                        directory)

@@ -162,3 +162,48 @@ def test_download_stub():
     from pyproj_spark.sync import _download_resource_file
     with pytest.raises(NotImplementedError):
         _download_resource_file("https://cdn.proj.org/x.tif", "x.tif")
+
+
+def test_transformer_group_grid_candidates():
+    from pyproj_spark.catalog_api import TransformerGroup
+    from pyproj_spark.aoi import AreaOfInterest
+    g = TransformerGroup(4267, 4269)
+    names = [o.name for o in g.operations]
+    # registered grid op sorts first (best accuracy), helmert next,
+    # ballpark last
+    assert "hgridshift us_synth_conus.tif" in names[0]
+    assert any("Helmert" in n for n in names)
+    assert names[-1] == "Ballpark geographic offset"
+    # inventory grids that aren't downloadable here -> unavailable
+    un = [o.name for o in g.unavailable_operations]
+    assert any("us_noaa_conshpgn" in n for n in un)
+    # superseded grids hidden by default, included on request
+    assert not any("1986_conus" in n for n in un)
+    g2 = TransformerGroup(4267, 4269, allow_superseded=True)
+    assert any("1986_conus" in o.name
+               for o in g2.unavailable_operations)
+    # AOI outside the grid drops the grid candidate
+    eu = AreaOfInterest(0.0, 45.0, 10.0, 55.0)
+    g3 = TransformerGroup(4267, 4269, area_of_interest=eu)
+    assert not any("hgridshift" in o.name for o in g3.operations)
+    assert g3.best_available
+
+
+def test_transformer_group_download_grids_warns():
+    import warnings
+    from pyproj_spark.catalog_api import TransformerGroup
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        TransformerGroup(4267, 4269, download_grids=True)
+    assert any("cannot be downloaded" in str(w.message) for w in rec)
+
+
+def test_proj_operations_and_prime_meridians_maps():
+    from pyproj_spark.catalog_api import (get_prime_meridians_map,
+                                          get_proj_operations_map)
+    ops = get_proj_operations_map()
+    assert ops["tmerc"].startswith("Transverse")
+    assert "poly" in ops and "geocent" in ops
+    pm = get_prime_meridians_map()
+    assert pm["greenwich"] == "0dE"
+    assert "paris" in pm and len(pm) >= 13
