@@ -8,4 +8,21 @@ through the DataFrame API (pyproj_spark.catalog_api).
 
 from pyproj_spark.crs.crs import CRS
 
-__all__ = ["CRS"]
+
+def __getattr__(name):
+    # lazy re-exports: builder classes (reference pyproj.crs namespace)
+    _builders = {"GeographicCRS", "GeocentricCRS", "DerivedGeographicCRS",
+                 "ProjectedCRS", "VerticalCRS", "CompoundCRS", "BoundCRS",
+                 "Datum", "CustomDatum", "CustomEllipsoid",
+                 "Ellipsoidal2DCS", "Cartesian2DCS", "VerticalCS"}
+    if name in _builders:
+        from pyproj_spark.crs import builders
+        return getattr(builders, name)
+    if name == "coordinate_operation":
+        from pyproj_spark.crs import coordinate_operation
+        return coordinate_operation
+    raise AttributeError(name)
+
+
+__all__ = ["CRS", "GeographicCRS", "GeocentricCRS", "DerivedGeographicCRS",
+           "ProjectedCRS", "VerticalCRS", "CompoundCRS", "BoundCRS"]

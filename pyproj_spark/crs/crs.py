@@ -245,6 +245,14 @@ class CRS:
         return self.kind == "geocentric"
 
     @property
+    def is_vertical(self) -> bool:
+        return self.kind == "vertical"
+
+    @property
+    def is_compound(self) -> bool:
+        return self.kind == "compound"
+
+    @property
     def geodetic_crs(self) -> "CRS":
         """The underlying geographic CRS (same datum) — reference
         pyproj/crs/crs.py:1174-1190."""

@@ -177,8 +177,8 @@ def _conversion_params(conv: dict) -> dict:
                 raise ValueError(f"unsupported conversion parameter "
                                  f"{p.get('name')!r}")
             params[key] = float(p["value"])
-    if proj != "omerc" and "lonc" in params:
-        params["lon_0"] = params.pop("lonc")
+    from pyproj_spark.crs.wkt_parse import _fixup_params
+    params = _fixup_params(proj, params)
     params["proj"] = proj
     return params
 

@@ -172,6 +172,8 @@ _METHOD_BY_NAME = {
     "hotineobliquemercatorazimuthcenter": ("omerc", {}),
     "americanpolyconic": ("poly", {}),
     "polyconic": ("poly", {}),
+    "projobtranoprojlonglat": ("ob_tran", {}),
+    "polerotationnetcdfcfconvention": ("ob_tran", {}),
 }
 
 #: EPSG parameter code -> proj param
@@ -180,7 +182,19 @@ _PARAM_BY_CODE = {
     8823: "lat_1", 8824: "lat_2", 8832: "lat_ts", 8833: "lon_0",
     8811: "lat_0", 8812: "lonc", 8815: "k_0", 8816: "x_0", 8817: "y_0",
     8813: "alpha", 8814: "gamma",
+    8821: "lat_0", 8822: "lon_0", 8826: "x_0", 8827: "y_0",
 }
+
+
+def _fixup_params(proj: str, params: dict) -> dict:
+    """EPSG's 'Latitude of 1st standard parallel' (8823) means lat_ts
+    for single-parallel cylindricals (Mercator variant B, cylindrical
+    equal area), not lcc's lat_1; lonc only exists for omerc."""
+    if proj in ("merc", "cea") and "lat_1" in params:
+        params["lat_ts"] = params.pop("lat_1")
+    if proj != "omerc" and "lonc" in params:
+        params["lon_0"] = params.pop("lonc")
+    return params
 
 #: normalized parameter name -> proj param (WKT1 + WKT2 EPSG names)
 _PARAM_BY_NAME = {
@@ -215,6 +229,11 @@ _PARAM_BY_NAME = {
     "anglefromrectifiedtoskewgrid": "gamma",
     "satelliteheight": "h",
     "viewpointheight": "h",
+    "latitudeoftopocentricorigin": "lat_0",
+    "longitudeoftopocentricorigin": "lon_0",
+    "olatp": "o_lat_p",
+    "olonp": "o_lon_p",
+    "lon0": "lon_0",
 }
 
 #: datum name aliases -> catalog datum key (crs/catalog.py DATUMS)
@@ -381,9 +400,7 @@ def _proj_record(node: Node) -> dict:
                              f"{p.values[0]!r}")
         val = next(v for v in p.values[1:] if isinstance(v, float))
         params[key] = val
-    # omerc WKT carries lonc as 'longitude of projection centre'
-    if proj != "omerc" and "lonc" in params:
-        params["lon_0"] = params.pop("lonc")
+    params = _fixup_params(proj, params)
     params["proj"] = proj
     return dict(
         kind="projected", name=node.name or "unknown", code=_epsg_id(node),

@@ -787,12 +787,17 @@ class RotatedLatLon(Projection):
     rotated_latitude_longitude / reference RotatedLatLon builder).
     Output 'x/y' are rotated lon/lat in RADIANS times a (PROJ keeps
     angular output for +o_proj=longlat; we scale by a like PROJ's
-    to-meter convention for ob_tran in metres)."""
+    to-meter convention for ob_tran in metres).
+
+    Conventions match PROJ's ob_tran o_forward/o_inverse exactly:
+    o_lat_p is the true latitude of the rotated pole; the rotated
+    pole's TRUE longitude is lon_0 - 180 (hence the CF mapping
+    lon_0 = grid_north_pole_longitude + 180); o_lon_p is an OUTPUT-side
+    rotated-longitude offset (CF north_pole_grid_longitude)."""
 
     name = "ob_tran"
 
     def _setup(self, o_lat_p=90.0, o_lon_p=0.0, **kw):
-        # pole of the rotated system, in true coordinates
         self.pla = np.radians(float(o_lat_p))
         self.plo = np.radians(float(o_lon_p))
         self.sp, self.cp = np.sin(self.pla), np.cos(self.pla)
@@ -800,24 +805,24 @@ class RotatedLatLon(Projection):
     def _fwd(self, dl, phi):
         # true (dl, phi) -> rotated; dl is relative to lon_0 already
         sp, cp = self.sp, self.cp
-        dlam = dl - self.plo
+        cosl = np.cos(dl)
         sphi, cphi = np.sin(phi), np.cos(phi)
-        s_rot = sp * sphi + cp * cphi * np.cos(dlam)
-        phi_r = np.arcsin(np.clip(s_rot, -1.0, 1.0))
-        lam_r = np.arctan2(cphi * np.sin(dlam),
-                           sp * cphi * np.cos(dlam) - cp * sphi)
+        phi_r = np.arcsin(np.clip(sp * sphi - cp * cphi * cosl,
+                                  -1.0, 1.0))
+        lam_r = np.arctan2(cphi * np.sin(dl),
+                           sp * cphi * cosl + cp * sphi) + self.plo
+        lam_r = np.remainder(lam_r + np.pi, 2.0 * np.pi) - np.pi
         return self.E.a * lam_r, self.E.a * phi_r
 
     def _inv(self, x, y):
         sp, cp = self.sp, self.cp
-        lam_r = x / self.E.a
+        lam_r = x / self.E.a - self.plo
         phi_r = y / self.E.a
         s, c = np.sin(phi_r), np.cos(phi_r)
-        sphi = sp * s - cp * c * np.cos(lam_r)
-        phi = np.arcsin(np.clip(sphi, -1.0, 1.0))
-        dlam = np.arctan2(c * np.sin(lam_r),
-                          sp * c * np.cos(lam_r) + cp * s)
-        return dlam + self.plo, phi
+        cosl = np.cos(lam_r)
+        phi = np.arcsin(np.clip(sp * s + cp * c * cosl, -1.0, 1.0))
+        dl = np.arctan2(c * np.sin(lam_r), sp * c * cosl - cp * s)
+        return dl, phi
 
 
 class Geostationary(Projection):
