@@ -1,0 +1,62 @@
+"""Connected components over candidate duplicate pairs — the dedup
+resolution step (pairs from minhash_lsh_pairs/jaccard_pairs -> cluster
+representative per document, so each cluster keeps one canonical doc).
+
+Algorithm: vectorized min-label propagation (each vertex repeatedly
+adopts the smallest representative among itself and its neighbors).
+This is legitimately ITERATIVE — rounds = graph diameter — but the
+hot-band guard in minhash_lsh_pairs emits star edges, so components
+are stars/near-stars and the loop converges in 2-4 rounds on real
+dedup graphs. Each round is two shuffles (join + groupBy-min), both
+partial-aggregated; the frontier (changed vertices) shrinks
+geometrically. The convergence probe is one small count per round —
+unavoidable for a fixpoint algorithm and amortized over the round's
+real work (contrast: the knn_ring driver loop was removed because its
+schedule was STATIC and needed no runtime probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b", max_iter: int = 25
+                         ) -> DataFrame:
+    """(id, rep) for every vertex in `edges`: rep = min vertex id in
+    the vertex's connected component (deterministic canonical label)."""
+    e = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+         .unionByName(edges.select(F.col(b_col).alias("src"),
+                                   F.col(a_col).alias("dst")))
+         .distinct())
+    rep = (e.select(F.col("src").alias("id")).distinct()
+           .withColumn("rep", F.col("id")))
+    for _ in range(max_iter):
+        # each vertex's candidate label: min over neighbors' reps
+        msg = (e.join(rep, e.src == rep.id)
+               .groupBy(F.col("dst").alias("id"))
+               .agg(F.min("rep").alias("nrep")))
+        new_rep = (rep.join(msg, "id", "left")
+                   .select("id", F.least(
+                       F.col("rep"),
+                       F.coalesce(F.col("nrep"), F.col("rep")))
+                       .alias("rep")))
+        new_rep = new_rep.localCheckpoint(eager=True)  # cut lineage
+        changed = (new_rep.alias("n")
+                   .join(rep.alias("o"), "id")
+                   .filter(F.col("n.rep") != F.col("o.rep"))
+                   .limit(1).count())
+        rep = new_rep
+        if changed == 0:
+            break
+    return rep
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "id_a",
+                   b_col: str = "id_b") -> DataFrame:
+    """Cluster summary from candidate pairs: (rep, cluster_size) for
+    every duplicate cluster (size >= 2 by construction — singletons
+    never appear in the pair list)."""
+    comp = connected_components(pairs, a_col, b_col)
+    return comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))

@@ -72,6 +72,24 @@ FROM t
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style quality filtering (the training-data pipeline gate):
+    rule thresholds over the oracle-verified quality features; returns
+    the keep/drop histogram with mean token count per bucket. Built ON
+    the token_stats surface so both engines threshold identical rounded
+    values — no float-boundary flakiness."""
+    ts = q_token_stats(spark, sf_dir)
+    kept = ((F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000)
+            & (F.col("mean_token_len") >= 3.0)
+            & (F.col("mean_token_len") <= 12.0)
+            & (F.col("stopword_ratio") >= 0.01)
+            & (F.col("punct_ratio") <= 0.3))
+    return (ts.select(kept.alias("kept"), "n_tokens")
+            .groupBy("kept")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens")))
+
+
 def q_lang_id(spark, sf_dir):
     df = textstats.lang_id(_docs(spark, sf_dir))
     return df.groupBy("lang_pred").agg(F.count("*").alias("cnt"))
@@ -102,6 +120,17 @@ FROM s GROUP BY 1
 """
 
 
+SQL_QUALITY_FILTER = f"""
+WITH ts AS ({{token_stats}})
+SELECT (n_tokens >= 50 AND n_tokens <= 100000
+        AND mean_token_len >= 3.0 AND mean_token_len <= 12.0
+        AND stopword_ratio >= 0.01 AND punct_ratio <= 0.3) AS kept,
+       count(*) AS cnt,
+       round(avg(n_tokens), 4) AS avg_tokens
+FROM ts GROUP BY 1
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir)) \
         .select("doc_id", "fingerprint")
@@ -128,9 +157,10 @@ def _mh_sql(i):
 
 
 # mirrors minhash_lsh_pairs' hot-band guard: bands with <= 64 members
-# emit all pairs, hot bands emit star edges from the min id
-SQL_MINHASH = f"""
-WITH sig AS (
+# emit all pairs, hot bands emit star edges from the min id. Shared by
+# the pair query and the connected-components cluster query.
+_MINHASH_PAIRS_CTE = f"""
+sig AS (
   SELECT doc_id, {', '.join(_mh_sql(i) for i in range(8))}
   FROM documents
 ),
@@ -156,10 +186,47 @@ small AS (
 ),
 hot AS (
   SELECT ids[1] AS id_a, unnest(ids[2:]) AS id_b FROM g WHERE cnt > 64
-)
-SELECT DISTINCT id_a, id_b
-FROM (SELECT id_a, id_b FROM small UNION ALL SELECT id_a, id_b FROM hot) u
+),
+pairs AS (
+  SELECT DISTINCT id_a, id_b
+  FROM (SELECT id_a, id_b FROM small UNION ALL SELECT id_a, id_b FROM hot)
+)"""
+
+SQL_MINHASH = f"""
+WITH {_MINHASH_PAIRS_CTE}
+SELECT id_a, id_b FROM pairs
 ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup RESOLUTION: minhash-LSH candidate pairs -> connected
+    components (min-label propagation) -> (cluster representative,
+    size). The full 100-TB dedup story end to end: exact dedup +
+    LSH pairs + cluster resolution keeping one canonical doc."""
+    from pyproj_spark.operators.cc import dedup_clusters
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8,
+                                    bands=4)
+    return dedup_clusters(pairs)
+
+
+# transitive closure via recursive CTE: reach(id, r) = r is reachable
+# from id; rep = min reachable id — identical canonical label to the
+# Spark min-propagation
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id
+),
+comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep
 """
 
 
@@ -319,9 +386,13 @@ def q_multimodal_stub(spark, sf_dir):
 QUERIES_TEXT = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_filter": (q_quality_filter,
+                       SQL_QUALITY_FILTER.format(
+                           token_stats=SQL_TOKEN_STATS)),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "jaccard_3gram": (q_jaccard_3gram, SQL_JACCARD),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),

@@ -235,3 +235,24 @@ def test_knn_ring_exact_matches_bruteforce(spark):
     exp = pd.DataFrame(exp_rows, columns=["lid", "rank", "rid"])
     assert len(got) == len(exp)
     assert list(got["rid"]) == list(exp["rid"])
+
+
+def test_connected_components(spark):
+    # two components: a path 1-2-3 and a star 10-(11,12,13); plus the
+    # canonical-label contract (rep = min id in component)
+    from pyproj_spark.operators.cc import connected_components, dedup_clusters
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (10, 12), (13, 10)],
+        "id_a long, id_b long")
+    comp = {r["id"]: r["rep"]
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+    sizes = {r["rep"]: r["cluster_size"]
+             for r in dedup_clusters(edges).collect()}
+    assert sizes == {1: 3, 10: 4}
+    # long path exercises multi-round propagation (diameter 6)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(7, 1, -1)], "id_a long, id_b long")
+    comp = {r["id"]: r["rep"]
+            for r in connected_components(path).collect()}
+    assert set(comp.values()) == {2}
