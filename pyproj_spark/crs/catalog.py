@@ -17,6 +17,24 @@ from __future__ import annotations
 
 US_FT = 0.30480060960121924  # US survey foot, EPSG:9003
 
+#: prime meridian name -> Greenwich offset in decimal degrees (public
+#: PROJ table; the DMS strings are in catalog_api.get_prime_meridians_map)
+PRIME_MERIDIANS = {
+    "greenwich": 0.0,
+    "lisbon": -9.131906111111112,
+    "paris": 2.337229166666667,
+    "bogota": -74.08091666666667,
+    "madrid": -3.687938888888889,
+    "rome": 12.452333333333334,
+    "bern": 7.439583333333333,
+    "jakarta": 106.80771944444444,
+    "ferro": -17.666666666666668,
+    "brussels": 4.367975,
+    "stockholm": 18.05827777777778,
+    "athens": 23.7163375,
+    "oslo": 10.722916666666666,
+}
+
 # datum name -> (ellps, towgs84 tuple or None)
 DATUMS = {
     "WGS84": ("WGS84", (0, 0, 0)),
@@ -32,11 +50,14 @@ DATUMS = {
                              -11.68)),
     "ITRF2014": ("GRS80", (0, 0, 0)),
     "SIRGAS2000": ("GRS80", (0, 0, 0)),
+    "NTF": ("clrk80ign", (-168, -60, 320)),
     "NZGD2000": ("GRS80", (0, 0, 0)),
     "GDM2000": ("GRS80", (0, 0, 0)),
 }
 
 _GEOG = {
+    # 4-tuple entries carry a non-Greenwich prime meridian name
+    4807: ("NTF (Paris) / geographic 2D", "NTF", "neu", "paris"),
     4326: ("WGS84 / geographic 2D", "WGS84", "neu"),
     4979: ("WGS84 / geographic 3D", "WGS84", "neu"),
     4258: ("ETRS89 / geographic 2D", "ETRS89", "neu"),
@@ -117,11 +138,12 @@ def epsg_entry(code: int) -> dict:
     """Resolve an EPSG code to a normalized catalog record."""
     code = int(code)
     if code in _GEOG:
-        name, datum, axis = _GEOG[code]
+        name, datum, axis, *rest = _GEOG[code]
         ellps, towgs84 = DATUMS[datum]
         return dict(kind="geographic", code=code, name=name, datum=datum,
                     ellps=ellps, towgs84=towgs84, axis=axis,
-                    proj_params=dict(proj="longlat"), to_meter=None)
+                    proj_params=dict(proj="longlat"), to_meter=None,
+                    pm=PRIME_MERIDIANS[rest[0]] if rest else 0.0)
     if code in _GEOCENT:
         name, datum = _GEOCENT[code]
         ellps, towgs84 = DATUMS[datum]
@@ -143,7 +165,7 @@ def all_codes():
     """All supported (authority, code, kind, name) rows — backs the
     catalog_api DataFrame queries (reference pyproj/database.pyx:82-126)."""
     rows = []
-    for c, (name, datum, axis) in _GEOG.items():
+    for c, (name, datum, axis, *_pm) in _GEOG.items():
         rows.append(("EPSG", c, "GEOGRAPHIC_2D_CRS", name, datum))
     for c, (name, datum) in _GEOCENT.items():
         rows.append(("EPSG", c, "GEOCENTRIC_CRS", name, datum))

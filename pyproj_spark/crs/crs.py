@@ -83,6 +83,7 @@ class CRS:
         self.axis = rec.get("axis", "enu")
         self.proj_params = dict(rec.get("proj_params") or {})
         self.to_meter = rec.get("to_meter")
+        self.pm = float(rec.get("pm") or 0.0)
         return self
 
     # ----------------------------------------------------------- factories
@@ -131,13 +132,23 @@ class CRS:
                 "a" not in params and "ellps" not in params and
                 "R" not in params):
             towgs84 = (0, 0, 0)
+        pm = 0.0
+        if "pm" in params:
+            raw_pm = params.pop("pm")
+            try:
+                pm = float(raw_pm)
+            except (TypeError, ValueError):
+                key = str(raw_pm).lower()
+                if key not in catalog.PRIME_MERIDIANS:
+                    raise ValueError(f"unknown prime meridian {raw_pm!r}")
+                pm = catalog.PRIME_MERIDIANS[key]
         kind = ("geographic" if proj in ("longlat", "latlong", "lonlat")
                 else "geocentric" if proj in ("geocent", "cart")
                 else "projected")
         proj_params = {k: v for k, v in params.items()
                        if k not in ("ellps", "datum", "towgs84", "units",
                                     "to_meter", "no_defs", "type",
-                                    "wktext")}
+                                    "wktext", "pm")}
         to_meter = None
         if kind != "geographic":
             to_meter = float(params.get("to_meter", 1.0))
@@ -153,7 +164,7 @@ class CRS:
         rec = dict(kind=kind, name=f"unknown ({proj})", code=None,
                    datum=params.get("datum"), ellps=None,
                    ellipsoid=ellipsoid, towgs84=towgs84, axis="enu",
-                   proj_params=proj_params, to_meter=to_meter)
+                   proj_params=proj_params, to_meter=to_meter, pm=pm)
         srs = srs or " ".join(
             f"+{k}" if v is True else f"+{k}={v}"
             for k, v in sorted(params.items()))
@@ -262,11 +273,13 @@ class CRS:
                    code=None, datum=self.datum_name, ellps=None,
                    ellipsoid=self.ellipsoid, towgs84=self.towgs84,
                    axis="enu", proj_params=dict(proj="longlat"),
-                   to_meter=None)
+                   to_meter=None, pm=self.pm)
         # srs must stay machine-parseable (TransformSpec re-resolves it
         # on executors), so emit a proj string, not a display name
         e = self.ellipsoid
         srs = f"+proj=longlat +a={e.a!r} +f={e.f!r}"
+        if self.pm:
+            srs += f" +pm={self.pm!r}"
         if self.towgs84:
             srs += " +towgs84=" + ",".join(str(v) for v in self.towgs84)
         return CRS._from_record(rec, srs)
@@ -306,8 +319,11 @@ class CRS:
     @property
     def prime_meridian(self):
         from types import SimpleNamespace as NS
-        return NS(name="Greenwich", longitude=0.0,
-                  unit_name="degree")
+        name = next((k.capitalize() for k, v
+                     in catalog.PRIME_MERIDIANS.items()
+                     if v == self.pm), "unknown") if self.pm \
+            else "Greenwich"
+        return NS(name=name, longitude=self.pm, unit_name="degree")
 
     @property
     def area_of_use(self):
@@ -370,6 +386,11 @@ class CRS:
             parts.append(f"+ellps={e.name}")
         else:
             parts.append(f"+a={e.a} +f={e.f}")
+        if self.pm:
+            pm_name = next((k for k, v in catalog.PRIME_MERIDIANS.items()
+                            if v == self.pm), None)
+            parts.append(f"+pm={pm_name}" if pm_name
+                         else f"+pm={self.pm!r}")
         if self.towgs84:
             parts.append("+towgs84=" + ",".join(str(v) for v in self.towgs84))
         if self.to_meter not in (None, 1.0):
@@ -419,7 +440,8 @@ class CRS:
         return (self.kind, round(e.a, 9), round(e.f, 15),
                 self.towgs84 if with_towgs84 else None,
                 _canon_params(self.proj_params),
-                self.to_meter if self.kind != "geographic" else None)
+                self.to_meter if self.kind != "geographic" else None,
+                round(getattr(self, "pm", 0.0), 12))
 
     def __eq__(self, other):
         if not isinstance(other, CRS):

@@ -44,8 +44,15 @@ def _datum_json(crs) -> dict:
     e = crs.ellipsoid
     ell = {"name": e.name, "semi_major_axis": e.a,
            "inverse_flattening": e.rf if e.f else 0.0}
-    return {"type": "GeodeticReferenceFrame",
-            "name": crs.datum_name or "unknown", "ellipsoid": ell}
+    out = {"type": "GeodeticReferenceFrame",
+           "name": crs.datum_name or "unknown", "ellipsoid": ell}
+    pm = getattr(crs, "pm", 0.0)
+    if pm:
+        from pyproj_spark.crs.catalog import PRIME_MERIDIANS
+        name = next((k.capitalize() for k, v in PRIME_MERIDIANS.items()
+                     if v == pm), "unknown")
+        out["prime_meridian"] = {"name": name, "longitude": pm}
+    return out
 
 
 def _id_json(code):
@@ -132,7 +139,10 @@ def _ellipsoid_from_json(ell: dict):
 
 
 def _datum_from_json(d: dict):
-    """(datum_name, ellipsoid, towgs84) from datum / datum_ensemble."""
+    """(datum_name, ellipsoid, towgs84, pm_deg) from datum /
+    datum_ensemble; the prime meridian honors a unit object's
+    conversion_factor (PROJ writes Paris in grads)."""
+    import math
     from pyproj_spark.crs.catalog import DATUMS
     dd = d.get("datum") or d.get("datum_ensemble")
     if dd is None:
@@ -141,7 +151,16 @@ def _datum_from_json(d: dict):
     name = _DATUM_ALIASES.get(_norm(raw), raw)
     ellipsoid = _ellipsoid_from_json(dd["ellipsoid"])
     towgs84 = DATUMS.get(name, (None, None))[1] if name in DATUMS else None
-    return name, ellipsoid, towgs84
+    pm = 0.0
+    pmj = dd.get("prime_meridian") or d.get("prime_meridian")
+    if pmj:
+        pm = float(pmj.get("longitude", 0.0))
+        unit = pmj.get("unit")
+        if isinstance(unit, dict):
+            pm = pm * float(unit.get("conversion_factor",
+                                     math.radians(1.0))) \
+                / math.radians(1.0)
+    return name, ellipsoid, towgs84, pm
 
 
 def _axis_from_json(d: dict, default: str = "enu") -> str:
@@ -193,28 +212,30 @@ def crs_record_from_json_dict(d: dict) -> dict:
             rec["towgs84"] = tuple(vals)
         return rec
     if t in ("GeographicCRS", "Geographic2DCRS", "Geographic3DCRS"):
-        name, ellipsoid, towgs84 = _datum_from_json(d)
+        name, ellipsoid, towgs84, pm = _datum_from_json(d)
         return dict(kind="geographic", name=d.get("name", "unknown"),
                     code=_code_of(d), datum=name, ellps=None,
                     ellipsoid=ellipsoid, towgs84=towgs84,
                     axis=_axis_from_json(d),
-                    proj_params=dict(proj="longlat"), to_meter=None)
+                    proj_params=dict(proj="longlat"), to_meter=None,
+                    pm=pm)
     if t == "GeodeticCRS":
         cs = (d.get("coordinate_system") or {}).get("subtype", "Cartesian")
-        name, ellipsoid, towgs84 = _datum_from_json(d)
+        name, ellipsoid, towgs84, pm = _datum_from_json(d)
         if _norm(str(cs)) == "ellipsoidal":
             return dict(kind="geographic", name=d.get("name", "unknown"),
                         code=_code_of(d), datum=name, ellps=None,
                         ellipsoid=ellipsoid, towgs84=towgs84,
                         axis=_axis_from_json(d),
-                        proj_params=dict(proj="longlat"), to_meter=None)
+                        proj_params=dict(proj="longlat"), to_meter=None,
+                        pm=pm)
         return dict(kind="geocentric", name=d.get("name", "unknown"),
                     code=_code_of(d), datum=name, ellps=None,
                     ellipsoid=ellipsoid, towgs84=towgs84, axis="enu",
                     proj_params=dict(proj="geocent"), to_meter=1.0)
     if t == "ProjectedCRS":
         base = d.get("base_crs") or {}
-        name, ellipsoid, towgs84 = _datum_from_json(base)
+        name, ellipsoid, towgs84, pm = _datum_from_json(base)
         params = _conversion_params(d["conversion"])
         cs = d.get("coordinate_system") or {}
         to_meter = 1.0
@@ -227,5 +248,5 @@ def crs_record_from_json_dict(d: dict) -> dict:
                     code=_code_of(d), datum=name, ellps=None,
                     ellipsoid=ellipsoid, towgs84=towgs84,
                     axis=_axis_from_json(d), proj_params=params,
-                    to_meter=to_meter)
+                    to_meter=to_meter, pm=pm)
     raise ValueError(f"unsupported PROJJSON type {t!r}")

@@ -51,9 +51,17 @@ def _q(s: str) -> str:
 def _datum_wkt(crs) -> str:
     e = crs.ellipsoid
     inv_f = e.rf
-    return (f'DATUM[{_q(crs.datum_name or "unknown")},'
-            f'ELLIPSOID[{_q(e.name)},{e.a!r},{inv_f!r},'
-            f'LENGTHUNIT["metre",1]]]')
+    out = (f'DATUM[{_q(crs.datum_name or "unknown")},'
+           f'ELLIPSOID[{_q(e.name)},{e.a!r},{inv_f!r},'
+           f'LENGTHUNIT["metre",1]]]')
+    pm = getattr(crs, "pm", 0.0)
+    if pm:
+        from pyproj_spark.crs.catalog import PRIME_MERIDIANS
+        name = next((k.capitalize() for k, v in PRIME_MERIDIANS.items()
+                     if v == pm), "unknown")
+        out += (f',PRIMEM[{_q(name)},{pm!r},'
+                'ANGLEUNIT["degree",0.0174532925199433]]')
+    return out
 
 
 def _geog_cs() -> str:

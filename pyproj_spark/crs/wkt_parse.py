@@ -323,6 +323,23 @@ def _axis_order(crs_node: Node, default: str = "enu") -> str:
     return "neu" if _norm(direction) in ("north", "south") else "enu"
 
 
+def _prime_meridian_deg(crs_node: Node) -> float:
+    """PRIMEM offset in decimal degrees; honors the node's ANGLEUNIT
+    (PROJ writes e.g. Paris in grads: PRIMEM["Paris",2.5969213,
+    ANGLEUNIT["grad",0.015707963...]])."""
+    import math
+    pm = crs_node.find("PRIMEM", "PRIMEMERIDIAN")
+    if pm is None:
+        return 0.0
+    value = next((v for v in pm.values[1:] if isinstance(v, float)), 0.0)
+    unit = pm.find("ANGLEUNIT", "UNIT")
+    factor = math.radians(1.0)
+    if unit is not None:
+        factor = next((v for v in unit.values[1:]
+                       if isinstance(v, float)), factor)
+    return value * factor / math.radians(1.0)
+
+
 def _unit_to_meter(crs_node: Node) -> float:
     u = crs_node.find("LENGTHUNIT", "UNIT")
     if u is None:
@@ -344,7 +361,8 @@ def _geog_record(node: Node, kind: str = "geographic") -> dict:
         axis=_axis_order(node, default="enu"),
         proj_params=dict(proj="longlat" if kind == "geographic"
                          else "geocent"),
-        to_meter=None if kind == "geographic" else 1.0)
+        to_meter=None if kind == "geographic" else 1.0,
+        pm=_prime_meridian_deg(node))
 
 
 def _method_to_proj(method_node: Node) -> tuple:
@@ -406,7 +424,8 @@ def _proj_record(node: Node) -> dict:
         kind="projected", name=node.name or "unknown", code=_epsg_id(node),
         datum=datum_name, ellps=None, ellipsoid=ellipsoid,
         towgs84=towgs84, axis=_axis_order(node, default="enu"),
-        proj_params=params, to_meter=_unit_to_meter(node))
+        proj_params=params, to_meter=_unit_to_meter(node),
+        pm=_prime_meridian_deg(base))
 
 
 def crs_record_from_wkt(s: str) -> dict:

@@ -144,24 +144,29 @@ class _Kernel:
         params.pop("units", None)
         return cls(crs.ellipsoid, **params)
 
-    # -- one side: native units -> geodetic radians (+h meters) ------------
+    # -- one side: native units -> geodetic radians (+h meters), in the
+    # GREENWICH frame: a non-Greenwich prime meridian (+pm=paris etc.)
+    # shifts every longitude by its offset on the way in/out (PROJ's
+    # +pm semantics; geocentric XYZ is frame-absolute and unaffected)
     def _to_geodetic(self, crs: CRS, proj, x, y, z):
         if crs.is_geocentric:
             lam, phi, h = geocentric_to_geodetic(crs.ellipsoid, x, y, z)
             return lam, phi, h
+        pm = np.radians(getattr(crs, "pm", 0.0))
         if crs.is_geographic:
-            return np.radians(x), np.radians(y), z
+            return np.radians(x) + pm, np.radians(y), z
         u = crs.to_meter or 1.0
         lam, phi = proj.inverse(x * u, y * u)
-        return lam, phi, z
+        return lam + pm, phi, z
 
     def _from_geodetic(self, crs: CRS, proj, lam, phi, h):
         if crs.is_geocentric:
             return geodetic_to_geocentric(crs.ellipsoid, lam, phi, h)
+        pm = np.radians(getattr(crs, "pm", 0.0))
         if crs.is_geographic:
-            return np.degrees(lam), np.degrees(phi), h
+            return np.degrees(lam - pm), np.degrees(phi), h
         u = crs.to_meter or 1.0
-        x, y = proj.forward(lam, phi)
+        x, y = proj.forward(lam - pm, phi)
         return x / u, y / u, h
 
     def __call__(self, x, y, z=None, t=None, direction="FORWARD"):

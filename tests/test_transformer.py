@@ -296,3 +296,40 @@ def test_polyconic():
     crs = CRS.from_epsg(5880)
     assert CRS.from_wkt(crs.to_wkt())._key() == crs._key()
     assert CRS.from_json(crs.to_json())._key() == crs._key()
+
+
+def test_prime_meridian():
+    # +pm semantics (PROJ): longitudes referenced to the named meridian
+    # differ from Greenwich by exactly the published offset when the
+    # datum/ellipsoid legs are identical
+    paris = 2.337229166666667
+    t = Transformer.from_crs(
+        "+proj=longlat +pm=paris +ellps=WGS84 +towgs84=0,0,0",
+        4326, always_xy=True)
+    lon, lat = t.transform(0.0, 48.0)
+    assert_almost_equal((lon, lat), (paris, 48.0), decimal=12)
+    # numeric +pm and named +pm agree; inverse round-trips
+    t2 = Transformer.from_crs(
+        f"+proj=longlat +pm={paris} +ellps=WGS84 +towgs84=0,0,0",
+        4326, always_xy=True)
+    assert_almost_equal(t2.transform(0.0, 48.0), (paris, 48.0))
+    assert_almost_equal(t.transform(paris, 48.0, direction="INVERSE"),
+                        (0.0, 48.0), decimal=12)
+    # EPSG:4807 (NTF Paris): pm offset + NTF datum shift; the recovered
+    # Greenwich longitude of the Paris meridian is pm plus a small
+    # datum-shift correction (< 0.01 deg)
+    t3 = Transformer.from_crs(4807, 4326, always_xy=True)
+    lon, lat = t3.transform(0.0, 48.0)
+    assert abs(lon - paris) < 0.01 and abs(lat - 48.0) < 0.01
+    lon_b, lat_b = t3.transform(lon, lat, direction="INVERSE")
+    # decimal=8 (~1 mm): the geocentric<->geodetic Newton in the double
+    # Helmert leg round-trips to half a millimetre, not machine epsilon
+    assert_almost_equal((lon_b, lat_b), (0.0, 48.0), decimal=8)
+    # WKT round trip preserves the prime meridian (incl. grad units)
+    crs = CRS.from_epsg(4807)
+    assert CRS.from_wkt(crs.to_wkt())._key() == crs._key()
+    grad_wkt = crs.to_wkt().replace(
+        "2.337229166666667,ANGLEUNIT[\"degree\",0.0174532925199433]",
+        "2.5969213,ANGLEUNIT[\"grad\",0.015707963267949]")
+    assert abs(CRS.from_wkt(grad_wkt).pm - paris) < 1e-7
+    assert CRS.from_proj4(crs.to_proj4()).pm == crs.pm
