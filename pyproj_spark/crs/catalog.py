@@ -51,6 +51,10 @@ DATUMS = {
     "ITRF2014": ("GRS80", (0, 0, 0)),
     "SIRGAS2000": ("GRS80", (0, 0, 0)),
     "NTF": ("clrk80ign", (-168, -60, 320)),
+    "RGF93": ("GRS80", (0, 0, 0)),
+    "GDA94": ("GRS80", (0, 0, 0)),
+    "GDA2020": ("GRS80", (0, 0, 0)),
+    "SWEREF99": ("GRS80", (0, 0, 0)),
     "NZGD2000": ("GRS80", (0, 0, 0)),
     "GDM2000": ("GRS80", (0, 0, 0)),
 }
@@ -66,6 +70,10 @@ _GEOG = {
     4121: ("GGRS87 / geographic 2D", "GGRS87", "neu"),
     4230: ("ED50 / geographic 2D", "ED50", "neu"),
     4277: ("OSGB36 / geographic 2D", "OSGB36", "neu"),
+    4171: ("RGF93 v1 / geographic 2D", "RGF93", "neu"),
+    4283: ("GDA94 / geographic 2D", "GDA94", "neu"),
+    7844: ("GDA2020 / geographic 2D", "GDA2020", "neu"),
+    4619: ("SWEREF99 / geographic 2D", "SWEREF99", "neu"),
 }
 
 _GEOCENT = {
@@ -118,6 +126,53 @@ _PROJECTED = {
                 alpha=323.0257964666666, gamma=323.1301023611111,
                 k_0=0.99984, x_0=804671, y_0=0), "enu", 1.0),
 }
+
+_PROJECTED.update({
+    2154: ("RGF93 v1 / Lambert-93", "RGF93",
+           dict(proj="lcc", lat_1=49, lat_2=44, lat_0=46.5, lon_0=3,
+                x_0=700000, y_0=6600000), "enu", 1.0),
+    3006: ("SWEREF99 TM", "SWEREF99",
+           dict(proj="tmerc", lat_0=0, lon_0=15, k_0=0.9996,
+                x_0=500000, y_0=0), "neu", 1.0),
+    32661: ("WGS 84 / UPS North (N,E)", "WGS84",
+            dict(proj="stere", lat_0=90, k_0=0.994, lon_0=0,
+                 x_0=2000000, y_0=2000000), "neu", 1.0),
+    32761: ("WGS 84 / UPS South (N,E)", "WGS84",
+            dict(proj="stere", lat_0=-90, k_0=0.994, lon_0=0,
+                 x_0=2000000, y_0=2000000), "neu", 1.0),
+    3338: ("NAD83 / Alaska Albers", "NAD83",
+           dict(proj="aea", lat_1=55, lat_2=65, lat_0=50, lon_0=-154,
+                x_0=0, y_0=0), "enu", 1.0),
+    6931: ("WGS 84 / NSIDC EASE-Grid 2.0 North", "WGS84",
+           dict(proj="laea", lat_0=90, lon_0=0, x_0=0, y_0=0),
+           "enu", 1.0),
+    6932: ("WGS 84 / NSIDC EASE-Grid 2.0 South", "WGS84",
+           dict(proj="laea", lat_0=-90, lon_0=0, x_0=0, y_0=0),
+           "enu", 1.0),
+    3112: ("GDA94 / Geoscience Australia Lambert", "GDA94",
+           dict(proj="lcc", lat_1=-18, lat_2=-36, lat_0=0, lon_0=134,
+                x_0=0, y_0=0), "enu", 1.0),
+})
+# ETRS89 / UTM zones 28N-38N (EPSG 25828-25838)
+for _z in range(28, 39):
+    _PROJECTED[25800 + _z] = (
+        f"ETRS89 / UTM zone {_z}N", "ETRS89", dict(proj="utm", zone=_z),
+        "enu", 1.0)
+# ED50 / UTM zones 28N-38N (EPSG 23028-23038)
+for _z in range(28, 39):
+    _PROJECTED[23000 + _z] = (
+        f"ED50 / UTM zone {_z}N", "ED50", dict(proj="utm", zone=_z),
+        "enu", 1.0)
+# GDA94 / MGA zones 48-58 (EPSG 28348-28358; southern-hemisphere UTM)
+for _z in range(48, 59):
+    _PROJECTED[28300 + _z] = (
+        f"GDA94 / MGA zone {_z}", "GDA94",
+        dict(proj="utm", zone=_z, south=True), "enu", 1.0)
+# GDA2020 / MGA zones 48-58 (EPSG 7848-7858)
+for _z in range(48, 59):
+    _PROJECTED[7800 + _z] = (
+        f"GDA2020 / MGA zone {_z}", "GDA2020",
+        dict(proj="utm", zone=_z, south=True), "enu", 1.0)
 
 # NAD83 UTM zones 1-23 (EPSG 26901-26923)
 for _z in range(1, 24):
