@@ -436,5 +436,92 @@ class Transformer:
     def name(self) -> str:
         return f"{self.spec.src_srs} -> {self.spec.dst_srs}"
 
+    # -- metadata props (reference transformer.py:484-558) ------------------
+    @property
+    def description(self) -> str:
+        k = self._kernel
+        if k.noop:
+            return OP_NAMES[OP_NOOP]
+        parts = [OP_NAMES[k.base_op]]
+        if k.grid is not None:
+            parts.insert(0, f"{OP_NAMES[OP_GRID]} [{k.grid.name}]"
+                            " where covered")
+        return " + ".join(parts)
+
+    @property
+    def definition(self) -> str:
+        """proj-pipeline-shaped definition of the planned transform."""
+        k = self._kernel
+        if k.noop:
+            return "+proj=noop"
+        steps = [f"+step +inv {k.src.to_proj4()}"]
+        if k.grid is not None:
+            steps.append(f"+step +proj=hgridshift +grids={k.grid.name}")
+        elif k.datum_shift:
+            steps.append("+step +proj=helmert")
+        steps.append(f"+step {k.dst.to_proj4()}")
+        return "+proj=pipeline " + " ".join(steps)
+
+    @property
+    def has_inverse(self) -> bool:
+        return True  # every planned kernel is bidirectional
+
+    @property
+    def accuracy(self) -> float:
+        """Expected accuracy in metres; -1 if unknown (ballpark)."""
+        k = self._kernel
+        if k.noop:
+            return 0.0
+        if k.grid is not None:
+            return 0.15
+        return {OP_CONVERSION: 0.0, OP_HELMERT3: 2.0, OP_HELMERT7: 1.0,
+                OP_BALLPARK: -1.0}.get(k.base_op, -1.0)
+
+    @property
+    def area_of_use(self):
+        """Intersection of the two CRS areas of use (reference
+        transformer.py:524-534 returns the operation's area)."""
+        from types import SimpleNamespace as NS
+        a = self._kernel.src.area_of_use
+        b = self._kernel.dst.area_of_use
+        w, s = max(a.west, b.west), max(a.south, b.south)
+        e, n = min(a.east, b.east), min(a.north, b.north)
+        return NS(west=w, south=s, east=e, north=n, bounds=(w, s, e, n),
+                  name=f"{a.name} n {b.name}")
+
+    @property
+    def scope(self) -> str:
+        return "Coordinate transformation (engine-planned)"
+
+    @property
+    def remarks(self) -> str:
+        k = self._kernel
+        if getattr(k, "grid", None) is not None:
+            return (f"gridded datum shift via {k.grid.name}; Helmert "
+                    "fallback outside grid coverage")
+        return ""
+
+    @property
+    def operations(self) -> tuple:
+        """The step chain of the planned pipeline as named operations."""
+        from types import SimpleNamespace as NS
+        k = self._kernel
+        if k.noop:
+            return (NS(name=OP_NAMES[OP_NOOP], method_name="noop"),)
+        ops = []
+        if not k.src.is_geographic:
+            ops.append(NS(name=f"Inverse of {k.src.name}",
+                          method_name=k.src.proj_params.get("proj")))
+        if k.grid is not None:
+            ops.append(NS(name=OP_NAMES[OP_GRID],
+                          method_name="hgridshift"))
+        elif k.datum_shift:
+            ops.append(NS(name=OP_NAMES[k.base_op],
+                          method_name="helmert"))
+        if not k.dst.is_geographic:
+            ops.append(NS(name=k.dst.name,
+                          method_name=k.dst.proj_params.get("proj")))
+        return tuple(ops)
+
     def __repr__(self):
         return f"Transformer({self.name}, always_xy={self.spec.always_xy})"

@@ -207,3 +207,37 @@ def test_proj_operations_and_prime_meridians_maps():
     pm = get_prime_meridians_map()
     assert pm["greenwich"] == "0dE"
     assert "paris" in pm and len(pm) >= 13
+
+
+def test_transformer_metadata_props():
+    # reference transformer.py:484-558 property surface
+    t = Transformer.from_crs(4267, 26915, always_xy=True)
+    assert "hgridshift" in t.definition and "pipeline" in t.definition
+    assert "Gridded datum shift" in t.description
+    assert t.accuracy == 0.15
+    assert t.has_inverse
+    assert "us_synth_conus" in t.remarks
+    ops = t.operations
+    assert [o.method_name for o in ops][-1] == "utm"
+    assert any(o.method_name == "hgridshift" for o in ops)
+    aou = t.area_of_use
+    # NAD83's area of use crosses the antimeridian (west > east is
+    # legal there); just assert the 4-tuple shape and lat sanity
+    assert len(aou.bounds) == 4 and aou.south <= aou.north
+    # noop + conversion + ballpark tiers
+    t = Transformer.from_crs(4326, 4326)
+    assert t.accuracy == 0.0 and t.definition == "+proj=noop"
+    t = Transformer.from_crs(4326, 3857, always_xy=True)
+    assert t.accuracy == 0.0 and "webmerc" in t.definition
+    t = Transformer.from_crs("+proj=longlat +a=6378137 +f=0.0033", 4326,
+                             always_xy=True)
+    assert t.accuracy == -1.0
+
+
+def test_cli():
+    from pyproj_spark.__main__ import main
+    assert main([]) == 0
+    assert main(["-v"]) == 0
+    assert main(["sync", "--list-files",
+                 "--include-already-downloaded"]) == 0
+    assert main(["sync", "--all"]) == 1  # downloads unavailable
