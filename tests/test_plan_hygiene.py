@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale properties VERDICT grades
+(pushdown, broadcast joins, partial aggregation, no self-joins in the
+dedup path, single wide exchange in kNN) asserted against the actual
+Catalyst plans so they cannot silently regress."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from pyproj_spark.queries import q_pricing_summary
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "PushedFilters: [" in plan and "l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan reads only what the
+    # query needs
+    assert "l_comment" not in plan
+
+
+def test_broadcast_join_for_dimensions(spark):
+    from pyproj_spark.queries import q_revenue_by_nation
+    plan = _plan(q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation(spark):
+    from pyproj_spark.queries import q_geocell
+    plan = _plan(q_geocell(spark, SF))
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_minhash_has_no_join(spark):
+    # the hot-band guard replaced the band self-join with groupBy +
+    # array HOFs: any join reappearing here is a scale regression
+    from pyproj_spark.queries_text import q_minhash_lsh
+    plan = _plan(q_minhash_lsh(spark, SF))
+    assert "Join" not in plan
+    from pyproj_spark.queries_text import q_jaccard_3gram
+    plan = _plan(q_jaccard_3gram(spark, SF))
+    # jaccard joins SIZES (small) but never self-joins the shingle
+    # posting stream: no more than the two size-lookup joins
+    assert plan.count("SortMergeJoin") + plan.count(
+        "BroadcastHashJoin") + plan.count("ShuffledHashJoin") <= 2
+
+
+def test_knn_zones_single_wide_exchange(spark):
+    # candidate generation is a 1-row broadcast + array HOFs; the ONLY
+    # hash-partitioned exchange allowed is the final top-k window
+    from pyproj_spark.queries import q_knn
+    plan = _plan(q_knn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid array
+
+
+def test_transform_scan_prunes_columns(spark):
+    # the flagship path must not read text/html for a lon/lat transform
+    from pyproj_spark.queries import q_webmerc_transform
+    plan = _plan(q_webmerc_transform(spark, SF))
+    assert "text" not in plan.split("ReadSchema")[-1]
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+
+
+def test_no_row_at_a_time_python(spark):
+    # BatchEvalPython = row-at-a-time F.udf — banned engine-wide
+    from pyproj_spark.queries import QUERIES
+    from pyproj_spark.queries_text import QUERIES_TEXT
+    for name, (fn, _sql) in {**QUERIES, **QUERIES_TEXT}.items():
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
