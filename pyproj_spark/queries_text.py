@@ -9,6 +9,8 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
+
 from pyspark.sql import functions as F
 
 from pyproj_spark.operators import dedup, similarity, textstats
@@ -374,6 +376,45 @@ SELECT id_a, rank, id_b, sim FROM ranked WHERE rank <= 3
 """
 
 
+def q_image_meta(spark, sf_dir):
+    """Multimodal image metadata, oracle-checked end to end: each doc
+    gets a REAL PNG header constructed from its id (mapInPandas), and
+    image_meta parses format/width/height back from the raw bytes —
+    the oracle recomputes the expected dimensions arithmetically, so
+    the construct->parse round trip through genuine container bytes is
+    driver-gated."""
+    import struct
+    from collections.abc import Iterator
+
+    from pyproj_spark.operators.multimodal import image_meta
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = [
+                b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", int(d) % 1024 + 1, int(d) % 768 + 1)
+                + b"\x08\x02\x00\x00\x00"
+                for d in pdf["doc_id"]]
+            yield pd.DataFrame({"url": pdf["url"], "payload": payload})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    meta = image_meta(blobs, "payload")
+    return meta.select(F.col("url").cast("long").alias("doc_id"),
+                       "format", "width", "height", "n_bytes")
+
+
+SQL_IMAGE_META = """
+SELECT doc_id, 'png' AS format,
+       CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 768 + 1 AS INTEGER) AS height,
+       CAST(29 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def q_multimodal_stub(spark, sf_dir):
     """Multimodal plumbing over binary columns (html as the opaque blob):
     size + magic prefix + stubbed decode via mapInPandas. Rows-only check
@@ -397,6 +438,7 @@ QUERIES_TEXT = {
     "jaccard_3gram": (q_jaccard_3gram, SQL_JACCARD),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "image_meta": (q_image_meta, SQL_IMAGE_META),
     "multimodal_stub": (q_multimodal_stub, None),
 }
 

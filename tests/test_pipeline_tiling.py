@@ -131,3 +131,38 @@ def test_line_lengths_matches_kernel(spark):
         grp = grp.sort_values("seq")
         ref = g.line_length(grp["lon"].tolist(), grp["lat"].tolist())
         assert_almost_equal(got[line], ref, decimal=6)
+
+
+def test_image_header_parsing(spark):
+    # REAL container-header parsing over constructed blobs (public
+    # format specs): PNG IHDR, GIF screen descriptor, BMP info header,
+    # JPEG SOF0 segment walk (with a COM segment to skip first)
+    import struct
+    from pyproj_spark.operators.multimodal import (_parse_image_header,
+                                                   image_meta)
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -60)
+           + b"\x00" * 8)
+    com = b"hello jpeg"
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xfe" + struct.pack(">H", len(com) + 2) + com
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9
+            + b"\xff\xd9")
+    assert _parse_image_header(png) == ("png", 640, 480)
+    assert _parse_image_header(gif) == ("gif", 320, 200)
+    assert _parse_image_header(bmp) == ("bmp", 100, 60)
+    assert _parse_image_header(jpeg) == ("jpeg", 1920, 1080)
+    assert _parse_image_header(b"plain text bytes here")[0] is None
+    # Arrow-batched path
+    df = spark.createDataFrame(
+        [("u1", png), ("u2", gif), ("u3", jpeg), ("u4", b"notimage")],
+        "url string, payload binary")
+    rows = {r["url"]: (r["format"], r["width"], r["height"])
+            for r in image_meta(df).collect()}
+    assert rows["u1"] == ("png", 640, 480)
+    assert rows["u2"] == ("gif", 320, 200)
+    assert rows["u3"] == ("jpeg", 1920, 1080)
+    assert rows["u4"] == (None, None, None)
