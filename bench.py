@@ -124,6 +124,17 @@ def main():
 
     # --- per-query timings at SF_DIR -----------------------------------
     spark = get_spark("bench-queries", cores=CPUS)
+    # steady-state methodology (same as the pinned-level children): spin
+    # up the JVM + python-worker pool once so the first UDF query isn't
+    # charged ~5s of Arrow/py4j warmup that no later query pays
+    from pyspark.sql import functions as F
+
+    from pyproj_spark.functions.transform import transform_xy
+    warm = spark.range(CPUS * 4).select(
+        transform_xy("EPSG:4326", "EPSG:3857",
+                     (F.col("id") % 360 - 180.0).cast("double"),
+                     F.lit(10.0)).alias("xy"))
+    warm.write.format("noop").mode("overwrite").save()
     qtimes = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()

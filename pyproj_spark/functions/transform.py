@@ -141,6 +141,28 @@ def reverse_azimuth(az: Column) -> Column:
     return F.when(az > 0, az - 180.0).otherwise(az + 180.0)
 
 
+def spherical_ring_area_m2(ring: Column,
+                           radius: float = 6371008.8) -> Column:
+    """Unsigned spherical shoelace area (m²) of a ring column
+    (array<struct<lon,lat>>) — pure Catalyst HOFs, no UDF: the discrete
+    Green's-theorem sum R²/2·|Σ Δλ·(sin φ₁ + sin φ₂)| over consecutive
+    vertices (wrap-around closure). The spherical analogue of the exact
+    ellipsoidal kernel in ``kernels/area.py`` (which is golden-tested);
+    use this form for cheap in-plan area predicates at scale."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def term(i: Column) -> Column:
+        p1 = F.element_at(ring, (i + 1).cast("int"))
+        p2 = F.element_at(ring, (F.pmod(i + 1, n) + 1).cast("int"))
+        return (F.radians(p2["lon"]) - F.radians(p1["lon"])) \
+            * (F.sin(F.radians(p1["lat"])) + F.sin(F.radians(p2["lat"])))
+
+    s = F.aggregate(F.transform(idx, term), F.lit(0.0),
+                    lambda acc, v: acc + v)
+    return F.abs(s) * (radius * radius / 2.0)
+
+
 def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
                 radius: float = 6371008.8) -> Column:
     """Great-circle distance in metres — pure Catalyst (codegen-friendly).

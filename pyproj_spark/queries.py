@@ -663,3 +663,82 @@ GROUP BY name
 
 
 QUERIES["grid_inventory"] = (q_grid_inventory, _grid_inventory_sql())
+
+
+def q_polygon_area(spark, sf_dir):
+    """G8 as an in-plan DataFrame op: spherical shoelace area per zone
+    ring via native array HOFs (the exact ellipsoidal kernel is
+    golden-tested in kernels/area.py; this is its cheap Catalyst twin
+    for scale predicates). Row count is tied to the documents table
+    through the PIP join so the query exercises real data flow."""
+    from pyproj_spark.functions.transform import spherical_ring_area_m2
+    pts = _doc_points(spark, sf_dir)
+    hits = pip_join(pts, _zones_df(spark)).groupBy("zone_id") \
+        .agg(F.count("*").alias("n_points"))
+    zones = _zones_df(spark).select(
+        "zone_id",
+        F.round(spherical_ring_area_m2(F.col("ring")) / 1e6)
+        .cast("long").alias("area_km2"))
+    return zones.join(hits, "zone_id", "left") \
+        .select("zone_id", "area_km2",
+                F.coalesce("n_points", F.lit(0)).alias("n_points"))
+
+
+SQL_POLYGON_AREA = f"""
+WITH pts AS ({_PTS_SQL}),
+edges AS ({_zone_edges_sql()}),
+area AS (
+  SELECT zone_id,
+         CAST(round(abs(SUM((radians(x2) - radians(x1))
+                            * (sin(radians(y1)) + sin(radians(y2)))))
+                    * 6371008.8 * 6371008.8 / 2.0 / 1e6) AS BIGINT)
+             AS area_km2
+  FROM edges GROUP BY zone_id
+),
+hits AS (
+  SELECT doc_id, zone_id
+  FROM pts p CROSS JOIN edges e
+  GROUP BY doc_id, zone_id, lon, lat
+  HAVING SUM(CASE WHEN ((y1 > lat) != (y2 > lat))
+                   AND lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+                  THEN 1 ELSE 0 END) % 2 = 1
+),
+cnt AS (SELECT zone_id, count(*) AS n_points FROM hits GROUP BY zone_id)
+SELECT a.zone_id, a.area_km2, coalesce(cnt.n_points, 0) AS n_points
+FROM area a LEFT JOIN cnt ON a.zone_id = cnt.zone_id
+"""
+
+QUERIES["polygon_area"] = (q_polygon_area, SQL_POLYGON_AREA)
+
+
+def q_crs_catalog(spark, sf_dir):
+    """§2.4 catalog surface as an oracle-gated DataFrame query:
+    query_crs_info with a Europe AOI intersect filter, grouped by type
+    and datum (the oracle mirrors the catalog as a VALUES table built
+    from the same bundled rows)."""
+    from pyproj_spark.aoi import AreaOfInterest
+    from pyproj_spark.catalog_api import query_crs_info
+    aoi = AreaOfInterest(-10.0, 35.0, 30.0, 70.0)
+    df = query_crs_info(spark, auth_name="EPSG", area_of_interest=aoi)
+    return df.groupBy("type", "datum").agg(F.count("*").alias("cnt"))
+
+
+def _crs_catalog_sql() -> str:
+    from pyproj_spark.catalog_api import _DATUM_AOU
+    from pyproj_spark.crs import catalog as _cat
+    rows = []
+    for auth, code, kind, name, datum in _cat.all_codes():
+        w, s, e, n = _DATUM_AOU.get(datum, (-180, -90, 180, 90))
+        rows.append(f"('{kind}', '{datum}', {float(w)!r}, {float(s)!r}, "
+                    f"{float(e)!r}, {float(n)!r})")
+    return f"""
+WITH cat AS (SELECT * FROM (VALUES {', '.join(rows)})
+             AS c(type, datum, west, south, east, north))
+SELECT type, datum, count(*) AS cnt
+FROM cat
+WHERE west < 30.0 AND -10.0 < east AND south < 70.0 AND 35.0 < north
+GROUP BY type, datum
+"""
+
+
+QUERIES["crs_catalog"] = (q_crs_catalog, _crs_catalog_sql())
