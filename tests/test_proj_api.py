@@ -192,3 +192,13 @@ def test_crs_component_accessors():
     assert 19 < g.west < 20 and g.north < 42
     assert CRS.from_epsg(4978).axis_info[0].direction == "geocentricX"
 
+
+
+def test_top_level_namespace():
+    # the reference's pyproj/__init__.py:75-89 __all__ resolves here too
+    import pyproj_spark as pp
+    for n in pp.__all__:
+        assert getattr(pp, n) is not None, n
+    assert "tmerc" in pp.pj_list
+    assert "WGS84" in pp.pj_ellps
+    assert pp.Geod(ellps="WGS84").a == 6378137.0
