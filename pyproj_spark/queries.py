@@ -742,3 +742,33 @@ GROUP BY type, datum
 
 
 QUERIES["crs_catalog"] = (q_crs_catalog, _crs_catalog_sql())
+
+
+def q_first_seen(spark, sf_dir):
+    """Batch form of streaming/dedup.py's first-seen-wins semantics
+    (the state-store operator emits each key's first arrival; in batch
+    that is the rank-1 row per key by event time with a deterministic
+    tie-break) — driver-gates the dedup semantics the streaming tests
+    assert against."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    return (ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_type",
+                    F.col("event_id").alias("first_event_id"),
+                    F.col("ts").alias("first_ts")))
+
+
+SQL_FIRST_SEEN = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES["first_seen"] = (q_first_seen, SQL_FIRST_SEEN)
