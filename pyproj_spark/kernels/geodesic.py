@@ -533,5 +533,8 @@ def _astroid(x, y):
     safe_vu = np.where(v - u != 0.0, v - u, 1.0)
     uv = np.where(u < 0.0, q / safe_vu, u + v)
     w = (uv - q) / (2.0 * np.where(v != 0.0, v, 1.0))
-    k = uv / (np.sqrt(uv + w * w) + w)
+    # masked (~easy) lanes can carry uv + w*w < 0 garbage; silence the
+    # sqrt warning — those lanes are discarded by the final where
+    with np.errstate(invalid="ignore"):
+        k = uv / (np.sqrt(uv + w * w) + w)
     return np.where(easy, k, 0.0)
