@@ -457,6 +457,41 @@ class CRS:
     def equals(self, other, ignore_axis_order: bool = False) -> bool:
         return self == CRS.from_user_input(other)
 
+    def is_exact_same(self, other) -> bool:
+        """Strict identity: parameters AND axis order AND name —
+        reference pyproj/crs/crs.py:1455-1460 (stricter than ==)."""
+        try:
+            other = CRS.from_user_input(other)
+        except Exception:
+            return False
+        return (self._key() == other._key() and self.axis == other.axis
+                and self.name == other.name)
+
+    @property
+    def coordinate_operation(self):
+        """The conversion of a projected CRS (reference
+        crs.py:1162-1172) — method/param view over proj_params."""
+        if not self.is_projected:
+            return None
+        from types import SimpleNamespace as NS
+        from pyproj_spark.crs.wkt import _METHOD_NAMES, _PARAM_NAMES
+        params = dict(self.proj_params)
+        proj = params.pop("proj")
+        if proj == "utm":
+            zone = int(params.pop("zone"))
+            south = bool(params.pop("south", False))
+            params = {"lat_0": 0.0, "lon_0": zone * 6 - 183,
+                      "k_0": 0.9996, "x_0": 500000.0,
+                      "y_0": 10000000.0 if south else 0.0}
+        method, mcode = _METHOD_NAMES.get(proj, (proj, 0))
+        plist = [NS(name=_PARAM_NAMES[k][0], value=float(v),
+                    unit_name=_PARAM_NAMES[k][2])
+                 for k, v in params.items()
+                 if k in _PARAM_NAMES and v is not True]
+        return NS(name=method, method_name=method,
+                  method_code=mcode or None, params=plist,
+                  type_name="Conversion")
+
     def __repr__(self):
         return f"CRS({self.srs!r})"
 

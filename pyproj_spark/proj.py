@@ -53,6 +53,17 @@ class Proj:
     def to_latlong(self) -> "Proj":
         return Proj(self.crs.geodetic_crs)
 
+    def to_latlong_def(self) -> str:
+        """proj string of the geographic CRS — reference proj.py:180."""
+        return self.crs.geodetic_crs.to_proj4()
+
+    def definition_string(self) -> str:
+        """proj-string definition — reference proj.py:168-178."""
+        return self.crs.to_proj4()
+
+    def is_exact_same(self, other) -> bool:
+        return self.crs.is_exact_same(getattr(other, "crs", other))
+
     def get_factors(self, longitude, latitude, radians: bool = False,
                     errcheck: bool = False) -> Factors:
         """12 distortion factors per point — reference

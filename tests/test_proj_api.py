@@ -202,3 +202,28 @@ def test_top_level_namespace():
     assert "tmerc" in pp.pj_list
     assert "WGS84" in pp.pj_ellps
     assert pp.Geod(ellps="WGS84").a == 6378137.0
+
+
+def test_proj_definition_and_exact_same():
+    p = Proj("EPSG:32633")
+    d = p.definition_string()
+    assert "+proj=utm" in d or "+proj=tmerc" in d
+    assert "+proj=longlat" in p.to_latlong_def()
+    assert p.is_exact_same(Proj("EPSG:32633"))
+    assert not p.is_exact_same(Proj("EPSG:32634"))
+    # == is looser than is_exact_same (utm vs expanded tmerc)
+    from pyproj_spark.crs.crs import CRS
+    a = CRS.from_proj4("+proj=utm +zone=33 +ellps=WGS84")
+    b = CRS.from_epsg(32633)
+    assert a == b and not a.is_exact_same(b)  # names differ
+
+
+def test_crs_coordinate_operation_property():
+    from pyproj_spark.crs.crs import CRS
+    op = CRS.from_epsg(32633).coordinate_operation
+    assert op.method_name == "Transverse Mercator"
+    assert op.method_code == 9807
+    vals = {p.name: p.value for p in op.params}
+    assert vals["Longitude of natural origin"] == 15.0
+    assert vals["Scale factor at natural origin"] == 0.9996
+    assert CRS.from_epsg(4326).coordinate_operation is None
