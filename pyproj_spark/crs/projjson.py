@@ -64,6 +64,36 @@ def _strip_none(d: dict) -> dict:
 
 
 def to_json_dict(crs) -> dict:
+    """PROJJSON dict; a CRS whose towgs84 is not derivable from its
+    datum name is wrapped in a BoundCRS carrying the shift (same rule
+    as the WKT emitter — wkt.py to_wkt)."""
+    from pyproj_spark.crs.catalog import DATUMS
+    body = _crs_json_body(crs)
+    tw = getattr(crs, "towgs84", None)
+    derivable = (crs.datum_name in DATUMS
+                 and tuple(DATUMS[crs.datum_name][1] or ())
+                 == tuple(tw or ()))
+    if tw is None or derivable:
+        return body
+    names = ["X-axis translation", "Y-axis translation",
+             "Z-axis translation", "X-axis rotation", "Y-axis rotation",
+             "Z-axis rotation", "Scale difference"][:len(tw)]
+    method = ("Geocentric translations (geog2D domain)" if len(tw) == 3
+              else "Position Vector transformation (geog2D domain)")
+    return {
+        "$schema": _SCHEMA, "type": "BoundCRS", "source_crs": body,
+        "target_crs": {"type": "GeographicCRS", "name": "WGS 84",
+                       "id": {"authority": "EPSG", "code": 4326}},
+        "transformation": {
+            "name": "Transformation to WGS84",
+            "method": {"name": method,
+                       "id": {"authority": "EPSG",
+                              "code": 9603 if len(tw) == 3 else 9606}},
+            "parameters": [{"name": n, "value": float(v)}
+                           for n, v in zip(names, tw)]}}
+
+
+def _crs_json_body(crs) -> dict:
     if crs.is_geographic:
         return _strip_none({
             "$schema": _SCHEMA, "type": "GeographicCRS", "name": crs.name,

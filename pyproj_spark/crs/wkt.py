@@ -72,7 +72,44 @@ def _geog_cs() -> str:
 
 
 def to_wkt(crs, pretty: bool = False) -> str:
-    """WKT2:2019 string for a CRS built by this engine."""
+    """WKT2:2019 string for a CRS built by this engine.
+
+    A CRS whose towgs84 is not derivable from its datum name (datumless
+    proj-string CRSs, or an explicit override) is wrapped in BOUNDCRS
+    with an ABRIDGEDTRANSFORMATION carrying the shift — the same shape
+    PROJ emits, and what from_wkt reads back (wkt_parse.py BOUNDCRS)."""
+    body = _crs_body_wkt(crs)
+    from pyproj_spark.crs.catalog import DATUMS
+    tw = crs.towgs84
+    derivable = (crs.datum_name in DATUMS
+                 and tuple(DATUMS[crs.datum_name][1] or ()) == tuple(tw or ()))
+    if tw is not None and not derivable:
+        names3 = ["X-axis translation", "Y-axis translation",
+                  "Z-axis translation"]
+        names7 = names3 + ["X-axis rotation", "Y-axis rotation",
+                           "Z-axis rotation", "Scale difference"]
+        names = names3 if len(tw) == 3 else names7
+        plist = ",".join(
+            f'PARAMETER[{_q(n)},{float(v)!r}]'
+            for n, v in zip(names, tw))
+        method = ("Geocentric translations (geog2D domain)"
+                  if len(tw) == 3 else
+                  "Position Vector transformation (geog2D domain)")
+        mcode = 9603 if len(tw) == 3 else 9606
+        target = ('GEOGCRS["WGS 84",DATUM["WGS84",'
+                  'ELLIPSOID["WGS84",6378137.0,298.257223563,'
+                  'LENGTHUNIT["metre",1]]],'
+                  + _geog_cs() + ',ID["EPSG",4326]]')
+        body = (f'BOUNDCRS[SOURCECRS[{body}],TARGETCRS[{target}],'
+                f'ABRIDGEDTRANSFORMATION['
+                f'{_q("Transformation to WGS84")},'
+                f'METHOD[{_q(method)},ID["EPSG",{mcode}]],{plist}]]')
+    if pretty:
+        body = _prettify(body)
+    return body
+
+
+def _crs_body_wkt(crs) -> str:
     if crs.is_geographic:
         wkt = (f'GEOGCRS[{_q(crs.name)},{_datum_wkt(crs)},'
                f'{_geog_cs()}'
@@ -120,8 +157,6 @@ def to_wkt(crs, pretty: bool = False) -> str:
                f'LENGTHUNIT[{_q(unit_name)},{u!r}]'
                + (f',ID["EPSG",{crs.epsg_code}]' if crs.epsg_code else "")
                + "]")
-    if pretty:
-        wkt = _prettify(wkt)
     return wkt
 
 

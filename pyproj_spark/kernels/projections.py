@@ -959,7 +959,12 @@ class Polyconic(Projection):
         hi = np.full_like(A, np.pi / 2 - 1e-9)
         flo = f(lo)
         with np.errstate(invalid="ignore", divide="ignore"):
-            for _ in range(20):  # localize to ~1.5e-6 rad
+            # 40 rounds localize to ~1.4e-12 rad: Newton alone cannot
+            # polish near the equator where Snyder's equation is
+            # ill-conditioned (C -> 0), so the bracket must carry the
+            # accuracy there; Newton below supplies the last digits in
+            # the well-conditioned interior
+            for _ in range(40):
                 mid = 0.5 * (lo + hi)
                 fm = f(mid)
                 take_lo = (flo > 0) == (fm > 0)
@@ -969,7 +974,7 @@ class Polyconic(Projection):
             phi = 0.5 * (lo + hi)
             # polish with bracket-clipped Newton (Snyder 18-21): from a
             # localized seed it is quadratic; the clip keeps it safe
-            for _ in range(3):
+            for _ in range(2):
                 s = np.sin(phi)
                 s2 = np.where(np.abs(np.sin(2 * phi)) < 1e-300, 1e-300,
                               np.sin(2 * phi))

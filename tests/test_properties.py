@@ -7,6 +7,7 @@ from numpy.testing import assert_almost_equal
 
 from pyproj_spark.functions import cells
 from pyproj_spark.kernels.geodesic import Geodesic
+from pyproj_spark.crs.crs import CRS
 from pyproj_spark.plans.spec import Transformer
 
 lons = st.floats(min_value=-179.99, max_value=179.99,
@@ -215,3 +216,71 @@ def test_cf_stereographic_variants():
     assert cf["grid_mapping_name"] == "stereographic"
     back = from_cf(cf).proj_params
     assert back["proj"] == "stere" and float(back["lat_0"]) == 52.15
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    proj=st.sampled_from(["tmerc", "merc", "lcc", "laea", "aeqd",
+                          "stere", "eqc", "sinu", "aea", "cea", "poly"]),
+    lat_0=st.floats(-60.0, 60.0),
+    lon_0=st.floats(-179.0, 179.0),
+    k_0=st.floats(0.9, 1.1),
+    x_0=st.floats(-1e6, 1e6),
+    y_0=st.floats(-1e6, 1e6),
+)
+def test_wkt_projjson_roundtrip_fuzz(proj, lat_0, lon_0, k_0, x_0, y_0):
+    # any constructible projected CRS must survive to_wkt->from_wkt and
+    # to_json->from_json with an identical canonical key
+    params = {"proj": proj, "lon_0": lon_0, "x_0": x_0, "y_0": y_0,
+              "ellps": "WGS84"}
+    if proj == "lcc":
+        params.update(lat_1=lat_0 / 2 + 10, lat_2=lat_0 / 2 + 30,
+                      lat_0=lat_0)
+    elif proj == "aea":
+        params.update(lat_1=20.0, lat_2=50.0, lat_0=lat_0)
+    elif proj in ("merc", "cea", "eqc"):
+        params.update(lat_ts=abs(lat_0) / 2)
+    elif proj == "stere":
+        params.update(lat_0=lat_0, k_0=k_0)
+    elif proj == "sinu":
+        pass
+    else:
+        params.update(lat_0=lat_0, k_0=k_0)
+    crs = CRS.from_dict(params)
+    assert CRS.from_wkt(crs.to_wkt())._key() == crs._key()
+    assert CRS.from_json(crs.to_json())._key() == crs._key()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lon=st.floats(-60.0, -40.0),
+    lat=st.floats(-30.0, 30.0),
+    lat_0=st.floats(-20.0, 20.0),
+)
+def test_polyconic_roundtrip_fuzz(lon, lat, lat_0):
+    t = Transformer.from_crs(
+        4326,
+        f"+proj=poly +lat_0={lat_0} +lon_0=-54 +ellps=WGS84 "
+        "+towgs84=0,0,0",
+        always_xy=True)
+    x, y = t.transform(lon, lat)
+    lon2, lat2 = t.transform(x, y, direction="INVERSE")
+    # 1e-8 deg (~1 mm): Snyder's inverse equation is intrinsically
+    # ill-conditioned within ~1e-4 deg of the equator (C -> 0 makes the
+    # root drift ~1e-10 deg in float64 — verified the root itself moves,
+    # not the solver); everywhere else the solver reaches ~1e-13 deg
+    assert abs(lon2 - lon) < 1e-8 and abs(lat2 - lat) < 1e-8
+
+
+@settings(max_examples=30, deadline=None)
+@given(zone=st.integers(1, 60), south=st.booleans())
+def test_utm_canonicalization_fuzz(zone, south):
+    # compact utm form == expanded tmerc form for every zone/hemisphere
+    s = " +south" if south else ""
+    a = CRS.from_proj4(f"+proj=utm +zone={zone}{s} +ellps=WGS84")
+    b = CRS.from_proj4(
+        f"+proj=tmerc +lat_0=0 +lon_0={zone * 6 - 183} +k_0=0.9996 "
+        f"+x_0=500000 +y_0={10000000 if south else 0} +ellps=WGS84")
+    assert a == b
+    code = (32700 if south else 32600) + zone
+    assert a.to_epsg() == code
