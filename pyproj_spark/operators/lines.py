@@ -43,3 +43,34 @@ def line_lengths(points: DataFrame, **kw) -> DataFrame:
     return (segment_lengths(points, **kw)
             .groupBy(line_col)
             .agg(F.sum("seg_m").alias("length_m")))
+
+
+def polygon_areas(points: DataFrame, poly_col: str = "poly_id",
+                  seq_col: str = "seq", lon_col: str = "lon",
+                  lat_col: str = "lat", ellps: str = "WGS84") -> DataFrame:
+    """EXACT geodesic polygon area + perimeter per polygon (SURVEY.md
+    §2.2 G8 as a grouped DataFrame op): rows are ring vertices keyed by
+    polygon id and vertex order; each group runs the Green's-theorem +
+    Gauss-Legendre kernel (kernels/area.py, golden-tested against the
+    reference's values) once per polygon inside an Arrow batch via
+    applyInPandas. The cheap all-Catalyst spherical twin for in-plan
+    predicates is functions.transform.spherical_ring_area_m2."""
+    import pandas as pd
+
+    from pyproj_spark.kernels.geod import Geod
+
+    out_schema = f"{poly_col} long, area_m2 double, perimeter_m double"
+
+    def _area(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = _GEOD_CACHE.setdefault(ellps, Geod(ellps=ellps))
+        pdf = pdf.sort_values(seq_col)
+        area, perim = g.polygon_area_perimeter(
+            pdf[lon_col].to_numpy(), pdf[lat_col].to_numpy())
+        return pd.DataFrame({poly_col: [pdf[poly_col].iloc[0]],
+                             "area_m2": [float(area)],
+                             "perimeter_m": [float(perim)]})
+
+    return points.groupBy(poly_col).applyInPandas(_area, out_schema)
+
+
+_GEOD_CACHE: dict = {}

@@ -772,3 +772,42 @@ FROM ranked WHERE rn = 1
 """
 
 QUERIES["first_seen"] = (q_first_seen, SQL_FIRST_SEEN)
+
+
+def q_user_sessions(spark, sf_dir):
+    """Session windows (30-min inactivity gap) per user over the event
+    stream — Spark's native session_window; the oracle recomputes with
+    the classic gaps-and-islands SQL (lag + cumulative flag sum), which
+    is exactly what session_window computes for static data."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "sum_value"))
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         -- >= : Spark merges an event only when it lands STRICTLY
+         -- inside [session_start, last_event + gap)
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+QUERIES["user_sessions"] = (q_user_sessions, SQL_USER_SESSIONS)

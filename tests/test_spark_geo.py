@@ -256,3 +256,23 @@ def test_connected_components(spark):
     comp = {r["id"]: r["rep"]
             for r in connected_components(path).collect()}
     assert set(comp.values()) == {2}
+
+
+def test_polygon_areas_operator(spark):
+    # grouped exact-area op equals the kernel called directly, per ring
+    from pyproj_spark.kernels.geod import Geod
+    from pyproj_spark.operators.lines import polygon_areas
+    from pyproj_spark.queries import PIP_ZONES
+    rows = [(zid, i, float(lon), float(lat))
+            for zid, ring in PIP_ZONES.items()
+            for i, (lon, lat) in enumerate(ring)]
+    df = spark.createDataFrame(
+        rows, "poly_id long, seq long, lon double, lat double")
+    got = {r["poly_id"]: (r["area_m2"], r["perimeter_m"])
+           for r in polygon_areas(df).collect()}
+    g = Geod(ellps="WGS84")
+    for zid, ring in PIP_ZONES.items():
+        area, perim = g.polygon_area_perimeter(
+            [p[0] for p in ring], [p[1] for p in ring])
+        assert abs(got[zid][0] - area) < 1e-3
+        assert abs(got[zid][1] - perim) < 1e-6
