@@ -64,25 +64,30 @@ def point_in_ring_np(lon: np.ndarray, lat: np.ndarray,
 from pyspark.sql.types import BooleanType
 
 
-@pandas_udf(BooleanType())  # explicit DataType: no session needed at import
-def _pip_udf(zone_id: pd.Series, lon: pd.Series, lat: pd.Series,
-             ring: pd.Series) -> pd.Series:
-    lon_v = lon.to_numpy()
-    lat_v = lat.to_numpy()
-    out = np.zeros(len(lon_v), dtype=bool)
-    # rows arrive join-ordered: group by zone_id (one numpy pass per
-    # distinct zone inside the batch). zone_id is the grouping key — a
-    # (ring length, first vertex) key would collide for distinct zones
-    # sharing a vertex, silently testing against the wrong ring.
-    for _, idx in zone_id.groupby(zone_id).groups.items():
-        ii = np.asarray(idx)
-        r = ring.iloc[ii[0]]
-        if len(r) == 0:
-            continue
-        rl = np.array([p["lon"] for p in r])
-        rb = np.array([p["lat"] for p in r])
-        out[ii] = point_in_ring_np(lon_v[ii], lat_v[ii], rl, rb)
-    return pd.Series(out)
+def _make_pip_udf(rings: dict):
+    """PIP filter closing over the driver-side {zone_id: (lons, lats)}
+    ring table — the ring geometry never crosses Arrow per row (it is
+    identical across a zone's candidate rows; shipping it as a struct
+    column multiplied the batch payload by the ring size)."""
+
+    @pandas_udf(BooleanType())
+    def _pip(zone_id: pd.Series, lon: pd.Series,
+             lat: pd.Series) -> pd.Series:
+        lon_v = lon.to_numpy()
+        lat_v = lat.to_numpy()
+        out = np.zeros(len(lon_v), dtype=bool)
+        # rows arrive join-ordered: group by zone_id (one numpy pass per
+        # distinct zone inside the batch) — zone_id is the key; a
+        # geometry-derived key would collide for zones sharing vertices
+        for zid, idx in zone_id.groupby(zone_id).groups.items():
+            r = rings.get(zid)
+            if not r or len(r[0]) == 0:
+                continue
+            ii = np.asarray(idx)
+            out[ii] = point_in_ring_np(lon_v[ii], lat_v[ii], r[0], r[1])
+        return pd.Series(out)
+
+    return _pip
 
 
 def pip_join(anchors: DataFrame, zones: DataFrame,
@@ -91,13 +96,20 @@ def pip_join(anchors: DataFrame, zones: DataFrame,
     """anchors ⋈ zones where the point lies inside the zone ring.
 
     anchors: any DF with lon/lat columns. zones: zones_df schema
-    (zone_id, name, ring, cells). Returns anchors columns + zone_id.
+    (zone_id, name, ring, cells) — a broadcastable DIMENSION table (the
+    same assumption as the broadcast cell prefilter): its rings are
+    collected once on the driver and shipped inside the UDF closure, so
+    the per-row Arrow payload is just (zone_id, lon, lat).
+    Returns anchors columns + zone_id.
     """
+    rings = {
+        r["zone_id"]: (np.array([p["lon"] for p in r["ring"]]),
+                       np.array([p["lat"] for p in r["ring"]]))
+        for r in zones.select("zone_id", "ring").collect()}
     a = anchors.withColumn(
         "cell", cells.cell_of(F.col(lon_col), F.col(lat_col), res))
-    zc = zones.select(
-        "zone_id", "ring", F.explode("cells").alias("cell"))
+    zc = zones.select("zone_id", F.explode("cells").alias("cell"))
     cand = a.join(F.broadcast(zc), "cell")
-    hit = cand.filter(_pip_udf(F.col("zone_id"), F.col(lon_col),
-                               F.col(lat_col), F.col("ring")))
-    return hit.drop("ring", "cell")
+    hit = cand.filter(_make_pip_udf(rings)(
+        F.col("zone_id"), F.col(lon_col), F.col(lat_col)))
+    return hit.drop("cell")
