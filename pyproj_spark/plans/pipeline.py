@@ -112,6 +112,16 @@ class PipelineKernel:
                 keys = ("x", "y", "z", "rx", "ry", "rz", "s")
                 h = Helmert(*[float(sp.get(k, 0.0)) for k in keys])
                 self.steps.append(("helmert_inv" if inv else "helmert", h))
+            elif name == "hgridshift":
+                from pyproj_spark.kernels.grids import get_grid
+                gname = str(sp.get("grids", ""))
+                try:
+                    grid = get_grid(gname)
+                except KeyError:
+                    raise ValueError(
+                        f"grid {gname!r} is not registered; see "
+                        "kernels.grids.register_grid") from None
+                self.steps.append(("hgrid_inv" if inv else "hgrid", grid))
             elif name in PROJECTIONS:
                 E = _ellipsoid_of(sp, gparams)
                 params = {k: v for k, v in sp.items()
@@ -151,6 +161,17 @@ class PipelineKernel:
                     x, y, z = arg.forward(x, y, z)
                 elif kind == "helmert_inv":
                     x, y, z = arg.inverse(x, y, z)
+                elif kind in ("hgrid", "hgrid_inv"):
+                    # angular step (radians, PROJ hgridshift semantics);
+                    # out-of-coverage points pass through unchanged
+                    lon, lat = np.degrees(x), np.degrees(y)
+                    m = arg.contains(lon, lat)
+                    if kind == "hgrid":
+                        glon, glat = arg.apply(lon, lat)
+                    else:
+                        glon, glat = arg.apply_inverse(lon, lat)
+                    x = np.where(m, np.radians(glon), x)
+                    y = np.where(m, np.radians(glat), y)
         return x, y, z
 
 

@@ -166,3 +166,36 @@ def test_image_header_parsing(spark):
     assert rows["u2"] == ("gif", 320, 200)
     assert rows["u3"] == ("jpeg", 1920, 1080)
     assert rows["u4"] == (None, None, None)
+
+
+def test_pipeline_hgridshift_step():
+    # PROJ's most common grid step, composed in a pipeline: deg -> rad
+    # -> NAD27->NAD83 grid shift -> deg; matches the registered grid
+    # applied directly, passes out-of-coverage points through, and +inv
+    # round-trips
+    import numpy as np
+    from numpy.testing import assert_almost_equal
+    from pyproj_spark.kernels.grids import build_synthetic_conus_grid
+    from pyproj_spark.plans.spec import Transformer
+
+    pipe = ("+proj=pipeline "
+            "+step +proj=unitconvert +xy_in=deg +xy_out=rad "
+            "+step +proj=hgridshift +grids=us_synth_conus.tif "
+            "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    t = Transformer.from_pipeline(pipe)
+    g = build_synthetic_conus_grid()
+    lon, lat = t.transform(-100.0, 40.0)
+    elon, elat = g.apply(np.array([-100.0]), np.array([40.0]))
+    assert_almost_equal((lon, lat), (elon[0], elat[0]), decimal=12)
+    # out of coverage: unchanged
+    assert_almost_equal(t.transform(2.35, 48.85), (2.35, 48.85))
+    # inverse step round-trips
+    pipe_inv = pipe.replace("+step +proj=hgridshift",
+                            "+step +inv +proj=hgridshift")
+    ti = Transformer.from_pipeline(pipe_inv)
+    assert_almost_equal(ti.transform(lon, lat), (-100.0, 40.0), decimal=9)
+    # unregistered grid -> clear error
+    import pytest
+    with pytest.raises(ValueError, match="not registered"):
+        Transformer.from_pipeline(
+            "+proj=pipeline +step +proj=hgridshift +grids=nope.tif")
