@@ -811,3 +811,43 @@ FROM s GROUP BY user_id, session_id
 """
 
 QUERIES["user_sessions"] = (q_user_sessions, SQL_USER_SESSIONS)
+
+
+def q_geocent_transform(spark, sf_dir):
+    """3D kernel path (T3 z-variant): geodetic lon/lat/h -> EPSG:4978
+    geocentric XYZ through transform_xyz; the oracle recomputes the
+    closed-form geodetic->geocentric conversion (N = a/sqrt(1-e2 sin2),
+    X = (N+h) cos cos, ...) so the 3D pandas-UDF crossing and the
+    datum kernel are value-hash-gated."""
+    from pyproj_spark.functions.transform import transform_xyz
+    pts = _doc_points(spark, sf_dir).withColumn(
+        "h", (F.col("doc_id") % 9000).cast("double"))
+    xyz = transform_xyz("EPSG:4326", "EPSG:4978",
+                        F.col("lon"), F.col("lat"), F.col("h"))
+    # + 0.0 folds IEEE negative zero (sin(-pi) ~ -1e-16 rounds to -0.0
+    # on one engine and 0.0 on the other, which value-hash differently)
+    return pts.withColumn("p", xyz).select(
+        "doc_id",
+        (F.round(F.col("p.x"), 2) + 0.0).alias("gx"),
+        (F.round(F.col("p.y"), 2) + 0.0).alias("gy"),
+        (F.round(F.col("p.z"), 2) + 0.0).alias("gz"))
+
+
+SQL_GEOCENT = f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (
+  SELECT doc_id, radians(lon) AS lam, radians(lat) AS phi,
+         CAST(doc_id % 9000 AS DOUBLE) AS h,
+         6378137.0 / sqrt(1.0 - 0.0066943799901413165
+                          * sin(radians(lat)) * sin(radians(lat))) AS N
+  FROM pts
+)
+SELECT doc_id,
+       round((N + h) * cos(phi) * cos(lam), 2) + 0.0 AS gx,
+       round((N + h) * cos(phi) * sin(lam), 2) + 0.0 AS gy,
+       round((N * (1.0 - 0.0066943799901413165) + h) * sin(phi), 2) + 0.0
+           AS gz
+FROM g
+"""
+
+QUERIES["geocent_transform"] = (q_geocent_transform, SQL_GEOCENT)
