@@ -211,7 +211,8 @@ def epsg_entry(code: int) -> dict:
         return dict(kind="projected", code=code, name=name, datum=datum,
                     ellps=ellps, towgs84=towgs84, axis=axis,
                     proj_params=dict(params), to_meter=to_meter)
-    raise ValueError(f"EPSG:{code} is not in the bundled catalog "
+    from pyproj_spark.exceptions import CRSError
+    raise CRSError(f"EPSG:{code} is not in the bundled catalog "
                      f"({len(_GEOG) + len(_GEOCENT) + len(_PROJECTED)} "
                      f"codes supported)")
 

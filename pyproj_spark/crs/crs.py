@@ -14,6 +14,7 @@ import re
 from functools import lru_cache
 
 from pyproj_spark.crs import catalog
+from pyproj_spark.exceptions import CRSError
 from pyproj_spark.kernels.ellipsoid import Ellipsoid, get_ellipsoid
 
 _AUTH_CODE_RE = re.compile(
@@ -102,11 +103,11 @@ class CRS:
             init = str(params.pop("init"))
             m = _AUTH_CODE_RE.match(init)
             if not m or m.group("auth").upper() != "EPSG":
-                raise ValueError(f"unsupported init {init!r}")
+                raise CRSError(f"unsupported init {init!r}")
             return cls.from_epsg(int(m.group("code")))
         proj = params.get("proj")
         if proj is None:
-            raise ValueError("proj= parameter required")
+            raise CRSError("proj= parameter required")
         # ellipsoid resolution (pyproj/geod.py:59-112 semantics)
         if "R" in params:
             ellipsoid = Ellipsoid.from_params(a=params["R"], f=0.0,
@@ -140,7 +141,7 @@ class CRS:
             except (TypeError, ValueError):
                 key = str(raw_pm).lower()
                 if key not in catalog.PRIME_MERIDIANS:
-                    raise ValueError(f"unknown prime meridian {raw_pm!r}")
+                    raise CRSError(f"unknown prime meridian {raw_pm!r}")
                 pm = catalog.PRIME_MERIDIANS[key]
         kind = ("geographic" if proj in ("longlat", "latlong", "lonlat")
                 else "geocentric" if proj in ("geocent", "cart")
@@ -160,7 +161,7 @@ class CRS:
             elif units in (None, "m"):
                 pass
             else:
-                raise ValueError(f"unsupported units {units!r}")
+                raise CRSError(f"unsupported units {units!r}")
         rec = dict(kind=kind, name=f"unknown ({proj})", code=None,
                    datum=params.get("datum"), ellps=None,
                    ellipsoid=ellipsoid, towgs84=towgs84, axis="enu",
@@ -204,7 +205,7 @@ class CRS:
             rec = catalog.epsg_entry(4326)
             rec.update(axis="enu", code=None, name="WGS 84 (CRS84)")
             return cls._from_record(rec, "OGC:CRS84")
-        raise ValueError(f"unsupported authority {auth_name!r}")
+        raise CRSError(f"unsupported authority {auth_name!r}")
 
     @classmethod
     def from_user_input(cls, value) -> "CRS":
@@ -240,7 +241,7 @@ class CRS:
                 return cls.from_proj4(s)
         if hasattr(value, "to_wkt"):
             return cls.from_wkt(value.to_wkt())
-        raise ValueError(f"cannot interpret CRS input {value!r}")
+        raise CRSError(f"cannot interpret CRS input {value!r}")
 
     # ---------------------------------------------------------- predicates
     @property
@@ -426,7 +427,7 @@ class CRS:
         back by :meth:`from_wkt` (round-trips over the full catalog,
         tests/test_wkt_parse.py)."""
         if not str(version).startswith("WKT2"):
-            raise ValueError("only WKT2_2019 output is supported")
+            raise CRSError("only WKT2_2019 output is supported")
         from pyproj_spark.crs.wkt import to_wkt
         return to_wkt(self, pretty=pretty)
 
@@ -555,11 +556,11 @@ def _build(projparams, kwargs):
             if isinstance(projparams, dict):
                 merged = {**projparams, **kwargs}
             else:
-                raise ValueError("cannot mix positional CRS input and "
+                raise CRSError("cannot mix positional CRS input and "
                                  "kwargs")
         else:
             merged = kwargs
         return CRS.from_dict(merged).__dict__
     if projparams is None:
-        raise ValueError("CRS input required")
+        raise CRSError("CRS input required")
     return CRS.from_user_input(projparams).__dict__

@@ -12,6 +12,7 @@ a flat proj-param dict).
 from __future__ import annotations
 
 from pyproj_spark.crs.wkt import _METHOD_NAMES, _PARAM_NAMES
+from pyproj_spark.exceptions import CRSError
 from pyproj_spark.crs.wkt_parse import (
     _DATUM_ALIASES,
     _METHOD_BY_CODE,
@@ -176,7 +177,7 @@ def _datum_from_json(d: dict):
     from pyproj_spark.crs.catalog import DATUMS
     dd = d.get("datum") or d.get("datum_ensemble")
     if dd is None:
-        raise ValueError("PROJJSON CRS has no datum/datum_ensemble")
+        raise CRSError("PROJJSON CRS has no datum/datum_ensemble")
     raw = dd.get("name", "unknown")
     name = _DATUM_ALIASES.get(_norm(raw), raw)
     ellipsoid = _ellipsoid_from_json(dd["ellipsoid"])
@@ -211,7 +212,7 @@ def _conversion_params(conv: dict) -> dict:
     else:
         key = _norm(method.get("name", ""))
         if key not in _METHOD_BY_NAME:
-            raise ValueError(f"unsupported conversion method "
+            raise CRSError(f"unsupported conversion method "
                              f"{method.get('name')!r}")
         proj, extra = _METHOD_BY_NAME[key]
     params = dict(extra)
@@ -223,7 +224,7 @@ def _conversion_params(conv: dict) -> dict:
             key = _PARAM_BY_CODE.get(_code_of(p)) or _PARAM_BY_NAME.get(
                 _norm(p.get("name", "")))
             if key is None:
-                raise ValueError(f"unsupported conversion parameter "
+                raise CRSError(f"unsupported conversion parameter "
                                  f"{p.get('name')!r}")
             params[key] = float(p["value"])
     from pyproj_spark.crs.wkt_parse import _fixup_params
@@ -279,4 +280,4 @@ def crs_record_from_json_dict(d: dict) -> dict:
                     ellipsoid=ellipsoid, towgs84=towgs84,
                     axis=_axis_from_json(d), proj_params=params,
                     to_meter=to_meter, pm=pm)
-    raise ValueError(f"unsupported PROJJSON type {t!r}")
+    raise CRSError(f"unsupported PROJJSON type {t!r}")

@@ -18,6 +18,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+from pyproj_spark.exceptions import CRSError
+
 
 # --------------------------------------------------------------- syntax
 
@@ -64,7 +66,7 @@ def _tokenize(s: str):
         if not m:
             if s[pos:].strip() == "":
                 break
-            raise ValueError(f"WKT syntax error at char {pos}: "
+            raise CRSError(f"WKT syntax error at char {pos}: "
                              f"{s[pos:pos + 30]!r}")
         pos = m.end()
         if m.lastgroup == "str":
@@ -87,12 +89,12 @@ def parse_wkt(s: str) -> Node:
         nonlocal pos
         kind, kw = toks[pos]
         if kind != "word":
-            raise ValueError(f"expected keyword, got {kw!r}")
+            raise CRSError(f"expected keyword, got {kw!r}")
         pos += 1
         kind, p = toks[pos]
         # both [ and ( are legal WKT brackets
         if not (kind == "punc" and p in "(["):
-            raise ValueError(f"expected '[' after {kw}")
+            raise CRSError(f"expected '[' after {kw}")
         close = "]" if p == "[" else ")"
         pos += 1
         vals = []
@@ -119,7 +121,7 @@ def parse_wkt(s: str) -> Node:
 
     root = node()
     if pos != len(toks):
-        raise ValueError("trailing content after WKT root node")
+        raise CRSError("trailing content after WKT root node")
     return root
 
 
@@ -276,7 +278,7 @@ def _epsg_id(node: Node):
 def _ellipsoid_params(datum_node: Node) -> dict:
     ell = datum_node.find("ELLIPSOID", "SPHEROID")
     if ell is None:
-        raise ValueError("WKT datum has no ELLIPSOID/SPHEROID")
+        raise CRSError("WKT datum has no ELLIPSOID/SPHEROID")
     a = float(ell.values[1])
     rf = float(ell.values[2])
     out = {"a": a}
@@ -293,7 +295,7 @@ def _datum_info(crs_node: Node):
     from pyproj_spark.crs.catalog import DATUMS
     d = crs_node.find("DATUM", "TRF", "GEODETICDATUM", "ENSEMBLE")
     if d is None:
-        raise ValueError("WKT CRS has no DATUM/ENSEMBLE node")
+        raise CRSError("WKT CRS has no DATUM/ENSEMBLE node")
     ell_params, _ell_name = _ellipsoid_params(d)
     raw_name = d.name or "unknown"
     datum_name = _DATUM_ALIASES.get(_norm(raw_name))
@@ -373,7 +375,7 @@ def _method_to_proj(method_node: Node) -> tuple:
     else:
         key = _norm(method_node.name or "")
         if key not in _METHOD_BY_NAME:
-            raise ValueError(
+            raise CRSError(
                 f"unsupported projection method {method_node.name!r}")
         proj, extra = _METHOD_BY_NAME[key]
     if _norm(method_node.name or "").startswith(
@@ -387,7 +389,7 @@ def _method_to_proj(method_node: Node) -> tuple:
 def _proj_record(node: Node) -> dict:
     base = node.find("BASEGEOGCRS", "BASEGEODCRS", "GEOGCS")
     if base is None:
-        raise ValueError("projected WKT CRS has no base geographic CRS")
+        raise CRSError("projected WKT CRS has no base geographic CRS")
     datum_name, ell_params, towgs84 = _datum_info(base)
     from pyproj_spark.kernels.ellipsoid import Ellipsoid
     ellipsoid = Ellipsoid.from_params(**ell_params)
@@ -397,14 +399,14 @@ def _proj_record(node: Node) -> dict:
     if conv is not None:  # WKT2
         method = conv.find("METHOD", "PROJECTION")
         if method is None:
-            raise ValueError("CONVERSION has no METHOD")
+            raise CRSError("CONVERSION has no METHOD")
         proj, params_extra = _method_to_proj(method)
         params.update(params_extra)
         param_nodes = conv.find_all("PARAMETER")
     else:  # WKT1: PROJECTION + flat PARAMETERs
         method = node.find("PROJECTION")
         if method is None:
-            raise ValueError("projected WKT CRS has no "
+            raise CRSError("projected WKT CRS has no "
                              "CONVERSION/PROJECTION")
         proj, params_extra = _method_to_proj(method)
         params.update(params_extra)
@@ -414,7 +416,7 @@ def _proj_record(node: Node) -> dict:
         key = _PARAM_BY_CODE.get(code) or _PARAM_BY_NAME.get(
             _norm(p.values[0]))
         if key is None:
-            raise ValueError(f"unsupported projection parameter "
+            raise CRSError(f"unsupported projection parameter "
                              f"{p.values[0]!r}")
         val = next(v for v in p.values[1:] if isinstance(v, float))
         params[key] = val
@@ -457,6 +459,6 @@ def crs_record_from_node(node: Node) -> dict:
         return _geog_record(node, "geocentric")
     if kw in ("PROJCRS", "PROJCS", "PROJECTEDCRS"):
         return _proj_record(node)
-    raise ValueError(f"unsupported WKT root {node.keyword!r} "
+    raise CRSError(f"unsupported WKT root {node.keyword!r} "
                      "(vertical/compound/temporal CRSs are not part of "
                      "the engine's transform surface)")

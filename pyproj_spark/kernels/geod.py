@@ -132,7 +132,9 @@ class Geod:
         if flags is None:
             flags = GIF.DEFAULT
         if (npts != 0) == (del_s != 0.0):
-            raise ValueError("npts XOR del_s must be given")
+            from pyproj_spark.exceptions import GeodError
+            raise GeodError("npts and del_s are mutually exclusive, "
+                            "only one of them must be != 0")
         a1, a2, dist = self._g.inverse(
             *(np.degrees(v) if radians else float(v)
               for v in (lon1, lat1, lon2, lat2)))

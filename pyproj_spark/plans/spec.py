@@ -322,8 +322,9 @@ class Transformer:
         if errcheck:
             bad = ~np.isfinite(xo) | ~np.isfinite(yo)
             if bad.any():
-                raise RuntimeError(f"transform error on {int(bad.sum())} "
-                                   f"point(s)")
+                from pyproj_spark.exceptions import ProjError
+                raise ProjError(f"transform error on {int(bad.sum())} "
+                                f"point(s)")
         else:
             xo = np.where(np.isfinite(xo), xo, np.inf)
             yo = np.where(np.isfinite(yo), yo, np.inf)

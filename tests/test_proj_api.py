@@ -227,3 +227,26 @@ def test_crs_coordinate_operation_property():
     assert vals["Longitude of natural origin"] == 15.0
     assert vals["Scale factor at natural origin"] == 0.9996
     assert CRS.from_epsg(4326).coordinate_operation is None
+
+
+def test_exception_types():
+    # reference pyproj/exceptions.py contract: bad CRS input raises
+    # CRSError (a ProjError/RuntimeError), errcheck raises ProjError,
+    # geod argument misuse raises GeodError
+    import pytest
+    from pyproj_spark.crs.crs import CRS
+    from pyproj_spark.exceptions import CRSError, GeodError, ProjError
+    from pyproj_spark.kernels.geod import Geod
+    from pyproj_spark.plans.spec import Transformer
+
+    with pytest.raises(CRSError):
+        CRS.from_user_input("not a crs at all !!")
+    with pytest.raises(CRSError):
+        CRS.from_epsg(999999)
+    assert issubclass(CRSError, ProjError)
+    with pytest.raises(ProjError):
+        Transformer.from_crs(4326, 3857, always_xy=True).transform(
+            200.0, 95.0, errcheck=True)
+    with pytest.raises(GeodError):
+        Geod(ellps="WGS84").inv_intermediate(0, 0, 10, 10, npts=5,
+                                             del_s=1000.0)
