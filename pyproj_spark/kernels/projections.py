@@ -931,9 +931,12 @@ class Polyconic(Projection):
         cot = c / s_safe
         Ep = dl * s
         x = np.where(flat, E.a * dl, N * cot * np.sin(Ep))
+        # 2 sin^2(E'/2), NOT 1 - cos(E'): near the equator E' ~ dl*phi
+        # is tiny and the direct form cancels to ~7% relative error,
+        # which no inverse can undo
         y = np.where(flat, -self.M0,
                      self._mdist(phi) - self.M0 + N * cot
-                     * (1.0 - np.cos(Ep)))
+                     * 2.0 * np.sin(Ep / 2.0) ** 2)
         return x, y
 
     def _inv(self, x, y):
@@ -972,6 +975,14 @@ class Polyconic(Projection):
                 flo = np.where(take_lo, fm, flo)
                 hi = np.where(take_lo, hi, mid)
             phi = 0.5 * (lo + hi)
+            # near-equator branch: Snyder's equation loses ~eps/phi^2 of
+            # relative accuracy as phi -> 0 (C -> 0 cancellation), but
+            # there the series solution is exact to O(phi^3):
+            #   x ~ a*dlam,  y + M0 - M(phi) ~ N*dlam^2*phi/2
+            #   => phi = A / ((1 - e2) + dlam^2/2),  dlam^2 = B - A^2
+            small = np.abs(A) < 1e-4
+            phi_series = A / ((1.0 - e2)
+                              + np.maximum(B - A * A, 0.0) / 2.0)
             # polish with bracket-clipped Newton (Snyder 18-21): from a
             # localized seed it is quadratic; the clip keeps it safe
             for _ in range(2):
@@ -985,6 +996,9 @@ class Polyconic(Projection):
                 den = (e2 * s2 * (Ma * Ma + B - 2.0 * A * Ma) / (4.0 * C)
                        + (A - Ma) * (C * Mp - 2.0 / s2) - Mp)
                 phi = np.clip(phi - num / den, lo, hi)
+            # the series value wins where the iteration is
+            # ill-conditioned (Newton/bisection can't do better there)
+            phi = np.where(small, phi_series, phi)
         s = np.sin(phi)
         C = np.sqrt(1.0 - e2 * s * s) * np.tan(phi)
         s_safe = np.where(np.abs(s) < 1e-12, 1.0, s)
