@@ -265,11 +265,9 @@ def test_polyconic_roundtrip_fuzz(lon, lat, lat_0):
         always_xy=True)
     x, y = t.transform(lon, lat)
     lon2, lat2 = t.transform(x, y, direction="INVERSE")
-    # 1e-8 deg (~1 mm): Snyder's inverse equation is intrinsically
-    # ill-conditioned within ~1e-4 deg of the equator (C -> 0 makes the
-    # root drift ~1e-10 deg in float64 — verified the root itself moves,
-    # not the solver); everywhere else the solver reaches ~1e-13 deg
-    assert abs(lon2 - lon) < 1e-8 and abs(lat2 - lat) < 1e-8
+    # machine-precision everywhere since the 2 sin^2(E'/2) forward and
+    # the near-equator series branch (kernels/projections.py Polyconic)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
 
 
 @settings(max_examples=30, deadline=None)
