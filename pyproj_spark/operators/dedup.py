@@ -82,13 +82,19 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """
     toks = tokens(F.col(text_col))
     base = F.transform(toks, _hash_with(0))  # one md5 pass, h < 2^32
-    out = df
-    for i in range(num_hashes):
-        a, b = MINHASH_A[i], MINHASH_B[i]
-        sig = F.array_min(F.transform(
-            base, _perm_with(a, b)))
-        out = out.withColumn(f"minhash_{i}", sig)
-    return out
+    # materialize the token-hash array in its OWN projection: HOFs are
+    # interpreted (not codegen'd), and CollapseProject would otherwise
+    # inline `base` into every consumer — re-running the md5 pass once
+    # per permutation (measured 4.0 s -> ~0.5 s on the sf0.1 signature).
+    # CollapseProject keeps the two projections separate because the
+    # alias is non-cheap and referenced num_hashes times.
+    staged = df.withColumn("_mh_base", base)
+    sig_cols = [
+        F.array_min(F.transform(F.col("_mh_base"),
+                                _perm_with(MINHASH_A[i], MINHASH_B[i])))
+        .alias(f"minhash_{i}")
+        for i in range(num_hashes)]
+    return staged.select(*df.columns, *sig_cols)
 
 
 def _perm_with(a: int, b: int):

@@ -258,6 +258,32 @@ def test_connected_components(spark):
     assert set(comp.values()) == {2}
 
 
+def test_connected_components_chain_logarithmic(spark):
+    # 1000-vertex chain (diameter 999): star contraction must converge
+    # in O(log n) alternation rounds — min-label propagation would need
+    # ~999. max_iter=12 doubles as the round-count assertion: exceeding
+    # it emits RuntimeWarning, which we escalate to an error here.
+    import warnings
+    from pyproj_spark.operators.cc import connected_components
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        comp = connected_components(chain, max_iter=12).collect()
+    reps = {r["rep"] for r in comp}
+    assert reps == {0} and len(comp) == n
+
+
+def test_connected_components_exhaustion_warns(spark):
+    import pytest as _pytest
+    from pyproj_spark.operators.cc import connected_components
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(chain, max_iter=1).collect()
+
+
 def test_polygon_areas_operator(spark):
     # grouped exact-area op equals the kernel called directly, per ring
     from pyproj_spark.kernels.geod import Geod
