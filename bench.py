@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -94,17 +95,26 @@ def _level_child(cores: int, path: str) -> None:
     once()
     once()  # C2-JIT + python-worker warmup: steady state is the metric
     time.sleep(2)  # let background JIT compilation drain before timing
-    best = min(once() for _ in range(3))
-    print(json.dumps({"secs": best}))
+    # median of 5 timed runs: robust to symmetric within-process noise
+    # (GC pauses, scheduler blips) that a single sample is not
+    med = statistics.median(sorted(once() for _ in range(5)))
+    print(json.dumps({"secs": med}))
     spark.stop()
 
 
-def _run_level(cores: int, path: str, reps: int = 2) -> float:
-    """min across `reps` independent child processes — between-process
-    variance (JIT scheduling luck) measured at up to 2x, so one child's
-    best is not a reliable steady-state estimate."""
+def _run_level(cores: int, path: str, reps: int = 2) -> tuple:
+    """(min, [per-child medians]) across `reps` independent children.
+
+    Each child reports its MEDIAN of 5 warmed runs; across children we
+    take the MIN because between-process variance is one-sided — a
+    child either reaches C2-compiled steady state or it doesn't
+    (measured up to 2x degradation), so the fastest child's median is
+    the steady-state estimate and is far more reproducible than a
+    cross-child median (r2's headline regressed 740k->352k pages/s from
+    exactly that lottery). All child medians are recorded in the JSON
+    so the spread is auditable."""
     import subprocess
-    best = 1e18
+    meds = []
     for _ in range(reps):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--level",
@@ -112,8 +122,8 @@ def _run_level(cores: int, path: str, reps: int = 2) -> float:
             capture_output=True, text=True, check=True)
         line = [ln for ln in out.stdout.strip().splitlines()
                 if ln.startswith("{")][-1]
-        best = min(best, float(json.loads(line)["secs"]))
-    return best
+        meds.append(float(json.loads(line)["secs"]))
+    return min(meds), [round(m, 2) for m in meds]
 
 
 def main():
@@ -135,23 +145,35 @@ def main():
                      (F.col("id") % 360 - 180.0).cast("double"),
                      F.lit(10.0)).alias("xy"))
     warm.write.format("noop").mode("overwrite").save()
+    # per-query MEDIAN of 3 passes over the suite (pass-level
+    # interleaving keeps per-query reps apart in time, so a transient
+    # background stall doesn't poison all reps of one query)
+    qsamples: dict = {}
+    for _ in range(3):
+        for name, fn in entrymod.queries().items():
+            t0 = time.time()
+            try:
+                fn(spark, SF_DIR).write.format("noop") \
+                    .mode("overwrite").save()
+                qsamples.setdefault(name, []).append(time.time() - t0)
+            except Exception as e:  # pragma: no cover
+                qsamples.setdefault(name, []).append(
+                    f"ERROR {type(e).__name__}")
     qtimes = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            qtimes[name] = round(time.time() - t0, 3)
-        except Exception as e:  # pragma: no cover
-            qtimes[name] = f"ERROR {type(e).__name__}"
+    for name, samples in qsamples.items():
+        errs = [s for s in samples if isinstance(s, str)]
+        qtimes[name] = errs[0] if errs else round(
+            statistics.median(samples), 3)
     spark.stop()
 
     # --- scaling: N=2 vs 4N=8 pinned cores (1M input, 2 children each);
     # full-machine headline at 2M, 1 child ------------------------------
     # 2-core level is empirically stable (19-20s spread < 5%): 1 child;
     # 8-core shows up-to-2x JIT luck: 2 children, min
-    t2 = _run_level(2, SCALE_PATH, reps=1)
-    t8 = _run_level(8, SCALE_PATH, reps=2)
-    t32 = _run_level(CPUS, PAGES_PATH, reps=2) if CPUS >= 16 else None
+    t2, meds2 = _run_level(2, SCALE_PATH, reps=1)
+    t8, meds8 = _run_level(8, SCALE_PATH, reps=2)
+    t32, meds32 = (_run_level(CPUS, PAGES_PATH, reps=3)
+                   if CPUS >= 16 else (None, []))
     thr = {2: SCALE_PAGES / t2, 8: SCALE_PAGES / t8}
     if t32 is not None:
         thr[CPUS] = BENCH_PAGES / t32
@@ -173,6 +195,8 @@ def main():
             "efficiency_n_to_4n": round(eff_2_8, 3),
             "secs_full_machine": round(t32, 2) if t32 else None,
             "pages_per_sec_full": round(thr.get(CPUS, 0.0), 1),
+            "child_medians_secs": {"n": meds2, "n4": meds8,
+                                   "full": meds32},
             "note": ("single-box 8->32 is DRAM-bandwidth confounded; "
                      "2->8 pinned cores is the honest 4x datapoint"),
         },

@@ -55,9 +55,9 @@ def transform_xy(crs_from, crs_to, x: Column, y: Column,
         @pandas_udf("struct<x:double,y:double,op_id:int>")
         def _xf_op(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
             k = get_kernel(spec)
-            xo, yo, _ = k(xs.to_numpy(), ys.to_numpy())
+            xo, yo, _, ops = k.call_with_ops(xs.to_numpy(), ys.to_numpy())
             return pd.DataFrame({"x": xo, "y": yo,
-                                 "op_id": k.last_ops.astype("int32")})
+                                 "op_id": ops.astype("int32")})
 
         return _xf_op(x, y)
 
@@ -152,11 +152,18 @@ def spherical_ring_area_m2(ring: Column,
     n = F.size(ring)
     idx = F.sequence(F.lit(0), n - 1)
 
+    import math as _math
+
     def term(i: Column) -> Column:
         p1 = F.element_at(ring, (i + 1).cast("int"))
         p2 = F.element_at(ring, (F.pmod(i + 1, n) + 1).cast("int"))
-        return (F.radians(p2["lon"]) - F.radians(p1["lon"])) \
-            * (F.sin(F.radians(p1["lat"])) + F.sin(F.radians(p2["lat"])))
+        # normalize each edge's Δλ to (-π, π]: a ring crossing the
+        # antimeridian otherwise picks up a spurious ~2π jump term
+        # (the exact kernel in kernels/area.py does the same wrap)
+        dl = F.pmod(F.radians(p2["lon"]) - F.radians(p1["lon"])
+                    + _math.pi, F.lit(2 * _math.pi)) - _math.pi
+        return dl * (F.sin(F.radians(p1["lat"]))
+                     + F.sin(F.radians(p2["lat"])))
 
     s = F.aggregate(F.transform(idx, term), F.lit(0.0),
                     lambda acc, v: acc + v)

@@ -170,6 +170,19 @@ class _Kernel:
         return x / u, y / u, h
 
     def __call__(self, x, y, z=None, t=None, direction="FORWARD"):
+        xo, yo, zo, _ = self.call_with_ops(x, y, z, t=t,
+                                           direction=direction)
+        return xo, yo, zo
+
+    def call_with_ops(self, x, y, z=None, t=None, direction="FORWARD"):
+        """Like __call__ but also returns the per-point op-id array.
+
+        STATELESS by design: kernels are memoized by spec key and shared
+        across Transformer facades (and across FORWARD/INVERSE calls),
+        so per-call state stored here would alias between transformers —
+        the reference keeps last-used-operation state per Transformer
+        (pyproj/transformer.py:559-574), and so do we (on the facade).
+        """
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         has_z = z is not None
@@ -177,8 +190,8 @@ class _Kernel:
              else np.zeros_like(x))
         if self.noop or direction == TransformDirection.IDENT or \
                 direction == "IDENT":
-            self.last_ops = np.full(x.shape, OP_NOOP, dtype=np.int8)
-            return (x, y, z) if has_z else (x, y, None)
+            ops = np.full(x.shape, OP_NOOP, dtype=np.int8)
+            return ((x, y, z) if has_z else (x, y, None)) + (ops,)
         if direction in (TransformDirection.INVERSE, "INVERSE"):
             src, dst = self.dst, self.src
             proj_s, proj_d = self.proj_dst, self.proj_src
@@ -226,8 +239,7 @@ class _Kernel:
                     h2 = np.where(inside, h, h2)
                     ops = np.where(inside, np.int8(OP_GRID), ops)
             xo, yo, zo = self._from_geodetic(dst, proj_d, lam2, phi2, h2)
-        self.last_ops = ops
-        return (xo, yo, zo) if has_z else (xo, yo, None)
+        return ((xo, yo, zo) if has_z else (xo, yo, None)) + (ops,)
 
 
 _KERNEL_CACHE: dict[tuple, _Kernel] = {}
@@ -307,7 +319,8 @@ class Transformer:
         x, y = self._axis_in(src, x, y)
         if radians and src.is_geographic:
             x, y = np.degrees(x), np.degrees(y)
-        xo, yo, zo = self._kernel(x, y, z, t=t, direction=direction)
+        xo, yo, zo, self._last_ops = self._kernel.call_with_ops(
+            x, y, z, t=t, direction=direction)
         self._transformed = True
         # 2D<->2D semantics: PROJ brackets the pipeline in push/pop v_3,
         # so the input z rides along the datum leg but is RESTORED on
@@ -415,7 +428,7 @@ class Transformer:
         part of the data; here likewise: grid vs Helmert fallback).
         For the per-row view over a DataFrame use
         ``functions.transform.transform_xy(..., with_op_id=True)``."""
-        ops = getattr(self._kernel, "last_ops", None)
+        ops = getattr(self, "_last_ops", None)
         if ops is None or not getattr(self, "_transformed", False):
             raise RuntimeError(
                 "The transform method must be called before"

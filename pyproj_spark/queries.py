@@ -689,7 +689,11 @@ WITH pts AS ({_PTS_SQL}),
 edges AS ({_zone_edges_sql()}),
 area AS (
   SELECT zone_id,
-         CAST(round(abs(SUM((radians(x2) - radians(x1))
+         -- Δλ wrapped to (-π, π] exactly as the Spark HOF does:
+         -- pmod(d + π, 2π) - π with pmod emulated as ((x%m)+m)%m
+         CAST(round(abs(SUM((mod(mod(radians(x2) - radians(x1) + pi(),
+                                     2 * pi()) + 2 * pi(), 2 * pi())
+                             - pi())
                             * (sin(radians(y1)) + sin(radians(y2)))))
                     * 6371008.8 * 6371008.8 / 2.0 / 1e6) AS BIGINT)
              AS area_km2

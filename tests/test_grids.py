@@ -87,7 +87,15 @@ def test_transform_falls_back_outside_coverage():
     assert t.get_last_used_operation().op_id == OP_HELMERT3
     # mixed batch: per-row ops differ
     t.transform(np.array([-100.0, 2.35]), np.array([40.0, 48.85]))
-    assert list(t._kernel.last_ops) == [OP_GRID, OP_HELMERT3]
+    assert list(t._last_ops) == [OP_GRID, OP_HELMERT3]
+    # per-transformer state: a second facade on the SAME memoized kernel
+    # must not see (or clobber) this one's ops
+    from pyproj_spark.plans.spec import Transformer as _T
+    t2 = _T.from_crs(4267, 4269, always_xy=True)
+    assert t2._kernel is t._kernel
+    t2.transform(2.35, 48.85)
+    assert list(t._last_ops) == [OP_GRID, OP_HELMERT3]
+    assert t2.get_last_used_operation().op_id == OP_HELMERT3
 
 
 def test_last_used_operation_classification():

@@ -302,3 +302,25 @@ def test_polygon_areas_operator(spark):
             [p[0] for p in ring], [p[1] for p in ring])
         assert abs(got[zid][0] - area) < 1e-3
         assert abs(got[zid][1] - perim) < 1e-6
+
+
+def test_spherical_area_antimeridian(spark):
+    # longitude-translation invariance on the sphere: the same 1°x1°
+    # ring at Greenwich and straddling the antimeridian must agree —
+    # without the per-edge Δλ wrap the crossing ring picks up a ~2π
+    # jump term and reports a planet-scale area
+    from pyspark.sql import functions as F
+    from pyproj_spark.functions.transform import spherical_ring_area_m2
+
+    def ring(lon0):
+        wrap = lambda x: ((x + 180.0) % 360.0) - 180.0
+        return [(wrap(lon0 + dx), lat) for dx, lat in
+                ((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))]
+
+    df = spark.createDataFrame(
+        [(0, ring(-0.5)), (1, ring(179.5))],
+        "rid long, ring array<struct<lon:double,lat:double>>")
+    got = {r["rid"]: r["a"] for r in df.select(
+        "rid", spherical_ring_area_m2(F.col("ring")).alias("a")).collect()}
+    assert abs(got[0] - got[1]) < 1e-3 * got[0]
+    assert 1.2e10 < got[1] < 1.3e10  # ~12,300 km² for 1°x1° at equator
