@@ -200,7 +200,12 @@ class CRS:
         with forced lon/lat axis order."""
         auth = str(auth_name).upper()
         if auth == "EPSG":
-            return cls.from_epsg(int(code))
+            try:
+                icode = int(code)
+            except (TypeError, ValueError):
+                raise CRSError(
+                    f"invalid EPSG code {code!r}") from None
+            return cls.from_epsg(icode)
         if auth == "OGC" and str(code).upper() == "CRS84":
             rec = catalog.epsg_entry(4326)
             rec.update(axis="enu", code=None, name="WGS 84 (CRS84)")

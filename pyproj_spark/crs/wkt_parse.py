@@ -119,7 +119,12 @@ def parse_wkt(s: str) -> Node:
                 pos += 1
         return Node(kw, vals)
 
-    root = node()
+    try:
+        root = node()
+    except IndexError:
+        # token exhaustion mid-node = truncated input; surface the typed
+        # exception the CRS input contract promises, not an IndexError
+        raise CRSError("unexpected end of WKT") from None
     if pos != len(toks):
         raise CRSError("trailing content after WKT root node")
     return root

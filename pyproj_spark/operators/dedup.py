@@ -216,7 +216,13 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     > df_max are excluded from candidate generation and intersection
     counting (the standard rare-shingle approximation: the reported
     jaccard is a lower bound — exact whenever no shared shingle is
-    hot). Denominator sizes n_a/n_b remain the TRUE distinct-shingle
+    hot). RECALL CAVEAT: a pair whose shared shingles are ALL hot
+    (boilerplate-only near-dups) produces NO candidate pair here — not
+    just an underestimated score. For connected-components dedup,
+    union these pairs with ``jaccard_capped_star_edges`` (O(m) edges
+    per hot shingle) so hot-shingle documents stay in their clusters;
+    exact dedup also catches the fully-identical subset first.
+    Denominator sizes n_a/n_b remain the TRUE distinct-shingle
     counts. Like minhash_lsh_pairs, the per-shingle posting list is
     aggregated with one groupBy and pairs are expanded with a bounded
     array HOF — no self-join at all.
@@ -250,3 +256,31 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
            .filter(F.col("jaccard") >= threshold))
     return out.select("id_a", "id_b",
                       F.round("jaccard", 4).alias("jaccard"))
+
+
+def jaccard_capped_star_edges(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 3,
+                              df_max: int = 50) -> DataFrame:
+    """Connectivity edges for the shingles jaccard_pairs CAPS away.
+
+    For every shingle with document frequency > df_max, emit star edges
+    (min member, member) — O(m) per hot shingle instead of the O(m²)
+    pair expansion, mirroring the minhash hot-band guard. Union with
+    jaccard_pairs' (id_a, id_b) before connected_components so document
+    pairs whose overlap is boilerplate-only stay in one cluster (they
+    carry no jaccard score — scores are only defined for rare-shingle
+    evidence)."""
+    sh = ngram_shingles(df, id_col, text_col, n).distinct()
+    hot = (sh.groupBy("shingle_hash")
+           .agg(F.array_sort(F.collect_list(id_col)).alias("ids"),
+                F.count("*").alias("cnt"))
+           .filter(F.col("cnt") > df_max))
+    ids = F.col("ids")
+    star = F.transform(
+        F.slice(ids, 2, F.size(ids) - 1),
+        lambda m: F.struct(F.element_at(ids, 1).alias("id_a"),
+                           m.alias("id_b")))
+    return (hot.select(F.explode(star).alias("e"))
+            .select(F.col("e.id_a").alias("id_a"),
+                    F.col("e.id_b").alias("id_b"))
+            .distinct())

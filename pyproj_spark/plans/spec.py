@@ -270,21 +270,37 @@ class Transformer:
         return cls(TransformSpec(src.srs, dst.srs, always_xy=always_xy))
 
     @classmethod
-    def from_pipeline(cls, proj_pipeline: str, **_ignored):
-        """Build a transformer from a +proj=pipeline string — reference
-        ``pyproj/transformer.py:754-803``. AUTH:CODE operation codes
-        (regex fast path, _transformer.pyx:35) are not in the bundled
-        catalog; pipeline strings compose step kernels."""
+    def from_pipeline(cls, proj_pipeline: str, always_xy: bool = False,
+                      **_ignored):
+        """Build a transformer from any operation input — reference
+        ``pyproj/transformer.py:754-803``: a +proj=pipeline string,
+        "AUTH:CODE" / OGC URN operation codes (regex fast path,
+        _transformer.pyx:35,702-734) resolved against the bundled
+        curated operation catalog (crs/operations.py),
+        COORDINATEOPERATION/CONVERSION WKT, or operation PROJJSON.
+        Unknown codes raise CRSError."""
         import re as _re
-        m = _re.match(r"^\s*\+?init=([A-Za-z0-9]+):([A-Za-z0-9]+)\s*$",
-                      proj_pipeline)
+
+        from pyproj_spark.crs import operations as _ops
+        s = str(proj_pipeline).strip()
+        m = _re.match(r"^\+?init=([A-Za-z0-9]+):([A-Za-z0-9]+)$", s)
         if m and m.group(1).upper().startswith("ITRF"):
             from pyproj_spark.kernels.itrf import ITRFTransformer
             return ITRFTransformer(m.group(1), m.group(2))
-        m = _re.match(r"^\s*([A-Za-z]+):(\d+)\s*$", proj_pipeline)
+        m = _re.match(
+            r"^urn:ogc:def:coordinateOperation:(\w+)::?(\w+)$", s, _re.I)
         if m:
-            raise ValueError("operation codes are not in the bundled "
-                             "catalog; use from_crs or a pipeline string")
+            return _ops.operation_from_code(m.group(1), m.group(2),
+                                            always_xy=always_xy)
+        m = _re.match(r"^(\w+):(\w+)$", s)
+        if m:
+            return _ops.operation_from_code(m.group(1), m.group(2),
+                                            always_xy=always_xy)
+        if s.startswith("{"):
+            return _ops.operation_from_json(s, always_xy=always_xy)
+        if _re.match(r"^(COORDINATEOPERATION|CONVERSION)\s*[\[(]", s,
+                     _re.I):
+            return _ops.operation_from_wkt(s, always_xy=always_xy)
         from pyproj_spark.plans.pipeline import PipelineTransformer
         return PipelineTransformer(proj_pipeline)
 

@@ -44,9 +44,12 @@ def test_from_pipeline_cart_helmert():
     assert_almost_equal((lon, lat), ref.transform(24.0, 38.0), decimal=9)
 
 
-def test_from_pipeline_opcode_rejected():
-    with pytest.raises(ValueError):
-        Transformer.from_pipeline("EPSG:1311")
+def test_from_pipeline_unknown_opcode_rejected():
+    # cataloged codes (EPSG:1311 etc.) now resolve — see
+    # test_operations.py; unknown ones raise the typed CRSError
+    from pyproj_spark.exceptions import CRSError
+    with pytest.raises(CRSError):
+        Transformer.from_pipeline("EPSG:424242")
 
 
 def test_awips221_roundtrip():

@@ -324,3 +324,25 @@ def test_spherical_area_antimeridian(spark):
         "rid", spherical_ring_area_m2(F.col("ring")).alias("a")).collect()}
     assert abs(got[0] - got[1]) < 1e-3 * got[0]
     assert 1.2e10 < got[1] < 1.3e10  # ~12,300 km² for 1°x1° at equator
+
+
+def test_jaccard_capped_star_edges_connectivity(spark):
+    # two docs whose ONLY shared shingles are hot (shared by > df_max
+    # docs) produce no jaccard candidate pair — the star edges must
+    # still connect them for cluster resolution
+    from pyproj_spark.operators.cc import connected_components
+    from pyproj_spark.operators.dedup import (
+        jaccard_capped_star_edges, jaccard_pairs,
+    )
+    boiler = "click here to subscribe now"
+    rows = [(i, f"{boiler} unique{i} text{i} tail{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.01, df_max=4)
+    stars = jaccard_capped_star_edges(docs, n=3, df_max=4)
+    # the boilerplate shingles have df=6 > 4: no scored pair survives,
+    # connectivity comes entirely from the star edges
+    assert pairs.count() == 0
+    assert stars.count() > 0
+    edges = stars.unionByName(pairs.select("id_a", "id_b"))
+    comp = connected_components(edges)
+    assert {r["rep"] for r in comp.collect()} == {0}

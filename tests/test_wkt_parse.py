@@ -150,3 +150,22 @@ def test_equality_canonicalization():
     assert CRS.from_proj4("+proj=utm +zone=33 +ellps=WGS84") == \
         CRS.from_proj4("+proj=tmerc +lat_0=0 +lon_0=15 +k_0=0.9996 "
                        "+x_0=500000 +y_0=0 +ellps=WGS84")
+
+
+def test_typed_errors_on_malformed_inputs():
+    # exception contract: bad authority codes and truncated WKT raise
+    # CRSError, never bare ValueError/IndexError (reference raises
+    # pyproj.exceptions.CRSError for both)
+    import pytest
+    from pyproj_spark.crs.crs import CRS
+    from pyproj_spark.crs.wkt_parse import parse_wkt
+    from pyproj_spark.exceptions import CRSError
+    with pytest.raises(CRSError):
+        CRS.from_user_input("EPSG:ABC")
+    with pytest.raises(CRSError):
+        CRS.from_authority("EPSG", "not-a-code")
+    full = CRS.from_epsg(4326).to_wkt()
+    with pytest.raises(CRSError):
+        parse_wkt(full[: len(full) // 2])
+    with pytest.raises(CRSError):
+        CRS.from_wkt('GEOGCRS["truncated", DATUM["x"')
