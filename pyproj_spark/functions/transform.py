@@ -123,6 +123,22 @@ def geod_forward(ellps: str, lon: Column, lat: Column, az: Column,
     return _fwd(lon, lat, az, dist)
 
 
+def proj_factors(crs, lon: Column, lat: Column) -> Column:
+    """struct<h,k,areal> — Proj.get_factors (T8) as a pandas UDF:
+    meridional scale, parallel scale, areal scale per point (reference
+    ``pyproj/proj.py:204-278``)."""
+
+    @pandas_udf("struct<h:double,k:double,areal:double>")
+    def _fac(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+        from pyproj_spark.proj import Proj
+        f = Proj(crs).get_factors(lo.to_numpy(), la.to_numpy())
+        return pd.DataFrame({"h": f.meridional_scale,
+                             "k": f.parallel_scale,
+                             "areal": f.areal_scale})
+
+    return _fac(lon, lat)
+
+
 _GEODS: dict = {}
 
 

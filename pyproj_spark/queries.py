@@ -855,3 +855,114 @@ FROM g
 """
 
 QUERIES["geocent_transform"] = (q_geocent_transform, SQL_GEOCENT)
+
+
+def q_geod_sphere(spark, sf_dir):
+    """G1/G2 driver-gated: Karney inverse on a SPHERE (f=0) crossed
+    against the closed-form great-circle formulas the DuckDB oracle can
+    evaluate (the exact-ellipsoid path stays pytest-golden + the
+    rows-only geod_line_length query). Pairs are derived
+    deterministically from doc_id; near-antipodal pairs (> 15,000 km)
+    are excluded because azimuth there is ill-conditioned in ANY
+    formulation."""
+    from pyproj_spark.functions.transform import geod_inverse, haversine_m
+    pts = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon1"),
+        ((F.col("doc_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat1"),
+        ((F.col("doc_id") * 31337 % 360000) / 1000.0 - 180.0).alias("lon2"),
+        ((F.col("doc_id") * 27644437 % 160000) / 1000.0 - 80.0)
+        .alias("lat2"))
+    pts = pts.filter(haversine_m(F.col("lon1"), F.col("lat1"),
+                                 F.col("lon2"), F.col("lat2"))
+                     < 15_000_000.0)
+    g = geod_inverse("sphere", F.col("lon1"), F.col("lat1"),
+                     F.col("lon2"), F.col("lat2"))
+    return pts.withColumn("g", g).select(
+        "doc_id",
+        (F.round(F.col("g.az12"), 8) + 0.0).alias("az12"),
+        (F.round(F.col("g.az21"), 8) + 0.0).alias("az21"),
+        (F.round(F.col("g.dist"), 4) + 0.0).alias("dist_m"))
+
+
+# closed-form great-circle inverse on the PROJ "sphere" ellipsoid
+# (R = 6370997 m); az21 is the pyproj back-azimuth convention =
+# bearing from point 2 back to point 1
+SQL_GEOD_SPHERE = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 360000) / 1000.0 - 180.0    AS lon1,
+         (doc_id * 104729 % 170000) / 1000.0 - 85.0   AS lat1,
+         (doc_id * 31337 % 360000) / 1000.0 - 180.0   AS lon2,
+         (doc_id * 27644437 % 160000) / 1000.0 - 80.0 AS lat2
+  FROM documents
+),
+keep AS (
+  SELECT * FROM pts
+  WHERE 2.0 * 6371008.8 * asin(sqrt(
+          pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
+          + cos(radians(lat1)) * cos(radians(lat2))
+            * pow(sin((radians(lon2) - radians(lon1)) / 2), 2)))
+        < 15000000.0
+),
+t AS (
+  SELECT doc_id,
+         radians(lat1) AS p1, radians(lat2) AS p2,
+         radians(lon2 - lon1) AS dl, radians(lon1 - lon2) AS dlr
+  FROM keep
+)
+SELECT doc_id,
+       round(degrees(atan2(cos(p2) * sin(dl),
+                           cos(p1) * sin(p2)
+                           - sin(p1) * cos(p2) * cos(dl))), 8) + 0.0
+           AS az12,
+       round(degrees(atan2(cos(p1) * sin(dlr),
+                           cos(p2) * sin(p1)
+                           - sin(p2) * cos(p1) * cos(dlr))), 8) + 0.0
+           AS az21,
+       round(6370997.0 * atan2(
+           sqrt(pow(cos(p2) * sin(dl), 2)
+                + pow(cos(p1) * sin(p2)
+                      - sin(p1) * cos(p2) * cos(dl), 2)),
+           sin(p1) * sin(p2) + cos(p1) * cos(p2) * cos(dl)), 4) + 0.0
+           AS dist_m
+FROM t
+"""
+
+QUERIES["geod_sphere"] = (q_geod_sphere, SQL_GEOD_SPHERE)
+
+
+def q_factors(spark, sf_dir):
+    """T8 driver-gated: Proj.get_factors through the pandas-UDF path on
+    Web Mercator, whose factors have closed forms the oracle recomputes
+    (k = h = sec phi, areal = sec^2 phi — spherical convention, PROJ
+    does the same for webmerc). |lat| <= 60 keeps the finite-difference
+    partials far from the sec-phi blowup; |lon| <= 175 keeps the
+    finite-difference lon step off the antimeridian wrap. Rounded at
+    4 decimals: the FD partials carry ~2e-10 error, so finer rounding
+    flips boundary rows against the closed form."""
+    from pyproj_spark.functions.transform import proj_factors
+    pts = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 350000) / 1000.0 - 175.0).alias("lon"),
+        ((F.col("doc_id") * 104729 % 120000) / 1000.0 - 60.0).alias("lat"))
+    f = proj_factors("EPSG:3857", F.col("lon"), F.col("lat"))
+    return pts.withColumn("f", f).select(
+        "doc_id",
+        (F.round(F.col("f.h"), 4) + 0.0).alias("h"),
+        (F.round(F.col("f.k"), 4) + 0.0).alias("k"),
+        (F.round(F.col("f.areal"), 4) + 0.0).alias("areal"))
+
+
+SQL_FACTORS = """
+SELECT doc_id,
+       round(1.0 / cos(radians((doc_id * 104729 % 120000) / 1000.0
+                               - 60.0)), 4) + 0.0 AS h,
+       round(1.0 / cos(radians((doc_id * 104729 % 120000) / 1000.0
+                               - 60.0)), 4) + 0.0 AS k,
+       round(pow(1.0 / cos(radians((doc_id * 104729 % 120000) / 1000.0
+                                   - 60.0)), 2), 4) + 0.0 AS areal
+FROM documents
+"""
+
+QUERIES["factors"] = (q_factors, SQL_FACTORS)
