@@ -334,7 +334,7 @@ class BoundCRS(CRS):
                    datum=src.datum_name, ellps=None,
                    ellipsoid=src.ellipsoid, towgs84=tuple(vals),
                    axis=src.axis, proj_params=dict(src.proj_params),
-                   to_meter=src.to_meter)
+                   to_meter=src.to_meter, bound=True)
         # srs stays machine-parseable (PROJJSON BoundCRS) — the
         # TransformSpec re-resolves it on executors
         srs = json.dumps({
@@ -342,5 +342,6 @@ class BoundCRS(CRS):
             "source_crs": src.to_json_dict(),
             "target_crs": tgt.to_json_dict(),
             "transformation": tr.to_json_dict()})
+        # NOTE: source_crs is a CRS class property (reconstructed from
+        # the record for any bound CRS), so no instance attribute here
         self.__dict__.update(CRS._from_record(rec, srs).__dict__)
-        self.__dict__["source_crs"] = src

@@ -57,6 +57,13 @@ DATUMS = {
     "SWEREF99": ("GRS80", (0, 0, 0)),
     "NZGD2000": ("GRS80", (0, 0, 0)),
     "GDM2000": ("GRS80", (0, 0, 0)),
+    "NAD83_CSRS": ("GRS80", (0, 0, 0)),
+}
+
+#: deprecated EPSG codes -> their non-deprecated successors (reference
+#: proj.db deprecation table; CRS.is_deprecated / get_non_deprecated)
+DEPRECATED = {
+    4140: [4617],  # NAD83(CSRS98) -> NAD83(CSRS)
 }
 
 _GEOG = {
@@ -67,6 +74,8 @@ _GEOG = {
     4258: ("ETRS89 / geographic 2D", "ETRS89", "neu"),
     4269: ("NAD83 / geographic 2D", "NAD83", "neu"),
     4267: ("NAD27 / geographic 2D", "NAD27", "neu"),
+    4140: ("NAD83(CSRS98) / geographic 2D", "NAD83_CSRS", "neu"),
+    4617: ("NAD83(CSRS) / geographic 2D", "NAD83_CSRS", "neu"),
     4121: ("GGRS87 / geographic 2D", "GGRS87", "neu"),
     4230: ("ED50 / geographic 2D", "ED50", "neu"),
     4277: ("OSGB36 / geographic 2D", "OSGB36", "neu"),
@@ -192,25 +201,29 @@ for _z in range(1, 61):
 def epsg_entry(code: int) -> dict:
     """Resolve an EPSG code to a normalized catalog record."""
     code = int(code)
+    dep = code in DEPRECATED
     if code in _GEOG:
         name, datum, axis, *rest = _GEOG[code]
         ellps, towgs84 = DATUMS[datum]
         return dict(kind="geographic", code=code, name=name, datum=datum,
                     ellps=ellps, towgs84=towgs84, axis=axis,
                     proj_params=dict(proj="longlat"), to_meter=None,
+                    deprecated=dep,
                     pm=PRIME_MERIDIANS[rest[0]] if rest else 0.0)
     if code in _GEOCENT:
         name, datum = _GEOCENT[code]
         ellps, towgs84 = DATUMS[datum]
         return dict(kind="geocentric", code=code, name=name, datum=datum,
                     ellps=ellps, towgs84=towgs84, axis="enu",
-                    proj_params=dict(proj="geocent"), to_meter=1.0)
+                    proj_params=dict(proj="geocent"), to_meter=1.0,
+                    deprecated=dep)
     if code in _PROJECTED:
         name, datum, params, axis, to_meter = _PROJECTED[code]
         ellps, towgs84 = DATUMS[datum]
         return dict(kind="projected", code=code, name=name, datum=datum,
                     ellps=ellps, towgs84=towgs84, axis=axis,
-                    proj_params=dict(params), to_meter=to_meter)
+                    proj_params=dict(params), to_meter=to_meter,
+                    deprecated=dep)
     from pyproj_spark.exceptions import CRSError
     raise CRSError(f"EPSG:{code} is not in the bundled catalog "
                      f"({len(_GEOG) + len(_GEOCENT) + len(_PROJECTED)} "

@@ -50,6 +50,31 @@ _TO_CF = {
         "lat_ts": "standard_parallel",
         "lon_0": "longitude_of_central_meridian",
         "x_0": "false_easting", "y_0": "false_northing"}),
+    "aea": ("albers_conical_equal_area", {
+        "lon_0": "longitude_of_central_meridian",
+        "lat_0": "latitude_of_projection_origin",
+        "x_0": "false_easting", "y_0": "false_northing"}),
+    "cea": ("lambert_cylindrical_equal_area", {
+        "lat_ts": "standard_parallel",
+        "lon_0": "longitude_of_central_meridian",
+        "x_0": "false_easting", "y_0": "false_northing"}),
+    "ortho": ("orthographic", {
+        "lon_0": "longitude_of_projection_origin",
+        "lat_0": "latitude_of_projection_origin",
+        "x_0": "false_easting", "y_0": "false_northing"}),
+    "nsper": ("vertical_perspective", {
+        "h": "perspective_point_height",
+        "lon_0": "longitude_of_projection_origin",
+        "lat_0": "latitude_of_projection_origin",
+        "x_0": "false_easting", "y_0": "false_northing"}),
+    "omerc": ("oblique_mercator", {
+        "alpha": "azimuth_of_central_line",
+        "lat_0": "latitude_of_projection_origin",
+        "lonc": "longitude_of_projection_origin",
+        "k_0": "scale_factor_at_projection_origin",
+        "x_0": "false_easting", "y_0": "false_northing"}),
+    # rotated pole: attrs are derived, not table-mapped (see to_cf)
+    "ob_tran": ("rotated_latitude_longitude", {}),
 }
 
 # oblique stereographic (CF "stereographic"): |lat_0| != 90 — polar_
@@ -98,11 +123,27 @@ def to_cf(crs) -> dict:
     for pk, cf in table.items():
         if pk in params:
             out[cf] = float(params[pk])
-    if proj == "lcc":
+    if proj in ("lcc", "aea"):
         sp = [float(params[k]) for k in ("lat_1", "lat_2") if k in params]
         out["standard_parallel"] = sp[0] if len(sp) == 1 else sp
     if proj == "geos":
         out["sweep_angle_axis"] = str(crs.proj_params.get("sweep", "y"))
+    if proj == "omerc":
+        g = params.get("gamma")
+        if g is not None and float(g) != 90.0:
+            import warnings
+            warnings.warn("angle from rectified to skew grid parameter "
+                          "lost in conversion to CF")  # reference
+            # _cf1x8.py:509-517 semantics: CF has no attribute for gamma
+    if proj == "ob_tran":
+        # PROJ rotated pole -> CF pole-rotation attrs (reference
+        # PoleRotationNetCDFCFConversion, _cf1x8.py:336-344):
+        # lon_0 = grid_north_pole_longitude + 180
+        out["grid_mapping_name"] = "rotated_latitude_longitude"
+        out["grid_north_pole_latitude"] = float(params.get("o_lat_p", 90.0))
+        out["grid_north_pole_longitude"] = (
+            float(params.get("lon_0", 0.0)) - 180.0)
+        out["north_pole_grid_longitude"] = float(params.get("o_lon_p", 0.0))
     return out
 
 
@@ -118,7 +159,8 @@ def from_cf(cf: dict):
     for cfk, pk in table.items():
         if cfk in cf:
             params[pk] = float(cf[cfk])
-    if gm == "lambert_conformal_conic" and "standard_parallel" in cf:
+    if gm in ("lambert_conformal_conic",
+              "albers_conical_equal_area") and "standard_parallel" in cf:
         sp = cf["standard_parallel"]
         if isinstance(sp, (list, tuple)):
             params["lat_1"], params["lat_2"] = float(sp[0]), float(sp[1])
@@ -126,6 +168,14 @@ def from_cf(cf: dict):
             params["lat_1"] = float(sp)
     if gm == "geostationary":
         params["sweep"] = str(cf.get("sweep_angle_axis", "y"))
+    if gm == "oblique_mercator":
+        # reference builds HotineObliqueMercatorB with angle from
+        # rectified to skew grid fixed at 90 (_cf1x8.py:229-243)
+        params["gamma"] = 90.0
+    if gm == "rotated_latitude_longitude":
+        params["o_lat_p"] = float(cf["grid_north_pole_latitude"])
+        params["o_lon_p"] = float(cf.get("north_pole_grid_longitude", 0.0))
+        params["lon_0"] = float(cf["grid_north_pole_longitude"]) + 180.0
     if "semi_major_axis" in cf:
         params["a"] = float(cf["semi_major_axis"])
         if cf.get("inverse_flattening"):

@@ -85,6 +85,8 @@ class CRS:
         self.proj_params = dict(rec.get("proj_params") or {})
         self.to_meter = rec.get("to_meter")
         self.pm = float(rec.get("pm") or 0.0)
+        self.deprecated = bool(rec.get("deprecated", False))
+        self.bound = bool(rec.get("bound", False))
         return self
 
     # ----------------------------------------------------------- factories
@@ -143,7 +145,8 @@ class CRS:
                 if key not in catalog.PRIME_MERIDIANS:
                     raise CRSError(f"unknown prime meridian {raw_pm!r}")
                 pm = catalog.PRIME_MERIDIANS[key]
-        kind = ("geographic" if proj in ("longlat", "latlong", "lonlat")
+        kind = ("geographic"
+                if proj in ("longlat", "latlong", "lonlat", "latlon")
                 else "geocentric" if proj in ("geocent", "cart")
                 else "projected")
         proj_params = {k: v for k, v in params.items()
@@ -165,7 +168,11 @@ class CRS:
         rec = dict(kind=kind, name=f"unknown ({proj})", code=None,
                    datum=params.get("datum"), ellps=None,
                    ellipsoid=ellipsoid, towgs84=towgs84, axis="enu",
-                   proj_params=proj_params, to_meter=to_meter, pm=pm)
+                   proj_params=proj_params, to_meter=to_meter, pm=pm,
+                   # an EXPLICIT +towgs84/+nadgrids makes a BoundCRS
+                   # (reference crs.py:1516-1526); a datum-implied shift
+                   # does not
+                   bound="towgs84" in params or "nadgrids" in params)
         srs = srs or " ".join(
             f"+{k}" if v is True else f"+{k}={v}"
             for k, v in sorted(params.items()))
@@ -268,6 +275,80 @@ class CRS:
     @property
     def is_compound(self) -> bool:
         return self.kind == "compound"
+
+    @property
+    def is_bound(self) -> bool:
+        """True for a BoundCRS — a CRS carrying an EXPLICIT
+        transformation to a hub datum (+towgs84/+nadgrids proj string,
+        BOUNDCRS WKT, BoundCRS builder) — reference crs.py:1511-1520.
+        A catalog datum's implied shift does not make a CRS bound."""
+        return self.bound
+
+    @property
+    def is_derived(self) -> bool:
+        """True for derived CRSs (projected, and rotated-pole derived
+        geographic) — reference crs.py:1557-1566 /
+        test_crs.py:1728-1732."""
+        return (self.kind == "projected"
+                and self.proj_params.get("proj") != "longlat") or \
+            self.proj_params.get("proj") == "ob_tran"
+
+    @property
+    def is_deprecated(self) -> bool:
+        """Catalog deprecation flag — reference crs.py:1569-1579."""
+        return self.deprecated
+
+    def get_non_deprecated(self) -> list:
+        """Non-deprecated successors of a deprecated CRS — reference
+        crs.py:1581-1605 (empty when not deprecated or no successor is
+        recorded)."""
+        if self.epsg_code is None:
+            return []
+        return [CRS.from_epsg(c)
+                for c in catalog.DEPRECATED.get(self.epsg_code, [])]
+
+    @property
+    def source_crs(self):
+        """The base CRS of a BoundCRS (reference crs.py:1179-1190),
+        else None. BoundCRS-builder instances carry their own."""
+        if not self.bound:
+            return None
+        rec = dict(kind=self.kind, name=self.name, code=None,
+                   datum=self.datum_name, ellps=None,
+                   ellipsoid=self.ellipsoid, towgs84=None,
+                   axis=self.axis, proj_params=dict(self.proj_params),
+                   to_meter=self.to_meter, pm=self.pm)
+        return CRS._from_record(rec, self.srs)
+
+    def list_authority(self, auth_name=None, min_confidence: int = 70
+                       ) -> list:
+        """All (auth_name, code, confidence) catalog matches at or above
+        min_confidence, best first — reference crs.py:1379-1421. Only
+        'EPSG' exists in the bundled catalog; bound CRSs match nothing
+        (use .source_crs), mirroring the reference doctest."""
+        from types import SimpleNamespace as NS
+        if auth_name not in (None, "EPSG", "any"):
+            return []
+        if self.bound:
+            return []
+        if self.epsg_code is not None:
+            return [NS(auth_name="EPSG", code=str(self.epsg_code),
+                       confidence=100)]
+        me, me_nt = self._key(), self._key(with_towgs84=False)
+        out = []
+        for code, cand in _catalog_crss():
+            if cand._key() == me:
+                conf = 100 if (cand.axis == self.axis
+                               and cand.name == self.name) else 70
+            elif cand._key(with_towgs84=False) == me_nt:
+                conf = 25
+            else:
+                continue
+            if conf >= min_confidence:
+                out.append(NS(auth_name="EPSG", code=str(code),
+                              confidence=conf))
+        out.sort(key=lambda m: (-m.confidence, int(m.code)))
+        return out
 
     @property
     def geodetic_crs(self) -> "CRS":

@@ -449,6 +449,7 @@ def crs_record_from_wkt(s: str) -> dict:
                     for p in tr.find_all("PARAMETER")]
             if len(vals) in (3, 7):
                 rec["towgs84"] = tuple(vals)
+        rec["bound"] = True
         return rec
     return crs_record_from_node(node)
 

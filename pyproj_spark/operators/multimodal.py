@@ -4,10 +4,12 @@ Images/audio/video are carried as ``binary`` columns with typed
 metadata; decode / feature-extract run as Arrow-batched ``mapInPandas``
 over the binary column. Container-header parsing (format + pixel
 dimensions for PNG/GIF/BMP/JPEG) is REAL — implemented from the public
-container specs over raw bytes. Only the pixel-level decode is STUBBED
-(no image/audio libraries in this container — clearly marked below);
+container specs over raw bytes — and PNG pixel decode is REAL too
+(stdlib zlib IDAT inflate + scanline unfilter, ``decode_png``). Only
+JPEG/audio/video decode remains stubbed (``decode_features`` — those
+codecs genuinely need external libraries absent from this container);
 the Spark-side plumbing (schema, batch shape, partition behavior) is
-real and tested.
+real and tested either way.
 """
 
 from __future__ import annotations
@@ -90,6 +92,113 @@ def image_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
                 {"width": "Int32", "height": "Int32", "n_bytes": "int64"})
 
     return df.select("url", bin_col).mapInPandas(_meta, IMAGE_META_SCHEMA)
+
+
+def decode_png(b: bytes):
+    """REAL PNG pixel decode from raw bytes — stdlib zlib only (IDAT
+    inflate + per-scanline unfilter), no image library. Supports 8-bit
+    greyscale / RGB / RGBA, non-interlaced (the shapes a training
+    pipeline synthesizes or pre-normalizes to). Returns an (h, w, c)
+    uint8 numpy array. Raises ValueError on malformed input,
+    NotImplementedError on unsupported PNG variants."""
+    import struct
+    import zlib
+
+    import numpy as np
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, n = 8, len(b)
+    w = h = None
+    idat = []
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", b[pos:pos + 4])
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + clen]
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} "
+                    f"interlace={interlace} not supported")
+            channels = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        r = rows[y]
+        if f == 0:  # None
+            cur = r.copy()
+        elif f == 2:  # Up
+            cur = (r + prev) & 0xFF
+        elif f == 1:  # Sub: within-row cumsum per byte lane
+            cur = r.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            cur = r.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = r.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + prev[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    prev[x] if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
+PNG_STATS_SCHEMA = ("url string, width int, height int, n_channels int, "
+                    "mean_luma double")
+
+
+def png_stats(df: DataFrame, bin_col: str = "payload") -> DataFrame:
+    """Real pixel-level image features over a binary column: decode each
+    PNG (decode_png above) inside Arrow batches and emit dimensions +
+    mean pixel value across all channels. This is the decode slot that
+    was previously stubbed; rows that fail to decode are dropped."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf["url"], pdf[bin_col]):
+                try:
+                    px = decode_png(bytes(b))
+                except (ValueError, NotImplementedError):
+                    continue
+                rows.append((u, px.shape[1], px.shape[0], px.shape[2],
+                             float(px.mean())))
+            yield pd.DataFrame(
+                rows, columns=["url", "width", "height", "n_channels",
+                               "mean_luma"]).astype(
+                {"width": "int32", "height": "int32",
+                 "n_channels": "int32", "mean_luma": "float64"})
+
+    return df.select("url", bin_col).mapInPandas(_stats, PNG_STATS_SCHEMA)
 
 
 DECODED_SCHEMA = ("url string, n_bytes long, width int, height int, "

@@ -64,15 +64,18 @@ def point_in_ring_np(lon: np.ndarray, lat: np.ndarray,
 from pyspark.sql.types import BooleanType
 
 
-def _make_pip_udf(rings: dict):
-    """PIP filter closing over the driver-side {zone_id: (lons, lats)}
-    ring table — the ring geometry never crosses Arrow per row (it is
-    identical across a zone's candidate rows; shipping it as a struct
-    column multiplied the batch payload by the ring size)."""
+def _make_pip_udf(rings_bc):
+    """PIP filter reading the {zone_id: (lons, lats)} ring table from a
+    SparkContext BROADCAST — shipped once per executor, not pickled into
+    every task closure (at 10^5 zones a closure would re-serialize the
+    whole table per task). The ring geometry never crosses Arrow per row
+    (it is identical across a zone's candidate rows; shipping it as a
+    struct column multiplied the batch payload by the ring size)."""
 
     @pandas_udf(BooleanType())
     def _pip(zone_id: pd.Series, lon: pd.Series,
              lat: pd.Series) -> pd.Series:
+        rings = rings_bc.value
         lon_v = lon.to_numpy()
         lat_v = lat.to_numpy()
         out = np.zeros(len(lon_v), dtype=bool)
@@ -81,7 +84,7 @@ def _make_pip_udf(rings: dict):
         # geometry-derived key would collide for zones sharing vertices
         for zid, idx in zone_id.groupby(zone_id).groups.items():
             r = rings.get(zid)
-            if not r or len(r[0]) == 0:
+            if r is None or len(r[0]) == 0:
                 continue
             ii = np.asarray(idx)
             out[ii] = point_in_ring_np(lon_v[ii], lat_v[ii], r[0], r[1])
@@ -90,26 +93,68 @@ def _make_pip_udf(rings: dict):
     return _pip
 
 
+def _pip_join_struct(cand: DataFrame, lon_col: str,
+                     lat_col: str) -> DataFrame:
+    """Fallback for ring tables too big to broadcast: candidates carry
+    the ring as a struct column through the cell equi-join; a mapInPandas
+    pass parses each zone's ring ONCE per (batch, zone) and filters.
+    One extra shuffle-side payload, zero driver-side collection."""
+    import pyspark.sql.types as T
+    out_schema = T.StructType(
+        [f for f in cand.schema.fields if f.name != "ring"])
+
+    def batches(it):
+        for pdf in it:
+            keep = np.zeros(len(pdf), dtype=bool)
+            pos = {ix: i for i, ix in enumerate(pdf.index)}
+            for _zid, idx in pdf.groupby("zone_id").groups.items():
+                ring = pdf["ring"].loc[idx[0]]
+                rl = np.array([p["lon"] for p in ring])
+                rb = np.array([p["lat"] for p in ring])
+                if len(rl) == 0:
+                    continue
+                ii = np.array([pos[ix] for ix in idx])
+                keep[ii] = point_in_ring_np(
+                    pdf[lon_col].to_numpy()[ii],
+                    pdf[lat_col].to_numpy()[ii], rl, rb)
+            yield pdf.loc[keep].drop(columns=["ring"])
+
+    return cand.mapInPandas(batches, out_schema)
+
+
 def pip_join(anchors: DataFrame, zones: DataFrame,
              res: int = cells.DEFAULT_RES,
-             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+             lon_col: str = "lon", lat_col: str = "lat",
+             broadcast_max_vertices: int = 4_000_000) -> DataFrame:
     """anchors ⋈ zones where the point lies inside the zone ring.
 
     anchors: any DF with lon/lat columns. zones: zones_df schema
-    (zone_id, name, ring, cells) — a broadcastable DIMENSION table (the
-    same assumption as the broadcast cell prefilter): its rings are
-    collected once on the driver and shipped inside the UDF closure, so
-    the per-row Arrow payload is just (zone_id, lon, lat).
+    (zone_id, name, ring, cells) — normally a broadcastable DIMENSION
+    table: rings are collected once on the driver and shipped per
+    executor via sparkContext.broadcast. Above broadcast_max_vertices
+    total ring vertices (~64 MB at 16 B/vertex) the join switches to the
+    struct-column path: rings ride the cell equi-join and are parsed
+    once per (batch, zone) in a mapInPandas pass — slower per row but
+    never materializes the zone table on the driver.
     Returns anchors columns + zone_id.
     """
+    a = anchors.withColumn(
+        "cell", cells.cell_of(F.col(lon_col), F.col(lat_col), res))
+    n_vertices = zones.select(
+        F.sum(F.size("ring")).alias("n")).first()["n"] or 0
+    if n_vertices > broadcast_max_vertices:
+        zc = zones.select("zone_id", "ring",
+                          F.explode("cells").alias("cell"))
+        return _pip_join_struct(a.join(zc, "cell"), lon_col,
+                                lat_col).drop("cell")
     rings = {
         r["zone_id"]: (np.array([p["lon"] for p in r["ring"]]),
                        np.array([p["lat"] for p in r["ring"]]))
         for r in zones.select("zone_id", "ring").collect()}
-    a = anchors.withColumn(
-        "cell", cells.cell_of(F.col(lon_col), F.col(lat_col), res))
+    sc = anchors.sparkSession.sparkContext
+    rings_bc = sc.broadcast(rings)
     zc = zones.select("zone_id", F.explode("cells").alias("cell"))
     cand = a.join(F.broadcast(zc), "cell")
-    hit = cand.filter(_make_pip_udf(rings)(
+    hit = cand.filter(_make_pip_udf(rings_bc)(
         F.col("zone_id"), F.col(lon_col), F.col(lat_col)))
     return hit.drop("cell")

@@ -415,13 +415,77 @@ FROM documents
 """
 
 
-def q_multimodal_stub(spark, sf_dir):
-    """Multimodal plumbing over binary columns (html as the opaque blob):
-    size + magic prefix + stubbed decode via mapInPandas. Rows-only check
-    (pages are engine-synthesized, not in the oracle views)."""
-    from pyproj_spark.operators.multimodal import binary_meta
-    from pyproj_spark.sources.pages import pages_df
-    return binary_meta(pages_df(spark, 500), "html")
+def q_png_decode(spark, sf_dir):
+    """REAL pixel-level multimodal decode, oracle-checked end to end:
+    each doc gets a complete valid RGB PNG (deterministic gradient
+    pixels, zlib-compressed IDAT, CRC-correct chunks) synthesized in a
+    mapInPandas stage; png_stats then INFLATES AND UNFILTERS the actual
+    byte stream (operators/multimodal.py decode_png) and reports
+    dimensions + mean pixel value, which the DuckDB oracle recomputes
+    arithmetically from the same gradient formula. This replaces the
+    former rows-only decode stub — only JPEG/audio/video decode remains
+    stubbed (codec libraries absent from the container)."""
+    import struct
+    import zlib
+    from collections.abc import Iterator
+
+    from pyproj_spark.operators.multimodal import png_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+
+    def _png(d: int) -> bytes:
+        w, h = d % 16 + 1, d % 12 + 1
+        rows = bytearray()
+        for y in range(h):
+            rows.append(0)  # filter: None
+            for x in range(w):
+                rows += bytes(((x * 7 + d) % 256, (y * 13 + d * 3) % 256,
+                               (x + y) % 256))
+
+        def chunk(t: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + t + data
+                    + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + chunk(b"IEND", b""))
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "payload": [_png(int(d)) for d in pdf["doc_id"]]})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    return png_stats(blobs, "payload").select(
+        F.col("url").cast("long").alias("doc_id"),
+        "width", "height", "n_channels", "mean_luma")
+
+
+SQL_PNG_DECODE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM documents
+),
+xr AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d
+),
+xy AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xr
+),
+px AS (
+  SELECT doc_id, w, h,
+         ((x * 7 + doc_id) % 256) + ((y * 13 + doc_id * 3) % 256)
+         + ((x + y) % 256) AS s
+  FROM xy
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       SUM(s) * 1.0 / (w * h * 3) AS mean_luma
+FROM px GROUP BY doc_id, w, h
+"""
 
 
 QUERIES_TEXT = {
@@ -439,7 +503,7 @@ QUERIES_TEXT = {
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "image_meta": (q_image_meta, SQL_IMAGE_META),
-    "multimodal_stub": (q_multimodal_stub, None),
+    "png_decode": (q_png_decode, SQL_PNG_DECODE),
 }
 
 

@@ -103,6 +103,14 @@ def test_cf_roundtrip():
         "+proj=geos +h=35785831.0 +lon_0=-75 +sweep=y +ellps=GRS80 "
         "+towgs84=0,0,0",
         "+proj=sinu +lon_0=0 +ellps=WGS84 +towgs84=0,0,0",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+        "+ellps=GRS80 +towgs84=0,0,0",
+        "+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84 +towgs84=0,0,0",
+        "+proj=ortho +lat_0=40 +lon_0=-30 +ellps=WGS84 +towgs84=0,0,0",
+        "+proj=nsper +h=5000000 +lat_0=40 +lon_0=-20 +ellps=WGS84 "
+        "+towgs84=0,0,0",
+        "+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257964666666 "
+        "+gamma=90 +k_0=0.99984 +ellps=WGS84 +towgs84=0,0,0",
     ]
     for srs in cases:
         crs = CRS.from_user_input(srs)
@@ -282,3 +290,32 @@ def test_utm_canonicalization_fuzz(zone, south):
     assert a == b
     code = (32700 if south else 32600) + zone
     assert a.to_epsg() == code
+
+
+def test_cf_rotated_latitude_longitude_roundtrip():
+    """CF pole-rotation attrs (reference _cf1x8.py:336-344) round-trip
+    through the ob_tran kernel and preserve the rotation math."""
+    import numpy as np
+    from pyproj_spark.crs.cf import from_cf, to_cf
+    from pyproj_spark.crs.crs import CRS
+    cf = {"grid_mapping_name": "rotated_latitude_longitude",
+          "grid_north_pole_latitude": 32.5,
+          "grid_north_pole_longitude": 170.0,
+          "north_pole_grid_longitude": 0.0,
+          "semi_major_axis": 6378137.0,
+          "inverse_flattening": 298.257223563}
+    crs = from_cf(cf)
+    assert crs.proj_params["proj"] == "ob_tran"
+    back = to_cf(crs)
+    for k in ("grid_north_pole_latitude", "grid_north_pole_longitude",
+              "north_pole_grid_longitude"):
+        assert back[k] == cf[k], k
+    # rotation sanity: the true north pole maps to rotated latitude
+    # equal to grid_north_pole_latitude (the engine's ob_tran convention
+    # outputs radians*a, matching PROJ's bare ob_tran to_meter)
+    t = Transformer.from_crs("EPSG:4326", crs, always_xy=True)
+    rlon, rlat = t.transform(0.0, 90.0)
+    assert abs(np.degrees(rlat / 6378137.0) - 32.5) < 1e-9
+    t2 = Transformer.from_crs(crs, "EPSG:4326", always_xy=True)
+    lon0, lat0 = t2.transform(rlon, rlat)
+    assert abs(lat0 - 90.0) < 1e-9

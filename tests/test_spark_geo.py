@@ -346,3 +346,82 @@ def test_jaccard_capped_star_edges_connectivity(spark):
     edges = stars.unionByName(pairs.select("id_a", "id_b"))
     comp = connected_components(edges)
     assert {r["rep"] for r in comp.collect()} == {0}
+
+
+def test_pip_join_struct_fallback_matches_broadcast(spark, anchors):
+    # force the over-threshold struct-column path and require exact
+    # agreement with the broadcast path
+    zdf = zones_df(spark, n_zones=30)
+    fast = set(map(tuple, pip_join(anchors, zdf)
+                   .select("url", "anchor_idx", "zone_id")
+                   .toPandas().to_numpy()))
+    slow = set(map(tuple, pip_join(anchors, zdf, broadcast_max_vertices=1)
+                   .select("url", "anchor_idx", "zone_id")
+                   .toPandas().to_numpy()))
+    assert len(fast) > 0
+    assert fast == slow
+
+
+def test_decode_png_all_filters():
+    # craft a PNG whose scanlines use every filter type (0-4) and check
+    # decode_png recovers the exact pixels; the test implements the
+    # ENCODER side of each filter from the PNG spec
+    import struct
+    import zlib
+    rng = np.random.default_rng(7)
+    w, h, c = 9, 10, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    flat = img.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        out.append(f)
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:
+            enc = cur.copy()
+            enc[bpp:] = (cur[bpp:] - cur[:-bpp]) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = cur.copy()
+            for x in range(w * c):
+                a = cur[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - ((a + prev[x]) >> 1)) % 256
+        else:
+            enc = cur.copy()
+            for x in range(w * c):
+                a = cur[x - bpp] if x >= bpp else 0
+                ccc = prev[x - bpp] if x >= bpp else 0
+                p = a + prev[x] - ccc
+                pa, pb, pc2 = abs(p - a), abs(p - prev[x]), abs(p - ccc)
+                pred = a if (pa <= pb and pa <= pc2) else (
+                    prev[x] if pb <= pc2 else ccc)
+                enc[x] = (cur[x] - pred) % 256
+        out += bytes(int(v) for v in enc)
+        prev = cur
+
+    def chunk(t, data):
+        return (struct.pack(">I", len(data)) + t + data
+                + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(out)))
+           + chunk(b"IEND", b""))
+    from pyproj_spark.operators.multimodal import decode_png
+    got = decode_png(png)
+    assert got.shape == (h, w, c)
+    assert (got == img).all()
+    # unsupported variants raise, malformed raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    bad_ihdr = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2,
+                                             0, 0, 0)))
+    with _pytest.raises(NotImplementedError):
+        decode_png(bad_ihdr)

@@ -169,3 +169,39 @@ def test_typed_errors_on_malformed_inputs():
         parse_wkt(full[: len(full) // 2])
     with pytest.raises(CRSError):
         CRS.from_wkt('GEOGCRS["truncated", DATUM["x"')
+
+
+def test_crs_predicates_bound_derived_deprecated():
+    # reference test/crs/test_crs.py predicate cases, catalog-subset
+    from pyproj_spark.crs.crs import CRS
+    # bound: explicit towgs84 in the input; catalog-implied shift is not
+    b = CRS.from_user_input("+proj=geocent +datum=WGS84 +towgs84=0,0,0")
+    assert b.is_bound
+    assert not CRS.from_epsg(4326).is_bound
+    assert not CRS.from_epsg(4267).is_bound  # datum-implied shift only
+    # bound CRS: no direct authority match, but source_crs resolves
+    assert b.list_authority() == []
+    src = b.source_crs
+    assert src is not None and not src.is_bound
+    m = src.list_authority(min_confidence=25)
+    assert any(x.code == "4978" for x in m)
+    assert CRS.from_epsg(4326).source_crs is None
+    # derived: projected and rotated-pole yes, plain geographic no
+    assert CRS.from_epsg(32610).is_derived
+    assert CRS.from_user_input(
+        "+proj=ob_tran +o_proj=longlat +o_lat_p=0 +o_lon_p=0 +lon_0=0"
+    ).is_derived
+    assert not CRS.from_user_input("+proj=latlon").is_derived
+    # deprecated + successor (reference test_non_deprecated pattern)
+    dep = CRS.from_epsg(4140)
+    assert dep.is_deprecated
+    succ = dep.get_non_deprecated()
+    assert len(succ) == 1
+    assert succ[0].epsg_code == 4617 and not succ[0].is_deprecated
+    assert not CRS.from_epsg(4326).is_deprecated
+    assert CRS.from_epsg(4326).get_non_deprecated() == []
+    # list_authority: exact catalog identity
+    la = CRS.from_epsg(4326).list_authority()
+    assert [(x.auth_name, x.code, x.confidence) for x in la] == [
+        ("EPSG", "4326", 100)]
+    assert CRS.from_epsg(4326).list_authority(auth_name="IGNF") == []
