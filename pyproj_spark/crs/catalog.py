@@ -58,6 +58,8 @@ DATUMS = {
     "NZGD2000": ("GRS80", (0, 0, 0)),
     "GDM2000": ("GRS80", (0, 0, 0)),
     "NAD83_CSRS": ("GRS80", (0, 0, 0)),
+    # EPSG:1237 "WGS 72 to WGS 84 (1)": dz=4.5 m, rz=0.554", ds=0.2263 ppm
+    "WGS72": ("WGS72", (0, 0, 4.5, 0, 0, 0.554, 0.2263)),
 }
 
 #: deprecated EPSG codes -> their non-deprecated successors (reference
@@ -188,6 +190,38 @@ for _z in range(1, 24):
     _PROJECTED[26900 + _z] = (
         f"NAD83 / UTM zone {_z}N", "NAD83", dict(proj="utm", zone=_z),
         "enu", 1.0)
+# WGS72 UTM zones 1N-60N / 1S-60S (EPSG 32201-32260 / 32301-32360)
+for _z in range(1, 61):
+    _PROJECTED[32200 + _z] = (
+        f"WGS 72 / UTM zone {_z}N", "WGS72", dict(proj="utm", zone=_z),
+        "enu", 1.0)
+    _PROJECTED[32300 + _z] = (
+        f"WGS 72 / UTM zone {_z}S", "WGS72",
+        dict(proj="utm", zone=_z, south=True), "enu", 1.0)
+# NAD27 UTM zones 3N-22N (EPSG 26703-26722)
+for _z in range(3, 23):
+    _PROJECTED[26700 + _z] = (
+        f"NAD27 / UTM zone {_z}N", "NAD27", dict(proj="utm", zone=_z),
+        "enu", 1.0)
+
+# California SPCS83 zones 1-6, US survey foot (EPSG 2225-2230):
+# lcc 2SP with x_0 = 6,561,666.667 ftUS (2,000,000 m), y_0 =
+# 1,640,416.667 ftUS (500,000 m) — EPSG registry parameters
+_CA_X0 = 6561666.667 * US_FT
+_CA_Y0 = 1640416.667 * US_FT
+for _code, _zone, _l1, _l2, _l0, _lon in (
+        (2225, 1, 41.66666666666666, 40.0, 39.33333333333334, -122.0),
+        (2226, 2, 39.83333333333334, 38.33333333333334,
+         37.66666666666666, -122.0),
+        (2227, 3, 38.43333333333333, 37.06666666666667, 36.5, -120.5),
+        (2228, 4, 37.25, 36.0, 35.33333333333334, -119.0),
+        (2229, 5, 35.46666666666667, 34.03333333333333, 33.5, -118.0),
+        (2230, 6, 33.88333333333333, 32.78333333333333,
+         32.16666666666666, -116.25)):
+    _PROJECTED[_code] = (
+        f"NAD83 / California zone {_zone} (ftUS)", "NAD83",
+        dict(proj="lcc", lat_1=_l1, lat_2=_l2, lat_0=_l0, lon_0=_lon,
+             x_0=_CA_X0, y_0=_CA_Y0), "enu", US_FT)
 # WGS84 UTM north 32601-32660 / south 32701-32760
 for _z in range(1, 61):
     _PROJECTED[32600 + _z] = (
