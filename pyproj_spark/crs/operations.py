@@ -336,6 +336,27 @@ def operation_from_wkt(s: str, always_xy: bool = False
     return CoordinateOperationTransformer(rec, always_xy=always_xy)
 
 
+def operation_from_name(name: str, always_xy: bool = False
+                        ) -> CoordinateOperationTransformer:
+    """Resolve an operation by its NAME (reference from_pipeline accepts
+    object names, transformer.py:780-782, uniqueness by heuristics —
+    here exact case-insensitive match over the bundled catalog,
+    including the UTM conversion series)."""
+    want = name.strip().lower()
+    for code, (opname, *_rest) in OPERATIONS.items():
+        if opname.lower() == want:
+            return CoordinateOperationTransformer(_operation_record(code),
+                                                  always_xy=always_xy)
+    m = __import__("re").match(r"^utm zone (\d{1,2})([ns])$", want)
+    if m:
+        z = int(m.group(1))
+        if 1 <= z <= 60:
+            code = (16000 if m.group(2) == "n" else 17000) + z
+            return CoordinateOperationTransformer(
+                _operation_record(code), always_xy=always_xy)
+    raise CRSError(f"no cataloged coordinate operation named {name!r}")
+
+
 def operation_from_json(obj, always_xy: bool = False
                         ) -> CoordinateOperationTransformer:
     import json

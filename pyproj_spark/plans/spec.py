@@ -301,6 +301,9 @@ class Transformer:
         if _re.match(r"^(COORDINATEOPERATION|CONVERSION)\s*[\[(]", s,
                      _re.I):
             return _ops.operation_from_wkt(s, always_xy=always_xy)
+        if "proj=" not in s:
+            # bare operation NAME (reference transformer.py:780-782)
+            return _ops.operation_from_name(s, always_xy=always_xy)
         from pyproj_spark.plans.pipeline import PipelineTransformer
         return PipelineTransformer(proj_pipeline)
 

@@ -106,3 +106,14 @@ def test_operation_wkt_generic_parse():
     a = t.transform(-3.7, 40.4)
     b = t2.transform(-3.7, 40.4)
     assert_almost_equal(a, b, decimal=12)
+
+
+def test_from_pipeline_by_operation_name():
+    t = Transformer.from_pipeline("ED50 to WGS 84 (18)", always_xy=True)
+    t2 = Transformer.from_pipeline("EPSG:1311", always_xy=True)
+    assert_almost_equal(t.transform(-3.7, 40.4), t2.transform(-3.7, 40.4),
+                        decimal=12)
+    u = Transformer.from_pipeline("UTM zone 31N", always_xy=True)
+    assert_almost_equal(u.transform(3.0, 0.0), (500000.0, 0.0), decimal=6)
+    with pytest.raises(CRSError):
+        Transformer.from_pipeline("No Such Operation (1)")
