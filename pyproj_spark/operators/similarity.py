@@ -79,6 +79,68 @@ def simhash_buckets(embeddings: DataFrame, n_planes: int = 8,
     return embeddings.withColumn("bucket", bucket)
 
 
+def _centroid_score(vec: Column, centroid: int) -> Column:
+    """dot(vec, c_j) where c_j is the md5-derived pseudo centroid —
+    deterministic on any engine, no trained/shipped model state."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def _proj(j: int):
+        return lambda x, i: x * _plane_component(j, i)
+
+    return F.aggregate(F.zip_with(vec, idx, _proj(centroid)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_cells(embeddings: DataFrame, n_centroids: int = 8,
+              vec_col: str = "embedding", out_col: str = "cell"
+              ) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    (argmax-dot) pseudo-centroid. The inverted-file ANN layout: `cell`
+    is the partition/equi-join key, so at 100 TB the index build is one
+    narrow map pass and search touches only nprobe cells."""
+    v = F.col(vec_col).cast("array<double>")
+    scores = F.array(*[_centroid_score(v, j) for j in range(n_centroids)])
+    # first-index argmax (1-based) — mirrored by DuckDB list_position
+    cell = F.array_position(scores, F.array_max(scores)).cast("int")
+    return embeddings.withColumn(out_col, cell)
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+             n_centroids: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id", qid_col: str = "qid",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN search: each query probes its top-nprobe centroid cells
+    and exact-cosine re-ranks only the vectors quantized into those
+    cells — the classic recall/cost dial (nprobe=n_centroids = exact).
+    Queries are broadcast; the only wide exchange is the final top-k
+    window over candidates."""
+    e = ivf_cells(
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v")),
+        n_centroids, "_v")
+    q = queries.select(F.col(qid_col),
+                       F.col(vec_col).cast("array<double>").alias("_q"))
+    qv = F.col("_q")
+    qscores = F.array(*[_centroid_score(qv, j) for j in range(n_centroids)])
+    probes = q.select(
+        qid_col, "_q",
+        F.posexplode(qscores).alias("cidx", "score"))
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("score"), "cidx")
+    probes = (probes.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe)
+              .select(qid_col, "_q", (F.col("cidx") + 1).cast("int")
+                      .alias("cell")))
+    cand = (e.join(F.broadcast(probes), "cell")
+            .filter(F.col(id_col) != F.col(qid_col))
+            .withColumn("sim", F.round(cosine(F.col("_v"),
+                                              F.col("_q")), 6)))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), id_col)
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, "rank", id_col, "sim"))
+
+
 def ann_topk_lsh(embeddings: DataFrame, k: int = 3, n_planes: int = 6,
                  id_col: str = "vec_id", vec_col: str = "embedding"
                  ) -> DataFrame:

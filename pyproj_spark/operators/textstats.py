@@ -28,10 +28,19 @@ def token_count(col: Column) -> Column:
         F.size(F.split(t, r"\s+"))).cast("long")
 
 
+#: GPT-2-style pre-tokenizer shape, lookahead-free so the SAME pattern
+#: runs under Java regex (Spark) and RE2 (DuckDB oracle): contractions,
+#: optionally space-prefixed letter runs / digit runs / punctuation runs
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def word_chunk_count(col: Column) -> Column:
-    """BPE-ish chunking: count of letter-runs + digit-runs + punct marks."""
+    """BPE-ish chunk count: the number of pre-tokenizer pieces a GPT-2
+    style byte-pair encoder would start from (whitespace-run tokens
+    excluded) — the standard cheap token-budget estimator for
+    training-data pipelines."""
     return F.size(F.regexp_extract_all(
-        col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast("long")
+        col, F.lit(BPE_PATTERN), 0)).cast("long")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

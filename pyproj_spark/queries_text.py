@@ -41,9 +41,11 @@ FROM k GROUP BY 1 HAVING count(*) > 1
 
 
 def q_token_stats(spark, sf_dir):
+    from pyproj_spark.operators.textstats import word_chunk_count
     df = textstats.quality_features(_docs(spark, sf_dir))
     return df.select("doc_id", "n_chars", "n_tokens", "punct_ratio",
-                     "stopword_ratio", "mean_token_len")
+                     "stopword_ratio", "mean_token_len",
+                     word_chunk_count(F.col("text")).alias("n_bpe_tokens"))
 
 
 SQL_TOKEN_STATS = """
@@ -69,7 +71,10 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
        round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
        round(CASE WHEN n_tokens > 0 THEN n_chars / CAST(n_tokens AS DOUBLE)
-                  ELSE 0.0 END, 4) AS mean_token_len
+                  ELSE 0.0 END, 4) AS mean_token_len,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens
 FROM t
 """
 
@@ -322,6 +327,73 @@ SELECT qid, rank, vec_id, sim FROM ranked WHERE rank <= 3
 """
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN (the other scale path next to LSH): md5-derived pseudo
+    centroids -> argmax-dot cell assignment -> queries probe their top
+    nprobe cells -> exact cosine re-rank inside the probed cells. The
+    whole pipeline (centroids, quantization, probing, re-rank) is
+    reproduced in DuckDB SQL and hash-checked."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .withColumnRenamed("vec_id", "qid")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") < 500), queries,
+                               k=3, n_centroids=8, nprobe=2)
+
+
+_IVF_COMP = ("((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || "
+             "CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 20001 - 10000)"
+             " / 10000.0)")
+
+SQL_IVF_ANN = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 500),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < 10),
+js AS (SELECT unnest(generate_series(0, 7)) AS j),
+escore AS (
+  SELECT vec_id, v, j,
+         list_sum(list_transform(generate_series(1, len(v)),
+                                 i -> v[i] * {_IVF_COMP})) AS s
+  FROM e CROSS JOIN js
+),
+ecell AS (
+  SELECT vec_id, any_value(v) AS v,
+         list_position(list(s ORDER BY j), list_max(list(s ORDER BY j)))
+             AS cell
+  FROM escore GROUP BY vec_id
+),
+qscore AS (
+  SELECT qid, qv, j,
+         list_sum(list_transform(generate_series(1, len(qv)),
+                                 i -> qv[i] * {_IVF_COMP})) AS s
+  FROM q CROSS JOIN js
+),
+probes AS (
+  SELECT qid, qv, j + 1 AS cell
+  FROM (SELECT qid, qv, j, s,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, j)
+                   AS r
+        FROM qscore)
+  WHERE r <= 2
+),
+cand AS (
+  SELECT qid, vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS sim
+  FROM ecell JOIN probes USING (cell)
+  WHERE vec_id != qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+  FROM cand
+)
+SELECT qid, rank, vec_id, sim FROM ranked WHERE rank <= 3
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (scale path). The md5-derived hyperplanes are
     deterministic, so the full signature -> bucket -> re-rank pipeline
@@ -504,6 +576,7 @@ QUERIES_TEXT = {
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
+    "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
 }
 
 

@@ -425,3 +425,26 @@ def test_decode_png_all_filters():
                                              0, 0, 0)))
     with _pytest.raises(NotImplementedError):
         decode_png(bad_ihdr)
+
+
+def test_ivf_topk_recall_and_exact_limit(spark):
+    # nprobe = n_centroids must equal brute force exactly; nprobe=2
+    # keeps decent recall@3 on random unit-ish vectors
+    from pyproj_spark.operators.similarity import cosine_topk, ivf_topk
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(v) for v in rng.normal(0, 1, 16)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "qid")
+    exact = {(r["qid"], r["rank"]): r["vec_id"]
+             for r in cosine_topk(emb, q, k=3).collect()}
+    full = {(r["qid"], r["rank"]): r["vec_id"]
+            for r in ivf_topk(emb, q, k=3, n_centroids=4,
+                              nprobe=4).collect()}
+    assert full == exact
+    approx = {(r["qid"], r["rank"]): r["vec_id"]
+              for r in ivf_topk(emb, q, k=3, n_centroids=4,
+                                nprobe=2).collect()}
+    hits = sum(1 for kk, v in exact.items() if approx.get(kk) == v
+               or v in [approx.get((kk[0], r)) for r in (1, 2, 3)])
+    assert hits / len(exact) > 0.5  # recall@3 with half the cells probed
