@@ -404,6 +404,52 @@ class CRS:
                   ellipsoid=self.ellipsoid, towgs84=self.towgs84)
 
     @property
+    def coordinate_system(self):
+        """Coordinate-system descriptor (.name + .axis_list) — reference
+        pyproj/crs/crs.py:1153-1161; names follow proj_create_cs
+        conventions (ellipsoidal / cartesian / vertical)."""
+        from types import SimpleNamespace as NS
+        if self.is_geographic:
+            cs_name = "ellipsoidal"
+        elif self.is_vertical:
+            cs_name = "vertical"
+        else:
+            cs_name = "cartesian"
+        return NS(name=cs_name, axis_list=self.axis_info)
+
+    @property
+    def sub_crs_list(self) -> list:
+        """Components of a compound CRS, else [] — reference
+        pyproj/crs/crs.py:1038-1046. Catalog records are never
+        compound; the CompoundCRS builder carries its own list."""
+        return []
+
+    @property
+    def utm_zone(self):
+        """UTM zone string like '33N', or None — reference
+        pyproj/crs/crs.py:1049-1071 (Bound CRSs delegate to their
+        source, compound CRSs to the first zoned component)."""
+        if self.bound and self.source_crs is not None:
+            return self.source_crs.utm_zone
+        for sub in self.sub_crs_list:
+            if sub.utm_zone:
+                return sub.utm_zone
+        p = self.proj_params
+        if p.get("proj") == "utm" and "zone" in p:
+            hemi = "S" if p.get("south") else "N"
+            return f"{int(p['zone'])}{hemi}"
+        m = re.search(r"UTM ZONE (\d{1,2}[NS])", self.name.upper())
+        return m.group(1) if m else None
+
+    def get_geod(self):
+        """Geod built from this CRS's ellipsoid — reference
+        pyproj/crs/crs.py:504-518."""
+        if self.ellipsoid is None:
+            return None
+        from pyproj_spark.kernels.geod import Geod
+        return Geod(a=self.ellipsoid.a, f=self.ellipsoid.f)
+
+    @property
     def prime_meridian(self):
         from types import SimpleNamespace as NS
         name = next((k.capitalize() for k, v

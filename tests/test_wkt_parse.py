@@ -205,3 +205,27 @@ def test_crs_predicates_bound_derived_deprecated():
     assert [(x.auth_name, x.code, x.confidence) for x in la] == [
         ("EPSG", "4326", 100)]
     assert CRS.from_epsg(4326).list_authority(auth_name="IGNF") == []
+
+
+def test_component_accessor_surface():
+    """utm_zone / coordinate_system / sub_crs_list / get_geod —
+    reference pyproj/crs/crs.py:504-518,1038-1071,1153-1161 and
+    test/crs/test_crs.py utm_zone cases."""
+    assert CRS.from_epsg(32633).utm_zone == "33N"
+    assert CRS.from_epsg(32733).utm_zone == "33S"
+    assert CRS.from_epsg(4326).utm_zone is None
+    assert CRS.from_epsg(3857).utm_zone is None
+    # bound CRS delegates to its source (reference crs.py:1060-1061)
+    b = CRS.from_user_input(
+        "+proj=utm +zone=17 +datum=NAD27 +towgs84=-8,160,176")
+    assert b.is_bound and b.utm_zone == "17N"
+    # coordinate_system names follow proj_create_cs conventions
+    assert CRS.from_epsg(4326).coordinate_system.name == "ellipsoidal"
+    assert CRS.from_epsg(32633).coordinate_system.name == "cartesian"
+    assert len(CRS.from_epsg(4326).coordinate_system.axis_list) == 2
+    # catalog CRSs are never compound
+    assert CRS.from_epsg(32633).sub_crs_list == []
+    # get_geod carries the CRS ellipsoid into a Geod
+    g = CRS.from_epsg(4267).get_geod()  # NAD27 -> Clarke 1866
+    assert abs(g.a - 6378206.4) < 1e-6
+    assert abs(1.0 / g.f - 294.978698214) < 1e-6
