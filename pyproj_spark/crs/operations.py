@@ -64,6 +64,13 @@ OPERATIONS: dict[int, tuple] = {
            (0.06155, -0.01087, -0.04019,
             -0.0394924, -0.0327221, -0.0328979, -0.009994), 0.01,
            (93.41, -60.55, 173.34, -8.47)),
+    # null hub transformations (published zero-parameter identities)
+    1188: ("NAD83 to WGS 84 (1)", 4269, 4326, "geocentric_translation",
+           (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), 2.0,
+           (167.65, 14.92, -47.74, 86.45)),
+    1149: ("ETRS89 to WGS 84 (1)", 4258, 4326, "geocentric_translation",
+           (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), 1.0,
+           (-16.1, 32.88, 40.18, 84.73)),
 }
 
 
@@ -257,6 +264,117 @@ class CoordinateOperationTransformer:
     def __repr__(self):
         return (f"CoordinateOperationTransformer(EPSG:{self._rec['code']} "
                 f"{self.name!r})")
+
+
+class ConcatenatedOperationTransformer:
+    """Chain of cataloged operations — the OGC concatenated-operation
+    URN input family (reference ``pyproj/transformer.py:780-782``,
+    step list exposed via ``.operations`` like
+    ``_get_concatenated_operations``, _crs.pyx:177-199).
+
+    Each listed operation is used forward or inverted, whichever links
+    the chain (PROJ resolves orientation the same way when assembling
+    a concatenated operation from the database); an unlinkable list
+    raises CRSError.
+    """
+
+    def __init__(self, steps, always_xy: bool = False):
+        if len(steps) < 2:
+            raise CRSError("a concatenated operation needs >= 2 steps")
+        for op in steps:
+            if op.target_crs is None:
+                raise CRSError(
+                    "conversions cannot participate in a concatenated "
+                    f"operation URN: {op.name!r}")
+        self.always_xy = always_xy
+        self._steps = self._link(steps)
+        self.operations = tuple(op for op, _inv in self._steps)
+        op0, inv0 = self._steps[0]
+        opn, invn = self._steps[-1]
+        self.source_crs = op0.target_crs if inv0 else op0.source_crs
+        self.target_crs = opn.source_crs if invn else opn.target_crs
+        self.name = " + ".join(
+            (f"Inverse of {op.name}" if inv else op.name)
+            for op, inv in self._steps)
+        self.description = self.name
+        self.has_inverse = True
+        accs = [op.accuracy for op, _ in self._steps]
+        self.accuracy = -1.0 if any(a < 0 for a in accs) else sum(accs)
+
+    @staticmethod
+    def _link(steps):
+        """Pick a forward/inverted orientation per step so consecutive
+        CRSs match; the first step prefers forward."""
+        first = steps[0]
+        for inv0 in (False, True):
+            chain = [(first, inv0)]
+            end = first.source_crs if inv0 else first.target_crs
+            ok = True
+            for op in steps[1:]:
+                if op.source_crs == end:
+                    chain.append((op, False))
+                    end = op.target_crs
+                elif op.target_crs == end:
+                    chain.append((op, True))
+                    end = op.source_crs
+                else:
+                    ok = False
+                    break
+            if ok:
+                return chain
+        names = [op.name for op in steps]
+        raise CRSError(
+            f"operations do not form a linkable chain: {names}")
+
+    @property
+    def srs(self) -> str:
+        return ",".join(op.srs for op in self.operations)
+
+    def transform(self, xx, yy, zz=None, radians: bool = False,
+                  errcheck: bool = False, direction="FORWARD", **_kw):
+        d = getattr(direction, "value", direction)
+        if d == "IDENT":
+            return self.operations[0].transform(
+                xx, yy, zz, radians=radians, errcheck=errcheck,
+                direction="IDENT")
+        steps = self._steps if d == "FORWARD" else [
+            (op, not inv) for op, inv in reversed(self._steps)]
+        x, y, z = xx, yy, zz
+        for op, inv in steps:
+            res = op.transform(
+                x, y, z, radians=radians, errcheck=errcheck,
+                direction="INVERSE" if inv else "FORWARD")
+            if z is not None:
+                x, y, z = res
+            else:
+                x, y = res
+        return res
+
+    def itransform(self, points, switch: bool = False, **kw):
+        for pt in points:
+            x, y = (pt[1], pt[0]) if switch else (pt[0], pt[1])
+            yield self.transform(x, y, **kw)
+
+    def __repr__(self):
+        return f"ConcatenatedOperationTransformer({self.name!r})"
+
+
+def operation_from_concat_urn(s: str, always_xy: bool = False
+                              ) -> ConcatenatedOperationTransformer:
+    """Parse ``urn:ogc:def:coordinateOperation,coordinateOperation:
+    EPSG::3895,coordinateOperation:EPSG::1618``-style URNs (reference
+    transformer.py:780-782)."""
+    import re
+    body = s.split(",", 1)[1]
+    steps = []
+    for part in body.split(","):
+        m = re.match(r"^\s*coordinateOperation:(\w+):+(\w+)\s*$", part)
+        if not m:
+            raise CRSError(f"malformed concatenated-operation URN "
+                           f"component {part!r}")
+        steps.append(operation_from_code(m.group(1), m.group(2),
+                                         always_xy=always_xy))
+    return ConcatenatedOperationTransformer(steps, always_xy=always_xy)
 
 
 def operation_from_code(auth: str, code,

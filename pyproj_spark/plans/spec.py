@@ -287,6 +287,8 @@ class Transformer:
         if m and m.group(1).upper().startswith("ITRF"):
             from pyproj_spark.kernels.itrf import ITRFTransformer
             return ITRFTransformer(m.group(1), m.group(2))
+        if _re.match(r"^urn:ogc:def:coordinateOperation\s*,", s, _re.I):
+            return _ops.operation_from_concat_urn(s, always_xy=always_xy)
         m = _re.match(
             r"^urn:ogc:def:coordinateOperation:(\w+)::?(\w+)$", s, _re.I)
         if m:

@@ -117,3 +117,43 @@ def test_from_pipeline_by_operation_name():
     assert_almost_equal(u.transform(3.0, 0.0), (500000.0, 0.0), decimal=6)
     with pytest.raises(CRSError):
         Transformer.from_pipeline("No Such Operation (1)")
+
+
+def test_from_pipeline_concatenated_urn():
+    """OGC concatenated-operation URN (reference
+    transformer.py:780-782): listed operations chain with per-step
+    orientation resolution, .operations exposes the step list
+    (_crs.pyx:177-199)."""
+    urn = ("urn:ogc:def:coordinateOperation,"
+           "coordinateOperation:EPSG::1311,"
+           "coordinateOperation:EPSG::1188")
+    t = Transformer.from_pipeline(urn)
+    assert [o.name for o in t.operations] == [
+        "ED50 to WGS 84 (18)", "NAD83 to WGS 84 (1)"]
+    assert t.name == "ED50 to WGS 84 (18) + Inverse of NAD83 to WGS 84 (1)"
+    assert t.source_crs.epsg_code == 4230
+    assert t.target_crs.epsg_code == 4269
+    assert t.accuracy == 3.0
+    # equals the manual composition step by step
+    a = Transformer.from_pipeline("EPSG:1311")
+    b = Transformer.from_pipeline("EPSG:1188")
+    x, y = t.transform(10.0, 52.0)
+    mx, my = a.transform(10.0, 52.0)
+    mx, my = b.transform(mx, my, direction="INVERSE")
+    assert_almost_equal((x, y), (mx, my), decimal=12)
+    # inverse direction round-trips (geog2D domain: h dropped between
+    # steps, same convention as PROJ -> ~1e-8 deg residual)
+    xi, yi = t.transform(x, y, direction="INVERSE")
+    assert_almost_equal((xi, yi), (10.0, 52.0), decimal=7)
+    # unlinkable chain raises the typed error
+    with pytest.raises(CRSError):
+        Transformer.from_pipeline(
+            "urn:ogc:def:coordinateOperation,"
+            "coordinateOperation:EPSG::8048,"
+            "coordinateOperation:EPSG::1133")
+    # conversions cannot participate
+    with pytest.raises(CRSError):
+        Transformer.from_pipeline(
+            "urn:ogc:def:coordinateOperation,"
+            "coordinateOperation:EPSG::16031,"
+            "coordinateOperation:EPSG::1188")
