@@ -1,0 +1,501 @@
+"""Baseline JPEG (JFIF) codec — stdlib + numpy only, no image library.
+
+Implements the ITU-T T.81 baseline sequential DCT process from the
+public spec: marker parsing (DQT/DHT/SOF0/SOS/DRI), Huffman entropy
+decoding with byte-stuffing and restart markers, dequantization,
+zigzag reorder, a vectorized separable IDCT, chroma upsampling
+(4:4:4 / 4:2:2 / 4:2:0), and the JFIF YCbCr->RGB transform.
+
+A matching fixture ENCODER (grayscale / RGB 4:4:4, standard Annex K
+Huffman tables) lets the tests and the synthetic-data generator
+produce real baseline JPEGs deterministically, so the decode path is
+exercised end-to-end without any external codec.
+
+Reference surface parity: fills the decode slot that
+``operators/multimodal.py`` previously stubbed for JPEG (the PNG slot
+was already real); analogous to what a training pipeline would do with
+PIL/cv2, but self-contained.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU-T T.81 Figure A.6 zigzag order: zigzag index -> raster index
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8-point DCT-II basis matrix: C[u, x] = a(u) cos((2x+1) u pi / 16)
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _DCT[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], huffval)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)))
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)))
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _build_decode_table(bits, huffval):
+    """(code -> (length, value)) lookup per T.81 Annex C code assignment,
+    keyed by (length, code) for the sequential bit-reader."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with JPEG
+    byte-stuffing (0xFF 0x00) removed on the fly; stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data exhausted")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"unexpected marker FF{nxt:02X} "
+                                 "inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_consume_rst(self):
+        """Byte-align and consume one RSTn marker (T.81 E.2.4)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _decode_huffman(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to an (h, w, c) uint8 array (c = 1 for
+    grayscale, 3 for YCbCr->RGB). Supports SOF0 baseline sequential,
+    1 or 3 components, sampling factors up to 2x2 (4:4:4 / 4:2:2 /
+    4:2:0), restart intervals. Raises ValueError on malformed input,
+    NotImplementedError on progressive/arithmetic/12-bit variants."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        seg = b[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i:i + 64],
+                                        dtype=np.uint8).astype(np.float64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg[i:i + 128],
+                                        dtype=">u2").astype(np.float64)
+                    i += 128
+                qt[tq] = tbl  # zigzag order
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _build_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG not supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append(dict(id=cid, hs=hv >> 4, vs=hv & 0x0F,
+                                  tq=tq))
+            frame = dict(w=w, h=h, comps=comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si:3 + 2 * si]
+                scan[cs] = (tdta >> 4, tdta & 0x0F)
+            return _decode_scan(b, pos, frame, scan, qt, huff_dc,
+                                huff_ac, restart_interval)
+        # APPn / COM / others: skipped
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["hs"]  # blocks per row
+        c["bh"] = mcuy * c["vs"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+        c["dc_tbl"], c["ac_tbl"] = scan[c["id"]]
+        c["pred"] = 0
+    reader = _BitReader(b, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.align_and_consume_rst()
+                for c in comps:
+                    c["pred"] = 0
+            try:
+                for c in comps:
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            _decode_block(reader, c, qt,
+                                          huff_dc[c["dc_tbl"]],
+                                          huff_ac[c["ac_tbl"]],
+                                          (my * c["vs"] + by) * c["bw"]
+                                          + mx * c["hs"] + bx)
+            except _RestartMarker:
+                raise ValueError("unexpected restart marker")
+            mcu_count += 1
+    # batched IDCT over every block of every component
+    planes = []
+    for c in comps:
+        blocks = c["coef"].reshape(-1, 8, 8)
+        # separable inverse DCT: X = C^T F C  (C = _DCT basis)
+        px = np.einsum("ux,nuv,vy->nxy", _DCT, blocks, _DCT,
+                       optimize=True) + 128.0
+        plane = px.reshape(c["bh"], c["bw"], 8, 8).transpose(
+            0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        # upsample to full resolution then crop
+        plane = np.repeat(np.repeat(plane, vmax // c["vs"], axis=0),
+                          hmax // c["hs"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        bl = y + 1.772 * cb
+        out = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader, comp, qt, dc_tbl, ac_tbl, bi):
+    q = qt[comp["tq"]]
+    coef = comp["coef"][bi]
+    t = _decode_huffman(reader, dc_tbl)
+    diff = _extend(reader.read_bits(t), t)
+    comp["pred"] += diff
+    coef[ZIGZAG[0]] = comp["pred"] * q[0]
+    k = 1
+    while k < 64:
+        rs = _decode_huffman(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) * q[k]
+        k += 1
+
+
+# --------------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int):
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+
+
+def _build_encode_table(bits, huffval):
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[huffval[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int):
+    """(category, magnitude-bits) for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _encode_block(writer, block, pred, q, dc_tbl, ac_tbl):
+    f = _DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T
+    zz = np.round(f.reshape(64)[ZIGZAG] / q).astype(np.int64)
+    diff = int(zz[0]) - pred
+    t, mag = _magnitude(diff)
+    ln, code = dc_tbl[t]
+    writer.write(code, ln)
+    if t:
+        writer.write(mag, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                break
+            run += 1
+            if run == 16:
+                ln, code = ac_tbl[0xF0]  # ZRL
+                writer.write(code, ln)
+                run = 0
+            continue
+        t, mag = _magnitude(v)
+        ln, code = ac_tbl[(run << 4) | t]
+        writer.write(code, ln)
+        writer.write(mag, t)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_tbl[0x00]  # EOB
+        writer.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(pixels: np.ndarray, quant: int | np.ndarray = 1,
+                subsample: str = "4:4:4") -> bytes:
+    """Encode an (h, w) or (h, w, 3) uint8 array as a baseline JFIF
+    JPEG (grayscale, or RGB via YCbCr at 4:4:4 or 4:2:0), standard
+    Annex K Huffman tables. ``quant`` is a scalar or 64-entry zigzag
+    quantization table; the default all-ones table makes the DCT
+    round-trip exact to coefficient rounding — handy for deterministic
+    fixtures."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("1 or 3 channels required")
+    if subsample not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsample must be '4:4:4' or '4:2:0'")
+    sub = 2 if (subsample == "4:2:0" and nc == 3) else 1
+    q = np.full(64, float(quant)) if np.isscalar(quant) \
+        else np.asarray(quant, dtype=np.float64)
+    if nc == 3:
+        r, g, bl = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [0.299 * r + 0.587 * g + 0.114 * bl,
+                  -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0]
+        planes = [np.clip(np.round(p), 0, 255) for p in planes]
+        if sub == 2:
+            # pad to even dims then average 2x2 for the chroma planes
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            for i in (1, 2):
+                p = np.full((ph, pw), 128.0)
+                p[:h, :w] = planes[i]
+                if h < ph:
+                    p[h:, :w] = planes[i][-1:, :]
+                if w < pw:
+                    p[:h, w:] = planes[i][:, -1:]
+                planes[i] = np.round(
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+                     + p[1::2, 1::2]) / 4.0)
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+    samp = [(sub, sub)] + [(1, 1)] * (nc - 1) if nc == 3 \
+        else [(1, 1)]
+    # MCU grid sized by the max sampling factor
+    mcux = (w + 8 * sub - 1) // (8 * sub)
+    mcuy = (h + 8 * sub - 1) // (8 * sub)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) \
+        + bytes(np.clip(q, 1, 255).astype(np.uint8).tolist())
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, 0])
+    tables = [(_STD_DC_LUMA, 0x00), (_STD_AC_LUMA, 0x10)]
+    if nc == 3:
+        tables += [(_STD_DC_CHROMA, 0x01), (_STD_AC_CHROMA, 0x11)]
+    for (bits, vals), tclass in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([tclass]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += bytes([0, 63, 0])
+    dc_l = _build_encode_table(*_STD_DC_LUMA)
+    ac_l = _build_encode_table(*_STD_AC_LUMA)
+    dc_c = _build_encode_table(*_STD_DC_CHROMA)
+    ac_c = _build_encode_table(*_STD_AC_CHROMA)
+    writer = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, plane in enumerate(planes):
+                hs, vs = samp[ci]
+                dc_t, ac_t = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = np.full((8, 8), 128.0)
+                        ys = (my * vs + by) * 8
+                        xs = (mx * hs + bx) * 8
+                        part = plane[ys:ys + 8, xs:xs + 8]
+                        blk[:part.shape[0], :part.shape[1]] = part
+                        preds[ci] = _encode_block(
+                            writer, blk, preds[ci], q, dc_t, ac_t)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

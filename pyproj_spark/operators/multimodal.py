@@ -5,11 +5,13 @@ metadata; decode / feature-extract run as Arrow-batched ``mapInPandas``
 over the binary column. Container-header parsing (format + pixel
 dimensions for PNG/GIF/BMP/JPEG) is REAL — implemented from the public
 container specs over raw bytes — and PNG pixel decode is REAL too
-(stdlib zlib IDAT inflate + scanline unfilter, ``decode_png``). Only
-JPEG/audio/video decode remains stubbed (``decode_features`` — those
-codecs genuinely need external libraries absent from this container);
-the Spark-side plumbing (schema, batch shape, partition behavior) is
-real and tested either way.
+(stdlib zlib IDAT inflate + scanline unfilter, ``decode_png``), as is
+baseline JPEG pixel decode (ITU-T T.81 Huffman + IDCT implemented in
+``kernels/jpeg.py``, surfaced here via ``jpeg_stats``). Only
+audio/video decode remains stubbed (``decode_features`` — those codecs
+genuinely need external libraries absent from this container); the
+Spark-side plumbing (schema, batch shape, partition behavior) is real
+and tested either way.
 """
 
 from __future__ import annotations
@@ -201,6 +203,32 @@ def png_stats(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     return df.select("url", bin_col).mapInPandas(_stats, PNG_STATS_SCHEMA)
 
 
+def jpeg_stats(df: DataFrame, bin_col: str = "payload") -> DataFrame:
+    """Real baseline-JPEG pixel features over a binary column: Huffman
+    entropy decode + dequantize + IDCT (kernels/jpeg.py decode_jpeg)
+    inside Arrow batches, emitting dimensions + mean pixel value. Rows
+    that fail to decode (or non-baseline variants) are dropped."""
+    from pyproj_spark.kernels.jpeg import decode_jpeg
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf["url"], pdf[bin_col]):
+                try:
+                    px = decode_jpeg(bytes(b))
+                except (ValueError, NotImplementedError):
+                    continue
+                rows.append((u, px.shape[1], px.shape[0], px.shape[2],
+                             float(px.mean())))
+            yield pd.DataFrame(
+                rows, columns=["url", "width", "height", "n_channels",
+                               "mean_luma"]).astype(
+                {"width": "int32", "height": "int32",
+                 "n_channels": "int32", "mean_luma": "float64"})
+
+    return df.select("url", bin_col).mapInPandas(_stats, PNG_STATS_SCHEMA)
+
+
 DECODED_SCHEMA = ("url string, n_bytes long, width int, height int, "
                   "n_channels int, feature_norm double")
 
@@ -209,8 +237,10 @@ def decode_features(df: DataFrame, bin_col: str = "payload",
                     deterministic_fake: bool = True) -> DataFrame:
     """'Decode' binary blobs and extract features via mapInPandas.
 
-    STUB: real decode needs image/audio libs not present in this
-    container. With deterministic_fake=True a reproducible fake decode
+    STUB: the generic slot for codecs that need external libraries
+    (audio/video — PNG and baseline JPEG decode are real, see
+    png_stats/jpeg_stats). With deterministic_fake=True a reproducible
+    fake decode
     (dimensions/features derived from blob bytes) exercises the full
     Arrow batch path; with False it raises NotImplementedError exactly
     where a cv2/PIL/ffmpeg call would go.

@@ -560,6 +560,67 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
+def q_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode, oracle-checked end to end: each doc
+    gets a complete valid grayscale JFIF JPEG (per-8x8-block constant
+    values from a deterministic formula, all-ones quantization so the
+    DC path is exact) synthesized in a mapInPandas stage via the
+    kernels/jpeg.py ENCODER; jpeg_stats then runs the full DECODER —
+    marker parse, Huffman entropy decode, dequantize, IDCT — and the
+    DuckDB oracle recomputes mean luma arithmetically from the same
+    block formula. Constant blocks make the lossy DCT path bit-exact
+    (only the DC coefficient is nonzero and quant=1 keeps it integer),
+    so this is a value-hash gate over a genuinely decoded bitstream."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyproj_spark.operators.multimodal import jpeg_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+
+    def _jpeg(d: int) -> bytes:
+        from pyproj_spark.kernels.jpeg import encode_jpeg
+        bw, bh = d % 3 + 1, d % 2 + 1
+        bx, by = np.meshgrid(np.arange(bw), np.arange(bh))
+        vals = (bx * 29 + by * 31 + d * 17) % 256
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+        return encode_jpeg(img)
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "payload": [_jpeg(int(d)) for d in pdf["doc_id"]]})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    return jpeg_stats(blobs, "payload").select(
+        F.col("url").cast("long").alias("doc_id"),
+        "width", "height", "n_channels", "mean_luma")
+
+
+SQL_JPEG_DECODE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 + 1 AS bw, doc_id % 2 + 1 AS bh
+  FROM documents
+),
+bx AS (
+  SELECT doc_id, bw, bh, unnest(generate_series(0, bw - 1)) AS x FROM d
+),
+blocks AS (
+  SELECT doc_id, bw, bh, x, unnest(generate_series(0, bh - 1)) AS y
+  FROM bx
+)
+SELECT doc_id, CAST(bw * 8 AS INTEGER) AS width,
+       CAST(bh * 8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       SUM((x * 29 + y * 31 + doc_id * 17) % 256) * 1.0 / (bw * bh)
+           AS mean_luma
+FROM blocks GROUP BY doc_id, bw, bh
+"""
+
+
 QUERIES_TEXT = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -576,6 +637,7 @@ QUERIES_TEXT = {
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
+    "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
 }
 

@@ -1,0 +1,105 @@
+"""Baseline JPEG codec (kernels/jpeg.py) — encode->decode round trips.
+
+The decoder is the real surface (operators/multimodal.py jpeg_stats and
+the jpeg_decode oracle query); the encoder exists to produce
+deterministic fixtures. With an all-ones quantization table the only
+loss is DCT-coefficient rounding, so round trips have tight provable
+error bounds.
+"""
+
+import numpy as np
+import pytest
+
+from pyproj_spark.kernels.jpeg import ZIGZAG, decode_jpeg, encode_jpeg
+
+rng = np.random.default_rng(20260816)
+
+
+def test_constant_blocks_exact():
+    # per-8x8-block constant grayscale: only the DC coefficient is
+    # nonzero and quant=1 keeps it integer -> bit-exact decode
+    vals = rng.integers(0, 256, (4, 6))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (32, 48, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_grayscale_random_rounding_bound():
+    img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    # quant=1: error only from rounding 64 DCT coefficients
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_rgb_444_round_trip():
+    x = np.linspace(0, 255, 32)
+    gx, gy = np.meshgrid(x, x)
+    img = np.stack([gx, gy, np.full((32, 32), 77.0)], -1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (32, 32, 3)
+    # YCbCr forward+inverse rounding stacks with coefficient rounding
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_rgb_420_subsampled():
+    # smooth image: 2x2 chroma averaging stays close; odd dims crop
+    x = np.linspace(0, 255, 32)
+    gx, gy = np.meshgrid(x, x)
+    img = np.stack([gx, gy, np.full((32, 32), 77.0)], -1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, subsample="4:2:0"))
+    assert out.shape == (32, 32, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+    odd = rng.integers(0, 256, (19, 27, 3)).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, subsample="4:2:0")).shape \
+        == (19, 27, 3)
+
+
+def test_non_multiple_of_8_dimensions():
+    img = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (13, 21, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_lossy_quantization_decodes():
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=16))[:, :, 0]
+    # lossy but bounded: max DCT reconstruction error ~ q/2 per coef
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 16
+
+
+def test_zigzag_is_an_involution_pairing():
+    # the zigzag table must be a permutation of 0..63 with the known
+    # first diagonal walk (T.81 Figure A.6)
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+
+def test_malformed_and_unsupported_inputs():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    good = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # flip SOF0 -> SOF2 (progressive) and expect NotImplementedError
+    i = bytes(good).find(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(good))
+
+
+def test_jpeg_stats_spark(spark):
+    from pyproj_spark.operators.multimodal import jpeg_stats
+    imgs = []
+    for d in range(8):
+        vals = (np.arange(4).reshape(2, 2) * 29 + d * 17) % 256
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+        imgs.append((f"u{d}", bytearray(encode_jpeg(img)),
+                     float(vals.mean())))
+    df = spark.createDataFrame(
+        [(u, bytes(b)) for u, b, _m in imgs], "url string, payload binary")
+    got = {r["url"]: r for r in jpeg_stats(df).collect()}
+    assert len(got) == 8
+    for u, _b, mean in imgs:
+        r = got[u]
+        assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 1)
+        assert r["mean_luma"] == pytest.approx(mean, abs=1e-9)
