@@ -229,6 +229,154 @@ def jpeg_stats(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     return df.select("url", bin_col).mapInPandas(_stats, PNG_STATS_SCHEMA)
 
 
+WAV_SCHEMA = ("url string, sample_rate int, n_samples long, "
+              "n_channels int, duration_s double, rms double, "
+              "peak int")
+
+
+def wav_features(df: DataFrame, bin_col: str = "payload") -> DataFrame:
+    """Real PCM-audio feature extraction over a binary column: RIFF
+    parse + sample decode (kernels/riff.py decode_wav) inside Arrow
+    batches, emitting rate/length/RMS/peak. Rows that fail to decode
+    (or compressed formats) are dropped."""
+    import numpy as np
+
+    from pyproj_spark.kernels.riff import decode_wav
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf["url"], pdf[bin_col]):
+                try:
+                    s, rate = decode_wav(bytes(b))
+                except (ValueError, NotImplementedError):
+                    continue
+                x = s.astype(np.float64)
+                rows.append((u, rate, s.shape[0], s.shape[1],
+                             s.shape[0] / rate,
+                             float(np.sqrt((x * x).mean())),
+                             int(np.abs(s).max(initial=0))))
+            yield pd.DataFrame(
+                rows, columns=["url", "sample_rate", "n_samples",
+                               "n_channels", "duration_s", "rms",
+                               "peak"]).astype(
+                {"sample_rate": "int32", "n_samples": "int64",
+                 "n_channels": "int32", "duration_s": "float64",
+                 "rms": "float64", "peak": "int32"})
+
+    return df.select("url", bin_col).mapInPandas(_feat, WAV_SCHEMA)
+
+
+FRAME_SCHEMA = ("url string, frame_idx int, width int, height int, "
+                "n_channels int, mean_luma double")
+
+
+def video_frame_sample(df: DataFrame, bin_col: str = "payload",
+                       every_k: int = 2) -> DataFrame:
+    """Real video frame sampling over a binary column: parse the AVI
+    container (kernels/riff.py avi_frames), keep every ``every_k``-th
+    frame, and decode each kept MJPG frame with the baseline-JPEG
+    decoder — one output row per sampled frame. Undecodable rows and
+    frames are dropped."""
+    from pyproj_spark.kernels.jpeg import decode_jpeg
+    from pyproj_spark.kernels.riff import avi_frames
+
+    def _sample(batches: Iterator[pd.DataFrame]
+                ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf["url"], pdf[bin_col]):
+                try:
+                    frames, _fps = avi_frames(bytes(b))
+                except ValueError:
+                    continue
+                for idx in range(0, len(frames), every_k):
+                    try:
+                        px = decode_jpeg(frames[idx])
+                    except (ValueError, NotImplementedError):
+                        continue
+                    rows.append((u, idx, px.shape[1], px.shape[0],
+                                 px.shape[2], float(px.mean())))
+            yield pd.DataFrame(
+                rows, columns=["url", "frame_idx", "width", "height",
+                               "n_channels", "mean_luma"]).astype(
+                {"frame_idx": "int32", "width": "int32",
+                 "height": "int32", "n_channels": "int32",
+                 "mean_luma": "float64"})
+
+    return df.select("url", bin_col).mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def resize_nearest(px, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, c) array: source index =
+    floor(i * src / dst) — the convention the SQL oracle mirrors."""
+    import numpy as np
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+def resize_bilinear(px, out_h: int, out_w: int):
+    """Bilinear resize of an (h, w, c) array (align-corners=False,
+    half-pixel centers — the torchvision/cv2 default convention)."""
+    import numpy as np
+    h, w = px.shape[:2]
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def image_resize(df: DataFrame, bin_col: str = "payload",
+                 out_h: int = 8, out_w: int = 8,
+                 method: str = "nearest") -> DataFrame:
+    """Decode (PNG or baseline JPEG, dispatched on magic bytes) +
+    resize, emitting resized dimensions and the resized image's mean
+    pixel value — the normalize-to-fixed-shape step of a training
+    pipeline, minus the tensor sink."""
+    import numpy as np
+
+    from pyproj_spark.kernels.jpeg import decode_jpeg
+
+    resizer = {"nearest": resize_nearest,
+               "bilinear": resize_bilinear}[method]
+
+    def _resize(batches: Iterator[pd.DataFrame]
+                ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf["url"], pdf[bin_col]):
+                raw = bytes(b)
+                try:
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        px = decode_png(raw)
+                    else:
+                        px = decode_jpeg(raw)
+                except (ValueError, NotImplementedError):
+                    continue
+                small = resizer(px, out_h, out_w)
+                rows.append((u, out_w, out_h, px.shape[2],
+                             float(np.asarray(small,
+                                              dtype=np.float64).mean())))
+            yield pd.DataFrame(
+                rows, columns=["url", "width", "height", "n_channels",
+                               "mean_luma"]).astype(
+                {"width": "int32", "height": "int32",
+                 "n_channels": "int32", "mean_luma": "float64"})
+
+    return df.select("url", bin_col).mapInPandas(_resize,
+                                                 PNG_STATS_SCHEMA)
+
+
 DECODED_SCHEMA = ("url string, n_bytes long, width int, height int, "
                   "n_channels int, feature_norm double")
 

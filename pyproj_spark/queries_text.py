@@ -621,6 +621,191 @@ FROM blocks GROUP BY doc_id, bw, bh
 """
 
 
+def q_wav_features(spark, sf_dir):
+    """REAL PCM-audio decode, oracle-checked end to end: each doc gets
+    a complete valid 16-bit mono WAV (deterministic sawtooth-ish
+    samples) synthesized via the kernels/riff.py fixture encoder;
+    wav_features then parses the RIFF container and decodes the raw
+    PCM, and the DuckDB oracle recomputes RMS/peak/duration
+    arithmetically from the same sample formula."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyproj_spark.operators.multimodal import wav_features
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+
+    def _wav(d: int) -> bytes:
+        from pyproj_spark.kernels.riff import encode_wav
+        n = d % 50 + 20
+        s = ((np.arange(n) * 37 + d * 11) % 200) - 100
+        return encode_wav(s, rate=8000, bits=16)
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "payload": [_wav(int(d)) for d in pdf["doc_id"]]})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    return wav_features(blobs, "payload").select(
+        F.col("url").cast("long").alias("doc_id"),
+        "sample_rate", "n_samples", "n_channels",
+        F.round("duration_s", 9).alias("duration_s"),
+        F.round("rms", 6).alias("rms"), "peak")
+
+
+SQL_WAV_FEATURES = """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 + 20 AS n FROM documents
+),
+samples AS (
+  SELECT doc_id, n,
+         ((unnest(generate_series(0, n - 1)) * 37 + doc_id * 11) % 200)
+         - 100 AS s
+  FROM d
+)
+SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples, CAST(1 AS INTEGER) AS n_channels,
+       ROUND(n / 8000.0, 9) AS duration_s,
+       ROUND(SQRT(SUM(CAST(s AS DOUBLE) * s) / n), 6) AS rms,
+       CAST(MAX(ABS(s)) AS INTEGER) AS peak
+FROM samples GROUP BY doc_id, n
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """REAL video frame sampling, oracle-checked end to end: each doc
+    gets a complete valid AVI container holding MJPG frames (16x16
+    grayscale, per-frame constant value from a deterministic formula,
+    each frame a real baseline JPEG from the kernels/jpeg.py encoder);
+    video_frame_sample parses the RIFF structure, keeps every 2nd
+    frame, and Huffman+IDCT-decodes each kept frame. The DuckDB oracle
+    recomputes the sampled frame grid and per-frame mean arithmetically
+    from the same formula."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyproj_spark.operators.multimodal import video_frame_sample
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+
+    def _avi(d: int) -> bytes:
+        from pyproj_spark.kernels.jpeg import encode_jpeg
+        from pyproj_spark.kernels.riff import encode_avi_mjpg
+        frames = []
+        for f in range(d % 5 + 2):
+            v = (f * 53 + d * 17) % 256
+            img = np.full((16, 16), v, dtype=np.uint8)
+            frames.append(encode_jpeg(img))
+        return encode_avi_mjpg(frames, fps=10.0)
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "payload": [_avi(int(d)) for d in pdf["doc_id"]]})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    return video_frame_sample(blobs, "payload", every_k=2).select(
+        F.col("url").cast("long").alias("doc_id"),
+        "frame_idx", "width", "height", "n_channels", "mean_luma")
+
+
+SQL_FRAME_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 + 2 AS n_frames FROM documents
+),
+sampled AS (
+  SELECT doc_id,
+         unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+  FROM d
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST((frame_idx * 53 + doc_id * 17) % 256 AS DOUBLE) AS mean_luma
+FROM sampled
+"""
+
+
+def q_image_resize(spark, sf_dir):
+    """REAL decode + resize, oracle-checked end to end: the same
+    deterministic-gradient PNGs as png_decode, decoded then
+    nearest-neighbor resized to 4x4 (source index = floor(i*src/dst));
+    the DuckDB oracle recomputes the sampled pixel grid from the
+    gradient formula — gating the normalize-to-fixed-shape step a
+    training pipeline runs before tensorization."""
+    import struct
+    import zlib
+    from collections.abc import Iterator
+
+    from pyproj_spark.operators.multimodal import image_resize
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+
+    def _png(d: int) -> bytes:
+        w, h = d % 16 + 1, d % 12 + 1
+        rows = bytearray()
+        for y in range(h):
+            rows.append(0)
+            for x in range(w):
+                rows += bytes(((x * 7 + d) % 256, (y * 13 + d * 3) % 256,
+                               (x + y) % 256))
+
+        def chunk(t: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + t + data
+                    + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + chunk(b"IEND", b""))
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "payload": [_png(int(d)) for d in pdf["doc_id"]]})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    return image_resize(blobs, "payload", out_h=4, out_w=4,
+                        method="nearest").select(
+        F.col("url").cast("long").alias("doc_id"),
+        "width", "height", "n_channels",
+        F.round("mean_luma", 6).alias("mean_luma"))
+
+
+SQL_IMAGE_RESIZE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+  FROM documents
+),
+gi AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS i FROM d
+),
+grid AS (
+  SELECT doc_id, w, h, i, unnest(generate_series(0, 3)) AS j FROM gi
+),
+px AS (
+  SELECT doc_id,
+         (((j * w) // 4) * 7 + doc_id) % 256
+         + (((i * h) // 4) * 13 + doc_id * 3) % 256
+         + (((j * w) // 4) + ((i * h) // 4)) % 256 AS s
+  FROM grid
+)
+SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       ROUND(SUM(s) / 48.0, 6) AS mean_luma
+FROM px GROUP BY doc_id
+"""
+
+
 QUERIES_TEXT = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -638,6 +823,9 @@ QUERIES_TEXT = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "png_decode": (q_png_decode, SQL_PNG_DECODE),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
+    "wav_features": (q_wav_features, SQL_WAV_FEATURES),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
 }
 
