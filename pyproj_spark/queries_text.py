@@ -806,6 +806,119 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_url_domains(spark, sf_dir):
+    """Web-URL canonicalization + eTLD+1 aggregation (functions/web.py)
+    — the dedup-key / per-domain-skew step of a Common-Crawl pipeline,
+    entirely native Catalyst expressions. The synthesized URLs cover
+    mixed-case schemes/hosts, default and non-default ports, query
+    strings needing sorting, fragments, and multi-part public
+    suffixes; the DuckDB oracle re-parses the same strings with ITS
+    OWN string engine, so the two parsers gate each other."""
+    from pyproj_spark.functions import web
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), (d % 37).cast("string"),
+        F.element_at(F.array(F.lit(".co.uk"), F.lit(".com"),
+                             F.lit(".example.org"), F.lit(".net.au")),
+                     (d % 4 + 1).cast("int")),
+        F.when(d % 5 == 0, F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8443")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit("/p/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/a/b/c/"), d.cast("string"))),
+        F.when(d % 6 == 0, F.lit("?z=9&a=1")).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    p = web.url_parts(F.col("url"))
+    enriched = docs.select(
+        "doc_id",
+        web.canonical_url(F.col("url")).alias("canonical"),
+        p["host"].alias("host"),
+        web.registered_domain(p["host"]).alias("rdom"),
+        web.path_depth(p["path"]).alias("depth"))
+    return (enriched.groupBy("rdom")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("host").alias("n_hosts"),
+                 F.round(F.avg("depth"), 6).alias("avg_depth"),
+                 F.sum(F.when(F.col("canonical").contains("?"), 1)
+                       .otherwise(0)).alias("n_query"),
+                 F.min("canonical").alias("min_canonical")))
+
+
+SQL_URL_DOMAINS = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+    || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END
+    || 'site' || CAST(doc_id % 37 AS VARCHAR)
+    || (['.co.uk', '.com', '.example.org', '.net.au'])[doc_id % 4 + 1]
+    || CASE WHEN doc_id % 5 = 0 THEN ':443'
+            WHEN doc_id % 5 = 1 THEN ':8443' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+            ELSE '/a/b/c/' || CAST(doc_id AS VARCHAR) END
+    || CASE WHEN doc_id % 6 = 0 THEN '?z=9&a=1' ELSE '' END
+    || CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+        AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)',
+                         1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\\d+)',
+                   1) AS port,
+    regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, host, path, scheme || '://' || host
+    || CASE WHEN port = '' THEN ''
+            WHEN scheme = 'http'  AND port = '80'  THEN ''
+            WHEN scheme = 'https' AND port = '443' THEN ''
+            ELSE ':' || port END
+    || CASE WHEN path = '' THEN '/' ELSE path END
+    || CASE WHEN query = '' THEN ''
+            ELSE '?' || array_to_string(
+                   list_sort(string_split(query, '&')), '&') END
+        AS canonical
+  FROM parsed
+),
+dom AS (
+  SELECT doc_id, host, canonical,
+    CASE
+      WHEN len(string_split(host, '.')) <= 2 THEN host
+      WHEN array_to_string(
+             string_split(host, '.')[len(string_split(host, '.')) - 1:],
+             '.') IN ('co.uk', 'org.uk', 'gov.uk', 'ac.uk', 'com.au',
+                      'net.au', 'org.au', 'co.jp', 'ne.jp', 'or.jp',
+                      'com.br', 'com.cn', 'com.mx', 'co.in', 'co.kr',
+                      'co.za', 'com.ar', 'com.tr')
+      THEN array_to_string(
+             string_split(host, '.')[len(string_split(host, '.')) - 2:],
+             '.')
+      ELSE array_to_string(
+             string_split(host, '.')[len(string_split(host, '.')) - 1:],
+             '.')
+    END AS rdom,
+    len(list_filter(string_split(path, '/'), s -> s <> '')) AS depth
+  FROM canon
+)
+SELECT rdom, COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
+       ROUND(AVG(depth), 6) AS avg_depth,
+       SUM(CASE WHEN canonical LIKE '%?%' THEN 1 ELSE 0 END) AS n_query,
+       MIN(canonical) AS min_canonical
+FROM dom GROUP BY rdom
+"""
+
+
 QUERIES_TEXT = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -826,6 +939,7 @@ QUERIES_TEXT = {
     "wav_features": (q_wav_features, SQL_WAV_FEATURES),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
+    "url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
 }
 
