@@ -421,8 +421,13 @@ class CRS:
     def sub_crs_list(self) -> list:
         """Components of a compound CRS, else [] — reference
         pyproj/crs/crs.py:1038-1046. Catalog records are never
-        compound; the CompoundCRS builder carries its own list."""
-        return []
+        compound; the CompoundCRS builder populates the backing
+        field."""
+        return getattr(self, "_sub_crs_list", [])
+
+    @sub_crs_list.setter
+    def sub_crs_list(self, comps):
+        self._sub_crs_list = list(comps)
 
     @property
     def utm_zone(self):

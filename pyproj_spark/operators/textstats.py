@@ -86,3 +86,54 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "),
         r" +", " "))
     return df.withColumn("fingerprint", F.substring(F.md5(norm), 1, 16))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line
+    fraction (array-native, no shuffle) and the most frequent word
+    bigram with its count fraction (explode -> two-stage count ->
+    window top-1 -> broadcast-size join back).
+
+    The bigram leg shuffles on (doc, bigram) with partial aggregation,
+    then on doc for the window — both keys are high-cardinality and
+    skew-free by construction, so the plan holds at corpus scale; the
+    line leg never leaves the row. Ties break by (count desc, bigram
+    asc) so results are deterministic."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    toks = F.filter(F.split(F.lower(c), r"\s+"),
+                    lambda t: t != F.lit(""))
+    n_tok = F.size(toks)
+    bigrams = F.when(n_tok >= 2, F.transform(
+        F.slice(toks, 1, n_tok - 1),
+        lambda t, i: F.concat(t, F.lit(" "),
+                              F.element_at(toks, i + 2)))) \
+        .otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.round((F.size(lines) - F.size(F.array_distinct(lines)))
+                / F.greatest(F.size(lines), F.lit(1)), 6)
+        .alias("dup_line_frac"),
+        bigrams.alias("bigrams"))
+    counts = (base.select(id_col, F.explode("bigrams").alias("bigram"))
+              .groupBy(id_col, "bigram").agg(F.count("*").alias("cnt")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(),
+                                           F.col("bigram"))
+    top = (counts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select(id_col, F.col("bigram").alias("top_bigram"),
+                   F.col("cnt").alias("top_bigram_cnt")))
+    out = (base.select(id_col, "n_lines", "dup_line_frac",
+                       F.size("bigrams").alias("n_bigrams"))
+           .join(top, id_col, "left"))
+    return out.select(
+        id_col, "n_lines", "dup_line_frac", "n_bigrams",
+        F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+        F.coalesce("top_bigram_cnt", F.lit(0)).cast("long")
+        .alias("top_bigram_cnt"),
+        F.round(F.coalesce("top_bigram_cnt", F.lit(0))
+                / F.greatest("n_bigrams", F.lit(1)), 6)
+        .alias("top_bigram_frac"))

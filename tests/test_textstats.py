@@ -1,0 +1,42 @@
+"""repetition_features (operators/textstats.py) — golden edge cases;
+the bulk path is gated by the `repetition` oracle query."""
+
+import pytest
+
+from pyproj_spark.operators.textstats import repetition_features
+
+
+def test_repetition_features_goldens(spark):
+    df = spark.createDataFrame([
+        (1, "a b a b a\nline two\nline two"),
+        (2, "x"),            # single token: no bigrams
+        (3, ""),             # empty text
+        (4, "one two one two one"),
+        (5, "t t\nt t"),     # duplicate lines + tie-free top bigram
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+
+    r = got[1]
+    # 3 lines, 'line two' duplicated once -> 1/3
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # ties between 'a b', 'b a', 'line two' (2 each) break lexically
+    assert (r["top_bigram"], r["top_bigram_cnt"]) == ("a b", 2)
+    assert r["n_bigrams"] == 8
+    assert r["top_bigram_frac"] == pytest.approx(0.25)
+
+    for d in (2, 3):
+        r = got[d]
+        assert r["n_bigrams"] == 0
+        assert (r["top_bigram"], r["top_bigram_cnt"]) == ("", 0)
+        assert r["top_bigram_frac"] == 0.0
+
+    r = got[4]
+    assert (r["top_bigram"], r["top_bigram_cnt"]) == ("one two", 2)
+    assert r["top_bigram_frac"] == pytest.approx(0.5)
+
+    r = got[5]
+    assert r["dup_line_frac"] == pytest.approx(0.5)
+    # tokens flatten across lines: 't t','t t','t t' -> cnt 3 of 3
+    assert (r["top_bigram"], r["top_bigram_cnt"]) == ("t t", 3)
+    assert r["top_bigram_frac"] == pytest.approx(1.0)
