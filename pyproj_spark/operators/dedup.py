@@ -193,12 +193,22 @@ def ngram_shingles(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle_hash) rows: hashes of n-token shingles — the input to
     Jaccard-style similarity joins."""
+    # zip_with over n shifted slices, NOT transform+element_at: inside
+    # a lambda, element_at(<toks expr>, i) re-evaluates its array
+    # argument per element once the optimizer inlines the tokenizer
+    # (InferFiltersFromGenerate pushes a size() filter through the
+    # projection) — O(tokens^2) per row. zip_with's arguments are
+    # evaluated once per row regardless of inlining. Also fixes the
+    # <n-token edge: sequence(0, -1) counts DOWN, emitting ghost
+    # shingles; slices of length 0 emit none (matching the SQL
+    # oracle's range(greatest(len-2, 0))).
     toks = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(
-            " ", *[F.element_at(toks, (i + k + 1).cast("int"))
-                   for k in range(n)])))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    joined = F.slice(toks, 1, m)
+    for k in range(1, n):
+        joined = F.zip_with(joined, F.slice(toks, k + 1, m),
+                            lambda a, b: F.concat(a, F.lit(" "), b))
+    sh = F.transform(joined, F.md5)
     return (df.select(id_col, F.explode(sh).alias("shingle"))
             .withColumn("shingle_hash", _md5_long(F.col("shingle")))
             .drop("shingle"))

@@ -102,21 +102,29 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     asc) so results are deterministic."""
     c = F.col(text_col)
     lines = F.split(c, "\n")
-    toks = F.filter(F.split(F.lower(c), r"\s+"),
-                    lambda t: t != F.lit(""))
-    n_tok = F.size(toks)
-    bigrams = F.when(n_tok >= 2, F.transform(
-        F.slice(toks, 1, n_tok - 1),
-        lambda t, i: F.concat(t, F.lit(" "),
-                              F.element_at(toks, i + 2)))) \
-        .otherwise(F.array().cast("array<string>"))
-    base = df.select(
+    # stage the token array in its own projection, then build bigrams
+    # with zip_with over two shifted slices. NOT transform+element_at:
+    # element_at(<toks expr>, i) inside a lambda re-evaluates its
+    # array argument once per element, and optimizer rules
+    # (CollapseProject, InferFiltersFromGenerate) inline the full
+    # tokenizer there — O(tokens^2) per row, measured 22 s vs 3 s at
+    # sf0.1. zip_with's arguments are evaluated once per row no
+    # matter what gets inlined.
+    staged = df.select(
         F.col(id_col),
         F.size(lines).alias("n_lines"),
         F.round((F.size(lines) - F.size(F.array_distinct(lines)))
                 / F.greatest(F.size(lines), F.lit(1)), 6)
         .alias("dup_line_frac"),
-        bigrams.alias("bigrams"))
+        F.filter(F.split(F.lower(c), r"\s+"),
+                 lambda t: t != F.lit("")).alias("_toks"))
+    toks = F.col("_toks")
+    n_big = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, 1, n_big),
+                         F.slice(toks, 2, n_big),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    base = staged.select(id_col, "n_lines", "dup_line_frac",
+                         bigrams.alias("bigrams"))
     counts = (base.select(id_col, F.explode("bigrams").alias("bigram"))
               .groupBy(id_col, "bigram").agg(F.count("*").alias("cnt")))
     from pyspark.sql import Window

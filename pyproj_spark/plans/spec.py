@@ -558,5 +558,50 @@ class Transformer:
                           method_name=k.dst.proj_params.get("proj")))
         return tuple(ops)
 
+    # -- exports (reference transformer.py:1197-1286) -----------------------
+    def to_proj4(self) -> str:
+        """The planned operation as a +proj=pipeline string (reference
+        Transformer.to_proj4 emits the operation's PROJ definition)."""
+        return self.definition
+
+    def to_wkt(self, version: str = "WKT2_2019",
+               pretty: bool = False) -> str:
+        """COORDINATEOPERATION WKT2 of the planned transform: name,
+        nested source/target CRS WKTs, the step chain as the METHOD
+        name, and OPERATIONACCURACY when known."""
+        k = self._kernel
+        parts = [
+            f'COORDINATEOPERATION["{self.name}"',
+            f"SOURCECRS[{k.src.to_wkt(version)}]",
+            f"TARGETCRS[{k.dst.to_wkt(version)}]",
+            f'METHOD["{self.description}"]',
+        ]
+        if self.accuracy >= 0:
+            parts.append(f"OPERATIONACCURACY[{self.accuracy}]")
+        sep = ",\n    " if pretty else ","
+        return sep.join(parts) + "]"
+
+    def to_json_dict(self) -> dict:
+        """PROJJSON-shaped dict of the planned transform (reference
+        transformer.py:1252-1286)."""
+        d = {
+            "$schema": ("https://proj.org/schemas/v0.7/"
+                        "projjson.schema.json"),
+            "type": ("Conversion" if self.accuracy == 0.0
+                     else "Transformation"),
+            "name": self.name,
+            "source_crs": self._kernel.src.to_json_dict(),
+            "target_crs": self._kernel.dst.to_json_dict(),
+            "method": {"name": self.description},
+        }
+        if self.accuracy > 0:
+            d["accuracy"] = str(self.accuracy)
+        return d
+
+    def to_json(self, pretty: bool = False) -> str:
+        import json
+        return json.dumps(self.to_json_dict(),
+                          indent=2 if pretty else None)
+
     def __repr__(self):
         return f"Transformer({self.name}, always_xy={self.spec.always_xy})"

@@ -333,3 +333,25 @@ def test_prime_meridian():
         "2.5969213,ANGLEUNIT[\"grad\",0.015707963267949]")
     assert abs(CRS.from_wkt(grad_wkt).pm - paris) < 1e-7
     assert CRS.from_proj4(crs.to_proj4()).pm == crs.pm
+
+
+def test_transformer_exports():
+    """to_proj4/to_wkt/to_json[_dict] on the Transformer facade —
+    reference transformer.py:1197-1286."""
+    import json
+
+    t = Transformer.from_crs("EPSG:4326", "EPSG:3857")
+    p4 = t.to_proj4()
+    assert p4.startswith("+proj=pipeline") and "+step" in p4
+    w = t.to_wkt()
+    assert w.startswith('COORDINATEOPERATION[')
+    assert "SOURCECRS[" in w and "TARGETCRS[" in w and "METHOD[" in w
+    d = t.to_json_dict()
+    assert d["type"] == "Conversion"
+    assert d["source_crs"]["type"].endswith("CRS")
+    assert json.loads(t.to_json())["name"] == t.name
+    # a datum shift serializes as a Transformation with accuracy
+    t2 = Transformer.from_crs("EPSG:4267", "EPSG:4326")
+    d2 = t2.to_json_dict()
+    assert d2["type"] == "Transformation" and float(d2["accuracy"]) > 0
+    assert "OPERATIONACCURACY" in t2.to_wkt()
