@@ -73,6 +73,7 @@ _GEOG = {
     4807: ("NTF (Paris) / geographic 2D", "NTF", "neu", "paris"),
     4326: ("WGS84 / geographic 2D", "WGS84", "neu"),
     4979: ("WGS84 / geographic 3D", "WGS84", "neu"),
+    4937: ("ETRS89 / geographic 3D", "ETRS89", "neu"),
     4258: ("ETRS89 / geographic 2D", "ETRS89", "neu"),
     4269: ("NAD83 / geographic 2D", "NAD83", "neu"),
     4267: ("NAD27 / geographic 2D", "NAD27", "neu"),
@@ -86,6 +87,10 @@ _GEOG = {
     7844: ("GDA2020 / geographic 2D", "GDA2020", "neu"),
     4619: ("SWEREF99 / geographic 2D", "SWEREF99", "neu"),
 }
+
+#: geographic codes whose ellipsoidal CS is 3D (with ellipsoidal
+#: height) — EPSG models these as distinct CRSs from their 2D twins
+_GEOG_3D_CODES = frozenset({4979, 4937})
 
 _GEOCENT = {
     4978: ("WGS84 / geocentric", "WGS84"),
@@ -243,6 +248,7 @@ def epsg_entry(code: int) -> dict:
                     ellps=ellps, towgs84=towgs84, axis=axis,
                     proj_params=dict(proj="longlat"), to_meter=None,
                     deprecated=dep,
+                    n_dim=3 if code in _GEOG_3D_CODES else 2,
                     pm=PRIME_MERIDIANS[rest[0]] if rest else 0.0)
     if code in _GEOCENT:
         name, datum = _GEOCENT[code]
@@ -269,7 +275,9 @@ def all_codes():
     catalog_api DataFrame queries (reference pyproj/database.pyx:82-126)."""
     rows = []
     for c, (name, datum, axis, *_pm) in _GEOG.items():
-        rows.append(("EPSG", c, "GEOGRAPHIC_2D_CRS", name, datum))
+        kind = ("GEOGRAPHIC_3D_CRS" if c in _GEOG_3D_CODES
+                else "GEOGRAPHIC_2D_CRS")
+        rows.append(("EPSG", c, kind, name, datum))
     for c, (name, datum) in _GEOCENT.items():
         rows.append(("EPSG", c, "GEOCENTRIC_CRS", name, datum))
     for c, (name, datum, *_rest) in _PROJECTED.items():

@@ -87,6 +87,8 @@ class CRS:
         self.pm = float(rec.get("pm") or 0.0)
         self.deprecated = bool(rec.get("deprecated", False))
         self.bound = bool(rec.get("bound", False))
+        self.n_dim = int(rec.get("n_dim",
+                                 3 if self.kind == "geocentric" else 2))
         return self
 
     # ----------------------------------------------------------- factories
@@ -381,19 +383,24 @@ class CRS:
                     for n, a, d in (("Geocentric X", "X", "geocentricX"),
                                     ("Geocentric Y", "Y", "geocentricY"),
                                     ("Geocentric Z", "Z", "geocentricZ"))]
+        h_ax = [NS(name="Ellipsoidal height", abbrev="h",
+                   direction="up", unit_name="metre")] \
+            if getattr(self, "n_dim", 2) == 3 else []
         if self.is_geographic:
             lat = NS(name="Geodetic latitude", abbrev="Lat",
                      direction="north", unit_name="degree")
             lon = NS(name="Geodetic longitude", abbrev="Lon",
                      direction="east", unit_name="degree")
-            return [lat, lon] if self.axis == "neu" else [lon, lat]
+            return ([lat, lon] if self.axis == "neu"
+                    else [lon, lat]) + h_ax
         unit = ("metre" if (self.to_meter or 1.0) == 1.0
                 else "US survey foot")
         e_ax = NS(name="Easting", abbrev="E", direction="east",
                   unit_name=unit)
         n_ax = NS(name="Northing", abbrev="N", direction="north",
                   unit_name=unit)
-        return [n_ax, e_ax] if self.axis == "neu" else [e_ax, n_ax]
+        return ([n_ax, e_ax] if self.axis == "neu"
+                else [e_ax, n_ax]) + h_ax
 
     @property
     def datum(self):
@@ -445,6 +452,47 @@ class CRS:
             return f"{int(p['zone'])}{hemi}"
         m = re.search(r"UTM ZONE (\d{1,2}[NS])", self.name.upper())
         return m.group(1) if m else None
+
+    #: 2D <-> 3D EPSG twins for the bundled geographic codes
+    _DIM_TWINS = {4326: 4979, 4258: 4937}
+
+    def to_3d(self, name: str | None = None) -> "CRS":
+        """3D version of a geographic or projected CRS — ellipsoidal
+        height axis added (reference pyproj/crs/crs.py:1775-1830;
+        proj_crs_promote_to_3D). Known EPSG twins are remapped
+        (4326 -> 4979, 4258 -> 4937); otherwise the code is cleared.
+        Already-3D CRSs return self."""
+        if getattr(self, "n_dim", 2) == 3 or self.is_geocentric:
+            return self
+        if not (self.is_geographic or self.is_projected):
+            raise CRSError(f"cannot promote {self.kind} CRS to 3D")
+        twin = self._DIM_TWINS.get(self.epsg_code)
+        if twin is not None and name is None:
+            return CRS.from_epsg(twin)
+        import copy
+        out = copy.copy(self)
+        out.n_dim = 3
+        out.epsg_code = None
+        if name is not None:
+            out.name = name
+        return out
+
+    def to_2d(self, name: str | None = None) -> "CRS":
+        """2D version (height axis dropped) — reference
+        pyproj/crs/crs.py:1832-1860 (proj_crs_demote_to_2D)."""
+        if getattr(self, "n_dim", 2) == 2:
+            return self
+        rev = {v: k for k, v in self._DIM_TWINS.items()}
+        twin = rev.get(self.epsg_code)
+        if twin is not None and name is None:
+            return CRS.from_epsg(twin)
+        import copy
+        out = copy.copy(self)
+        out.n_dim = 2
+        out.epsg_code = None
+        if name is not None:
+            out.name = name
+        return out
 
     def get_geod(self):
         """Geod built from this CRS's ellipsoid — reference
@@ -575,7 +623,10 @@ class CRS:
         (which always writes the expanded parameter set) compares equal
         to the compact catalog/proj-string form."""
         e = self.ellipsoid
-        return (self.kind, round(e.a, 9), round(e.f, 15),
+        ndim = 3 if self.kind == "geocentric" \
+            else getattr(self, "n_dim", 2)
+        return (self.kind, ndim, round(e.a, 9),
+                round(e.f, 15),
                 self.towgs84 if with_towgs84 else None,
                 _canon_params(self.proj_params),
                 self.to_meter if self.kind != "geographic" else None,
@@ -634,12 +685,19 @@ class CRS:
         return f"CRS({self.srs!r})"
 
     def __reduce__(self):
-        return (_crs_from_srs, (self.srs,))
+        # n_dim rides alongside: the srs string (proj-string shaped)
+        # cannot express 3D promotion, so restore it explicitly
+        return (_crs_from_srs, (self.srs, getattr(self, "n_dim", 2)))
 
 
 @lru_cache(maxsize=512)
-def _crs_from_srs(srs: str) -> CRS:
-    return CRS.from_user_input(srs)
+def _crs_from_srs(srs: str, n_dim: int = 2) -> CRS:
+    crs = CRS.from_user_input(srs)
+    if n_dim != getattr(crs, "n_dim", 2):
+        import copy
+        crs = copy.copy(crs)
+        crs.n_dim = n_dim
+    return crs
 
 
 #: universal projection-parameter defaults (PROJ semantics) filled in

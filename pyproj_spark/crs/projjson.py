@@ -194,6 +194,14 @@ def _datum_from_json(d: dict):
     return name, ellipsoid, towgs84, pm
 
 
+def _n_dim_from_json(d: dict) -> int:
+    axes = (d.get("coordinate_system") or {}).get("axis") or []
+    if len(axes) == 3 or any(
+            _norm(str(a.get("direction", ""))) == "up" for a in axes):
+        return 3
+    return 2
+
+
 def _axis_from_json(d: dict, default: str = "enu") -> str:
     cs = d.get("coordinate_system") or {}
     axes = cs.get("axis") or []
@@ -248,6 +256,8 @@ def crs_record_from_json_dict(d: dict) -> dict:
                     code=_code_of(d), datum=name, ellps=None,
                     ellipsoid=ellipsoid, towgs84=towgs84,
                     axis=_axis_from_json(d),
+                    n_dim=3 if t == "Geographic3DCRS"
+                    else _n_dim_from_json(d),
                     proj_params=dict(proj="longlat"), to_meter=None,
                     pm=pm)
     if t == "GeodeticCRS":

@@ -64,7 +64,15 @@ def _datum_wkt(crs) -> str:
     return out
 
 
-def _geog_cs() -> str:
+def _geog_cs(n_dim: int = 2) -> str:
+    if n_dim == 3:
+        # mixed units: per-axis units (WKT2 3D ellipsoidal CS shape)
+        ang = 'ANGLEUNIT["degree",0.0174532925199433]'
+        return ('CS[ellipsoidal,3],'
+                f'AXIS["geodetic latitude (Lat)",north,{ang}],'
+                f'AXIS["geodetic longitude (Lon)",east,{ang}],'
+                'AXIS["ellipsoidal height (h)",up,'
+                'LENGTHUNIT["metre",1]]')
     return ('CS[ellipsoidal,2],'
             'AXIS["geodetic latitude (Lat)",north],'
             'AXIS["geodetic longitude (Lon)",east],'
@@ -112,7 +120,7 @@ def to_wkt(crs, pretty: bool = False) -> str:
 def _crs_body_wkt(crs) -> str:
     if crs.is_geographic:
         wkt = (f'GEOGCRS[{_q(crs.name)},{_datum_wkt(crs)},'
-               f'{_geog_cs()}'
+               f'{_geog_cs(getattr(crs, "n_dim", 2))}'
                + (f',ID["EPSG",{crs.epsg_code}]' if crs.epsg_code else "")
                + "]")
     elif crs.is_geocentric:
@@ -152,9 +160,13 @@ def _crs_body_wkt(crs) -> str:
                f'CONVERSION[{_q(method)},METHOD[{_q(method)}'
                + (f',ID["EPSG",{mcode}]' if mcode else "") + "],"
                + ",".join(plist) + "],"
-               'CS[Cartesian,2],'
-               'AXIS["(E)",east],AXIS["(N)",north],'
-               f'LENGTHUNIT[{_q(unit_name)},{u!r}]'
+               + ('CS[Cartesian,3],'
+                  'AXIS["(E)",east],AXIS["(N)",north],'
+                  'AXIS["ellipsoidal height (h)",up],'
+                  if getattr(crs, "n_dim", 2) == 3 else
+                  'CS[Cartesian,2],'
+                  'AXIS["(E)",east],AXIS["(N)",north],')
+               + f'LENGTHUNIT[{_q(unit_name)},{u!r}]'
                + (f',ID["EPSG",{crs.epsg_code}]' if crs.epsg_code else "")
                + "]")
     return wkt

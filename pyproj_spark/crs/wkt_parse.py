@@ -357,6 +357,22 @@ def _unit_to_meter(crs_node: Node) -> float:
     return 1.0
 
 
+def _cs_n_dim(crs_node: Node) -> int:
+    """Coordinate-system dimensionality from the CS node's count or,
+    failing that, an explicit up-direction AXIS (3D ellipsoidal /
+    Cartesian CSs carry an ellipsoidal-height axis)."""
+    cs = crs_node.find("CS")
+    if cs is not None:
+        for v in cs.values[1:]:
+            if isinstance(v, float):
+                return int(v)
+    for ax in crs_node.find_all("AXIS"):
+        if any(isinstance(v, str) and _norm(v) == "up"
+               for v in ax.values[1:]):
+            return 3
+    return 2
+
+
 def _geog_record(node: Node, kind: str = "geographic") -> dict:
     datum_name, ell_params, towgs84 = _datum_info(node)
     from pyproj_spark.kernels.ellipsoid import Ellipsoid
@@ -366,6 +382,7 @@ def _geog_record(node: Node, kind: str = "geographic") -> dict:
         datum=datum_name, ellps=None, ellipsoid=ellipsoid,
         towgs84=towgs84,
         axis=_axis_order(node, default="enu"),
+        n_dim=3 if kind == "geocentric" else _cs_n_dim(node),
         proj_params=dict(proj="longlat" if kind == "geographic"
                          else "geocent"),
         to_meter=None if kind == "geographic" else 1.0,
@@ -431,6 +448,7 @@ def _proj_record(node: Node) -> dict:
         kind="projected", name=node.name or "unknown", code=_epsg_id(node),
         datum=datum_name, ellps=None, ellipsoid=ellipsoid,
         towgs84=towgs84, axis=_axis_order(node, default="enu"),
+        n_dim=_cs_n_dim(node),
         proj_params=params, to_meter=_unit_to_meter(node),
         pm=_prime_meridian_deg(base))
 

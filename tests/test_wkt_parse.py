@@ -229,3 +229,35 @@ def test_component_accessor_surface():
     g = CRS.from_epsg(4267).get_geod()  # NAD27 -> Clarke 1866
     assert abs(g.a - 6378206.4) < 1e-6
     assert abs(1.0 / g.f - 294.978698214) < 1e-6
+
+
+def test_to_3d_to_2d():
+    """CRS.to_3d/to_2d — reference pyproj/crs/crs.py:1775-1860 and
+    test/crs/test_crs.py to_3d cases: EPSG twins remap, axis lists
+    grow/shrink, serialization round-trips preserve dimensionality."""
+    c = CRS.from_epsg(4326)
+    c3 = c.to_3d()
+    assert c3.to_epsg() == 4979 and c3.n_dim == 3
+    assert [a.direction for a in c3.axis_info] == ["north", "east", "up"]
+    assert c3 != c and c3.to_2d() == c
+    assert c3.to_3d() is c3  # already 3D: identity
+    assert CRS.from_epsg(4258).to_3d().to_epsg() == 4937
+    # un-twinned code: promoted copy drops the EPSG id
+    p3 = CRS.from_epsg(32633).to_3d()
+    assert p3.n_dim == 3 and p3.to_epsg() is None
+    assert p3.axis_info[-1].direction == "up"
+    # WKT + PROJJSON round trips keep the third axis
+    assert "CS[ellipsoidal,3]" in c3.to_wkt()
+    assert CRS.from_wkt(c3.to_wkt()) == c3
+    assert "CS[Cartesian,3]" in p3.to_wkt()
+    assert CRS.from_wkt(p3.to_wkt()) == p3
+    assert len(c3.to_json_dict()["coordinate_system"]["axis"]) == 3
+    assert CRS.from_json_dict(c3.to_json_dict()) == c3
+    # custom name clears the ASSIGNED code, but the params-based
+    # reverse lookup still identifies the 3D twin
+    named = c.to_3d(name="WGS 84 (3D custom)")
+    assert named.name == "WGS 84 (3D custom)"
+    assert named.epsg_code is None and named.to_epsg() == 4979
+    # pickling restores dimensionality (srs strings can't express it)
+    import pickle
+    assert pickle.loads(pickle.dumps(p3)) == p3
