@@ -420,6 +420,53 @@ ORDER BY total DESC, o_custkey LIMIT 20
 """
 
 
+def q_order_priority(spark, sf_dir):
+    """Semi-join family (TPC-H Q4 shape): orders having at least one
+    returned lineitem, counted by priority. Spark plans a LEFT SEMI
+    hash join — the EXISTS shape — so the probe side never duplicates
+    rows and only the join key crosses the shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "leftsemi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_cold_customers(spark, sf_dir):
+    """Anti-join family (TPC-H Q22 shape): customers who never placed
+    an urgent order, counted per nation. Spark plans a LEFT ANTI hash
+    join — the NOT EXISTS shape."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "leftanti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_cold"))
+            .orderBy("c_nationkey"))
+
+
+SQL_COLD_CUSTOMERS = """
+SELECT c_nationkey, count(*) AS n_cold
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "webmerc_transform": (q_webmerc_transform, SQL_WEBMERC),
     "geocell": (q_geocell, SQL_GEOCELL),
@@ -434,6 +481,8 @@ QUERIES = {
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE),
     "event_windows": (q_event_windows, SQL_EVENT_WINDOWS),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
+    "cold_customers": (q_cold_customers, SQL_COLD_CUSTOMERS),
 }
 
 
