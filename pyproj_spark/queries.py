@@ -467,6 +467,60 @@ ORDER BY c_nationkey
 """
 
 
+def q_tile_rollup(spark, sf_dir):
+    """Hierarchical rollup over the tile pyramid (the hypertable-rollup
+    shape): point counts at (tx, ty), per-column subtotal, and grand
+    total in ONE pass — Spark's rollup() plans a single Expand +
+    hash-aggregate, so the pyramid costs one shuffle, not three."""
+    from pyproj_spark.functions.tiles import tile_xy_from_lonlat
+    pts = _doc_points(spark, sf_dir)
+    tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), 4)
+    return (pts.select(tx.alias("tx"), ty.alias("ty"))
+            .rollup("tx", "ty")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.coalesce("tx", F.lit(-1)).alias("tx"),
+                    F.coalesce("ty", F.lit(-1)).alias("ty"), "cnt"))
+
+
+SQL_TILE_ROLLUP = f"""
+WITH pts AS ({_PTS_SQL}),
+t AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 16)
+                        AS BIGINT), 0), 15) AS tx,
+         least(greatest(CAST(floor((1.0 - ln(tan(pi()/4 +
+               radians(least(greatest(lat, -85.05112877980659),
+                             85.05112877980659)) / 2)) / pi())
+               / 2.0 * 16) AS BIGINT), 0), 15) AS ty
+  FROM pts
+)
+SELECT COALESCE(tx, -1) AS tx, COALESCE(ty, -1) AS ty,
+       count(*) AS cnt
+FROM t GROUP BY ROLLUP (tx, ty)
+"""
+
+
+def q_price_quantiles(spark, sf_dir):
+    """Exact percentile aggregation (median/p90 of order value per
+    priority) — Spark's exact `percentile` vs DuckDB's
+    quantile_cont; both interpolate linearly, so values hash-match."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+                 .alias("p50"),
+                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+                 .alias("p90"),
+                 F.count("*").alias("n")))
+
+
+SQL_PRICE_QUANTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "webmerc_transform": (q_webmerc_transform, SQL_WEBMERC),
     "geocell": (q_geocell, SQL_GEOCELL),
@@ -483,6 +537,8 @@ QUERIES = {
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "cold_customers": (q_cold_customers, SQL_COLD_CUSTOMERS),
+    "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
+    "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
 }
 
 
