@@ -499,6 +499,31 @@ FROM t GROUP BY ROLLUP (tx, ty)
 """
 
 
+def q_attribution(spark, sf_dir):
+    """Interval join (view->purchase attribution within 30 min) — the
+    BATCH form of the stream-stream join in streaming/joins.py; the
+    same function builds both plans, so this oracle row gates the
+    streaming operator's join semantics too (the streaming test
+    asserts stream == batch on the same input)."""
+    from pyproj_spark.streaming.joins import attributed_purchases
+    ev = _t(spark, sf_dir, "events")
+    return attributed_purchases(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"))
+
+
+SQL_ATTRIBUTION = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
+       CAST(epoch(date_trunc('second', p.ts))
+            - epoch(date_trunc('second', v.ts)) AS BIGINT) AS gap_s,
+       round(p.value, 2) AS value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 def q_price_quantiles(spark, sf_dir):
     """Exact percentile aggregation (median/p90 of order value per
     priority) — Spark's exact `percentile` vs DuckDB's
@@ -538,6 +563,7 @@ QUERIES = {
     "order_priority": (q_order_priority, SQL_ORDER_PRIORITY),
     "cold_customers": (q_cold_customers, SQL_COLD_CUSTOMERS),
     "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
     "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
 }
 

@@ -105,3 +105,45 @@ def test_streaming_first_seen_dedup(spark, pages_dir, tmp_path):
     got = spark.sql("select url from dedup_stream").toPandas()
     assert len(got) == N  # each url exactly once despite duplicates
     assert got["url"].is_unique
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream attribution join (streaming/joins.py): the same
+    function builds the batch plan, and the streaming inner join over
+    watermarked sides must emit exactly the batch rows once all input
+    is processed."""
+    from pyproj_spark.streaming.joins import attributed_purchases
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events_stream")
+    # two time-ordered chunks so watermarks advance between batches
+    import time as _time
+    ts = F.unix_timestamp("ts")
+    mid = ev.selectExpr(
+        "percentile(unix_timestamp(ts), 0.5) p").collect()[0]["p"]
+    ev.filter(ts < mid).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    ev.filter(ts >= mid).coalesce(1).write.mode("append").parquet(d)
+
+    schema = ev.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = attributed_purchases(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("attrib_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in
+                 spark.sql("select * from attrib_stream").collect())
+    batch = attributed_purchases(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"))
+    ref = sorted(tuple(r) for r in batch.collect())
+    assert len(ref) > 0
+    # inner stream-stream joins emit every match once input is drained
+    assert got == ref
