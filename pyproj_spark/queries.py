@@ -524,6 +524,68 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash cell index (functions/geohash.py — pure Catalyst bit
+    math, the interop twin of the engine's Z-order geocell): encode at
+    precision 6 plus the decoded cell center, so the oracle gates the
+    encode->decode composition against DuckDB's independent bit-level
+    recompute of the same public spec."""
+    from pyproj_spark.functions.geohash import (
+        geohash_decode, geohash_encode,
+    )
+    pts = _doc_points(spark, sf_dir)
+    gh = geohash_encode(F.col("lon"), F.col("lat"), 6)
+    out = pts.withColumn("gh", gh).withColumn(
+        "c", geohash_decode(F.col("gh"), 6))
+    return out.select(
+        "doc_id", "gh",
+        F.round("c.lon", 6).alias("center_lon"),
+        F.round("c.lat", 6).alias("center_lat"))
+
+
+def _geohash_sql(precision: int = 6) -> str:
+    """DuckDB mirror of geohash encode+decode, generated mechanically
+    from the same public spec (independent recompute, not a port of
+    the Catalyst expressions)."""
+    from pyproj_spark.functions.geohash import ALPHABET
+    n_bits = 5 * precision
+    lon_bits = (n_bits + 1) // 2
+    lat_bits = n_bits // 2
+    char_exprs = []
+    for k in range(precision):
+        terms = []
+        for b in range(5 * k, 5 * k + 5):
+            w = 1 << (4 - b % 5)
+            if b % 2 == 0:
+                shift = lon_bits - 1 - b // 2
+                terms.append(f"(((lon_idx >> {shift}) & 1) * {w})")
+            else:
+                shift = lat_bits - 1 - b // 2
+                terms.append(f"(((lat_idx >> {shift}) & 1) * {w})")
+        char_exprs.append(
+            f"substring('{ALPHABET}', 1 + ({' + '.join(terms)}), 1)")
+    gh = " || ".join(char_exprs)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+idx AS (
+  SELECT doc_id,
+    least(greatest(CAST(floor((least(greatest(lon, -180.0), 180.0)
+      + 180.0) / 360.0 * {1 << lon_bits}) AS BIGINT), 0),
+      {(1 << lon_bits) - 1}) AS lon_idx,
+    least(greatest(CAST(floor((least(greatest(lat, -90.0), 90.0)
+      + 90.0) / 180.0 * {1 << lat_bits}) AS BIGINT), 0),
+      {(1 << lat_bits) - 1}) AS lat_idx
+  FROM pts
+)
+SELECT doc_id, {gh} AS gh,
+  round((lon_idx + 0.5) / {1 << lon_bits} * 360.0 - 180.0, 6)
+      AS center_lon,
+  round((lat_idx + 0.5) / {1 << lat_bits} * 180.0 - 90.0, 6)
+      AS center_lat
+FROM idx
+"""
+
+
 def q_price_quantiles(spark, sf_dir):
     """Exact percentile aggregation (median/p90 of order value per
     priority) — Spark's exact `percentile` vs DuckDB's
@@ -564,6 +626,7 @@ QUERIES = {
     "cold_customers": (q_cold_customers, SQL_COLD_CUSTOMERS),
     "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "geohash": (q_geohash, _geohash_sql()),
     "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
 }
 

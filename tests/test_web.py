@@ -63,3 +63,35 @@ def test_no_udf_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_geohash_known_vectors(spark):
+    """Canonical public geohash vectors (Niemeyer spec examples) +
+    plan hygiene: the whole encode/decode stays native Catalyst."""
+    from pyproj_spark.functions.geohash import (
+        geohash_decode, geohash_encode,
+    )
+    df = spark.createDataFrame(
+        [(-5.603, 42.605), (10.40744, 57.64911), (0.0, 0.0),
+         (-180.0, -90.0)], "lon double, lat double")
+    out = df.select(
+        "lon", "lat",
+        geohash_encode(F.col("lon"), F.col("lat"), 5).alias("g5"),
+        geohash_encode(F.col("lon"), F.col("lat"), 11).alias("g11"))
+    got = {(r["lon"], r["lat"]): r for r in out.collect()}
+    assert got[(-5.603, 42.605)]["g5"] == "ezs42"
+    assert got[(10.40744, 57.64911)]["g11"] == "u4pruydqqvj"
+    assert got[(0.0, 0.0)]["g5"] == "s0000"
+    assert got[(-180.0, -90.0)]["g5"] == "00000"
+    # decode returns the cell center: within half a cell of the input
+    rt = df.select(
+        "lon", "lat",
+        geohash_decode(geohash_encode(F.col("lon"), F.col("lat"), 8),
+                       8).alias("c")).collect()
+    for r in rt:
+        assert abs(r["c"]["lon"] - r["lon"]) <= 360.0 / 2 ** 20
+        assert abs(r["c"]["lat"] - r["lat"]) <= 180.0 / 2 ** 20
+    plan = df.select(
+        geohash_encode(F.col("lon"), F.col("lat"), 6)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
