@@ -14,7 +14,8 @@ def __getattr__(name):
     _builders = {"GeographicCRS", "GeocentricCRS", "DerivedGeographicCRS",
                  "ProjectedCRS", "VerticalCRS", "CompoundCRS", "BoundCRS",
                  "Datum", "CustomDatum", "CustomEllipsoid",
-                 "Ellipsoidal2DCS", "Cartesian2DCS", "VerticalCS"}
+                 "Ellipsoidal2DCS", "Ellipsoidal3DCS", "Cartesian2DCS",
+                 "VerticalCS"}
     if name in _builders:
         from pyproj_spark.crs import builders
         return getattr(builders, name)

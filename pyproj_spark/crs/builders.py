@@ -145,6 +145,21 @@ class Cartesian2DCS:
         return {"subtype": "Cartesian", "axis": axes}
 
 
+class Ellipsoidal3DCS(Ellipsoidal2DCS):
+    """reference pyproj/crs/coordinate_system.py:127 — 2D axes plus
+    ellipsoidal height."""
+
+    def __init__(self, axis="LONGITUDE_LATITUDE_HEIGHT"):
+        super().__init__(axis)
+
+    def to_json_dict(self) -> dict:
+        d = super().to_json_dict()
+        d["axis"] = d["axis"] + [{
+            "name": "Ellipsoidal height", "abbreviation": "h",
+            "direction": "up", "unit": "metre"}]
+        return d
+
+
 class VerticalCS:
     def to_json_dict(self) -> dict:
         return {"subtype": "vertical",

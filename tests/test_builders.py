@@ -165,3 +165,16 @@ def test_geocentric_crs():
     x, y, z = t.transform(1113194.0, 6378137.0, 0.0, radians=False) \
         if False else t.transform(3513638.0, 778956.0, 5248216.0)
     assert_almost_equal((x, y, z), (3513638.0, 778956.0, 5248216.0))
+
+
+def test_ellipsoidal_3d_cs():
+    """Ellipsoidal3DCS builder (reference coordinate_system.py:127):
+    2D axes plus ellipsoidal height, usable in GeographicCRS."""
+    from pyproj_spark.crs import Ellipsoidal3DCS, GeographicCRS
+    cs = Ellipsoidal3DCS()
+    axes = cs.to_json_dict()["axis"]
+    assert len(axes) == 3
+    assert axes[-1]["direction"] == "up"
+    assert axes[-1]["name"] == "Ellipsoidal height"
+    g = GeographicCRS(name="WGS 84 (3D)", ellipsoidal_cs=cs)
+    assert len(g.to_json_dict()["coordinate_system"]["axis"]) == 3
