@@ -13,3 +13,9 @@ class CRSError(ProjError, ValueError):
 
 class GeodError(RuntimeError, ValueError):
     """Raised by geodesic computations (reference GeodError)."""
+
+
+class DataDirError(RuntimeError):
+    """Raised when a data directory cannot be resolved — reference
+    pyproj/exceptions.py:27 (in this engine: grid/resource paths
+    passed to register_grid or the sync CLI)."""

@@ -249,3 +249,35 @@ def test_cli():
     assert main(["sync", "--list-files",
                  "--include-already-downloaded"]) == 0
     assert main(["sync", "--all"]) == 1  # downloads unavailable
+
+
+def test_datadir_resolution(tmp_path, monkeypatch):
+    """datadir.py — reference pyproj/datadir.py:22-118 semantics:
+    explicit set wins, then the env var, then the packaged dir;
+    DataDirError when nothing resolves."""
+    import pyproj_spark.datadir as dd
+    from pyproj_spark.exceptions import DataDirError
+
+    monkeypatch.setattr(dd, "_USER_SET_DIR", None)
+    monkeypatch.delenv("PYPROJ_SPARK_DATA", raising=False)
+    # the packaged data/ dir does not ship in this repo -> error
+    import pytest as _pytest
+    with _pytest.raises(DataDirError):
+        dd.get_data_dir()
+    # env var resolves
+    d1 = tmp_path / "env_data"
+    d1.mkdir()
+    monkeypatch.setenv("PYPROJ_SPARK_DATA", str(d1))
+    assert dd.get_data_dir() == str(d1)
+    # explicit set wins over the env var
+    d2 = tmp_path / "set_data"
+    d2.mkdir()
+    dd.set_data_dir(str(d2))
+    try:
+        assert dd.get_data_dir() == str(d2)
+    finally:
+        dd._USER_SET_DIR = None
+    # user dir is deterministic and creatable
+    u = dd.get_user_data_dir(create=True)
+    import os
+    assert os.path.isdir(u) and u.endswith("pyproj_spark")
