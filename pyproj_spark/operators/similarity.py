@@ -57,11 +57,39 @@ def _plane_component(plane: int, dim_idx: Column) -> Column:
     return (h % 20001 - 10000) / 10000.0
 
 
+def _plane_components_py(plane: int, dim: int) -> list:
+    """The same md5(plane:dim)-derived components computed driver-side
+    (hashlib) — they are DATA-INDEPENDENT, so when the embedding
+    dimensionality is known they ship as literal arrays instead of
+    being re-derived per element per row (8 centroids x 64 dims of
+    md5+base-conv per row is pure waste at scale). The DuckDB oracle
+    still recomputes them with ITS md5, so the two independent
+    implementations cross-check."""
+    import hashlib
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:8],
+                16)
+        out.append((h % 20001 - 10000) / 10000.0)
+    return out
+
+
+def _dot_const(vec: Column, comps: list) -> Column:
+    """dot(vec, literal component vector) via zip_with+aggregate."""
+    arr = F.array(*[F.lit(c) for c in comps])
+    return F.aggregate(F.zip_with(vec, arr, lambda x, c: x * c),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
 def simhash_buckets(embeddings: DataFrame, n_planes: int = 8,
-                    id_col: str = "vec_id", vec_col: str = "embedding"
-                    ) -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
     """Adds a `bucket` column: n_planes-bit random-hyperplane signature.
-    Vectors in the same bucket are ANN candidates (equi-join key)."""
+    Vectors in the same bucket are ANN candidates (equi-join key).
+    Pass ``dim`` when the embedding dimensionality is known: the
+    hyperplane components then ship as literal arrays instead of being
+    md5-derived per element per row (identical values either way —
+    regression-locked by test)."""
     v = F.col(vec_col).cast("array<double>")
     idx = F.sequence(F.lit(0), F.size(v) - 1)
 
@@ -71,17 +99,25 @@ def simhash_buckets(embeddings: DataFrame, n_planes: int = 8,
 
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        comp = F.zip_with(v, idx, _proj(p))
-        s = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+        if dim is not None:
+            s = _dot_const(v, _plane_components_py(p, dim))
+        else:
+            comp = F.zip_with(v, idx, _proj(p))
+            s = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket.bitwiseOR(
             F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p))
             .otherwise(F.lit(0).cast("long")))
     return embeddings.withColumn("bucket", bucket)
 
 
-def _centroid_score(vec: Column, centroid: int) -> Column:
+def _centroid_score(vec: Column, centroid: int,
+                    dim: int | None = None) -> Column:
     """dot(vec, c_j) where c_j is the md5-derived pseudo centroid —
-    deterministic on any engine, no trained/shipped model state."""
+    deterministic on any engine, no trained/shipped model state. With
+    ``dim`` known the centroid ships as a literal array (no per-row
+    md5)."""
+    if dim is not None:
+        return _dot_const(vec, _plane_components_py(centroid, dim))
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
 
     def _proj(j: int):
@@ -92,14 +128,15 @@ def _centroid_score(vec: Column, centroid: int) -> Column:
 
 
 def ivf_cells(embeddings: DataFrame, n_centroids: int = 8,
-              vec_col: str = "embedding", out_col: str = "cell"
-              ) -> DataFrame:
+              vec_col: str = "embedding", out_col: str = "cell",
+              dim: int | None = None) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     (argmax-dot) pseudo-centroid. The inverted-file ANN layout: `cell`
     is the partition/equi-join key, so at 100 TB the index build is one
     narrow map pass and search touches only nprobe cells."""
     v = F.col(vec_col).cast("array<double>")
-    scores = F.array(*[_centroid_score(v, j) for j in range(n_centroids)])
+    scores = F.array(*[_centroid_score(v, j, dim)
+                   for j in range(n_centroids)])
     # first-index argmax (1-based) — mirrored by DuckDB list_position
     cell = F.array_position(scores, F.array_max(scores)).cast("int")
     return embeddings.withColumn(out_col, cell)
@@ -108,7 +145,8 @@ def ivf_cells(embeddings: DataFrame, n_centroids: int = 8,
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
              n_centroids: int = 8, nprobe: int = 2,
              id_col: str = "vec_id", qid_col: str = "qid",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
     """IVF ANN search: each query probes its top-nprobe centroid cells
     and exact-cosine re-ranks only the vectors quantized into those
     cells — the classic recall/cost dial (nprobe=n_centroids = exact).
@@ -118,11 +156,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
         embeddings.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_v")),
-        n_centroids, "_v")
+        n_centroids, "_v", dim=dim)
     q = queries.select(F.col(qid_col),
                        F.col(vec_col).cast("array<double>").alias("_q"))
     qv = F.col("_q")
-    qscores = F.array(*[_centroid_score(qv, j) for j in range(n_centroids)])
+    qscores = F.array(*[_centroid_score(qv, j, dim)
+                    for j in range(n_centroids)])
     probes = q.select(
         qid_col, "_q",
         F.posexplode(qscores).alias("cidx", "score"))
@@ -142,11 +181,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
 
 
 def ann_topk_lsh(embeddings: DataFrame, k: int = 3, n_planes: int = 6,
-                 id_col: str = "vec_id", vec_col: str = "embedding"
-                 ) -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int | None = None) -> DataFrame:
     """Bucketed ANN self-join: candidates share an LSH bucket; exact
     cosine re-rank inside buckets. Recall grows as n_planes shrinks."""
-    b = simhash_buckets(embeddings, n_planes, id_col, vec_col)
+    b = simhash_buckets(embeddings, n_planes, id_col, vec_col,
+                    dim=dim)
     a_side = b.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).cast("array<double>").alias("_va"),
                       "bucket")

@@ -337,7 +337,7 @@ def q_ivf_ann(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10) \
                  .withColumnRenamed("vec_id", "qid")
     return similarity.ivf_topk(emb.filter(F.col("vec_id") < 500), queries,
-                               k=3, n_centroids=8, nprobe=2)
+                               k=3, n_centroids=8, nprobe=2, dim=64)
 
 
 _IVF_COMP = ("((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || "
@@ -401,7 +401,7 @@ def q_ann_lsh(spark, sf_dir):
     is additionally measured in tests)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ann_topk_lsh(emb.filter(F.col("vec_id") < 500),
-                                   k=3, n_planes=4)
+                                   k=3, n_planes=4, dim=64)
 
 
 def _plane_sum_sql(p: int) -> str:

@@ -448,3 +448,30 @@ def test_ivf_topk_recall_and_exact_limit(spark):
     hits = sum(1 for kk, v in exact.items() if approx.get(kk) == v
                or v in [approx.get((kk[0], r)) for r in (1, 2, 3)])
     assert hits / len(exact) > 0.5  # recall@3 with half the cells probed
+
+
+def test_plane_components_literal_path_identical(spark):
+    """The driver-side hashlib plane components must match the Spark
+    md5-derived ones bit-for-bit: bucket/cell assignments from the
+    dim=N literal-array fast path equal the runtime-md5 path."""
+    from pyspark.sql import functions as FF
+    from pyproj_spark.operators.similarity import (
+        _plane_components_py, ivf_cells, simhash_buckets,
+    )
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", FF.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    a = simhash_buckets(emb, n_planes=4).select("vec_id", "bucket")
+    b = simhash_buckets(emb, n_planes=4, dim=64) \
+        .select("vec_id", FF.col("bucket").alias("b2"))
+    assert a.join(b, "vec_id") \
+        .filter(FF.col("bucket") != FF.col("b2")).count() == 0
+    ca = ivf_cells(emb, n_centroids=4).select("vec_id", "cell")
+    cb = ivf_cells(emb, n_centroids=4, dim=64) \
+        .select("vec_id", FF.col("cell").alias("c2"))
+    assert ca.join(cb, "vec_id") \
+        .filter(FF.col("cell") != FF.col("c2")).count() == 0
+    # and the python components themselves are in range
+    comps = _plane_components_py(3, 64)
+    assert len(comps) == 64 and all(-1.0 <= c <= 1.0 for c in comps)
