@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from typing import NamedTuple
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -26,6 +27,24 @@ class AreaOfInterest:
                   self.east_lon_degree, self.north_lat_degree):
             if v is None or math.isnan(v):
                 raise ValueError("NaN or None in AreaOfInterest")
+
+
+class AreaOfUse(NamedTuple):
+    """Area of use of a CRS / operation / transformer — reference
+    pyproj/aoi.py:41-75 (NamedTuple with .bounds)."""
+
+    west: float
+    south: float
+    east: float
+    north: float
+    name: str | None = None
+
+    @property
+    def bounds(self) -> tuple:
+        return (self.west, self.south, self.east, self.north)
+
+    def __str__(self) -> str:
+        return f"- name: {self.name}\n- bounds: {self.bounds}"
 
 
 @dataclass

@@ -515,13 +515,13 @@ class CRS:
     def area_of_use(self):
         """Rough area of use from the datum table — reference
         pyproj/crs/crs.py:1140-1160 (AreaOfUse with .bounds)."""
-        from types import SimpleNamespace as NS
+        from pyproj_spark.aoi import AreaOfUse
         from pyproj_spark.catalog_api import _DATUM_AOU
         w, s, e, n = _DATUM_AOU.get(self.datum_name,
                                     (-180.0, -90.0, 180.0, 90.0))
-        return NS(west=w, south=s, east=e, north=n,
-                  bounds=(w, s, e, n),
-                  name=f"{self.datum_name or 'world'} area of use")
+        return AreaOfUse(
+            west=w, south=s, east=e, north=n,
+            name=f"{self.datum_name or 'world'} area of use")
 
     # ------------------------------------------------------------- exports
     def to_epsg(self, min_confidence: int = 70):

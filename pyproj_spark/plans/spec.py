@@ -516,13 +516,13 @@ class Transformer:
     def area_of_use(self):
         """Intersection of the two CRS areas of use (reference
         transformer.py:524-534 returns the operation's area)."""
-        from types import SimpleNamespace as NS
+        from pyproj_spark.aoi import AreaOfUse
         a = self._kernel.src.area_of_use
         b = self._kernel.dst.area_of_use
         w, s = max(a.west, b.west), max(a.south, b.south)
         e, n = min(a.east, b.east), min(a.north, b.north)
-        return NS(west=w, south=s, east=e, north=n, bounds=(w, s, e, n),
-                  name=f"{a.name} n {b.name}")
+        return AreaOfUse(west=w, south=s, east=e, north=n,
+                         name=f"{a.name} n {b.name}")
 
     @property
     def scope(self) -> str:
