@@ -103,7 +103,8 @@ def _perm_with(a: int, b: int):
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 8,
-                      bands: int = 4, band_cap: int = 64) -> DataFrame:
+                      bands: int = 4, band_cap: int = 64,
+                      star_only: bool = False) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: rows sharing any band of
     the minhash signature. Output (id_a, id_b) with id_a < id_b.
 
@@ -122,6 +123,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Total shuffles: groupBy(band_key) + the final pair dedup — both
     partial-aggregated; no join, no unbounded bucket.
+
+    ``star_only=True`` emits star edges for EVERY band (not just hot
+    ones): the right mode when the consumer is connected-components
+    dedup, which only needs CONNECTIVITY — components are identical,
+    the edge count drops from O(members²) to O(members) per band, and
+    the near-star graph converges in ~2 label alternations.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df.select(id_col, text_col), text_col,
@@ -155,6 +162,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         lambda m: F.struct(F.element_at(ids, 1).alias("id_a"),
                            m.alias("id_b")))
     edges = grouped.select(F.explode(
+        star_edges if star_only else
         F.when(F.col("cnt") <= band_cap, all_pairs)
         .otherwise(star_edges)).alias("e"))
     return edges.select(F.col("e.id_a").alias("id_a"),

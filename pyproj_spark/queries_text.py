@@ -212,8 +212,12 @@ def q_dedup_clusters(spark, sf_dir):
     size). The full 100-TB dedup story end to end: exact dedup +
     LSH pairs + cluster resolution keeping one canonical doc."""
     from pyproj_spark.operators.cc import dedup_clusters
+    # star_only: CC needs connectivity, not pairs — identical
+    # components with O(members) edges per band (the oracle's
+    # recursive CTE computes components from ITS all-pairs edges, so
+    # the cluster table it checks is unchanged)
     pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8,
-                                    bands=4)
+                                    bands=4, star_only=True)
     return dedup_clusters(pairs)
 
 
