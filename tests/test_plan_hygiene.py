@@ -79,3 +79,35 @@ def test_no_row_at_a_time_python(spark):
     for name, (fn, _sql) in {**QUERIES, **QUERIES_TEXT}.items():
         plan = _plan(fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_semi_anti_join_strategies(spark):
+    """order_priority/cold_customers must plan genuine LeftSemi /
+    LeftAnti hash joins (the EXISTS / NOT EXISTS shapes), never a
+    row-duplicating inner join + distinct."""
+    from pyproj_spark.queries import q_cold_customers, q_order_priority
+    p1 = _plan(q_order_priority(spark, SF))
+    assert "LeftSemi" in p1 and "Distinct" not in p1
+    p2 = _plan(q_cold_customers(spark, SF))
+    assert "LeftAnti" in p2
+
+
+def test_rollup_single_expand_pass(spark):
+    """tile_rollup computes the whole pyramid in ONE Expand +
+    hash-aggregate pass — not one aggregation per level."""
+    from pyproj_spark.queries import q_tile_rollup
+    p = _plan(q_tile_rollup(spark, SF))
+    assert p.count("Expand") >= 1
+    # one logical aggregation (partial+final pair), not three
+    assert p.count("HashAggregate") <= 2
+
+
+def test_star_only_lsh_has_no_nested_pair_expansion(spark):
+    """The CC-feeding edge list must stay O(members) per band: the
+    star_only plan contains no nested sequence/flatten pair blowup."""
+    from pyproj_spark.operators import dedup
+    from pyproj_spark.queries_text import _docs
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, SF), num_hashes=8,
+                                    bands=4, star_only=True)
+    p = _optimized(pairs)
+    assert "flatten" not in p.lower()
