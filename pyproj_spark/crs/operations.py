@@ -457,21 +457,46 @@ def operation_from_wkt(s: str, always_xy: bool = False
 def operation_from_name(name: str, always_xy: bool = False
                         ) -> CoordinateOperationTransformer:
     """Resolve an operation by its NAME (reference from_pipeline accepts
-    object names, transformer.py:780-782, uniqueness by heuristics —
-    here exact case-insensitive match over the bundled catalog,
-    including the UTM conversion series)."""
+    object names, transformer.py:780-782, "uniqueness is not
+    guaranteed ... heuristics are applied"). Resolution order over the
+    bundled catalog (incl. the UTM conversion series): exact
+    case-insensitive match -> punctuation/space-insensitive match ->
+    unique substring match; an ambiguous substring raises CRSError
+    naming the candidates."""
+    import re
+
+    def _squash(s: str) -> str:
+        return re.sub(r"[^a-z0-9]", "", s.lower())
+
     want = name.strip().lower()
     for code, (opname, *_rest) in OPERATIONS.items():
         if opname.lower() == want:
             return CoordinateOperationTransformer(_operation_record(code),
                                                   always_xy=always_xy)
-    m = __import__("re").match(r"^utm zone (\d{1,2})([ns])$", want)
+    m = re.match(r"^utm zone (\d{1,2})\s*([ns])$", want)
     if m:
         z = int(m.group(1))
         if 1 <= z <= 60:
             code = (16000 if m.group(2) == "n" else 17000) + z
             return CoordinateOperationTransformer(
                 _operation_record(code), always_xy=always_xy)
+    # heuristic tiers (reference applies best-match heuristics here)
+    sq = _squash(want)
+    if sq:
+        exact_sq = [c for c, (n, *_r) in OPERATIONS.items()
+                    if _squash(n) == sq]
+        if len(exact_sq) == 1:
+            return CoordinateOperationTransformer(
+                _operation_record(exact_sq[0]), always_xy=always_xy)
+        subs = [c for c, (n, *_r) in OPERATIONS.items()
+                if sq in _squash(n)]
+        if len(subs) == 1:
+            return CoordinateOperationTransformer(
+                _operation_record(subs[0]), always_xy=always_xy)
+        if len(subs) > 1:
+            names = sorted(OPERATIONS[c][0] for c in subs)
+            raise CRSError(
+                f"operation name {name!r} is ambiguous: {names}")
     raise CRSError(f"no cataloged coordinate operation named {name!r}")
 
 

@@ -157,3 +157,20 @@ def test_from_pipeline_concatenated_urn():
             "urn:ogc:def:coordinateOperation,"
             "coordinateOperation:EPSG::16031,"
             "coordinateOperation:EPSG::1188")
+
+
+def test_operation_name_heuristics():
+    """from_pipeline name resolution heuristics (reference
+    transformer.py:780-782 'heuristics are applied'): punctuation-
+    insensitive and unique-substring matches resolve; ambiguous
+    substrings raise CRSError naming candidates."""
+    a = Transformer.from_pipeline("gda94 to gda2020 1")  # squashed
+    b = Transformer.from_pipeline("EPSG:8048")
+    assert_almost_equal(a.transform(133.0, -25.0),
+                        b.transform(133.0, -25.0), decimal=12)
+    c = Transformer.from_pipeline("RGF93")  # unique substring
+    assert c.name == "RGF93 v1 to WGS 84 (1)"
+    with pytest.raises(CRSError, match="ambiguous"):
+        Transformer.from_pipeline("ED50 to WGS 84")  # (1) vs (18)
+    with pytest.raises(CRSError):
+        Transformer.from_pipeline("No Such Thing At All")
