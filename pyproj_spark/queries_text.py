@@ -997,6 +997,38 @@ FROM base LEFT JOIN top ON base.doc_id = top.doc_id
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (the reproducible
+    language-balancing step of a curation pipeline,
+    operators/sampling.py): per-language keep rates decided by
+    md5(salt:doc_id), so the DuckDB oracle reproduces the EXACT kept
+    row set — an RNG sampler could never be cross-engine-gated."""
+    from pyproj_spark.operators.sampling import stratified_sample
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    kept = stratified_sample(docs, {"en": 0.5, "de": 0.25, "fr": 0.1},
+                             stratum_col="lang", default_rate=0.75)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                              1, 12)) AS BIGINT) % 1000000 AS bucket,
+         CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                   WHEN 'fr' THEN 100000 ELSE 750000 END AS cut
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id, SUM(doc_id) AS id_sum
+FROM h WHERE bucket < cut GROUP BY lang
+"""
+
+
 QUERIES_TEXT = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -1019,6 +1051,7 @@ QUERIES_TEXT = {
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "url_domains": (q_url_domains, SQL_URL_DOMAINS),
     "repetition": (q_repetition, SQL_REPETITION),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
 }
 

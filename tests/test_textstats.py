@@ -40,3 +40,32 @@ def test_repetition_features_goldens(spark):
     # tokens flatten across lines: 't t','t t','t t' -> cnt 3 of 3
     assert (r["top_bigram"], r["top_bigram_cnt"]) == ("t t", 3)
     assert r["top_bigram_frac"] == pytest.approx(1.0)
+
+
+def test_deterministic_sampling(spark):
+    """operators/sampling.py: the kept set is a pure function of the
+    key — invariant under repartitioning — and rates land near the
+    target fraction."""
+    from pyproj_spark.operators.sampling import (
+        deterministic_sample, stratified_sample,
+    )
+    from pyspark.sql import functions as F
+    df = spark.range(20000).withColumnRenamed("id", "doc_id") \
+        .withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en")
+                    .otherwise("de"))
+    a = sorted(r["doc_id"] for r in
+               deterministic_sample(df, 0.3).collect())
+    b = sorted(r["doc_id"] for r in
+               deterministic_sample(df.repartition(17), 0.3).collect())
+    assert a == b  # partitioning-invariant
+    assert abs(len(a) / 20000 - 0.3) < 0.02
+    s = stratified_sample(df, {"en": 0.5}, default_rate=0.1)
+    got = {r["lang"]: r["cnt"] for r in
+           s.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    n_en = 20000 // 3 + 1
+    assert abs(got["en"] / n_en - 0.5) < 0.05
+    assert abs(got["de"] / (20000 - n_en) - 0.1) < 0.03
+    # different salts draw different (deterministic) coins
+    c = sorted(r["doc_id"] for r in
+               deterministic_sample(df, 0.3, salt="other").collect())
+    assert c != a
