@@ -412,13 +412,16 @@ def _encode_block(writer, block, pred, q, dc_tbl, ac_tbl):
 
 
 def encode_jpeg(pixels: np.ndarray, quant: int | np.ndarray = 1,
-                subsample: str = "4:4:4") -> bytes:
+                subsample: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
     """Encode an (h, w) or (h, w, 3) uint8 array as a baseline JFIF
     JPEG (grayscale, or RGB via YCbCr at 4:4:4 or 4:2:0), standard
     Annex K Huffman tables. ``quant`` is a scalar or 64-entry zigzag
     quantization table; the default all-ones table makes the DCT
     round-trip exact to coefficient rounding — handy for deterministic
-    fixtures."""
+    fixtures. ``restart_interval`` > 0 emits a DRI marker and RSTn
+    markers every that many MCUs (exercises the decoder's restart
+    resynchronization path)."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -471,6 +474,8 @@ def encode_jpeg(pixels: np.ndarray, quant: int | np.ndarray = 1,
     for (bits, vals), tclass in tables:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
             + bytes([tclass]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for ci in range(nc):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -481,8 +486,17 @@ def encode_jpeg(pixels: np.ndarray, quant: int | np.ndarray = 1,
     ac_c = _build_encode_table(*_STD_AC_CHROMA)
     writer = _BitWriter()
     preds = [0] * nc
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * nc
+            mcu_count += 1
             for ci, plane in enumerate(planes):
                 hs, vs = samp[ci]
                 dc_t, ac_t = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)

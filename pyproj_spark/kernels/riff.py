@@ -79,10 +79,18 @@ def encode_wav(samples: np.ndarray, rate: int = 16000,
         payload = s.astype("<i2").tobytes()
     elif bits == 8:
         payload = (s + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        u = (s.astype(np.int64) & 0xFFFFFF).astype(np.uint32)
+        raw = np.zeros((u.size, 3), dtype=np.uint8)
+        flat = u.reshape(-1)
+        raw[:, 0] = flat & 0xFF
+        raw[:, 1] = (flat >> 8) & 0xFF
+        raw[:, 2] = (flat >> 16) & 0xFF
+        payload = raw.tobytes()
     elif bits == 32:
         payload = s.astype("<i4").tobytes()
     else:
-        raise ValueError("fixture encoder supports 8/16/32-bit PCM")
+        raise ValueError("fixture encoder supports 8/16/24/32-bit PCM")
     align = channels * bits // 8
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * align,
                       align, bits)

@@ -103,3 +103,20 @@ def test_jpeg_stats_spark(spark):
         r = got[u]
         assert (r["width"], r["height"], r["n_channels"]) == (16, 16, 1)
         assert r["mean_luma"] == pytest.approx(mean, abs=1e-9)
+
+
+def test_restart_interval_resync():
+    """DRI/RSTn handling: DC predictors reset at each restart marker
+    and decode stays exact after resynchronization."""
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    b = encode_jpeg(img, restart_interval=2)
+    assert b.count(b"\xff\xdd") == 1  # DRI emitted
+    n_rst = sum(b.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst >= (40 // 8) * (56 // 8) // 2 - 1
+    out = decode_jpeg(b)[:, :, 0]
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    # restart + chroma subsampling compose
+    img3 = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(
+        img3, subsample="4:2:0", restart_interval=1)).shape \
+        == (24, 24, 3)

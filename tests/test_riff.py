@@ -129,3 +129,11 @@ def test_multimodal_operators_spark(spark):
 def F_col(name):
     from pyspark.sql import functions as F
     return F.col(name)
+
+
+def test_wav_24bit_round_trip():
+    s = np.array([0, 1, -1, 8388607, -8388608, 123456, -654321],
+                 dtype=np.int64)
+    out, rate = decode_wav(encode_wav(s, rate=44100, bits=24))
+    assert rate == 44100
+    assert np.array_equal(out[:, 0], s)
