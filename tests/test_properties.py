@@ -43,7 +43,10 @@ def test_geodesic_symmetry(lon1, lat1, lon2, lat2):
     g = Geodesic("WGS84")
     a1, a2, d = g.inverse(lon1, lat1, lon2, lat2)
     b1, b2, d2 = g.inverse(lon2, lat2, lon1, lat1)
-    assert abs(float(d) - float(d2)) < 1e-6
+    # absolute + relative: near-equatorial inverses accumulate ~1e-11
+    # relative round-off (hypothesis found 1.5 um over 122 km), which
+    # is double-precision noise, not kernel asymmetry
+    assert abs(float(d) - float(d2)) < 1e-6 + 1e-10 * abs(float(d))
 
 
 @settings(max_examples=50, deadline=None)
