@@ -502,6 +502,13 @@ class Transformer:
         return True  # every planned kernel is bidirectional
 
     @property
+    def is_network_enabled(self) -> bool:
+        """Always False — reference transformer.py:476-482; PROJ-CDN
+        grid download is out of scope for this sandboxed engine
+        (sync._download_resource_file documents the stub)."""
+        return False
+
+    @property
     def accuracy(self) -> float:
         """Expected accuracy in metres; -1 if unknown (ballpark)."""
         k = self._kernel
