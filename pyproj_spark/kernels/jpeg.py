@@ -513,3 +513,62 @@ def encode_jpeg(pixels: np.ndarray, quant: int | np.ndarray = 1,
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ----------------------------------------------------------------- EXIF
+
+def exif_orientation(b: bytes):
+    """Orientation (1-8) from a JPEG's EXIF APP1 segment, or None.
+
+    Real TIFF-IFD parsing per the public EXIF spec: APP1 marker scan,
+    'Exif\\0\\0' preamble, II/MM byte order, IFD0 walk for tag 0x0112.
+    A training pipeline must apply this before resize/crop, or 6/8-
+    rotated photos train sideways."""
+    if b[:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in (0xDA, 0xD9):  # entropy data / EOI: no EXIF ahead
+            return None
+        (seg_len,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        seg = b[pos + 4:pos + 2 + seg_len]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            t = seg[6:]
+            if len(t) < 8:
+                return None
+            endian = {b"II": "<", b"MM": ">"}.get(t[:2])
+            if endian is None:
+                return None
+            (ifd_off,) = struct.unpack(endian + "I", t[4:8])
+            if ifd_off + 2 > len(t):
+                return None
+            (count,) = struct.unpack(endian + "H",
+                                     t[ifd_off:ifd_off + 2])
+            for i in range(count):
+                e = ifd_off + 2 + 12 * i
+                if e + 12 > len(t):
+                    return None
+                tag, typ, _cnt = struct.unpack(endian + "HHI",
+                                               t[e:e + 8])
+                if tag == 0x0112 and typ == 3:  # SHORT
+                    (val,) = struct.unpack(endian + "H",
+                                           t[e + 8:e + 10])
+                    return val if 1 <= val <= 8 else None
+            return None
+        pos += 2 + seg_len
+    return None
+
+
+def _exif_app1(orientation: int, endian: str = "<") -> bytes:
+    """Minimal EXIF APP1 segment carrying just the orientation tag —
+    fixture writer for the parser above."""
+    tiff = (b"II" if endian == "<" else b"MM") \
+        + struct.pack(endian + "HI", 42, 8) \
+        + struct.pack(endian + "H", 1) \
+        + struct.pack(endian + "HHIHH", 0x0112, 3, 1, orientation, 0) \
+        + struct.pack(endian + "I", 0)
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body

@@ -73,7 +73,7 @@ def _parse_image_header(b: bytes):
 
 
 IMAGE_META_SCHEMA = ("url string, format string, width int, height int, "
-                     "n_bytes long")
+                     "n_bytes long, orientation int")
 
 
 def image_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
@@ -83,15 +83,22 @@ def image_meta(df: DataFrame, bin_col: str = "payload") -> DataFrame:
     irregular (JPEG segment scan), so it runs as Python inside the
     Arrow batch — a few bytes per row, not a pixel decode."""
 
+    from pyproj_spark.kernels.jpeg import exif_orientation
+
     def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [(u,) + _parse_image_header(b)
-                      + (len(b) if b is not None else 0,)
-                      for u, b in zip(pdf["url"], pdf[bin_col])]
+            parsed = []
+            for u, b in zip(pdf["url"], pdf[bin_col]):
+                fmt, w, h = _parse_image_header(b)
+                orient = exif_orientation(bytes(b)) \
+                    if fmt == "jpeg" else None
+                parsed.append((u, fmt, w, h,
+                               len(b) if b is not None else 0, orient))
             yield pd.DataFrame(
                 parsed, columns=["url", "format", "width", "height",
-                                 "n_bytes"]).astype(
-                {"width": "Int32", "height": "Int32", "n_bytes": "int64"})
+                                 "n_bytes", "orientation"]).astype(
+                {"width": "Int32", "height": "Int32", "n_bytes": "int64",
+                 "orientation": "Int32"})
 
     return df.select("url", bin_col).mapInPandas(_meta, IMAGE_META_SCHEMA)
 

@@ -468,25 +468,45 @@ def q_image_meta(spark, sf_dir):
         F.col("doc_id").cast("string").alias("url"), "doc_id")
 
     def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyproj_spark.kernels.jpeg import _exif_app1
         for pdf in batches:
-            payload = [
-                b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
-                + struct.pack(">II", int(d) % 1024 + 1, int(d) % 768 + 1)
-                + b"\x08\x02\x00\x00\x00"
-                for d in pdf["doc_id"]]
+            payload = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 4 == 0:
+                    # real JPEG header bytes: SOI + EXIF APP1 carrying
+                    # orientation + SOF0 with the dims (header-parse +
+                    # exif-walk both gated; alternating byte order)
+                    app1 = _exif_app1(d % 8 + 1,
+                                      "<" if d % 8 < 4 else ">")
+                    sof = (b"\xff\xc0" + struct.pack(
+                        ">HBHHB", 11, 8, d % 768 + 1, d % 1024 + 1, 1)
+                        + bytes([1, 0x11, 0]))
+                    payload.append(b"\xff\xd8" + app1 + sof)
+                else:
+                    payload.append(
+                        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
+                        + b"IHDR"
+                        + struct.pack(">II", d % 1024 + 1, d % 768 + 1)
+                        + b"\x08\x02\x00\x00\x00")
             yield pd.DataFrame({"url": pdf["url"], "payload": payload})
 
     blobs = docs.mapInPandas(_blob, "url string, payload binary")
     meta = image_meta(blobs, "payload")
     return meta.select(F.col("url").cast("long").alias("doc_id"),
-                       "format", "width", "height", "n_bytes")
+                       "format", "width", "height", "n_bytes",
+                       "orientation")
 
 
 SQL_IMAGE_META = """
-SELECT doc_id, 'png' AS format,
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END AS format,
        CAST(doc_id % 1024 + 1 AS INTEGER) AS width,
        CAST(doc_id % 768 + 1 AS INTEGER) AS height,
-       CAST(29 AS BIGINT) AS n_bytes
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 51 ELSE 29 END AS BIGINT)
+           AS n_bytes,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 8 + 1 END
+            AS INTEGER) AS orientation
 FROM documents
 """
 

@@ -120,3 +120,21 @@ def test_restart_interval_resync():
     assert decode_jpeg(encode_jpeg(
         img3, subsample="4:2:0", restart_interval=1)).shape \
         == (24, 24, 3)
+
+
+def test_exif_orientation_parse():
+    """EXIF APP1 TIFF-IFD walk (public EXIF spec): both byte orders,
+    all 8 orientations, absent/garbage segments return None, and the
+    pixel decoder skips APP1 unaffected."""
+    from pyproj_spark.kernels.jpeg import _exif_app1, exif_orientation
+    base = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    assert exif_orientation(base) is None
+    for o in range(1, 9):
+        for endian in ("<", ">"):
+            b = base[:2] + _exif_app1(o, endian) + base[2:]
+            assert exif_orientation(b) == o
+            assert decode_jpeg(b).shape == (8, 8, 1)
+    assert exif_orientation(b"\x00not a jpeg") is None
+    # APP1 that is XMP, not EXIF -> None
+    xmp = b"\xff\xe1" + (12).to_bytes(2, "big") + b"http://ns.x"
+    assert exif_orientation(base[:2] + xmp + base[2:]) is None
