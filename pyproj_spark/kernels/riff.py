@@ -160,3 +160,217 @@ def encode_avi_mjpg(jpeg_frames: list[bytes], fps: float = 10.0
                                  for f in jpeg_frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------------------------ BMP
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit bottom-up BMP (BITMAPINFOHEADER)
+    to an (h, w, 3) uint8 RGB array. Raises ValueError on malformed
+    input, NotImplementedError for compressed/paletted variants."""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    hdr_size, w, h = struct.unpack("<Iii", b[14:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression={compression} bpp={bpp} not supported")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if len(b) < need:
+        raise ValueError("BMP pixel data truncated")
+    raw = np.frombuffer(b, dtype=np.uint8,
+                        count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, :w * nbytes] \
+        .reshape(h, w, nbytes)
+    rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB
+    return (rgb[::-1] if flip else rgb).copy()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    bottom-up BMP — fixture encoder for decode_bmp."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR
+    payload = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(payload), 2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(payload), 0, 0, off)
+    return hdr + info + payload
+
+
+# ------------------------------------------------------------------ GIF
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int
+                ) -> list:
+    """GIF-variant LZW decode (variable code width, clear/EOI codes,
+    MSB-in-LSB-first bit packing) — public GIF89a spec appendix."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list = []
+    table: list = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code_size + 1
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [(), ()]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                raise ValueError("GIF LZW produced too many pixels")
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode(min_code_size: int, values) -> bytes:
+    """Real GIF LZW compressor (dictionary growth, width escalation,
+    clear on 4096) — fixture encoder exercising the full decode path."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run: tuple = ()
+    for v in values:
+        cand = run + (int(v),)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = (int(v),)
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to an (h, w, 3) uint8
+    RGB array: logical-screen parse, global/local color table, real
+    LZW decompression. Interlaced frames raise NotImplementedError."""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise ValueError("not a GIF")
+    sw, sh, flags = struct.unpack("<HHB", b[6:11])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1:pos + 10])
+        pos += 10
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(min_code, bytes(data), w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF frame pixel data truncated")
+        arr = np.asarray(idx[:w * h], dtype=np.int64).reshape(h, w)
+        return table[np.clip(arr, 0, len(table) - 1)]
+    raise ValueError("GIF has no image frame")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray | None = None
+               ) -> bytes:
+    """Encode an (h, w) uint8 index array as a single-frame GIF89a
+    (grayscale identity palette by default) with REAL LZW compression
+    — fixture encoder for decode_gif."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    if palette is None:
+        palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW min code size
+    lzw = _lzw_encode(8, idx.reshape(-1))
+    for i in range(0, len(lzw), 254):
+        chunk = lzw[i:i + 254]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

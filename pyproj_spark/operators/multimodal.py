@@ -343,16 +343,34 @@ def resize_bilinear(px, out_h: int, out_w: int):
     return top * (1 - wy) + bot * wy
 
 
+def decode_image(raw: bytes):
+    """Universal still-image decode dispatched on magic bytes: PNG
+    (zlib inflate + unfilter), baseline JPEG (Huffman + IDCT), BMP
+    (uncompressed 24/32-bit), GIF (real LZW) — every container
+    image_meta header-parses now also pixel-decodes. Raises
+    ValueError/NotImplementedError like the per-format decoders."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        from pyproj_spark.kernels.jpeg import decode_jpeg
+        return decode_jpeg(raw)
+    if raw[:2] == b"BM":
+        from pyproj_spark.kernels.riff import decode_bmp
+        return decode_bmp(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        from pyproj_spark.kernels.riff import decode_gif
+        return decode_gif(raw)
+    raise ValueError("unrecognized image container")
+
+
 def image_resize(df: DataFrame, bin_col: str = "payload",
                  out_h: int = 8, out_w: int = 8,
                  method: str = "nearest") -> DataFrame:
-    """Decode (PNG or baseline JPEG, dispatched on magic bytes) +
-    resize, emitting resized dimensions and the resized image's mean
-    pixel value — the normalize-to-fixed-shape step of a training
-    pipeline, minus the tensor sink."""
+    """Decode (PNG/JPEG/BMP/GIF, dispatched on magic bytes) + resize,
+    emitting resized dimensions and the resized image's mean pixel
+    value — the normalize-to-fixed-shape step of a training pipeline,
+    minus the tensor sink."""
     import numpy as np
-
-    from pyproj_spark.kernels.jpeg import decode_jpeg
 
     resizer = {"nearest": resize_nearest,
                "bilinear": resize_bilinear}[method]
@@ -364,10 +382,7 @@ def image_resize(df: DataFrame, bin_col: str = "payload",
             for u, b in zip(pdf["url"], pdf[bin_col]):
                 raw = bytes(b)
                 try:
-                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
-                        px = decode_png(raw)
-                    else:
-                        px = decode_jpeg(raw)
+                    px = decode_image(raw)
                 except (ValueError, NotImplementedError):
                     continue
                 small = resizer(px, out_h, out_w)

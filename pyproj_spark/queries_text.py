@@ -776,29 +776,36 @@ FROM sampled
 
 
 def q_image_resize(spark, sf_dir):
-    """REAL decode + resize, oracle-checked end to end: the same
-    deterministic-gradient PNGs as png_decode, decoded then
+    """REAL decode + resize across THREE container decoders, oracle-
+    checked end to end: each doc gets a PNG (zlib inflate+unfilter),
+    an uncompressed BMP, or a real-LZW GIF — same deterministic pixel
+    formulas — decoded via decode_image's magic-byte dispatch then
     nearest-neighbor resized to 4x4 (source index = floor(i*src/dst));
-    the DuckDB oracle recomputes the sampled pixel grid from the
-    gradient formula — gating the normalize-to-fixed-shape step a
-    training pipeline runs before tensorization."""
+    the DuckDB oracle recomputes the sampled pixel grid arithmetically
+    — gating the normalize-to-fixed-shape step a training pipeline
+    runs before tensorization."""
     import struct
     import zlib
     from collections.abc import Iterator
+
+    import numpy as np
 
     from pyproj_spark.operators.multimodal import image_resize
 
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("url"), "doc_id")
 
-    def _png(d: int) -> bytes:
-        w, h = d % 16 + 1, d % 12 + 1
+    def _rgb(d: int, w: int, h: int) -> "np.ndarray":
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        return np.stack([(x * 7 + d) % 256, (y * 13 + d * 3) % 256,
+                         (x + y) % 256], -1).astype(np.uint8)
+
+    def _png(d: int, w: int, h: int) -> bytes:
+        px = _rgb(d, w, h)
         rows = bytearray()
-        for y in range(h):
+        for yy in range(h):
             rows.append(0)
-            for x in range(w):
-                rows += bytes(((x * 7 + d) % 256, (y * 13 + d * 3) % 256,
-                               (x + y) % 256))
+            rows += px[yy].tobytes()
 
         def chunk(t: bytes, data: bytes) -> bytes:
             return (struct.pack(">I", len(data)) + t + data
@@ -810,10 +817,21 @@ def q_image_resize(spark, sf_dir):
                 + chunk(b"IEND", b""))
 
     def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyproj_spark.kernels.riff import encode_bmp, encode_gif
         for pdf in batches:
-            yield pd.DataFrame({
-                "url": pdf["url"],
-                "payload": [_png(int(d)) for d in pdf["doc_id"]]})
+            payload = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 16 + 1, d % 12 + 1
+                if d % 3 == 0:
+                    payload.append(_png(d, w, h))
+                elif d % 3 == 1:
+                    payload.append(encode_bmp(_rgb(d, w, h)))
+                else:  # grayscale GIF: all channels = (x*7 + d) % 256
+                    x, _y = np.meshgrid(np.arange(w), np.arange(h))
+                    payload.append(encode_gif(
+                        ((x * 7 + d) % 256).astype(np.uint8)))
+            yield pd.DataFrame({"url": pdf["url"], "payload": payload})
 
     blobs = docs.mapInPandas(_blob, "url string, payload binary")
     return image_resize(blobs, "payload", out_h=4, out_w=4,
@@ -836,9 +854,11 @@ grid AS (
 ),
 px AS (
   SELECT doc_id,
-         (((j * w) // 4) * 7 + doc_id) % 256
-         + (((i * h) // 4) * 13 + doc_id * 3) % 256
-         + (((j * w) // 4) + ((i * h) // 4)) % 256 AS s
+         CASE WHEN doc_id % 3 = 2
+              THEN 3 * ((((j * w) // 4) * 7 + doc_id) % 256)
+              ELSE (((j * w) // 4) * 7 + doc_id) % 256
+                   + (((i * h) // 4) * 13 + doc_id * 3) % 256
+                   + (((j * w) // 4) + ((i * h) // 4)) % 256 END AS s
   FROM grid
 )
 SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,

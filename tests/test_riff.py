@@ -137,3 +137,40 @@ def test_wav_24bit_round_trip():
     out, rate = decode_wav(encode_wav(s, rate=44100, bits=24))
     assert rate == 44100
     assert np.array_equal(out[:, 0], s)
+
+
+def test_bmp_round_trip():
+    for shape in ((7, 5, 3), (16, 16, 3), (3, 9, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        from pyproj_spark.kernels.riff import decode_bmp, encode_bmp
+        out = decode_bmp(encode_bmp(img))
+        assert np.array_equal(out, img)
+    from pyproj_spark.kernels.riff import decode_bmp
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp at all......")
+
+
+def test_gif_lzw_round_trip():
+    from pyproj_spark.kernels.riff import decode_gif, encode_gif
+    # repetitive image forces dictionary growth; random forces clears;
+    # constant forces long runs
+    for img in (np.tile(np.arange(16, dtype=np.uint8), (32, 8)),
+                rng.integers(0, 256, (25, 33)).astype(np.uint8),
+                np.zeros((70, 70), dtype=np.uint8)):
+        out = decode_gif(encode_gif(img))
+        assert np.array_equal(out, np.repeat(img[:, :, None], 3, 2))
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x00")
+
+
+def test_decode_image_dispatch():
+    from pyproj_spark.kernels.riff import encode_bmp, encode_gif
+    from pyproj_spark.operators.multimodal import decode_image
+    img = rng.integers(0, 256, (10, 12, 3)).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    g = rng.integers(0, 256, (10, 12)).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_gif(g)),
+                          np.repeat(g[:, :, None], 3, 2))
+    assert decode_image(encode_jpeg(img)).shape == (10, 12, 3)
+    with pytest.raises(ValueError):
+        decode_image(b"\x00\x01\x02 garbage")
