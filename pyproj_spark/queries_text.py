@@ -1131,3 +1131,88 @@ WHERE round(list_dot_product(a.v, b.v)
 
 QUERIES_TEXT["embedding_neardup"] = (q_embedding_neardup,
                                      SQL_EMBEDDING_NEARDUP)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detect + redact (training-data pipeline stage): the synthetic
+    corpus carries no PII, so a deterministic contact footer derived
+    from doc_id is appended with IDENTICAL string expressions in both
+    engines (the established synthetic-blob pattern, cf. q_png_decode),
+    then the pure-Catalyst detector counts each type over the original
+    text and the redactor rewrites it; the oracle hash-checks the
+    redacted text byte-for-byte. Docs with doc_id % 3 == 0 stay
+    PII-free, doc_id % 4 == 1 additionally carries an SSN, so the
+    count columns genuinely vary."""
+    from pyproj_spark.operators import pii
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    email = F.concat(F.substring(F.md5(s(i)), 1, 8), F.lit("@mail"),
+                     s(i % 5), F.lit(".example.com"))
+    phone = F.concat(F.lit("555-"), F.lpad(s(i % 1000), 3, "0"),
+                     F.lit("-"), F.lpad(s(i % 10000), 4, "0"))
+    ip = F.concat(F.lit("10."), s(i % 256), F.lit("."),
+                  s((i * 7) % 256), F.lit("."), s(i % 254 + 1))
+    ssn = F.when(i % 4 == 1,
+                 F.concat(F.lit(" ssn 078-05-"),
+                          F.lpad(s(i % 10000), 4, "0"))) \
+        .otherwise(F.lit(""))
+    footer = F.when(i % 3 != 0,
+                    F.concat(F.lit(" contact "), email, F.lit(" tel "),
+                             phone, F.lit(" ip "), ip, ssn)) \
+        .otherwise(F.lit(""))
+    aug = d.select("doc_id", F.concat(F.col("text"), footer).alias("text"))
+    rep = pii.pii_report(aug)
+    return rep.select("doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone",
+                      "n_pii", F.md5(F.col("redacted"))
+                      .alias("redacted_hash"))
+
+
+def _pii_sql():
+    from pyproj_spark.operators.pii import PII_PATTERNS
+    pats = {name: pat for name, pat, _tok in PII_PATTERNS}
+    toks = {name: tok for name, _pat, tok in PII_PATTERNS}
+    red = "text"
+    for name, pat, tok in PII_PATTERNS:  # same order as the Spark side
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pats[n]}')) AS BIGINT)"
+        f" AS n_{n}" for n in ("email", "ipv4", "ssn", "phone"))
+    assert toks  # replacement tokens fixed by PII_PATTERNS
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 3 <> 0 THEN
+      ' contact ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+      || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+      || CASE WHEN doc_id % 4 = 1
+              THEN ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                          4, '0')
+              ELSE '' END
+    ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  {counts},
+  CAST(len(regexp_extract_all(text, '{pats["email"]}'))
+       + len(regexp_extract_all(text, '{pats["ipv4"]}'))
+       + len(regexp_extract_all(text, '{pats["ssn"]}'))
+       + len(regexp_extract_all(text, '{pats["phone"]}')) AS BIGINT)
+      AS n_pii,
+  md5({red}) AS redacted_hash
+FROM aug
+"""
+
+
+SQL_PII_REDACT = _pii_sql()
+
+QUERIES_TEXT["pii_redact"] = (q_pii_redact, SQL_PII_REDACT)
