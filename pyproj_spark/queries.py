@@ -1160,3 +1160,67 @@ FROM documents
 """
 
 QUERIES["factors"] = (q_factors, SQL_FACTORS)
+
+
+def q_asof_view(spark, sf_dir):
+    """As-of join: each purchase is matched to the SAME user's most
+    recent view at-or-before it (≤ 72 h tolerance) — nearest-predecessor
+    semantics the interval-join `attribution` query cannot express
+    (attribution keeps ALL views in the window; as-of keeps exactly
+    the latest one). The oracle is DuckDB's native ASOF LEFT JOIN, so
+    this row checks our union+running-window construction against a
+    reference implementation of the operator itself.
+
+    The right side is deduped per (user, ts) with max_by — a documented
+    precondition of asof_join (ties would otherwise be order-
+    dependent)."""
+    from pyproj_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max_by("event_id", "event_id").alias("view_id"),
+                  F.max_by("value", "event_id").alias("view_value")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value"))
+    j = asof_join(buys, views, on="user_id", left_ts="ts",
+                  right_ts="ts", tolerance_us=72 * 3600 * 1000000,
+                  right_prefix="v_")
+    return j.select(
+        F.col("event_id").alias("buy_id"), "user_id",
+        F.coalesce("v_view_id", F.lit(-1)).alias("view_id"),
+        F.round(F.coalesce("v_view_value", F.lit(0.0)), 6)
+        .alias("view_value"),
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp"))
+                   - F.unix_micros(F.col("v_ts").cast("timestamp")),
+                   F.lit(-1)).alias("gap_us"))
+
+
+SQL_ASOF_VIEW = """
+WITH v AS (
+  SELECT user_id, ts,
+         max_by(event_id, event_id) AS view_id,
+         max_by(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.event_id AS buy_id, p.user_id, p.ts AS bts,
+         v.view_id, v.view_value, v.ts AS vts
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT buy_id, user_id,
+  CASE WHEN vts IS NOT NULL
+        AND epoch_us(bts) - epoch_us(vts) <= 259200000000
+       THEN view_id ELSE -1 END AS view_id,
+  round(CASE WHEN vts IS NOT NULL
+              AND epoch_us(bts) - epoch_us(vts) <= 259200000000
+             THEN view_value ELSE 0.0 END, 6) AS view_value,
+  CASE WHEN vts IS NOT NULL
+        AND epoch_us(bts) - epoch_us(vts) <= 259200000000
+       THEN epoch_us(bts) - epoch_us(vts) ELSE -1 END AS gap_us
+FROM j
+"""
+
+QUERIES["asof_view"] = (q_asof_view, SQL_ASOF_VIEW)
