@@ -1,15 +1,21 @@
-"""Baseline JPEG (JFIF) codec — stdlib + numpy only, no image library.
+"""JPEG (JFIF) codec — stdlib + numpy only, no image library.
 
-Implements the ITU-T T.81 baseline sequential DCT process from the
-public spec: marker parsing (DQT/DHT/SOF0/SOS/DRI), Huffman entropy
-decoding with byte-stuffing and restart markers, dequantization,
-zigzag reorder, a vectorized separable IDCT, chroma upsampling
-(4:4:4 / 4:2:2 / 4:2:0), and the JFIF YCbCr->RGB transform.
+Implements the ITU-T T.81 baseline sequential (SOF0/1) AND progressive
+(SOF2) DCT processes from the public spec: marker parsing
+(DQT/DHT/SOF/SOS/DRI), Huffman entropy decoding with byte-stuffing and
+restart markers, the full Annex G progressive scan grammar (spectral
+selection, successive approximation for DC and AC, EOBRUN, correction
+bits), dequantization, zigzag reorder, a vectorized separable IDCT,
+chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), and the JFIF YCbCr->RGB
+transform.
 
-A matching fixture ENCODER (grayscale / RGB 4:4:4, standard Annex K
-Huffman tables) lets the tests and the synthetic-data generator
-produce real baseline JPEGs deterministically, so the decode path is
-exercised end-to-end without any external codec.
+Matching fixture ENCODERS (baseline with standard Annex K Huffman
+tables; progressive with a flat AC table so EOBRUN symbols are
+codable) let the tests and the synthetic-data generator produce real
+JPEGs deterministically, so both decode paths are exercised end-to-end
+without any external codec — and since both encoders transmit the same
+quantized coefficients, progressive decode must equal baseline decode
+pixel-for-pixel, a self-checking exactness property the tests assert.
 
 Reference surface parity: fills the decode slot that
 ``operators/multimodal.py`` previously stubbed for JPEG (the PNG slot
@@ -173,11 +179,14 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an (h, w, c) uint8 array (c = 1 for
-    grayscale, 3 for YCbCr->RGB). Supports SOF0 baseline sequential,
-    1 or 3 components, sampling factors up to 2x2 (4:4:4 / 4:2:2 /
-    4:2:0), restart intervals. Raises ValueError on malformed input,
-    NotImplementedError on progressive/arithmetic/12-bit variants."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to an
+    (h, w, c) uint8 array (c = 1 for grayscale, 3 for YCbCr->RGB).
+    Supports 1 or 3 components, sampling factors up to 2x2 (4:4:4 /
+    4:2:2 / 4:2:0), restart intervals, and the full progressive scan
+    grammar: spectral selection plus successive approximation for DC
+    and AC (T.81 Annex G — EOBRUN, ZRL-in-refinement, correction
+    bits). Raises ValueError on malformed input, NotImplementedError
+    on hierarchical/arithmetic/12-bit variants."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt = {}
@@ -185,14 +194,17 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     huff_ac = {}
     frame = None
     restart_interval = 0
+    scanned = False
     pos = 2
     n = len(b)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG")
         (seg_len,) = struct.unpack(">H", b[pos + 2:pos + 4])
         seg = b[pos + 4:pos + 2 + seg_len]
         pos += 2 + seg_len
@@ -220,7 +232,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _build_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG not supported")
@@ -229,55 +241,105 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append(dict(id=cid, hs=hv >> 4, vs=hv & 0x0F,
                                   tq=tq))
-            frame = dict(w=w, h=h, comps=comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = dict(w=w, h=h, comps=comps,
+                         progressive=marker == 0xC2)
+            _alloc_frame(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) not supported")
+                f"unsupported JPEG process (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            scomps = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si:3 + 2 * si]
-                scan[cs] = (tdta >> 4, tdta & 0x0F)
-            return _decode_scan(b, pos, frame, scan, qt, huff_dc,
-                                huff_ac, restart_interval)
+                scomps.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            pos = _decode_scan(b, pos, frame, scomps, ss, se,
+                               ahl >> 4, ahl & 0x0F, huff_dc, huff_ac,
+                               restart_interval)
+            scanned = True
         # APPn / COM / others: skipped
-    raise ValueError("JPEG has no SOS scan")
+    if frame is None or not scanned:
+        raise ValueError("JPEG has no SOS scan")
+    return _finish_frame(frame, qt)
 
 
-def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval):
+def _alloc_frame(frame):
+    """MCU geometry + raw-coefficient storage (dequantized at IDCT
+    time — progressive refinement operates on quantized ints)."""
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    frame["mcuy"] = mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     for c in comps:
-        c["bw"] = mcux * c["hs"]  # blocks per row
+        c["bw"] = mcux * c["hs"]  # blocks per row (interleaved grid)
         c["bh"] = mcuy * c["vs"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
-        c["dc_tbl"], c["ac_tbl"] = scan[c["id"]]
+        # non-interleaved scans cover only the component's own grid
+        cw = (w * c["hs"] + hmax - 1) // hmax
+        ch = (h * c["vs"] + vmax - 1) // vmax
+        c["nbx"] = (cw + 7) // 8
+        c["nby"] = (ch + 7) // 8
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
         c["pred"] = 0
+
+
+def _decode_scan(b, pos, frame, scomps, ss, se, ah, al, huff_dc,
+                 huff_ac, restart_interval):
+    """Decode one scan's entropy data; returns the position of the
+    next marker after it."""
+    bycid = {c["id"]: c for c in frame["comps"]}
+    sc = []
+    for cid, td, ta in scomps:
+        c = bycid[cid]
+        c["dc_tbl"], c["ac_tbl"] = td, ta
+        c["pred"] = 0
+        sc.append(c)
     reader = _BitReader(b, pos)
+    if not frame["progressive"]:
+        _sequential_scan(reader, frame, sc, huff_dc, huff_ac,
+                         restart_interval)
+    elif ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        _dc_scan(reader, frame, sc, huff_dc, ah, al, restart_interval)
+    else:
+        if len(sc) != 1:
+            raise ValueError("progressive AC scan must be "
+                             "non-interleaved")
+        _ac_scan(reader, sc[0], huff_ac, ss, se, ah, al,
+                 restart_interval)
+    # skip any pad bits / stuffed bytes up to the next true marker
+    p = reader.pos
+    d = b
+    while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _sequential_scan(reader, frame, sc, huff_dc, huff_ac,
+                     restart_interval):
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for my in range(frame["mcuy"]):
+        for mx in range(frame["mcux"]):
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
                 reader.align_and_consume_rst()
-                for c in comps:
+                for c in sc:
                     c["pred"] = 0
             try:
-                for c in comps:
+                for c in sc:
                     for by in range(c["vs"]):
                         for bx in range(c["hs"]):
-                            _decode_block(reader, c, qt,
+                            _decode_block(reader, c,
                                           huff_dc[c["dc_tbl"]],
                                           huff_ac[c["ac_tbl"]],
                                           (my * c["vs"] + by) * c["bw"]
@@ -285,10 +347,155 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac,
             except _RestartMarker:
                 raise ValueError("unexpected restart marker")
             mcu_count += 1
-    # batched IDCT over every block of every component
+
+
+def _dc_scan(reader, frame, sc, huff_dc, ah, al, restart_interval):
+    """Progressive DC scan: first pass (Ah=0) Huffman-codes the
+    point-transformed DC (arithmetic shift), refinements (Ah>0) send
+    one raw bit per block."""
+    def dc_block(c, bi):
+        coef = c["coef"][bi]
+        if ah == 0:
+            t = _decode_huffman(reader, huff_dc[c["dc_tbl"]])
+            diff = _extend(reader.read_bits(t), t)
+            c["pred"] += diff
+            coef[0] = c["pred"] << al
+        elif reader.read_bit():
+            coef[0] |= np.int32(1 << al)
+
+    count = 0
+    if len(sc) > 1:  # interleaved MCU order
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if restart_interval and count and \
+                        count % restart_interval == 0:
+                    reader.align_and_consume_rst()
+                    for c in sc:
+                        c["pred"] = 0
+                for c in sc:
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            dc_block(c, (my * c["vs"] + by) * c["bw"]
+                                     + mx * c["hs"] + bx)
+                count += 1
+    else:  # non-interleaved: the component's own block raster
+        c = sc[0]
+        for r in range(c["nby"]):
+            for col in range(c["nbx"]):
+                if restart_interval and count and \
+                        count % restart_interval == 0:
+                    reader.align_and_consume_rst()
+                    c["pred"] = 0
+                dc_block(c, r * c["bw"] + col)
+                count += 1
+
+
+def _ac_scan(reader, c, huff_ac, ss, se, ah, al, restart_interval):
+    """Progressive AC scan over one component's block raster:
+    spectral-selection first pass or successive-approximation
+    refinement, with shared end-of-band run (EOBRUN) state."""
+    tbl = huff_ac[c["ac_tbl"]]
+    state = {"eobrun": 0}
+    count = 0
+    for r in range(c["nby"]):
+        for col in range(c["nbx"]):
+            if restart_interval and count and \
+                    count % restart_interval == 0:
+                reader.align_and_consume_rst()
+                state["eobrun"] = 0
+            coef = c["coef"][r * c["bw"] + col]
+            if ah == 0:
+                _ac_first_block(reader, coef, tbl, ss, se, al, state)
+            else:
+                _ac_refine_block(reader, coef, tbl, ss, se, al, state)
+            count += 1
+
+
+def _ac_first_block(reader, coef, tbl, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(reader, tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of range")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, coef, tbl, ss, se, al, state):
+    """T.81 G.2: newly-significant coefficients arrive as run+sign,
+    already-significant ones consume one correction bit wherever the
+    cursor passes them (including inside EOB runs)."""
+    p1 = np.int32(1 << al)
+    m1 = np.int32(-(1 << al))
+
+    def correct(k):
+        z = coef[ZIGZAG[k]]
+        if z != 0:
+            if reader.read_bit() and (z & p1) == 0:
+                coef[ZIGZAG[k]] = z + (p1 if z >= 0 else m1)
+            return True
+        return False
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huffman(reader, tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r == 15: a run of 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if not correct(k):
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("AC refinement ran off band end")
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _finish_frame(frame, qt):
+    """Dequantize + batched IDCT + upsample + color transform."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
-        blocks = c["coef"].reshape(-1, 8, 8)
+        q = qt[c["tq"]]
+        q_raster = np.empty(64)
+        q_raster[ZIGZAG] = q  # zigzag table -> raster order
+        blocks = (c["coef"].astype(np.float64) * q_raster) \
+            .reshape(-1, 8, 8)
         # separable inverse DCT: X = C^T F C  (C = _DCT basis)
         px = np.einsum("ux,nuv,vy->nxy", _DCT, blocks, _DCT,
                        optimize=True) + 128.0
@@ -309,13 +516,12 @@ def _decode_scan(b, pos, frame, scan, qt, huff_dc, huff_ac,
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
-def _decode_block(reader, comp, qt, dc_tbl, ac_tbl, bi):
-    q = qt[comp["tq"]]
+def _decode_block(reader, comp, dc_tbl, ac_tbl, bi):
     coef = comp["coef"][bi]
     t = _decode_huffman(reader, dc_tbl)
     diff = _extend(reader.read_bits(t), t)
     comp["pred"] += diff
-    coef[ZIGZAG[0]] = comp["pred"] * q[0]
+    coef[ZIGZAG[0]] = comp["pred"]
     k = 1
     while k < 64:
         rs = _decode_huffman(reader, ac_tbl)
@@ -328,7 +534,7 @@ def _decode_block(reader, comp, qt, dc_tbl, ac_tbl, bi):
         k += r
         if k > 63:
             raise ValueError("AC coefficient index out of range")
-        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) * q[k]
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
         k += 1
 
 
@@ -411,17 +617,9 @@ def _encode_block(writer, block, pred, q, dc_tbl, ac_tbl):
     return int(zz[0])
 
 
-def encode_jpeg(pixels: np.ndarray, quant: int | np.ndarray = 1,
-                subsample: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """Encode an (h, w) or (h, w, 3) uint8 array as a baseline JFIF
-    JPEG (grayscale, or RGB via YCbCr at 4:4:4 or 4:2:0), standard
-    Annex K Huffman tables. ``quant`` is a scalar or 64-entry zigzag
-    quantization table; the default all-ones table makes the DCT
-    round-trip exact to coefficient rounding — handy for deterministic
-    fixtures. ``restart_interval`` > 0 emits a DRI marker and RSTn
-    markers every that many MCUs (exercises the decoder's restart
-    resynchronization path)."""
+def _prep_planes(pixels, quant, subsample):
+    """Shared encoder front half: YCbCr conversion, optional 4:2:0
+    chroma subsampling, quant-table normalization, MCU geometry."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -459,6 +657,22 @@ def encode_jpeg(pixels: np.ndarray, quant: int | np.ndarray = 1,
     # MCU grid sized by the max sampling factor
     mcux = (w + 8 * sub - 1) // (8 * sub)
     mcuy = (h + 8 * sub - 1) // (8 * sub)
+    return planes, samp, q, h, w, nc, sub, mcux, mcuy
+
+
+def encode_jpeg(pixels: np.ndarray, quant: int | np.ndarray = 1,
+                subsample: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """Encode an (h, w) or (h, w, 3) uint8 array as a baseline JFIF
+    JPEG (grayscale, or RGB via YCbCr at 4:4:4 or 4:2:0), standard
+    Annex K Huffman tables. ``quant`` is a scalar or 64-entry zigzag
+    quantization table; the default all-ones table makes the DCT
+    round-trip exact to coefficient rounding — handy for deterministic
+    fixtures. ``restart_interval`` > 0 emits a DRI marker and RSTn
+    markers every that many MCUs (exercises the decoder's restart
+    resynchronization path)."""
+    planes, samp, q, h, w, nc, sub, mcux, mcuy = \
+        _prep_planes(pixels, quant, subsample)
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
         + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
@@ -572,3 +786,281 @@ def _exif_app1(orientation: int, endian: str = "<") -> bytes:
         + struct.pack(endian + "I", 0)
     body = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+# ------------------------------------------------- progressive encoder
+
+#: complete flat AC Huffman table for progressive scans: 255 symbols at
+#: 8 bits + one at 9 (the all-ones 9-bit code stays unassigned per the
+#: Annex C convention). Progressive AC scans need EOBRUN symbols
+#: (r<<4, r=1..14) that the Annex K tables don't define; a flat table
+#: covers every possible symbol without per-scan optimization.
+_FLAT_AC = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(255)) + [255])
+
+
+def _component_coefs(plane, q, hs, vs, mcux, mcuy):
+    """Quantized zigzag coefficients for every block of the padded
+    interleaved grid (bh*bw, 64) int64."""
+    bw, bh = mcux * hs, mcuy * vs
+    out = np.zeros((bh * bw, 64), dtype=np.int64)
+    ph, pw = plane.shape
+    for r in range(bh):
+        for col in range(bw):
+            blk = np.full((8, 8), 128.0)
+            ys, xs = r * 8, col * 8
+            if ys < ph and xs < pw:
+                part = plane[ys:ys + 8, xs:xs + 8]
+                blk[:part.shape[0], :part.shape[1]] = part
+            f = _DCT @ (blk - 128.0) @ _DCT.T
+            out[r * bw + col] = np.round(f.reshape(64)[ZIGZAG] / q)
+    return out
+
+
+class _ProgWriter(_BitWriter):
+    """Bit writer plus progressive AC scan state: a pending EOBRUN and
+    the correction bits buffered behind it (T.81 G.1.2.3)."""
+
+    def __init__(self, ac_tbl):
+        super().__init__()
+        self.ac_tbl = ac_tbl
+        self.eobrun = 0
+        self.pending = []  # correction bits buffered behind the EOBRUN
+
+    def emit_symbol(self, sym):
+        ln, code = self.ac_tbl[sym]
+        self.write(code, ln)
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_symbol(nbits << 4)
+            if nbits:
+                self.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.write(bit, 1)
+        self.pending = []
+
+    def restart(self, rst_n):
+        self.emit_eobrun()
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + rst_n])
+
+
+def _encode_dc_first(writer, coefs, order, dc_tbls, al, ri):
+    preds = {}
+    count = 0
+    rst = 0
+    for unit in order:  # unit = list of (ci, block) forming one MCU
+        if ri and count and count % ri == 0:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = {}
+        for ci, bi in unit:
+            v = int(coefs[ci][bi][0]) >> al  # arithmetic point transform
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            t, mag = _magnitude(diff)
+            ln, code = dc_tbls[ci][t]
+            writer.write(code, ln)
+            if t:
+                writer.write(mag, t)
+        count += 1
+
+
+def _encode_dc_refine(writer, coefs, order, al, ri):
+    count = 0
+    rst = 0
+    for unit in order:
+        if ri and count and count % ri == 0:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+        for ci, bi in unit:
+            writer.write((int(coefs[ci][bi][0]) >> al) & 1, 1)
+        count += 1
+
+
+def _encode_ac_first_block(writer, zz, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        temp = (-v if v < 0 else v) >> al
+        if temp == 0:
+            r += 1
+            continue
+        writer.emit_eobrun()
+        while r > 15:
+            writer.emit_symbol(0xF0)  # ZRL
+            r -= 16
+        t = temp.bit_length()
+        writer.emit_symbol((r << 4) | t)
+        mag = temp if v > 0 else (1 << t) - 1 - temp
+        writer.write(mag, t)
+        r = 0
+    if r > 0:
+        writer.eobrun += 1
+        if writer.eobrun == 0x7FFF:
+            writer.emit_eobrun()
+
+
+def _encode_ac_refine_block(writer, zz, ss, se, al):
+    absv = [(-int(zz[k]) if zz[k] < 0 else int(zz[k])) >> al
+            for k in range(64)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k  # last NEWLY-significant coefficient
+    r = 0
+    br = []  # correction bits since the last emitted symbol
+    for k in range(ss, se + 1):
+        temp = absv[k]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            writer.emit_eobrun()
+            writer.emit_symbol(0xF0)  # ZRL
+            r -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+        if temp > 1:
+            # already significant: just one correction bit
+            br.append(temp & 1)
+            continue
+        writer.emit_eobrun()
+        writer.emit_symbol((r << 4) | 1)
+        writer.write(1 if int(zz[k]) > 0 else 0, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        writer.eobrun += 1
+        writer.pending.extend(br)
+        if writer.eobrun == 0x7FFF or len(writer.pending) > 937:
+            writer.emit_eobrun()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray,
+                            quant: int | np.ndarray = 1,
+                            subsample: str = "4:4:4",
+                            restart_interval: int = 0,
+                            dc_al: int = 1, ac_al: int = 1,
+                            bands: tuple = ((1, 5), (6, 63))) -> bytes:
+    """Encode an (h, w) or (h, w, 3) uint8 array as a progressive
+    (SOF2) JFIF JPEG with the canonical scan script: an interleaved
+    DC first scan at Al=dc_al, DC refinement bit scans down to Al=0,
+    then per component and spectral band an AC first scan at Al=ac_al
+    followed by AC refinements — exercising spectral selection,
+    successive approximation, EOBRUN and correction-bit coding.
+    ``restart_interval`` > 0 additionally emits DRI/RSTn in every
+    scan. The quantized coefficients are identical to
+    ``encode_jpeg``'s, so decode(progressive) == decode(baseline)
+    pixel-for-pixel at the same quant table."""
+    planes, samp, q, h, w, nc, sub, mcux, mcuy = \
+        _prep_planes(pixels, quant, subsample)
+    coefs = [_component_coefs(planes[ci], q, *samp[ci], mcux, mcuy)
+             for ci in range(nc)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) \
+        + bytes(np.clip(q, 1, 255).astype(np.uint8).tolist())
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, 0])
+    tables = [(_STD_DC_LUMA, 0x00), (_FLAT_AC, 0x10)]
+    if nc == 3:
+        tables += [(_STD_DC_CHROMA, 0x01), (_FLAT_AC, 0x11)]
+    for (bits, vals), tclass in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([tclass]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_tbls = [_build_encode_table(*(_STD_DC_LUMA if ci == 0
+                                     else _STD_DC_CHROMA))
+               for ci in range(nc)]
+    flat = _build_encode_table(*_FLAT_AC)
+
+    def sos(comp_specs, ss, se, ah, al):
+        seg = bytearray(b"\xff\xda")
+        seg += struct.pack(">HB", 6 + 2 * len(comp_specs),
+                           len(comp_specs))
+        for cid, td, ta in comp_specs:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    # MCU order for interleaved DC scans
+    mcu_order = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            unit = []
+            for ci in range(nc):
+                hs, vs = samp[ci]
+                bw = mcux * hs
+                for by in range(vs):
+                    for bx in range(hs):
+                        unit.append((ci, (my * vs + by) * bw
+                                     + mx * hs + bx))
+            mcu_order.append(unit)
+
+    # scan 1: interleaved DC first at Al=dc_al
+    out += sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)],
+               0, 0, 0, dc_al)
+    wtr = _BitWriter()
+    _encode_dc_first(wtr, coefs, mcu_order, dc_tbls, dc_al,
+                     restart_interval)
+    wtr.flush()
+    out += wtr.out
+    # DC refinement scans down to Al=0
+    for a in range(dc_al, 0, -1):
+        out += sos([(ci + 1, 0, 0) for ci in range(nc)], 0, 0, a, a - 1)
+        wtr = _BitWriter()
+        _encode_dc_refine(wtr, coefs, mcu_order, a - 1,
+                          restart_interval)
+        wtr.flush()
+        out += wtr.out
+    # AC scans: per component, per band — first then refinements
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        bw = mcux * hs
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        nbx, nby = (cw + 7) // 8, (ch + 7) // 8
+        block_ids = [r * bw + col for r in range(nby)
+                     for col in range(nbx)]
+        ta = 0 if ci == 0 else 1
+        for ss, se in bands:
+            for ah in [0] + list(range(ac_al, 0, -1)):
+                al = ac_al if ah == 0 else ah - 1
+                out += sos([(ci + 1, 0, ta)], ss, se, ah, al)
+                wtr = _ProgWriter(flat)
+                count = 0
+                rst = 0
+                for bi in block_ids:
+                    if restart_interval and count and \
+                            count % restart_interval == 0:
+                        wtr.restart(rst)
+                        rst = (rst + 1) % 8
+                    if ah == 0:
+                        _encode_ac_first_block(wtr, coefs[ci][bi],
+                                               ss, se, al)
+                    else:
+                        _encode_ac_refine_block(wtr, coefs[ci][bi],
+                                                ss, se, al)
+                    count += 1
+                wtr.emit_eobrun()
+                wtr.flush()
+                out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

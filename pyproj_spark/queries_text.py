@@ -1216,3 +1216,73 @@ FROM aug
 SQL_PII_REDACT = _pii_sql()
 
 QUERIES_TEXT["pii_redact"] = (q_pii_redact, SQL_PII_REDACT)
+
+
+def q_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-JPEG (SOF2) decode, oracle-checked end to end:
+    same gated-decode construction as `jpeg_decode` but the fixture
+    bytes come from kernels/jpeg.py's PROGRESSIVE encoder — an
+    interleaved DC-first scan with successive approximation, DC
+    refinement bit scans, and per-band AC scans whose all-zero AC
+    coefficients exercise long EOBRUN coding across blocks. The
+    decoder must walk all six scans (restart intervals included) to
+    reconstruct the image; DuckDB recomputes the expected mean luma
+    arithmetically from the same deterministic block formula."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyproj_spark.operators.multimodal import jpeg_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyproj_spark.kernels.jpeg import encode_jpeg_progressive
+        cache: dict = {}
+
+        def _jpeg(d: int) -> bytes:
+            key = (d % 2 + 1, d % 3 + 1, d % 251)
+            if key not in cache:
+                bw, bh, dmod = key
+                bx, by = np.meshgrid(np.arange(bw), np.arange(bh))
+                vals = (bx * 37 + by * 41 + dmod * 13) % 256
+                img = np.repeat(np.repeat(vals, 8, 0), 8, 1) \
+                    .astype(np.uint8)
+                cache[key] = encode_jpeg_progressive(
+                    img, restart_interval=2)
+            return cache[key]
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "payload": [_jpeg(int(d)) for d in pdf["doc_id"]]})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    return jpeg_stats(blobs, "payload").select(
+        F.col("url").cast("long").alias("doc_id"),
+        "width", "height", "n_channels", "mean_luma")
+
+
+SQL_JPEG_PROGRESSIVE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 2 + 1 AS bw, doc_id % 3 + 1 AS bh
+  FROM documents
+),
+bx AS (
+  SELECT doc_id, bw, bh, unnest(generate_series(0, bw - 1)) AS x FROM d
+),
+blocks AS (
+  SELECT doc_id, bw, bh, x, unnest(generate_series(0, bh - 1)) AS y
+  FROM bx
+)
+SELECT doc_id, CAST(bw * 8 AS INTEGER) AS width,
+       CAST(bh * 8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       SUM((x * 37 + y * 41 + (doc_id % 251) * 13) % 256) * 1.0
+           / (bw * bh) AS mean_luma
+FROM blocks GROUP BY doc_id, bw, bh
+"""
+
+QUERIES_TEXT["jpeg_progressive"] = (q_jpeg_progressive,
+                                    SQL_JPEG_PROGRESSIVE)

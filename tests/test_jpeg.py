@@ -80,11 +80,18 @@ def test_malformed_and_unsupported_inputs():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
     good = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
-    # flip SOF0 -> SOF2 (progressive) and expect NotImplementedError
     i = bytes(good).find(b"\xff\xc0")
-    good[i + 1] = 0xC2
+    # flip SOF0 -> SOF3 (lossless) and expect NotImplementedError
+    bad = bytearray(good)
+    bad[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(good))
+        decode_jpeg(bytes(bad))
+    # SOF0 relabeled SOF2: progressive is SUPPORTED now, but a
+    # sequential scan header (Ss=0, Se=63) is malformed progressive
+    bad = bytearray(good)
+    bad[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
 
 
 def test_jpeg_stats_spark(spark):
@@ -138,3 +145,55 @@ def test_exif_orientation_parse():
     # APP1 that is XMP, not EXIF -> None
     xmp = b"\xff\xe1" + (12).to_bytes(2, "big") + b"http://ns.x"
     assert exif_orientation(base[:2] + xmp + base[2:]) is None
+
+
+def test_progressive_equals_baseline():
+    """Progressive (SOF2) decode must reproduce baseline decode
+    EXACTLY: both transmit identical quantized coefficients, so any
+    pixel difference is a successive-approximation/EOBRUN bug."""
+    from pyproj_spark.kernels.jpeg import encode_jpeg_progressive
+    rng = np.random.RandomState(42)
+    gray = rng.randint(0, 256, (24, 17), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (19, 30, 3), dtype=np.uint8)
+    cases = [
+        (gray, {}, {}),
+        (rgb, {}, {}),
+        (rgb, {"subsample": "4:2:0"}, {"subsample": "4:2:0"}),
+        (rgb, {"quant": 8}, {"quant": 8}),
+        (gray, {}, {"restart_interval": 3}),
+        (rgb, {}, {"dc_al": 2, "ac_al": 2,
+                   "bands": ((1, 2), (3, 20), (21, 63))}),
+        (rgb, {"subsample": "4:2:0"},
+         {"subsample": "4:2:0", "restart_interval": 2, "ac_al": 2}),
+    ]
+    for img, bkw, pkw in cases:
+        base = decode_jpeg(encode_jpeg(img, **bkw))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **pkw))
+        assert np.array_equal(base, prog), (bkw, pkw)
+
+
+def test_progressive_is_sof2_and_multiscam():
+    from pyproj_spark.kernels.jpeg import encode_jpeg_progressive
+    b = encode_jpeg_progressive(np.zeros((16, 16), dtype=np.uint8))
+    assert b.find(b"\xff\xc2") > 0 and b.find(b"\xff\xc0") < 0
+    # DC first + DC refine + (first + refine) per band = 6 scans
+    n_sos = 0
+    i = 0
+    while True:
+        i = b.find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        n_sos += 1
+    assert n_sos == 6
+
+
+def test_progressive_smooth_image_quality():
+    """With a quality-style quant table the progressive pipeline is
+    lossy but must stay close on smooth content."""
+    from pyproj_spark.kernels.jpeg import encode_jpeg_progressive
+    x, y = np.meshgrid(np.arange(32), np.arange(40))
+    img = ((x * 3 + y * 2) % 256).astype(np.uint8)
+    q = np.clip(np.arange(1, 65), 1, 32)
+    out = decode_jpeg(encode_jpeg_progressive(img, quant=q))
+    assert out.shape == (40, 32, 1)
+    assert np.abs(out[:, :, 0].astype(float) - img).mean() < 8.0
