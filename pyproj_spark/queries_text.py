@@ -1286,3 +1286,69 @@ FROM blocks GROUP BY doc_id, bw, bh
 
 QUERIES_TEXT["jpeg_progressive"] = (q_jpeg_progressive,
                                     SQL_JPEG_PROGRESSIVE)
+
+
+def q_warc_ingest(spark, sf_dir):
+    """WARC ingestion, oracle-checked end to end: documents are
+    serialized into multi-record WARC/1.0 files (20 pages per file,
+    warcinfo + request + response records; odd files use the
+    Common-Crawl gzip-member-per-record layout) in an applyInPandas
+    build stage, then sources/warc.py parses the raw bytes back —
+    Content-Length framing, type filtering, gzip inflate, HTTP header
+    split, tag-stripping text extraction, lang attribute — and the
+    oracle recomputes url/timestamp/html-hash/text-hash arithmetically
+    from the same deterministic page construction. Round-tripping the
+    corpus through real container bytes gates the byte-identity
+    contract of the input_hint table shape."""
+    from pyproj_spark.sources.warc import build_warc, warc_pages
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+
+    def _build(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        pages = []
+        for d, text, lang in zip(pdf["doc_id"], pdf["text"],
+                                 pdf["lang"]):
+            iso = pd.Timestamp("2024-01-01") \
+                + pd.Timedelta(seconds=60 * int(d))
+            html = (f'<html lang="{lang}"><head><script>var x=1;'
+                    f'</script></head><body><p>{text}</p></body>'
+                    f'</html>').encode()
+            pages.append((f"https://ex.org/{int(d)}",
+                          iso.strftime("%Y-%m-%dT%H:%M:%SZ"), html))
+        wid = int(key[0])
+        return pd.DataFrame({"warc_id": [wid],
+                             "content": [build_warc(
+                                 pages, gzip_members=bool(wid % 2))]})
+
+    warcs = (docs.groupBy(F.floor(F.col("doc_id") / 20).alias("warc_id"))
+             .applyInPandas(_build, "warc_id long, content binary"))
+    pages = warc_pages(warcs)
+    return pages.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "url",
+        (F.unix_micros(F.col("warc_ts").cast("timestamp"))
+         / F.lit(1000000)).cast("long").alias("ts_s"),
+        F.md5("html").alias("html_hash"),
+        F.md5("text").alias("text_hash"),
+        "lang",
+        "http_status",
+        "content_type")
+
+
+SQL_WARC_INGEST = """
+SELECT doc_id,
+  'https://ex.org/' || CAST(doc_id AS VARCHAR) AS url,
+  1704067200 + 60 * doc_id AS ts_s,
+  md5('<html lang="' || lang || '"><head><script>var x=1;</script>'
+      || '</head><body><p>' || text || '</p></body></html>')
+      AS html_hash,
+  md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_hash,
+  lang,
+  CAST(200 AS INTEGER) AS http_status,
+  'text/html; charset=utf-8' AS content_type
+FROM documents
+"""
+
+QUERIES_TEXT["warc_ingest"] = (q_warc_ingest, SQL_WARC_INGEST)

@@ -1,0 +1,72 @@
+"""WARC source (sources/warc.py): framing, gzip members, type
+filtering, HTTP split, text extraction, and the Spark operator."""
+
+import pytest
+
+from pyproj_spark.sources.warc import (build_warc, html_lang,
+                                       html_to_text, parse_warc,
+                                       warc_pages)
+
+PAGES = [
+    ("https://a.example/1", "2024-01-01T00:00:00Z",
+     b"<html lang=\"en\"><body><p>hello  world</p></body></html>"),
+    # body containing the record delimiter sequence: framing must be
+    # Content-Length-driven, never delimiter-scanned
+    ("https://a.example/2", "2024-01-01T00:01:00Z",
+     b"<html><body>x\r\n\r\ny</body></html>"),
+    ("https://a.example/3", "2024-01-02T12:34:56Z",
+     "<html><body>café &amp; t&eacute;</body></html>".encode()),
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_round_trip(gz):
+    recs = parse_warc(build_warc(PAGES, gzip_members=gz))
+    # warcinfo + request records are filtered out
+    assert len(recs) == 3
+    for (url, iso, html), r in zip(PAGES, recs):
+        assert r["url"] == url
+        assert r["html"] == html  # byte-identical through the container
+        assert r["http_status"] == 200
+        assert r["content_type"] == "text/html; charset=utf-8"
+        assert r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ") == iso
+
+
+def test_text_extraction():
+    assert html_to_text(
+        "<html><head><script>a<b;</script><style>p{}</style></head>"
+        "<body><h1>Hi</h1>\n<p>a  b</p></body></html>") == "Hi a b"
+    assert html_to_text("café &amp; t&eacute;") == "café & té"
+    assert html_lang('<html lang="de"><body/></html>') == "de"
+    assert html_lang("<html><body/></html>") == "und"
+
+
+def test_truncation_errors():
+    good = build_warc(PAGES)
+    with pytest.raises(ValueError):
+        parse_warc(good[:-20])  # truncated body
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_warc(build_warc(PAGES, gzip_members=True)[:-5])
+
+
+def test_deterministic_bytes():
+    assert build_warc(PAGES, gzip_members=True) \
+        == build_warc(PAGES, gzip_members=True)
+
+
+def test_spark_operator(spark):
+    df = spark.createDataFrame(
+        [(0, build_warc(PAGES)), (1, build_warc(PAGES, True))],
+        "warc_id long, content binary")
+    out = warc_pages(df).collect()
+    assert len(out) == 6
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r.url, []).append(r)
+    assert sorted(by_url) == [u for u, _t, _h in PAGES]
+    r = by_url["https://a.example/1"][0]
+    assert r.text == "hello world"
+    assert r.lang == "en"
+    assert bytes(r.html) == PAGES[0][2]
