@@ -116,6 +116,9 @@ _PROJECTED = {
     27700: ("OSGB36 / British National Grid", "OSGB36",
             dict(proj="tmerc", lat_0=49, lon_0=-2, k_0=0.9996012717,
                  x_0=400000, y_0=-100000), "enu", 1.0),
+    3067: ("ETRS89 / TM35FIN(E,N)", "ETRS89",
+           dict(proj="tmerc", lat_0=0, lon_0=27, k_0=0.9996, x_0=500000,
+                y_0=0), "enu", 1.0),
     3035: ("ETRS89-extended / LAEA Europe", "ETRS89",
            dict(proj="laea", lat_0=52, lon_0=10, x_0=4321000, y_0=3210000),
            "neu", 1.0),

@@ -1352,3 +1352,44 @@ FROM documents
 """
 
 QUERIES_TEXT["warc_ingest"] = (q_warc_ingest, SQL_WARC_INGEST)
+
+
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM corpus quality scoring (the CCNet-style perplexity
+    gate): train add-one-smoothed token logprobs over the WHOLE corpus
+    (top-100 vocabulary via TakeOrdered, one corpus-wide token agg),
+    broadcast the 101-row model back, and score every document's mean
+    logprob. Two corpus aggregations + one broadcast join — the
+    at-scale shape of every learned quality filter."""
+    from pyproj_spark.operators.lm import (score_documents,
+                                           train_unigram_lm)
+    docs = _docs(spark, sf_dir)
+    lm = train_unigram_lm(docs, vocab_size=100)
+    return score_documents(docs, lm)
+
+
+SQL_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM counts),
+vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token
+          LIMIT 100),
+lm AS (SELECT token, ln((cnt + 1.0) / (total + 100)) AS logp
+       FROM vocab, tot),
+scored AS (
+  SELECT t.doc_id,
+         coalesce(lm.logp,
+                  (SELECT ln(1.0 / (total + 100)) FROM tot)) AS logp
+  FROM toks t LEFT JOIN lm USING (token)
+)
+SELECT doc_id, count(*) AS n_toks, round(avg(logp), 5) AS mean_logp
+FROM scored GROUP BY doc_id
+"""
+
+QUERIES_TEXT["lm_score"] = (q_lm_score, SQL_LM_SCORE)
