@@ -389,7 +389,7 @@ def q_event_windows(spark, sf_dir):
     """Tumbling 5-minute event windows (batch form of the streaming agg)."""
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-            .agg(F.count("*").alias("cnt"),
+            .agg(F.count(F.lit(1)).alias("cnt"),
                  F.round(F.sum("value"), 2).alias("sum_value"))
             .select(F.col("w.start").alias("w_start"), "event_type",
                     "cnt", "sum_value"))
@@ -1224,3 +1224,39 @@ FROM j
 """
 
 QUERIES["asof_view"] = (q_asof_view, SQL_ASOF_VIEW)
+
+
+def q_lang_pivot(spark, sf_dir):
+    """PIVOT (the one relational family not yet in the gate): per
+    source, language counts spread into columns plus mean doc length
+    per language. The lang values are given explicitly so Catalyst
+    plans ONE pass (a single hash aggregate over pivot expressions —
+    no extra distinct job, no second shuffle); the oracle reproduces
+    it with conditional aggregation, which is exactly what the Expand-
+    free pivot lowers to."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    d = _t(spark, sf_dir, "documents")
+    p = (d.groupBy("source").pivot("lang", langs)
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.round(F.avg("n_chars"), 4).alias("len")))
+    # pivot emits <lang>_cnt / <lang>_len; normalize names + null->0
+    cols = [F.col("source")]
+    for lg in langs:
+        cols.append(F.coalesce(F.col(f"{lg}_cnt"), F.lit(0))
+                    .cast("long").alias(f"cnt_{lg}"))
+        cols.append(F.coalesce(F.col(f"{lg}_len"), F.lit(0.0))
+                    .alias(f"len_{lg}"))
+    return p.select(*cols)
+
+
+def _lang_pivot_sql():
+    parts = []
+    for lg in ("de", "en", "es", "fr", "zh"):
+        parts.append(f"count(*) FILTER (lang = '{lg}') AS cnt_{lg}")
+        parts.append(f"coalesce(round(avg(n_chars) "
+                     f"FILTER (lang = '{lg}'), 4), 0.0) AS len_{lg}")
+    return ("SELECT source, " + ", ".join(parts)
+            + " FROM documents GROUP BY source")
+
+
+QUERIES["lang_pivot"] = (q_lang_pivot, _lang_pivot_sql())
