@@ -1260,3 +1260,26 @@ def _lang_pivot_sql():
 
 
 QUERIES["lang_pivot"] = (q_lang_pivot, _lang_pivot_sql())
+
+
+def q_hexcell(spark, sf_dir):
+    """Hexagonal (H3-style) cell encode + per-cell counts — the third
+    cell-index family (quadtree geocell, geohash, hex). Pure Catalyst:
+    mercator projection, axial transform, cube rounding with the
+    repair CASE — never leaves WholeStageCodegen; the oracle inlines
+    the identical arithmetic (shared floor(+0.5) rounding convention,
+    so boundary points cannot flip between engines)."""
+    from pyproj_spark.functions.hexcell import hex_of
+    pts = _doc_points(spark, sf_dir)
+    return (pts.withColumn("hex", hex_of(F.col("lon"), F.col("lat"), 6))
+            .groupBy("hex").agg(F.count("*").alias("cnt")))
+
+
+def _hexcell_sql():
+    from pyproj_spark.functions.hexcell import hex_sql
+    return (f"WITH pts AS ({_PTS_SQL})\n"
+            f"SELECT {hex_sql(6)} AS hex, count(*) AS cnt\n"
+            f"FROM pts GROUP BY 1")
+
+
+QUERIES["hexcell"] = (q_hexcell, _hexcell_sql())
