@@ -1283,3 +1283,50 @@ def _hexcell_sql():
 
 
 QUERIES["hexcell"] = (q_hexcell, _hexcell_sql())
+
+
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) write-layout keys: per-point keys plus the
+    layout proof — range-bucketing the corpus into 16 key ranges and
+    reporting each bucket's bbox extent. Compact per-bucket extents
+    are exactly what makes written files min/max-prunable at 10^12
+    rows; the oracle recomputes keys (the full shift-mask spreading
+    ladder, inlined in SQL) and buckets with ntile. The global ntile
+    window is oracle-comparison scaffolding only (deterministic exact
+    16-quantiles on a small gate input) — the production write path
+    is sampling-based repartitionByRange on the same key, see
+    functions/zorder.py."""
+    from pyproj_spark.functions.zorder import zorder_of
+    pts = _doc_points(spark, sf_dir)
+    keyed = pts.withColumn("zkey",
+                           zorder_of(F.col("lon"), F.col("lat"), 10))
+    w = Window.orderBy("zkey", "doc_id")
+    return (keyed.withColumn("bucket", F.ntile(16).over(w))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"),
+                 F.min("zkey").alias("zmin"),
+                 F.max("zkey").alias("zmax"),
+                 F.round(F.max("lon") - F.min("lon"), 6)
+                 .alias("lon_span"),
+                 F.round(F.max("lat") - F.min("lat"), 6)
+                 .alias("lat_span")))
+
+
+def _zorder_sql():
+    from pyproj_spark.functions.zorder import zorder_sql
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+keyed AS (
+  SELECT doc_id, lon, lat, {zorder_sql(10)} AS zkey FROM pts
+),
+b AS (
+  SELECT *, ntile(16) OVER (ORDER BY zkey, doc_id) AS bucket FROM keyed
+)
+SELECT bucket, count(*) AS cnt, min(zkey) AS zmin, max(zkey) AS zmax,
+       round(max(lon) - min(lon), 6) AS lon_span,
+       round(max(lat) - min(lat), 6) AS lat_span
+FROM b GROUP BY bucket
+"""
+
+
+QUERIES["zorder"] = (q_zorder, _zorder_sql())
