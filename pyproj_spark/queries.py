@@ -1330,3 +1330,35 @@ FROM b GROUP BY bucket
 
 
 QUERIES["zorder"] = (q_zorder, _zorder_sql())
+
+
+def q_profile(spark, sf_dir):
+    """ANALYZE-style table profile of documents: per-column null /
+    exact-distinct / min / max / means, ALL columns in one scan (the
+    multi-COUNT(DISTINCT) Expand plan). The oracle recomputes each
+    column's statistics independently and unions them."""
+    from pyproj_spark.operators.profile import profile_table
+    return profile_table(_t(spark, sf_dir, "documents"),
+                         ["doc_id", "lang", "source", "n_chars"])
+
+
+def _profile_sql():
+    parts = []
+    for c, isnum in (("doc_id", True), ("lang", False),
+                     ("source", False), ("n_chars", True)):
+        mean_num = f"round(avg({c}), 4)" if isnum else \
+            "CAST(NULL AS DOUBLE)"
+        mean_len = "CAST(NULL AS DOUBLE)" if isnum else \
+            f"round(avg(length({c})), 4)"
+        parts.append(f"""
+SELECT '{c}' AS column, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_s,
+       CAST(max({c}) AS VARCHAR) AS max_s,
+       {mean_num} AS mean_num, {mean_len} AS mean_len
+FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["profile"] = (q_profile, _profile_sql())
