@@ -172,22 +172,95 @@ def build_warc(pages: list[tuple[str, str, bytes]],
 
 # ------------------------------------------------------ Spark surface
 
-def warc_pages(warcs: DataFrame, payload_col: str = "content"
-               ) -> DataFrame:
+def parse_warc_permissive(payload: bytes) -> tuple[list[dict], int]:
+    """Like parse_warc but salvages what it can from a damaged file:
+    returns (records, n_bad). A framing violation drops the REST of
+    the file (Content-Length framing cannot resynchronize reliably —
+    scanning for the next 'WARC/' magic could land inside a response
+    body that embeds one); a gzip member error keeps the members
+    already inflated. Real crawl archives contain truncated tails, so
+    the scale path must degrade per-file, not per-job."""
+    bad = 0
+    if payload[:2] == b"\x1f\x8b":
+        out = bytearray()
+        while payload:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                out += d.decompress(payload)
+                out += d.flush()
+            except zlib.error:
+                bad += 1
+                break
+            if not d.eof:
+                bad += 1
+                break
+            payload = d.unused_data
+        payload = bytes(out)
+    records = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        while payload[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        try:
+            end = payload.find(b"\r\n\r\n", pos)
+            if end < 0:
+                raise ValueError("truncated header")
+            lines = payload[pos:end].decode("utf-8", "replace") \
+                .split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                raise ValueError("missing version line")
+            fields = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(":")
+                fields[k.strip().lower()] = v.strip()
+            clen = int(fields["content-length"])
+            body = payload[end + 4:end + 4 + clen]
+            if len(body) != clen:
+                raise ValueError("truncated body")
+        except (ValueError, KeyError):
+            bad += 1
+            break  # framing lost: drop the rest of this file
+        pos = end + 4 + clen
+        if fields.get("warc-type") == "response":
+            try:
+                records.append(_response_record(fields, body))
+            except ValueError:
+                bad += 1
+    return records, bad
+
+
+def warc_pages(warcs: DataFrame, payload_col: str = "content",
+               on_error: str = "fail") -> DataFrame:
     """WARC payloads -> pages rows (input_hint schema + http_status /
-    content_type). One mapInPandas stage; no shuffle."""
+    content_type). One mapInPandas stage; no shuffle.
+
+    ``on_error="fail"`` (default) raises on any malformed input;
+    ``"skip"`` salvages intact records and counts the rest — at crawl
+    scale a single truncated archive must cost its own tail, not the
+    job. Skipped-record counts surface in the ``n_bad`` column
+    (0 for rows from clean files) so the pipeline can alert on decay
+    without a second pass."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be fail|skip: {on_error}")
     cols = ["url", "warc_ts", "html", "text", "lang", "http_status",
-            "content_type"]
+            "content_type", "n_bad"]
 
     def _parse(batches):
         for pdf in batches:
             rows = []
             for payload in pdf[payload_col]:
-                for r in parse_warc(bytes(payload)):
+                if on_error == "fail":
+                    recs, nbad = parse_warc(bytes(payload)), 0
+                else:
+                    recs, nbad = parse_warc_permissive(bytes(payload))
+                for r in recs:
                     html = r["html"].decode("utf-8", "replace")
                     rows.append((r["url"], r["warc_ts"], r["html"],
                                  html_to_text(html), html_lang(html),
-                                 r["http_status"], r["content_type"]))
+                                 r["http_status"], r["content_type"],
+                                 nbad))
             yield pd.DataFrame(rows, columns=cols)
 
-    return warcs.mapInPandas(_parse, PAGES_SCHEMA)
+    return warcs.mapInPandas(_parse, PAGES_SCHEMA + ", n_bad int")

@@ -70,3 +70,51 @@ def test_spark_operator(spark):
     assert r.text == "hello world"
     assert r.lang == "en"
     assert bytes(r.html) == PAGES[0][2]
+
+
+def test_permissive_salvage():
+    from pyproj_spark.sources.warc import parse_warc_permissive
+    good = build_warc(PAGES)
+    # clean file: everything salvaged, zero bad
+    recs, bad = parse_warc_permissive(good)
+    assert len(recs) == 3 and bad == 0
+    # truncated tail: leading records survive, tail counted
+    recs, bad = parse_warc_permissive(good[:-30])
+    assert 1 <= len(recs) <= 2 and bad == 1
+    # truncated gzip member: inflated prefix still parsed
+    gz = build_warc(PAGES, gzip_members=True)
+    recs, bad = parse_warc_permissive(gz[:-8])
+    assert bad >= 1 and len(recs) >= 1
+    # garbage: nothing salvaged, no raise
+    recs, bad = parse_warc_permissive(b"NOT A WARC AT ALL")
+    assert recs == [] and bad == 1
+
+
+def test_spark_skip_mode(spark):
+    df = spark.createDataFrame(
+        [(0, build_warc(PAGES)), (1, build_warc(PAGES)[:-30])],
+        "warc_id long, content binary")
+    out = warc_pages(df, on_error="skip").collect()
+    clean = [r for r in out if r.n_bad == 0]
+    salvaged = [r for r in out if r.n_bad > 0]
+    assert len(clean) == 3 and 1 <= len(salvaged) <= 2
+
+
+def test_streaming_ingestion(spark, tmp_path):
+    """warc_pages composes with readStream: the same mapInPandas plan
+    runs incrementally over arriving archive files."""
+    import os
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    spark.createDataFrame([(0, build_warc(PAGES))],
+                          "warc_id long, content binary") \
+        .write.parquet(d, mode="overwrite")
+    stream = spark.readStream.schema("warc_id long, content binary") \
+        .parquet(d)
+    q = (warc_pages(stream)
+         .writeStream.format("memory").queryName("warc_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.sql("select * from warc_stream").collect()
+    assert len(rows) == 3
+    assert sorted(r.url for r in rows) == [u for u, _t, _h in PAGES]
