@@ -1393,3 +1393,100 @@ FROM scored GROUP BY doc_id
 """
 
 QUERIES_TEXT["lm_score"] = (q_lm_score, SQL_LM_SCORE)
+
+
+def _robots_body(i: int) -> str:
+    body = (f"# robots for d{i}\nUser-agent: *\nDisallow: /private\n"
+            f"Allow: /private/ok\nDisallow: /tmp{i}\nCrawl-delay: 5\n")
+    if i % 2 == 1:
+        # consecutive UA lines: one group applying to both agents
+        body += ("\nUser-agent: helper\nUser-agent: mybot\n"
+                 "Disallow: /\nAllow: /public\n")
+    return body
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt crawl gate (RFC 9309): per-domain robots bodies are
+    PARSED by the real operator (line split, directive extraction,
+    consecutive-user-agent group islands) and every page URL is
+    evaluated — exact-agent group precedence over *, longest-match
+    rule, Allow on ties, allowed when nothing matches. The oracle
+    starts from the rules table the parse MUST produce and mirrors
+    the evaluation, so a parsing bug surfaces as a decision
+    mismatch."""
+    from pyproj_spark.operators.robots import (evaluate_robots,
+                                               parse_robots)
+    robots = spark.createDataFrame(
+        [(f"d{i}", _robots_body(i)) for i in range(10)],
+        "domain string, body string")
+    rules = parse_robots(robots)
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    path = (F.when(i % 5 == 0, F.concat(F.lit("/home/p"), i.cast("string")))
+            .when(i % 5 == 1, F.concat(F.lit("/private/x"),
+                                       i.cast("string")))
+            .when(i % 5 == 2, F.concat(F.lit("/private/ok/y"),
+                                       i.cast("string")))
+            .when(i % 5 == 3, F.concat(F.lit("/tmp"),
+                                       (i % 10).cast("string"),
+                                       F.lit("/z")))
+            .otherwise(F.lit("/public/w")))
+    pages = d.select("doc_id",
+                     F.concat(F.lit("d"), (i % 10).cast("string"))
+                     .alias("domain"),
+                     path.alias("path"))
+    out = evaluate_robots(pages, rules, agent="MyBot")
+    return out.select("doc_id", "domain", "path", "allowed",
+                      "rule_path")
+
+
+def _robots_sql():
+    rows = []
+    for i in range(10):
+        rows += [f"('d{i}', '*', 'disallow', '/private')",
+                 f"('d{i}', '*', 'allow', '/private/ok')",
+                 f"('d{i}', '*', 'disallow', '/tmp{i}')"]
+        if i % 2 == 1:
+            for ag in ("helper", "mybot"):
+                rows += [f"('d{i}', '{ag}', 'disallow', '/')",
+                         f"('d{i}', '{ag}', 'allow', '/public')"]
+    values = ", ".join(rows)
+    return f"""
+WITH pages AS (
+  SELECT doc_id, 'd' || CAST(doc_id % 10 AS VARCHAR) AS domain,
+    CASE doc_id % 5
+      WHEN 0 THEN '/home/p' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/private/ok/y' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN '/tmp' || CAST(doc_id % 10 AS VARCHAR) || '/z'
+      ELSE '/public/w' END AS path
+  FROM documents
+),
+rules AS (SELECT * FROM (VALUES {values})
+          AS r(domain, agent, directive, path)),
+hasx AS (SELECT DISTINCT domain FROM rules WHERE agent = 'mybot'),
+sel AS (
+  SELECT r.domain, r.directive, r.path FROM rules r
+  LEFT JOIN hasx h ON r.domain = h.domain
+  WHERE (h.domain IS NOT NULL AND r.agent = 'mybot')
+     OR (h.domain IS NULL AND r.agent = '*')
+),
+cand AS (
+  SELECT p.doc_id, p.domain, p.path, s.directive, s.path AS rpath
+  FROM pages p LEFT JOIN sel s
+    ON p.domain = s.domain AND p.path LIKE s.path || '%'
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY length(rpath) DESC, (directive = 'allow') DESC) AS rk
+  FROM cand
+)
+SELECT doc_id, domain, path,
+       (directive IS NULL OR directive = 'allow') AS allowed,
+       coalesce(rpath, '') AS rule_path
+FROM ranked WHERE rk = 1
+"""
+
+
+QUERIES_TEXT["robots_filter"] = (q_robots_filter, _robots_sql())
