@@ -89,13 +89,19 @@ def evaluate_robots(pages: DataFrame, rules: DataFrame,
                    (F.col(domain_col) == F.col("_rdomain"))
                    & F.col(path_col).startswith(F.col("_rpath")),
                    "left")
-    w = Window.partitionBy("_pid").orderBy(
-        F.length(F.col("_rpath")).desc(),
-        (F.col("_rdir") == "allow").cast("int").desc())
-    ranked = (cand.withColumn("_rk", F.row_number().over(w))
-              .filter(F.col("_rk") == 1))
-    return (ranked.withColumn(
+    # precedence as a STRUCT MAX (lexicographic), not a sort window:
+    # the candidate fan-out collapses map-side via partial aggregation
+    # before the only shuffle (groupBy _pid), whereas a row_number
+    # window would shuffle and sort every candidate row
+    win = F.max(F.when(F.col("_rdir").isNotNull(), F.struct(
+        F.length("_rpath").alias("len"),
+        (F.col("_rdir") == "allow").cast("int").alias("is_allow"),
+        F.col("_rpath").alias("rpath")))).alias("_win")
+    keeps = [F.first(c).alias(c) for c in pages.columns]
+    agg = cand.groupBy("_pid").agg(*keeps, win)
+    return (agg.withColumn(
         "allowed",
-        F.col("_rdir").isNull() | (F.col("_rdir") == "allow"))
-        .withColumn("rule_path", F.coalesce("_rpath", F.lit("")))
-        .drop("_rdir", "_rpath", "_rdomain", "_rk", "_pid"))
+        F.col("_win").isNull() | (F.col("_win.is_allow") == 1))
+        .withColumn("rule_path",
+                    F.coalesce(F.col("_win.rpath"), F.lit("")))
+        .drop("_win", "_pid"))
