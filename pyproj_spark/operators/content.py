@@ -1,0 +1,101 @@
+"""Main-content extraction (boilerplate removal) — the jusText/
+readability-style stage between raw HTML and the text column of a
+training corpus, distilled to a deterministic, cross-engine-checkable
+core. Pure Catalyst: script/style removal, block-tag splitting, and
+per-block classification all run as array higher-order functions
+inside codegen — no Python in the hot path.
+
+Per-block signals (the standard ones):
+  * text length after tag stripping + whitespace collapse;
+  * LINK DENSITY, measured without nested aggregation as
+    ``len(text) - len(text with <a> spans removed)`` — anchor-heavy
+    nav/footer blocks score high, body paragraphs low.
+A block is content iff it is long enough AND its link length is at
+most a third of its text. This intentionally mirrors jusText's
+context-free pass only (the public algorithm's neighbor smoothing is
+a second window over blocks — omitted, documented); regex patterns
+stay in the Java-regex/RE2 common subset (no backreferences, no
+lookaround) so the DuckDB oracle runs the IDENTICAL strings.
+
+Entities are NOT decoded here (DuckDB has no unescape); run
+sources.warc.html_to_text downstream when entity fidelity matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: block-level boundary tags (open or close) — the split delimiters
+BLOCK_RE = (r"(?i)</?(?:p|div|h1|h2|h3|h4|h5|h6|ul|ol|li|table|tr|td"
+            r"|br|section|article|nav|footer|header|blockquote)[^>]*>")
+_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+_ANCHOR_RE = r"(?is)<a[^>]*>.*?</a>"
+_TAG_RE = r"<[^>]+>"
+_WS_RE = r"\s+"
+
+MIN_LEN = 40  # minimum block text length to qualify as content
+
+
+def _clean(c: Column) -> Column:
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(c, _TAG_RE, " "), _WS_RE, " "))
+
+
+def extract_main_content(df: DataFrame, html_col: str = "html_text",
+                         min_len: int = MIN_LEN) -> DataFrame:
+    """Adds per-document ``n_blocks``, ``n_good``, ``content``
+    (newline-joined content blocks) and ``content_len``."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), _SCRIPT_RE, " "),
+        _STYLE_RE, " ")
+    # stage the split in its own projection (the documented Catalyst
+    # HOF-inlining trap: an array expr re-evaluated per element)
+    staged = df.withColumn("_blocks", F.split(stripped, BLOCK_RE))
+    scored = staged.withColumn("_scored", F.filter(
+        F.transform(
+            F.col("_blocks"),
+            lambda b: F.struct(
+                _clean(b).alias("text"),
+                _clean(F.regexp_replace(b, _ANCHOR_RE, " "))
+                .alias("nolink"))),
+        lambda s: s["text"] != F.lit("")))
+    good = F.filter(
+        F.col("_scored"),
+        lambda s: (F.length(s["text"]) >= F.lit(min_len))
+        & ((F.length(s["text"]) - F.length(s["nolink"])) * F.lit(3)
+           <= F.length(s["text"])))
+    return (scored
+            .withColumn("n_blocks", F.size("_scored"))
+            .withColumn("_good", good)
+            .withColumn("n_good", F.size("_good"))
+            .withColumn("content", F.array_join(
+                F.transform(F.col("_good"), lambda s: s["text"]),
+                "\n"))
+            .withColumn("content_len", F.length("content"))
+            .drop("_blocks", "_scored", "_good"))
+
+
+def content_sql(html_expr: str, min_len: int = MIN_LEN) -> dict:
+    """The same pipeline as DuckDB SQL fragments: returns exprs for
+    n_blocks, n_good, content, content_len over ``html_expr``."""
+    stripped = (f"regexp_replace(regexp_replace({html_expr}, "
+                f"'{_SCRIPT_RE}', ' ', 'g'), '{_STYLE_RE}', ' ', 'g')")
+    blocks = f"regexp_split_to_array({stripped}, '{BLOCK_RE}')"
+
+    def clean(e):
+        return (f"trim(regexp_replace(regexp_replace({e}, "
+                f"'{_TAG_RE}', ' ', 'g'), '{_WS_RE}', ' ', 'g'))")
+
+    scored = (f"list_filter(list_transform({blocks}, b -> "
+              f"struct_pack(text := {clean('b')}, nolink := "
+              f"{clean(f'''regexp_replace(b, '{_ANCHOR_RE}', ' ', 'g')''')})"
+              f"), s -> s.text <> '')")
+    good = (f"list_filter({scored}, s -> length(s.text) >= {min_len} "
+            f"AND (length(s.text) - length(s.nolink)) * 3 "
+            f"<= length(s.text))")
+    content = (f"array_to_string(list_transform({good}, "
+               f"s -> s.text), chr(10))")
+    return dict(n_blocks=f"len({scored})", n_good=f"len({good})",
+                content=content, content_len=f"length({content})")

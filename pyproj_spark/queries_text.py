@@ -1490,3 +1490,56 @@ FROM ranked WHERE rk = 1
 
 
 QUERIES_TEXT["robots_filter"] = (q_robots_filter, _robots_sql())
+
+
+def q_content_extract(spark, sf_dir):
+    """Boilerplate removal (jusText-style context-free pass): each doc
+    is wrapped in a deterministic page — link-dense nav, the document
+    text as paragraphs, a script block, an anchor-heavy footer — and
+    the extractor must keep exactly the body paragraphs. Block
+    splitting, link-density scoring and content assembly run as
+    Catalyst array HOFs; the oracle executes the identical regex
+    pipeline through DuckDB list lambdas and the content itself is
+    md5-gated."""
+    from pyproj_spark.operators.content import extract_main_content
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    nav = F.concat(
+        F.lit('<div class="nav"><a href="/">home</a> '
+              '<a href="/a">about</a> <a href="/c">contact'),
+        i, F.lit("</a></div>"))
+    body = F.concat(F.lit("<p>"), F.col("text"),
+                    F.lit("</p><p>Short."), F.lit("</p>"))
+    page = F.concat(
+        F.lit("<html><head><script>var x = '<p>not content</p>';"
+              "</script></head><body>"),
+        nav, body,
+        F.lit('<footer><a href="/t">terms</a> <a href="/p">privacy'),
+        i, F.lit("</a></footer></body></html>"))
+    out = extract_main_content(d.select("doc_id",
+                                        page.alias("html_text")))
+    return out.select("doc_id", "n_blocks", "n_good",
+                      F.md5("content").alias("content_hash"),
+                      "content_len")
+
+
+def _content_extract_sql():
+    from pyproj_spark.operators.content import content_sql
+    page = (
+        "'<html><head><script>var x = ''<p>not content</p>'';"
+        "</script></head><body><div class=\"nav\">"
+        "<a href=\"/\">home</a> <a href=\"/a\">about</a> "
+        "<a href=\"/c\">contact' || CAST(doc_id AS VARCHAR) || "
+        "'</a></div><p>' || text || '</p><p>Short.</p>"
+        "<footer><a href=\"/t\">terms</a> <a href=\"/p\">privacy' "
+        "|| CAST(doc_id AS VARCHAR) || '</a></footer></body></html>'")
+    e = content_sql(page)
+    return (f"SELECT doc_id, {e['n_blocks']} AS n_blocks, "
+            f"{e['n_good']} AS n_good, "
+            f"md5({e['content']}) AS content_hash, "
+            f"{e['content_len']} AS content_len FROM documents")
+
+
+QUERIES_TEXT["content_extract"] = (q_content_extract,
+                                   _content_extract_sql())
