@@ -302,3 +302,28 @@ def jaccard_capped_star_edges(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("e.id_a").alias("id_a"),
                     F.col("e.id_b").alias("id_b"))
             .distinct())
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, min_overlap: int = 2) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap
+    filter): flag every corpus document sharing >= ``min_overlap``
+    DISTINCT n-gram shingles with the held-out benchmark set. Returns
+    (id, n_hits, contaminated) for ALL corpus rows.
+
+    Plan shape: the benchmark's distinct shingle set is tiny relative
+    to the corpus (eval sets are thousands of docs, the corpus is
+    billions), so it BROADCASTS; the corpus-side shingle explosion
+    collapses map-side through the per-doc count's partial
+    aggregation. One shuffle on the doc id, none on shingles."""
+    c = ngram_shingles(corpus, id_col, text_col, n).distinct()
+    b = (ngram_shingles(benchmark, id_col, text_col, n)
+         .select("shingle_hash").distinct())
+    hits = (c.join(F.broadcast(b), "shingle_hash")
+            .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    return (corpus.select(id_col).join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0))
+                     >= F.lit(min_overlap)).alias("contaminated")))

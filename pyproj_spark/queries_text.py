@@ -1543,3 +1543,40 @@ def _content_extract_sql():
 
 QUERIES_TEXT["content_extract"] = (q_content_extract,
                                    _content_extract_sql())
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (n-gram overlap vs a held-out eval
+    set — the GPT-3 13-gram filter's shape at n=3): docs with
+    doc_id % 50 == 7 act as the benchmark; every corpus doc sharing
+    >= 2 distinct shingles with it is flagged. The benchmark shingle
+    set broadcasts; the only shuffle is the per-doc hit count."""
+    from pyproj_spark.operators.dedup import decontaminate
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 50 == 7)
+    return decontaminate(d, bench)
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, str_split({_NORM_SQL}, ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         {_H8.format(expr="tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3]")}
+             AS shingle_hash
+  FROM toks, UNNEST(range(greatest(len(tk) - 2, 0))) AS u(i)
+),
+bench AS (
+  SELECT DISTINCT shingle_hash FROM sh WHERE doc_id % 50 = 7
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN bench USING (shingle_hash) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+QUERIES_TEXT["decontaminate"] = (q_decontaminate, SQL_DECONTAMINATE)

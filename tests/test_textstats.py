@@ -69,3 +69,26 @@ def test_deterministic_sampling(spark):
     c = sorted(r["doc_id"] for r in
                deterministic_sample(df, 0.3, salt="other").collect())
     assert c != a
+
+
+def test_decontaminate(spark):
+    from pyproj_spark.operators.dedup import decontaminate
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "a completely different document about spark plans"),
+         (2, "quick brown fox jumps right over everything"),  # 2 hits
+         (3, "brown fox sighted")],  # 3 tokens -> 1 shingle, 1 hit
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate(corpus, bench).collect()}
+    assert got[0][1] is True and got[0][0] >= 2
+    assert got[1] == (0, False)
+    assert got[2][1] is True
+    assert got[3] == (0, False)  # "brown fox sighted" shares no 3-gram
+    # benchmark shingles must broadcast
+    plan = decontaminate(corpus, bench) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
