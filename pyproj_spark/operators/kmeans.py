@@ -1,0 +1,82 @@
+"""Distributed k-means (Lloyd's algorithm) — the iterative-ML shape
+on Spark: per iteration ONE job whose assignment stage broadcasts the
+K centroids as literal arrays (plan-embedded, no Python crossing) and
+whose update stage is an explode + hash aggregate; the K x dim
+centroid matrix (a few KB) is the only thing that ever reaches the
+driver, exactly MLlib's topology.
+
+Determinism contract (what lets a SQL oracle replay it):
+  * init = the first K vectors by id (k-means|| trades determinism
+    for quality; a seeded variant can be layered on, documented);
+  * centroids are ROUNDED to ``round_to`` decimals after every
+    update, so the 1e-13-level float-sum-order noise of distributed
+    averaging can never leak into the next iteration's comparisons;
+  * assignment distances are rounded the same way and ties break to
+    the lowest cluster index.
+Empty clusters keep their previous centroid (the standard choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(vec, centroid: list[float]):
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_clusters(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str = "v", round_to: int = 6
+                    ) -> DataFrame:
+    """Adds ``cluster`` (argmin of rounded squared distance, ties to
+    the lowest index) and ``dist2`` columns. Centroids are embedded
+    as literals — the comparison never leaves codegen."""
+    dists = [F.round(_dist2(F.col(vec_col), c), round_to)
+             for c in centroids]
+    best_d = dists[0]
+    best_k = F.lit(0)
+    for j in range(1, len(centroids)):
+        closer = dists[j] < best_d
+        best_k = F.when(closer, F.lit(j)).otherwise(best_k)
+        best_d = F.when(closer, dists[j]).otherwise(best_d)
+    return df.withColumn("cluster", best_k).withColumn("dist2", best_d)
+
+
+def kmeans_fit(df: DataFrame, vec_col: str = "v", k: int = 8,
+               iters: int = 2, id_col: str = "vec_id",
+               round_to: int = 6) -> list[list[float]]:
+    """Lloyd's iterations; returns the final rounded centroids."""
+    emb = df.select(id_col, F.col(vec_col).alias("v"))
+    cents = [list(r.v) for r in
+             emb.orderBy(id_col).limit(k).collect()]
+    for _ in range(iters):
+        assigned = assign_clusters(emb, cents)
+        rows = (assigned
+                .select("cluster", F.posexplode("v")
+                        .alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.round(F.avg("val"), round_to).alias("m"))
+                .collect())
+        nxt = [list(c) for c in cents]  # empty cluster: keep old
+        by_c: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_c.setdefault(r.cluster, {})[r.dim] = r.m
+        for c, dims in by_c.items():
+            for d, m in dims.items():
+                nxt[c][d] = m
+        cents = nxt
+    return cents
+
+
+def kmeans(df: DataFrame, vec_col: str = "v", k: int = 8,
+           iters: int = 2, id_col: str = "vec_id",
+           round_to: int = 6) -> DataFrame:
+    """Fit + final assignment: (id, cluster, dist2) for every row."""
+    cents = kmeans_fit(df, vec_col, k, iters, id_col, round_to)
+    emb = df.select(id_col, F.col(vec_col).alias("v"))
+    return assign_clusters(emb, cents, round_to=round_to) \
+        .select(id_col, "cluster", "dist2")

@@ -1580,3 +1580,63 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 QUERIES_TEXT["decontaminate"] = (q_decontaminate, SQL_DECONTAMINATE)
+
+
+def q_kmeans(spark, sf_dir):
+    """Distributed k-means (Lloyd's, k=8, one centroid update =
+    two assignment passes): each pass re-broadcasts the K centroids
+    as literal arrays and the update is an explode + hash aggregate —
+    the MLlib topology, with centroids rounded each pass so the
+    oracle (the SAME passes unrolled in SQL CTEs) replays every
+    assignment bit-for-bit."""
+    from pyproj_spark.operators.kmeans import kmeans
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("v"))
+    return kmeans(emb, k=8, iters=1)
+
+
+def _kmeans_sql():
+    dist = ("round(list_aggregate(list_transform(range(1, 65), "
+            "i -> power(v[i] - c[i], 2)), 'sum'), 6)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cl, v AS c FROM e WHERE vec_id < 8),
+d1 AS (
+  SELECT e.vec_id, c0.cl, {dist} AS d
+  FROM e CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cl AS cluster FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) rk
+    FROM d1) WHERE rk = 1
+),
+m1 AS (
+  SELECT a1.cluster, g.i, round(avg(e.v[g.i]), 6) AS m
+  FROM a1 JOIN e USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) g
+  GROUP BY a1.cluster, g.i
+),
+c1 AS (
+  SELECT c0.cl,
+         coalesce(mm.c, c0.c) AS c
+  FROM c0 LEFT JOIN (
+    SELECT cluster AS cl, list(m ORDER BY i) AS c FROM m1 GROUP BY 1
+  ) mm USING (cl)
+),
+d2 AS (
+  SELECT e.vec_id, c1.cl, {dist} AS d
+  FROM e CROSS JOIN c1
+),
+a2 AS (
+  SELECT vec_id, cl AS cluster, d FROM (
+    SELECT vec_id, cl, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) rk
+    FROM d2) WHERE rk = 1
+)
+SELECT vec_id, cluster, d AS dist2 FROM a2
+"""
+
+
+QUERIES_TEXT["kmeans"] = (q_kmeans, _kmeans_sql())
