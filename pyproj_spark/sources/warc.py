@@ -115,6 +115,47 @@ def _response_record(fields: dict, body: bytes) -> dict:
                 http_status=status, content_type=ctype, html=html)
 
 
+_CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.-]+)",
+                            re.I)
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?([A-Za-z0-9_.-]+)", re.I)
+
+
+def detect_charset(html: bytes, content_type: str = "") -> str:
+    """Charset resolution order of a real ingestion pipeline: BOM >
+    HTTP Content-Type parameter > <meta charset> tag (scanned in the
+    first 1024 bytes, per the HTML spec's prescan) > UTF-8 default.
+    Unknown labels fall through to the next source."""
+    if html[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if html[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    for source in (content_type or "",):
+        m = _CT_CHARSET_RE.search(source)
+        if m and _known(m.group(1)):
+            return m.group(1).lower()
+    m = _META_CHARSET_RE.search(html[:1024])
+    if m:
+        label = m.group(1).decode("ascii", "ignore")
+        if _known(label):
+            return label.lower()
+    return "utf-8"
+
+
+def _known(label: str) -> bool:
+    import codecs
+    try:
+        codecs.lookup(label)
+        return True
+    except LookupError:
+        return False
+
+
+def decode_html(html: bytes, content_type: str = "") -> str:
+    """Bytes -> str via detect_charset, replacement on errors."""
+    return html.decode(detect_charset(html, content_type), "replace")
+
+
 def html_to_text(html: str) -> str:
     """Deterministic text extraction: drop script/style subtrees,
     strip tags, unescape entities, collapse whitespace. This IS the
@@ -256,7 +297,7 @@ def warc_pages(warcs: DataFrame, payload_col: str = "content",
                 else:
                     recs, nbad = parse_warc_permissive(bytes(payload))
                 for r in recs:
-                    html = r["html"].decode("utf-8", "replace")
+                    html = decode_html(r["html"], r["content_type"])
                     rows.append((r["url"], r["warc_ts"], r["html"],
                                  html_to_text(html), html_lang(html),
                                  r["http_status"], r["content_type"],

@@ -118,3 +118,24 @@ def test_streaming_ingestion(spark, tmp_path):
     rows = spark.sql("select * from warc_stream").collect()
     assert len(rows) == 3
     assert sorted(r.url for r in rows) == [u for u, _t, _h in PAGES]
+
+
+def test_charset_detection():
+    from pyproj_spark.sources.warc import decode_html, detect_charset
+    # BOM wins over everything
+    assert detect_charset(b"\xef\xbb\xbfhi",
+                          "text/html; charset=latin-1") == "utf-8-sig"
+    assert decode_html("é".encode("utf-8-sig")) == "é"
+    assert decode_html("héllo".encode("utf-16")) == "héllo"
+    # Content-Type parameter
+    body = "café".encode("latin-1")
+    assert decode_html(body, "text/html; charset=ISO-8859-1") == "café"
+    # meta tag prescan (first 1024 bytes)
+    page = (b'<html><head><meta charset="windows-1252"></head>'
+            b"<body>caf\xe9</body></html>")
+    assert "café" in decode_html(page)
+    # unknown labels fall through to utf-8
+    assert detect_charset(b"x", "text/html; charset=not-a-charset") \
+        == "utf-8"
+    # default path
+    assert decode_html("日本語".encode()) == "日本語"
