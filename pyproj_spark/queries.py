@@ -1362,3 +1362,69 @@ FROM documents""")
 
 
 QUERIES["profile"] = (q_profile, _profile_sql())
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    """The WHOLE ingestion-to-tiles pipeline in one oracle-gated
+    query: documents are serialized into multi-record WARC files
+    (gzip members on odd files) with a geo anchor embedded in each
+    page's HTML; sources/warc.py parses the container bytes and
+    extracts text; operators/extract.py pulls the anchors back out of
+    the extracted text (regex, byte-identity contract); the pandas-UDF
+    kernel transforms them to EPSG:3857; native tile math assigns
+    slippy z=8 tiles; and per-tile counts aggregate. The oracle
+    computes the same tiles arithmetically straight from the anchor
+    formula — every stage in between (WARC framing, charset decode,
+    tag stripping, anchor regex, float round-trip through text,
+    projection, tiling) must be exact for the hash to match."""
+    from pyproj_spark.functions.tiles import tile_xy
+    from pyproj_spark.functions.transform import transform_xy
+    from pyproj_spark.operators.extract import extract_anchors
+    from pyproj_spark.sources.warc import build_warc, warc_pages
+
+    d = _doc_points(spark, sf_dir) \
+        .join(_t(spark, sf_dir, "documents").select("doc_id", "text"),
+              "doc_id")
+
+    def _build(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        pages = []
+        for r in pdf.itertuples():
+            iso = pd.Timestamp("2024-01-01") \
+                + pd.Timedelta(seconds=int(r.doc_id))
+            html = (f"<html><body><p>{r.text}</p><p>@geo({r.lon!r},"
+                    f"{r.lat!r})</p></body></html>").encode()
+            pages.append((f"https://ex.org/{int(r.doc_id)}",
+                          iso.strftime("%Y-%m-%dT%H:%M:%SZ"), html))
+        wid = int(key[0])
+        return pd.DataFrame({"warc_id": [wid],
+                             "content": [build_warc(
+                                 pages, gzip_members=bool(wid % 2))]})
+
+    warcs = (d.groupBy(F.floor(F.col("doc_id") / 25).alias("warc_id"))
+             .applyInPandas(_build, "warc_id long, content binary"))
+    pages = warc_pages(warcs).select("url", "text")
+    anchors = extract_anchors(pages, normalize_crs=True)
+    xy = transform_xy("EPSG:4326", "EPSG:3857",
+                      F.col("lon"), F.col("lat"))
+    tx, ty = tile_xy(F.col("xy.x"), F.col("xy.y"), 8)
+    return (anchors.withColumn("xy", xy)
+            .select(tx.alias("tx"), ty.alias("ty"), "url")
+            .groupBy("tx", "ty")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.countDistinct("url").alias("n_docs")))
+
+
+SQL_PIPELINE_E2E = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 256) AS BIGINT),
+                      0), 255) AS tx,
+       least(greatest(CAST(floor((1.0 - ln(tan(pi()/4 +
+             radians(least(greatest(lat, -85.05112877980659),
+                           85.05112877980659)) / 2)) / pi()) / 2.0 * 256)
+             AS BIGINT), 0), 255) AS ty,
+       count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+FROM pts GROUP BY 1, 2
+"""
+
+QUERIES["pipeline_e2e"] = (q_pipeline_e2e, SQL_PIPELINE_E2E)
