@@ -72,3 +72,41 @@ def score_documents(df: DataFrame, lm: DataFrame,
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_toks"),
                  F.round(F.avg("logp"), round_to).alias("mean_logp")))
+
+
+def tfidf_keywords(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", top_k: int = 3,
+                   round_to: int = 6) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: tf = term frequency
+    within the doc, idf = ln((N+1)/(df+1)) + 1 (smoothed), top-k
+    terms by (rounded score desc, token asc).
+
+    Plan: one corpus aggregation for document frequencies (partial-
+    agg groupBy token — stopword heat is absorbed map-side), one
+    per-(doc, token) count, a token-keyed join to attach idf (Spark
+    picks broadcast vs shuffle by the df-table's size — vocabulary,
+    not corpus, scale), then the per-doc top-k window. Scores are
+    rounded before ranking so the ordering is engine-independent."""
+    toks = _tokens(df.select(id_col, text_col), text_col) \
+        .select(id_col, "token")
+    n_docs = df.count()  # scalar; one lightweight job
+    dfreq = (toks.distinct().groupBy("token")
+             .agg(F.count(F.lit(1)).alias("df")))
+    idf = dfreq.select(
+        "token",
+        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1)
+        .alias("idf"))
+    tf = (toks.groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("total"))
+    scored = (tf.join(totals, id_col).join(idf, "token")
+              .select(id_col, "token",
+                      F.round((F.col("cnt") / F.col("total"))
+                              * F.col("idf"), round_to)
+                      .alias("score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(id_col, "rank", "token", "score"))

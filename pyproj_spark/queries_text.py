@@ -1640,3 +1640,41 @@ SELECT vec_id, cluster, d AS dist2 FROM a2
 
 
 QUERIES_TEXT["kmeans"] = (q_kmeans, _kmeans_sql())
+
+
+def q_tfidf(spark, sf_dir):
+    """TF-IDF keyword extraction: smoothed idf over one corpus
+    aggregation, per-doc tf, token-keyed idf attach, per-doc top-3 by
+    rounded score with token tie-break — the classic search/labeling
+    primitive on the same corpus-stats plan shape as lm_score."""
+    from pyproj_spark.operators.lm import tfidf_keywords
+    return tfidf_keywords(_docs(spark, sf_dir), top_k=3)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM toks GROUP BY 1),
+idf AS (SELECT token, ln((n_docs + 1.0) / (df + 1)) + 1 AS idf
+        FROM dfreq, n),
+tf AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+totals AS (SELECT doc_id, count(*) AS total FROM toks GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round((cnt / CAST(total AS DOUBLE)) * idf, 6) AS score
+  FROM tf JOIN totals USING (doc_id) JOIN idf USING (token)
+)
+SELECT doc_id, rank, token, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rank
+  FROM scored) WHERE rank <= 3
+"""
+
+QUERIES_TEXT["tfidf"] = (q_tfidf, SQL_TFIDF)

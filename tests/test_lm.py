@@ -45,3 +45,29 @@ def test_scoring_plan_broadcasts_model(corpus):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_keywords(spark):
+    import math
+    from pyproj_spark.operators.lm import tfidf_keywords
+    df = spark.createDataFrame(
+        [(0, "apple apple banana common common common"),
+         (1, "cherry common common"),
+         (2, "banana cherry common")],
+        "doc_id long, text string")
+    out = tfidf_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.score))
+    # doc 0: apple (df=1) beats common (df=3) despite higher tf
+    top0 = sorted(by_doc[0])[0]
+    assert top0[1] == "apple"
+    idf_apple = math.log(4 / 2) + 1
+    assert top0[2] == round((2 / 6) * idf_apple, 6)
+    # doc 1: common's tf (2/3 x idf 1.0 = .667) outweighs cherry's
+    # idf edge (1/3 x 1.693 = .564) — rank order is common, cherry
+    assert [t for _r, t, _s in sorted(by_doc[1])] == ["common",
+                                                      "cherry"]
+    assert sorted(by_doc[1])[1][2] == round((1 / 3)
+                                            * (math.log(4 / 3) + 1), 6)
+    assert all(len(v) == 2 for v in by_doc.values())
