@@ -174,3 +174,29 @@ def _hex_sql_body(q: str, r: str, res: int) -> str:
     return (f"((CAST({res} AS BIGINT) << 58) "
             f"| ((CAST({qi} AS BIGINT) + {OFF}) << 29) "
             f"| (CAST({ri} AS BIGINT) + {OFF}))")
+
+
+def hex_ring(cell: Column, k: int, res: int) -> Column:
+    """array<long> of all cells within hex distance k — native
+    Catalyst (sequence/transform/flatten/filter HOFs, no Python).
+    Emits exactly 3k²+3k+1 ids; pair with explode + equi-join for
+    kNN candidate generation, where the hexagonal ring's uniform
+    neighbor distance removes the square grid's diagonal bias."""
+    q = ((F.shiftright(cell, 29).bitwiseAND(F.lit((1 << 29) - 1)))
+         - F.lit(OFF))
+    r = (cell.bitwiseAND(F.lit((1 << 29) - 1))) - F.lit(OFF)
+    rbits = F.shiftleft(F.lit(res).cast("long"), 58)
+
+    def pack(qq: Column, rr: Column) -> Column:
+        return rbits.bitwiseOR(
+            F.shiftleft(qq + F.lit(OFF), 29)).bitwiseOR(rr + F.lit(OFF))
+
+    grid = F.flatten(F.transform(
+        F.sequence(F.lit(-k), F.lit(k)),
+        lambda dq: F.transform(
+            F.sequence(F.lit(-k), F.lit(k)),
+            lambda dr: F.when(
+                (F.greatest(F.abs(dq), F.abs(dr), F.abs(dq + dr))
+                 <= F.lit(k)),
+                pack(q + dq.cast("long"), r + dr.cast("long"))))))
+    return F.array_sort(F.filter(grid, lambda c: c.isNotNull()))

@@ -1678,3 +1678,49 @@ SELECT doc_id, rank, token, score FROM (
 """
 
 QUERIES_TEXT["tfidf"] = (q_tfidf, SQL_TFIDF)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM training: the corpus token stream
+    (whitespace token counts, doc_id order) is cut into 512-token
+    training sequences; every bin except the last must be exactly
+    full, and per-bin doc counts expose the straddling. Window cumsum
+    + explode-to-bins + hash agg — no stateful pass."""
+    from pyproj_spark.operators.packing import pack_sequences
+    from pyproj_spark.operators.textstats import token_count
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(d, capacity=512)
+
+
+SQL_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+             AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS st
+  FROM d WHERE n_tokens > 0
+),
+spans AS (
+  SELECT doc_id, n_tokens, st, st + n_tokens AS en,
+         unnest(range(CAST(floor(st / 512) AS BIGINT),
+                      CAST(floor((st + n_tokens - 1) / 512) AS BIGINT)
+                      + 1)) AS bin
+  FROM s
+)
+SELECT bin, count(*) AS n_docs,
+       sum(least(en, (bin + 1) * 512) - greatest(st, bin * 512))
+           AS n_tokens,
+       round(sum(least(en, (bin + 1) * 512)
+                 - greatest(st, bin * 512)) / 512.0, 6) AS fill
+FROM spans GROUP BY bin
+"""
+
+QUERIES_TEXT["pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)

@@ -92,3 +92,19 @@ def test_column_matches_numpy(spark):
          .collect()], dtype=np.int64))
     want = np.sort(hexcell.encode_np(lon, lat, 9))
     assert np.array_equal(got, want)
+
+
+def test_hex_ring_column_matches_numpy(spark):
+    from pyspark.sql import functions as F
+    from pyproj_spark.functions.hexcell import hex_of, hex_ring
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in
+         [(-120.3, 37.1), (3.2, -44.9), (151.2, -33.9)]],
+        "lon double, lat double")
+    rows = df.select(
+        hex_of(F.col("lon"), F.col("lat"), 8).alias("c"),
+        hex_ring(hex_of(F.col("lon"), F.col("lat"), 8), 2, 8)
+        .alias("ring")).collect()
+    for r in rows:
+        assert list(r.ring) == hexcell.k_ring_np(int(r.c), 2).tolist()
+        assert len(r.ring) == 19
