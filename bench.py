@@ -166,12 +166,15 @@ def main():
             statistics.median(samples), 3)
     spark.stop()
 
-    # --- scaling: N=2 vs 4N=8 pinned cores (1M input, 2 children each);
-    # full-machine headline at 2M, 1 child ------------------------------
-    # 2-core level is empirically stable (19-20s spread < 5%): 1 child;
-    # 8-core shows up-to-2x JIT luck: 2 children, min
-    t2, meds2 = _run_level(2, SCALE_PATH, reps=1)
-    t8, meds8 = _run_level(8, SCALE_PATH, reps=2)
+    # --- scaling: N=2 vs 4N=8 pinned cores (1M input); full-machine
+    # headline at 2M -----------------------------------------------------
+    # BOTH pinned levels take min over multiple children: a round-3 run
+    # recorded a JIT-LUCKY single 2-core child (15.0s vs the typical
+    # 18-20s) against an average 8-core draw and reported efficiency
+    # 0.705 — the ratio of two minima is stable, the ratio of one lucky
+    # draw to one average draw is not
+    t2, meds2 = _run_level(2, SCALE_PATH, reps=2)
+    t8, meds8 = _run_level(8, SCALE_PATH, reps=3)
     # 4 children: the full-machine level shows the widest JIT lottery
     # (observed child medians 2.8-21s for the same plan), and min
     # across children converges with more draws
