@@ -1428,3 +1428,58 @@ FROM pts GROUP BY 1, 2
 """
 
 QUERIES["pipeline_e2e"] = (q_pipeline_e2e, SQL_PIPELINE_E2E)
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO / CDC apply (SCD-1): a deterministic change feed —
+    deletes for o_orderkey % 7 == 0, price+status updates for % 7 in
+    (1, 2), brand-new keys above the max — is applied to orders via
+    one full-outer join (the Iceberg copy-on-write MERGE plan shape).
+    The oracle recomputes the merged state set-algebraically; row
+    counts AND values must match, so insert/update/delete/passthrough
+    paths are all hash-gated."""
+    from pyproj_spark.operators.merge import merge_upsert
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"))
+    k = F.col("o_orderkey")
+    upd = (o.filter((k % 7 == 1) | (k % 7 == 2))
+           .select("o_orderkey", "o_custkey",
+                   F.lit("U").alias("o_orderstatus"),
+                   F.round(F.col("o_totalprice") + 10.0, 2)
+                   .alias("o_totalprice"),
+                   F.lit("upsert").alias("_op")))
+    dels = (o.filter(k % 7 == 0)
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", F.lit("delete").alias("_op")))
+    news = (o.filter(k % 11 == 3)
+            .select((k + 1000000).alias("o_orderkey"), "o_custkey",
+                    F.lit("N").alias("o_orderstatus"),
+                    F.lit(1.0).alias("o_totalprice"),
+                    F.lit("upsert").alias("_op")))
+    feed = upd.unionByName(dels).unionByName(news)
+    merged = merge_upsert(o, feed, ["o_orderkey"])
+    return merged.select("o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice")
+
+
+SQL_MERGE_UPSERT = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice, 2) AS o_totalprice
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 7 IN (1, 2) THEN 'U'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 7 IN (1, 2)
+            THEN round(o_totalprice + 10.0, 2)
+            ELSE o_totalprice END AS o_totalprice
+FROM o WHERE o_orderkey % 7 <> 0
+UNION ALL
+SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+       'N' AS o_orderstatus, 1.0 AS o_totalprice
+FROM o WHERE o_orderkey % 11 = 3
+"""
+
+QUERIES["merge_upsert"] = (q_merge_upsert, SQL_MERGE_UPSERT)
