@@ -14,6 +14,8 @@ Conventions for hash-stable comparison:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1483,3 +1485,97 @@ FROM o WHERE o_orderkey % 11 = 3
 """
 
 QUERIES["merge_upsert"] = (q_merge_upsert, SQL_MERGE_UPSERT)
+
+
+def q_geo_buffer(spark, sf_dir):
+    """Geodesic point buffers (composition query): 12-vertex buffer
+    rings are generated around sampled points by the Karney DIRECT
+    kernel on the sphere (explode azimuths -> one vectorized UDF
+    crossing -> collect_list ring), then measured with the pure-
+    Catalyst spherical shoelace. The oracle regenerates the rings
+    with closed-form great-circle direct formulas and the same
+    area sum; the cap_ratio column (polygon area / exact spherical
+    cap) additionally pins the geometry to its analytic value
+    (~0.95 for an inscribed 12-gon)."""
+    from pyproj_spark.functions.transform import (geod_forward,
+                                                  spherical_ring_area_m2)
+    R = 6370997.0
+    pts = _doc_points(spark, sf_dir).filter(F.col("doc_id") % 5 == 0) \
+        .filter(F.abs(F.col("lat")) < 80.0)
+    radius = ((F.col("doc_id") % 7) * 30000 + 50000).cast("double")
+    az = F.explode(F.sequence(F.lit(0), F.lit(330), F.lit(30)))
+    fan = pts.withColumn("radius_m", radius).select(
+        "doc_id", "lon", "lat", "radius_m", az.alias("az"))
+    v = geod_forward("sphere", F.col("lon"), F.col("lat"),
+                     F.col("az").cast("double"), F.col("radius_m"))
+    ring = (fan.withColumn("v", v)
+            .groupBy("doc_id", "radius_m")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("az"),
+                             F.col("v.lon").alias("lon"),
+                             F.col("v.lat").alias("lat")))),
+                lambda s: F.struct(s["lon"].alias("lon"),
+                                   s["lat"].alias("lat")))
+                .alias("ring")))
+    area = spherical_ring_area_m2(F.col("ring"), radius=R)
+    cap = 2.0 * math.pi * R * R \
+        * (1.0 - F.cos(F.col("radius_m") / F.lit(R)))
+    return ring.select(
+        "doc_id", F.col("radius_m").cast("long").alias("radius_m"),
+        F.round(area / 1e6).cast("long").alias("area_km2"),
+        F.round(area / cap, 3).alias("cap_ratio"))
+
+
+SQL_GEO_BUFFER = f"""
+WITH pts AS ({_PTS_SQL}),
+base AS (
+  SELECT doc_id, lon, lat,
+         CAST((doc_id % 7) * 30000 + 50000 AS DOUBLE) AS radius_m
+  FROM pts WHERE doc_id % 5 = 0 AND abs(lat) < 80.0
+),
+fan AS (
+  SELECT doc_id, lon, lat, radius_m, az
+  FROM base, (SELECT unnest(range(0, 360, 30)) AS az)
+),
+vtx AS (
+  SELECT doc_id, radius_m, az,
+    degrees(asin(sin(radians(lat)) * cos(radius_m / 6370997.0)
+                 + cos(radians(lat)) * sin(radius_m / 6370997.0)
+                   * cos(radians(az)))) AS vlat,
+    lon + degrees(atan2(
+        sin(radians(az)) * sin(radius_m / 6370997.0)
+          * cos(radians(lat)),
+        cos(radius_m / 6370997.0)
+          - sin(radians(lat))
+            * (sin(radians(lat)) * cos(radius_m / 6370997.0)
+               + cos(radians(lat)) * sin(radius_m / 6370997.0)
+                 * cos(radians(az))))) AS vlon
+  FROM fan
+),
+edges AS (
+  SELECT doc_id, radius_m, vlon AS x1, vlat AS y1,
+         coalesce(lead(vlon) OVER w, first_value(vlon) OVER w) AS x2,
+         coalesce(lead(vlat) OVER w, first_value(vlat) OVER w) AS y2
+  FROM vtx
+  WINDOW w AS (PARTITION BY doc_id ORDER BY az
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+),
+area AS (
+  SELECT doc_id, radius_m,
+         abs(SUM((mod(mod(radians(x2) - radians(x1) + pi(), 2 * pi())
+                      + 2 * pi(), 2 * pi()) - pi())
+                 * (sin(radians(y1)) + sin(radians(y2)))))
+           * 6370997.0 * 6370997.0 / 2.0 AS a
+  FROM edges GROUP BY doc_id, radius_m
+)
+SELECT doc_id, CAST(radius_m AS BIGINT) AS radius_m,
+       CAST(round(a / 1e6) AS BIGINT) AS area_km2,
+       round(a / (2.0 * pi() * 6370997.0 * 6370997.0
+                  * (1.0 - cos(radius_m / 6370997.0))), 3)
+           AS cap_ratio
+FROM area
+"""
+
+QUERIES["geo_buffer"] = (q_geo_buffer, SQL_GEO_BUFFER)
