@@ -1724,3 +1724,54 @@ FROM spans GROUP BY bin
 """
 
 QUERIES_TEXT["pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode normalization conformance gate: each doc's text gets a
+    deterministic 'dirty' tail — a decomposed e+COMBINING-ACUTE, a
+    zero-width space, a BEL control, CJK — built with IDENTICAL
+    chr()-arithmetic in both engines; Spark normalizes via the
+    unicodedata pandas UDF, DuckDB via its own ICU-side
+    nfc_normalize + RE2 strip. Two INDEPENDENT Unicode
+    implementations must produce byte-identical text (md5-gated) —
+    the strongest kind of oracle row in the suite."""
+    from pyproj_spark.operators.textnorm import normalize_text
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"), F.lit(" caf"), F.lit("e\u0301"),
+        F.lit("\u200b"),
+        F.when(i % 3 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.lit("\u6f22\u5b57")).otherwise(F.lit("")),
+        F.lit("\ufeff."))
+    staged = d.select("doc_id", dirty.alias("dirty"))
+    out = staged.select(
+        "doc_id",
+        F.length("dirty").alias("len_before"),
+        normalize_text(F.col("dirty")).alias("norm"))
+    return out.select("doc_id", "len_before",
+                      F.length("norm").alias("len_after"),
+                      F.md5("norm").alias("norm_hash"))
+
+
+SQL_TEXT_NORMALIZE = """
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' caf' || 'e' || chr(769) || chr(8203)
+           || CASE WHEN doc_id % 3 = 0 THEN chr(7) ELSE '' END
+           || CASE WHEN doc_id % 2 = 0 THEN chr(28450) || chr(23383)
+                   ELSE '' END
+           || chr(65279) || '.' AS d
+  FROM documents
+)
+SELECT doc_id, length(d) AS len_before,
+       length(regexp_replace(nfc_normalize(d),
+         '[\\x00-\\x08\\x0b-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]',
+         '', 'g')) AS len_after,
+       md5(regexp_replace(nfc_normalize(d),
+         '[\\x00-\\x08\\x0b-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]',
+         '', 'g')) AS norm_hash
+FROM dirty
+"""
+
+QUERIES_TEXT["text_normalize"] = (q_text_normalize, SQL_TEXT_NORMALIZE)
