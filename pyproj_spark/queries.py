@@ -1579,3 +1579,63 @@ FROM area
 """
 
 QUERIES["geo_buffer"] = (q_geo_buffer, SQL_GEO_BUFFER)
+
+
+def q_scd2(spark, sf_dir):
+    """SCD-2 batch apply: orders seed a current-only history (version
+    opened at epoch 0), a deterministic change batch updates
+    o_totalprice for key % 3 == 1 (real change: close + open;
+    additive so no decimal-tie divergence between the engines' round
+    semantics — Spark re-parses the shortest repr, DuckDB rounds the
+    binary value), sends
+    an IDENTICAL row for key % 3 == 2 (no-op: history must stay
+    untouched — the invariant separating SCD-2 from an append log),
+    and introduces new keys. The oracle rebuilds the full resulting
+    history set-algebraically."""
+    from pyproj_spark.operators.merge import scd2_apply
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"))
+    hist = o.select("o_orderkey", "price",
+                    F.lit(0).cast("long").alias("valid_from"),
+                    F.lit(None).cast("long").alias("valid_to"))
+    k = F.col("o_orderkey")
+    changes = (o.filter(k % 3 != 0)
+               .select("o_orderkey",
+                       F.when(k % 3 == 1, F.round(
+                           F.col("price") + 7.33, 2))
+                       .otherwise(F.col("price")).alias("price"),
+                       F.lit(100).cast("long").alias("ts"))
+               .unionByName(
+                   o.filter(k % 13 == 5).select(
+                       (k + 1000000).alias("o_orderkey"),
+                       F.lit(9.99).alias("price"),
+                       F.lit(100).cast("long").alias("ts"))))
+    out = scd2_apply(hist, changes, ["o_orderkey"], ["price"])
+    return out.select("o_orderkey", "price",
+                      "valid_from",
+                      F.coalesce("valid_to", F.lit(-1))
+                      .alias("valid_to"))
+
+
+SQL_SCD2 = """
+WITH o AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+)
+-- closed or untouched original versions
+SELECT o_orderkey, price, 0 AS valid_from,
+       CASE WHEN o_orderkey % 3 = 1 THEN 100 ELSE -1 END AS valid_to
+FROM o
+UNION ALL
+-- reopened versions for real changes
+SELECT o_orderkey, round(price + 7.33, 2) AS price,
+       100 AS valid_from, -1 AS valid_to
+FROM o WHERE o_orderkey % 3 = 1
+UNION ALL
+-- brand-new keys
+SELECT o_orderkey + 1000000 AS o_orderkey, 9.99 AS price,
+       100 AS valid_from, -1 AS valid_to
+FROM o WHERE o_orderkey % 13 = 5
+"""
+
+QUERIES["scd2"] = (q_scd2, SQL_SCD2)

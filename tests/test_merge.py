@@ -28,3 +28,25 @@ def test_composite_key(spark):
     got = {(r.a, r.b): r.s
            for r in merge_upsert(target, feed, ["a", "b"]).collect()}
     assert got == {(1, 1): "x", (1, 2): "Y"}
+
+
+def test_scd2_apply(spark):
+    from pyproj_spark.operators.merge import scd2_apply
+    hist = spark.createDataFrame(
+        [(1, "a", 0, None), (2, "b", 0, None),
+         (3, "c0", 0, 5), (3, "c1", 5, None)],
+        "k long, v string, valid_from long, valid_to long")
+    changes = spark.createDataFrame(
+        [(1, "A", 10),    # real change: close + open
+         (2, "b", 10),    # no-op: same value -> NO new version
+         (4, "d", 10)],   # brand-new key
+        "k long, v string, ts long")
+    out = scd2_apply(hist, changes, ["k"], ["v"]).collect()
+    rows = {(r.k, r.v): (r.valid_from, r.valid_to) for r in out}
+    assert rows[(1, "a")] == (0, 10)       # closed
+    assert rows[(1, "A")] == (10, None)    # opened
+    assert rows[(2, "b")] == (0, None)     # untouched (no-op)
+    assert rows[(3, "c0")] == (0, 5)       # old history preserved
+    assert rows[(3, "c1")] == (5, None)    # unmatched current kept
+    assert rows[(4, "d")] == (10, None)    # new key
+    assert len(out) == 6
