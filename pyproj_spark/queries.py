@@ -1639,3 +1639,62 @@ FROM o WHERE o_orderkey % 13 = 5
 """
 
 QUERIES["scd2"] = (q_scd2, SQL_SCD2)
+
+
+def q_pagerank(spark, sf_dir):
+    """Host-graph PageRank (the Common-Crawl-published analysis): a
+    deterministic 97-host link graph is derived from documents (hosts
+    >= 90 never link out, exercising the dangling-mass term), then 3
+    Pregel-style iterations run with per-iteration rounding — the
+    oracle replays the identical unrolled iterations in SQL. Damping
+    0.85, uniform init, parallel edges deduped."""
+    from pyproj_spark.operators.pagerank import pagerank
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    edges = (d.select((k % 97).alias("src"),
+                      ((k * 13 + 5) % 97).alias("dst"))
+             .filter((F.col("src") != F.col("dst"))
+                     & (F.col("src") < 90)))
+    pr = pagerank(edges, iters=3)
+    return pr.select("node", (F.col("rank") + 0.0).alias("rank"))
+
+
+def _pagerank_sql():
+    it = """
+r{o} AS (
+  SELECT n.node,
+         round(
+           (SELECT (1.0 - 0.85) / n_nodes
+                   + 0.85 * round((SELECT coalesce(sum(r.rank), 0)
+                                   FROM r{i} r
+                                   WHERE r.node NOT IN
+                                         (SELECT src FROM outdeg)),
+                                  12) / n_nodes
+            FROM nn)
+           + 0.85 * coalesce(
+               (SELECT sum(r.rank / o.deg)
+                FROM edges e
+                JOIN r{i} r ON r.node = e.src
+                JOIN outdeg o ON o.src = e.src
+                WHERE e.dst = n.node), 0), 9) AS rank
+  FROM nodes n
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(3))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 13 + 5) % 97 AS dst
+  FROM documents
+  WHERE doc_id % 97 <> (doc_id * 13 + 5) % 97 AND doc_id % 97 < 90
+),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, (SELECT round(1.0 / n_nodes, 9) FROM nn) AS rank
+       FROM nodes),
+{its}
+SELECT node, rank + 0.0 AS rank FROM r3
+"""
+
+
+QUERIES["pagerank"] = (q_pagerank, _pagerank_sql())
