@@ -1698,3 +1698,55 @@ SELECT node, rank + 0.0 AS rank FROM r3
 
 
 QUERIES["pagerank"] = (q_pagerank, _pagerank_sql())
+
+
+#: axial offsets of the 7-cell hex neighborhood (distance <= 1)
+_HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
+             (-1, 1)]
+
+
+def q_hex_smooth(spark, sf_dir):
+    """Hex-neighborhood density smoothing (the canonical hex-grid
+    heatmap analytic, and why uniform neighbors matter): per-cell
+    counts are spread to each cell's 7-cell neighborhood with PURE
+    INTEGER id arithmetic — neighbor id = cell + (dq<<29) + dr, no
+    re-encode — then summed per center; output keeps only occupied
+    centers. Both engines run the identical integer adds, so the
+    oracle covers the id layout itself."""
+    from pyproj_spark.functions.hexcell import hex_of
+    pts = _doc_points(spark, sf_dir)
+    counts = (pts.withColumn(
+        "cell", hex_of(F.col("lon"), F.col("lat"), 6))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")))
+    deltas = F.array(*[F.lit((dq << 29) + dr)
+                       for dq, dr in _HEX_NBRS])
+    spread = (counts
+              .withColumn("center", F.explode(F.transform(
+                  deltas, lambda d: F.col("cell") + d)))
+              .groupBy("center")
+              .agg(F.sum("cnt").alias("smoothed")))
+    return (counts.join(spread,
+                        counts["cell"] == spread["center"])
+            .select("cell", "cnt", "smoothed"))
+
+
+def _hex_smooth_sql():
+    from pyproj_spark.functions.hexcell import hex_sql
+    deltas = ", ".join(f"({(dq << 29) + dr})" for dq, dr in _HEX_NBRS)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+counts AS (
+  SELECT {hex_sql(6)} AS cell, count(*) AS cnt
+  FROM pts GROUP BY 1
+),
+spread AS (
+  SELECT c.cell + d.d AS center, sum(c.cnt) AS smoothed
+  FROM counts c CROSS JOIN (VALUES {deltas}) AS d(d)
+  GROUP BY 1
+)
+SELECT counts.cell, counts.cnt, spread.smoothed
+FROM counts JOIN spread ON counts.cell = spread.center
+"""
+
+
+QUERIES["hex_smooth"] = (q_hex_smooth, _hex_smooth_sql())
