@@ -11,11 +11,12 @@ Per-block signals (the standard ones):
     ``len(text) - len(text with <a> spans removed)`` — anchor-heavy
     nav/footer blocks score high, body paragraphs low.
 A block is content iff it is long enough AND its link length is at
-most a third of its text. This intentionally mirrors jusText's
-context-free pass only (the public algorithm's neighbor smoothing is
-a second window over blocks — omitted, documented); regex patterns
-stay in the Java-regex/RE2 common subset (no backreferences, no
-lookaround) so the DuckDB oracle runs the IDENTICAL strings.
+most a third of its text (jusText's context-free pass); with
+``context=True`` the neighbor-smoothing second pass also keeps SHORT
+low-link blocks adjacent to good ones (pull-quotes), as one extra
+index-transform. Regex patterns stay in the Java-regex/RE2 common
+subset (no backreferences, no lookaround) so the DuckDB oracle runs
+the IDENTICAL strings.
 
 Entities are NOT decoded here (DuckDB has no unescape); run
 sources.warc.html_to_text downstream when entity fidelity matters.
@@ -44,15 +45,28 @@ def _clean(c: Column) -> Column:
 
 
 def extract_main_content(df: DataFrame, html_col: str = "html_text",
-                         min_len: int = MIN_LEN) -> DataFrame:
+                         min_len: int = MIN_LEN,
+                         context: bool = False,
+                         short_min: int = 10) -> DataFrame:
     """Adds per-document ``n_blocks``, ``n_good``, ``content``
-    (newline-joined content blocks) and ``content_len``."""
+    (newline-joined content blocks) and ``content_len``.
+
+    ``context=True`` adds jusText's neighbor-smoothing second pass:
+    a SHORT block (short_min <= len < min_len, low link density)
+    inherits good-ness from an adjacent context-free-good block —
+    pull-quotes and one-line paragraphs between body paragraphs
+    survive, while short nav/footer fragments (bad neighbors) stay
+    out. One extra index-transform over the staged array; neighbor
+    lookups use element_at on a plain column attribute, which the
+    optimizer cannot inline into an O(n²) re-evaluation."""
     stripped = F.regexp_replace(
         F.regexp_replace(F.col(html_col), _SCRIPT_RE, " "),
         _STYLE_RE, " ")
     # stage the split in its own projection (the documented Catalyst
     # HOF-inlining trap: an array expr re-evaluated per element)
     staged = df.withColumn("_blocks", F.split(stripped, BLOCK_RE))
+    low_ld = (lambda s: (F.length(s["text"]) - F.length(s["nolink"]))
+              * F.lit(3) <= F.length(s["text"]))
     scored = staged.withColumn("_scored", F.filter(
         F.transform(
             F.col("_blocks"),
@@ -61,20 +75,46 @@ def extract_main_content(df: DataFrame, html_col: str = "html_text",
                 _clean(F.regexp_replace(b, _ANCHOR_RE, " "))
                 .alias("nolink"))),
         lambda s: s["text"] != F.lit("")))
-    good = F.filter(
+    scored = scored.withColumn("_flag", F.transform(
         F.col("_scored"),
-        lambda s: (F.length(s["text"]) >= F.lit(min_len))
-        & ((F.length(s["text"]) - F.length(s["nolink"])) * F.lit(3)
-           <= F.length(s["text"])))
+        lambda s: F.struct(
+            s["text"].alias("text"),
+            ((F.length(s["text"]) >= F.lit(min_len))
+             & low_ld(s)).alias("good"),
+            ((F.length(s["text"]) >= F.lit(short_min))
+             & (F.length(s["text"]) < F.lit(min_len))
+             & low_ld(s)).alias("short"))))
+    if context:
+        n = F.size("_flag")
+        flag = F.col("_flag")
+        keep = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.element_at(flag, i.cast("int"))["text"]
+                .alias("text"),
+                (F.element_at(flag, i.cast("int"))["good"]
+                 | (F.element_at(flag, i.cast("int"))["short"]
+                    & (F.when(i > 1,
+                              F.coalesce(
+                                  F.element_at(flag,
+                                               (i - 1).cast("int"))
+                                  ["good"], F.lit(False)))
+                       .otherwise(F.lit(False))
+                       | F.coalesce(
+                        F.element_at(flag, (i + 1).cast("int"))
+                        ["good"], F.lit(False)))))
+                .alias("good")))
+        scored = scored.withColumn("_flag", keep)
+    good = F.filter(F.col("_flag"), lambda s: s["good"])
     return (scored
-            .withColumn("n_blocks", F.size("_scored"))
+            .withColumn("n_blocks", F.size("_flag"))
             .withColumn("_good", good)
             .withColumn("n_good", F.size("_good"))
             .withColumn("content", F.array_join(
                 F.transform(F.col("_good"), lambda s: s["text"]),
                 "\n"))
             .withColumn("content_len", F.length("content"))
-            .drop("_blocks", "_scored", "_good"))
+            .drop("_blocks", "_scored", "_flag", "_good"))
 
 
 def content_sql(html_expr: str, min_len: int = MIN_LEN) -> dict:
@@ -98,4 +138,42 @@ def content_sql(html_expr: str, min_len: int = MIN_LEN) -> dict:
     content = (f"array_to_string(list_transform({good}, "
                f"s -> s.text), chr(10))")
     return dict(n_blocks=f"len({scored})", n_good=f"len({good})",
+                content=content, content_len=f"length({content})")
+
+
+def content_context_sql(html_expr: str, min_len: int = MIN_LEN,
+                        short_min: int = 10) -> dict:
+    """SQL fragments mirroring the context=True pass: per-block
+    good/short flags, then neighbor smoothing via 1-based list
+    indexing (out-of-range -> NULL -> coalesce false, matching the
+    Spark guards)."""
+    stripped = (f"regexp_replace(regexp_replace({html_expr}, "
+                f"'{_SCRIPT_RE}', ' ', 'g'), '{_STYLE_RE}', ' ', 'g')")
+    blocks = f"regexp_split_to_array({stripped}, '{BLOCK_RE}')"
+
+    def clean(e):
+        return (f"trim(regexp_replace(regexp_replace({e}, "
+                f"'{_TAG_RE}', ' ', 'g'), '{_WS_RE}', ' ', 'g'))")
+
+    scored = (f"list_filter(list_transform({blocks}, b -> "
+              f"struct_pack(text := {clean('b')}, nolink := "
+              f"{clean(f'''regexp_replace(b, '{_ANCHOR_RE}', ' ', 'g')''')})"
+              f"), s -> s.text <> '')")
+    low = ("(length(s.text) - length(s.nolink)) * 3 "
+           "<= length(s.text)")
+    flag = (f"list_transform({scored}, s -> struct_pack("
+            f"text := s.text, "
+            f"good := length(s.text) >= {min_len} AND {low}, "
+            f"short := length(s.text) >= {short_min} "
+            f"AND length(s.text) < {min_len} AND {low}))")
+    keep = (f"(SELECT list_transform(range(1, len(f) + 1), i -> "
+            f"struct_pack(text := f[i].text, "
+            f"good := f[i].good OR (f[i].short AND "
+            f"(coalesce(f[i - 1].good, false) "
+            f"OR coalesce(f[i + 1].good, false))))) "
+            f"FROM (SELECT {flag} AS f))")
+    good = f"list_filter({keep}, s -> s.good)"
+    content = (f"array_to_string(list_transform({good}, "
+               f"s -> s.text), chr(10))")
+    return dict(n_blocks=f"len({keep})", n_good=f"len({good})",
                 content=content, content_len=f"length({content})")

@@ -1775,3 +1775,47 @@ FROM dirty
 """
 
 QUERIES_TEXT["text_normalize"] = (q_text_normalize, SQL_TEXT_NORMALIZE)
+
+
+def q_content_context(spark, sf_dir):
+    """Boilerplate removal WITH jusText's neighbor-smoothing context
+    pass: a short pull-quote between two body paragraphs survives
+    (its neighbors are good), short nav/footer fragments still die.
+    Same HOF pipeline as content_extract plus one index-transform
+    over the staged block array; the oracle mirrors the neighbor
+    lookups with 1-based list indexing."""
+    from pyproj_spark.operators.content import extract_main_content
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<body><div><a href="/">home</a> '
+              '<a href="/x">links here</a></div>'),
+        F.lit("<p>Tiny.</p><p>"), F.col("text"),
+        F.lit("</p><p>Key point "), i, F.lit(".</p><p>"),
+        F.col("text"),
+        F.lit('</p><footer><a href="/t">terms</a></footer></body>'))
+    out = extract_main_content(
+        d.select("doc_id", page.alias("html_text")), context=True)
+    return out.select("doc_id", "n_blocks", "n_good",
+                      F.md5("content").alias("content_hash"),
+                      "content_len")
+
+
+def _content_context_sql():
+    from pyproj_spark.operators.content import content_context_sql
+    page = (
+        "'<body><div><a href=\"/\">home</a> "
+        "<a href=\"/x\">links here</a></div>"
+        "<p>Tiny.</p><p>' || text || '</p><p>Key point ' "
+        "|| CAST(doc_id AS VARCHAR) || '.</p><p>' || text || "
+        "'</p><footer><a href=\"/t\">terms</a></footer></body>'")
+    e = content_context_sql(page)
+    return (f"SELECT doc_id, {e['n_blocks']} AS n_blocks, "
+            f"{e['n_good']} AS n_good, "
+            f"md5({e['content']}) AS content_hash, "
+            f"{e['content_len']} AS content_len FROM documents")
+
+
+QUERIES_TEXT["content_context"] = (q_content_context,
+                                   _content_context_sql())

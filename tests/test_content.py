@@ -48,3 +48,26 @@ def test_empty_and_tagless(spark):
     rows = {r.doc_id: r for r in extract_main_content(df).collect()}
     assert rows[1].n_good == 0 and rows[1].content == ""
     assert rows[2].n_good == 1  # one long tagless block is content
+
+
+def test_context_pass(spark):
+    """jusText neighbor smoothing: a short quote between good
+    paragraphs survives; short nav fragments do not."""
+    page = (
+        "<body>"
+        '<div><a href="/">home</a> <a href="/b">all of these</a></div>'
+        "<p>Tiny.</p>"          # short but neighbors are bad -> out
+        f"<p>{LONG}</p>"
+        "<p>A short quote.</p>"  # short, prev block good -> KEPT
+        f"<p>{LONG}</p>"
+        "<p>x</p>"               # below short_min -> out regardless
+        "</body>")
+    df = spark.createDataFrame([(1, page)],
+                               "doc_id long, html_text string")
+    plain = extract_main_content(df).head()
+    ctx = extract_main_content(df, context=True).head()
+    assert plain.n_good == 2
+    assert ctx.n_good == 3
+    assert "A short quote." in ctx.content
+    assert "Tiny." not in ctx.content
+    assert "home" not in ctx.content
