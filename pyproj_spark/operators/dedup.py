@@ -327,3 +327,38 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0))
                      >= F.lit(min_overlap)).alias("contaminated")))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", df_max: int = 1
+                    ) -> DataFrame:
+    """Paragraph-level dedup (the CCNet stage): a paragraph appearing
+    in more than ``df_max`` DISTINCT documents is boilerplate; the
+    cleaned text keeps only non-duplicated paragraphs, in order.
+
+    Plan: explode paragraphs -> distinct (doc, hash) -> groupBy hash
+    with partial aggregation (boilerplate heat absorbed map-side) ->
+    the duplicated-hash set joins back BROADCAST (it is the set of
+    repeated paragraphs — vocabulary-scale, not corpus-scale) -> the
+    doc's paragraph array is filtered in place, one shuffle total."""
+    paras = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda p: F.trim(p) != F.lit(""))
+    staged = df.select(id_col, paras.alias("_paras"))
+    ph = (staged.select(id_col, F.explode("_paras").alias("p"))
+          .select(id_col, F.md5(F.trim("p")).alias("h"))
+          .distinct())
+    dup = (ph.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+           .filter(F.col("ndocs") > df_max)
+           .select(F.collect_set("h").alias("dups")))
+    out = (staged.crossJoin(F.broadcast(dup))
+           .withColumn("_clean", F.filter(
+               F.col("_paras"),
+               lambda p: ~F.array_contains(F.col("dups"),
+                                           F.md5(F.trim(p))))))
+    return out.select(
+        id_col,
+        F.size("_paras").alias("n_paras"),
+        (F.size("_paras") - F.size("_clean")).alias("n_dup"),
+        F.md5(F.array_join(F.transform(F.col("_clean"),
+                                       lambda p: F.trim(p)), "\n"))
+        .alias("clean_hash"))

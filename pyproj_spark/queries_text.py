@@ -1819,3 +1819,65 @@ def _content_context_sql():
 
 QUERIES_TEXT["content_context"] = (q_content_context,
                                    _content_context_sql())
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level dedup (the CCNet boilerplate-removal stage):
+    docs are given a deterministic multi-paragraph structure — a
+    unique head, a corpus-wide boilerplate paragraph, for even ids a
+    half-corpus boilerplate, a unique tail — and every paragraph
+    present in >1 distinct documents is removed. The duplicated-hash
+    set broadcasts back; the oracle rebuilds cleaned text
+    set-algebraically and the clean hash is value-gated."""
+    from pyproj_spark.operators.dedup import paragraph_dedup
+    d = _docs(spark, sf_dir)
+    text = F.concat(
+        F.substring("text", 1, 80), F.lit("\n"),
+        F.lit("subscribe to our newsletter for updates"), F.lit("\n"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("follow us on social media\n")).otherwise(F.lit("")),
+        F.substring("text", 81, 1000000))
+    return paragraph_dedup(
+        d.select("doc_id", text.alias("text")))
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH built AS (
+  SELECT doc_id,
+         substr(text, 1, 80) || chr(10)
+         || 'subscribe to our newsletter for updates' || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'follow us on social media' || chr(10)
+                 ELSE '' END
+         || substr(text, 81) AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         list_filter(str_split(text, chr(10)),
+                     p -> trim(p) <> '') AS ps
+  FROM built
+),
+ph AS (
+  SELECT DISTINCT doc_id, md5(trim(p)) AS h
+  FROM paras, UNNEST(ps) AS u(p)
+),
+dup AS (
+  SELECT h FROM ph GROUP BY h HAVING count(*) > 1
+),
+dupl AS (SELECT coalesce(list(h), []) AS hs FROM dup),
+cleaned AS (
+  SELECT doc_id, ps,
+         list_filter(ps, p -> NOT list_contains(hs, md5(trim(p))))
+             AS cl
+  FROM paras CROSS JOIN dupl
+)
+SELECT doc_id, len(ps) AS n_paras,
+       len(ps) - len(cl) AS n_dup,
+       md5(array_to_string(list_transform(cl, p -> trim(p)),
+                           chr(10))) AS clean_hash
+FROM cleaned
+"""
+
+QUERIES_TEXT["paragraph_dedup"] = (q_paragraph_dedup,
+                                   SQL_PARAGRAPH_DEDUP)

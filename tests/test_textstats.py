@@ -92,3 +92,23 @@ def test_decontaminate(spark):
     plan = decontaminate(corpus, bench) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_paragraph_dedup(spark):
+    from pyproj_spark.operators.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(0, "unique zero\nshared boilerplate\ntail zero"),
+         (1, "unique one\nshared boilerplate\n\n  \ntail one"),
+         (2, "all mine\nonly here")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_paras, r.n_dup)
+           for r in paragraph_dedup(docs).collect()}
+    # empties/whitespace-only paragraphs don't count
+    assert got[0] == (3, 1) and got[1] == (3, 1)
+    assert got[2] == (2, 0)
+    # cleaned text of docs 0/1 keeps order and drops only the shared
+    import hashlib
+    want0 = hashlib.md5(b"unique zero\ntail zero").hexdigest()
+    row0 = [r for r in paragraph_dedup(docs).collect()
+            if r.doc_id == 0][0]
+    assert row0.clean_hash == want0
