@@ -139,3 +139,38 @@ def test_charset_detection():
         == "utf-8"
     # default path
     assert decode_html("日本語".encode()) == "日本語"
+
+
+def test_permissive_never_raises_fuzz():
+    """Salvage-mode contract: ARBITRARY bytes (including mutated
+    valid archives) must never raise — at crawl scale a poison file
+    may cost its tail, never the job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyproj_spark.sources.warc import parse_warc_permissive
+
+    good = build_warc(PAGES)
+    gz = build_warc(PAGES, gzip_members=True)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400))
+    def _fuzz_raw(b):
+        recs, bad = parse_warc_permissive(b)
+        assert isinstance(recs, list) and bad >= 0
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, len(good) - 1), st.integers(0, 255))
+    def _fuzz_mutate(pos, val):
+        mutated = good[:pos] + bytes([val]) + good[pos + 1:]
+        recs, bad = parse_warc_permissive(mutated)
+        assert len(recs) + bad >= 1 or recs == []
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, len(gz) - 1), st.integers(0, 255))
+    def _fuzz_mutate_gz(pos, val):
+        mutated = gz[:pos] + bytes([val]) + gz[pos + 1:]
+        parse_warc_permissive(mutated)  # must simply not raise
+
+    _fuzz_raw()
+    _fuzz_mutate()
+    _fuzz_mutate_gz()
