@@ -49,13 +49,44 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
             .drop("_d"))
 
 
+def farthest_first_init(df: DataFrame, k: int, vec_col: str = "v",
+                        id_col: str = "vec_id",
+                        round_to: int = 6) -> list[list[float]]:
+    """Deterministic k-means++-style seeding WITHOUT randomness:
+    start from the lowest-id vector and repeatedly take the point
+    farthest from its nearest chosen centroid (ties to the lowest
+    id). This is farthest-first traversal — the classic 2-approx for
+    k-center — and, unlike first-K init, it spans well-separated
+    clusters regardless of row order. One max_by job per seed; k is
+    small, so the driver loop is k lightweight actions."""
+    emb = df.select(id_col, F.col(vec_col).alias("v"))
+    first = emb.orderBy(id_col).limit(1).collect()[0]
+    cents = [list(first.v)]
+    for _ in range(k - 1):
+        scored = assign_clusters(emb, cents, round_to=round_to)
+        far = (scored
+               .orderBy(F.col("dist2").desc(), F.col(id_col))
+               .limit(1).collect()[0])
+        cents.append(list(far.v))
+    return cents
+
+
 def kmeans_fit(df: DataFrame, vec_col: str = "v", k: int = 8,
                iters: int = 2, id_col: str = "vec_id",
-               round_to: int = 6) -> list[list[float]]:
-    """Lloyd's iterations; returns the final rounded centroids."""
+               round_to: int = 6,
+               init: str = "first") -> list[list[float]]:
+    """Lloyd's iterations; returns the final rounded centroids.
+    ``init``: "first" (first K by id — SQL-replayable, used by the
+    oracle-gated query) or "farthest" (farthest-first traversal —
+    deterministic and row-order-robust, the quality choice)."""
     emb = df.select(id_col, F.col(vec_col).alias("v"))
-    cents = [list(r.v) for r in
-             emb.orderBy(id_col).limit(k).collect()]
+    if init == "farthest":
+        cents = farthest_first_init(df, k, vec_col, id_col, round_to)
+    elif init == "first":
+        cents = [list(r.v) for r in
+                 emb.orderBy(id_col).limit(k).collect()]
+    else:
+        raise ValueError(f"init must be first|farthest: {init}")
     for _ in range(iters):
         assigned = assign_clusters(emb, cents)
         rows = (assigned

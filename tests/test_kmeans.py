@@ -55,3 +55,28 @@ def test_empty_cluster_keeps_centroid(spark):
     # seed pair where seed 1 captures nothing after update
     cents = kmeans_fit(df, k=2, iters=3, vec_col="v")
     assert len(cents) == 2  # never crashes, both centroids survive
+
+
+def test_farthest_first_spans_blobs(spark):
+    """When blob members are CONTIGUOUS by id, first-K init seeds all
+    centroids inside one blob; farthest-first traversal spans all
+    three — the init-quality property itself (Lloyd iterations can
+    sometimes rescue a bad init, so we assert on the seeds)."""
+    import numpy as np
+    from pyproj_spark.operators.kmeans import farthest_first_init
+    rng = np.random.RandomState(9)
+    centers = np.array([[0, 0], [50, 0], [0, 50]], dtype=float)
+    pts = [(c * 30 + i, c,
+            (centers[c] + rng.normal(0, .5, 2)).tolist())
+           for c in range(3) for i in range(30)]
+    df = spark.createDataFrame([(i, v) for i, _c, v in pts],
+                               "vec_id long, v array<double>")
+
+    def blob_of(vec):
+        return int(np.argmin(((centers - np.array(vec)) ** 2)
+                             .sum(axis=1)))
+
+    seeds = farthest_first_init(df, k=3)
+    assert sorted(blob_of(s) for s in seeds) == [0, 1, 2]
+    # the deterministic contract: same input -> same seeds
+    assert farthest_first_init(df, k=3) == seeds
