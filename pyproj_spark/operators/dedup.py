@@ -362,3 +362,57 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         F.md5(F.array_join(F.transform(F.col("_clean"),
                                        lambda p: F.trim(p)), "\n"))
         .alias("clean_hash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 16,
+                  bands: int = 4, max_hamming: int = 3,
+                  band_cap: int = 200) -> DataFrame:
+    """SimHash hamming-distance near-dup pairs (the web-dedup design
+    from the original simhash paper): by pigeonhole, two signatures
+    within hamming distance < ``bands`` share at least one exact
+    band, so candidate generation is ``bands`` equi-joins on band
+    values — no signature self-join — followed by an exact popcount
+    filter. All pure Catalyst bit math.
+
+    Same hot-key discipline as minhash_lsh_pairs: a band value held
+    by more than ``band_cap`` docs (a degenerate constant-signature
+    band) is dropped from pair expansion rather than exploding
+    quadratically; exact dedup upstream owns identical-text pairs."""
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    w = bits // bands
+    sig = simhash(df, text_col, bits, id_col).select(id_col, "simhash")
+    mask = (1 << w) - 1
+    bexp = F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * w)
+                 .bitwiseAND(F.lit(mask)).alias("val"))
+        for b in range(bands)]))
+    keyed = sig.select(id_col, "simhash", bexp.alias("bk")) \
+        .select(id_col, "simhash", "bk.band", "bk.val")
+    grp = (keyed.groupBy("band", "val")
+           .agg(F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                        F.col("simhash").alias("s")))
+                .alias("members"))
+           .filter((F.size("members") >= 2)
+                   & (F.size("members") <= band_cap)))
+    pairs = grp.select(F.explode(F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size("members") - 2),
+        lambda i: F.transform(
+            F.slice(F.col("members"), i + 2,
+                    F.size("members")),
+            lambda m: F.struct(
+                F.element_at(F.col("members"),
+                             (i + 1).cast("int"))["id"].alias("id_a"),
+                m["id"].alias("id_b"),
+                F.element_at(F.col("members"),
+                             (i + 1).cast("int"))["s"].alias("sa"),
+                m["s"].alias("sb")))))).alias("p")).select("p.*")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (pairs
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -1881,3 +1881,40 @@ FROM cleaned
 
 QUERIES_TEXT["paragraph_dedup"] = (q_paragraph_dedup,
                                    SQL_PARAGRAPH_DEDUP)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash hamming near-dup pairs (the original web-dedup
+    design): pigeonhole banding — hamming < 4 implies an exact match
+    on one of 4 four-bit bands — turns pair generation into band
+    equi-joins with the same hot-band cap as minhash_lsh, then an
+    exact popcount filter. The oracle recomputes signatures, bands,
+    and xor-popcounts in SQL."""
+    from pyproj_spark.operators.dedup import simhash_pairs
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sig AS ({SQL_SIMHASH}),
+keyed AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 4)) & 15 AS val
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
+),
+grp AS (
+  SELECT band, val, count(*) AS n FROM keyed GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND 200
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM keyed a
+  JOIN keyed b ON a.band = b.band AND a.val = b.val
+              AND a.doc_id < b.doc_id
+  JOIN grp g ON g.band = a.band AND g.val = a.val
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+QUERIES_TEXT["simhash_pairs"] = (q_simhash_pairs, SQL_SIMHASH_PAIRS)

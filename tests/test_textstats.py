@@ -112,3 +112,25 @@ def test_paragraph_dedup(spark):
     row0 = [r for r in paragraph_dedup(docs).collect()
             if r.doc_id == 0][0]
     assert row0.clean_hash == want0
+
+
+def test_simhash_pairs(spark):
+    from pyproj_spark.operators.dedup import simhash_pairs
+    df = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog once more"),
+        (1, "the quick brown fox jumps over the lazy dog once more?"),
+        (2, "entirely unrelated catalyst optimizer discussion text"),
+    ], "doc_id long, text string")
+    # 16-bit signatures are coarse on tiny texts: at the default
+    # hamming<=3 even unrelated shorts can collide, so assert at the
+    # strict threshold where only the true near-dup survives
+    pairs = simhash_pairs(df, max_hamming=1).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    assert pairs[0].hamming <= 1
+    # pigeonhole: identical docs pair at hamming 0 via every band,
+    # but distinct() collapses the duplicate candidates
+    df2 = spark.createDataFrame(
+        [(0, "same words here entirely"), (1, "same words here entirely")],
+        "doc_id long, text string")
+    p2 = simhash_pairs(df2).collect()
+    assert len(p2) == 1 and p2[0].hamming == 0
