@@ -56,5 +56,9 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                  .select("node",
                          F.round(F.lit(base) + F.lit(damping)
                                  * F.coalesce("in_c", F.lit(0.0)),
-                                 round_to).alias("rank")))
+                                 round_to).alias("rank"))
+                 # truncate lineage: each iteration's dangling .first()
+                 # would otherwise recompute ALL previous iterations
+                 # (exponential replan growth — same fix as the CC loop)
+                 .localCheckpoint(eager=False))
     return ranks
