@@ -1750,3 +1750,79 @@ FROM counts JOIN spread ON counts.cell = spread.center
 
 
 QUERIES["hex_smooth"] = (q_hex_smooth, _hex_smooth_sql())
+
+
+def q_funnel(spark, sf_dir):
+    """Conversion-funnel analysis (view -> click within 24 h ->
+    purchase within 24 h, per user): three chained conditional minima
+    — the first view, the first click in the day after it, the first
+    purchase in the day after that — then per-stage user counts.
+    Three partial-aggregated groupBys on user_id (high-cardinality,
+    skew-free), no window, no self-join; the oracle chains the same
+    minima in SQL. The 24 h step bound is what splits users across
+    stages (unbounded steps converge to everyone converting)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type",
+                                            "ts")
+    tv = (ev.groupBy("user_id")
+          .agg(F.min(F.when(F.col("event_type") == "view",
+                            F.col("ts"))).alias("tv")))
+    tc = (ev.join(tv, "user_id")
+          .groupBy("user_id")
+          .agg(F.first("tv").alias("tv"),
+               F.min(F.when((F.col("event_type") == "click")
+                            & (F.col("ts") >= F.col("tv"))
+                            & (F.unix_micros(F.col("ts")
+                                             .cast("timestamp"))
+                               - F.unix_micros(F.col("tv")
+                                               .cast("timestamp"))
+                               <= 86400000000),
+                            F.col("ts"))).alias("tc")))
+    tb = (ev.join(tc, "user_id")
+          .groupBy("user_id")
+          .agg(F.first("tv").alias("tv"), F.first("tc").alias("tc"),
+               F.min(F.when((F.col("event_type") == "purchase")
+                            & (F.col("ts") >= F.col("tc"))
+                            & (F.unix_micros(F.col("ts")
+                                             .cast("timestamp"))
+                               - F.unix_micros(F.col("tc")
+                                               .cast("timestamp"))
+                               <= 86400000000),
+                            F.col("ts"))).alias("tb")))
+    stage = (F.when(F.col("tb").isNotNull(), 3)
+             .when(F.col("tc").isNotNull(), 2)
+             .when(F.col("tv").isNotNull(), 1)
+             .otherwise(0))
+    return (tb.select(stage.alias("stage"))
+            .groupBy("stage").agg(F.count(F.lit(1)).alias("n_users")))
+
+
+SQL_FUNNEL = """
+WITH tv AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+  FROM events GROUP BY user_id
+),
+tc AS (
+  SELECT e.user_id, any_value(tv.tv) AS tv,
+         min(CASE WHEN e.event_type = 'click' AND e.ts >= tv.tv
+                   AND epoch_us(e.ts) - epoch_us(tv.tv) <= 86400000000
+                  THEN e.ts END) AS tc
+  FROM events e JOIN tv ON e.user_id = tv.user_id
+  GROUP BY e.user_id
+),
+tb AS (
+  SELECT e.user_id, any_value(tc.tv) AS tv, any_value(tc.tc) AS tc,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= tc.tc
+                   AND epoch_us(e.ts) - epoch_us(tc.tc) <= 86400000000
+                  THEN e.ts END) AS tb
+  FROM events e JOIN tc ON e.user_id = tc.user_id
+  GROUP BY e.user_id
+)
+SELECT CASE WHEN tb IS NOT NULL THEN 3
+            WHEN tc IS NOT NULL THEN 2
+            WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS stage,
+       count(*) AS n_users
+FROM tb GROUP BY 1
+"""
+
+QUERIES["funnel"] = (q_funnel, SQL_FUNNEL)
