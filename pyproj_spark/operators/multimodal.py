@@ -437,3 +437,44 @@ def decode_features(df: DataFrame, bin_col: str = "payload",
             })
 
     return df.select("url", bin_col).mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def audio_tone_detect(df: DataFrame, bin_col: str = "payload",
+                      freqs: tuple = (500, 1000, 2000, 3000)
+                      ) -> DataFrame:
+    """Spectral tone detection over REAL WAV bytes: decode the RIFF
+    container, then measure single-frequency DFT energies
+    E_f = (Σ sₙ·cos(2πfn/rate))² + (Σ sₙ·sin(2πfn/rate))² at each
+    candidate frequency and report the argmax (ties to the lowest
+    frequency) with its energy share. Vectorized numpy inside the
+    Arrow batch — the audio analogue of the gated image decodes, one
+    step past RMS into actual signal analysis."""
+    import numpy as np
+
+    from pyproj_spark.kernels.riff import decode_wav
+
+    def _det(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf["url"], pdf[bin_col]):
+                try:
+                    s, rate = decode_wav(bytes(b))
+                except (ValueError, NotImplementedError):
+                    continue
+                x = s.astype(np.float64)[:, 0]
+                n = np.arange(x.shape[0])
+                es = []
+                for f in freqs:
+                    w = 2.0 * np.pi * f * n / rate
+                    es.append(float(np.dot(x, np.cos(w)) ** 2
+                                    + np.dot(x, np.sin(w)) ** 2))
+                best = int(np.argmax(es))  # first max = lowest freq
+                total = sum(es)
+                rows.append((u, int(freqs[best]),
+                             round(es[best] / total, 6)
+                             if total > 0 else 0.0))
+            yield pd.DataFrame(
+                rows, columns=["url", "detected_hz", "energy_share"])
+
+    return df.mapInPandas(
+        _det, "url string, detected_hz int, energy_share double")

@@ -1918,3 +1918,80 @@ SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
 """
 
 QUERIES_TEXT["simhash_pairs"] = (q_simhash_pairs, SQL_SIMHASH_PAIRS)
+
+
+def q_tone_detect(spark, sf_dir):
+    """Spectral tone detection, oracle-checked end to end: each doc
+    gets a REAL 16-bit WAV carrying a pure sine at one of four
+    frequencies (chosen by doc_id, floor-quantized samples so both
+    engines build identical integers); the operator decodes the RIFF
+    bytes and measures single-frequency DFT energies, and the oracle
+    recomputes the same Goertzel-style sums arithmetically from the
+    sample formula. The detected frequency must match exactly and the
+    dominant bin's energy share to 1e-6."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyproj_spark.operators.multimodal import audio_tone_detect
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    freqs = (500, 1000, 2000, 3000)
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyproj_spark.kernels.riff import encode_wav
+        cache: dict = {}
+
+        def _wav(d: int) -> bytes:
+            f = freqs[d % 4]
+            if f not in cache:
+                n = np.arange(256)
+                s = np.floor(20000.0
+                             * np.sin(2.0 * np.pi * f * n / 8000.0))
+                cache[f] = encode_wav(s.astype(np.int64), rate=8000,
+                                      bits=16)
+            return cache[f]
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "payload": [_wav(int(d)) for d in pdf["doc_id"]]})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    return audio_tone_detect(blobs).select(
+        F.col("url").cast("long").alias("doc_id"),
+        "detected_hz", "energy_share")
+
+
+def _tone_sql():
+    es = []
+    for f in (500, 1000, 2000, 3000):
+        es.append(f"""
+  (SELECT pow(sum(x * cos(2 * pi() * {f} * n / 8000.0)), 2)
+        + pow(sum(x * sin(2 * pi() * {f} * n / 8000.0)), 2)
+   FROM (SELECT unnest(range(256)) AS n,
+                floor(20000.0 * sin(2 * pi() * fr * unnest(range(256))
+                                    / 8000.0)) AS x) ) AS e{f}""")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN 500 WHEN 1 THEN 1000
+                          WHEN 2 THEN 2000 ELSE 3000 END) AS fr
+  FROM documents
+),
+en AS (
+  SELECT doc_id, fr, {",".join(es)}
+  FROM d
+)
+SELECT doc_id,
+  CASE greatest(e500, e1000, e2000, e3000)
+    WHEN e500 THEN 500 WHEN e1000 THEN 1000
+    WHEN e2000 THEN 2000 ELSE 3000 END AS detected_hz,
+  round(greatest(e500, e1000, e2000, e3000)
+        / (e500 + e1000 + e2000 + e3000), 6) AS energy_share
+FROM en
+"""
+
+
+QUERIES_TEXT["tone_detect"] = (q_tone_detect, _tone_sql())
