@@ -1826,3 +1826,42 @@ FROM tb GROUP BY 1
 """
 
 QUERIES["funnel"] = (q_funnel, SQL_FUNNEL)
+
+
+def q_retention(spark, sf_dir):
+    """Cohort retention matrix: users are cohorted by the ISO week of
+    their first event; each (cohort_week, week_offset) cell counts
+    users from that cohort active in that later week. Two partial-
+    aggregated groupBys (per-user first event; per (user, week)
+    activity) and one broadcast-size join — no window over the fact
+    table. Weeks are epoch-day/7 buckets so both engines bucket
+    identically (no ISO-calendar edge divergence)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    week = (F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                    / F.lit(604800000000))).alias("week")
+    act = ev.select("user_id", week).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (act.join(first, "user_id")
+            .select("cohort",
+                    (F.col("week") - F.col("cohort"))
+                    .alias("week_offset"))
+            .groupBy("cohort", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+SQL_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, min(week) AS cohort FROM act GROUP BY user_id
+)
+SELECT f.cohort, a.week - f.cohort AS week_offset,
+       count(*) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+QUERIES["retention"] = (q_retention, SQL_RETENTION)
