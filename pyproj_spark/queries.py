@@ -1865,3 +1865,41 @@ GROUP BY 1, 2
 """
 
 QUERIES["retention"] = (q_retention, SQL_RETENTION)
+
+
+def q_skewed_agg(spark, sf_dir):
+    """Skew-safe aggregation under the gate: a deliberately hot key
+    distribution (80% of docs share 3 keys — the web-data city skew)
+    is aggregated through the SALTED two-stage operator, and the
+    oracle computes the plain GROUP BY — salting must be
+    result-invariant while splitting each hot key across 16 shuffle
+    partitions. Gates the skew machinery itself, not just a plan
+    property."""
+    from pyproj_spark.operators.skew import salted_agg
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    hot = F.when(i % 10 < 8, (i % 3).cast("long")) \
+        .otherwise((i % 97 + 100).cast("long"))
+    keyed = d.select(hot.alias("k"), "n_chars")
+    return salted_agg(keyed, ["k"], {
+        "n": (F.count(F.lit(1)), F.sum("n")),
+        "sum_chars": (F.sum("n_chars"), F.sum("sum_chars")),
+        "max_chars": (F.max("n_chars"), F.max("max_chars")),
+    }).select("k", F.col("n").cast("long").alias("n"),
+              F.col("sum_chars").cast("long").alias("sum_chars"),
+              "max_chars")
+
+
+SQL_SKEWED_AGG = """
+WITH keyed AS (
+  SELECT CASE WHEN doc_id % 10 < 8 THEN doc_id % 3
+              ELSE doc_id % 97 + 100 END AS k,
+         n_chars
+  FROM documents
+)
+SELECT k, count(*) AS n, sum(n_chars) AS sum_chars,
+       max(n_chars) AS max_chars
+FROM keyed GROUP BY k
+"""
+
+QUERIES["skewed_agg"] = (q_skewed_agg, SQL_SKEWED_AGG)
