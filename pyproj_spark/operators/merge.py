@@ -107,3 +107,16 @@ def scd2_apply(history: DataFrame, changes: DataFrame,
         F.lit(None).cast(cur.schema[valid_from].dataType)
         .alias(valid_to))
     return old.unionByName(kept_cur).unionByName(opened)
+
+
+def scd2_as_of(history: DataFrame, at, valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """Time travel over an SCD-2 history: the state visible at ``at``
+    (valid_from <= at < valid_to, open intervals included). A single
+    filter — at scale this prunes to the partitions whose validity
+    ranges cover ``at`` when the table is range-partitioned on
+    valid_from."""
+    return history.filter(
+        (F.col(valid_from) <= F.lit(at))
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > F.lit(at)))) \
+        .drop(valid_from, valid_to)

@@ -1903,3 +1903,60 @@ FROM keyed GROUP BY k
 """
 
 QUERIES["skewed_agg"] = (q_skewed_agg, SQL_SKEWED_AGG)
+
+
+def q_scd2_asof(spark, sf_dir):
+    """Time travel over the SCD-2 history built by q_scd2: the state
+    as of ts=50 must equal the ORIGINAL table (every change happened
+    at ts=100), which the oracle states directly — an end-to-end
+    check that history application preserves point-in-time
+    reconstructability."""
+    from pyproj_spark.operators.merge import scd2_apply, scd2_as_of
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    hist = o.select("o_orderkey", "price",
+                    F.lit(0).cast("long").alias("valid_from"),
+                    F.lit(None).cast("long").alias("valid_to"))
+    k = F.col("o_orderkey")
+    changes = (o.filter(k % 3 == 1)
+               .select("o_orderkey",
+                       F.round(F.col("price") + 7.33, 2).alias("price"),
+                       F.lit(100).cast("long").alias("ts")))
+    applied = scd2_apply(hist, changes, ["o_orderkey"], ["price"])
+    return scd2_as_of(applied, 50)
+
+
+SQL_SCD2_ASOF = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+"""
+
+QUERIES["scd2_asof"] = (q_scd2_asof, SQL_SCD2_ASOF)
+
+
+def q_histogram(spark, sf_dir):
+    """Equi-width histogram of o_totalprice (20 bins over the actual
+    min..max): two passes — a min/max aggregate that broadcasts back
+    as literals, then one bucketing aggregate (floor arithmetic, the
+    same expression inlined in the oracle). Values at max land in the
+    last bin."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round("o_totalprice", 2).alias("v"))
+    lo, hi = o.agg(F.min("v"), F.max("v")).first()
+    w = (hi - lo) / 20.0
+    b = F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(w)),
+                F.lit(19)).cast("long")
+    return (o.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("v"), 4).alias("mean_v")))
+
+
+SQL_HISTOGRAM = """
+WITH o AS (SELECT round(o_totalprice, 2) AS v FROM orders),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM o)
+SELECT least(CAST(floor((v - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+             19) AS bin,
+       count(*) AS n, round(avg(v), 4) AS mean_v
+FROM o, mm GROUP BY 1
+"""
+
+QUERIES["histogram"] = (q_histogram, SQL_HISTOGRAM)
