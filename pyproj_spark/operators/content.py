@@ -135,8 +135,11 @@ def content_sql(html_expr: str, min_len: int = MIN_LEN) -> dict:
     good = (f"list_filter({scored}, s -> length(s.text) >= {min_len} "
             f"AND (length(s.text) - length(s.nolink)) * 3 "
             f"<= length(s.text))")
-    content = (f"array_to_string(list_transform({good}, "
-               f"s -> s.text), chr(10))")
+    # DuckDB's array_to_string([]) is NULL where Spark's array_join
+    # yields '' — coalesce so a doc with zero good blocks still
+    # hash-matches the Spark side.
+    content = (f"coalesce(array_to_string(list_transform({good}, "
+               f"s -> s.text), chr(10)), '')")
     return dict(n_blocks=f"len({scored})", n_good=f"len({good})",
                 content=content, content_len=f"length({content})")
 
@@ -173,7 +176,7 @@ def content_context_sql(html_expr: str, min_len: int = MIN_LEN,
             f"OR coalesce(f[i + 1].good, false))))) "
             f"FROM (SELECT {flag} AS f))")
     good = f"list_filter({keep}, s -> s.good)"
-    content = (f"array_to_string(list_transform({good}, "
-               f"s -> s.text), chr(10))")
+    content = (f"coalesce(array_to_string(list_transform({good}, "
+               f"s -> s.text), chr(10)), '')")
     return dict(n_blocks=f"len({keep})", n_good=f"len({good})",
                 content=content, content_len=f"length({content})")

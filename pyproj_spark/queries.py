@@ -1752,6 +1752,61 @@ FROM counts JOIN spread ON counts.cell = spread.center
 QUERIES["hex_smooth"] = (q_hex_smooth, _hex_smooth_sql())
 
 
+def q_knn_hex(spark, sf_dir):
+    """Fact-to-fact kNN on the HEX grid (operators.knn.knn_hex — the
+    hex twin of knn_ring): every ~29th document queries its 3 nearest
+    other documents among candidates within hex distance 2 of its
+    res-0 cell (19 isotropic cells vs the quadtree's 25). Approximate
+    by construction; the oracle replays the identical candidate rule
+    by pure integer cell-id adds, so the gate covers the hex id
+    layout, ring membership, and the rounded-haversine ranking."""
+    from pyproj_spark.operators.knn import knn_hex
+    pts = _doc_points(spark, sf_dir)
+    qs = (pts.filter(F.col("doc_id") % 29 == 0)
+          .select(F.col("doc_id").alias("qid"), "lon", "lat"))
+    tg = pts.select(F.col("doc_id").alias("nbr_id"), "lon", "lat")
+    return knn_hex(qs, tg, k=3, ring=2, res=0,
+                   left_id="qid", right_id="nbr_id", round_m=True)
+
+
+def _knn_hex_sql(res: int = 0, ring: int = 2) -> str:
+    from pyproj_spark.functions.hexcell import hex_sql
+    deltas = ", ".join(
+        f"({(dq << 29) + dr})"
+        for dq in range(-ring, ring + 1)
+        for dr in range(max(-ring, -dq - ring), min(ring, -dq + ring) + 1))
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+cells AS (
+  SELECT doc_id, lon, lat, {hex_sql(res)} AS cell FROM pts
+),
+qs AS (
+  SELECT doc_id AS qid, lon AS qlon, lat AS qlat, cell + d.d AS cand
+  FROM cells CROSS JOIN (VALUES {deltas}) AS d(d)
+  WHERE doc_id % 29 = 0
+),
+cand AS (
+  SELECT qid, t.doc_id AS nbr_id,
+         CAST(round(2.0 * 6371008.8 * asin(sqrt(
+             pow(sin((radians(t.lat) - radians(qlat)) / 2), 2)
+             + cos(radians(qlat)) * cos(radians(t.lat))
+               * pow(sin((radians(t.lon) - radians(qlon)) / 2), 2)
+         ))) AS BIGINT) AS dist_m
+  FROM qs JOIN cells t ON t.cell = qs.cand AND t.doc_id <> qs.qid
+),
+ranked AS (
+  SELECT qid, nbr_id, dist_m,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist_m, nbr_id) AS rank
+  FROM cand
+)
+SELECT qid, rank, nbr_id, dist_m FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES["knn_hex"] = (q_knn_hex, _knn_hex_sql())
+
+
 def q_funnel(spark, sf_dir):
     """Conversion-funnel analysis (view -> click within 24 h ->
     purchase within 24 h, per user): three chained conditional minima

@@ -1874,8 +1874,8 @@ cleaned AS (
 )
 SELECT doc_id, len(ps) AS n_paras,
        len(ps) - len(cl) AS n_dup,
-       md5(array_to_string(list_transform(cl, p -> trim(p)),
-                           chr(10))) AS clean_hash
+       md5(coalesce(array_to_string(list_transform(cl, p -> trim(p)),
+                                    chr(10)), '')) AS clean_hash
 FROM cleaned
 """
 

@@ -475,3 +475,48 @@ def test_plane_components_literal_path_identical(spark):
     # and the python components themselves are in range
     comps = _plane_components_py(3, 64)
     assert len(comps) == 64 and all(-1.0 <= c <= 1.0 for c in comps)
+
+
+def test_knn_hex_matches_bruteforce_within_ring(spark):
+    """Hex-ring kNN must equal brute-force haversine kNN restricted to
+    the same hex-distance-<=ring candidate rule (the operator's
+    documented contract), and candidates at hex distance > ring must
+    never appear."""
+    import numpy as np
+    from pyproj_spark.functions.hexcell import encode_np, decode_np
+    from pyproj_spark.operators.knn import knn_hex
+
+    rng = [(i, -40.0 + (i * 37 % 100) * 0.9, -60.0 + (i * 61 % 100) * 1.1)
+           for i in range(120)]
+    df = spark.createDataFrame(rng, ["pid", "lon", "lat"])
+    left = df.withColumnRenamed("pid", "lid")
+    right = df.withColumnRenamed("pid", "rid")
+    res, ring, k = 1, 2, 3
+    got = (knn_hex(left, right, k=k, ring=ring, res=res)
+           .toPandas().sort_values(["lid", "rank"]).reset_index(drop=True))
+
+    ids = np.array([p[0] for p in rng])
+    lons = np.array([p[1] for p in rng])
+    lats = np.array([p[2] for p in rng])
+    cells = encode_np(lons, lats, res)
+    _, q, r = decode_np(cells)
+
+    def hexdist(i, j):
+        dq, dr = int(q[i] - q[j]), int(r[i] - r[j])
+        return (abs(dq) + abs(dr) + abs(dq + dr)) // 2
+
+    def hav(i, j):
+        rl1, rl2 = np.radians(lats[i]), np.radians(lats[j])
+        dlon = np.radians(lons[j] - lons[i])
+        h = (np.sin((rl2 - rl1) / 2) ** 2
+             + np.cos(rl1) * np.cos(rl2) * np.sin(dlon / 2) ** 2)
+        return 2 * 6371008.8 * np.arcsin(np.sqrt(h))
+
+    for i in range(len(rng)):
+        cand = [(hav(i, j), ids[j]) for j in range(len(rng))
+                if j != i and hexdist(i, j) <= ring]
+        exp = sorted(cand)[:k]
+        sub = got[got["lid"] == ids[i]]
+        assert list(sub["rid"]) == [cid for _, cid in exp]
+        np.testing.assert_allclose(sub["dist_m"].to_numpy(),
+                                   [d for d, _ in exp], rtol=1e-9)
