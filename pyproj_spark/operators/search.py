@@ -1,0 +1,144 @@
+"""Full-text ranked retrieval: BM25 (Okapi) over a document corpus.
+
+The search primitive of a web-text pipeline (reference scope: the
+driver-mandated text-analysis family; BM25 per Robertson & Walker,
+"Okapi at TREC-3", 1994 — public formula). Spark-first plan:
+
+* one corpus pass builds per-(doc, token) term frequencies and doc
+  lengths — both partial-aggregated groupBys;
+* the query set is a tiny literal table, so document frequencies and
+  idf are computed only for query terms (the term filter collapses
+  map-side before any shuffle) and the per-term join is broadcast —
+  vocabulary never shuffles at corpus scale;
+* per-term scores are rounded to micros (1e-6) and summed as LONGS,
+  which makes the per-doc score sum associative and therefore
+  independent of Spark's aggregation order — the property that lets a
+  SQL oracle replay the exact ranking bit-for-bit.
+
+At 100 TB: the only wide exchanges are the (doc, token) count for
+query terms (bounded by |terms| × docs-containing-them) and the final
+per-query top-k window; both are partial-aggregated and the query
+table broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyproj_spark.operators.lm import _tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_search(df: DataFrame, queries: list[tuple[int, list[str]]],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = K1, b: float = B, top_k: int = 10,
+                ) -> DataFrame:
+    """Rank documents for each query by BM25.
+
+    queries: [(query_id, [lowercase terms...]), ...] — a small literal
+    set (broadcast). Returns (query_id, rank, id_col, score) with
+    score = sum over query terms of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)), each term's
+    contribution rounded to 1e-6 before an exact integer sum.
+    Ties break on ascending document id.
+    """
+    spark = df.sparkSession
+    terms = sorted({t for _, ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in set(ts)],
+        ["query_id", "token"])
+
+    toks = _tokens(df.select(id_col, text_col), text_col) \
+        .select(id_col, "token")
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # corpus scalars: one lightweight agg job each. avgdl is derived
+    # from EXACT integer sum/count with a single double division so
+    # both engines (and Python) compute the identical double.
+    n_docs = df.count()
+    s, c = dl.agg(F.sum("dl"), F.count(F.lit(1))).collect()[0]
+    avgdl = s / c
+
+    qtoks = toks.filter(F.col("token").isin(terms))
+    tf = (qtoks.groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (qtoks.distinct().groupBy("token")
+             .agg(F.count(F.lit(1)).alias("df")))
+    idf = dfreq.select(
+        "token",
+        F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)).alias("idf"))
+
+    denom = (F.col("tf")
+             + k1 * (1.0 - b + F.lit(b / float(avgdl)) * F.col("dl")))
+    term_score = F.col("idf") * F.col("tf") * (k1 + 1.0) / denom
+    scored = (tf.join(F.broadcast(idf), "token")
+              .join(dl, id_col)
+              .join(F.broadcast(qdf), "token")
+              .select("query_id", id_col,
+                      F.round(term_score * 1e6).cast("long")
+                      .alias("micros")))
+    total = (scored.groupBy("query_id", id_col)
+             .agg(F.sum("micros").alias("sm"))
+             .select("query_id", id_col,
+                     (F.col("sm") / 1e6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (total.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "rank", id_col, "score"))
+
+
+def bm25_sql(queries: list[tuple[int, list[str]]],
+             k1: float = K1, b: float = B, top_k: int = 10) -> str:
+    """DuckDB oracle replaying the identical plan (same tokenizer
+    split, same idf, same micros rounding, same tie-break)."""
+    terms = sorted({t for _, ts in queries for t in ts})
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    qrows = ", ".join(f"({qid}, '{t}')"
+                      for qid, ts in queries for t in sorted(set(ts)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+scal AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl
+),
+qt AS (SELECT * FROM toks WHERE token IN ({tlist})),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+          FROM qt GROUP BY 1),
+idf AS (
+  SELECT token,
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+             AS idf
+  FROM dfreq, scal
+),
+q AS (SELECT * FROM (VALUES {qrows}) AS q(query_id, token)),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(idf * tf * ({k1!r} + 1.0)
+                    / (tf + {k1!r} * (1.0 - {b!r}
+                       + ({b!r} / avgdl) * dl)) * 1e6) AS BIGINT)
+             AS micros
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+          JOIN q USING (token) CROSS JOIN scal
+),
+total AS (
+  SELECT query_id, doc_id, sum(micros) / 1e6 AS score
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM total) WHERE rank <= {top_k}
+"""

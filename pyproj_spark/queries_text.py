@@ -1680,6 +1680,30 @@ SELECT doc_id, rank, token, score FROM (
 QUERIES_TEXT["tfidf"] = (q_tfidf, SQL_TFIDF)
 
 
+#: BM25 query set — tiny literal table, broadcast by construction
+_BM25_QUERIES = [(1, ["spark", "join", "window"]),
+                 (2, ["hash", "table", "scan"]),
+                 (3, ["fast", "vector"])]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (operators/search.py): top-10 documents
+    per query for three multi-term queries. Corpus stats (doc length,
+    document frequency, avgdl) in partial-aggregated passes, idf only
+    for query terms, per-term scores rounded to micros and summed as
+    longs so the ranking is bitwise engine-independent."""
+    from pyproj_spark.operators.search import bm25_search
+    return bm25_search(_docs(spark, sf_dir), _BM25_QUERIES, top_k=10)
+
+
+def _bm25_sql():
+    from pyproj_spark.operators.search import bm25_sql
+    return bm25_sql(_BM25_QUERIES, top_k=10)
+
+
+QUERIES_TEXT["bm25"] = (q_bm25, _bm25_sql())
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for LLM training: the corpus token stream
     (whitespace token counts, doc_id order) is cut into 512-token

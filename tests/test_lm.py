@@ -71,3 +71,49 @@ def test_tfidf_keywords(spark):
     assert sorted(by_doc[1])[1][2] == round((1 / 3)
                                             * (math.log(4 / 3) + 1), 6)
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_bm25_matches_numpy(spark):
+    """bm25_search must equal an independent numpy BM25 (same formula,
+    unrounded) in ranking and match scores to 1e-6."""
+    import math
+    import numpy as np
+    from pyproj_spark.operators.search import bm25_search
+
+    docs = [(0, "spark join join window"),
+            (1, "join table scan scan scan"),
+            (2, "window window spark table value"),
+            (3, "value value value"),
+            (4, "spark")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    queries = [(1, ["spark", "window"]), (2, ["scan"])]
+    got = (bm25_search(df, queries, top_k=5).toPandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    texts = {i: t.split() for i, t in docs}
+    N = len(docs)
+    dls = {i: len(t) for i, t in texts.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    k1, b = 1.2, 0.75
+
+    def score(qterms, i):
+        s = 0.0
+        for t in qterms:
+            tf = texts[i].count(t)
+            if tf == 0:
+                continue
+            dfreq = sum(1 for d in texts.values() if t in d)
+            idf = math.log(1 + (N - dfreq + 0.5) / (dfreq + 0.5))
+            s += round(idf * tf * (k1 + 1)
+                       / (tf + k1 * (1 - b + b / avgdl * dls[i]))
+                       * 1e6) / 1e6
+        return s
+
+    for qid, qterms in queries:
+        exp = sorted(((score(qterms, i), i) for i in texts
+                      if score(qterms, i) > 0),
+                     key=lambda p: (-p[0], p[1]))
+        sub = got[got["query_id"] == qid]
+        assert list(sub["doc_id"]) == [i for _, i in exp]
+        np.testing.assert_allclose(sub["score"].to_numpy(),
+                                   [s for s, _ in exp], atol=2e-6)
