@@ -1807,6 +1807,40 @@ SELECT qid, rank, nbr_id, dist_m FROM ranked WHERE rank <= 3
 QUERIES["knn_hex"] = (q_knn_hex, _knn_hex_sql())
 
 
+def q_hll_users(spark, sf_dir):
+    """Distinct users per event type via the deterministic HLL sketch
+    (operators/sketch.py) next to the exact count. The sketch path
+    never shuffles raw values — registers merge with max — which is
+    the 100-TB answer to count(DISTINCT); the oracle recomputes the
+    identical md5-register estimate, so the gate covers hashing,
+    register rank, the exact integer harmonic sum, and the
+    linear-counting branch."""
+    from pyproj_spark.operators.sketch import hll_distinct
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "event_type", "user_id")
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_exact", "hll_est", "zeros"))
+
+
+def _hll_users_sql():
+    from pyproj_spark.operators.sketch import hll_sql
+    inner = hll_sql("events", "event_type", "user_id")
+    return f"""
+WITH est AS ({inner}),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, exact.n_exact, est.hll_est, est.zeros
+FROM est JOIN exact ON est.event_type = exact.event_type
+"""
+
+
+QUERIES["hll_users"] = (q_hll_users, _hll_users_sql())
+
+
 def q_funnel(spark, sf_dir):
     """Conversion-funnel analysis (view -> click within 24 h ->
     purchase within 24 h, per user): three chained conditional minima

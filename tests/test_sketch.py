@@ -1,0 +1,28 @@
+"""HLL sketch: accuracy within the published error bound and the
+linear-counting branch for sparse registers."""
+import pytest
+
+
+@pytest.mark.parametrize("n", [40, 400, 4000])
+def test_hll_accuracy(spark, n):
+    from pyproj_spark.operators.sketch import hll_distinct, M
+    df = spark.range(n * 3).selectExpr("'g' AS g",
+                                       f"id % {n} AS v")
+    got = hll_distinct(df, "g", "v").toPandas()
+    est = got["hll_est"][0]
+    # 3 sigma of HLL's 1.04/sqrt(m) standard error, plus small-n slack
+    assert abs(est - n) / n < 3 * 1.04 / (M ** 0.5) + 0.02
+    if n < M:  # sparse registers must take the linear-counting branch
+        assert got["zeros"][0] > 0
+
+
+def test_hll_deterministic_across_partitionings(spark):
+    """Register max is associative/commutative: the estimate must not
+    depend on how the input is partitioned (the merge property that
+    makes the sketch shippable across executors/days)."""
+    from pyproj_spark.operators.sketch import hll_distinct
+    base = spark.range(2000).selectExpr("'g' AS g", "id % 700 AS v")
+    a = hll_distinct(base.repartition(1), "g", "v").toPandas()
+    b = hll_distinct(base.repartition(13, "v"), "g", "v").toPandas()
+    assert a["hll_est"][0] == b["hll_est"][0]
+    assert a["zeros"][0] == b["zeros"][0]
