@@ -109,3 +109,140 @@ SELECT {group_col},
        CAST({M} - npres AS BIGINT) AS zeros
 FROM g
 """
+
+
+# --------------------------------------------------------------- CM
+
+CM_D = 4        # hash rows
+CM_W = 512      # counters per row
+
+
+def cm_build(df: DataFrame, value_col: str,
+             d: int = CM_D, w: int = CM_W) -> DataFrame:
+    """Count-Min sketch build (Cormode & Muthukrishnan 2005, public):
+    d*w bounded counters estimating any item's frequency with
+    one-sided error <= e*N/w at confidence 1-e^-d. The build is ONE
+    partial-aggregated groupBy over (row, col) — d*w cells total
+    regardless of corpus size, the bounded-memory answer to "count
+    every token at 100 TB". Hashes are md5-salted per row, so the
+    sketch is engine-reproducible.
+
+    Returns (r, c, cnt)."""
+    rows = df.select(
+        F.col(value_col).cast("string").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"))
+    col = F.pmod(F.conv(F.substring(
+        F.md5(F.concat(F.col("r").cast("string"), F.lit(":"),
+                       F.col("v"))), 1, 15), 16, 10).cast("long"),
+        F.lit(w))
+    return (rows.select("r", col.alias("c"))
+            .groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cm_topk(df: DataFrame, value_col: str, k: int = 10,
+            d: int = CM_D, w: int = CM_W) -> DataFrame:
+    """Heavy hitters by Count-Min estimate: probe each distinct item
+    (vocabulary-scale, not corpus-scale) against the broadcast sketch
+    and rank by the min-over-rows counter. Returns
+    (value, est, rank) with (est desc, value) tie-break."""
+    from pyspark.sql import Window
+    sketch = cm_build(df, value_col, d, w)
+    vocab = (df.select(F.col(value_col).cast("string").alias("v"))
+             .distinct()
+             .select("v", F.explode(F.sequence(
+                 F.lit(0), F.lit(d - 1))).alias("r")))
+    col = F.pmod(F.conv(F.substring(
+        F.md5(F.concat(F.col("r").cast("string"), F.lit(":"),
+                       F.col("v"))), 1, 15), 16, 10).cast("long"),
+        F.lit(w))
+    probed = (vocab.select("v", "r", col.alias("c"))
+              .join(F.broadcast(sketch), ["r", "c"])
+              .groupBy("v").agg(F.min("cnt").alias("est")))
+    # distributed TakeOrdered cuts the vocabulary to k rows BEFORE the
+    # global rank window, so the single-partition window sees k rows
+    topk = probed.orderBy(F.col("est").desc(), F.col("v")).limit(k)
+    rw = Window.orderBy(F.col("est").desc(), F.col("v"))
+    return (topk.withColumn("rank", F.row_number().over(rw))
+            .select("rank", F.col("v").alias("value"), "est"))
+
+
+def cm_sql(table_expr: str, value_expr: str, k: int = 10,
+           d: int = CM_D, w: int = CM_W) -> str:
+    """DuckDB oracle replaying the identical sketch + probe."""
+    def col(vexpr):
+        return (f"(CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' "
+                f"|| {vexpr}), 1, 15)) AS BIGINT) % {w})")
+    return f"""
+WITH vals AS (
+  SELECT CAST({value_expr} AS VARCHAR) AS v FROM {table_expr}
+),
+rows AS (SELECT v, r FROM vals CROSS JOIN range({d}) AS t(r)),
+sketch AS (
+  SELECT r, {col('v')} AS c, count(*) AS cnt FROM rows GROUP BY 1, 2
+),
+vocab AS (
+  SELECT DISTINCT v FROM vals
+),
+probe AS (
+  SELECT v, r, {col('v')} AS c FROM vocab CROSS JOIN range({d}) AS t(r)
+),
+est AS (
+  SELECT v, min(cnt) AS est
+  FROM probe JOIN sketch USING (r, c) GROUP BY 1
+)
+SELECT rank, value, est FROM (
+  SELECT v AS value, est,
+         row_number() OVER (ORDER BY est DESC, v) AS rank
+  FROM est) WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------------------ Bloom
+
+BLOOM_K = 3
+BLOOM_M = 4096
+
+
+def bloom_probe(ref: DataFrame, probe: DataFrame, value_col: str,
+                k: int = BLOOM_K, m: int = BLOOM_M,
+                out_col: str = "bloom_hit") -> DataFrame:
+    """Bloom-filter membership (Bloom 1970, public) expressed
+    Spark-first: the bit array IS a distinct (position) table built
+    from the reference set, and "all k bits set" IS a semi-join
+    counting k position matches — identical semantics (including the
+    false-positive behavior) to a bitmap probe, but shuffle-bounded by
+    |ref|*k positions which then BROADCAST. The 100-TB use: pre-filter
+    a corpus-side join against a small reference set (Spark's own
+    bloom-pruning strategy) without materializing the reference on
+    every executor row.
+
+    Adds ``out_col`` (boolean) to ``probe``."""
+    def positions(df, col_name):
+        return df.select(
+            F.col(col_name).cast("string").alias("v"),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+        ).select("v", "j", F.pmod(F.conv(F.substring(
+            F.md5(F.concat(F.col("j").cast("string"), F.lit("|"),
+                           F.col("v"))), 1, 15), 16, 10).cast("long"),
+            F.lit(m)).alias("pos"))
+
+    bits = positions(ref, value_col).select("pos").distinct()
+    # distinct probe values first: duplicated values would double the
+    # per-value match count and break the "exactly k matches" test
+    pv = probe.select(F.col(value_col).cast("string").alias("v")) \
+        .distinct()
+    pp = positions(pv, "v").join(F.broadcast(bits), "pos") \
+        .groupBy("v").agg(F.count(F.lit(1)).alias("_hits"))
+    return (probe.join(
+        pp.withColumnRenamed("v", "_v"),
+        probe[value_col].cast("string") == F.col("_v"), "left")
+        .withColumn(out_col, F.coalesce(F.col("_hits") == k,
+                                        F.lit(False)))
+        .drop("_v", "_hits"))
+
+
+def bloom_sql_positions(j_expr: str, value_expr: str,
+                        m: int = BLOOM_M) -> str:
+    """The shared position hash as a DuckDB SQL fragment."""
+    return (f"(CAST(('0x' || substr(md5(CAST({j_expr} AS VARCHAR) || "
+            f"'|' || {value_expr}), 1, 15)) AS BIGINT) % {m})")

@@ -1704,6 +1704,79 @@ def _bm25_sql():
 QUERIES_TEXT["bm25"] = (q_bm25, _bm25_sql())
 
 
+def q_cm_heavy(spark, sf_dir):
+    """Heavy-hitter tokens by Count-Min estimate (operators/sketch.py):
+    the corpus collapses into 4x512 counters in one partial-aggregated
+    pass, then the vocabulary probes the broadcast sketch with
+    min-over-rows. Collisions can only inflate — the gate pins the
+    exact over-count behavior, not just the happy path."""
+    from pyproj_spark.operators.lm import _tokens
+    from pyproj_spark.operators.sketch import cm_topk
+    toks = _tokens(_docs(spark, sf_dir).select("text"), "text") \
+        .select("token")
+    return cm_topk(toks, "token", k=10)
+
+
+def _cm_sql():
+    from pyproj_spark.operators.sketch import cm_sql
+    return cm_sql(
+        """(SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS token FROM documents)""",
+        "token", k=10)
+
+
+QUERIES_TEXT["cm_heavy"] = (q_cm_heavy, _cm_sql())
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership probe (operators/sketch.py): the bit
+    array is a distinct-position table from the reference fingerprints
+    (every ~31st doc), "all k bits set" is a broadcast position join —
+    bitmap semantics including false positives, without shipping the
+    reference set to every row. Output keeps the exact membership next
+    to the bloom verdict so the gate covers the FP behavior too."""
+    from pyproj_spark.operators.sketch import bloom_probe
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("fp"))
+    ref = docs.filter(F.col("doc_id") % 31 == 0).select("fp")
+    out = bloom_probe(ref, docs, "fp")
+    exact = ref.distinct().withColumn("exact_hit", F.lit(True))
+    return (out.join(exact, "fp", "left")
+            .select("doc_id", "bloom_hit",
+                    F.coalesce("exact_hit", F.lit(False))
+                    .alias("exact_hit")))
+
+
+def _bloom_sql():
+    from pyproj_spark.operators.sketch import (bloom_sql_positions,
+                                               BLOOM_K)
+    pos = bloom_sql_positions("j", "v")
+    return f"""
+WITH docs_v AS (SELECT doc_id, md5(text) AS v FROM documents),
+ref AS (SELECT v FROM docs_v WHERE doc_id % 31 = 0),
+bits AS (
+  SELECT DISTINCT {pos} AS pos
+  FROM ref CROSS JOIN range({BLOOM_K}) AS t(j)
+),
+probe AS (
+  SELECT v, j, {pos} AS pos
+  FROM (SELECT DISTINCT v FROM docs_v) CROSS JOIN range({BLOOM_K}) AS t(j)
+),
+hits AS (
+  SELECT v, count(*) AS nh
+  FROM probe JOIN bits USING (pos) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(hits.nh = {BLOOM_K}, FALSE) AS bloom_hit,
+       (d.v IN (SELECT v FROM ref)) AS exact_hit
+FROM docs_v d LEFT JOIN hits ON d.v = hits.v
+"""
+
+
+QUERIES_TEXT["bloom_filter"] = (q_bloom_filter, _bloom_sql())
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for LLM training: the corpus token stream
     (whitespace token counts, doc_id order) is cut into 512-token

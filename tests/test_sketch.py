@@ -26,3 +26,28 @@ def test_hll_deterministic_across_partitionings(spark):
     b = hll_distinct(base.repartition(13, "v"), "g", "v").toPandas()
     assert a["hll_est"][0] == b["hll_est"][0]
     assert a["zeros"][0] == b["zeros"][0]
+
+
+def test_cm_overcounts_only(spark):
+    """Count-Min estimates are one-sided: est >= true count for every
+    item, and equals it when no collision occurred."""
+    from pyproj_spark.operators.sketch import cm_topk
+    rows = [(f"tok{i % 37}",) for i in range(1000)] + [("rare",)]
+    df = spark.createDataFrame(rows, ["token"])
+    got = cm_topk(df, "token", k=50).toPandas()
+    import collections
+    true = collections.Counter(t for t, in rows)
+    for _, r in got.iterrows():
+        assert r["est"] >= true[r["value"]]
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every reference member must probe true (bloom's hard
+    guarantee), including duplicated probe values."""
+    from pyproj_spark.operators.sketch import bloom_probe
+    ref = spark.createDataFrame([(f"m{i}",) for i in range(50)], ["v"])
+    probe = spark.createDataFrame(
+        [(i, f"m{i % 80}") for i in range(400)], ["pid", "v"])
+    got = bloom_probe(ref, probe, "v").toPandas()
+    members = got[got["v"].str[1:].astype(int) < 50]
+    assert members["bloom_hit"].all()
