@@ -62,3 +62,46 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                  # (exponential replan growth — same fix as the CC loop)
                  .localCheckpoint(eager=False))
     return ranks
+
+
+def hits(edges: DataFrame, iters: int = 2, src: str = "src",
+         dst: str = "dst", round_to: int = 9) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    hyperlinked environment", JACM 1999 — public): the OTHER classic
+    web-graph score, mutually reinforcing — a page is a good authority
+    if good hubs link to it, a good hub if it links to good
+    authorities. Complements PageRank on the same host graph (HITS
+    separates directories/link pages from destination pages, which
+    PageRank's single score conflates).
+
+    Determinism is STRICTER than the pagerank loop: each propagation
+    sums CAST(round(score * 1e12) AS BIGINT) contributions — exact
+    longs, associative, so distributed aggregation order cannot leak —
+    and L1 normalization divides the two exact longs (score_sum /
+    norm_sum as one double division) before the per-iteration
+    rounding. Returns (node, hub, auth)."""
+    e = edges.select(src, dst).distinct().cache()
+    nodes = (e.select(F.col(src).alias("node"))
+             .unionByName(e.select(F.col(dst).alias("node")))
+             .distinct().cache())
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    a = None
+
+    def propagate(scores, score_col, key_in, key_out, out_col):
+        cm = (e.join(scores.withColumnRenamed("node", key_in), key_in)
+              .select(F.col(key_out).alias("node"),
+                      F.round(F.col(score_col) * 1e12).cast("long")
+                      .alias("cm"))
+              .groupBy("node").agg(F.sum("cm").alias("sm")))
+        norm = cm.agg(F.sum("sm")).first()[0]
+        return (nodes.join(cm, "node", "left")
+                .select("node",
+                        F.round(F.coalesce(F.col("sm"), F.lit(0))
+                                .cast("double") / F.lit(float(norm)),
+                                round_to).alias(out_col))
+                .localCheckpoint(eager=False))
+
+    for _ in range(iters):
+        a = propagate(h, "hub", src, dst, "auth")
+        h = propagate(a, "auth", dst, src, "hub")
+    return h.join(a, "node").select("node", "hub", "auth")

@@ -1700,6 +1700,69 @@ SELECT node, rank + 0.0 AS rank FROM r3
 QUERIES["pagerank"] = (q_pagerank, _pagerank_sql())
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities over the same 97-host link graph as
+    q_pagerank (operators/pagerank.py::hits): 2 mutual-reinforcement
+    iterations, exact integer-micros contribution sums, L1
+    normalization as one exact-long division — the oracle replays the
+    unrolled iterations bit-for-bit."""
+    from pyproj_spark.operators.pagerank import hits
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    edges = (d.select((k % 97).alias("src"),
+                      ((k * 13 + 5) % 97).alias("dst"))
+             .filter((F.col("src") != F.col("dst"))
+                     & (F.col("src") < 90)))
+    out = hits(edges, iters=2)
+    return out.select("node", (F.col("hub") + 0.0).alias("hub"),
+                      (F.col("auth") + 0.0).alias("auth"))
+
+
+def _hits_sql():
+    prop = """
+c{o} AS (
+  SELECT e.{key_out} AS node,
+         sum(CAST(round(s.{score} * 1e12) AS BIGINT)) AS sm
+  FROM edges e JOIN {prev} s ON s.node = e.{key_in}
+  GROUP BY 1
+),
+n{o} AS (SELECT sum(sm) AS nm FROM c{o}),
+{o} AS (
+  SELECT n.node,
+         round(CAST(coalesce(c.sm, 0) AS DOUBLE) / an.nm, 9)
+             AS {out_col}
+  FROM nodes n LEFT JOIN c{o} c ON c.node = n.node
+  CROSS JOIN n{o} an
+)"""
+    steps = []
+    prev = "h0"
+    for t in range(1, 3):
+        steps.append(prop.format(o=f"a{t}", prev=prev, key_in="src",
+                                 key_out="dst", score="hub",
+                                 out_col="auth"))
+        steps.append(prop.format(o=f"h{t}", prev=f"a{t}", key_in="dst",
+                                 key_out="src", score="auth",
+                                 out_col="hub"))
+        prev = f"h{t}"
+    its = ",".join(steps)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 13 + 5) % 97 AS dst
+  FROM documents
+  WHERE doc_id % 97 <> (doc_id * 13 + 5) % 97 AND doc_id % 97 < 90
+),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+{its}
+SELECT h2.node, h2.hub + 0.0 AS hub, a2.auth + 0.0 AS auth
+FROM h2 JOIN a2 ON a2.node = h2.node
+"""
+
+
+QUERIES["hits"] = (q_hits, _hits_sql())
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]

@@ -33,3 +33,30 @@ def test_parallel_edges_deduped(spark):
     r1 = {r.node: r.rank for r in pagerank(e1, iters=3).collect()}
     r2 = {r.node: r.rank for r in pagerank(e2, iters=3).collect()}
     assert r1 == r2
+
+
+def test_hits_star_graph(spark):
+    """On a star u1..u4 -> c, the center is the unique authority
+    (auth=1) and the spokes are equal hubs (hub=0.25 each)."""
+    from pyproj_spark.operators.pagerank import hits
+    edges = spark.createDataFrame(
+        [(i, 99) for i in range(1, 5)], ["src", "dst"])
+    got = (hits(edges, iters=2).toPandas()
+           .set_index("node").sort_index())
+    assert got.loc[99, "auth"] == 1.0
+    assert got.loc[99, "hub"] == 0.0
+    for i in range(1, 5):
+        assert got.loc[i, "hub"] == 0.25
+        assert got.loc[i, "auth"] == 0.0
+
+
+def test_hits_l1_normalized(spark):
+    """Hub and authority vectors must each sum to 1 after every
+    iteration (L1 normalization contract)."""
+    from pyproj_spark.operators.pagerank import hits
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 7) for i in range(20)
+         if i % 7 != (i * 3 + 1) % 7], ["src", "dst"])
+    got = hits(edges, iters=3).toPandas()
+    assert abs(got["hub"].sum() - 1.0) < 1e-6
+    assert abs(got["auth"].sum() - 1.0) < 1e-6
