@@ -71,22 +71,91 @@ def farthest_first_init(df: DataFrame, k: int, vec_col: str = "v",
     return cents
 
 
+def kmeans_parallel_init(df: DataFrame, k: int, vec_col: str = "v",
+                         id_col: str = "vec_id", l: int | None = None,
+                         rounds: int = 3, round_to: int = 6
+                         ) -> list[list[float]]:
+    """Deterministic k-means|| seeding (Bahmani et al., "Scalable
+    k-means++", VLDB 2012 — public): each of ``rounds`` passes
+    oversamples ~``l`` candidates with probability l*d²(x)/cost — the
+    k-means++ distribution taken in parallel, which is what makes the
+    classic sequential k-means++ (k driver round-trips over the full
+    corpus) feasible on a cluster: O(rounds) full scans instead of
+    O(k).
+
+    Where the paper flips random coins, this flips md5 coins —
+    u(x) = hash(round, id)/2^60 — and computes the cost denominator as
+    an EXACT integer-micros sum, so the sampled candidate set (and
+    therefore the final centroids) is reproducible across runs,
+    partitionings, and engines; no determinism-for-quality trade.
+
+    The ~rounds*l candidates are weighted by the size of their nearest-
+    candidate cells (one job) and reduced to k driver-side with
+    weighted Lloyd iterations seeded by the top-k weights (the paper's
+    'recluster the candidates' step; candidates are K-scale, not
+    corpus-scale, so driver numpy is the right venue)."""
+    import numpy as np
+    l = l or 2 * k
+    emb = df.select(id_col, F.col(vec_col).alias("v"))
+    first = emb.orderBy(id_col).limit(1).collect()[0]
+    cands = [list(first.v)]
+    for t in range(rounds):
+        scored = assign_clusters(emb, cands, round_to=round_to)
+        cost = (scored.agg(F.sum(
+            F.round(F.col("dist2") * 1e6).cast("long"))).first()[0])
+        if not cost:
+            break
+        u = (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"kmpar:{t}:"), F.col(id_col).cast("string"))),
+            1, 15), 16, 10).cast("double") / F.lit(float(1 << 60)))
+        p = (F.lit(float(l)) * F.round(F.col("dist2") * 1e6)
+             / F.lit(float(cost)))
+        picked = (scored.filter(u < p).orderBy(id_col)
+                  .select("v").collect())
+        cands.extend(list(r.v) for r in picked)
+    if len(cands) <= k:
+        return [list(c) for c in cands]
+    # weight candidates by nearest-cell population, reduce driver-side
+    wrows = (assign_clusters(emb, cands, round_to=round_to)
+             .groupBy("cluster").agg(F.count(F.lit(1)).alias("w"))
+             .collect())
+    w = np.zeros(len(cands))
+    for r in wrows:
+        w[r.cluster] = r.w
+    C = np.array(cands)
+    order = np.lexsort((np.arange(len(cands)), -w))
+    cents = C[order[:k]].copy()
+    for _ in range(5):  # weighted Lloyd over the candidate set
+        d2 = ((C[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            m = (a == j) & (w > 0)
+            if m.any():
+                cents[j] = (C[m] * w[m, None]).sum(axis=0) / w[m].sum()
+    return [[round(float(x), round_to) for x in c] for c in cents]
+
+
 def kmeans_fit(df: DataFrame, vec_col: str = "v", k: int = 8,
                iters: int = 2, id_col: str = "vec_id",
                round_to: int = 6,
                init: str = "first") -> list[list[float]]:
     """Lloyd's iterations; returns the final rounded centroids.
     ``init``: "first" (first K by id — SQL-replayable, used by the
-    oracle-gated query) or "farthest" (farthest-first traversal —
-    deterministic and row-order-robust, the quality choice)."""
+    oracle-gated query), "farthest" (farthest-first traversal —
+    deterministic, row-order-robust), or "parallel" (md5-coin
+    k-means|| — the cluster-scale quality seeding, O(rounds) scans
+    instead of k-means++'s O(k), still fully deterministic)."""
     emb = df.select(id_col, F.col(vec_col).alias("v"))
     if init == "farthest":
         cents = farthest_first_init(df, k, vec_col, id_col, round_to)
+    elif init == "parallel":
+        cents = kmeans_parallel_init(df, k, vec_col, id_col,
+                                     round_to=round_to)
     elif init == "first":
         cents = [list(r.v) for r in
                  emb.orderBy(id_col).limit(k).collect()]
     else:
-        raise ValueError(f"init must be first|farthest: {init}")
+        raise ValueError(f"init must be first|farthest|parallel: {init}")
     for _ in range(iters):
         assigned = assign_clusters(emb, cents)
         rows = (assigned

@@ -80,3 +80,30 @@ def test_farthest_first_spans_blobs(spark):
     assert sorted(blob_of(s) for s in seeds) == [0, 1, 2]
     # the deterministic contract: same input -> same seeds
     assert farthest_first_init(df, k=3) == seeds
+
+
+def test_kmeans_parallel_init_recovers_blobs(spark):
+    """k-means|| seeding must place exactly one centroid per
+    well-separated blob (first-K init provably fails this when the
+    first K ids all land in one blob) and be deterministic across
+    partitionings."""
+    from pyproj_spark.operators.kmeans import (kmeans_fit,
+                                               assign_clusters)
+    centers = [(0.0, 0.0), (50.0, 0.0), (0.0, 50.0), (50.0, 50.0)]
+    rows = []
+    for i in range(200):
+        cx, cy = centers[(i // 50) % 4]  # ids 0-49 all in blob 0
+        rows.append((i, [cx + (i * 7 % 5) * 0.1,
+                         cy + (i * 11 % 5) * 0.1]))
+    df = spark.createDataFrame(rows, ["vec_id", "v"])
+    cents = kmeans_fit(df, k=4, iters=2, init="parallel")
+    got = assign_clusters(df, cents).toPandas()
+    # every blob maps to exactly one cluster and vice versa
+    got["blob"] = (got["vec_id"] // 50) % 4
+    m = got.groupby("blob")["cluster"].nunique()
+    assert (m == 1).all()
+    assert got["cluster"].nunique() == 4
+
+    cents2 = kmeans_fit(df.repartition(7), k=4, iters=2,
+                        init="parallel")
+    assert cents == cents2
