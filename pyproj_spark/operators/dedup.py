@@ -276,6 +276,60 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                       F.round("jaccard", 4).alias("jaccard"))
 
 
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8, df_max: int = 50
+                      ) -> DataFrame:
+    """ASYMMETRIC n-gram containment C(src|dst) = |src ∩ dst| / |src|
+    (Broder's containment vs resemblance distinction, "On the
+    resemblance and containment of documents", SEQUENCES 1997 —
+    public): the quote / partial-copy detector symmetric Jaccard
+    misses — a paragraph embedded verbatim in a much longer page has
+    near-zero Jaccard but containment 1.0. The standard dedup policy
+    built on it ("drop the contained doc, keep the superset") needs
+    both directions, so each qualifying unordered pair emits up to two
+    rows (src_id, dst_id, containment) meaning "src is contained in
+    dst".
+
+    Same bounded posting-list plan and df_max cap as jaccard_pairs
+    (shared intersection counts — one groupBy, no self-join; capped
+    shingles make the score a lower bound with the identical recall
+    caveat)."""
+    sh = ngram_shingles(df, id_col, text_col, n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    g = (sh.groupBy("shingle_hash")
+         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"),
+              F.count("*").alias("cnt"))
+         .filter((F.col("cnt") >= 2) & (F.col("cnt") <= df_max)))
+    ids = F.col("ids")
+    pair_arr = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(ids) - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size(ids) - 1),
+            lambda j: F.struct(
+                F.element_at(ids, (i + 1).cast("int")).alias("id_a"),
+                F.element_at(ids, (j + 1).cast("int")).alias("id_b")))))
+    inter = (g.select(F.explode(pair_arr).alias("e"))
+             .groupBy(F.col("e.id_a").alias("id_a"),
+                      F.col("e.id_b").alias("id_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    a_in_b = both.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"),
+        (F.col("n_common") / F.col("n_a")).alias("c"))
+    b_in_a = both.select(
+        F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id"),
+        (F.col("n_common") / F.col("n_b")).alias("c"))
+    return (a_in_b.unionByName(b_in_a)
+            .filter(F.col("c") >= threshold)
+            .select("src_id", "dst_id",
+                    F.round("c", 4).alias("containment")))
+
+
 def jaccard_capped_star_edges(df: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text", n: int = 3,
                               df_max: int = 50) -> DataFrame:

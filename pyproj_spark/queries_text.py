@@ -1729,6 +1729,59 @@ def _cm_sql():
 QUERIES_TEXT["cm_heavy"] = (q_cm_heavy, _cm_sql())
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric n-gram containment (operators/dedup.py::
+    containment_pairs): |src ∩ dst| / |src| over the same capped
+    posting lists as jaccard_3gram, emitting both directions — the
+    partial-copy/quote detector behind "drop the contained doc, keep
+    the superset" dedup policies."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.containment_pairs(docs, n=3, threshold=0.1)
+
+
+SQL_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, str_split({_NORM_SQL}, ' ') AS tk
+  FROM documents WHERE doc_id < 300
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         {_H8.format(expr="tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3]")}
+             AS shingle_hash
+  FROM toks, UNNEST(range(greatest(len(tk) - 2, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT shingle_hash FROM sh GROUP BY shingle_hash
+  HAVING count(*) BETWEEN 2 AND 50
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle_hash)
+  JOIN rare USING (shingle_hash)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pb AS (
+  SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+dirs AS (
+  SELECT id_a AS src_id, id_b AS dst_id,
+         n_common / CAST(n_a AS DOUBLE) AS c FROM pb
+  UNION ALL
+  SELECT id_b, id_a, n_common / CAST(n_b AS DOUBLE) FROM pb
+)
+SELECT src_id, dst_id, round(c, 4) AS containment
+FROM dirs WHERE c >= 0.1
+"""
+
+
+QUERIES_TEXT["containment"] = (q_containment, SQL_CONTAINMENT)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints

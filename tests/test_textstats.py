@@ -134,3 +134,21 @@ def test_simhash_pairs(spark):
         "doc_id long, text string")
     p2 = simhash_pairs(df2).collect()
     assert len(p2) == 1 and p2[0].hamming == 0
+
+
+def test_containment_detects_embedded_doc(spark):
+    """A short doc fully embedded in a long one must score containment
+    1.0 in the src->dst direction while Jaccard stays low, and the
+    reverse direction scores |inter|/|superset|."""
+    from pyproj_spark.operators.dedup import (containment_pairs,
+                                              jaccard_pairs)
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = [(1, quote), (2, filler + " " + quote + " " + filler)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = (containment_pairs(df, threshold=0.01)
+           .toPandas().set_index(["src_id", "dst_id"]))
+    assert got.loc[(1, 2), "containment"] == 1.0
+    assert got.loc[(2, 1), "containment"] < 0.05
+    jac = jaccard_pairs(df, threshold=0.01).toPandas()
+    assert (jac["jaccard"] < 0.05).all()
