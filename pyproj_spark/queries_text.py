@@ -1782,6 +1782,50 @@ FROM dirs WHERE c >= 0.1
 QUERIES_TEXT["containment"] = (q_containment, SQL_CONTAINMENT)
 
 
+def q_geoip(spark, sf_dir):
+    """GeoIP-style range lookup (operators/iprange.py): a per-doc u32
+    address (Knuth multiplicative hash of doc_id, identical expression
+    in both engines) left-joins a 200-range disjoint lookup table via
+    prefix-bucket decomposition — hash equi-joins only, where the
+    naive plan is a BroadcastNestedLoop. The oracle runs DuckDB's own
+    native non-equi BETWEEN join over the same ranges, so the gate
+    crosses two different join algorithms."""
+    from pyproj_spark.operators.iprange import ip_range_join
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 4294967296).alias("ip32"))
+    r = range(200)
+    ranges = spark.createDataFrame(
+        [(i * 8388608 + (i * 9973) % 100000,
+          i * 8388608 + (i * 9973) % 100000 + 4000000 + (i * 31) % 1000000,
+          f"C{i % 40}") for i in r],
+        ["start", "end", "country"])
+    return ip_range_join(d, ranges, ["doc_id"]) \
+        .select("doc_id", "ip32",
+                F.coalesce("country", F.lit("??")).alias("country"))
+
+
+SQL_GEOIP = """
+WITH probe AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 4294967296 AS ip32
+  FROM documents
+),
+ranges AS (
+  SELECT i * 8388608 + (i * 9973) % 100000 AS s,
+         i * 8388608 + (i * 9973) % 100000 + 4000000 + (i * 31) % 1000000
+             AS e,
+         'C' || CAST(i % 40 AS VARCHAR) AS country
+  FROM range(200) AS t(i)
+)
+SELECT p.doc_id, p.ip32, coalesce(r.country, '??') AS country
+FROM probe p LEFT JOIN ranges r ON p.ip32 BETWEEN r.s AND r.e
+"""
+
+
+QUERIES_TEXT["geoip"] = (q_geoip, SQL_GEOIP)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints
