@@ -140,3 +140,28 @@ def extract_anchors_py(text: str) -> list[tuple[str, float, float, str]]:
         out.append((m.group(0), float(m.group(1)), float(m.group(2)),
                     m.group(3) or "EPSG:4326"))
     return out
+
+
+#: href anchors — lookahead-free so the SAME pattern runs under Java
+#: regex (Spark) and RE2 (DuckDB oracle); group 1 = host, group 2 =
+#: anchor text
+LINK_RE = r'<a href="https?://([^/"]+)[^"]*">([^<]*)</a>'
+
+
+def extract_links(pages: DataFrame, src_col: str = "src_host",
+                  html_col: str = "html") -> DataFrame:
+    """Hyperlink extraction -> edge list: the Common-Crawl link-graph
+    build (the input PageRank/HITS run over). One regexp_extract_all
+    per group + arrays_zip + explode — fully native, no Python, and
+    the two extract_all calls collapse into the same projection
+    (single scan of the html column).
+
+    Returns (src_col, dst_host, anchor_text), one row per <a> tag."""
+    hosts = F.regexp_extract_all(html_col, F.lit(LINK_RE), 1)
+    texts = F.regexp_extract_all(html_col, F.lit(LINK_RE), 2)
+    return (pages.select(
+        F.col(src_col),
+        F.explode(F.arrays_zip(hosts.alias("h"),
+                               texts.alias("t"))).alias("e"))
+        .select(src_col, F.col("e.h").alias("dst_host"),
+                F.col("e.t").alias("anchor_text")))

@@ -1826,6 +1826,78 @@ FROM probe p LEFT JOIN ranges r ON p.ip32 BETWEEN r.s AND r.e
 QUERIES_TEXT["geoip"] = (q_geoip, SQL_GEOIP)
 
 
+def q_link_graph(spark, sf_dir):
+    """Host link-graph build (operators/extract.py::extract_links —
+    the Common-Crawl graph-construction stage): deterministic HTML
+    with three <a> tags per page is synthesized with identical string
+    expressions in both engines (the established synthetic-blob
+    pattern), hrefs extract natively via regexp_extract_all group
+    capture, and edges aggregate to (src_host, dst_host, n_links,
+    first_anchor)."""
+    from pyproj_spark.operators.extract import extract_links
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    def a(dst, txt):
+        return F.concat(F.lit('<a href="http://h'), dst,
+                        F.lit('.example.com/p/'), s(i), F.lit('">'),
+                        txt, F.lit("</a>"))
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        a(s(i % 97), F.concat(F.lit("w"), s(i % 50))),
+        F.lit("<p>filler</p>"),
+        a(s((i * 13 + 5) % 97), F.concat(F.lit("w"), s(i % 31))),
+        a(s((i * 29 + 11) % 97), F.lit("")),
+        F.lit("</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("h"), s(i % 59)).alias("src_host"),
+        html.alias("html"))
+    links = extract_links(pages)
+    return (links.groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.min("anchor_text").alias("first_anchor")))
+
+
+SQL_LINK_GRAPH = r"""
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 59 AS VARCHAR) AS src_host,
+         '<html><body>'
+         || '<a href="http://h' || CAST(doc_id % 97 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">'
+         || 'w' || CAST(doc_id % 50 AS VARCHAR) || '</a>'
+         || '<p>filler</p>'
+         || '<a href="http://h' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">'
+         || 'w' || CAST(doc_id % 31 AS VARCHAR) || '</a>'
+         || '<a href="http://h' || CAST((doc_id * 29 + 11) % 97 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">'
+         || '</a>'
+         || '</body></html>' AS html
+  FROM documents
+),
+links AS (
+  SELECT src_host,
+         unnest(regexp_extract_all(html,
+             '<a href="https?://([^/"]+)[^"]*">([^<]*)</a>', 1))
+             AS dst_host,
+         unnest(regexp_extract_all(html,
+             '<a href="https?://([^/"]+)[^"]*">([^<]*)</a>', 2))
+             AS anchor_text
+  FROM pages
+)
+SELECT src_host, dst_host, count(*) AS n_links,
+       min(anchor_text) AS first_anchor
+FROM links GROUP BY 1, 2
+"""
+
+
+QUERIES_TEXT["link_graph"] = (q_link_graph, SQL_LINK_GRAPH)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints

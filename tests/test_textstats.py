@@ -152,3 +152,21 @@ def test_containment_detects_embedded_doc(spark):
     assert got.loc[(2, 1), "containment"] < 0.05
     jac = jaccard_pairs(df, threshold=0.01).toPandas()
     assert (jac["jaccard"] < 0.05).all()
+
+
+def test_extract_links_parses_tags(spark):
+    """Link extraction must pair each href host with ITS anchor text
+    (zip order), skip non-http schemes, and handle pages with no
+    links."""
+    from pyproj_spark.operators.extract import extract_links
+    pages = spark.createDataFrame([
+        ("a", '<a href="http://x.com/1">one</a> mid '
+              '<a href="https://y.org/2?q=3">two</a>'),
+        ("b", '<a href="ftp://z.net/f">nope</a> plain text'),
+        ("c", "no links at all"),
+    ], ["src_host", "html"])
+    got = (extract_links(pages).toPandas()
+           .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
+    assert len(got) == 2
+    assert list(got["dst_host"]) == ["x.com", "y.org"]
+    assert list(got["anchor_text"]) == ["one", "two"]
