@@ -1898,6 +1898,105 @@ FROM links GROUP BY 1, 2
 QUERIES_TEXT["link_graph"] = (q_link_graph, SQL_LINK_GRAPH)
 
 
+def q_domain_buckets(spark, sf_dir):
+    """CCNet-style domain quality bucketing: per-domain mean LM score
+    (exact integer-micros mean so distributed sum order can't leak),
+    domains ranked into head/middle/tail terciles with NTILE, buckets
+    joined back to every document — the standard corpus-curation
+    policy ("keep head, sample middle, drop tail") as two partial-agg
+    passes + one broadcast join."""
+    from pyspark.sql import Window
+    from pyproj_spark.operators.lm import (score_documents,
+                                           train_unigram_lm)
+    docs = _docs(spark, sf_dir)
+    lm = train_unigram_lm(docs, vocab_size=100)
+    scores = score_documents(docs, lm).withColumn(
+        "domain", F.concat(F.lit("d"),
+                           (F.col("doc_id") % 23).cast("string")))
+    dom = (scores.groupBy("domain")
+           .agg((F.sum(F.round(F.col("mean_logp") * 1e5).cast("long"))
+                 / F.count(F.lit(1))).alias("dm"),
+                F.count(F.lit(1)).alias("n_docs")))
+    w = Window.orderBy(F.col("dm").desc(), F.col("domain"))
+    dom = dom.withColumn("bucket", F.ntile(3).over(w))
+    return (scores.join(F.broadcast(dom), "domain")
+            .select("doc_id", "domain", "bucket", "n_docs"))
+
+
+SQL_DOMAIN_BUCKETS = f"""
+WITH base AS ({{lm}}),
+scores AS (
+  SELECT doc_id, mean_logp,
+         'd' || CAST(doc_id % 23 AS VARCHAR) AS domain
+  FROM base
+),
+dom AS (
+  SELECT domain,
+         sum(CAST(round(mean_logp * 1e5) AS BIGINT))
+             / CAST(count(*) AS DOUBLE) AS dm,
+         count(*) AS n_docs
+  FROM scores GROUP BY 1
+),
+bucketed AS (
+  SELECT domain, n_docs,
+         ntile(3) OVER (ORDER BY dm DESC, domain) AS bucket
+  FROM dom
+)
+SELECT s.doc_id, s.domain, b.bucket, b.n_docs
+FROM scores s JOIN bucketed b ON b.domain = s.domain
+"""
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """Crawl-frontier politeness scheduling: per-host FIFO by
+    (priority, url id) with a per-host crawl delay (cf. the
+    Crawl-delay directive the robots operator parses) — fetch slot =
+    rank * delay seconds — and sticky worker assignment host % W so
+    one worker owns each host's rate limit. One window shuffle on
+    host; the worker column is how the schedule stays politeness-safe
+    under 1000-executor fan-out."""
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    fr = d.select(
+        "doc_id",
+        (i % 59).alias("hn"),
+        (i % 5).alias("priority"))
+    w = Window.partitionBy("hn").orderBy("priority", "doc_id")
+    return (fr.withColumn("rank", F.row_number().over(w))
+            .select("doc_id",
+                    F.concat(F.lit("h"), F.col("hn").cast("string"))
+                    .alias("host"),
+                    "priority",
+                    (F.col("hn") % 8).alias("worker"),
+                    ((F.col("rank") - 1)
+                     * (2 + F.col("hn") % 4)).alias("slot_s")))
+
+
+SQL_CRAWL_SCHEDULE = """
+WITH fr AS (
+  SELECT doc_id, doc_id % 59 AS hn, doc_id % 5 AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, hn, priority,
+         row_number() OVER (PARTITION BY hn
+                            ORDER BY priority, doc_id) AS rank
+  FROM fr
+)
+SELECT doc_id, 'h' || CAST(hn AS VARCHAR) AS host, priority,
+       hn % 8 AS worker,
+       (rank - 1) * (2 + hn % 4) AS slot_s
+FROM ranked
+"""
+
+
+QUERIES_TEXT["domain_buckets"] = (
+    q_domain_buckets,
+    SQL_DOMAIN_BUCKETS.format(lm=SQL_LM_SCORE))
+QUERIES_TEXT["crawl_schedule"] = (q_crawl_schedule, SQL_CRAWL_SCHEDULE)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints
