@@ -1763,6 +1763,88 @@ FROM h2 JOIN a2 ON a2.node = h2.node
 QUERIES["hits"] = (q_hits, _hits_sql())
 
 
+def q_set_ops(spark, sf_dir):
+    """Set operators with SQL bag/distinct semantics: the (lang,
+    source) profiles present in BOTH corpus halves (INTERSECT) and
+    only in the first half (EXCEPT) — each a partial-agg distinct
+    before a cheap hash join, tagged and unioned into one result."""
+    d = _t(spark, sf_dir, "documents")
+    half = F.col("doc_id") % 2
+    a = d.filter(half == 0).select("lang", "source")
+    b = d.filter(half == 1).select("lang", "source")
+    inter = a.intersect(b).withColumn("op", F.lit("intersect"))
+    exc = a.subtract(b).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc).select("op", "lang", "source")
+
+
+SQL_SET_OPS = """
+SELECT 'intersect' AS op, lang, source FROM (
+  SELECT lang, source FROM documents WHERE doc_id % 2 = 0
+  INTERSECT
+  SELECT lang, source FROM documents WHERE doc_id % 2 = 1
+)
+UNION ALL
+SELECT 'except', lang, source FROM (
+  SELECT lang, source FROM documents WHERE doc_id % 2 = 0
+  EXCEPT
+  SELECT lang, source FROM documents WHERE doc_id % 2 = 1
+)
+"""
+
+
+QUERIES["set_ops"] = (q_set_ops, SQL_SET_OPS)
+
+
+def q_cube(spark, sf_dir):
+    """Full CUBE over (lang, source): every aggregation granularity in
+    ONE Expand + hash-agg pass (the same plan family as the ROLLUP
+    tile pyramid), grouping flags disambiguating NULL group values
+    from NULL data."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.cube("lang", "source")
+            .agg(F.grouping("lang").cast("int").alias("gl"),
+                 F.grouping("source").cast("int").alias("gs"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars"))
+            .select("lang", "source", "gl", "gs", "n_docs", "chars"))
+
+
+SQL_CUBE = """
+SELECT lang, source,
+       CAST(grouping(lang) AS INT) AS gl,
+       CAST(grouping(source) AS INT) AS gs,
+       count(*) AS n_docs, sum(n_chars) AS chars
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
+QUERIES["cube"] = (q_cube, SQL_CUBE)
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: events.props is a JSON string
+    column (the universal web-log shape); per-event key extraction
+    with get_json_object stays inside codegen, then aggregates by the
+    extracted value bucket."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select((k % 10).alias("k_bucket"), "value")
+            .groupBy("k_bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total")))
+
+
+SQL_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+           AS k_bucket,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1
+"""
+
+
+QUERIES["json_props"] = (q_json_props, SQL_JSON_PROPS)
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]
