@@ -147,3 +147,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(ref) > 0
     # inner stream-stream joins emit every match once input is drained
     assert got == ref
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """The streaming HLL's final per-group estimate must be
+    BIT-IDENTICAL to the batch operator over the same rows — the
+    register vector is associative state, so micro-batch boundaries
+    cannot change the answer."""
+    from pyproj_spark.operators.sketch import hll_distinct
+    from pyproj_spark.streaming.sketch import streaming_hll_distinct
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    # two triggers, rows split across them (duplicates between batches
+    # exercise the register-merge path)
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    out = streaming_hll_distinct(stream, "event_type", "user_id")
+    q = (out.writeStream.format("memory").queryName("hll_stream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the LAST update per group: estimates only grow, so max row works
+    last = (spark.sql("select grp, max(hll_est) as hll_est from "
+                      "hll_stream group by grp").toPandas()
+            .set_index("grp").sort_index())
+    exp = (hll_distinct(ev, "event_type", "user_id").toPandas()
+           .rename(columns={"event_type": "grp"})
+           .set_index("grp").sort_index())
+    assert list(last.index) == list(exp.index)
+    assert (last["hll_est"] == exp["hll_est"]).all()
