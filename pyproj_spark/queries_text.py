@@ -1997,6 +1997,108 @@ QUERIES_TEXT["domain_buckets"] = (
 QUERIES_TEXT["crawl_schedule"] = (q_crawl_schedule, SQL_CRAWL_SCHEDULE)
 
 
+def q_entropy(spark, sf_dir):
+    """Token-entropy quality signal: Shannon entropy of each doc's
+    token distribution plus type-token ratio — the standard cheap
+    detector for degenerate/repetitive text (entropy near 0) and
+    random garbage (TTR near 1 with high entropy). Per-term entropy
+    contributions round to nano units and sum as exact longs, so the
+    per-doc aggregation order cannot leak into the gate."""
+    from pyproj_spark.operators.lm import _tokens
+    toks = _tokens(_docs(spark, sf_dir).select("doc_id", "text"),
+                   "text").select("doc_id", "token")
+    tf = (toks.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("c")))
+    tot = (tf.groupBy("doc_id")
+           .agg(F.sum("c").alias("n"),
+                F.count(F.lit(1)).alias("n_types")))
+    p = F.col("c") / F.col("n")
+    term = F.round(-p * F.log(p) * 1e9).cast("long")
+    ent = (tf.join(tot, "doc_id")
+           .groupBy("doc_id")
+           .agg(F.sum(term).alias("em")))
+    return (ent.join(tot, "doc_id")
+            .select("doc_id", "n", "n_types",
+                    F.round(F.col("em") / 1e9, 6).alias("entropy"),
+                    F.round(F.col("n_types") / F.col("n"), 6)
+                    .alias("ttr")))
+
+
+SQL_ENTROPY = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c) AS n, count(*) AS n_types
+        FROM tf GROUP BY 1),
+ent AS (
+  SELECT tf.doc_id,
+         sum(CAST(round(-(c / CAST(n AS DOUBLE))
+                        * ln(c / CAST(n AS DOUBLE)) * 1e9) AS BIGINT))
+             AS em
+  FROM tf JOIN tot USING (doc_id) GROUP BY 1
+)
+SELECT doc_id, n, n_types,
+       round(em / 1e9, 6) AS entropy,
+       round(n_types / CAST(n AS DOUBLE), 6) AS ttr
+FROM ent JOIN tot USING (doc_id)
+"""
+
+
+QUERIES_TEXT["entropy"] = (q_entropy, SQL_ENTROPY)
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Crawl snapshot delta report: two deterministic snapshot views
+    of the corpus (membership by modular rule, content revised for
+    every third page) full-outer-join into per-page added / removed /
+    changed / unchanged status — the incremental-crawl planning query
+    that decides what re-fetches and what re-processes."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    old = (d.filter(i % 5 != 0)
+           .select("doc_id", F.md5("text").alias("fp_old")))
+    new = (d.filter(i % 7 != 0)
+           .select("doc_id", F.md5(
+               F.when(i % 3 == 0, F.concat(F.col("text"),
+                                           F.lit("!rev2")))
+               .otherwise(F.col("text"))).alias("fp_new")))
+    j = old.join(new, "doc_id", "full_outer")
+    status = (F.when(F.col("fp_old").isNull(), F.lit("added"))
+              .when(F.col("fp_new").isNull(), F.lit("removed"))
+              .when(F.col("fp_old") != F.col("fp_new"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select("doc_id", status.alias("status"))
+
+
+SQL_CRAWL_DELTA = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp_old FROM documents
+  WHERE doc_id % 5 <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || '!rev2'
+             ELSE text END) AS fp_new
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
+QUERIES_TEXT["crawl_delta"] = (q_crawl_delta, SQL_CRAWL_DELTA)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints
