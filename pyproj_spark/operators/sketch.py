@@ -246,3 +246,67 @@ def bloom_sql_positions(j_expr: str, value_expr: str,
     """The shared position hash as a DuckDB SQL fragment."""
     return (f"(CAST(('0x' || substr(md5(CAST({j_expr} AS VARCHAR) || "
             f"'|' || {value_expr}), 1, 15)) AS BIGINT) % {m})")
+
+
+# --------------------------------------------------- bottom-k sample
+
+BK_K = 1024
+
+
+def bottomk_quantiles(df: DataFrame, value_col: str, id_col: str,
+                      qs: tuple = (0.5, 0.9, 0.99), k: int = BK_K,
+                      salt: str = "bk") -> DataFrame:
+    """Mergeable quantile sketch via bottom-k hash sampling (Cohen &
+    Kaplan, "Summarizing data using bottom-k sketches", PODC 2007 —
+    public): the k rows with the SMALLEST md5(salt:id) keys are a
+    uniform-without-replacement sample, and bottom-k of a union is
+    bottom-k of the merged per-partition bottom-ks — so the sketch
+    merges like HLL registers do, and Spark's distributed TakeOrdered
+    (orderBy + limit) IS that merge. Quantile estimate = the
+    value-sorted sample element at floor(q*(n-1)) (exact integer
+    index, engine-independent). Rank error is O(1/sqrt(k)) — the
+    bounded-memory answer to percentiles over a corpus, and unlike
+    Spark's approx_percentile the sample is deterministic and
+    engine-reproducible.
+
+    Returns one row per q: (q, est, n_sample)."""
+    key = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("long")
+    samp = (df.select(F.col(value_col).alias("_v"),
+                      key.alias("_key"))
+            .orderBy("_key").limit(k))
+    agg = samp.agg(F.array_sort(F.collect_list("_v")).alias("vs"),
+                   F.count(F.lit(1)).alias("n"))
+    rows = None
+    for q in qs:
+        idx = (F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1) \
+            .cast("int")
+        r = agg.select(F.lit(float(q)).alias("q"),
+                       F.element_at("vs", idx).alias("est"),
+                       F.col("n").alias("n_sample"))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def bottomk_sql(table_expr: str, value_expr: str, id_expr: str,
+                qs: tuple = (0.5, 0.9, 0.99), k: int = BK_K,
+                salt: str = "bk") -> str:
+    """DuckDB oracle replaying the identical sample and index rule."""
+    key = (f"CAST(('0x' || substr(md5('{salt}:' || "
+           f"CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT)")
+    sel = " UNION ALL ".join(
+        f"SELECT {float(q)!r} AS q, "
+        f"vs[CAST(floor({float(q)!r} * (n - 1)) AS INT) + 1] AS est, "
+        f"n AS n_sample FROM agg" for q in qs)
+    return f"""
+WITH samp AS (
+  SELECT {value_expr} AS v, {key} AS kk
+  FROM {table_expr} ORDER BY kk LIMIT {k}
+),
+agg AS (
+  SELECT list_sort(list(v)) AS vs, count(*) AS n FROM samp
+)
+{sel}
+"""

@@ -2099,6 +2099,47 @@ FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 QUERIES_TEXT["crawl_delta"] = (q_crawl_delta, SQL_CRAWL_DELTA)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic A-Res weighted sampling (operators/sampling.py):
+    top-20 docs per language, selection probability proportional to
+    n_chars — md5-derived keys instead of RNG draws, so the kept-row
+    set is reproducible and the oracle replays it exactly."""
+    from pyproj_spark.operators.sampling import weighted_sample
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample(d, k=20, weight_col="n_chars",
+                           stratum_col="lang")
+
+
+def _weighted_sample_sql():
+    from pyproj_spark.operators.sampling import weighted_sample_sql
+    return weighted_sample_sql(
+        "(SELECT doc_id, lang, n_chars FROM documents)",
+        k=20, weight_expr="n_chars", stratum_expr="lang")
+
+
+QUERIES_TEXT["weighted_sample"] = (q_weighted_sample,
+                                   _weighted_sample_sql())
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable bottom-k quantile sketch (operators/sketch.py): p50/
+    p90/p99 of the events value column from a 1024-row smallest-hash
+    sample — Spark's distributed TakeOrdered IS the sketch merge, and
+    the integer index rule makes the estimate engine-identical."""
+    from pyproj_spark.operators.sketch import bottomk_quantiles
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bottomk_quantiles(ev, "value", "event_id")
+
+
+def _quantile_sketch_sql():
+    from pyproj_spark.operators.sketch import bottomk_sql
+    return bottomk_sql("events", "value", "event_id")
+
+
+QUERIES_TEXT["quantile_sketch"] = (q_quantile_sketch,
+                                   _quantile_sketch_sql())
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints

@@ -51,3 +51,36 @@ def test_bloom_no_false_negatives(spark):
     got = bloom_probe(ref, probe, "v").toPandas()
     members = got[got["v"].str[1:].astype(int) < 50]
     assert members["bloom_hit"].all()
+
+
+def test_bottomk_quantiles_accuracy_and_invariance(spark):
+    """Sketch quantiles must land within O(1/sqrt(k)) rank error of
+    the exact quantiles and be identical across partitionings
+    (bottom-k merges like a sketch)."""
+    from pyproj_spark.operators.sketch import bottomk_quantiles
+    n = 20000
+    df = spark.range(n).selectExpr("id AS event_id",
+                                   "CAST(id AS DOUBLE) AS value")
+    got = bottomk_quantiles(df, "value", "event_id").toPandas() \
+        .set_index("q")
+    for q in (0.5, 0.9, 0.99):
+        rank_err = abs(got.loc[q, "est"] / (n - 1) - q)
+        assert rank_err < 0.06, (q, got.loc[q, "est"])
+    got2 = bottomk_quantiles(df.repartition(17), "value",
+                             "event_id").toPandas().set_index("q")
+    assert (got["est"] == got2["est"]).all()
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-Res: a row with overwhelming weight must always be kept; the
+    kept set is exactly k per stratum and partitioning-invariant."""
+    from pyproj_spark.operators.sampling import weighted_sample
+    rows = [(i, "a", 1.0) for i in range(200)] + [(999, "a", 1e9)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "w"])
+    got = weighted_sample(df, k=10, weight_col="w",
+                          stratum_col="lang").toPandas()
+    assert len(got) == 10
+    assert 999 in set(got["doc_id"])
+    got2 = weighted_sample(df.repartition(7), k=10, weight_col="w",
+                           stratum_col="lang").toPandas()
+    assert set(got["doc_id"]) == set(got2["doc_id"])
