@@ -111,3 +111,50 @@ def test_star_only_lsh_has_no_nested_pair_expansion(spark):
                                     bands=4, star_only=True)
     p = _optimized(pairs)
     assert "flatten" not in p.lower()
+
+
+def test_bm25_broadcasts_vocabulary_side(spark):
+    """BM25's idf/query joins are vocabulary-scale and must broadcast;
+    a sort-merge join here means the corpus is shuffling on token."""
+    from pyproj_spark.queries_text import q_bm25
+    plan = _plan(q_bm25(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_geoip_plans_hash_joins_not_nested_loop(spark):
+    """The whole point of prefix-bucket decomposition: no
+    BroadcastNestedLoopJoin (the plan Catalyst gives the raw BETWEEN
+    predicate), only equi-joins."""
+    from pyproj_spark.queries_text import q_geoip
+    plan = _plan(q_geoip(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_never_shuffles_raw_values(spark):
+    """HLL's first shuffle key is (group, register-index): the
+    user_id value column must not survive past the map side."""
+    from pyproj_spark.queries import q_hll_users
+    from pyproj_spark.operators.sketch import hll_distinct
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(hll_distinct(ev, "event_type", "user_id"))
+    # partial max before the exchange = map-side register collapse
+    assert "partial_max" in plan or "partial" in plan.lower()
+    assert "Exchange hashpartitioning(event_type" in plan
+
+
+def test_cm_sketch_is_broadcast_to_probe(spark):
+    from pyproj_spark.queries_text import q_cm_heavy
+    plan = _plan(q_cm_heavy(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_hex_joins_on_cell_only(spark):
+    """Hex kNN candidate join must be a cell equi-join (hash or SMJ on
+    the cell key) — never a theta/nested-loop join."""
+    from pyproj_spark.queries import q_knn_hex
+    plan = _plan(q_knn_hex(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
