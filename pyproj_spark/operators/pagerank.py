@@ -105,3 +105,46 @@ def hits(edges: DataFrame, iters: int = 2, src: str = "src",
         a = propagate(h, "hub", src, dst, "auth")
         h = propagate(a, "auth", dst, src, "hub")
     return h.join(a, "node").select("node", "hub", "auth")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via DEGREE-ORDERED ORIENTATION (the
+    classic MapReduce triangle algorithm, Suri & Vassilvitskii,
+    "Counting triangles and the curse of the last reducer", WWW 2011
+    — public): orient each undirected edge from the (degree, id)-
+    smaller endpoint to the larger, so every triangle is counted
+    exactly once and — the scale property — every node's OUT-degree
+    is O(sqrt(m)), which bounds the wedge-join fan-out that kills the
+    naive three-way self-join on power-law web graphs (the "last
+    reducer" holding a celebrity node's neighborhood).
+
+    Plan: dedup undirected edges -> degree agg -> orient -> wedge
+    self-join on the apex -> closing-edge semi-join -> explode the 3
+    corners -> count per node. Returns (node, triangles)."""
+    und = (edges.select(F.least(src, dst).alias("a"),
+                        F.greatest(src, dst).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("n"))
+           .unionByName(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ed = und.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"))
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (w1.join(w2, "u").filter(F.col("x") < F.col("y")))
+    # wedge pairs are node-value-ordered, and so is `und` (least,
+    # greatest) — the undirected edge set IS the closing-edge table
+    tri = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"])
+    corners = (tri.select(F.explode(F.array("u", "x", "y"))
+                          .alias("node")))
+    return (corners.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("triangles")))

@@ -1845,6 +1845,68 @@ FROM events GROUP BY 1
 QUERIES["json_props"] = (q_json_props, SQL_JSON_PROPS)
 
 
+def q_triangles(spark, sf_dir):
+    """Per-host triangle counts over the (doubled) host link graph via
+    degree-ordered orientation (operators/pagerank.py::
+    triangle_counts) — the clustering-coefficient primitive, with the
+    orientation bounding wedge fan-out at O(sqrt(m)) per node on
+    power-law graphs. The oracle replays orientation, wedge join, and
+    closing-edge join in SQL."""
+    from pyproj_spark.operators.pagerank import triangle_counts
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    e1 = d.select((k % 61).alias("src"),
+                  ((k * 13 + 5) % 61).alias("dst"))
+    e2 = d.select((k % 61).alias("src"),
+                  ((k * 29 + 11) % 61).alias("dst"))
+    e3 = d.select((k % 61).alias("src"),
+                  ((k * 7 + 3) % 61).alias("dst"))
+    return triangle_counts(e1.unionByName(e2).unionByName(e3))
+
+
+SQL_TRIANGLES = """
+WITH raw AS (
+  SELECT doc_id % 61 AS s, (doc_id * 13 + 5) % 61 AS d FROM documents
+  UNION ALL
+  SELECT doc_id % 61, (doc_id * 29 + 11) % 61 FROM documents
+  UNION ALL
+  SELECT doc_id % 61, (doc_id * 7 + 3) % 61 FROM documents
+),
+und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM raw WHERE s <> d
+),
+deg AS (
+  SELECT n, count(*) AS dd FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1
+),
+ed AS (
+  SELECT a, b, da.dd AS da, db.dd AS db
+  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+),
+o AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END
+             AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END
+             AS v
+  FROM ed
+),
+w AS (
+  SELECT o1.u, o1.v AS x, o2.v AS y
+  FROM o o1 JOIN o o2 ON o1.u = o2.u WHERE o1.v < o2.v
+),
+t AS (
+  SELECT u, x, y FROM w JOIN und ON und.a = w.x AND und.b = w.y
+),
+c AS (SELECT unnest([u, x, y]) AS node FROM t)
+SELECT node, count(*) AS triangles FROM c GROUP BY 1
+"""
+
+
+QUERIES["triangles"] = (q_triangles, SQL_TRIANGLES)
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]

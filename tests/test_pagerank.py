@@ -60,3 +60,29 @@ def test_hits_l1_normalized(spark):
     got = hits(edges, iters=3).toPandas()
     assert abs(got["hub"].sum() - 1.0) < 1e-6
     assert abs(got["auth"].sum() - 1.0) < 1e-6
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 has 4 triangles, every node in 3; an attached pendant edge
+    adds none; a disconnected path has none."""
+    from pyproj_spark.operators.pagerank import triangle_counts
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(0, 9), (10, 11), (11, 12)]  # pendant + path
+    edges = spark.createDataFrame(k4 + extra, ["src", "dst"])
+    got = (triangle_counts(edges).toPandas()
+           .set_index("node")["triangles"].to_dict())
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_orientation_invariance(spark):
+    """Edge direction and duplication in the input must not change
+    the undirected triangle counts."""
+    from pyproj_spark.operators.pagerank import triangle_counts
+    tri = [(1, 2), (2, 3), (3, 1)]
+    fwd = spark.createDataFrame(tri, ["src", "dst"])
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in tri] + tri + tri, ["src", "dst"])
+    a = triangle_counts(fwd).toPandas().set_index("node")
+    b = triangle_counts(rev).toPandas().set_index("node")
+    assert (a["triangles"] == 1).all()
+    assert a.equals(b)
