@@ -45,3 +45,33 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("_c").alias("n_tokens"),
                  F.round(F.sum("_c") / capacity, 6).alias("fill")))
+
+
+def stride_mix(df: DataFrame, weights: dict, stratum_col: str = "source",
+               id_col: str = "doc_id", round_to: int = 6) -> DataFrame:
+    """Deterministic training-data mixing via stride scheduling
+    (Waldspurger & Weihl, OSDI 1994 — public; the same interleave
+    rule behind weighted fair queueing): each stratum emits its
+    documents at positions (rank - 0.5) / weight, so sorting by
+    position yields a stream whose LOCAL mixture matches the target
+    weights everywhere — not just in expectation like sampling, and
+    not in blocks like concatenation (which trains on one source for
+    millions of steps before the next). Epoch boundaries are honest
+    too: a stratum with weight 2x finishes its pass 2x sooner and the
+    caller sees that in the position range.
+
+    One rank window per stratum (single shuffle on the stratum key);
+    the position IS the global order — no global row_number
+    bottleneck. Returns (id_col, stratum_col, pos)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(stratum_col).orderBy(id_col)
+    wexpr = F.lit(None).cast("double")
+    for k, v in sorted(weights.items()):
+        wexpr = F.when(F.col(stratum_col) == k,
+                       F.lit(float(v))).otherwise(wexpr)
+    return (df.select(id_col, stratum_col)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(wexpr.isNotNull())
+            .select(id_col, stratum_col,
+                    F.round((F.col("_r") - 0.5) / wexpr, round_to)
+                    .alias("pos")))

@@ -2140,6 +2140,161 @@ QUERIES_TEXT["quantile_sketch"] = (q_quantile_sketch,
                                    _quantile_sketch_sql())
 
 
+#: stride-mix target weights per source (src<k> -> 1 + k % 5)
+_MIX_WEIGHTS = {f"src{k}": 1.0 + k % 5 for k in range(20)}
+
+
+def q_data_mix(spark, sf_dir):
+    """Deterministic training-data mixing (operators/packing.py::
+    stride_mix): every source emits documents at positions
+    (rank - 0.5)/weight, so sorting by pos gives a stream whose local
+    source mixture matches the target weights everywhere — the
+    data-mixing stage between curation and sequence packing."""
+    from pyproj_spark.operators.packing import stride_mix
+    return stride_mix(_docs(spark, sf_dir), _MIX_WEIGHTS)
+
+
+def _data_mix_sql():
+    cases = " ".join(
+        f"WHEN source = '{k}' THEN {float(v)!r}"
+        for k, v in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id)
+             AS r,
+         CASE {cases} END AS w
+  FROM documents
+)
+SELECT doc_id, source, round((r - 0.5) / w, 6) AS pos
+FROM ranked WHERE w IS NOT NULL
+"""
+
+
+QUERIES_TEXT["data_mix"] = (q_data_mix, _data_mix_sql())
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Word-association mining: pointwise mutual information over
+    within-document co-occurrence, PMI = ln(cooc·N / (df1·df2)),
+    pairs with cooc >= 25. The pair space is bounded the scale-safe
+    way: only the top-30 corpus vocabulary participates (TakeOrdered,
+    broadcast), and per-doc pair expansion is an array HOF over that
+    <=30-token set — never a corpus-wide token self-join."""
+    from pyproj_spark.operators.lm import _tokens
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    toks = _tokens(docs.select("doc_id", "text"), "text") \
+        .select("doc_id", "token")
+    vocab = [r.token for r in
+             (toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+              .orderBy(F.col("c").desc(), "token").limit(30)
+              .collect())]
+    dt = (toks.filter(F.col("token").isin(vocab)).distinct())
+    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (dt.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list("token"))
+                    .alias("ts")))
+    ts = F.col("ts")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size(ts) - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.size(ts) - 1),
+            lambda j: F.struct(
+                F.element_at(ts, (i + 1).cast("int")).alias("w1"),
+                F.element_at(ts, (j + 1).cast("int")).alias("w2")))))
+    cooc = (per_doc.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.w1").alias("w1"),
+                     F.col("p.w2").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("cooc"))
+            .filter(F.col("cooc") >= 25))
+    d1 = dfreq.select(F.col("token").alias("w1"),
+                      F.col("df").alias("df1"))
+    d2 = dfreq.select(F.col("token").alias("w2"),
+                      F.col("df").alias("df2"))
+    return (cooc.join(F.broadcast(d1), "w1").join(F.broadcast(d2), "w2")
+            .select("w1", "w2", "cooc",
+                    F.round(F.log(F.col("cooc") * F.lit(float(n_docs))
+                                  / (F.col("df1") * F.col("df2"))), 6)
+                    .alias("pmi")))
+
+
+SQL_PMI = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 30
+),
+dt AS (
+  SELECT DISTINCT doc_id, token FROM toks
+  WHERE token IN (SELECT token FROM vocab)
+),
+dfreq AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+cooc AS (
+  SELECT a.token AS w1, b.token AS w2, count(*) AS cooc
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2 HAVING count(*) >= 25
+)
+SELECT w1, w2, cooc,
+       round(ln(cooc * CAST(n_docs AS DOUBLE) / (d1.df * d2.df)), 6)
+           AS pmi
+FROM cooc JOIN dfreq d1 ON d1.token = w1
+          JOIN dfreq d2 ON d2.token = w2
+CROSS JOIN n
+"""
+
+
+QUERIES_TEXT["pmi_pairs"] = (q_pmi_pairs, SQL_PMI)
+
+
+def q_markov_events(spark, sf_dir):
+    """Per-user event-sequence Markov transition matrix: next event
+    type via lead() over (user, time) order, transition probability
+    as an exact integer count ratio — the navigation-model /
+    next-action analytic over clickstream-shaped data."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.withColumn("next_type",
+                         F.lead("event_type").over(w))
+           .filter(F.col("next_type").isNotNull()))
+    cnt = (seq.groupBy("event_type", "next_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = (cnt.groupBy("event_type")
+           .agg(F.sum("n").alias("tot")))
+    return (cnt.join(tot, "event_type")
+            .select("event_type", "next_type", "n",
+                    F.round(F.col("n") / F.col("tot"), 6).alias("p")))
+
+
+SQL_MARKOV = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(n) AS tot FROM cnt GROUP BY 1)
+SELECT cnt.event_type, next_type, n,
+       round(n / CAST(tot AS DOUBLE), 6) AS p
+FROM cnt JOIN tot ON tot.event_type = cnt.event_type
+"""
+
+
+QUERIES_TEXT["markov_events"] = (q_markov_events, SQL_MARKOV)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints

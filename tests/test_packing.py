@@ -29,3 +29,19 @@ def test_single_giant_doc_spans_many_bins(spark):
     assert len(rows) == 8  # ceil(1000/128)
     assert sum(r.n_tokens for r in rows) == 1000
     assert all(r.n_docs == 1 for r in rows)
+
+
+def test_stride_mix_local_mixture(spark):
+    """In any prefix of the position-ordered stream, each stratum's
+    share tracks its weight (the stride guarantee sampling lacks)."""
+    from pyproj_spark.operators.packing import stride_mix
+    rows = [(i, "a" if i < 300 else "b") for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = (stride_mix(df, {"a": 3.0, "b": 1.0}, "source")
+           .toPandas().sort_values("pos").reset_index(drop=True))
+    head = out.head(100)
+    share_a = (head["source"] == "a").mean()
+    assert abs(share_a - 0.75) < 0.05
+    # positions within a stratum are strictly increasing by rank
+    a = out[out["source"] == "a"]["pos"].to_numpy()
+    assert (a[1:] > a[:-1]).all()
