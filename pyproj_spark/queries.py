@@ -1907,6 +1907,157 @@ SELECT node, count(*) AS triangles FROM c GROUP BY 1
 QUERIES["triangles"] = (q_triangles, SQL_TRIANGLES)
 
 
+def q_geod_waypoints(spark, sf_dir):
+    """G3/G5 driver-gated: equally spaced intermediate points along
+    the geodesic (the npts/inv_intermediate construction — inverse for
+    the azimuth, then direct at fractional distances) on the f=0
+    sphere, crossed against the closed-form great-circle slerp the
+    oracle can evaluate. Pairs/filter as q_geod_sphere; every ~7th
+    pair, waypoints at 1/4, 1/2, 3/4."""
+    from pyproj_spark.functions.transform import (geod_forward,
+                                                  geod_inverse,
+                                                  haversine_m)
+    pts = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon1"),
+        ((F.col("doc_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat1"),
+        ((F.col("doc_id") * 31337 % 360000) / 1000.0 - 180.0).alias("lon2"),
+        ((F.col("doc_id") * 27644437 % 160000) / 1000.0 - 80.0)
+        .alias("lat2"))
+    pts = pts.filter(
+        (haversine_m(F.col("lon1"), F.col("lat1"),
+                     F.col("lon2"), F.col("lat2")) < 15_000_000.0)
+        & (F.col("doc_id") % 7 == 0))
+    g = geod_inverse("sphere", F.col("lon1"), F.col("lat1"),
+                     F.col("lon2"), F.col("lat2"))
+    pts = pts.withColumn("g", g).withColumn(
+        "frac", F.explode(F.array(F.lit(0.25), F.lit(0.5),
+                                  F.lit(0.75))))
+    wp = geod_forward("sphere", F.col("lon1"), F.col("lat1"),
+                      F.col("g.az12"), F.col("frac") * F.col("g.dist"))
+    return (pts.withColumn("w", wp)
+            .select("doc_id", (F.col("frac") + 0.0).alias("frac"),
+                    (F.round(F.col("w.lon"), 6) + 0.0).alias("wlon"),
+                    (F.round(F.col("w.lat"), 6) + 0.0).alias("wlat")))
+
+
+# closed-form spherical interpolation (slerp): unit vectors, central
+# angle, p(f) = (sin((1-f)d)·p1 + sin(fd)·p2) / sin d
+SQL_GEOD_WAYPOINTS = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 360000) / 1000.0 - 180.0    AS lon1,
+         (doc_id * 104729 % 170000) / 1000.0 - 85.0   AS lat1,
+         (doc_id * 31337 % 360000) / 1000.0 - 180.0   AS lon2,
+         (doc_id * 27644437 % 160000) / 1000.0 - 80.0 AS lat2
+  FROM documents
+),
+keep AS (
+  SELECT * FROM pts
+  WHERE 2.0 * 6371008.8 * asin(sqrt(
+          pow(sin((radians(lat2) - radians(lat1)) / 2), 2)
+          + cos(radians(lat1)) * cos(radians(lat2))
+            * pow(sin((radians(lon2) - radians(lon1)) / 2), 2)))
+        < 15000000.0
+    AND doc_id % 7 = 0
+),
+vec AS (
+  SELECT doc_id,
+         cos(radians(lat1)) * cos(radians(lon1)) AS x1,
+         cos(radians(lat1)) * sin(radians(lon1)) AS y1,
+         sin(radians(lat1))                      AS z1,
+         cos(radians(lat2)) * cos(radians(lon2)) AS x2,
+         cos(radians(lat2)) * sin(radians(lon2)) AS y2,
+         sin(radians(lat2))                      AS z2
+  FROM keep
+),
+ang AS (
+  SELECT *, atan2(
+      sqrt(pow(y1 * z2 - z1 * y2, 2) + pow(z1 * x2 - x1 * z2, 2)
+           + pow(x1 * y2 - y1 * x2, 2)),
+      x1 * x2 + y1 * y2 + z1 * z2) AS d
+  FROM vec
+),
+wp AS (
+  SELECT doc_id, f.frac AS frac,
+         (sin((1 - f.frac) * d) * x1 + sin(f.frac * d) * x2) / sin(d)
+             AS wx,
+         (sin((1 - f.frac) * d) * y1 + sin(f.frac * d) * y2) / sin(d)
+             AS wy,
+         (sin((1 - f.frac) * d) * z1 + sin(f.frac * d) * z2) / sin(d)
+             AS wz
+  FROM ang CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS f(frac)
+)
+SELECT doc_id, frac + 0.0 AS frac,
+       round(degrees(atan2(wy, wx)), 6) + 0.0 AS wlon,
+       round(degrees(atan2(wz, sqrt(wx * wx + wy * wy))), 6) + 0.0
+           AS wlat
+FROM wp
+"""
+
+
+QUERIES["geod_waypoints"] = (q_geod_waypoints, SQL_GEOD_WAYPOINTS)
+
+
+def q_cell_moments(spark, sf_dir):
+    """Per-cell spatial moments: mean center and standard distance
+    (the two first-order spatial statistics every GIS ships) per hex
+    cell at res 1, from EXACT integer micro-degree sums — E[x], E[x²]
+    accumulate as longs so distributed order can't perturb the
+    variance, and the sqrt runs once on an engine-identical double."""
+    from pyproj_spark.functions.hexcell import hex_of
+    pts = _doc_points(spark, sf_dir)
+    lon_u = F.round(F.col("lon") * 1e6).cast("long")
+    lat_u = F.round(F.col("lat") * 1e6).cast("long")
+    lon2_u = F.round(F.col("lon") * F.col("lon") * 1e6).cast("long")
+    lat2_u = F.round(F.col("lat") * F.col("lat") * 1e6).cast("long")
+    g = (pts.withColumn("cell", hex_of(F.col("lon"), F.col("lat"), 0))
+         .groupBy("cell")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(lon_u).alias("sx"), F.sum(lat_u).alias("sy"),
+              F.sum(lon2_u).alias("sxx"), F.sum(lat2_u).alias("syy"))
+         .filter(F.col("n") >= 2))
+    n = F.col("n").cast("double")
+    mx = F.col("sx") / 1e6 / n
+    my = F.col("sy") / 1e6 / n
+    var = (F.col("sxx") / 1e6 / n - mx * mx
+           + F.col("syy") / 1e6 / n - my * my)
+    # no output rounding: both engines compute the IDENTICAL doubles
+    # from the exact integer sums, and rounding near a half boundary
+    # is where engine round() implementations disagree
+    return g.select(
+        "cell", "n",
+        mx.alias("mean_lon"),
+        my.alias("mean_lat"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_dist_deg"))
+
+
+def _cell_moments_sql():
+    from pyproj_spark.functions.hexcell import hex_sql
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (
+  SELECT {hex_sql(0)} AS cell, count(*) AS n,
+         sum(CAST(round(lon * 1e6) AS BIGINT)) AS sx,
+         sum(CAST(round(lat * 1e6) AS BIGINT)) AS sy,
+         sum(CAST(round(lon * lon * 1e6) AS BIGINT)) AS sxx,
+         sum(CAST(round(lat * lat * 1e6) AS BIGINT)) AS syy
+  FROM pts GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT cell, n,
+       sx / 1e6 / n AS mean_lon,
+       sy / 1e6 / n AS mean_lat,
+       sqrt(greatest(
+           sxx / 1e6 / n - (sx / 1e6 / n) * (sx / 1e6 / n)
+           + syy / 1e6 / n - (sy / 1e6 / n) * (sy / 1e6 / n), 0.0))
+           AS std_dist_deg
+FROM g
+"""
+
+
+QUERIES["cell_moments"] = (q_cell_moments, _cell_moments_sql())
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]
