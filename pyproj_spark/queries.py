@@ -2058,6 +2058,78 @@ FROM g
 QUERIES["cell_moments"] = (q_cell_moments, _cell_moments_sql())
 
 
+#: the 6 hex-neighbor id deltas (distance exactly 1, no self)
+_HEX_NBR6 = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+
+
+def q_grid_dbscan(spark, sf_dir):
+    """Grid-based density clustering (the distributed DBSCAN
+    approximation every large-scale system actually ships: cell-level
+    density + component merge, cf. GriDBSCAN): hex cells with >= 2
+    points are core; core cells adjacent on the hex grid (pure
+    integer id adds) connect; connected components (the large-star/
+    small-star operator) label each cluster by its min cell id; points
+    outside core cells are noise (-1). Composes three gated
+    primitives — hexcell, neighbor arithmetic, CC — into the standard
+    spatial-clustering pipeline."""
+    from pyproj_spark.functions.hexcell import hex_of
+    from pyproj_spark.operators.cc import connected_components
+    pts = _doc_points(spark, sf_dir).withColumn(
+        "cell", hex_of(F.col("lon"), F.col("lat"), 0))
+    core = (pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2).select("cell"))
+    deltas = F.array(*[F.lit((dq << 29) + dr) for dq, dr in _HEX_NBR6])
+    edges = (core
+             .withColumn("nbr", F.explode(F.transform(
+                 deltas, lambda d: F.col("cell") + d)))
+             .join(core.select(F.col("cell").alias("nbr")), "nbr")
+             .select(F.col("cell").alias("id_a"),
+                     F.col("nbr").alias("id_b")))
+    comp = connected_components(edges)
+    labeled = (core.join(comp.withColumnRenamed("id", "cell"),
+                         "cell", "left")
+               .select("cell",
+                       F.coalesce("rep", "cell").alias("cluster")))
+    return (pts.join(labeled, "cell", "left")
+            .select("doc_id", "cell",
+                    F.coalesce("cluster", F.lit(-1)).alias("cluster")))
+
+
+def _grid_dbscan_sql():
+    from pyproj_spark.functions.hexcell import hex_sql
+    deltas = ", ".join(f"({(dq << 29) + dr})" for dq, dr in _HEX_NBR6)
+    return f"""
+WITH RECURSIVE pts AS ({_PTS_SQL}),
+cells AS (
+  SELECT doc_id, {hex_sql(0)} AS cell FROM pts
+),
+core AS (
+  SELECT cell FROM cells GROUP BY cell HAVING count(*) >= 2
+),
+e AS (
+  SELECT c.cell AS src, c.cell + d.d AS dst
+  FROM core c CROSS JOIN (VALUES {deltas}) AS d(d)
+  WHERE c.cell + d.d IN (SELECT cell FROM core)
+),
+reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id
+),
+comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+labeled AS (
+  SELECT core.cell, coalesce(comp.rep, core.cell) AS cluster
+  FROM core LEFT JOIN comp ON comp.id = core.cell
+)
+SELECT cells.doc_id, cells.cell,
+       coalesce(labeled.cluster, -1) AS cluster
+FROM cells LEFT JOIN labeled ON labeled.cell = cells.cell
+"""
+
+
+QUERIES["grid_dbscan"] = (q_grid_dbscan, _grid_dbscan_sql())
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]

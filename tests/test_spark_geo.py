@@ -520,3 +520,40 @@ def test_knn_hex_matches_bruteforce_within_ring(spark):
         assert list(sub["rid"]) == [cid for _, cid in exp]
         np.testing.assert_allclose(sub["dist_m"].to_numpy(),
                                    [d for d, _ in exp], rtol=1e-9)
+
+
+def test_grid_dbscan_separates_blobs(spark):
+    """Two dense far-apart blobs -> two clusters; an isolated point ->
+    noise (-1)."""
+    from pyspark.sql import functions as F
+    from pyproj_spark.functions.hexcell import hex_of
+    from pyproj_spark.operators.cc import connected_components
+
+    rows = ([(i, 10.0 + (i % 5) * 0.01, 10.0 + (i // 5) * 0.01)
+             for i in range(25)]
+            + [(100 + i, -120.0 + (i % 5) * 0.01,
+                -40.0 + (i // 5) * 0.01) for i in range(25)]
+            + [(999, 60.0, 60.0)])
+    pts = spark.createDataFrame(rows, ["doc_id", "lon", "lat"]) \
+        .withColumn("cell", hex_of(F.col("lon"), F.col("lat"), 0))
+    core = (pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2).select("cell"))
+    deltas = F.array(*[F.lit((dq << 29) + dr) for dq, dr in
+                       [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
+                        (-1, 1)]])
+    edges = (core.withColumn("nbr", F.explode(F.transform(
+        deltas, lambda d: F.col("cell") + d)))
+        .join(core.select(F.col("cell").alias("nbr")), "nbr")
+        .select(F.col("cell").alias("id_a"), F.col("nbr").alias("id_b")))
+    comp = connected_components(edges)
+    labeled = (core.join(comp.withColumnRenamed("id", "cell"),
+                         "cell", "left")
+               .select("cell", F.coalesce("rep", "cell").alias("cl")))
+    out = (pts.join(labeled, "cell", "left")
+           .select("doc_id", F.coalesce("cl", F.lit(-1)).alias("cl"))
+           .toPandas())
+    blob1 = set(out[out["doc_id"] < 100]["cl"])
+    blob2 = set(out[(out["doc_id"] >= 100) & (out["doc_id"] < 999)]["cl"])
+    assert len(blob1) == 1 and len(blob2) == 1
+    assert blob1 != blob2 and -1 not in blob1 | blob2
+    assert out[out["doc_id"] == 999]["cl"].iloc[0] == -1
