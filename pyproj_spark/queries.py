@@ -2130,6 +2130,78 @@ FROM cells LEFT JOIN labeled ON labeled.cell = cells.cell
 QUERIES["grid_dbscan"] = (q_grid_dbscan, _grid_dbscan_sql())
 
 
+def q_dwell(spark, sf_dir):
+    """Spatiotemporal dwell detection (stay-point analysis, Li et al.
+    2008 shape, grid-quantized): each user's event stream gets a
+    deterministic moving position, positions quantize to hex cells,
+    and maximal runs of consecutive same-cell points (gaps-and-islands
+    over (user, time) — the spatial twin of user_sessions) with >= 3
+    points become dwell episodes with enter/exit epochs. One window
+    shuffle on user, one hash agg on the run id."""
+    from pyspark.sql import Window
+    from pyproj_spark.functions.hexcell import hex_of
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    minute = F.floor(F.unix_timestamp("ts") / 600)
+    lon = ((F.col("user_id") % 36) * 10 - 180
+           + (minute % 7) * 2.0)
+    lat = ((F.col("user_id") % 17) * 8 - 60).cast("double")
+    pts = ev.select("user_id", "ts", "event_id",
+                    hex_of(lon, lat, 2).alias("cell"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (pts.withColumn(
+        "new_run",
+        F.when(F.col("cell") == F.lag("cell").over(w), 0).otherwise(1))
+        .withColumn("run_id", F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (runs.groupBy("user_id", "run_id", "cell")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.min(F.unix_timestamp("ts")).alias("enter_s"),
+                 F.max(F.unix_timestamp("ts")).alias("exit_s"))
+            .filter(F.col("n_points") >= 3)
+            .select("user_id", "cell", "n_points", "enter_s",
+                    (F.col("exit_s") - F.col("enter_s"))
+                    .alias("dwell_s")))
+
+
+def _dwell_sql():
+    from pyproj_spark.functions.hexcell import hex_sql
+    cell = hex_sql(2, lon_expr="lon", lat_expr="lat")
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (user_id % 36) * 10 - 180
+             + (floor(epoch(ts) / 600) % 7) * 2.0 AS lon,
+         CAST((user_id % 17) * 8 - 60 AS DOUBLE) AS lat
+  FROM events
+),
+cells AS (
+  SELECT user_id, ts, event_id, {cell} AS cell FROM pts
+),
+runs AS (
+  SELECT user_id, ts, event_id, cell,
+         CASE WHEN cell = lag(cell) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS new_run
+  FROM cells
+),
+ids AS (
+  SELECT user_id, ts, cell,
+         sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+)
+SELECT user_id, cell, count(*) AS n_points,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS enter_s,
+       CAST(floor(max(epoch(ts))) - floor(min(epoch(ts))) AS BIGINT)
+           AS dwell_s
+FROM ids GROUP BY user_id, run_id, cell
+HAVING count(*) >= 3
+"""
+
+
+QUERIES["dwell"] = (q_dwell, _dwell_sql())
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]
