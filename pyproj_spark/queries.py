@@ -2202,6 +2202,96 @@ HAVING count(*) >= 3
 QUERIES["dwell"] = (q_dwell, _dwell_sql())
 
 
+def q_clip_tiles(spark, sf_dir):
+    """Vector-tile clipping (functions/clip.py): every PIP zone
+    polygon clipped to each overlapping 45° tile rectangle via four
+    chained Sutherland–Hodgman passes — pure Catalyst array HOFs, no
+    UDF — with bbox-overlap pruning before the exact clip (the PIP
+    prefilter shape) and a LEFT-FOLD shoelace area whose summation
+    order is ring order on both engines."""
+    from pyproj_spark.functions.clip import clip_to_rect, ring_area2
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField("zone_id", LongType()),
+        StructField("ring", ArrayType(StructType([
+            StructField("x", DoubleType()),
+            StructField("y", DoubleType())])))])
+    zones = spark.createDataFrame(
+        [(zid, [(float(x), float(y)) for x, y in ring])
+         for zid, ring in PIP_ZONES.items()], schema)
+    tiles = spark.range(32).select(
+        (F.col("id") % 8).alias("tx"), (F.col("id") / 8)
+        .cast("long").alias("ty"),
+        (-180.0 + 45.0 * (F.col("id") % 8)).alias("xmin"),
+        (-90.0 + 45.0 * (F.col("id") / 8).cast("long")).alias("ymin"))
+    tiles = tiles.withColumn("xmax", F.col("xmin") + 45.0) \
+                 .withColumn("ymax", F.col("ymin") + 45.0)
+    xs = F.transform(F.col("ring"), lambda p: p["x"])
+    ys = F.transform(F.col("ring"), lambda p: p["y"])
+    cand = (zones.crossJoin(F.broadcast(tiles))
+            .filter((F.array_min(xs) <= F.col("xmax"))
+                    & (F.array_max(xs) >= F.col("xmin"))
+                    & (F.array_min(ys) <= F.col("ymax"))
+                    & (F.array_max(ys) >= F.col("ymin"))))
+    clipped = clip_to_rect(F.col("ring"), F.col("xmin"), F.col("ymin"),
+                           F.col("xmax"), F.col("ymax"))
+    out = (cand.withColumn("cl", clipped)
+           .withColumn("n_vertices", F.size("cl"))
+           .withColumn("area_deg2", F.abs(ring_area2(F.col("cl"))) / 2)
+           .filter((F.col("n_vertices") >= 3)
+                   & (F.col("area_deg2") > 1e-9)))
+    return out.select("zone_id", "tx", "ty", "n_vertices", "area_deg2")
+
+
+def _clip_tiles_sql():
+    from pyproj_spark.functions.clip import (_sql_clip_half,
+                                             sql_ring_area2)
+    rows = ", ".join(
+        "({}, [{}])".format(zid, ", ".join(
+            f"struct_pack(x := {float(x)!r}, y := {float(y)!r})"
+            for x, y in ring))
+        for zid, ring in PIP_ZONES.items())
+    stages = ""
+    prev = "cand"
+    for i, (axis, bexpr, ge) in enumerate(
+            [("x", "xmin", True), ("x", "xmax", False),
+             ("y", "ymin", True), ("y", "ymax", False)]):
+        stages += (f", c{i} AS (SELECT zone_id, tx, ty, xmin, ymin, "
+                   f"xmax, ymax, "
+                   f"{_sql_clip_half('r', axis, bexpr, ge)} AS r "
+                   f"FROM {prev})")
+        prev = f"c{i}"
+    return f"""
+WITH zones AS (
+  SELECT * FROM (VALUES {rows}) AS z(zone_id, ring)
+),
+tiles AS (
+  SELECT i % 8 AS tx, i // 8 AS ty,
+         -180.0 + 45.0 * (i % 8) AS xmin,
+         -90.0 + 45.0 * (i // 8) AS ymin,
+         -180.0 + 45.0 * (i % 8) + 45.0 AS xmax,
+         -90.0 + 45.0 * (i // 8) + 45.0 AS ymax
+  FROM range(32) AS t(i)
+),
+cand AS (
+  SELECT zone_id, tx, ty, xmin, ymin, xmax, ymax, ring AS r
+  FROM zones CROSS JOIN tiles
+  WHERE list_min(list_transform(ring, p -> p.x)) <= xmax
+    AND list_max(list_transform(ring, p -> p.x)) >= xmin
+    AND list_min(list_transform(ring, p -> p.y)) <= ymax
+    AND list_max(list_transform(ring, p -> p.y)) >= ymin
+){stages}
+SELECT zone_id, tx, ty, len(r) AS n_vertices,
+       abs({sql_ring_area2('r')}) / 2 AS area_deg2
+FROM {prev}
+WHERE len(r) >= 3 AND abs({sql_ring_area2('r')}) / 2 > 1e-9
+"""
+
+
+QUERIES["clip_tiles"] = (q_clip_tiles, _clip_tiles_sql())
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]

@@ -557,3 +557,29 @@ def test_grid_dbscan_separates_blobs(spark):
     assert len(blob1) == 1 and len(blob2) == 1
     assert blob1 != blob2 and -1 not in blob1 | blob2
     assert out[out["doc_id"] == 999]["cl"].iloc[0] == -1
+
+
+def test_clip_to_rect_partial_and_disjoint(spark):
+    """Sutherland–Hodgman: a triangle half-inside the rect clips to
+    the correct area; a disjoint rect clips to empty; clipping to a
+    covering rect is the identity area."""
+    from pyspark.sql import functions as F
+    from pyproj_spark.functions.clip import clip_to_rect, ring_area2
+
+    tri = [(0.0, 0.0), (4.0, 0.0), (0.0, 4.0)]  # area 8
+    ring = F.array(*[F.struct(F.lit(x).alias("x"), F.lit(y).alias("y"))
+                     for x, y in tri])
+    df = spark.range(1)
+
+    def area(xmin, ymin, xmax, ymax):
+        c = clip_to_rect(ring, xmin, ymin, xmax, ymax)
+        return df.select((F.abs(ring_area2(c)) / 2).alias("a"),
+                         F.size(c).alias("n")).collect()[0]
+
+    full = area(-1.0, -1.0, 5.0, 5.0)
+    assert full.a == 8.0
+    # clip to x <= 2: trapezoid with vertices (0,0),(2,0),(2,2),(0,4)
+    half = area(-1.0, -1.0, 2.0, 5.0)
+    assert abs(half.a - 6.0) < 1e-12
+    gone = area(10.0, 10.0, 20.0, 20.0)
+    assert gone.n == 0 and gone.a == 0.0
