@@ -28,7 +28,10 @@ def _edges(ring: Column) -> Column:
     """array<struct<p, q>> of consecutive ring edges (closing edge
     included): q-list is the ring rotated left by one."""
     n = F.size(ring)
-    rot = F.concat(F.slice(ring, 2, n - 1), F.slice(ring, 1, 1))
+    # greatest(n-1, 0): slice() throws on negative length when a
+    # previous clip pass emptied the ring
+    rot = F.concat(F.slice(ring, 2, F.greatest(n - 1, F.lit(0))),
+                   F.slice(ring, 1, 1))
     return F.zip_with(ring, rot,
                       lambda p, q: F.struct(p.alias("p"), q.alias("q")))
 
