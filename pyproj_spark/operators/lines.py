@@ -74,3 +74,49 @@ def polygon_areas(points: DataFrame, poly_col: str = "poly_id",
 
 
 _GEOD_CACHE: dict = {}
+
+
+def convex_hulls(df: DataFrame, group_col: str, lon_col: str = "lon",
+                 lat_col: str = "lat") -> DataFrame:
+    """Per-group planar convex hull (Andrew's monotone chain, 1979 —
+    public): the footprint-estimation op (zone coverage outline,
+    cluster envelope). Sequential stack semantics route it to
+    applyInPandas per SURVEY §2.6's custom-operator rule — one
+    shuffle on the group key, numpy inside, hull size is O(sqrt of
+    points) in practice so the output stays tiny.
+
+    Returns (group_col, hull) with hull = array<struct<lon, lat>> in
+    counter-clockwise order starting from the lexicographically
+    smallest vertex; degenerate groups (< 3 distinct points) return
+    their distinct points sorted."""
+    import numpy as np
+    import pandas as pd
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = sorted(set(zip(pdf[lon_col], pdf[lat_col])))
+        g = pdf[group_col].iloc[0]
+        if len(pts) < 3:
+            hull = pts
+        else:
+            def half(seq):
+                out = []
+                for p in seq:
+                    while len(out) >= 2 and (
+                        (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                        - (out[-1][1] - out[-2][1])
+                            * (p[0] - out[-2][0])) <= 0:
+                        out.pop()
+                    out.append(p)
+                return out
+            lower = half(pts)
+            upper = half(reversed(pts))
+            hull = lower[:-1] + upper[:-1]
+        return pd.DataFrame(
+            {group_col: [g],
+             "hull": [[{"lon": float(x), "lat": float(y)}
+                       for x, y in hull]]})
+
+    out_schema = (f"{group_col} long, "
+                  "hull array<struct<lon: double, lat: double>>")
+    return (df.select(group_col, lon_col, lat_col)
+            .groupBy(group_col).applyInPandas(_hull, out_schema))

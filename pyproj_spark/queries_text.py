@@ -2295,6 +2295,74 @@ FROM cnt JOIN tot ON tot.event_type = cnt.event_type
 QUERIES_TEXT["markov_events"] = (q_markov_events, SQL_MARKOV)
 
 
+def q_html_meta(spark, sf_dir):
+    """HTML metadata extraction (the WAT-record build of a crawl
+    pipeline): title, meta description, and canonical link pulled by
+    native regexp group captures from deterministic page HTML
+    (identical string expressions in both engines; every third page
+    omits the canonical tag so the NULL path is gated too)."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    canonical = F.when(
+        i % 3 != 0,
+        F.concat(F.lit('<link rel="canonical" href="http://c'),
+                 s(i % 41), F.lit(".example.com/p/"), s(i),
+                 F.lit('">'))).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Page "), s(i), F.lit(" - site "),
+        s(i % 59), F.lit("</title>"),
+        F.lit('<meta name="description" content="doc '), s(i),
+        F.lit(' topic '), s(i % 23), F.lit('">'), canonical,
+        F.lit("</head><body>x</body></html>"))
+    pages = d.select("doc_id", html.alias("html"))
+    title_re = r"<title>([^<]*)</title>"
+    desc_re = r'<meta name="description" content="([^"]*)">'
+    canon_re = r'<link rel="canonical" href="([^"]*)">'
+    ext = pages.select(
+        "doc_id",
+        F.regexp_extract("html", title_re, 1).alias("title"),
+        F.regexp_extract("html", desc_re, 1).alias("description"),
+        F.nullif(F.regexp_extract("html", canon_re, 1), F.lit(""))
+        .alias("canonical"))
+    return ext
+
+
+SQL_HTML_META = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>Page ' || CAST(doc_id AS VARCHAR)
+         || ' - site ' || CAST(doc_id % 59 AS VARCHAR) || '</title>'
+         || '<meta name="description" content="doc '
+         || CAST(doc_id AS VARCHAR) || ' topic '
+         || CAST(doc_id % 23 AS VARCHAR) || '">'
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN '<link rel="canonical" href="http://c'
+                      || CAST(doc_id % 41 AS VARCHAR)
+                      || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                      || '">'
+                 ELSE '' END
+         || '</head><body>x</body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       regexp_extract(html,
+           '<meta name="description" content="([^"]*)">', 1)
+           AS description,
+       nullif(regexp_extract(html,
+           '<link rel="canonical" href="([^"]*)">', 1), '')
+           AS canonical
+FROM pages
+"""
+
+
+QUERIES_TEXT["html_meta"] = (q_html_meta, SQL_HTML_META)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints

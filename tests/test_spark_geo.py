@@ -583,3 +583,32 @@ def test_clip_to_rect_partial_and_disjoint(spark):
     assert abs(half.a - 6.0) < 1e-12
     gone = area(10.0, 10.0, 20.0, 20.0)
     assert gone.n == 0 and gone.a == 0.0
+
+
+def test_convex_hulls_contains_all_points(spark):
+    """Hull vertices are input points, every input point lies inside
+    or on the hull, and collinear/degenerate groups behave."""
+    from pyproj_spark.operators.lines import convex_hulls
+    import numpy as np
+
+    rows = []
+    for i in range(60):  # ring + interior points -> hull = the square
+        rows.append((1, float((i * 7) % 10), float((i * 13) % 10)))
+    rows += [(2, 0.0, 0.0), (2, 1.0, 1.0), (2, 2.0, 2.0)]  # collinear
+    df = spark.createDataFrame(rows, ["zone", "lon", "lat"])
+    got = {r["zone"]: r["hull"]
+           for r in convex_hulls(df, "zone").collect()}
+
+    hull = [(p["lon"], p["lat"]) for p in got[1]]
+    pts = [(x, y) for z, x, y in rows if z == 1]
+    assert set(hull) <= set(pts)
+    # all points inside or on hull (cross-product sign test, CCW)
+    h = np.array(hull)
+    for x, y in pts:
+        for k in range(len(h)):
+            ax, ay = h[k]
+            bx, by = h[(k + 1) % len(h)]
+            assert (bx - ax) * (y - ay) - (by - ay) * (x - ax) >= -1e-9
+    # collinear: interior point is not a hull vertex -> endpoints only
+    assert [(p["lon"], p["lat"]) for p in got[2]] == [(0.0, 0.0),
+                                                      (2.0, 2.0)]
