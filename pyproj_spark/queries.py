@@ -2292,6 +2292,63 @@ WHERE len(r) >= 3 AND abs({sql_ring_area2('r')}) / 2 > 1e-9
 QUERIES["clip_tiles"] = (q_clip_tiles, _clip_tiles_sql())
 
 
+def q_burst_detect(spark, sf_dir):
+    """Burst/trend detection over event streams: hourly counts per
+    event type, z-scored against the trailing 24-window frame — the
+    spike detector behind trending-topics / crawl-anomaly alerts.
+    The trailing mean and variance come from INTEGER frame sums
+    (counts and squared counts), so the frame aggregation is exact
+    and engine-identical; only the final z division is floating."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = (F.floor(F.unix_timestamp("ts") / 3600)).alias("hour")
+    cnt = (ev.select("event_type", hour)
+           .groupBy("event_type", "hour")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-24, -1))
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    k = F.count("n").over(w)
+    mean = s1.cast("double") / k
+    var = s2.cast("double") / k - mean * mean
+    z = F.when((k >= 5) & (var > 0),
+               (F.col("n") - mean) / F.sqrt(var))
+    # z stays unrounded: both engines build it from identical exact
+    # integer frame sums (see the cell_moments half-boundary lesson)
+    return (cnt.select("event_type", "hour", "n", z.alias("z"))
+            .filter(F.col("z").isNotNull()))
+
+
+SQL_BURST = """
+WITH cnt AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT event_type, hour, n,
+         sum(n) OVER w AS s1, sum(n * n) OVER w AS s2,
+         count(n) OVER w AS k
+  FROM cnt
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n,
+       (n - CAST(s1 AS DOUBLE) / k)
+           / sqrt(CAST(s2 AS DOUBLE) / k
+                  - (CAST(s1 AS DOUBLE) / k)
+                    * (CAST(s1 AS DOUBLE) / k)) AS z
+FROM f
+WHERE k >= 5 AND CAST(s2 AS DOUBLE) / k
+      - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k) > 0
+"""
+
+
+QUERIES["burst_detect"] = (q_burst_detect, SQL_BURST)
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]
