@@ -180,3 +180,59 @@ def content_context_sql(html_expr: str, min_len: int = MIN_LEN,
                f"s -> s.text), chr(10)), '')")
     return dict(n_blocks=f"len({keep})", n_good=f"len({good})",
                 content=content, content_len=f"length({content})")
+
+
+def site_template_clean(df, host_col: str = "host",
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.5):
+    """Per-SITE template removal (the host-scoped stage between
+    corpus-wide paragraph dedup and per-page boilerplate stripping):
+    a line appearing in more than ``threshold`` of a host's documents
+    is site chrome (nav, footer, cookie banner) and is stripped from
+    every page of that host — while the same line on another host
+    survives, which is exactly what corpus-global dedup gets wrong
+    about small sites.
+
+    Plan: posexplode lines -> distinct (host, doc, line) counts ->
+    per-host doc totals -> template line set (tiny: lines crossing the
+    threshold) -> anti-join back -> order-preserving reassembly via
+    array_sort over (pos, line) structs. Counts are integers, so the
+    threshold decision is exact on both engines.
+
+    Returns (id_col, host_col, n_lines, n_removed, clean_hash)."""
+    from pyspark.sql import functions as F
+    lines = (df.select(
+        id_col, host_col,
+        F.posexplode(F.filter(F.split(F.col(text_col), "\n"),
+                              lambda s: F.trim(s) != ""))
+        .alias("pos", "line")))
+    lh = lines.withColumn("lhash", F.md5(F.trim("line")))
+    per_line = (lh.select(host_col, id_col, "lhash").distinct()
+                .groupBy(host_col, "lhash")
+                .agg(F.count(F.lit(1)).alias("ndocs")))
+    host_docs = (df.select(host_col, id_col).distinct()
+                 .groupBy(host_col)
+                 .agg(F.count(F.lit(1)).alias("total")))
+    template = (per_line.join(host_docs, host_col)
+                .filter(F.col("ndocs") > threshold * F.col("total"))
+                .select(host_col, "lhash"))
+    kept = lh.join(F.broadcast(template), [host_col, "lhash"],
+                   "left_anti")
+    totals = (lh.groupBy(id_col, host_col)
+              .agg(F.count(F.lit(1)).alias("n_lines")))
+    re = (kept.groupBy(id_col, host_col)
+          .agg(F.count(F.lit(1)).alias("n_kept"),
+               F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("pos"), F.col("line")))),
+                       lambda s: s["line"]),
+                   "\n").alias("clean")))
+    return (totals.join(re, [id_col, host_col], "left")
+            .select(id_col, host_col, "n_lines",
+                    (F.col("n_lines")
+                     - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_removed"),
+                    F.md5(F.coalesce("clean", F.lit("")))
+                    .alias("clean_hash")))

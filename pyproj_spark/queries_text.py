@@ -2363,6 +2363,84 @@ FROM pages
 QUERIES_TEXT["html_meta"] = (q_html_meta, SQL_HTML_META)
 
 
+def q_site_template(spark, sf_dir):
+    """Per-site template removal (operators/content.py::
+    site_template_clean): nav and footer lines appear in 100% of each
+    host's pages (stripped), a promo line in 40% (kept — below the
+    0.5 threshold), so the gate exercises both sides of the
+    host-scoped frequency decision; the cleaned text is hash-checked
+    byte-for-byte."""
+    from pyproj_spark.operators.content import site_template_clean
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    h = (i % 31).cast("string")
+    text = F.concat(
+        F.substring("text", 1, 80), F.lit("\n"),
+        F.lit("nav menu of host "), h, F.lit("\n"),
+        F.when(i % 5 < 2,
+               F.concat(F.lit("promo of host "), h, F.lit("\n")))
+        .otherwise(F.lit("")),
+        F.lit("footer of host "), h, F.lit("\n"),
+        F.substring("text", 81, 1000000))
+    built = d.select("doc_id",
+                     F.concat(F.lit("h"), h).alias("host"),
+                     text.alias("text"))
+    return site_template_clean(built)
+
+
+SQL_SITE_TEMPLATE = """
+WITH built AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 31 AS VARCHAR) AS host,
+         substr(text, 1, 80) || chr(10)
+         || 'nav menu of host ' || CAST(doc_id % 31 AS VARCHAR)
+         || chr(10)
+         || CASE WHEN doc_id % 5 < 2
+                 THEN 'promo of host ' || CAST(doc_id % 31 AS VARCHAR)
+                      || chr(10)
+                 ELSE '' END
+         || 'footer of host ' || CAST(doc_id % 31 AS VARCHAR)
+         || chr(10) || substr(text, 81) AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, host,
+         list_filter(str_split(text, chr(10)),
+                     p -> trim(p) <> '') AS ps
+  FROM built
+),
+lh AS (
+  SELECT DISTINCT doc_id, host, md5(trim(p)) AS lhash
+  FROM paras, UNNEST(ps) AS u(p)
+),
+per_line AS (
+  SELECT host, lhash, count(DISTINCT doc_id) AS ndocs
+  FROM lh GROUP BY 1, 2
+),
+host_docs AS (
+  SELECT host, count(DISTINCT doc_id) AS total FROM built GROUP BY 1
+),
+template AS (
+  SELECT p.host, p.lhash
+  FROM per_line p JOIN host_docs h ON h.host = p.host
+  WHERE p.ndocs > 0.5 * h.total
+),
+tl AS (SELECT host, list(lhash) AS ths FROM template GROUP BY 1),
+cleaned AS (
+  SELECT paras.doc_id, paras.host, ps,
+         list_filter(ps, p -> NOT list_contains(
+             coalesce(tl.ths, []), md5(trim(p)))) AS cl
+  FROM paras LEFT JOIN tl ON tl.host = paras.host
+)
+SELECT doc_id, host, len(ps) AS n_lines,
+       len(ps) - len(cl) AS n_removed,
+       md5(coalesce(array_to_string(cl, chr(10)), '')) AS clean_hash
+FROM cleaned
+"""
+
+
+QUERIES_TEXT["site_template"] = (q_site_template, SQL_SITE_TEMPLATE)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints

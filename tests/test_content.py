@@ -71,3 +71,25 @@ def test_context_pass(spark):
     assert "A short quote." in ctx.content
     assert "Tiny." not in ctx.content
     assert "home" not in ctx.content
+
+
+def test_site_template_host_scoped_threshold(spark):
+    """A line in ALL of host A's docs strips from A but the SAME line
+    in only 1 of host B's 4 docs survives on B; exactly-50% lines are
+    kept (strict > threshold)."""
+    from pyproj_spark.operators.content import site_template_clean
+    rows = []
+    for d in range(4):  # host A: chrome in all, half in 2 of 4
+        half = "half line\n" if d < 2 else ""
+        rows.append((d, "A", f"unique a{d}\nchrome line\n{half}tail a{d}"))
+    for d in range(4):  # host B: chrome line only in doc 0
+        chrome = "chrome line\n" if d == 0 else ""
+        rows.append((10 + d, "B", f"unique b{d}\n{chrome}tail b{d}"))
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    got = (site_template_clean(df).toPandas()
+           .set_index("doc_id").sort_index())
+    # host A: only 'chrome line' (4/4) removed; 'half line' (2/4 = 50%)
+    # is NOT strictly above the 0.5 threshold
+    assert (got.loc[got["host"] == "A", "n_removed"] == 1).all()
+    # host B keeps everything, including the doc-0 chrome line
+    assert (got.loc[got["host"] == "B", "n_removed"] == 0).all()
