@@ -25,10 +25,17 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
-             round_to: int = 9) -> DataFrame:
+             round_to: int = 9, seeds: list | None = None) -> DataFrame:
     """(node, rank) after ``iters`` iterations over the directed edge
     list. Nodes = union of srcs and dsts; parallel edges count once
-    (dedup), uniform init 1/N."""
+    (dedup), uniform init 1/N.
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala,
+    "Topic-sensitive PageRank", WWW 2002 — public): the teleport
+    vector (and the dangling-mass redistribution, which must follow
+    the same distribution or mass leaks off the seed topic) becomes
+    uniform over the seed set instead of all nodes — random walk with
+    restart from the seeds, the relevance-to-topic score."""
     e = edges.select(src, dst).distinct().cache()
     nodes = (e.select(F.col(src).alias("node"))
              .unionByName(e.select(F.col(dst).alias("node")))
@@ -36,25 +43,33 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     n = nodes.count()
     outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     src_nodes = outdeg.select(F.col(src).alias("node"))
-    ranks = nodes.select("node",
-                         F.lit(round(1.0 / n, round_to)).alias("rank"))
+    if seeds is None:
+        is_seed, n_tel = F.lit(True), n
+        init = F.lit(round(1.0 / n, round_to))
+    else:
+        is_seed, n_tel = F.col("node").isin(list(seeds)), len(seeds)
+        init = F.when(is_seed, F.lit(round(1.0 / n_tel, round_to))) \
+            .otherwise(F.lit(0.0))
+    ranks = nodes.select("node", init.alias("rank"))
     for _ in range(iters):
         w = (ranks.withColumnRenamed("node", src).join(outdeg, src)
              .select(src, (F.col("rank") / F.col("deg")).alias("w")))
         contrib = e.join(w, src).select(F.col(dst).alias("node"),
                                         F.col("w").alias("c"))
         in_sum = contrib.groupBy("node").agg(F.sum("c").alias("in_c"))
-        # dangling nodes (no outlinks) spread their rank uniformly
+        # dangling nodes (no outlinks) spread their rank over the
+        # teleport distribution
         dang = (ranks.join(src_nodes, "node", "left_anti")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .first()[0])
         # rounded so distributed sum order can't perturb the scalar
         # that feeds every node's next rank (mirrored in the oracle)
         dang = round(dang, 12)
-        base = (1.0 - damping) / n + damping * dang / n
+        base = (1.0 - damping) / n_tel + damping * dang / n_tel
+        tel = F.when(is_seed, F.lit(base)).otherwise(F.lit(0.0))
         ranks = (nodes.join(in_sum, "node", "left")
                  .select("node",
-                         F.round(F.lit(base) + F.lit(damping)
+                         F.round(tel + F.lit(damping)
                                  * F.coalesce("in_c", F.lit(0.0)),
                                  round_to).alias("rank"))
                  # truncate lineage: each iteration's dangling .first()

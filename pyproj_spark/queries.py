@@ -1700,6 +1700,62 @@ SELECT node, rank + 0.0 AS rank FROM r3
 QUERIES["pagerank"] = (q_pagerank, _pagerank_sql())
 
 
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from seed
+    hosts {0, 7, 13} over the q_pagerank host graph: teleport AND
+    dangling mass follow the seed distribution, giving per-topic
+    relevance instead of global importance. Oracle replays the
+    unrolled iterations with the seed CASE."""
+    from pyproj_spark.operators.pagerank import pagerank
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    edges = (d.select((k % 97).alias("src"),
+                      ((k * 13 + 5) % 97).alias("dst"))
+             .filter((F.col("src") != F.col("dst"))
+                     & (F.col("src") < 90)))
+    pr = pagerank(edges, iters=3, seeds=[0, 7, 13])
+    return pr.select("node", (F.col("rank") + 0.0).alias("rank"))
+
+
+def _ppr_sql():
+    seeds = "(0, 7, 13)"
+    base = (f"CASE WHEN n.node IN {seeds} THEN "
+            "(1.0 - 0.85) / 3 + 0.85 * round((SELECT "
+            "coalesce(sum(r.rank), 0) FROM r{i} r WHERE r.node NOT IN "
+            "(SELECT src FROM outdeg)), 12) / 3 ELSE 0.0 END")
+    it = f"""
+r{{o}} AS (
+  SELECT n.node,
+         round({base}
+           + 0.85 * coalesce(
+               (SELECT sum(r.rank / o.deg)
+                FROM edges e
+                JOIN r{{i}} r ON r.node = e.src
+                JOIN outdeg o ON o.src = e.src
+                WHERE e.dst = n.node), 0), 9) AS rank
+  FROM nodes n
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(3))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 13 + 5) % 97 AS dst
+  FROM documents
+  WHERE doc_id % 97 <> (doc_id * 13 + 5) % 97 AND doc_id % 97 < 90
+),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CASE WHEN node IN {seeds}
+                         THEN round(1.0 / 3, 9) ELSE 0.0 END AS rank
+       FROM nodes),
+{its}
+SELECT node, rank + 0.0 AS rank FROM r3
+"""
+
+
+QUERIES["ppr"] = (q_ppr, _ppr_sql())
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs & authorities over the same 97-host link graph as
     q_pagerank (operators/pagerank.py::hits): 2 mutual-reinforcement

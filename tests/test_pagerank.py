@@ -86,3 +86,18 @@ def test_triangle_counts_orientation_invariance(spark):
     b = triangle_counts(rev).toPandas().set_index("node")
     assert (a["triangles"] == 1).all()
     assert a.equals(b)
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    """On two disconnected 3-cycles, PPR seeded in one component puts
+    ALL mass there; global PageRank splits it evenly."""
+    from pyproj_spark.operators.pagerank import pagerank
+    cyc = [(1, 2), (2, 3), (3, 1), (11, 12), (12, 13), (13, 11)]
+    edges = spark.createDataFrame(cyc, ["src", "dst"])
+    ppr = (pagerank(edges, iters=4, seeds=[1]).toPandas()
+           .set_index("node")["rank"])
+    assert ppr.loc[[11, 12, 13]].sum() == 0.0
+    assert abs(ppr.loc[[1, 2, 3]].sum() - 1.0) < 1e-6
+    glob = (pagerank(edges, iters=4).toPandas()
+            .set_index("node")["rank"])
+    assert abs(glob.loc[[1, 2, 3]].sum() - 0.5) < 1e-6
