@@ -270,7 +270,8 @@ def test_connected_components_chain_logarithmic(spark):
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
-        comp = connected_components(chain, max_iter=12).collect()
+        comp = connected_components(chain, max_iter=12,
+                                    small_limit=0).collect()
     reps = {r["rep"] for r in comp}
     assert reps == {0} and len(comp) == n
 
@@ -281,7 +282,7 @@ def test_connected_components_exhaustion_warns(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long")
     with _pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(chain, max_iter=1).collect()
+        connected_components(chain, max_iter=1, small_limit=0).collect()
 
 
 def test_polygon_areas_operator(spark):
@@ -612,3 +613,17 @@ def test_convex_hulls_contains_all_points(spark):
     # collinear: interior point is not a hull vertex -> endpoints only
     assert [(p["lon"], p["lat"]) for p in got[2]] == [(0.0, 0.0),
                                                       (2.0, 2.0)]
+
+
+def test_cc_driver_fast_path_matches_distributed(spark):
+    """The small-graph union-find cutover must produce IDENTICAL
+    (id, rep) labels to the distributed star-contraction loop."""
+    from pyproj_spark.operators.cc import connected_components
+    edges = [(i, i + 1) for i in range(50)] \
+        + [(100 + i, 100 + (i * 3) % 17) for i in range(17)] \
+        + [(500, 501)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    dist = sorted(map(tuple,
+                      connected_components(df, small_limit=0).collect()))
+    assert fast == dist
