@@ -2567,6 +2567,110 @@ FROM spans GROUP BY doc_id, n_tokens
 QUERIES_TEXT["dup_spans"] = (q_dup_spans, _dup_spans_sql())
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Detector evaluation: the lang-id heuristic's CONFUSION MATRIX
+    against the labeled lang column — (label, prediction, count) plus
+    per-label recall as an exact integer ratio. The quality-eval query
+    every classifier stage in a curation pipeline ships with."""
+    from pyspark.sql import Window
+    pred = textstats.lang_id(_docs(spark, sf_dir))
+    cm = (pred.groupBy(F.col("lang").alias("label"), "lang_pred")
+          .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("label")
+    return cm.select(
+        "label", "lang_pred", "n",
+        (F.col("n") / F.sum("n").over(w)).alias("frac"))
+
+
+SQL_LANG_CONFUSION = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_marker_sql([' the ', ' and ', ' of '])} AS s_en,
+         {_marker_sql([' der ', ' und ', ' die '])} AS s_de,
+         {_marker_sql([' le ', ' la ', ' et '])} AS s_fr,
+         {_marker_sql([' el ', ' de ', ' que '])} AS s_es
+  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
+        FROM documents)
+),
+pred AS (
+  SELECT lang AS label,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM s
+),
+cm AS (SELECT label, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2)
+SELECT label, lang_pred, n,
+       n / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE) AS frac
+FROM cm
+"""
+
+
+QUERIES_TEXT["lang_confusion"] = (q_lang_confusion, SQL_LANG_CONFUSION)
+
+
+def q_canonical_docs(spark, sf_dir):
+    """Canonical-document selection — the final dedup policy: within
+    each near-dup cluster (minhash LSH -> connected components) keep
+    the BEST document (longest normalized text, doc_id tie-break) via
+    one max_by(struct) aggregate, not the arbitrary min-id
+    representative. Returns (rep, canonical_id, cluster_size,
+    best_len)."""
+    from pyproj_spark.operators.cc import connected_components
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                    star_only=True)
+    comp = connected_components(pairs)
+    qual = docs.select(F.col("doc_id").alias("id"),
+                       F.length(F.trim("text")).alias("tlen"))
+    return (comp.join(qual, "id")
+            .groupBy("rep")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.max_by(
+                     F.col("id"),
+                     F.struct(F.col("tlen"), (-F.col("id"))
+                              .alias("nid"))).alias("canonical_id"),
+                 F.max("tlen").alias("best_len"))
+            .select("rep", "canonical_id", "cluster_size", "best_len"))
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH RECURSIVE {{pairs_cte}},
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id
+),
+comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+qual AS (SELECT doc_id AS id, length(trim(text)) AS tlen
+         FROM documents),
+j AS (SELECT comp.rep, comp.id, qual.tlen
+      FROM comp JOIN qual ON qual.id = comp.id),
+ranked AS (
+  SELECT rep, id, tlen,
+         row_number() OVER (PARTITION BY rep
+                            ORDER BY tlen DESC, id) AS rn,
+         count(*) OVER (PARTITION BY rep) AS cluster_size,
+         max(tlen) OVER (PARTITION BY rep) AS best_len
+  FROM j
+)
+SELECT rep, id AS canonical_id, cluster_size, best_len
+FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES_TEXT["canonical_docs"] = (
+    q_canonical_docs,
+    SQL_CANONICAL_DOCS.format(pairs_cte=_MINHASH_PAIRS_CTE))
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints
