@@ -2671,6 +2671,79 @@ QUERIES_TEXT["canonical_docs"] = (
     SQL_CANONICAL_DOCS.format(pairs_cte=_MINHASH_PAIRS_CTE))
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Corpus-health diagnostic: OLS fit of the Zipf rank-frequency
+    law over the top-100 tokens — ln(freq) vs ln(rank) slope (natural
+    corpora sit near -1; generated/templated text drifts), with every
+    OLS sum accumulated as exact nano-unit longs so the regression is
+    aggregation-order-independent and the final slope/intercept are
+    engine-identical doubles."""
+    from pyspark.sql import Window
+    from pyproj_spark.operators.lm import _tokens
+    toks = _tokens(_docs(spark, sf_dir).select("text"), "text")
+    top = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+           .orderBy(F.col("freq").desc(), "token").limit(100))
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"))
+
+    def nano(c):
+        return F.sum(F.round(c * 1e9).cast("long")).cast("double") / 1e9
+
+    s = xy.agg(F.count(F.lit(1)).alias("n"),
+               nano(F.col("x")).alias("sx"), nano(F.col("y")).alias("sy"),
+               nano(F.col("x") * F.col("x")).alias("sxx"),
+               nano(F.col("x") * F.col("y")).alias("sxy"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return s.select(
+        F.col("n").alias("n_tokens_fit"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        .alias("intercept"))
+
+
+SQL_ZIPF = """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+top AS (
+  SELECT token, count(*) AS freq FROM toks GROUP BY 1
+  ORDER BY freq DESC, token LIMIT 100
+),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token)
+                 AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM top
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(round(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             AS sx,
+         CAST(sum(CAST(round(y * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             AS sy,
+         CAST(sum(CAST(round(x * x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             AS sxx,
+         CAST(sum(CAST(round(x * y * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+             AS sxy
+  FROM xy
+)
+SELECT n AS n_tokens_fit,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS intercept
+FROM s
+"""
+
+
+QUERIES_TEXT["zipf_fit"] = (q_zipf_fit, SQL_ZIPF)
+
+
 def q_bloom_filter(spark, sf_dir):
     """Bloom-filter membership probe (operators/sketch.py): the bit
     array is a distinct-position table from the reference fingerprints
