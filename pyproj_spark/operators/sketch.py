@@ -44,27 +44,29 @@ C_NUM = ALPHA * M * M * float(1 << (W + 1))
 LC_THRESH = 2.5 * M
 
 
-def hll_distinct(df: DataFrame, group_col: str, value_col: str,
-                 round_to: int = 4) -> DataFrame:
-    """Per-group HLL distinct estimate of ``value_col``.
-
-    Returns (group_col, hll_est, zeros) — zeros = empty registers
-    (exposed because the linear-counting branch depends on it).
-    Plan: narrow hash/register projection (no distinct, no wide
-    shuffle of values) -> groupBy(group, idx).max(rho) (partial-agg,
-    at most m rows per group survive the map side) -> per-group exact
-    integer harmonic sum -> closed-form estimate.
-    """
+def hll_registers(df: DataFrame, group_col: str, value_col: str
+                  ) -> DataFrame:
+    """Per-group register table (group, idx, mx) — THE mergeable
+    sketch state: registers of a union of row sets = element-wise max
+    of their register tables (one groupBy(group, idx).max), so
+    cross-snapshot / cross-day distinct estimation never touches raw
+    values again."""
     h = F.md5(F.col(value_col).cast("string"))
     v = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     idx = F.shiftright(v, W)
     w = v.bitwiseAND(F.lit((1 << W) - 1))
     rho = (F.when(w == 0, F.lit(W + 1))
            .otherwise(F.lit(W + 1) - F.length(F.bin(w))))
-    regs = (df.select(F.col(group_col), idx.alias("idx"),
+    return (df.select(F.col(group_col), idx.alias("idx"),
                       rho.alias("rho"))
             .groupBy(group_col, "idx")
             .agg(F.max("rho").alias("mx")))
+
+
+def hll_estimate(regs: DataFrame, group_col: str,
+                 round_to: int = 4) -> DataFrame:
+    """(group, hll_est, zeros) from a register table (exact integer
+    harmonic sum + linear-counting branch)."""
     g = (regs.groupBy(group_col)
          .agg(F.sum(F.expr(f"shiftleft(1L, {W + 1} - mx)")).alias("sp"),
               F.count(F.lit(1)).alias("npres")))
@@ -77,6 +79,21 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
     return g.select(F.col(group_col),
                     F.round(est, round_to).alias("hll_est"),
                     zeros.cast("long").alias("zeros"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str,
+                 round_to: int = 4) -> DataFrame:
+    """Per-group HLL distinct estimate of ``value_col``.
+
+    Returns (group_col, hll_est, zeros) — zeros = empty registers
+    (exposed because the linear-counting branch depends on it).
+    Plan: narrow hash/register projection (no distinct, no wide
+    shuffle of values) -> groupBy(group, idx).max(rho) (partial-agg,
+    at most m rows per group survive the map side) -> per-group exact
+    integer harmonic sum -> closed-form estimate.
+    """
+    return hll_estimate(hll_registers(df, group_col, value_col),
+                        group_col, round_to)
 
 
 def hll_sql(table_expr: str, group_col: str, value_col: str,

@@ -2405,6 +2405,83 @@ WHERE k >= 5 AND CAST(s2 AS DOUBLE) / k
 QUERIES["burst_detect"] = (q_burst_detect, SQL_BURST)
 
 
+def q_hll_union(spark, sf_dir):
+    """Sketch MERGEABILITY as a gated artifact: distinct users of two
+    event snapshots (by event_id parity) and of their UNION, where the
+    union estimate comes from element-wise register max — no raw
+    values re-read, and est(a∪b) != est(a) + est(b) because the
+    snapshots share users (the double-count sum-of-counts gets wrong).
+    Exact distincts ride along for comparison."""
+    from pyproj_spark.operators.sketch import (hll_estimate,
+                                               hll_registers)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    part = F.when(F.col("event_id") % 2 == 0, F.lit("a")) \
+        .otherwise(F.lit("b"))
+    regs = hll_registers(ev.withColumn("part", part),
+                         "part", "user_id")
+    union_regs = (regs.groupBy("idx")
+                  .agg(F.max("mx").alias("mx"))
+                  .select(F.lit("ab").alias("part"), "idx", "mx"))
+    est = hll_estimate(regs.unionByName(union_regs), "part")
+    exact = (ev.withColumn("part", part)
+             .select("part", "user_id")
+             .unionByName(ev.select(F.lit("ab").alias("part"),
+                                    "user_id"))
+             .groupBy("part")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    return (est.join(exact, "part")
+            .select("part", "n_exact", "hll_est", "zeros"))
+
+
+def _hll_union_sql():
+    from pyproj_spark.operators.sketch import M, W, C_NUM, LC_THRESH
+    v = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
+         "AS BIGINT)")
+    w = f"({v} & {(1 << W) - 1})"
+    rho = (f"(CASE WHEN {w} = 0 THEN {W + 1} "
+           f"ELSE {W + 1} - length(bin({w})) END)")
+    est = (f"CASE WHEN {C_NUM!r} / (sp + ({M} - npres) "
+           f"* (1::BIGINT << {W + 1})) <= {LC_THRESH!r} "
+           f"AND {M} - npres > 0 "
+           f"THEN {float(M)!r} * ln({float(M)!r} / ({M} - npres)) "
+           f"ELSE {C_NUM!r} / (sp + ({M} - npres) "
+           f"* (1::BIGINT << {W + 1})) END")
+    return f"""
+WITH ev AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS part,
+         user_id, ({v} >> {W}) AS idx, {rho} AS rho
+  FROM events
+),
+regs AS (
+  SELECT part, idx, max(rho) AS mx FROM ev GROUP BY 1, 2
+),
+uregs AS (
+  SELECT 'ab' AS part, idx, max(mx) AS mx FROM regs GROUP BY 2
+),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM uregs),
+g AS (
+  SELECT part, sum(1::BIGINT << ({W + 1} - mx)) AS sp,
+         count(*) AS npres
+  FROM allregs GROUP BY 1
+),
+est AS (
+  SELECT part, round({est}, 4) AS hll_est,
+         CAST({M} - npres AS BIGINT) AS zeros
+  FROM g
+),
+exact AS (
+  SELECT part, count(DISTINCT user_id) AS n_exact FROM ev GROUP BY 1
+  UNION ALL
+  SELECT 'ab', count(DISTINCT user_id) FROM events
+)
+SELECT est.part, exact.n_exact, est.hll_est, est.zeros
+FROM est JOIN exact ON exact.part = est.part
+"""
+
+
+QUERIES["hll_union"] = (q_hll_union, _hll_union_sql())
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]
