@@ -2482,6 +2482,78 @@ FROM est JOIN exact ON exact.part = est.part
 QUERIES["hll_union"] = (q_hll_union, _hll_union_sql())
 
 
+def q_dq_checks(spark, sf_dir):
+    """Data-quality expectation audit (the Great-Expectations-shaped
+    warehouse stage): one row per check with violation and total
+    counts — referential integrity (orphan orders via anti join),
+    domain ranges (price > 0, discount in [0,1], lon/lat bounds),
+    and completeness (empty documents). Each check is a
+    partial-aggregated count; the anti join plans LeftAnti hash."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    docs = _t(spark, sf_dir, "documents")
+
+    def check(name, viol, total):
+        return spark.createDataFrame(
+            [(name, viol, total)],
+            "check string, n_violations long, n_total long")
+
+    orphans = (orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey", "left_anti").count())
+    n_orders = orders.count()
+    n_li = li.count()
+    bad_price = li.filter(F.col("l_extendedprice") <= 0).count()
+    bad_disc = li.filter((F.col("l_discount") < 0)
+                         | (F.col("l_discount") > 1)).count()
+    n_docs = docs.count()
+    empty_docs = docs.filter(
+        F.col("text").isNull()
+        | (F.length(F.trim("text")) == 0)).count()
+    pts = _doc_points(spark, sf_dir)
+    bad_geo = pts.filter((F.abs("lon") > 180)
+                         | (F.abs("lat") > 90)).count()
+    out = check("orphan_orders", orphans, n_orders)
+    for row in (("nonpositive_price", bad_price, n_li),
+                ("discount_range", bad_disc, n_li),
+                ("empty_documents", empty_docs, n_docs),
+                ("geo_bounds", bad_geo, n_docs)):
+        out = out.unionByName(check(*row))
+    return out
+
+
+SQL_DQ_CHECKS = f"""
+SELECT 'orphan_orders' AS check,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+           AS n_violations,
+       (SELECT count(*) FROM orders) AS n_total
+UNION ALL
+SELECT 'nonpositive_price',
+       (SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'discount_range',
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'empty_documents',
+       (SELECT count(*) FROM documents
+        WHERE text IS NULL OR length(trim(text)) = 0),
+       (SELECT count(*) FROM documents)
+UNION ALL
+SELECT 'geo_bounds',
+       (SELECT count(*) FROM ({_PTS_SQL})
+        WHERE abs(lon) > 180 OR abs(lat) > 90),
+       (SELECT count(*) FROM documents)
+"""
+
+
+QUERIES["dq_checks"] = (q_dq_checks, SQL_DQ_CHECKS)
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]
