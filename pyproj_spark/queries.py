@@ -2554,6 +2554,85 @@ SELECT 'geo_bounds',
 QUERIES["dq_checks"] = (q_dq_checks, SQL_DQ_CHECKS)
 
 
+def q_cross_track(spark, sf_dir):
+    """Cross-track / along-track distance from a great-circle route
+    (the navigation pair every geodesy library ships): for each doc
+    point, the signed perpendicular distance to the route A->B and
+    the distance of the closest-approach point along it — spherical
+    closed forms (Bowditch), pure Catalyst trig with an identical
+    acos-argument clamp on both engines. Points beyond 1/4 circle
+    from A are excluded (the formulas' validity region)."""
+    import math as _m
+    R = 6371008.8
+    a_lon, a_lat, b_lon, b_lat = -20.0, 40.0, 40.0, 50.0
+    pts = _doc_points(spark, sf_dir)
+    la1, lo1 = _m.radians(a_lat), _m.radians(a_lon)
+    la2, lo2 = _m.radians(b_lat), _m.radians(b_lon)
+    th12 = _m.atan2(
+        _m.sin(lo2 - lo1) * _m.cos(la2),
+        _m.cos(la1) * _m.sin(la2)
+        - _m.sin(la1) * _m.cos(la2) * _m.cos(lo2 - lo1))
+    la3 = F.radians(F.col("lat"))
+    lo3 = F.radians(F.col("lon"))
+    # central angle A->P (haversine form) and bearing A->P
+    h = (F.pow(F.sin((la3 - F.lit(la1)) / 2), 2)
+         + F.lit(_m.cos(la1)) * F.cos(la3)
+         * F.pow(F.sin((lo3 - F.lit(lo1)) / 2), 2))
+    d13 = 2 * F.asin(F.sqrt(h))
+    th13 = F.atan2(
+        F.sin(lo3 - F.lit(lo1)) * F.cos(la3),
+        F.lit(_m.cos(la1)) * F.sin(la3)
+        - F.lit(_m.sin(la1)) * F.cos(la3) * F.cos(lo3 - F.lit(lo1)))
+    dxt = F.asin(F.least(F.greatest(
+        F.sin(d13) * F.sin(th13 - F.lit(th12)),
+        F.lit(-1.0)), F.lit(1.0)))
+    dat = F.acos(F.least(F.greatest(
+        F.cos(d13) / F.cos(dxt), F.lit(-1.0)), F.lit(1.0)))
+    return (pts.filter(d13 < _m.pi / 2)
+            .select("doc_id",
+                    (dxt * R).alias("cross_track_m"),
+                    (dat * R).alias("along_track_m")))
+
+
+SQL_CROSS_TRACK = f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (
+  SELECT doc_id,
+         radians(lat) AS la3, radians(lon) AS lo3,
+         radians(40.0) AS la1, radians(-20.0) AS lo1,
+         atan2(sin(radians(40.0) - radians(-20.0)) * cos(radians(50.0)),
+               cos(radians(40.0)) * sin(radians(50.0))
+               - sin(radians(40.0)) * cos(radians(50.0))
+                 * cos(radians(40.0) - radians(-20.0))) AS th12
+  FROM pts
+),
+d AS (
+  SELECT doc_id, th12,
+         2 * asin(sqrt(pow(sin((la3 - la1) / 2), 2)
+                       + cos(la1) * cos(la3)
+                         * pow(sin((lo3 - lo1) / 2), 2))) AS d13,
+         atan2(sin(lo3 - lo1) * cos(la3),
+               cos(la1) * sin(la3)
+               - sin(la1) * cos(la3) * cos(lo3 - lo1)) AS th13
+  FROM c
+),
+x AS (
+  SELECT doc_id, d13,
+         asin(least(greatest(sin(d13) * sin(th13 - th12), -1.0), 1.0))
+             AS dxt
+  FROM d
+)
+SELECT doc_id,
+       dxt * 6371008.8 AS cross_track_m,
+       acos(least(greatest(cos(d13) / cos(dxt), -1.0), 1.0))
+           * 6371008.8 AS along_track_m
+FROM x WHERE d13 < pi() / 2
+"""
+
+
+QUERIES["cross_track"] = (q_cross_track, SQL_CROSS_TRACK)
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]
