@@ -158,3 +158,30 @@ def test_knn_hex_joins_on_cell_only(spark):
     plan = _plan(q_knn_hex(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_site_template_broadcasts_template_set(spark):
+    """The per-host template-line set is tiny and must broadcast into
+    the anti-join; a sort-merge anti join means the full line stream
+    shuffles twice."""
+    from pyproj_spark.queries_text import q_site_template
+    plan = _plan(q_site_template(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dup_spans_broadcasts_dupset(spark):
+    """The duplicated-shingle set joins back broadcast — shingle
+    positions must not shuffle on hash."""
+    from pyproj_spark.queries_text import q_dup_spans
+    plan = _plan(q_dup_spans(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_clip_tiles_no_python_udf(spark):
+    """Polygon clipping stays entirely inside Catalyst expressions —
+    no Python evaluation node anywhere in the plan."""
+    from pyproj_spark.queries import q_clip_tiles
+    plan = _plan(q_clip_tiles(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
