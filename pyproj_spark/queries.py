@@ -2633,6 +2633,84 @@ FROM x WHERE d13 < pi() / 2
 QUERIES["cross_track"] = (q_cross_track, SQL_CROSS_TRACK)
 
 
+def q_window_hll(spark, sf_dir):
+    """Time-windowed distinct sketching: HLL distinct users per
+    6-hour tumbling window — the rollup-friendly form of DAU/WAU
+    metrics where per-window REGISTER tables (not counts) are what
+    gets stored, because windows then merge into days/weeks with
+    element-wise max (see hll_union). Exact distincts ride along."""
+    from pyproj_spark.operators.sketch import hll_distinct
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wnd = (F.floor(F.unix_timestamp("ts") / 21600)).alias("wnd")
+    evw = ev.select(wnd, "user_id")
+    est = hll_distinct(evw, "wnd", "user_id")
+    exact = (evw.groupBy("wnd")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    return (est.join(exact, "wnd")
+            .select("wnd", "n_exact", "hll_est", "zeros"))
+
+
+def _window_hll_sql():
+    from pyproj_spark.operators.sketch import hll_sql
+    inner = hll_sql(
+        "(SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS wnd, "
+        "user_id FROM events)", "wnd", "user_id")
+    return f"""
+WITH est AS ({inner}),
+exact AS (
+  SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS wnd,
+         count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT est.wnd, exact.n_exact, est.hll_est, est.zeros
+FROM est JOIN exact ON exact.wnd = est.wnd
+"""
+
+
+QUERIES["window_hll"] = (q_window_hll, _window_hll_sql())
+
+
+def q_bloom_join(spark, sf_dir):
+    """Bloom-pruned join — the sketch applied to join pruning (what
+    Spark's runtime bloom-filter rule does for big joins): lineitem
+    rows pre-filter through a Bloom built from high-value orders
+    BEFORE the exact join. No false negatives means the pruned join
+    returns EXACTLY the plain join's rows — which is precisely what
+    the oracle (a plain SQL join) certifies; the bloom only ever
+    discards rows the join would drop anyway."""
+    from pyproj_spark.operators.sketch import bloom_probe
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_totalprice") > 400000) \
+        .select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_extendedprice")
+    probed = bloom_probe(orders.select(F.col("o_orderkey")
+                                       .alias("k")),
+                         li.withColumnRenamed("l_orderkey", "k"),
+                         "k")
+    pruned = probed.filter(F.col("bloom_hit")) \
+        .withColumnRenamed("k", "l_orderkey")
+    return (pruned.join(orders,
+                        pruned["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long")).alias("rev_cents")))
+
+
+SQL_BLOOM_JOIN = """
+SELECT o.o_orderkey, count(*) AS n_lines,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+           AS rev_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY 1
+"""
+
+
+QUERIES["bloom_join"] = (q_bloom_join, SQL_BLOOM_JOIN)
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]
