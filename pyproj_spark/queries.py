@@ -2711,6 +2711,49 @@ GROUP BY 1
 QUERIES["bloom_join"] = (q_bloom_join, SQL_BLOOM_JOIN)
 
 
+def q_event_paths(spark, sf_dir):
+    """Top navigation paths: the most common 3-step event-type
+    sequences across user sessions (two lead() windows + one count —
+    the path-analysis staple of clickstream analytics), top-10 by
+    (count desc, path asc) via distributed TakeOrdered before the
+    k-row rank window."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.withColumn("e2", F.lead("event_type", 1).over(w))
+           .withColumn("e3", F.lead("event_type", 2).over(w))
+           .filter(F.col("e3").isNotNull())
+           .select(F.concat_ws(">", "event_type", "e2", "e3")
+                   .alias("path")))
+    counts = seq.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.col("n").desc(), "path").limit(10)
+    rw = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (topk.withColumn("rank", F.row_number().over(rw))
+            .select("rank", "path", "n"))
+
+
+SQL_EVENT_PATHS = """
+WITH seq AS (
+  SELECT event_type || '>'
+         || lead(event_type, 1) OVER w || '>'
+         || lead(event_type, 2) OVER w AS path,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT path, count(*) AS n FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+)
+SELECT rank, path, n FROM (
+  SELECT path, n,
+         row_number() OVER (ORDER BY n DESC, path) AS rank
+  FROM counts) WHERE rank <= 10
+"""
+
+
+QUERIES["event_paths"] = (q_event_paths, SQL_EVENT_PATHS)
+
+
 #: axial offsets of the 7-cell hex neighborhood (distance <= 1)
 _HEX_NBRS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
              (-1, 1)]
