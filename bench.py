@@ -186,26 +186,57 @@ def main():
     eff_2_8 = (thr[8] / thr[2]) / 4.0
     headline = thr.get(CPUS, thr[8])
 
-    print(json.dumps({
+    scaling = {
+        "n_cores": 2, "n4_cores": 8,
+        "secs_n": round(t2, 2), "secs_4n": round(t8, 2),
+        "pages_per_sec_n": round(thr[2], 1),
+        "pages_per_sec_4n": round(thr[8], 1),
+        "efficiency_n_to_4n": round(eff_2_8, 3),
+        "secs_full_machine": round(t32, 2) if t32 else None,
+        "pages_per_sec_full": round(thr.get(CPUS, 0.0), 1),
+        "child_medians_secs": {"n": meds2, "n4": meds8,
+                               "full": meds32},
+        "note": ("single-box 8->32 is DRAM-bandwidth confounded; "
+                 "2->8 pinned cores is the honest 4x datapoint"),
+    }
+    full = {
         "metric": "transformed-and-tiled pages/sec",
         "value": round(headline, 1),
         "unit": "pages/sec",
         "queries": qtimes,
         "sf": SF_DIR,
         "bench_pages": BENCH_PAGES,
+        "scaling": scaling,
+    }
+    # Full result (incl. the large per-query dict) goes to a file and to
+    # an EARLY stdout line; the LAST stdout line is a short headline-only
+    # JSON so tail-truncated captures still recover the graded metric
+    # (round-3's single giant line overflowed the driver's tail capture
+    # and BENCH_r03.json came back parsed:null).
+    try:
+        with open(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+            json.dump(full, f)
+    except OSError:
+        pass
+    print(json.dumps(full))
+    # the driver's tail capture is ~2000 bytes: keep this line short.
+    slowest = dict(sorted(
+        ((k, v) for k, v in qtimes.items() if isinstance(v, float)),
+        key=lambda kv: -kv[1])[:8])
+    print(json.dumps({
+        "metric": "transformed-and-tiled pages/sec",
+        "value": round(headline, 1),
+        "unit": "pages/sec",
+        "queries": slowest,
+        "n_queries": len(qtimes),
+        "sf": SF_DIR,
         "scaling": {
-            "n_cores": 2, "n4_cores": 8,
-            "secs_n": round(t2, 2), "secs_4n": round(t8, 2),
             "pages_per_sec_n": round(thr[2], 1),
             "pages_per_sec_4n": round(thr[8], 1),
             "efficiency_n_to_4n": round(eff_2_8, 3),
-            "secs_full_machine": round(t32, 2) if t32 else None,
-            "pages_per_sec_full": round(thr.get(CPUS, 0.0), 1),
-            "child_medians_secs": {"n": meds2, "n4": meds8,
-                                   "full": meds32},
-            "note": ("single-box 8->32 is DRAM-bandwidth confounded; "
-                     "2->8 pinned cores is the honest 4x datapoint"),
         },
+        "detail": "BENCH.json",
     }))
 
 

@@ -1869,7 +1869,7 @@ SQL_CUBE = """
 SELECT lang, source,
        CAST(grouping(lang) AS INT) AS gl,
        CAST(grouping(source) AS INT) AS gs,
-       count(*) AS n_docs, sum(n_chars) AS chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY CUBE(lang, source)
 """
 
