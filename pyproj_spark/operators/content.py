@@ -101,8 +101,9 @@ def extract_main_content(df: DataFrame, html_col: str = "html_text",
                                   ["good"], F.lit(False)))
                        .otherwise(F.lit(False))
                        | F.coalesce(
-                        F.element_at(flag, (i + 1).cast("int"))
-                        ["good"], F.lit(False)))))
+                        F.when(i < n, F.element_at(
+                            flag, (i + 1).cast("int"))["good"]),
+                        F.lit(False)))))
                 .alias("good")))
         scored = scored.withColumn("_flag", keep)
     good = F.filter(F.col("_flag"), lambda s: s["good"])
@@ -185,7 +186,8 @@ def content_context_sql(html_expr: str, min_len: int = MIN_LEN,
 def site_template_clean(df, host_col: str = "host",
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        threshold: float = 0.5):
+                        threshold: float = 0.5,
+                        broadcast_max_rows: int = 4_000_000):
     """Per-SITE template removal (the host-scoped stage between
     corpus-wide paragraph dedup and per-page boilerplate stripping):
     a line appearing in more than ``threshold`` of a host's documents
@@ -217,8 +219,11 @@ def site_template_clean(df, host_col: str = "host",
     template = (per_line.join(host_docs, host_col)
                 .filter(F.col("ndocs") > threshold * F.col("total"))
                 .select(host_col, "lhash"))
-    kept = lh.join(F.broadcast(template), [host_col, "lhash"],
-                   "left_anti")
+    # the template set grows with host count — broadcast only while it
+    # is genuinely bounded, else let the anti-join shuffle
+    from pyproj_spark.operators.skew import guarded_broadcast
+    kept = lh.join(guarded_broadcast(template, broadcast_max_rows),
+                   [host_col, "lhash"], "left_anti")
     totals = (lh.groupBy(id_col, host_col)
               .agg(F.count(F.lit(1)).alias("n_lines")))
     re = (kept.groupBy(id_col, host_col)

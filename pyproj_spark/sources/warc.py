@@ -302,6 +302,12 @@ def warc_pages(warcs: DataFrame, payload_col: str = "content",
                                  html_to_text(html), html_lang(html),
                                  r["http_status"], r["content_type"],
                                  nbad))
+                if not recs and nbad:
+                    # fully-corrupt archive: without a sentinel its
+                    # bad-record count would vanish with its rows and
+                    # the "alert without a second pass" contract breaks
+                    rows.append((None, None, None, None, None,
+                                 None, None, nbad))
             yield pd.DataFrame(rows, columns=cols)
 
     return warcs.mapInPandas(_parse, PAGES_SCHEMA + ", n_bad int")

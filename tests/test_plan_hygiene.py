@@ -160,22 +160,48 @@ def test_knn_hex_joins_on_cell_only(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_site_template_broadcasts_template_set(spark):
-    """The per-host template-line set is tiny and must broadcast into
-    the anti-join; a sort-merge anti join means the full line stream
-    shuffles twice."""
+def test_site_template_guarded_broadcast(spark):
+    """The per-host template-line set broadcasts into the anti-join
+    while bounded (the sf0.01 set is tiny), but the hint must come from
+    the size guard: forcing the cap to 0 must fall back to a shuffled
+    anti-join instead of shipping an unbounded set to every executor."""
     from pyproj_spark.queries_text import q_site_template
     plan = _plan(q_site_template(spark, SF))
     assert "BroadcastHashJoin" in plan
 
+    from pyspark.sql import functions as F
 
-def test_dup_spans_broadcasts_dupset(spark):
-    """The duplicated-shingle set joins back broadcast — shingle
-    positions must not shuffle on hash."""
+    from pyproj_spark.operators.content import site_template_clean
+    d = (spark.range(40).toDF("doc_id")
+         .withColumn("host", (F.col("doc_id") % 4).cast("string"))
+         .withColumn("text", F.concat(F.lit("nav\nbody "),
+                                      F.col("doc_id").cast("string"),
+                                      F.lit("\nfooter"))))
+    fallback = _plan(site_template_clean(d, broadcast_max_rows=0))
+    assert "BroadcastHashJoin LeftAnti" not in fallback
+
+
+def test_dup_spans_guarded_broadcast(spark):
+    """The duplicated-shingle set joins back broadcast below the size
+    guard's cap — shingle positions must not shuffle on hash — and the
+    guard itself must fall back to a shuffle join above the cap."""
     from pyproj_spark.queries_text import q_dup_spans
     plan = _plan(q_dup_spans(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+    # above the cap the guard must NOT attach the broadcast hint (the
+    # planner may still auto-broadcast a genuinely tiny table from its
+    # size stats — that path is safe; the forced hint is the hazard)
+    from pyproj_spark.operators.skew import guarded_broadcast
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    over_cap = guarded_broadcast(spark.range(10).toDF("h"), max_rows=5)
+    assert "ResolvedHint" not in analyzed(over_cap)
+    under_cap = guarded_broadcast(spark.range(3).toDF("h"), max_rows=5)
+    assert "ResolvedHint" in analyzed(under_cap)
 
 
 def test_clip_tiles_no_python_udf(spark):

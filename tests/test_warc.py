@@ -100,6 +100,19 @@ def test_spark_skip_mode(spark):
     assert len(clean) == 3 and 1 <= len(salvaged) <= 2
 
 
+def test_spark_skip_mode_fully_corrupt_archive(spark):
+    """A file whose records are ALL corrupt still surfaces its bad
+    count: a sentinel row (null url, n_bad set) keeps fully-corrupt
+    archives observable without a second pass."""
+    df = spark.createDataFrame(
+        [(0, build_warc(PAGES)), (1, b"NOT A WARC AT ALL")],
+        "warc_id long, content binary")
+    out = warc_pages(df, on_error="skip").collect()
+    sentinels = [r for r in out if r.url is None]
+    assert len(sentinels) == 1 and sentinels[0].n_bad >= 1
+    assert len([r for r in out if r.url is not None]) == 3
+
+
 def test_streaming_ingestion(spark, tmp_path):
     """warc_pages composes with readStream: the same mapInPandas plan
     runs incrementally over arriving archive files."""
