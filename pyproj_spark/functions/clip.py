@@ -127,3 +127,144 @@ def sql_ring_area2(ring: str) -> str:
     return (f"list_reduce([0.0] || list_transform({_sql_edges(ring)}, "
             f"e -> e[1].x * e[2].y - e[2].x * e[1].y), "
             f"(a, b) -> a + b)")
+
+
+# --------------------------------------------- general (concave) clip
+#
+# Sutherland-Hodgman only accepts a CONVEX clip window; the graft's
+# raster<->vector surface also needs concave zone CLIP regions
+# (admin boundaries). The exact intersection AREA of two arbitrary
+# simple polygons decomposes, without any traversal, into fan
+# triangles of the clip ring:
+#
+#   2*area(P & Q) = sum_i s_i * area2( SH(P, T_i) ),
+#   T_i = (q_0, q_i, q_{i+1}),  s_i = orientation sign of T_i
+#
+# (the signed-fan identity behind the shoelace formula, lifted from
+# points to regions). Each T_i is a triangle -- convex -- so three
+# general-half-plane Sutherland-Hodgman passes per term suffice, and
+# everything stays in Catalyst array HOFs with a DuckDB twin below.
+# Concave SUBJECTS are fine: SH against a convex window emits
+# boundary "bridge" edges whose shoelace contributions cancel.
+
+
+def _clip_half_line(ring: Column, ax, ay, bx, by, s) -> Column:
+    """One SH pass keeping points p with s*cross(b-a, p-a) >= 0
+    (s=+1: left of the directed line a->b; s=-1: right)."""
+    def side(pt):
+        return ((bx - ax) * (pt["y"] - ay)
+                - (by - ay) * (pt["x"] - ax)) * s
+
+    def inside(pt):
+        return side(pt) >= 0
+
+    def inter(p, q):
+        t = side(p) / (side(p) - side(q))
+        return F.struct((p["x"] + t * (q["x"] - p["x"])).alias("x"),
+                        (p["y"] + t * (q["y"] - p["y"])).alias("y"))
+
+    def per_edge(e):
+        p, q = e["p"], e["q"]
+        cross = inside(p) != inside(q)
+        return F.array(F.when(cross, inter(p, q)),
+                       F.when(inside(q), q))
+
+    out = F.flatten(F.transform(_edges(ring), per_edge))
+    return F.filter(out, lambda x: x.isNotNull())
+
+
+def clip_to_triangle(ring: Column, x0, y0, x1, y1, x2, y2,
+                     s) -> Column:
+    """Ring clipped to the triangle (x0,y0)-(x1,y1)-(x2,y2) of
+    orientation sign ``s`` (+1 CCW / -1 CW)."""
+    r = _clip_half_line(ring, x0, y0, x1, y1, s)
+    r = _clip_half_line(r, x1, y1, x2, y2, s)
+    r = _clip_half_line(r, x2, y2, x0, y0, s)
+    return r
+
+
+def ccw(ring: Column) -> Column:
+    """Ring oriented counter-clockwise (reversed if shoelace < 0)."""
+    return F.when(ring_area2(ring) < 0, F.reverse(ring)) \
+        .otherwise(ring)
+
+
+def intersection_area2(subj: Column, clip: Column) -> Column:
+    """Twice the area of subj & clip for ARBITRARY simple polygons
+    (either may be concave). ``subj`` must already be CCW-oriented
+    (apply :func:`ccw` once in a prior projection — inlining it here
+    would replicate its expression tree into every SH pass).
+    Deterministic left-fold summation."""
+    c0 = F.element_at(clip, 1)
+
+    def contrib(i):
+        ci = F.element_at(clip, i.cast("int"))
+        cj = F.element_at(clip, (i + 1).cast("int"))
+        cross2 = ((ci["x"] - c0["x"]) * (cj["y"] - c0["y"])
+                  - (ci["y"] - c0["y"]) * (cj["x"] - c0["x"]))
+        s = F.when(cross2 > 0, F.lit(1.0)) \
+            .when(cross2 < 0, F.lit(-1.0)).otherwise(F.lit(0.0))
+        tri = clip_to_triangle(subj, c0["x"], c0["y"], ci["x"],
+                               ci["y"], cj["x"], cj["y"], s)
+        return s * ring_area2(tri)
+
+    terms = F.transform(F.sequence(F.lit(2), F.size(clip) - 1),
+                        contrib)
+    total = F.aggregate(terms, F.lit(0.0), lambda a, b: a + b)
+    # sign of the total is the clip ring's orientation; P&Q area is
+    # orientation-free
+    return F.abs(total)
+
+
+def _sql_side(pt: str, ax: str, ay: str, bx: str, by: str,
+              s: str) -> str:
+    return (f"((({bx}) - ({ax})) * ({pt}.y - ({ay})) "
+            f"- (({by}) - ({ay})) * ({pt}.x - ({ax}))) * ({s})")
+
+
+def _sql_clip_half_line(ring: str, ax: str, ay: str, bx: str,
+                        by: str, s: str) -> str:
+    def inside(pt):
+        return f"({_sql_side(pt, ax, ay, bx, by, s)} >= 0)"
+
+    dp = _sql_side("e[1]", ax, ay, bx, by, s)
+    dq = _sql_side("e[2]", ax, ay, bx, by, s)
+    t = f"(({dp}) / (({dp}) - ({dq})))"
+    inter = (f"struct_pack(x := e[1].x + {t} * (e[2].x - e[1].x), "
+             f"y := e[1].y + {t} * (e[2].y - e[1].y))")
+    per_edge = (f"[CASE WHEN {inside('e[1]')} != {inside('e[2]')} "
+                f"THEN {inter} END, "
+                f"CASE WHEN {inside('e[2]')} THEN e[2] END]")
+    return (f"list_filter(flatten(list_transform({_sql_edges(ring)}, "
+            f"e -> {per_edge})), x -> x IS NOT NULL)")
+
+
+def sql_ccw(ring: str) -> str:
+    return (f"CASE WHEN {sql_ring_area2(ring)} < 0 "
+            f"THEN list_reverse({ring}) ELSE {ring} END")
+
+
+def sql_clip_to_triangle(ring: str, x0: str, y0: str, x1: str,
+                         y1: str, x2: str, y2: str, s: str) -> str:
+    r = _sql_clip_half_line(ring, x0, y0, x1, y1, s)
+    r = _sql_clip_half_line(r, x1, y1, x2, y2, s)
+    r = _sql_clip_half_line(r, x2, y2, x0, y0, s)
+    return r
+
+
+def sql_intersection_area2(subj: str, clip: str) -> str:
+    """DuckDB twin of :func:`intersection_area2`. ``subj``/``clip``
+    should be plain column references (both are inlined repeatedly);
+    ``subj`` must already be CCW-oriented (see :func:`sql_ccw`)."""
+    c0x, c0y = f"{clip}[1].x", f"{clip}[1].y"
+    cix, ciy = f"{clip}[i].x", f"{clip}[i].y"
+    cjx, cjy = f"{clip}[i + 1].x", f"{clip}[i + 1].y"
+    cross2 = (f"(({cix} - {c0x}) * ({cjy} - {c0y}) "
+              f"- ({ciy} - {c0y}) * ({cjx} - {c0x}))")
+    s = (f"(CASE WHEN {cross2} > 0 THEN 1.0 "
+         f"WHEN {cross2} < 0 THEN -1.0 ELSE 0.0 END)")
+    tri = sql_clip_to_triangle(subj, c0x, c0y, cix, ciy, cjx, cjy, s)
+    contrib = f"{s} * ({sql_ring_area2(tri)})"
+    terms = (f"list_transform(range(2, len({clip})), "
+             f"i -> {contrib})")
+    return (f"abs(list_reduce([0.0] || {terms}, (a, b) -> a + b))")

@@ -2348,6 +2348,167 @@ WHERE len(r) >= 3 AND abs({sql_ring_area2('r')}) / 2 > 1e-9
 QUERIES["clip_tiles"] = (q_clip_tiles, _clip_tiles_sql())
 
 
+# --------------------------------------------------------- clip_zones
+# Concave zone ∩ concave region clipping (general polygon clipping —
+# the surface Sutherland–Hodgman cannot cover). Subject rings are
+# three concave base shapes (one deliberately CW so the ccw()
+# normalization is exercised) translated per document; clip regions
+# are a concave star, a concave C-shape, and a convex quad. The
+# intersection area comes from the fan-triangle decomposition
+# (functions/clip.py): Spark EXPLODES the fan triangles into rows and
+# stages the three half-plane passes as projections (linear expression
+# trees, scale-parallel over pairs*triangles), then folds the signed
+# contributions in triangle order via array_sort — deterministic;
+# DuckDB evaluates the equivalent nested list-HOF expression, which
+# performs the identical float ops in the identical order. The
+# vertex-output Weiler–Atherton kernel (operators/clipping.py) is
+# cross-checked against this same area in tests/test_clipping.py.
+
+CLIP_SUBJECT_RINGS = {
+    0: [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 4.0),
+        (0.0, 4.0)],                                   # L-shape, CCW
+    1: [(1.0, 2.0), (2.0, 1.0), (3.0, 2.0), (4.0, 2.0), (2.0, 0.0),
+        (0.0, 2.0)],                                   # arrowhead, CW
+    2: [(0.0, 0.0), (5.0, 0.0), (5.0, 3.0), (4.0, 1.5), (3.0, 3.0),
+        (2.0, 1.5), (1.0, 3.0), (0.0, 3.0)],           # comb, CCW
+}
+
+CLIP_REGION_RINGS = {
+    0: [(2.0, -0.5), (2.9, 1.3), (4.5, 1.3), (3.4, 2.6), (3.9, 4.5),
+        (2.0, 3.4), (0.1, 4.5), (0.6, 2.6), (-0.5, 1.3),
+        (1.1, 1.3)],                                   # concave star
+    1: [(5.5, 0.0), (9.0, 0.0), (9.0, 1.0), (6.5, 1.0), (6.5, 3.0),
+        (9.0, 3.0), (9.0, 4.0), (5.5, 4.0)],           # concave C
+    2: [(9.5, 2.0), (12.0, 2.2), (11.8, 4.6), (9.8, 4.4)],  # convex
+}
+
+
+def _lit_ring(ring):
+    return F.array(*[F.struct(F.lit(float(x)).alias("x"),
+                              F.lit(float(y)).alias("y"))
+                     for x, y in ring])
+
+
+def q_clip_zones(spark, sf_dir):
+    """General concave∩concave clipping, fan-decomposition area path
+    (see block comment above). Plan: broadcast 3-row region dim, bbox
+    prefilter, explode size(creg)-2 fan triangles per candidate pair,
+    three staged half-plane projections, sorted-fold aggregation."""
+    from pyproj_spark.functions.clip import (_clip_half_line, ccw,
+                                             ring_area2)
+    d = (_t(spark, sf_dir, "documents").select("doc_id")
+         .filter(F.col("doc_id") < 180))
+    dx = (F.col("doc_id") % 7).cast("double") * 1.7
+    dy = (F.col("doc_id") % 5).cast("double") * 1.1
+    m = F.col("doc_id") % 3
+    base = (F.when(m == 0, _lit_ring(CLIP_SUBJECT_RINGS[0]))
+            .when(m == 1, _lit_ring(CLIP_SUBJECT_RINGS[1]))
+            .otherwise(_lit_ring(CLIP_SUBJECT_RINGS[2])))
+    moved = F.transform(base, lambda p: F.struct(
+        (p["x"] + dx).alias("x"), (p["y"] + dy).alias("y")))
+    subj = (d.select("doc_id", moved.alias("ring"))
+            .select("doc_id", ccw(F.col("ring")).alias("subj")))
+    regions = spark.createDataFrame(
+        [(rid, [(float(x), float(y)) for x, y in ring])
+         for rid, ring in CLIP_REGION_RINGS.items()],
+        "region_id int, creg array<struct<x:double,y:double>>")
+    sx = F.transform(F.col("subj"), lambda p: p["x"])
+    sy = F.transform(F.col("subj"), lambda p: p["y"])
+    cx = F.transform(F.col("creg"), lambda p: p["x"])
+    cy = F.transform(F.col("creg"), lambda p: p["y"])
+    cand = (subj.crossJoin(F.broadcast(regions))
+            .filter((F.array_min(sx) <= F.array_max(cx))
+                    & (F.array_max(sx) >= F.array_min(cx))
+                    & (F.array_min(sy) <= F.array_max(cy))
+                    & (F.array_max(sy) >= F.array_min(cy))))
+    tri = cand.select(
+        "doc_id", "region_id", "subj", "creg",
+        F.explode(F.sequence(F.lit(2), F.size("creg") - 1)).alias("i"))
+    c0 = F.element_at(F.col("creg"), 1)
+    ci = F.element_at(F.col("creg"), F.col("i"))
+    cj = F.element_at(F.col("creg"), F.col("i") + 1)
+    cross2 = ((ci["x"] - c0["x"]) * (cj["y"] - c0["y"])
+              - (ci["y"] - c0["y"]) * (cj["x"] - c0["x"]))
+    tri = tri.select(
+        "doc_id", "region_id", "subj", "i",
+        c0["x"].alias("c0x"), c0["y"].alias("c0y"),
+        ci["x"].alias("cix"), ci["y"].alias("ciy"),
+        cj["x"].alias("cjx"), cj["y"].alias("cjy"),
+        F.when(cross2 > 0, F.lit(1.0)).when(cross2 < 0, F.lit(-1.0))
+        .otherwise(F.lit(0.0)).alias("s"))
+    tri = tri.withColumn("r1", _clip_half_line(
+        F.col("subj"), F.col("c0x"), F.col("c0y"), F.col("cix"),
+        F.col("ciy"), F.col("s")))
+    tri = tri.withColumn("r2", _clip_half_line(
+        F.col("r1"), F.col("cix"), F.col("ciy"), F.col("cjx"),
+        F.col("cjy"), F.col("s")))
+    tri = tri.withColumn("r3", _clip_half_line(
+        F.col("r2"), F.col("cjx"), F.col("cjy"), F.col("c0x"),
+        F.col("c0y"), F.col("s")))
+    tri = tri.select("doc_id", "region_id", "i",
+                     (F.col("s") * ring_area2(F.col("r3")))
+                     .alias("contrib"))
+    grouped = (tri.groupBy("doc_id", "region_id")
+               .agg(F.count(F.lit(1)).alias("n_tris"),
+                    F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("i"), F.col("contrib")))),
+                        F.lit(0.0),
+                        lambda a, t: a + t["contrib"]).alias("ia2")))
+    return (grouped
+            .select("doc_id", "region_id", "n_tris",
+                    (F.abs(F.col("ia2")) / 2).alias("area"))
+            .filter(F.col("area") > 1e-9))
+
+
+def _clip_zones_sql():
+    from pyproj_spark.functions.clip import (sql_ccw,
+                                             sql_intersection_area2)
+
+    def lit(ring):
+        return "[" + ", ".join(
+            f"struct_pack(x := {float(x)!r}, y := {float(y)!r})"
+            for x, y in ring) + "]"
+
+    s0, s1, s2 = (lit(CLIP_SUBJECT_RINGS[k]) for k in (0, 1, 2))
+    regs = ", ".join(f"({rid}, {lit(ring)})"
+                     for rid, ring in CLIP_REGION_RINGS.items())
+    return f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 180),
+t AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN doc_id % 3 = 0 THEN {s0}
+                WHEN doc_id % 3 = 1 THEN {s1}
+                ELSE {s2} END,
+           p -> struct_pack(x := p.x + (doc_id % 7) * 1.7,
+                            y := p.y + (doc_id % 5) * 1.1)) AS ring
+  FROM d),
+n AS (SELECT doc_id, {sql_ccw('ring')} AS subj FROM t),
+regions AS (SELECT * FROM (VALUES {regs}) AS r(region_id, creg)),
+cand AS (
+  SELECT doc_id, region_id, subj, creg
+  FROM n CROSS JOIN regions
+  WHERE list_min(list_transform(subj, p -> p.x))
+          <= list_max(list_transform(creg, p -> p.x))
+    AND list_max(list_transform(subj, p -> p.x))
+          >= list_min(list_transform(creg, p -> p.x))
+    AND list_min(list_transform(subj, p -> p.y))
+          <= list_max(list_transform(creg, p -> p.y))
+    AND list_max(list_transform(subj, p -> p.y))
+          >= list_min(list_transform(creg, p -> p.y))),
+sel AS (
+  SELECT doc_id, region_id,
+         CAST(len(creg) - 2 AS BIGINT) AS n_tris,
+         {sql_intersection_area2('subj', 'creg')} / 2 AS area
+  FROM cand)
+SELECT doc_id, region_id, n_tris, area FROM sel WHERE area > 1e-9
+"""
+
+
+QUERIES["clip_zones"] = (q_clip_zones, _clip_zones_sql())
+
+
 def q_burst_detect(spark, sf_dir):
     """Burst/trend detection over event streams: hourly counts per
     event type, z-scored against the trailing 24-window frame — the
