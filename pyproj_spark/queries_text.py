@@ -2570,6 +2570,156 @@ FROM spans GROUP BY doc_id, n_tokens
 QUERIES_TEXT["dup_spans"] = (q_dup_spans, _dup_spans_sql())
 
 
+#: occurrence cap per shingle for exact-match pairing: a shingle seen
+#: more than this many times is boilerplate (every pair of its hosts
+#: would be expanded — O(df^2)); dropping it splits or hides matches
+#: made ONLY of boilerplate, the standard posting-list tradeoff
+_EXACT_DF_CAP = 8
+
+
+def q_dup_spans_exact(spark, sf_dir):
+    """Variable-length EXACT-substring duplication (the seed-and-extend
+    upgrade of ``dup_spans``'s fixed-20-gram approximation, completing
+    the Lee et al. 2022 dedup family without a distributed suffix
+    array).
+
+    Key identity: a maximal exact cross-document match of length
+    L >= n contains exactly L-n+1 matching n-token windows at
+    CONSECUTIVE positions on the same diagonal (posA - posB). So after
+    pairing the occurrences of each duplicated shingle, maximal runs
+    of anchors per (docA, docB, diagonal) with step 1 in posA are
+    precisely the maximal matches, and their TRUE length is
+    (max(posA) - min(posA)) + n — no per-row extension UDF, no
+    re-reading of the text.
+
+    Scale plan (100 TB): one groupBy(shingle) shuffle; pair expansion
+    is a JVM-side HOF over the per-shingle occurrence list, bounded by
+    _EXACT_DF_CAP^2 = 64 pairs per shingle (hot boilerplate shingles
+    with df > cap are dropped — same df-cap discipline as the
+    jaccard/containment posting lists); the runs pass is one window
+    partitioned by (docA, docB, diagonal). No self-join of the corpus,
+    no broadcast of corpus-sized sets.
+
+    Fixture: each doc gets unique-token padding around two planted
+    runs — runX of 20 + (g % 15) tokens shared by the doc pair
+    g = doc_id div 2 (df=2, variable length), runY of 45 tokens shared
+    by the 5-doc group h = doc_id div 5 (df=5, all 10 pairs). Reported
+    lengths are EXACT (20..34 and 45), strictly above the 20-gram
+    floor — the fidelity gap the fixed-n detector leaves.
+    """
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    n = _SPAN_N
+    g = F.expr("doc_id div 2")
+    h = F.expr("doc_id div 5")
+    len_x = (F.lit(20) + g % 15).cast("int")
+    pre = F.transform(F.sequence(F.lit(0), F.lit(4)),
+                      lambda j: F.concat(F.lit("u"), F.col("doc_id"),
+                                         F.lit("p"), j))
+    run_x = F.transform(F.sequence(F.lit(0), len_x - 1),
+                        lambda j: F.concat(F.lit("g"), g, F.lit("x"), j))
+    mid = F.array(F.concat(F.lit("u"), F.col("doc_id"), F.lit("m")))
+    run_y = F.transform(F.sequence(F.lit(0), F.lit(44)),
+                        lambda j: F.concat(F.lit("q"), h, F.lit("y"), j))
+    tail = F.transform(F.sequence(F.lit(0), F.lit(2)),
+                       lambda j: F.concat(F.lit("u"), F.col("doc_id"),
+                                          F.lit("t"), j))
+    toks = F.concat(pre, run_x, mid, run_y, tail)
+    staged = d.select("doc_id", toks.alias("tk"))
+    sh = staged.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+            lambda p: F.md5(F.concat_ws(
+                " ", F.slice(F.col("tk"), p, n)))))
+        .alias("pos0", "h")).select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    occ = (sh.groupBy("h")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("doc_id", "pos"))).alias("os"))
+           .filter((F.size("os") >= 2) & (F.size("os") <= _EXACT_DF_CAP)))
+    # ordered pairs (i < j) over the sorted occurrence list — identical
+    # to the SQL self-join's (doc_id, pos)-lexicographic canonical order
+    pair = occ.select(F.explode(F.flatten(F.transform(
+        F.col("os"),
+        lambda a, i: F.transform(
+            F.slice(F.col("os"), i + 2,
+                    F.greatest(F.size("os") - i - 1, F.lit(0))),
+            lambda b: F.struct(
+                a["doc_id"].alias("da"), a["pos"].alias("pa"),
+                b["doc_id"].alias("db"), b["pos"].alias("pb")))))
+    ).alias("p")).select("p.da", "p.pa", "p.db", "p.pb")
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = (pair.select("da", "pa", "db", "pb", diag)
+            .withColumn("nr", F.when(
+                F.col("pa") - F.lag("pa").over(w) == 1, 0).otherwise(1))
+            .withColumn("rid", F.sum("nr").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("da", "db", "diag", "rid")
+            .agg((F.max("pa") - F.min("pa") + n).alias("mlen")))
+    return (runs.groupBy("da", "db")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.max("mlen").alias("max_len"),
+                 F.sum("mlen").alias("tot_len")))
+
+
+def _dup_spans_exact_sql():
+    n = _SPAN_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(range(0, 5), j -> 'u'||doc_id||'p'||j)
+         || list_transform(range(0, 20 + (doc_id // 2) % 15),
+                           j -> 'g'||(doc_id // 2)||'x'||j)
+         || ['u'||doc_id||'m']
+         || list_transform(range(0, 45), j -> 'q'||(doc_id // 5)||'y'||j)
+         || list_transform(range(0, 3), j -> 'u'||doc_id||'t'||j) AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, p AS pos,
+         md5(array_to_string(tk[p:p + {n} - 1], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(tk) - {n} + 2)) AS u(p)
+),
+capped AS (
+  SELECT doc_id, pos, h FROM sh
+  QUALIFY count(*) OVER (PARTITION BY h) BETWEEN 2 AND {_EXACT_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb
+  FROM capped a JOIN capped b ON a.h = b.h
+   AND (a.doc_id < b.doc_id
+        OR (a.doc_id = b.doc_id AND a.pos < b.pos))
+),
+marked AS (
+  SELECT da, db, pa - pb AS diag, pa,
+         CASE WHEN pa - lag(pa) OVER
+                  (PARTITION BY da, db, pa - pb ORDER BY pa) = 1
+              THEN 0 ELSE 1 END AS nr
+  FROM pairs
+),
+ids AS (
+  SELECT da, db, diag, pa,
+         sum(nr) OVER (PARTITION BY da, db, diag ORDER BY pa
+                       ROWS UNBOUNDED PRECEDING) AS rid
+  FROM marked
+),
+runs AS (
+  SELECT da, db, diag, rid, max(pa) - min(pa) + {n} AS mlen
+  FROM ids GROUP BY 1, 2, 3, 4
+)
+SELECT da, db, count(*) AS n_matches,
+       CAST(max(mlen) AS BIGINT) AS max_len,
+       CAST(sum(mlen) AS BIGINT) AS tot_len
+FROM runs GROUP BY da, db
+"""
+
+
+QUERIES_TEXT["dup_spans_exact"] = (q_dup_spans_exact,
+                                   _dup_spans_exact_sql())
+
+
 def q_lang_confusion(spark, sf_dir):
     """Detector evaluation: the lang-id heuristic's CONFUSION MATRIX
     against the labeled lang column — (label, prediction, count) plus

@@ -226,3 +226,35 @@ def test_dup_spans_interval_semantics(spark):
     assert got.loc[2, "n_spans"] == 2
     assert got.loc[2, "dup_tokens"] == 30 + 25
     assert 3 not in got.index
+
+
+def test_dup_spans_exact_variable_lengths(spark):
+    """dup_spans_exact reports TRUE maximal match lengths, not the
+    fixed-20-gram floor: the planted pair run of 20 + (g % 15) tokens
+    comes back with its exact length (21..34 exercise every value the
+    fixed-n detector cannot distinguish), and the 45-token group run
+    comes back as exactly 45 for every cross-pair in the 5-doc group."""
+    from pyproj_spark.queries_text import q_dup_spans_exact
+    got = (q_dup_spans_exact(spark, "/root/testdata/sf0.001")
+           .toPandas().set_index(["da", "db"]).sort_index())
+    assert (got["max_len"] >= 20).all()
+    pair_rows = [(da, db) for (da, db) in got.index
+                 if db == da + 1 and da % 2 == 0]
+    assert pair_rows, "no planted doc pairs found"
+    seen_lengths = set()
+    for da, db in pair_rows:
+        g = da // 2
+        want_x = 20 + (g % 15)
+        r = got.loc[(da, db)]
+        # same 5-group -> runY(45) also matches; max is whichever wins
+        same_group = (da // 5) == (db // 5)
+        want_max = max(want_x, 45) if same_group else want_x
+        assert r["max_len"] == want_max, (da, db, r["max_len"], want_max)
+        seen_lengths.add(want_x)
+    # the fixture cycles all 15 pair-run lengths at sf0.001 (>=30 pairs)
+    assert len(seen_lengths) >= 10
+    # a cross-pair inside a 5-group that is NOT a planted doc pair
+    # matches ONLY runY -> exact length 45
+    cross = [(da, db) for (da, db) in got.index
+             if (da // 5) == (db // 5) and db != da + 1]
+    assert cross and all(got.loc[p, "max_len"] == 45 for p in cross)
