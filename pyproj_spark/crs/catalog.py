@@ -240,6 +240,243 @@ for _z in range(1, 61):
         dict(proj="utm", zone=_z, south=True), "enu", 1.0)
 
 
+def _dms(deg: float, minutes: float = 0.0) -> float:
+    """EPSG sexagesimal parameter -> decimal degrees (sign on deg)."""
+    s = -1.0 if deg < 0 else 1.0
+    return s * (abs(deg) + minutes / 60.0)
+
+
+# --------------------------------------------------------------------
+# NAD83 State Plane (SPCS83) zones, meters — parameters from the EPSG
+# registry / NOAA NOS NGS 13 "State Plane Coordinate System of 1983"
+# appendix (the same public source PROJ's proj.db ingests). Latitudes
+# are exact degree-minute values; scale factors are the exact 1 - 1/N
+# rationals NGS publishes.
+#
+# LCC-2SP rows: (code, zone name, lat_1, lat_2, lat_0, lon_0, x_0, y_0)
+_SPCS_LCC = (
+    (26951, "Arkansas North", _dms(34, 56), _dms(36, 14), _dms(34, 20),
+     -92.0, 400000, 0),
+    (26952, "Arkansas South", _dms(33, 18), _dms(34, 46), _dms(32, 40),
+     -92.0, 400000, 400000),
+    # Colorado false origin: 3,000,000 / 1,000,000 ftUS in meters
+    (26953, "Colorado North", _dms(39, 43), _dms(40, 47), _dms(39, 20),
+     -105.5, 914401.8289, 304800.6096),
+    (26954, "Colorado Central", _dms(38, 27), _dms(39, 45), _dms(37, 50),
+     -105.5, 914401.8289, 304800.6096),
+    (26955, "Colorado South", _dms(37, 14), _dms(38, 26), _dms(36, 40),
+     -105.5, 914401.8289, 304800.6096),
+    (26956, "Connecticut", _dms(41, 12), _dms(41, 52), _dms(40, 50),
+     -72.75, 304800.6096, 152400.3048),
+    (26960, "Florida North", _dms(29, 35), _dms(30, 45), 29.0,
+     -84.5, 600000, 0),
+    (26975, "Iowa North", _dms(42, 4), _dms(43, 16), 41.5,
+     -93.5, 1500000, 1000000),
+    (26976, "Iowa South", _dms(40, 37), _dms(41, 47), 40.0,
+     -93.5, 500000, 0),
+    (26977, "Kansas North", _dms(38, 43), _dms(39, 47), _dms(38, 20),
+     -98.0, 400000, 0),
+    (26978, "Kansas South", _dms(37, 16), _dms(38, 34), _dms(36, 40),
+     -98.5, 400000, 400000),
+    (26981, "Louisiana North", _dms(31, 10), _dms(32, 40), 30.5,
+     -92.5, 1000000, 0),
+    (26982, "Louisiana South", _dms(29, 18), _dms(30, 42), 28.5,
+     _dms(-91, 20), 1000000, 0),
+    (26985, "Maryland", _dms(38, 18), _dms(39, 27), _dms(37, 40),
+     -77.0, 400000, 0),
+    (26986, "Massachusetts Mainland", _dms(41, 43), _dms(42, 41), 41.0,
+     -71.5, 200000, 750000),
+    (26987, "Massachusetts Island", _dms(41, 17), _dms(41, 29), 41.0,
+     -70.5, 500000, 0),
+    (26988, "Michigan North", _dms(45, 29), _dms(47, 5), _dms(44, 47),
+     -87.0, 8000000, 0),
+    (26989, "Michigan Central", _dms(44, 11), _dms(45, 42), _dms(43, 19),
+     _dms(-84, 22), 6000000, 0),
+    (26990, "Michigan South", _dms(42, 6), _dms(43, 40), 41.5,
+     _dms(-84, 22), 4000000, 0),
+    (26991, "Minnesota North", _dms(47, 2), _dms(48, 38), 46.5,
+     -93.1, 800000, 100000),
+    (26992, "Minnesota Central", _dms(45, 37), _dms(47, 3), 45.0,
+     -94.25, 800000, 100000),
+    (26993, "Minnesota South", _dms(43, 47), _dms(45, 13), 43.0,
+     -94.0, 800000, 100000),
+    (32100, "Montana", 45.0, 49.0, 44.25, -109.5, 600000, 0),
+    (32104, "Nebraska", 40.0, 43.0, _dms(39, 50), -100.0, 500000, 0),
+    (32118, "New York Long Island", _dms(40, 40), _dms(41, 2),
+     _dms(40, 10), -74.0, 300000, 0),
+    # NC false easting: 2,000,000 ftUS as EPSG's rounded meters
+    (32119, "North Carolina", _dms(34, 20), _dms(36, 10), _dms(33, 45),
+     -79.0, 609601.22, 0),
+    (32120, "North Dakota North", _dms(47, 26), _dms(48, 44), 47.0,
+     -100.5, 600000, 0),
+    (32121, "North Dakota South", _dms(46, 11), _dms(47, 29),
+     _dms(45, 40), -100.5, 600000, 0),
+    (32122, "Ohio North", _dms(40, 26), _dms(41, 42), _dms(39, 40),
+     -82.5, 600000, 0),
+    (32123, "Ohio South", _dms(38, 44), _dms(40, 2), 38.0,
+     -82.5, 600000, 0),
+    (32124, "Oklahoma North", _dms(35, 34), _dms(36, 46), 35.0,
+     -98.0, 600000, 0),
+    (32125, "Oklahoma South", _dms(33, 56), _dms(35, 14), _dms(33, 20),
+     -98.0, 600000, 0),
+    (32126, "Oregon North", _dms(44, 20), 46.0, _dms(43, 40),
+     -120.5, 2500000, 0),
+    (32127, "Oregon South", _dms(42, 20), 44.0, _dms(41, 40),
+     -120.5, 1500000, 0),
+    (32128, "Pennsylvania North", _dms(40, 53), _dms(41, 57),
+     _dms(40, 10), _dms(-77, 45), 600000, 0),
+    (32129, "Pennsylvania South", _dms(39, 56), _dms(40, 58),
+     _dms(39, 20), _dms(-77, 45), 600000, 0),
+    # SC false easting: 2,000,000 international feet = 609,600 m exact
+    (32133, "South Carolina", 32.5, _dms(34, 50), _dms(31, 50),
+     -81.0, 609600, 0),
+    (32134, "South Dakota North", _dms(44, 25), _dms(45, 41),
+     _dms(43, 50), -100.0, 600000, 0),
+    (32135, "South Dakota South", _dms(42, 50), _dms(44, 24),
+     _dms(42, 20), _dms(-100, 20), 600000, 0),
+    (32136, "Tennessee", _dms(35, 15), _dms(36, 25), _dms(34, 20),
+     -86.0, 600000, 0),
+    (32137, "Texas North", _dms(34, 39), _dms(36, 11), 34.0,
+     -101.5, 200000, 1000000),
+    (32138, "Texas North Central", _dms(32, 8), _dms(33, 58),
+     _dms(31, 40), -98.5, 600000, 2000000),
+    (32139, "Texas Central", _dms(30, 7), _dms(31, 53), _dms(29, 40),
+     _dms(-100, 20), 700000, 3000000),
+    (32140, "Texas South Central", _dms(28, 23), _dms(30, 17),
+     _dms(27, 50), -99.0, 600000, 4000000),
+    (32141, "Texas South", _dms(26, 10), _dms(27, 50), _dms(25, 40),
+     -98.5, 300000, 5000000),
+    (32142, "Utah North", _dms(40, 43), _dms(41, 47), _dms(40, 20),
+     -111.5, 500000, 1000000),
+    (32143, "Utah Central", _dms(39, 1), _dms(40, 39), _dms(38, 20),
+     -111.5, 500000, 2000000),
+    (32144, "Utah South", _dms(37, 13), _dms(38, 21), _dms(36, 40),
+     -111.5, 500000, 3000000),
+    (32146, "Virginia North", _dms(38, 2), _dms(39, 12), _dms(37, 40),
+     -78.5, 3500000, 2000000),
+    (32147, "Virginia South", _dms(36, 46), _dms(37, 58), _dms(36, 20),
+     -78.5, 3500000, 1000000),
+    (32148, "Washington North", 47.5, _dms(48, 44), 47.0,
+     _dms(-120, 50), 500000, 0),
+    (32149, "Washington South", _dms(45, 50), _dms(47, 20),
+     _dms(45, 20), -120.5, 500000, 0),
+    (32150, "West Virginia North", 39.0, 40.25, 38.5,
+     -79.5, 600000, 0),
+    (32151, "West Virginia South", _dms(37, 29), _dms(38, 53), 37.0,
+     -81.0, 600000, 0),
+    (32152, "Wisconsin North", _dms(45, 34), _dms(46, 46), _dms(45, 10),
+     -90.0, 600000, 0),
+    (32153, "Wisconsin Central", 44.25, 45.5, _dms(43, 50),
+     -90.0, 600000, 0),
+    (32154, "Wisconsin South", _dms(42, 44), _dms(44, 4), 42.0,
+     -90.0, 600000, 0),
+    (26940, "Alaska zone 10", _dms(51, 50), _dms(53, 50), 51.0,
+     -176.0, 1000000, 0),
+)
+for _c, _n, _l1, _l2, _l0, _lon, _x0, _y0 in _SPCS_LCC:
+    _PROJECTED[_c] = (
+        f"NAD83 / {_n}", "NAD83",
+        dict(proj="lcc", lat_1=_l1, lat_2=_l2, lat_0=_l0, lon_0=_lon,
+             x_0=float(_x0), y_0=float(_y0)), "enu", 1.0)
+# California SPCS83 zones 1-6 in meters (EPSG 26941-26946): the ftUS
+# zones above with the metric false origin (2,000,000 / 500,000 m)
+for _c in range(2225, 2231):
+    _name, _datum, _p, _ax, _tm = _PROJECTED[_c]
+    _pm = dict(_p, x_0=2000000.0, y_0=500000.0)
+    _PROJECTED[26941 + (_c - 2225)] = (
+        _name.replace(" (ftUS)", ""), "NAD83", _pm, "enu", 1.0)
+
+# Transverse-Mercator SPCS83 zones:
+# (code, zone name, lat_0, lon_0, k_0 denominator N in 1 - 1/N
+#  (None -> k_0 = 1), x_0, y_0)
+_SPCS_TM = (
+    (26929, "Alabama East", 30.5, _dms(-85, 50), 25000, 200000, 0),
+    (26930, "Alabama West", 30.0, -87.5, 15000, 600000, 0),
+    (26948, "Arizona East", 31.0, _dms(-110, 10), 10000, 213360, 0),
+    (26949, "Arizona Central", 31.0, _dms(-111, 55), 10000, 213360, 0),
+    (26950, "Arizona West", 31.0, _dms(-113, 45), 15000, 213360, 0),
+    (26957, "Delaware", 38.0, _dms(-75, 25), 200000, 200000, 0),
+    (26958, "Florida East", _dms(24, 20), -81.0, 17000, 200000, 0),
+    (26959, "Florida West", _dms(24, 20), -82.0, 17000, 200000, 0),
+    (26966, "Georgia East", 30.0, _dms(-82, 10), 10000, 200000, 0),
+    (26967, "Georgia West", 30.0, _dms(-84, 10), 10000, 700000, 0),
+    (26961, "Hawaii zone 1", _dms(18, 50), -155.5, 30000, 500000, 0),
+    (26962, "Hawaii zone 2", _dms(20, 20), _dms(-156, 40), 30000,
+     500000, 0),
+    (26963, "Hawaii zone 3", _dms(21, 10), -158.0, 100000, 500000, 0),
+    (26964, "Hawaii zone 4", _dms(21, 50), -159.5, 100000, 500000, 0),
+    (26965, "Hawaii zone 5", _dms(21, 40), _dms(-160, 10), None,
+     500000, 0),
+    (26968, "Idaho East", _dms(41, 40), _dms(-112, 10), 19000,
+     200000, 0),
+    (26969, "Idaho Central", _dms(41, 40), -114.0, 19000, 500000, 0),
+    (26970, "Idaho West", _dms(41, 40), -115.75, 15000, 800000, 0),
+    (26971, "Illinois East", _dms(36, 40), _dms(-88, 20), 40000,
+     300000, 0),
+    (26972, "Illinois West", _dms(36, 40), _dms(-90, 10), 17000,
+     700000, 0),
+    (26973, "Indiana East", 37.5, _dms(-85, 40), 30000, 100000, 250000),
+    (26974, "Indiana West", 37.5, _dms(-87, 5), 30000, 900000, 250000),
+    (26983, "Maine East", _dms(43, 40), -68.5, 10000, 300000, 0),
+    (26984, "Maine West", _dms(42, 50), _dms(-70, 10), 30000, 900000, 0),
+    (26994, "Mississippi East", 29.5, _dms(-88, 50), 20000, 300000, 0),
+    (26995, "Mississippi West", 29.5, _dms(-90, 20), 20000, 700000, 0),
+    (26996, "Missouri East", _dms(35, 50), -90.5, 15000, 250000, 0),
+    (26997, "Missouri Central", _dms(35, 50), -92.5, 15000, 500000, 0),
+    (26998, "Missouri West", _dms(36, 10), -94.5, 17000, 850000, 0),
+    (32107, "Nevada East", 34.75, _dms(-115, 35), 10000,
+     200000, 8000000),
+    (32108, "Nevada Central", 34.75, _dms(-116, 40), 10000,
+     500000, 6000000),
+    (32109, "Nevada West", 34.75, _dms(-118, 35), 10000,
+     800000, 4000000),
+    (32110, "New Hampshire", 42.5, _dms(-71, 40), 30000, 300000, 0),
+    (32111, "New Jersey", _dms(38, 50), -74.5, 10000, 150000, 0),
+    (32112, "New Mexico East", 31.0, _dms(-104, 20), 11000, 165000, 0),
+    (32113, "New Mexico Central", 31.0, -106.25, 10000, 500000, 0),
+    (32114, "New Mexico West", 31.0, _dms(-107, 50), 12000, 830000, 0),
+    (32115, "New York East", _dms(38, 50), -74.5, 10000, 150000, 0),
+    (32116, "New York Central", 40.0, _dms(-76, 35), 16000, 250000, 0),
+    (32117, "New York West", 40.0, _dms(-78, 35), 16000, 350000, 0),
+    (32130, "Rhode Island", _dms(41, 5), -71.5, 160000, 100000, 0),
+    (32145, "Vermont", 42.5, -72.5, 28000, 500000, 0),
+    (32155, "Wyoming East", 40.5, _dms(-105, 10), 16000, 200000, 0),
+    (32156, "Wyoming East Central", 40.5, _dms(-107, 20), 16000,
+     400000, 100000),
+    (32157, "Wyoming West Central", 40.5, -108.75, 16000, 600000, 0),
+    (32158, "Wyoming West", 40.5, _dms(-110, 5), 16000, 800000, 100000),
+) + tuple(
+    # Alaska zones 2-9: 4-degree TM strips, lon_0 = -142 - 4*(z - 2)
+    (26930 + _z, f"Alaska zone {_z}", 54.0, -142.0 - 4.0 * (_z - 2),
+     10000, 500000, 0)
+    for _z in range(2, 10)
+)
+for _c, _n, _l0, _lon, _kden, _x0, _y0 in _SPCS_TM:
+    _k0 = 1.0 if _kden is None else 1.0 - 1.0 / _kden
+    _PROJECTED[_c] = (
+        f"NAD83 / {_n}", "NAD83",
+        dict(proj="tmerc", lat_0=_l0, lon_0=_lon, k_0=_k0,
+             x_0=float(_x0), y_0=float(_y0)), "enu", 1.0)
+
+
+def _ftus(meters: float) -> float:
+    """EPSG ftUS false easting/northing in meters, reproducing the
+    registry's 3-decimal ftUS rounding (e.g. 300000 m -> 984250.000
+    ftUS -> 300000.0000000001 m, matching PROJ's +x_0 for EPSG:2263)."""
+    return round(meters / US_FT, 3) * US_FT
+
+
+# ftUS twins of the TX/NY/FL zones (EPSG 2275-2279, 2260-2262,
+# 2236-2238): identical projection, false origin restated in ftUS
+for _src, _dst in ((32137, 2275), (32138, 2276), (32139, 2277),
+                   (32140, 2278), (32141, 2279), (32115, 2260),
+                   (32116, 2261), (32117, 2262), (26958, 2236),
+                   (26959, 2237), (26960, 2238)):
+    _name, _datum, _p, _ax, _tm = _PROJECTED[_src]
+    _pf = dict(_p, x_0=_ftus(_p["x_0"]), y_0=_ftus(_p["y_0"]))
+    _PROJECTED[_dst] = (f"{_name} (ftUS)", "NAD83", _pf, "enu", US_FT)
+
+
 def epsg_entry(code: int) -> dict:
     """Resolve an EPSG code to a normalized catalog record."""
     code = int(code)

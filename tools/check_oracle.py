@@ -2,7 +2,10 @@
 entry on Spark AND its oracle_sql() on DuckDB at sf0.01, compare
 row-count + schema-width + order-insensitive value hash.
 
-Run: python tools/check_oracle.py [sf_dir]
+Run: python tools/check_oracle.py [sf_dir] [only_csv]
+
+`only_csv` (optional) limits the run to a comma-separated subset of
+query names — handy while iterating on one operator.
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(s.encode()).hexdigest()
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set[str] | None = None):
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
     from pyproj_spark.session import get_spark
@@ -42,6 +45,8 @@ def main(sf_dir: str):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{sf_dir}/{t}.parquet'")
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -86,4 +91,5 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+         set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None)
