@@ -4,9 +4,11 @@
     python -m pyproj_spark -v         # verbose environment report
     python -m pyproj_spark sync --list-files [--bbox ...] [--source-id ..]
 
-``sync`` only LISTS grids here (downloads are out of scope in this
-environment — reference __main__.py:156-199 streams from the PROJ CDN;
-``--all`` prints the same guidance the library raises).
+``sync --all`` downloads matching grids via
+``sync._download_resource_file`` (reference __main__.py:156-199) when
+the ``pyproj_spark.network`` toggle is ON; with networking disabled it
+prints the library's guidance and exits 1. The sandbox cannot reach the
+real PROJ CDN, so tests exercise the download path via localhost HTTP.
 """
 
 from __future__ import annotations
@@ -50,7 +52,15 @@ sync_parser.add_argument(
     help="List the matching grid files.")
 sync_parser.add_argument(
     "--all", action="store_true",
-    help="(downloads unavailable in this environment)")
+    help="Download all matching grid files (requires networking "
+         "enabled via PROJ_NETWORK=ON or set_network_enabled).")
+sync_parser.add_argument(
+    "--directory",
+    help="Directory to download geojson/grid files to. Default is the "
+         "user writable directory.")
+sync_parser.add_argument(
+    "--verbose", action="store_true",
+    help="Print download URLs.")
 sync_parser.set_defaults(_cmd="sync")
 
 
@@ -87,10 +97,21 @@ def _parse_sync(args) -> int:
         include_world_coverage=not args.exclude_world_coverage,
         include_already_downloaded=args.include_already_downloaded)
     if args.all and feats:
-        print("downloads are unavailable in this environment; register "
-              "grid node arrays via pyproj_spark.kernels.grids."
-              "register_grid")
-        return 1
+        from pyproj_spark.network import is_network_enabled
+        from pyproj_spark.sync import _download_resource_file
+        if not is_network_enabled():
+            print("networking is disabled; enable with PROJ_NETWORK=ON "
+                  "or pyproj_spark.network.set_network_enabled(True) "
+                  "(offline alternative: pyproj_spark.kernels.grids."
+                  "register_grid)")
+            return 1
+        for f in feats:
+            p = f["properties"]
+            _download_resource_file(
+                file_url=p["url"], short_name=p["name"],
+                directory=args.directory, verbose=args.verbose,
+                sha256=p.get("sha256sum"))
+        return 0
     for f in feats:
         p = f["properties"]
         print(f"{p['name']:45s} {p['source_id']:10s} {p['area_of_use']}")

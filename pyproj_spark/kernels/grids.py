@@ -131,6 +131,44 @@ def get_grid(name: str) -> ShiftGrid:
     return _GRIDS[name]
 
 
+def load_grid_file(path, name: str | None = None) -> ShiftGrid:
+    """Load a shift grid from an ``.npz`` node-array file (keys:
+    ``west south east north dlon_sec dlat_sec``) — the engine's
+    on-disk grid format for files fetched by
+    ``sync._download_resource_file`` (the reference consumes PROJ's
+    GeoTIFF CDN files; GDAL is unavailable here, so the same node
+    lattice travels as a numpy archive).
+    """
+    import os
+    with np.load(path) as z:
+        dlon = np.asarray(z["dlon_sec"], dtype=np.float64)
+        dlat = np.asarray(z["dlat_sec"], dtype=np.float64)
+        if dlon.shape != dlat.shape or dlon.ndim != 2:
+            raise ValueError(f"malformed grid file {path}: "
+                             f"{dlon.shape} vs {dlat.shape}")
+        ny, nx = dlon.shape
+        return ShiftGrid(
+            name=name or os.path.basename(str(path)),
+            west=float(z["west"]), south=float(z["south"]),
+            east=float(z["east"]), north=float(z["north"]),
+            nx=nx, ny=ny, dlon_sec=dlon, dlat_sec=dlat)
+
+
+def save_grid_file(grid: ShiftGrid, path) -> None:
+    """Inverse of :func:`load_grid_file` (test fixtures, re-export)."""
+    np.savez(path, west=grid.west, south=grid.south, east=grid.east,
+             north=grid.north, dlon_sec=grid.dlon_sec,
+             dlat_sec=grid.dlat_sec)
+
+
+def register_grid_file(path, src_datum: str, dst_datum: str,
+                       name: str | None = None) -> ShiftGrid:
+    """Load + register a downloaded grid file in one step."""
+    grid = load_grid_file(path, name=name)
+    register_grid(src_datum, dst_datum, grid)
+    return grid
+
+
 def grid_for(src_datum, dst_datum):
     """(grid, inverse?) for a datum pair, or (None, False)."""
     name = GRID_REGISTRY.get((src_datum, dst_datum))

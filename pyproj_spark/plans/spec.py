@@ -503,10 +503,11 @@ class Transformer:
 
     @property
     def is_network_enabled(self) -> bool:
-        """Always False — reference transformer.py:476-482; PROJ-CDN
-        grid download is out of scope for this sandboxed engine
-        (sync._download_resource_file documents the stub)."""
-        return False
+        """Reference transformer.py:476-482 — reflects the module
+        network toggle (pyproj_spark.network.set_network_enabled /
+        PROJ_NETWORK env var)."""
+        from pyproj_spark.network import is_network_enabled
+        return is_network_enabled()
 
     @property
     def accuracy(self) -> float:

@@ -1,13 +1,15 @@
 """Grid inventory queries (reference ``pyproj/sync.py:214-280``
 ``get_transform_grid_list``).
 
-The reference filters PROJ's CDN ``files.geojson``; network downloads
-are out of scope in this engine, so the inventory is a BUNDLED static
-feature list (entries are public PROJ-data registry facts, plus the
-engine's own registered grids). The filter semantics — bbox
-intersects/contains with antimeridian normalization, world-coverage
-exclusion, property filters, downloaded-already filter — mirror the
-reference. ``_download_resource_file`` is a clearly-marked stub.
+The reference filters PROJ's CDN ``files.geojson``; this sandbox has no
+route to the CDN, so the inventory is a BUNDLED static feature list
+(entries are public PROJ-data registry facts, plus the engine's own
+registered grids). The filter semantics — bbox intersects/contains with
+antimeridian normalization, world-coverage exclusion, property filters,
+downloaded-already filter — mirror the reference.
+``_download_resource_file`` is a real downloader (stream + sha256 +
+atomic rename, reference sync.py:172-191) gated on the
+``pyproj_spark.network`` toggle; tests drive it via localhost HTTP.
 """
 
 from __future__ import annotations
@@ -113,11 +115,52 @@ def get_transform_grid_list(source_id: str | None = None,
     return tuple(feats)
 
 
+def _sha256sum(input_file) -> str:
+    """Streaming sha256 of a file — reference sync.py:159-169."""
+    import hashlib
+    hasher = hashlib.sha256()
+    with open(input_file, "rb") as fh:
+        for chunk in iter(lambda: fh.read(65536), b""):
+            hasher.update(chunk)
+    return hasher.hexdigest()
+
+
 def _download_resource_file(file_url, short_name, directory=None,
-                            sha256=None):
-    """STUB — network access is out of scope in this environment
-    (reference sync.py:91-140 streams from the PROJ CDN). Register grid
-    node arrays directly via kernels.grids.register_grid instead."""
-    raise NotImplementedError(
-        "grid downloads are unavailable in this environment; use "
-        "pyproj_spark.kernels.grids.register_grid with local arrays")
+                            verbose=False, sha256=None):
+    """Download a resource file — reference sync.py:172-191: stream to
+    ``<short_name>.part``, verify sha256 when given, atomic rename into
+    place, always clean up the partial file.
+
+    Networking must be enabled (:func:`pyproj_spark.network.
+    set_network_enabled`); the sandbox has no route to the real PROJ
+    CDN, so tests exercise this against a localhost HTTP server and
+    ``file://`` URLs — any ``urllib``-openable scheme works.
+    """
+    import os
+    from pathlib import Path
+    from urllib.request import urlretrieve
+
+    from pyproj_spark.network import is_network_enabled
+
+    if not is_network_enabled():
+        raise OSError(
+            "PROJ network is disabled; call "
+            "pyproj_spark.network.set_network_enabled(True) or set "
+            "PROJ_NETWORK=ON (offline alternative: "
+            "kernels.grids.register_grid with local arrays)")
+    if directory is None:
+        from pyproj_spark.datadir import get_user_data_dir
+        directory = get_user_data_dir(create=True)
+    if verbose:
+        print(f"Downloading: {file_url}")
+    tmp_path = Path(directory, f"{short_name}.part")
+    try:
+        urlretrieve(file_url, tmp_path)
+        if sha256 is not None and sha256 != _sha256sum(tmp_path):
+            raise RuntimeError(f"SHA256 mismatch: {short_name}")
+        tmp_path.replace(Path(directory, short_name))
+    finally:
+        try:
+            os.remove(tmp_path)
+        except FileNotFoundError:
+            pass

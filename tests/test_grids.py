@@ -166,9 +166,14 @@ def test_get_transform_grid_list_filters():
         get_transform_grid_list(spatial_test="touches")
 
 
-def test_download_stub():
+def test_download_gated_on_network_toggle(monkeypatch):
+    # real downloader (tests/test_network.py drives it end-to-end);
+    # with networking off it raises the guidance error
+    import pyproj_spark.network as net
     from pyproj_spark.sync import _download_resource_file
-    with pytest.raises(NotImplementedError):
+    monkeypatch.delenv("PROJ_NETWORK", raising=False)
+    monkeypatch.setattr(net, "_NETWORK_ENABLED", None)
+    with pytest.raises(OSError, match="network is disabled"):
         _download_resource_file("https://cdn.proj.org/x.tif", "x.tif")
 
 
