@@ -15,6 +15,7 @@ input columns directly — no UDF enters the plan at all
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -68,6 +69,44 @@ def transform_xy(crs_from, crs_to, x: Column, y: Column,
         return pd.DataFrame({"x": xo, "y": yo})
 
     return _xf(x, y)
+
+
+def transform_xy_keyed(crs_from, crs_by_key: dict, key: Column,
+                       x: Column, y: Column,
+                       always_xy: bool = True) -> Column:
+    """Per-row destination CRS chosen by an integer ``key`` column —
+    one scan, one Arrow batch, one Python boundary for a whole zone
+    family (UTM zones, SPCS83 state planes). The reference makes one
+    ``Transformer`` per pair (pyproj/transformer.py:184-230) and loops;
+    at 100 TB a per-zone branch-and-union would rescan the source once
+    per zone, so the zone dispatch moves inside the kernel: rows are
+    masked per key in numpy and each sub-batch goes through the planned
+    per-worker cached kernel. Rows whose key is absent from the map
+    come back NaN (like errcheck=False out-of-domain points).
+    """
+    src_srs = CRS.from_user_input(crs_from).srs
+    specs = {int(k): TransformSpec(src_srs,
+                                   CRS.from_user_input(v).srs,
+                                   always_xy=always_xy)
+             for k, v in crs_by_key.items()}
+
+    @pandas_udf("struct<x:double,y:double>")
+    def _xfk(keys: pd.Series, xs: pd.Series, ys: pd.Series
+             ) -> pd.DataFrame:
+        kn = keys.to_numpy()
+        xn = xs.to_numpy(dtype="float64")
+        yn = ys.to_numpy(dtype="float64")
+        xo = np.full(len(xn), np.nan)
+        yo = np.full(len(yn), np.nan)
+        for kv, spec in specs.items():
+            m = kn == kv
+            if m.any():
+                kern = get_kernel(spec)
+                xm, ym, _ = kern(xn[m], yn[m])
+                xo[m], yo[m] = xm, ym
+        return pd.DataFrame({"x": xo, "y": yo})
+
+    return _xfk(key, x, y)
 
 
 def transform_xyz(crs_from, crs_to, x: Column, y: Column, z: Column,

@@ -610,8 +610,117 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+#: NAD83 Texas SPCS83 zones south->north with the lat bands the query
+#: assigns points to (zone params live in crs/catalog.py; the oracle
+#: restates them from the same public EPSG sexagesimal definitions)
+_TX_ZONES = [(32141, 26.0, 28.0), (32140, 28.0, 30.0),
+             (32139, 30.0, 32.0), (32138, 32.0, 34.0),
+             (32137, 34.0, 36.0)]
+
+
+def q_stateplane(spark, sf_dir):
+    """T1/T12 over the SPCS83 catalog: NAD83 lon/lat -> the five Texas
+    state-plane zones (LCC-2SP, GRS80), zone chosen by lat band — the
+    reference workflow ``Transformer.from_crs(4269, 32139)`` (reference
+    ``pyproj/transformer.py:184-230``). The oracle recomputes the full
+    Snyder LCC-2SP closed form in DuckDB from the published EPSG
+    sexagesimal parameters — an independent check of both the catalog
+    parameters and the projection kernel. Each zone's pandas-UDF kernel
+    is planned once and broadcast; zone dispatch happens INSIDE one
+    pandas-UDF pass (transform_xy_keyed) so the source is scanned once
+    — a per-zone branch-and-union would rescan it once per zone."""
+    from pyproj_spark.functions.transform import transform_xy_keyed
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 8000) / 1000.0 - 103.0).alias("lon"),
+        ((F.col("doc_id") * 104729 % 10000) / 1000.0 + 26.0).alias("lat"))
+    epsg = F.lit(None).cast("int")
+    for code, lo, hi in reversed(_TX_ZONES):
+        epsg = F.when((F.col("lat") >= lo) & (F.col("lat") < hi),
+                      F.lit(code)).otherwise(epsg)
+    xy = transform_xy_keyed(
+        "EPSG:4269", {c: f"EPSG:{c}" for c, _, _ in _TX_ZONES},
+        F.col("epsg"), F.col("lon"), F.col("lat"))
+    return (docs.withColumn("epsg", epsg).withColumn("xy", xy)
+            .select("doc_id", "epsg",
+                    F.round(F.col("xy.x")).cast("long").alias("easting"),
+                    F.round(F.col("xy.y")).cast("long").alias("northing")))
+
+
+# Snyder LCC-2SP in SQL. t(phi) uses the engine's isometric-latitude
+# form (kernels/projections.py:69-71) with asinh/atanh spelled via log
+# identities; zone params are the EPSG sexagesimal literals, written as
+# deg + min/60 so both engines build bit-identical doubles.
+SQL_STATEPLANE = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 8000) / 1000.0 - 103.0   AS lon,
+         (doc_id * 104729 % 10000) / 1000.0 + 26.0 AS lat
+  FROM documents
+), zones AS (
+  SELECT * FROM (VALUES
+    (32141, 26.0 + 10.0/60.0, 27.0 + 50.0/60.0, 25.0 + 40.0/60.0,
+     -98.5, 300000.0, 5000000.0, 26.0, 28.0),
+    (32140, 28.0 + 23.0/60.0, 30.0 + 17.0/60.0, 27.0 + 50.0/60.0,
+     -99.0, 600000.0, 4000000.0, 28.0, 30.0),
+    (32139, 30.0 + 7.0/60.0, 31.0 + 53.0/60.0, 29.0 + 40.0/60.0,
+     -(100.0 + 20.0/60.0), 700000.0, 3000000.0, 30.0, 32.0),
+    (32138, 32.0 + 8.0/60.0, 33.0 + 58.0/60.0, 31.0 + 40.0/60.0,
+     -98.5, 600000.0, 2000000.0, 32.0, 34.0),
+    (32137, 34.0 + 39.0/60.0, 36.0 + 11.0/60.0, 34.0,
+     -101.5, 200000.0, 1000000.0, 34.0, 36.0)
+  ) AS z(epsg, lat1, lat2, lat0, lon0, x0, y0, lo, hi)
+), j AS (
+  SELECT p.doc_id, p.lon, p.lat, z.*,
+         sqrt(2.0/298.257222101 - 1.0/(298.257222101*298.257222101))
+             AS e,
+         2.0/298.257222101 - 1.0/(298.257222101*298.257222101) AS e2
+  FROM pts p JOIN zones z ON p.lat >= z.lo AND p.lat < z.hi
+), c AS (
+  SELECT *,
+    exp(-(ln(tan(radians(lat1)) + sqrt(tan(radians(lat1))
+              * tan(radians(lat1)) + 1.0))
+          - e * 0.5 * ln((1.0 + e * sin(radians(lat1)))
+                         / (1.0 - e * sin(radians(lat1)))))) AS t1,
+    exp(-(ln(tan(radians(lat2)) + sqrt(tan(radians(lat2))
+              * tan(radians(lat2)) + 1.0))
+          - e * 0.5 * ln((1.0 + e * sin(radians(lat2)))
+                         / (1.0 - e * sin(radians(lat2)))))) AS t2,
+    exp(-(ln(tan(radians(lat0)) + sqrt(tan(radians(lat0))
+              * tan(radians(lat0)) + 1.0))
+          - e * 0.5 * ln((1.0 + e * sin(radians(lat0)))
+                         / (1.0 - e * sin(radians(lat0)))))) AS t0,
+    exp(-(ln(tan(radians(lat)) + sqrt(tan(radians(lat))
+              * tan(radians(lat)) + 1.0))
+          - e * 0.5 * ln((1.0 + e * sin(radians(lat)))
+                         / (1.0 - e * sin(radians(lat)))))) AS tp,
+    cos(radians(lat1)) / sqrt(1.0 - e2 * sin(radians(lat1))
+                              * sin(radians(lat1))) AS m1,
+    cos(radians(lat2)) / sqrt(1.0 - e2 * sin(radians(lat2))
+                              * sin(radians(lat2))) AS m2
+  FROM j
+), k AS (
+  SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n FROM c
+), kf AS (
+  SELECT *, m1 / (n * power(t1, n)) AS bigf FROM k
+), geom AS (
+  SELECT doc_id, epsg, x0, y0, n,
+         6378137.0 * bigf * power(t0, n) AS rho0,
+         6378137.0 * bigf * power(tp, n) AS rho,
+         n * radians(lon - lon0) AS theta
+  FROM kf
+)
+SELECT doc_id, epsg,
+       CAST(round(rho * sin(theta) + x0) AS BIGINT) AS easting,
+       CAST(round(rho0 - rho * cos(theta) + y0) AS BIGINT) AS northing
+FROM geom
+"""
+
+
 QUERIES = {
     "webmerc_transform": (q_webmerc_transform, SQL_WEBMERC),
+    "stateplane": (q_stateplane, SQL_STATEPLANE),
     "geocell": (q_geocell, SQL_GEOCELL),
     "tiles": (q_tiles, SQL_TILES),
     "pip_join": (q_pip, SQL_PIP),

@@ -650,3 +650,28 @@ def test_cross_track_route_geometry(spark):
     # along-track is non-negative by construction
     assert (np.abs(got["cross_track_m"]) <= np.pi / 2 * 6371008.8).all()
     assert (got["along_track_m"] >= 0).all()
+
+
+def test_transform_xy_keyed_dispatch(spark):
+    """Keyed multi-CRS transform: per-row zone dispatch inside one UDF
+    pass agrees with per-zone transform_xy; unmapped keys -> NaN."""
+    from pyproj_spark.functions.transform import transform_xy_keyed
+    rows = [(1, 32139, -97.5, 30.5), (2, 32137, -101.0, 35.0),
+            (3, 32141, -98.0, 26.5), (4, 99999, -97.0, 30.0)]
+    df = spark.createDataFrame(rows, ["id", "epsg", "lon", "lat"])
+    keyed = df.withColumn("xy", transform_xy_keyed(
+        "EPSG:4269", {32139: "EPSG:32139", 32137: "EPSG:32137",
+                      32141: "EPSG:32141"},
+        F.col("epsg"), F.col("lon"), F.col("lat"))).toPandas()
+    for _, r in keyed.iterrows():
+        if r["epsg"] == 99999:
+            # NaN may surface as None through the Arrow struct path
+            assert r["xy"]["x"] is None or np.isnan(r["xy"]["x"])
+            assert r["xy"]["y"] is None or np.isnan(r["xy"]["y"])
+            continue
+        one = spark.createDataFrame([(r["lon"], r["lat"])],
+                                    ["lon", "lat"]).withColumn(
+            "xy", transform_xy("EPSG:4269", f"EPSG:{r['epsg']}",
+                               F.col("lon"), F.col("lat"))).toPandas()
+        assert_almost_equal(r["xy"]["x"], one["xy"][0]["x"], decimal=9)
+        assert_almost_equal(r["xy"]["y"], one["xy"][0]["y"], decimal=9)
