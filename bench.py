@@ -173,7 +173,7 @@ def main():
     # 18-20s) against an average 8-core draw and reported efficiency
     # 0.705 — the ratio of two minima is stable, the ratio of one lucky
     # draw to one average draw is not
-    t2, meds2 = _run_level(2, SCALE_PATH, reps=2)
+    t2, meds2 = _run_level(2, SCALE_PATH, reps=3)
     t8, meds8 = _run_level(8, SCALE_PATH, reps=3)
     # 4 children: the full-machine level shows the widest JIT lottery
     # (observed child medians 2.8-21s for the same plan), and min

@@ -1,0 +1,220 @@
+"""s2cell — an S2-style spherical cell index: cube face + quadratic
+s/t + Hilbert curve, from scratch, pure Catalyst.
+
+Fourth cell family next to the equirectangular quadtree (cells.py),
+geohash and the mercator hexgrid — this one is the scale-partitioning
+workhorse shape: the sphere is projected onto 6 cube faces (no polar
+singularity, cell areas within ~2.1x of each other vs the quadtree's
+sec-phi blowup), the in-face quadratic s/t transform evens out the
+gnomonic distortion, and cells are ordered along a HILBERT curve, so
+consecutive cell ids are spatially adjacent — ranges of ids are
+compact regions. That makes the id a double-duty key at 100 TB: an
+equality join/partition key like the other families AND a 1-D
+clustering/range key (sort files by s2 id -> parquet min/max prune
+spatial bboxes; cell containment = one integer BETWEEN on the
+descendant range, no explode).
+
+Matches the public S2 geometry design (faces, quadratic ST, Hilbert
+order — s2geometry.io/devguide/s2cell_hierarchy); ids are NOT
+bit-compatible with Google S2 (per-face Hilbert orientations differ;
+we use the classic curve on every face and keep the level in the id).
+
+Id layout (non-negative, Spark LongType)::
+
+    bits 58..62  level L (0..20)
+    bits 55..57  face   (0..5: +x,+y,+z,-x,-y,-z)
+    bits 0..2L-1 Hilbert position of the (i,j) leaf at level L
+
+parent(cell) = level-1, pos >> 2 — strict hierarchy; the descendant
+range of a cell at child level Lc is [pos << 2(Lc-L), (pos+1) <<
+2(Lc-L)) — closed form, no tree walk.
+
+Hilbert tables: derived from the classic xy2d algorithm (Wikipedia
+"Hilbert curve") by sub-square pattern matching; state 0 is the root
+orientation; index = i_bit*2 + j_bit. Locked against the classic
+mutating-loop form by tests/test_s2cell.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_LEVEL = 20
+#: Hilbert state machine, flat [state*4 + i_bit*2 + j_bit]
+_POS = (0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+_NXT = (1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+
+
+def _check_level(level: int) -> None:
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+
+
+# --------------------------------------------------------------- numpy
+
+def _face_uv_np(lon, lat):
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    x = np.cos(phi) * np.cos(lam)
+    y = np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az), np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4),
+                 np.where(z >= 0, 2, 5)))
+    # S2 face->(u,v) convention (s2coords.h valid_face_xyz_to_uv)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y], default=-x / z)
+    return face.astype(np.int64), u, v
+
+
+def _st_np(u):
+    """S2 quadratic UV->ST transform. (np.where evaluates both
+    branches; the off-branch sqrt of a negative is discarded.)"""
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u),
+                        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def encode_np(lon, lat, level: int) -> np.ndarray:
+    _check_level(level)
+    face, u, v = _face_uv_np(lon, lat)
+    n = 1 << level
+    i = np.clip(np.floor(_st_np(u) * n), 0, n - 1).astype(np.int64)
+    j = np.clip(np.floor(_st_np(v) * n), 0, n - 1).astype(np.int64)
+    pos_t = np.asarray(_POS, dtype=np.int64)
+    nxt_t = np.asarray(_NXT, dtype=np.int64)
+    st = np.zeros_like(i)
+    d = np.zeros_like(i)
+    for k in range(level - 1, -1, -1):
+        idx = st * 4 + ((i >> k) & 1) * 2 + ((j >> k) & 1)
+        d = (d << 2) | pos_t[idx]
+        st = nxt_t[idx]
+    return (np.int64(level) << 58) | (face << 55) | d
+
+
+# -------------------------------------------------------------- column
+
+def cell_of(lon: Column, lat: Column, level: int) -> Column:
+    """S2-style cell id — pure Catalyst: trig + CASE + an aggregate HOF
+    running two literal-array lookups per level. Never crosses the
+    Python boundary; the HOF is CodegenFallback (interpreted JVM eval),
+    which profiling puts far below the scan+shuffle cost at sf0.1."""
+    _check_level(level)
+    lam, phi = F.radians(lon), F.radians(lat)
+    x = F.cos(phi) * F.cos(lam)
+    y = F.cos(phi) * F.sin(lam)
+    z = F.sin(phi)
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = (
+        F.when((ax >= ay) & (ax >= az),
+               F.when(x >= 0, F.lit(0)).otherwise(F.lit(3)))
+        .otherwise(F.when(ay >= az,
+                          F.when(y >= 0, F.lit(1)).otherwise(F.lit(4)))
+                   .otherwise(F.when(z >= 0, F.lit(2))
+                              .otherwise(F.lit(5)))))
+    u = (F.when(face == 0, y / x).when(face == 1, -x / y)
+         .when(face == 2, -x / z).when(face == 3, z / x)
+         .when(face == 4, z / y).otherwise(-y / z))
+    v = (F.when(face == 0, z / x).when(face == 1, z / y)
+         .when(face == 2, -y / z).when(face == 3, y / x)
+         .when(face == 4, -x / y).otherwise(-x / z))
+
+    def st(w):
+        return F.when(w >= 0, 0.5 * F.sqrt(1.0 + 3.0 * w)) \
+                .otherwise(1.0 - 0.5 * F.sqrt(1.0 - 3.0 * w))
+
+    n = 1 << level
+    i = F.least(F.greatest(F.floor(st(u) * F.lit(float(n))),
+                           F.lit(0)), F.lit(n - 1)).cast("long")
+    j = F.least(F.greatest(F.floor(st(v) * F.lit(float(n))),
+                           F.lit(0)), F.lit(n - 1)).cast("long")
+    pos_lit = F.lit(list(_POS))
+    nxt_lit = F.lit(list(_NXT))
+
+    # Column-expression shape matters: an unrolled per-level loop
+    # re-embeds the (large) trig trees of i and j into every level's
+    # state/d expression — the tree grows O(level^2) copies of them
+    # and Catalyst analysis takes minutes by level 10. The Hilbert
+    # fold instead runs as ONE aggregate HOF: the lambda body holds a
+    # single copy of i and j, the per-level iteration happens at
+    # runtime. i, j < 2^20 so the double division for bit extraction
+    # is exact (shiftright needs a literal shift amount, the lambda's
+    # level variable is a Column).
+    def _merge(acc, k):
+        mask = F.pow(F.lit(2.0), k.cast("double")).cast("long")
+        ib = F.floor(i / mask).cast("long").bitwiseAND(F.lit(1))
+        jb = F.floor(j / mask).cast("long").bitwiseAND(F.lit(1))
+        idx = (acc["st"] * 4 + ib * 2 + jb + 1).cast("int")
+        return F.struct(
+            F.element_at(nxt_lit, idx).cast("long").alias("st"),
+            (F.shiftleft(acc["d"], 2)
+             + F.element_at(pos_lit, idx)).alias("d"))
+
+    if level == 0:
+        d = F.lit(0).cast("long")
+    else:
+        acc = F.aggregate(
+            F.sequence(F.lit(level - 1), F.lit(0), F.lit(-1)),
+            F.struct(F.lit(0).cast("long").alias("st"),
+                     F.lit(0).cast("long").alias("d")),
+            _merge)
+        d = acc["d"]
+    return (F.lit(level).cast("long") * F.lit(1 << 58).cast("long")
+            + F.shiftleft(face.cast("long"), 55) + d)
+
+
+def cell_level(cell: Column) -> Column:
+    return F.shiftright(cell, 58).bitwiseAND(F.lit(31))
+
+
+def cell_face(cell: Column) -> Column:
+    return F.shiftright(cell, 55).bitwiseAND(F.lit(7))
+
+
+def parent(cell: Column, level: int) -> Column:
+    """Ancestor at `level` (caller guarantees level <= cell's level —
+    same contract as cells.parent_of)."""
+    _check_level(level)
+    cur = cell_level(cell)
+    pos = cell.bitwiseAND(F.lit((1 << 55) - 1))
+    # variable shift: Spark's shift functions take only literal
+    # counts, so divide by 2^drop (exact — pos < 2^40 < 2^52)
+    drop = ((cur - level) * 2).cast("double")
+    return (F.lit(level).cast("long") * F.lit(1 << 58).cast("long")
+            + F.shiftleft(cell_face(cell), 55)
+            + F.floor(pos / F.pow(F.lit(2.0), drop)).cast("long"))
+
+
+def descendant_range(cell: Column, child_level: int) -> Column:
+    """struct<lo:bigint,hi:bigint>: the half-open Hilbert-position id
+    range [lo, hi) of this cell's descendants at `child_level` — the
+    containment-as-BETWEEN join key (no explode, no tree walk)."""
+    _check_level(child_level)
+    cur = cell_level(cell)
+    pos = cell.bitwiseAND(F.lit((1 << 55) - 1))
+    up = F.pow(F.lit(2.0), ((F.lit(child_level) - cur) * 2)
+               .cast("double"))
+    head = (F.lit(child_level).cast("long") * F.lit(1 << 58).cast("long")
+            + F.shiftleft(cell_face(cell), 55))
+    lo = head + (pos * up).cast("long")
+    hi = head + ((pos + 1) * up).cast("long")
+    return F.struct(lo.alias("lo"), hi.alias("hi"))
+
+
+# numpy twins for tests / driver-side covering
+
+def parent_np(cell, level: int):
+    cell = np.asarray(cell, dtype=np.int64)
+    cur = (cell >> 58) & 31
+    pos = cell & ((1 << 55) - 1)
+    return ((np.int64(level) << 58) | (((cell >> 55) & 7) << 55)
+            | (pos >> ((cur - level) * 2)))

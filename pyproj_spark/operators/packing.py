@@ -4,17 +4,15 @@ and cut into fixed-capacity training sequences; documents straddle
 boundaries (attention-mask resets handle that downstream), so no
 token is padded away and every bin is exactly full except the last.
 
-The distributed form is window arithmetic, not stateful streaming:
-a running token offset per document (one global-order window), then
-each document explodes into the bins it touches with its per-bin
-token contribution — all native expressions.
-
-Scale note: the global orderBy window range-partitions by the sort
-key, so the cumsum is distributed (Spark's WindowExec handles
-unbounded-preceding sums per range partition with a prefix pass);
-for 10^12 docs you run the same arithmetic per shard (e.g. per
-Z-order bucket from functions/zorder.py) and offset bins by shard —
-packing quality is unchanged because bins never cross shards.
+The distributed form is a classic two-phase parallel prefix sum, not
+a global window (Spark's `Window.orderBy` with no partition key moves
+EVERYTHING to one task — the WindowExec single-partition warning):
+range-partition by the order key, per-partition running sums under a
+`partitionBy(partition_id)` window, per-partition totals (P rows)
+cumulated and broadcast back as offsets. Each document then explodes
+into the bins it touches with its per-bin token contribution — all
+native expressions, and every stage is parallel in the number of
+partitions, so the same plan holds at 10^12 docs.
 """
 
 from __future__ import annotations
@@ -30,10 +28,28 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     full by construction except the final one; n_docs counts every
     document contributing at least one token to the bin."""
     d = df.filter(F.col(tokens_col) > 0)
-    w = Window.orderBy(id_col) \
+    # phase 1: range-partition on the order key (partition p holds
+    # strictly smaller ids than p+1) and cumsum within each partition.
+    # Persist so the sampled range boundaries are computed ONCE — the
+    # totals pass and the main pass must see identical partitioning.
+    npart = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                        "32"))
+    d = (d.repartitionByRange(npart, F.col(id_col))
+         .withColumn("_pid", F.spark_partition_id())
+         .persist())
+    w_in = Window.partitionBy("_pid").orderBy(id_col) \
         .rowsBetween(Window.unboundedPreceding, -1)
-    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
-    spans = (d.withColumn("_start", start)
+    # phase 2: cross-partition offsets — P rows, broadcast back
+    w_off = Window.orderBy("_pid") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offs = (d.groupBy("_pid").agg(F.sum(tokens_col).alias("_tot"))
+            .withColumn("_off", F.coalesce(F.sum("_tot").over(w_off),
+                                           F.lit(0)))
+            .select("_pid", "_off"))
+    start = (F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0))
+             + F.col("_off"))
+    spans = (d.join(F.broadcast(offs), "_pid")
+             .withColumn("_start", start)
              .withColumn("_end", F.col("_start") + F.col(tokens_col))
              .withColumn("bin", F.explode(F.sequence(
                  F.floor(F.col("_start") / capacity),

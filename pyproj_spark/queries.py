@@ -130,6 +130,124 @@ FROM pts GROUP BY 1
 """
 
 
+_S2_LEVEL = 10
+
+
+def q_s2cell(spark, sf_dir):
+    """S2-style spherical cell index (cube face + quadratic s/t +
+    Hilbert order, functions/s2cell.py) — per-cell counts at level 10.
+    Pure Catalyst: trig + CASE + two literal-array lookups per level,
+    inside WholeStageCodegen. The Hilbert ordering makes the id a 1-D
+    clustering/range key (containment = integer BETWEEN), which is the
+    scale story next to the equality-join families. The point
+    derivation shifts by half a millidegree so no point lands exactly
+    on a |x|=|y| face seam (lon = +-45 mod 90), where a 1-ulp trig
+    difference between the JVM and DuckDB could flip the argmax."""
+    from pyproj_spark.functions import s2cell
+    pts = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 360000) / 1000.0 - 179.9995)
+        .alias("lon"),
+        ((F.col("doc_id") * 104729 % 170000) / 1000.0 - 84.9995)
+        .alias("lat"))
+    return (pts.withColumn(
+        "cell", s2cell.cell_of(F.col("lon"), F.col("lat"), _S2_LEVEL))
+        .groupBy("cell").agg(F.count("*").alias("cnt")))
+
+
+def q_s2_rollup(spark, sf_dir):
+    """Hierarchical rollup on the S2-style index: level-10 cell counts
+    re-aggregated to their level-4 ancestors with pure id arithmetic
+    (parent = drop 2 bits per level — no re-encode, no join). This is
+    the coarse-pruning pattern: files clustered by fine cell id are
+    min/max-prunable by ANY ancestor's descendant range."""
+    from pyproj_spark.functions import s2cell
+    fine = q_s2cell(spark, sf_dir)
+    return (fine.groupBy(s2cell.parent(F.col("cell"), 4).alias("cell4"))
+            .agg(F.sum("cnt").alias("cnt"),
+                 F.count(F.lit(1)).alias("n_children")))
+
+
+def _s2_rollup_sql(level: int, parent_level: int) -> str:
+    drop = (level - parent_level) * 2
+    return f"""
+WITH fine AS ({_s2_sql(level)})
+SELECT (CAST({parent_level} AS BIGINT) << 58)
+       | (((cell >> 55) & 7) << 55)
+       | ((cell & ((CAST(1 AS BIGINT) << 55) - 1)) >> {drop}) AS cell4,
+       CAST(sum(cnt) AS BIGINT) AS cnt,
+       count(*) AS n_children
+FROM fine GROUP BY 1
+"""
+
+
+def _s2_sql(level: int) -> str:
+    """DuckDB recompute of the S2-style id: face argmax + quadratic st
+    + table-driven Hilbert as one chained CTE per level."""
+    from pyproj_spark.functions.s2cell import _NXT, _POS
+    pos_l = "[" + ", ".join(map(str, _POS)) + "]"
+    nxt_l = "[" + ", ".join(map(str, _NXT)) + "]"
+    n = 1 << level
+    parts = [f"""
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 360000) / 1000.0 - 179.9995  AS lon,
+         (doc_id * 104729 % 170000) / 1000.0 - 84.9995 AS lat
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         cos(radians(lat)) * cos(radians(lon)) AS x,
+         cos(radians(lat)) * sin(radians(lon)) AS y,
+         sin(radians(lat)) AS z
+  FROM pts
+), fuv AS (
+  SELECT doc_id, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM (SELECT *,
+          CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                 THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+               WHEN abs(y) >= abs(z)
+                 THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+               ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+        FROM base)
+), ij AS (
+  SELECT doc_id, face,
+    CAST(least(greatest(floor((CASE WHEN u >= 0
+           THEN 0.5 * sqrt(1.0 + 3.0 * u)
+           ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END) * {n}.0),
+         0), {n - 1}) AS BIGINT) AS i,
+    CAST(least(greatest(floor((CASE WHEN v >= 0
+           THEN 0.5 * sqrt(1.0 + 3.0 * v)
+           ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END) * {n}.0),
+         0), {n - 1}) AS BIGINT) AS j
+  FROM fuv
+), h{level} AS (
+  SELECT doc_id, face, i, j, CAST(0 AS BIGINT) AS s{level},
+         CAST(0 AS BIGINT) AS d{level} FROM ij
+)"""]
+    for k in range(level - 1, -1, -1):
+        ix = (f"(s{k + 1} * 4 + ((i >> {k}) & 1) * 2"
+              f" + ((j >> {k}) & 1) + 1)")
+        parts.append(f""", h{k} AS (
+  SELECT doc_id, face, i, j,
+         CAST(list_extract({nxt_l}, CAST({ix} AS INT)) AS BIGINT)
+             AS s{k},
+         d{k + 1} * 4 + list_extract({pos_l}, CAST({ix} AS INT))
+             AS d{k}
+  FROM h{k + 1}
+)""")
+    parts.append(f"""
+SELECT (CAST({level} AS BIGINT) << 58) | (CAST(face AS BIGINT) << 55)
+       | d0 AS cell,
+       count(*) AS cnt
+FROM h0 GROUP BY 1
+""")
+    return "".join(parts)
+
+
 def q_tiles(spark, sf_dir):
     """Raster tiling: slippy z/x/y assignment at z=8 + tile counts."""
     from pyproj_spark.functions.tiles import tile_xy_from_lonlat
@@ -722,6 +840,8 @@ QUERIES = {
     "webmerc_transform": (q_webmerc_transform, SQL_WEBMERC),
     "stateplane": (q_stateplane, SQL_STATEPLANE),
     "geocell": (q_geocell, SQL_GEOCELL),
+    "s2cell": (q_s2cell, _s2_sql(_S2_LEVEL)),
+    "s2_rollup": (q_s2_rollup, _s2_rollup_sql(_S2_LEVEL, 4)),
     "tiles": (q_tiles, SQL_TILES),
     "pip_join": (q_pip, SQL_PIP),
     "knn_zones": (q_knn, SQL_KNN),

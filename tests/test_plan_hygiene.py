@@ -211,3 +211,28 @@ def test_clip_tiles_no_python_udf(spark):
     plan = _plan(q_clip_tiles(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_no_global_window(spark):
+    # the corpus prefix sum must be the two-phase distributed scan:
+    # the only windows allowed over the full input partition by the
+    # range-partition id; a bare Window [orderBy] with an empty
+    # partition spec over the doc stream is the single-task bottleneck
+    # this test exists to prevent
+    from pyproj_spark.operators.packing import pack_sequences
+    from pyspark.sql import functions as F
+    docs = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 700 + 1).alias("n_tokens"))
+    plan = _plan(pack_sequences(docs, capacity=2048))
+    import re
+    wins = re.findall(r"Window \[\w+\((\w+)#\d+L?\) "
+                      r"windowspecdefinition\(([^,)]+)", plan)
+    assert wins, plan
+    by_col = dict(wins)
+    # the doc-stream cumsum is partitioned by the range-partition id
+    assert by_col["n_tokens"].startswith("_pid")
+    # the only per-ORDER (unpartitioned) window is the P-row offsets
+    # cumsum over the totals frame
+    unpart = [c for c, spec in wins if "ASC" in spec]
+    assert unpart == ["_tot"], wins

@@ -1,0 +1,123 @@
+"""S2-style cell index (functions/s2cell.py): Hilbert tables vs the
+classic algorithm, Column-vs-numpy bit equality, hierarchy/range
+contracts, and face geometry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyproj_spark.functions import s2cell
+
+
+def _classic_xy2d(order, x, y):
+    """Wikipedia 'Hilbert curve' xy2d — the mutating-loop reference
+    form the lookup tables were derived from."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_tables_match_classic():
+    level = 6
+    n = 1 << level
+    pos = np.asarray(s2cell._POS)
+    nxt = np.asarray(s2cell._NXT)
+    for i in range(n):
+        for j in range(n):
+            st = d = 0
+            for k in range(level - 1, -1, -1):
+                idx = st * 4 + ((i >> k) & 1) * 2 + ((j >> k) & 1)
+                d = (d << 2) | pos[idx]
+                st = nxt[idx]
+            assert d == _classic_xy2d(n, i, j)
+
+
+def test_face_assignment():
+    lons = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    lats = np.array([0.0, 0.0, 89.0, 0.0, 0.0, -89.0])
+    face, _, _ = s2cell._face_uv_np(lons, lats)
+    assert face.tolist() == [0, 1, 2, 3, 4, 5]
+    cells = s2cell.encode_np(lons, lats, 8)
+    assert ((cells >> 55) & 7).tolist() == [0, 1, 2, 3, 4, 5]
+    assert ((cells >> 58) & 31).tolist() == [8] * 6
+
+
+def test_level_bounds():
+    with pytest.raises(ValueError):
+        s2cell.encode_np(np.array([0.0]), np.array([0.0]), 21)
+
+
+def test_parent_hierarchy_np():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179.9, 179.9, 2000)
+    lat = rng.uniform(-89.9, 89.9, 2000)
+    fine = s2cell.encode_np(lon, lat, 12)
+    for lp in (11, 7, 3, 0):
+        coarse = s2cell.encode_np(lon, lat, lp)
+        assert (s2cell.parent_np(fine, lp) == coarse).all()
+
+
+def test_column_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.9, 179.9, 3000)
+    lat = rng.uniform(-89.9, 89.9, 3000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], ["lon", "lat"])
+    for level in (0, 1, 10, 20):
+        got = df.withColumn(
+            "cell", s2cell.cell_of(F.col("lon"), F.col("lat"), level)) \
+            .select("cell").toPandas()["cell"].to_numpy()
+        exp = s2cell.encode_np(lon, lat, level)
+        assert (got == exp).all(), f"level {level}"
+
+
+def test_parent_and_range_columns(spark):
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)], ["lon", "lat"])
+    out = (df.withColumn("c12", s2cell.cell_of(F.col("lon"),
+                                               F.col("lat"), 12))
+           .withColumn("c5", s2cell.cell_of(F.col("lon"),
+                                            F.col("lat"), 5))
+           .withColumn("p5", s2cell.parent(F.col("c12"), 5))
+           .withColumn("rng", s2cell.descendant_range(F.col("c5"), 12))
+           .toPandas())
+    assert (out["p5"] == out["c5"]).all()
+    # containment as one integer BETWEEN: every fine cell falls in its
+    # coarse ancestor's half-open descendant range
+    assert ((out["rng"].map(lambda r: r["lo"]) <= out["c12"])
+            & (out["c12"] < out["rng"].map(lambda r: r["hi"]))).all()
+
+
+def test_hilbert_locality():
+    """Consecutive ids along the curve are spatially adjacent: cells
+    sorted by id have grid-neighbor (i,j) steps (the property that
+    makes id ranges compact regions)."""
+    level = 5
+    n = 1 << level
+    cells = {}
+    for i in range(n):
+        for j in range(n):
+            st = d = 0
+            for k in range(level - 1, -1, -1):
+                idx = st * 4 + ((i >> k) & 1) * 2 + ((j >> k) & 1)
+                d = (d << 2) | s2cell._POS[idx]
+                st = s2cell._NXT[idx]
+            cells[d] = (i, j)
+    for d in range(n * n - 1):
+        (i1, j1), (i2, j2) = cells[d], cells[d + 1]
+        assert abs(i1 - i2) + abs(j1 - j2) == 1
