@@ -9,12 +9,20 @@ this engine ingests). Pregel-style iterations as pure DataFrame ops:
   simplex and is measurable on any real crawl where a large fraction
   of pages have no outlinks.
 
-Determinism contract (same as operators/kmeans.py): ranks are ROUNDED
-after every iteration, so distributed float-sum order cannot leak
-into the next pass and a SQL oracle can replay the unrolled
-iterations bit-for-bit. The iteration count is fixed by the caller —
-convergence-based stopping belongs to the driver loop, exactly like
-kmeans_fit.
+Determinism contract (same as operators/kmeans.py, STRICTER than the
+round-3 form): every distributed aggregation is an exact integer-unit
+sum — per-edge contributions as round(w*1e12) longs, dangling mass as
+round(rank*1e9) longs — so aggregation ORDER cannot perturb anything,
+and ranks are rounded after every iteration so a SQL oracle (and the
+small-graph driver path) replay the unrolled iterations bit-for-bit.
+The iteration count is fixed by the caller — convergence-based
+stopping belongs to the driver loop, exactly like kmeans_fit.
+
+Small-graph cutover (same design as operators/cc.py): at or below
+``small_limit`` edges the loop runs driver-side in numpy with the
+IDENTICAL integer-unit arithmetic — a 100-host gate graph pays ~10
+Spark jobs of pure scheduling overhead per iteration otherwise. The
+distributed loop is untouched above the limit.
 """
 
 from __future__ import annotations
@@ -23,9 +31,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pagerank_small(spark, edge_rows, iters, damping, round_to, seeds):
+    """Driver replay of the distributed loop: identical integer-unit
+    sums and HALF_UP rounding, same (node, rank) output."""
+    import numpy as np
+
+    es = np.array([r[0] for r in edge_rows], dtype=np.int64)
+    ed = np.array([r[1] for r in edge_rows], dtype=np.int64)
+    nodes = np.unique(np.concatenate([es, ed]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    si = np.array([idx[int(v)] for v in es])
+    di = np.array([idx[int(v)] for v in ed])
+    n = len(nodes)
+    deg = np.bincount(si, minlength=n)
+    has_out = deg > 0
+
+    def rnd(x, p):  # F.round HALF_UP for non-negative values
+        s = 10.0 ** p
+        return np.floor(x * s + 0.5) / s
+
+    if seeds is None:
+        is_seed = np.ones(n, dtype=bool)
+        n_tel = n
+        rank = np.full(n, round(1.0 / n, round_to))
+    else:
+        is_seed = np.isin(nodes, np.array(list(seeds), dtype=np.int64))
+        n_tel = len(seeds)
+        rank = np.where(is_seed, round(1.0 / n_tel, round_to), 0.0)
+    for _ in range(iters):
+        w = rank / np.maximum(deg, 1)
+        cm = np.floor(w[si] * 1e12 + 0.5).astype(np.int64)
+        # int64 accumulation (np.add.at), NOT bincount float weights:
+        # a hot node's micro-unit in-sum can exceed 2^53
+        in_c = np.zeros(n, dtype=np.int64)
+        np.add.at(in_c, di, cm)
+        dang = round(
+            int(np.floor(rank[~has_out] * 1e9 + 0.5)
+                .astype(np.int64).sum()) / 1e9, 12)
+        base = (1.0 - damping) / n_tel + damping * dang / n_tel
+        tel = np.where(is_seed, base, 0.0)
+        rank = rnd(tel + damping * (in_c.astype(np.float64) / 1e12),
+                   round_to)
+    out = [(int(v), float(r)) for v, r in zip(nodes, rank)]
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    return spark.createDataFrame(
+        out, StructType([StructField("node", LongType()),
+                         StructField("rank", DoubleType())]))
+
+
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
-             round_to: int = 9, seeds: list | None = None) -> DataFrame:
+             round_to: int = 9, seeds: list | None = None,
+             small_limit: int = 200_000) -> DataFrame:
     """(node, rank) after ``iters`` iterations over the directed edge
     list. Nodes = union of srcs and dsts; parallel edges count once
     (dedup), uniform init 1/N.
@@ -37,6 +95,12 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     uniform over the seed set instead of all nodes — random walk with
     restart from the seeds, the relevance-to-topic score."""
     e = edges.select(src, dst).distinct().cache()
+    integral = all(f.dataType.typeName() in
+                   ("long", "integer", "short", "byte")
+                   for f in e.schema.fields)
+    if integral and e.count() <= small_limit:
+        return _pagerank_small(edges.sparkSession, e.collect(), iters,
+                               damping, round_to, seeds)
     nodes = (e.select(F.col(src).alias("node"))
              .unionByName(e.select(F.col(dst).alias("node")))
              .distinct().cache())
@@ -54,17 +118,22 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     for _ in range(iters):
         w = (ranks.withColumnRenamed("node", src).join(outdeg, src)
              .select(src, (F.col("rank") / F.col("deg")).alias("w")))
-        contrib = e.join(w, src).select(F.col(dst).alias("node"),
-                                        F.col("w").alias("c"))
-        in_sum = contrib.groupBy("node").agg(F.sum("c").alias("in_c"))
+        # exact integer-micro contributions: aggregation order cannot
+        # perturb the sum (and the driver cutover replays it exactly)
+        contrib = e.join(w, src).select(
+            F.col(dst).alias("node"),
+            F.round(F.col("w") * 1e12).cast("long").alias("cm"))
+        in_sum = (contrib.groupBy("node")
+                  .agg((F.sum("cm").cast("double") / 1e12)
+                       .alias("in_c")))
         # dangling nodes (no outlinks) spread their rank over the
-        # teleport distribution
+        # teleport distribution — summed as exact nano-unit longs
+        # (ranks are round_to-dp decimals, so this is lossless)
         dang = (ranks.join(src_nodes, "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .agg(F.coalesce(F.sum(F.round(F.col("rank") * 1e9)
+                                      .cast("long")), F.lit(0)))
                 .first()[0])
-        # rounded so distributed sum order can't perturb the scalar
-        # that feeds every node's next rank (mirrored in the oracle)
-        dang = round(dang, 12)
+        dang = round(dang / 1e9, 12)
         base = (1.0 - damping) / n_tel + damping * dang / n_tel
         tel = F.when(is_seed, F.lit(base)).otherwise(F.lit(0.0))
         ranks = (nodes.join(in_sum, "node", "left")
@@ -79,8 +148,46 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     return ranks
 
 
+def _hits_small(spark, edge_rows, iters, round_to):
+    """Driver replay of the HITS loop — trivially exact: contribution
+    sums are integer micro-units on both paths."""
+    import numpy as np
+
+    es = np.array([r[0] for r in edge_rows], dtype=np.int64)
+    ed = np.array([r[1] for r in edge_rows], dtype=np.int64)
+    nodes = np.unique(np.concatenate([es, ed]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    si = np.array([idx[int(v)] for v in es])
+    di = np.array([idx[int(v)] for v in ed])
+    n = len(nodes)
+
+    def prop(scores, from_idx, to_idx):
+        cm = np.floor(scores[from_idx] * 1e12 + 0.5).astype(np.int64)
+        sm = np.zeros(n, dtype=np.int64)
+        np.add.at(sm, to_idx, cm)
+        norm = int(sm.sum())
+        s = 10.0 ** round_to
+        return np.floor(sm.astype(np.float64) / float(norm) * s
+                        + 0.5) / s
+
+    h = np.ones(n)
+    a = None
+    for _ in range(iters):
+        a = prop(h, si, di)
+        h = prop(a, di, si)
+    out = [(int(v), float(hh), float(aa))
+           for v, hh, aa in zip(nodes, h, a)]
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    return spark.createDataFrame(
+        out, StructType([StructField("node", LongType()),
+                         StructField("hub", DoubleType()),
+                         StructField("auth", DoubleType())]))
+
+
 def hits(edges: DataFrame, iters: int = 2, src: str = "src",
-         dst: str = "dst", round_to: int = 9) -> DataFrame:
+         dst: str = "dst", round_to: int = 9,
+         small_limit: int = 200_000) -> DataFrame:
     """HITS hubs & authorities (Kleinberg, "Authoritative sources in a
     hyperlinked environment", JACM 1999 — public): the OTHER classic
     web-graph score, mutually reinforcing — a page is a good authority
@@ -96,6 +203,12 @@ def hits(edges: DataFrame, iters: int = 2, src: str = "src",
     norm_sum as one double division) before the per-iteration
     rounding. Returns (node, hub, auth)."""
     e = edges.select(src, dst).distinct().cache()
+    integral = all(f.dataType.typeName() in
+                   ("long", "integer", "short", "byte")
+                   for f in e.schema.fields)
+    if integral and e.count() <= small_limit:
+        return _hits_small(edges.sparkSession, e.collect(), iters,
+                           round_to)
     nodes = (e.select(F.col(src).alias("node"))
              .unionByName(e.select(F.col(dst).alias("node")))
              .distinct().cache())

@@ -1889,23 +1889,28 @@ def q_pagerank(spark, sf_dir):
 
 
 def _pagerank_sql():
+    # integer-unit sums mirror operators/pagerank.py: per-edge
+    # contributions as round(w*1e12) BIGINTs, dangling mass as
+    # round(rank*1e9) BIGINTs — aggregation-order-independent on
+    # both engines and bit-replayable by the driver cutover
     it = """
 r{o} AS (
   SELECT n.node,
          round(
            (SELECT (1.0 - 0.85) / n_nodes
-                   + 0.85 * round((SELECT coalesce(sum(r.rank), 0)
-                                   FROM r{i} r
-                                   WHERE r.node NOT IN
-                                         (SELECT src FROM outdeg)),
-                                  12) / n_nodes
+                   + 0.85 * round(coalesce(
+                       (SELECT sum(CAST(round(r.rank * 1e9) AS BIGINT))
+                        FROM r{i} r
+                        WHERE r.node NOT IN (SELECT src FROM outdeg)),
+                       0) / 1e9, 12) / n_nodes
             FROM nn)
-           + 0.85 * coalesce(
-               (SELECT sum(r.rank / o.deg)
+           + 0.85 * (coalesce(
+               (SELECT CAST(sum(CAST(round(r.rank / o.deg * 1e12)
+                                     AS BIGINT)) AS DOUBLE)
                 FROM edges e
                 JOIN r{i} r ON r.node = e.src
                 JOIN outdeg o ON o.src = e.src
-                WHERE e.dst = n.node), 0), 9) AS rank
+                WHERE e.dst = n.node), 0) / 1e12), 9) AS rank
   FROM nodes n
 )"""
     its = ",".join(it.format(i=i, o=i + 1) for i in range(3))
@@ -1949,19 +1954,21 @@ def q_ppr(spark, sf_dir):
 def _ppr_sql():
     seeds = "(0, 7, 13)"
     base = (f"CASE WHEN n.node IN {seeds} THEN "
-            "(1.0 - 0.85) / 3 + 0.85 * round((SELECT "
-            "coalesce(sum(r.rank), 0) FROM r{i} r WHERE r.node NOT IN "
-            "(SELECT src FROM outdeg)), 12) / 3 ELSE 0.0 END")
+            "(1.0 - 0.85) / 3 + 0.85 * round(coalesce((SELECT "
+            "sum(CAST(round(r.rank * 1e9) AS BIGINT)) FROM r{i} r "
+            "WHERE r.node NOT IN (SELECT src FROM outdeg)), 0) / 1e9, "
+            "12) / 3 ELSE 0.0 END")
     it = f"""
 r{{o}} AS (
   SELECT n.node,
          round({base}
-           + 0.85 * coalesce(
-               (SELECT sum(r.rank / o.deg)
+           + 0.85 * (coalesce(
+               (SELECT CAST(sum(CAST(round(r.rank / o.deg * 1e12)
+                                     AS BIGINT)) AS DOUBLE)
                 FROM edges e
                 JOIN r{{i}} r ON r.node = e.src
                 JOIN outdeg o ON o.src = e.src
-                WHERE e.dst = n.node), 0), 9) AS rank
+                WHERE e.dst = n.node), 0) / 1e12), 9) AS rank
   FROM nodes n
 )"""
     its = ",".join(it.format(i=i, o=i + 1) for i in range(3))

@@ -101,3 +101,29 @@ def test_personalized_pagerank_localizes_to_seeds(spark):
     glob = (pagerank(edges, iters=4).toPandas()
             .set_index("node")["rank"])
     assert abs(glob.loc[[1, 2, 3]].sum() - 0.5) < 1e-6
+
+
+def test_small_graph_cutover_matches_distributed(spark):
+    """The driver replay (integer-unit sums) and the distributed loop
+    must agree bit-for-bit — on the gate-shaped host graph, with and
+    without seeds, and for HITS."""
+    import pyspark.sql.functions as F
+    from pyproj_spark.operators.pagerank import hits, pagerank
+    edges = (spark.range(0, 3000)
+             .select((F.col("id") % 97).alias("src"),
+                     ((F.col("id") * 13 + 5) % 97).alias("dst"))
+             .filter((F.col("src") != F.col("dst"))
+                     & (F.col("src") < 90)))
+
+    def pdsort(df):
+        return (df.toPandas().sort_values("node")
+                .reset_index(drop=True))
+
+    for seeds in (None, [0, 7, 13]):
+        fast = pdsort(pagerank(edges, iters=3, seeds=seeds))
+        slow = pdsort(pagerank(edges, iters=3, seeds=seeds,
+                               small_limit=0))
+        assert fast.equals(slow), seeds
+    fast = pdsort(hits(edges, iters=2))
+    slow = pdsort(hits(edges, iters=2, small_limit=0))
+    assert fast.equals(slow)
