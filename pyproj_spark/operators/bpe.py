@@ -1,0 +1,110 @@
+"""Distributed BPE vocabulary training — the tokenizer-learning stage
+of an LLM data pipeline (Sennrich et al., "Neural Machine Translation
+of Rare Words with Subword Units", ACL 2016 — public).
+
+Shape matters at 100 TB: BPE learning never iterates over the corpus.
+ONE corpus pass builds the (distinct word, count) table — the classic
+compressed form — and every merge iteration runs over that small
+table: adjacent-symbol pair counts weighted by word frequency (explode
++ hash agg), deterministic top-1 (freq desc, pair asc — a TakeOrdered,
+no global sort), then greedy left-to-right merge application as a
+native aggregate-HOF fold over each word's symbol array. The per-step
+driver collect is ONE row (the winning pair), same bounded-driver
+contract as kmeans centroids.
+
+The greedy fold needs no lookahead flag: fuse whenever the
+accumulator's last symbol is `left` and the incoming symbol is
+`right`. A fused token can never re-fuse with the same rule in the
+same pass because its string differs from `left` (it is strictly
+longer), which reproduces the standard non-overlapping left-to-right
+semantics ("aaa" under (a,a) -> ["aa", "a"]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_table(docs: DataFrame, text_col: str, max_words: int,
+                max_len: int) -> DataFrame:
+    words = (docs.select(F.explode(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"))
+        .filter((F.length("w") >= 2) & (F.length("w") <= max_len))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w").limit(max_words))
+    syms = F.concat(
+        F.transform(F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substr(F.col("w"), i, F.lit(1))),
+        F.array(F.lit("</w>")))
+    return words.select("w", "cnt", syms.alias("syms"))
+
+
+def _apply_merge(syms, left: str, right: str):
+    """Greedy left-to-right fold: array<string> column with every
+    non-overlapping (left, right) adjacency fused."""
+    def step(acc, x):
+        last = F.when(F.size(acc) > 0,
+                      F.element_at(acc, F.lit(-1))).otherwise(F.lit(""))
+        fuse = (last == F.lit(left)) & (x == F.lit(right))
+        return (F.when(fuse,
+                       F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                                F.array(F.lit(left + right))))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def learn_bpe(docs: DataFrame, text_col: str = "text",
+              n_merges: int = 8, max_words: int = 2000,
+              max_len: int = 12) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules; returns the merge table
+    (step, left, right, merged, freq) — the artifact a tokenizer
+    ships. Deterministic: integer pair counts, ties broken (freq desc,
+    left asc, right asc); words bounded to the ``max_words`` most
+    frequent (freq desc, word asc) of length [2, max_len]."""
+    cur = _word_table(docs, text_col, max_words, max_len).cache()
+    spark = docs.sparkSession
+    out = []
+    for step in range(1, n_merges + 1):
+        pairs = cur.select(
+            "cnt",
+            F.explode(F.zip_with(
+                F.slice(F.col("syms"), F.lit(1),
+                        F.size("syms") - 1),
+                F.slice(F.col("syms"), F.lit(2),
+                        F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r"))))
+            .alias("p"))
+        top = (pairs.groupBy("p.l", "p.r")
+               .agg(F.sum("cnt").alias("freq"))
+               .orderBy(F.col("freq").desc(), "l", "r")
+               .limit(1).collect())
+        if not top:
+            break
+        left, right, freq = top[0]["l"], top[0]["r"], top[0]["freq"]
+        out.append((step, left, right, left + right, int(freq)))
+        cur = (cur.withColumn("syms",
+                              _apply_merge(F.col("syms"), left, right))
+               .localCheckpoint(eager=False))
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+    return spark.createDataFrame(out, StructType([
+        StructField("step", IntegerType()),
+        StructField("left", StringType()),
+        StructField("right", StringType()),
+        StructField("merged", StringType()),
+        StructField("freq", LongType())]))
+
+
+def segment_words(docs: DataFrame, merges: list,
+                  text_col: str = "text", max_len: int = 12,
+                  max_words: int = 2000) -> DataFrame:
+    """Apply a learned merge list to the word table — the tokenizer
+    APPLICATION side: (w, cnt, pieces). Merge rules apply in learned
+    order, the same greedy fold as training."""
+    cur = _word_table(docs, text_col, max_words, max_len)
+    syms = F.col("syms")
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    return cur.select("w", "cnt", syms.alias("pieces"))

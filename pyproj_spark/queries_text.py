@@ -3260,3 +3260,70 @@ FROM en
 
 
 QUERIES_TEXT["tone_detect"] = (q_tone_detect, _tone_sql())
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary training (operators/bpe.py): 8 merge
+    rules learned from the corpus word table — the tokenizer-training
+    stage of the LLM pipeline. The oracle replays every iteration in
+    DuckDB: pair counts via lateral unnest, deterministic top-1, and
+    the greedy left-to-right merge application as a recursive CTE fold
+    per step (every chain CTE MATERIALIZED — inlined CTEs re-expand
+    the whole prefix chain per reference and the replay goes
+    exponential). Integer frequencies end to end, so the learned
+    merge table is engine-exact."""
+    from pyproj_spark.operators.bpe import learn_bpe
+    d = _docs(spark, sf_dir)
+    m = learn_bpe(d, n_merges=8, max_words=2000, max_len=12)
+    return m.select("step", F.col("left").alias("l"),
+                    F.col("right").alias("r"), "merged", "freq")
+
+
+def _bpe_sql(n_merges: int = 8, max_words: int = 2000,
+             max_len: int = 12) -> str:
+    parts = [f"""
+WITH RECURSIVE words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+            AS w
+        FROM documents)
+  WHERE length(w) BETWEEN 2 AND {max_len}
+  GROUP BY w ORDER BY cnt DESC, w LIMIT {max_words}
+), syms0 AS MATERIALIZED (
+  SELECT w, cnt,
+         list_append(list_transform(range(1, length(w) + 1),
+                                    i -> substr(w, i, 1)), '</w>')
+             AS syms
+  FROM words
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", p{k} AS MATERIALIZED (
+  SELECT s.cnt, s.syms[i] AS l, s.syms[i + 1] AS r
+  FROM syms{k - 1} s, unnest(range(1, len(s.syms))) AS t(i)
+), t{k} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM p{k} GROUP BY 1, 2 ORDER BY freq DESC, l, r LIMIT 1
+), r{k} AS (
+  SELECT w, cnt, syms AS rest, CAST([] AS VARCHAR[]) AS acc
+  FROM syms{k - 1}
+  UNION ALL
+  SELECT w, cnt, rest[2:],
+         CASE WHEN len(acc) > 0
+                   AND acc[-1] = (SELECT l FROM t{k})
+                   AND rest[1] = (SELECT r FROM t{k})
+              THEN list_append(acc[1:len(acc) - 1],
+                               (SELECT l FROM t{k})
+                               || (SELECT r FROM t{k}))
+              ELSE list_append(acc, rest[1]) END
+  FROM r{k} WHERE len(rest) > 0
+), syms{k} AS MATERIALIZED (
+  SELECT w, cnt, acc AS syms FROM r{k} WHERE len(rest) = 0
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l, r, l || r AS merged, freq FROM t{k}"
+        for k in range(1, n_merges + 1))
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+QUERIES_TEXT["bpe_merges"] = (q_bpe_merges, _bpe_sql())
