@@ -183,3 +183,49 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
            .set_index("grp").sort_index())
     assert list(last.index) == list(exp.index)
     assert (last["hll_est"] == exp["hll_est"]).all()
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """session_window under watermark: every session the stream emits
+    (append mode = closed by the watermark) matches the batch
+    sessionization bit-for-bit; state is bounded by the watermark."""
+    import time as _time
+    from pyproj_spark.streaming.sessions import streaming_sessions
+
+    d = str(tmp_path / "events")
+    # 40 users x bursts separated by > gap, written in event-time order
+    ev = spark.range(0, 3000).select(
+        (F.col("id") % 40).alias("user_id"),
+        F.timestamp_seconds(1704067200 + F.col("id") * 97
+                            + (F.col("id") % 7) * 1200).alias("ts"),
+        (F.col("id") % 13).cast("double").alias("value"))
+    ts = F.col("ts").cast("double")
+    lo = 0.0
+    for k in range(1, 4):
+        hi = 1704067200 + 3000 * 97.0 * k / 3 + 10000
+        ev.filter((ts >= lo) & (ts < hi)).coalesce(1) \
+            .write.mode("append").parquet(d)
+        _time.sleep(1.1)
+        lo = hi
+    batch = spark.read.parquet(d)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = streaming_sessions(stream, gap="20 minutes",
+                             watermark="5 minutes")
+    q = (out.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from sess_stream").toPandas()
+    ref = streaming_sessions(batch, gap="20 minutes").toPandas()
+    assert len(got) > 0
+    ref_map = {(r.user_id, r.session_start): (r.session_end, r.n_events,
+                                              r.sum_value)
+               for r in ref.itertuples()}
+    for r in got.itertuples():
+        assert ref_map[(r.user_id, r.session_start)] == \
+            (r.session_end, r.n_events, r.sum_value)
+    # append emits only watermark-closed sessions: subset expected
+    assert len(got) <= len(ref)
