@@ -54,8 +54,20 @@ def _interleaved() -> dict[str, tuple]:
     out of the round-3 driver sample."""
     from pyproj_spark.queries import QUERIES
     from pyproj_spark.queries_text import QUERIES_TEXT
-    a, b = list(QUERIES.items()), list(QUERIES_TEXT.items())
-    out: dict[str, tuple] = {}
+    merged = dict(QUERIES)
+    merged.update(QUERIES_TEXT)
+    # queries ADDED OR CHANGED in the current round register first:
+    # they are the highest-risk surface and must land inside the
+    # driver's bounded prefix sample
+    new_this_round = [
+        "stateplane", "s2cell", "s2_rollup", "bpe_merges",
+        "pack_sequences", "pagerank", "ppr", "hits", "cube",
+        "clip_zones", "dup_spans_exact", "dup_spans", "site_template",
+    ]
+    out: dict[str, tuple] = {n: merged[n] for n in new_this_round
+                             if n in merged}
+    a = [kv for kv in QUERIES.items() if kv[0] not in out]
+    b = [kv for kv in QUERIES_TEXT.items() if kv[0] not in out]
     for i in range(max(len(a), len(b))):
         if i < len(a):
             out[a[i][0]] = a[i][1]
