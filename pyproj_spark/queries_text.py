@@ -3327,3 +3327,64 @@ WITH RECURSIVE words AS (
 
 
 QUERIES_TEXT["bpe_merges"] = (q_bpe_merges, _bpe_sql())
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
+    semantic near-duplicate pruning at corpus scale. The scale story
+    IS the composition: k-means cells bound the pairwise cosine work
+    to within-cluster pairs (never an all-pairs corpus self-join) —
+    the same assignments the gated `kmeans` query produces, then one
+    hash equi-join on the cluster id. Deterministic removal policy:
+    a vector is removed iff a LOWER-id vector in its cluster has
+    rounded cosine >= 0.30 (canonical-minimum survivor, the
+    `canonical_docs` convention)."""
+    from pyproj_spark.operators.kmeans import kmeans
+    from pyproj_spark.operators.similarity import cosine
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("v"))
+    asg = kmeans(emb, k=8, iters=1).select("vec_id", "cluster")
+    e = emb.join(asg, "vec_id")
+    a = e.select(F.col("cluster"), F.col("vec_id").alias("id_a"),
+                 F.col("v").alias("va"))
+    b = e.select(F.col("cluster"), F.col("vec_id").alias("id_b"),
+                 F.col("v").alias("vb"))
+    dup = (a.join(b, "cluster")
+           .filter(F.col("id_a") < F.col("id_b"))
+           .withColumn("sim", F.round(cosine(F.col("va"),
+                                             F.col("vb")), 6))
+           .filter(F.col("sim") >= 0.30)
+           .select(F.col("id_b").alias("vec_id")).distinct()
+           .withColumn("removed", F.lit(True)))
+    return (e.select("vec_id", "cluster")
+            .join(dup, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce("removed", F.lit(False))
+                    .alias("removed")))
+
+
+def _semdedup_sql():
+    # the kmeans assignment chain is the gated _kmeans_sql replay;
+    # reuse it verbatim up to the final select
+    km = _kmeans_sql().rsplit("SELECT vec_id", 1)[0].strip()
+    cos = ("round(list_dot_product(ea.v, eb.v)"
+           " / (sqrt(list_dot_product(ea.v, ea.v))"
+           " * sqrt(list_dot_product(eb.v, eb.v))), 6)")
+    return f"""{km},
+asg AS (SELECT vec_id, cluster FROM a2),
+dup AS (
+  SELECT DISTINCT pb.vec_id AS vec_id
+  FROM asg pa JOIN asg pb ON pa.cluster = pb.cluster
+                         AND pa.vec_id < pb.vec_id
+  JOIN e ea ON ea.vec_id = pa.vec_id
+  JOIN e eb ON eb.vec_id = pb.vec_id
+  WHERE {cos} >= 0.30
+)
+SELECT a.vec_id, a.cluster,
+       (a.vec_id IN (SELECT vec_id FROM dup)) AS removed
+FROM asg a
+"""
+
+
+QUERIES_TEXT["semdedup"] = (q_semdedup, _semdedup_sql())
