@@ -60,7 +60,8 @@ def _interleaved() -> dict[str, tuple]:
     # they are the highest-risk surface and must land inside the
     # driver's bounded prefix sample
     new_this_round = [
-        "stateplane", "s2cell", "s2_rollup", "bpe_merges", "semdedup",
+        "stateplane", "s2cell", "s2_rollup", "bpe_merges",
+        "bpe_segment", "semdedup",
         "pack_sequences", "pagerank", "ppr", "hits", "cube",
         "clip_zones", "dup_spans_exact", "dup_spans", "site_template",
     ]

@@ -3388,3 +3388,27 @@ FROM asg a
 
 
 QUERIES_TEXT["semdedup"] = (q_semdedup, _semdedup_sql())
+
+
+def q_bpe_segment(spark, sf_dir):
+    """Tokenizer APPLICATION side: the word table segmented by the 8
+    learned merges (operators/bpe.py::segment_words) — pieces joined
+    with spaces for a string-stable gate. The oracle's recursive merge
+    chain already materializes exactly this as its final symbol
+    state."""
+    from pyproj_spark.operators.bpe import learn_bpe, segment_words
+    d = _docs(spark, sf_dir)
+    m = learn_bpe(d, n_merges=8).orderBy("step").collect()
+    seg = segment_words(d, [(r["left"], r["right"]) for r in m])
+    return seg.select("w", "cnt",
+                      F.concat_ws(" ", "pieces").alias("seg"))
+
+
+def _bpe_segment_sql():
+    chain = _bpe_sql().rsplit("\nSELECT 1 AS step", 1)[0]
+    return f"""{chain}
+SELECT w, cnt, array_to_string(syms, ' ') AS seg FROM syms8
+"""
+
+
+QUERIES_TEXT["bpe_segment"] = (q_bpe_segment, _bpe_segment_sql())
