@@ -3335,7 +3335,10 @@ def q_semdedup(spark, sf_dir):
     IS the composition: k-means cells bound the pairwise cosine work
     to within-cluster pairs (never an all-pairs corpus self-join) —
     the same assignments the gated `kmeans` query produces, then one
-    hash equi-join on the cluster id. Deterministic removal policy:
+    hash equi-join on the cluster id. k=8 is gate-sized; at corpus
+    scale k grows with n (SemDeDup uses ~50k clusters for LAION-scale
+    inputs) so per-cluster pair counts — and the per-key shuffle
+    volume of this join — stay bounded. Deterministic removal policy:
     a vector is removed iff a LOWER-id vector in its cluster has
     rounded cosine >= 0.30 (canonical-minimum survivor, the
     `canonical_docs` convention)."""
