@@ -121,3 +121,23 @@ def test_hilbert_locality():
     for d in range(n * n - 1):
         (i1, j1), (i2, j2) = cells[d], cells[d + 1]
         assert abs(i1 - i2) + abs(j1 - j2) == 1
+
+
+def test_poles_and_antimeridian():
+    """Exact poles and the +-180 seam must encode without NaN/error
+    and land on the correct faces (no ts/tan singularities — the
+    index works from the unit vector directly)."""
+    lon = np.array([0.0, 0.0, 180.0, -180.0, 179.999999, -179.999999])
+    lat = np.array([90.0, -90.0, 0.0, 0.0, 45.0, -45.0])
+    cells = s2cell.encode_np(lon, lat, 12)
+    faces = ((cells >> 55) & 7)
+    assert faces[0] == 2 and faces[1] == 5    # poles -> z faces
+    assert faces[2] == 3 and faces[3] == 3    # seam -> -x face
+    # +180 and -180 straddle the face-3 centerline by one float ulp
+    # (sin(pi_float) = +-1.2e-16): adjacent j rows, NOT equal ids —
+    # the same seam artifact real S2 has; assert they stay within one
+    # j step of each other via the shared i column
+    f3, u3, v3 = s2cell._face_uv_np(lon[2:4], lat[2:4])
+    assert abs(v3[0]) < 1e-15 and abs(v3[1]) < 1e-15
+    # all ids carry the right level and are non-negative
+    assert ((cells >> 58) & 31 == 12).all() and (cells >= 0).all()
