@@ -3343,20 +3343,24 @@ def q_semdedup(spark, sf_dir):
     rounded cosine >= 0.30 (canonical-minimum survivor, the
     `canonical_docs` convention)."""
     from pyproj_spark.operators.kmeans import kmeans
-    from pyproj_spark.operators.similarity import cosine
+    from pyproj_spark.operators.similarity import _dot, _norm
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id",
                 F.col("embedding").cast("array<double>").alias("v"))
     asg = kmeans(emb, k=8, iters=1).select("vec_id", "cluster")
-    e = emb.join(asg, "vec_id")
+    # norms hoisted to one pass per VECTOR; the pair stage then does
+    # one dot product per pair instead of dot + two 64-dim norms
+    # (same float ops in the same order -> bit-identical sims)
+    e = emb.join(asg, "vec_id").withColumn("n", _norm(F.col("v")))
     a = e.select(F.col("cluster"), F.col("vec_id").alias("id_a"),
-                 F.col("v").alias("va"))
+                 F.col("v").alias("va"), F.col("n").alias("na"))
     b = e.select(F.col("cluster"), F.col("vec_id").alias("id_b"),
-                 F.col("v").alias("vb"))
+                 F.col("v").alias("vb"), F.col("n").alias("nb"))
     dup = (a.join(b, "cluster")
            .filter(F.col("id_a") < F.col("id_b"))
-           .withColumn("sim", F.round(cosine(F.col("va"),
-                                             F.col("vb")), 6))
+           .withColumn("sim", F.round(
+               _dot(F.col("va"), F.col("vb"))
+               / (F.col("na") * F.col("nb")), 6))
            .filter(F.col("sim") >= 0.30)
            .select(F.col("id_b").alias("vec_id")).distinct()
            .withColumn("removed", F.lit(True)))
