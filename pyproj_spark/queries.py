@@ -1870,6 +1870,62 @@ FROM o WHERE o_orderkey % 13 = 5
 QUERIES["scd2"] = (q_scd2, SQL_SCD2)
 
 
+def q_raster_pyramid(spark, sf_dir):
+    """Raster pyramid (raster side of the north rule's raster<->vector
+    tiling): density raster at z=5 on the GLOBAL pixel grid (2^5 tiles
+    x 16 px = 512x512, pure Catalyst — no Python), then the z=4 level
+    derived by exact integer 2x2 block merge (gx>>1, gy>>1): the
+    pyramid level costs one hash agg on integer keys, never a
+    re-rasterization of the raw points. floor(X*K/2) ==
+    floor(floor(X*K)/2), so block-merging IS the coarser
+    rasterization, exactly. Output: sparse (tx, ty, px, py, n) at z=4.
+    tests/test_pipeline_tiling.py ties the applyInPandas per-tile
+    rasterizer to the same global-pixel math."""
+    pts = _doc_points(spark, sf_dir)
+    k = 512.0  # 2^5 tiles * 16 px
+    merc = F.log(F.tan(math.pi / 4 + F.radians(
+        F.least(F.greatest(F.col("lat"), F.lit(-85.05112878)),
+                F.lit(85.05112878))) / 2))
+    gx = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * k)
+                 .cast("long"), F.lit(511))
+    gy = F.least(F.floor((1.0 - merc / math.pi) / 2.0 * k)
+                 .cast("long"), F.lit(511))
+    fine = (pts.select(gx.alias("gx"), gy.alias("gy"))
+            .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n")))
+    g2x, g2y = F.shiftright(F.col("gx"), 1), F.shiftright(F.col("gy"), 1)
+    return (fine.groupBy(g2x.alias("g2x"), g2y.alias("g2y"))
+            .agg(F.sum("n").alias("n"))
+            .select(F.shiftright(F.col("g2x"), 4).alias("tx"),
+                    F.shiftright(F.col("g2y"), 4).alias("ty"),
+                    F.col("g2x").bitwiseAND(F.lit(15)).alias("px"),
+                    F.col("g2y").bitwiseAND(F.lit(15)).alias("py"),
+                    "n"))
+
+
+SQL_RASTER_PYRAMID = f"""
+WITH pts AS ({_PTS_SQL}),
+fine AS (
+  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 512.0) AS BIGINT),
+               511) AS gx,
+         least(CAST(floor((1.0 - ln(tan(pi() / 4 + radians(
+                 least(greatest(lat, -85.05112878), 85.05112878)) / 2))
+               / pi()) / 2.0 * 512.0) AS BIGINT), 511) AS gy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+coarse AS (
+  SELECT gx >> 1 AS g2x, gy >> 1 AS g2y, CAST(sum(n) AS BIGINT) AS n
+  FROM fine GROUP BY 1, 2
+)
+SELECT g2x >> 4 AS tx, g2y >> 4 AS ty,
+       g2x & 15 AS px, g2y & 15 AS py, n
+FROM coarse
+"""
+
+
+QUERIES["raster_pyramid"] = (q_raster_pyramid, SQL_RASTER_PYRAMID)
+
+
 def q_pagerank(spark, sf_dir):
     """Host-graph PageRank (the Common-Crawl-published analysis): a
     deterministic 97-host link graph is derived from documents (hosts

@@ -202,3 +202,46 @@ def test_pipeline_hgridshift_step():
     with pytest.raises(ValueError, match="not registered"):
         Transformer.from_pipeline(
             "+proj=pipeline +step +proj=hgridshift +grids=nope.tif")
+
+
+def test_raster_pyramid_consistency(spark):
+    """The applyInPandas per-tile rasterizer, the native global-pixel
+    raster, and the 2x2 pyramid downsample must tell one story:
+    per-tile pixels re-expressed globally equal the native raster, and
+    block-merging the fine level equals rasterizing coarse directly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyproj_spark.operators.tiling import rasterize_tiles
+
+    rng = np.random.default_rng(5)
+    pts = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(
+            rng.uniform(-179.9, 179.9, 4000),
+            rng.uniform(-84.9, 84.9, 4000))], ["lon", "lat"])
+    import math
+
+    def native(zoom):
+        k = float((1 << zoom) * 16)
+        merc = F.log(F.tan(math.pi / 4 + F.radians(
+            F.least(F.greatest(F.col("lat"), F.lit(-85.05112878)),
+                    F.lit(85.05112878))) / 2))
+        gx = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * k)
+                     .cast("long"), F.lit(int(k) - 1))
+        gy = F.least(F.floor((1.0 - merc / math.pi) / 2.0 * k)
+                     .cast("long"), F.lit(int(k) - 1))
+        return (pts.select(gx.alias("gx"), gy.alias("gy"))
+                .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+                .toPandas().set_index(["gx", "gy"])["n"].to_dict())
+
+    fine = native(5)
+    # applyInPandas rasterizer agrees with the native global grid
+    tiled = rasterize_tiles(pts, zoom=5, tile_px=16).toPandas()
+    tiled_map = {(r.tx * 16 + r.px, r.ty * 16 + r.py): r.n
+                 for r in tiled.itertuples()}
+    assert tiled_map == fine
+    # integer 2x2 block merge == direct coarse rasterization
+    merged: dict = {}
+    for (gx, gy), n in fine.items():
+        key = (gx >> 1, gy >> 1)
+        merged[key] = merged.get(key, 0) + n
+    assert merged == native(4)
