@@ -3556,3 +3556,56 @@ FROM o, mm GROUP BY 1
 """
 
 QUERIES["histogram"] = (q_histogram, SQL_HISTOGRAM)
+
+
+def q_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): pointer
+    DOUBLING over a functional redirect graph — 16-hop budget in 4
+    self-join rounds instead of 16 hop-by-hop shuffles. The derived
+    graph mixes 29-hop chains (longer than the budget: mid-chain
+    nodes come back resolved=false, tail nodes resolve), absorbing
+    terminals, and a 30-node cycle (never resolves — the bounded
+    redirect-budget contract every production fetcher has). Oracle
+    follows the same 16 absorbing hops in a recursive CTE."""
+    from pyproj_spark.operators.redirects import resolve_redirects
+    d = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") % 600).alias("u")
+    edges = (d.select(u)
+             .withColumn("v", F.when(F.col("u") >= 570,
+                                     570 + (F.col("u") - 570 + 1) % 30)
+                         .when(F.col("u") % 30 == 29, F.lit(None))
+                         .otherwise(F.col("u") + 1))
+             .filter(F.col("v").isNotNull()))
+    return (resolve_redirects(edges, src="u", dst="v", max_hops=16)
+            .select("url", "target", "resolved"))
+
+
+SQL_REDIRECT_CHAINS = """
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT doc_id % 600 AS u,
+         CASE WHEN doc_id % 600 >= 570
+                THEN 570 + ((doc_id % 600) - 570 + 1) % 30
+              WHEN (doc_id % 600) % 30 = 29 THEN NULL
+              ELSE doc_id % 600 + 1 END AS v
+  FROM documents
+),
+e AS (SELECT u, min(v) AS v FROM raw
+      WHERE v IS NOT NULL AND u <> v GROUP BY u),
+-- DISTINCT-over-UNION-ALL, not UNION: inside WITH RECURSIVE DuckDB
+-- 1.0 runs this member's UNION without the dedup step
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+walk AS (
+  SELECT node, node AS cur, 0 AS step FROM nodes
+  UNION ALL
+  SELECT w.node, coalesce(e.v, w.cur), w.step + 1
+  FROM walk w LEFT JOIN e ON e.u = w.cur
+  WHERE w.step < 16
+)
+SELECT w.node AS url, w.cur AS target,
+       w.cur NOT IN (SELECT u FROM e) AS resolved
+FROM walk w WHERE w.step = 16
+"""
+
+
+QUERIES["redirect_chains"] = (q_redirect_chains, SQL_REDIRECT_CHAINS)

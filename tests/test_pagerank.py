@@ -127,3 +127,28 @@ def test_small_graph_cutover_matches_distributed(spark):
     fast = pdsort(hits(edges, iters=2))
     slow = pdsort(hits(edges, iters=2, small_limit=0))
     assert fast.equals(slow)
+
+
+def test_redirect_resolution(spark):
+    """Pointer doubling over a functional redirect graph: chains
+    resolve to their terminal, cycles stay unresolved, hop budget is
+    honored (chain longer than budget -> resolved=False mid-chain)."""
+    from pyproj_spark.operators.redirects import resolve_redirects
+    edges = ([(i, i + 1) for i in range(0, 5)]          # chain 0..5
+             + [(10, 11), (11, 12), (12, 10)]           # 3-cycle
+             + [(i, i + 1) for i in range(20, 50)])     # 30-chain
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["url"]: (r["target"], r["resolved"])
+           for r in resolve_redirects(df, max_hops=16).collect()}
+    assert out[0] == (5, True) and out[4] == (5, True)
+    assert out[5] == (5, True)               # terminal self-resolves
+    assert out[10][1] is False               # cycle never resolves
+    assert out[11][1] is False and out[12][1] is False
+    assert out[20][1] is False               # 30 hops > 16 budget
+    assert out[40] == (50, True)             # tail within budget
+    # dedup + smallest-target tie-break for non-functional input
+    df2 = spark.createDataFrame([(1, 9), (1, 3), (3, 4)],
+                                ["src", "dst"])
+    out2 = {r["url"]: r["target"]
+            for r in resolve_redirects(df2).collect()}
+    assert out2[1] == 4  # 1 -> min(3,9)=3 -> 4
