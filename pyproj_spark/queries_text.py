@@ -3419,3 +3419,83 @@ SELECT w, cnt, array_to_string(syms, ' ') AS seg FROM syms8
 
 
 QUERIES_TEXT["bpe_segment"] = (q_bpe_segment, _bpe_segment_sql())
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM scoring — the natural extension of the
+    CCNet-style unigram `lm_score`: per-doc mean log p with
+    p(w2|w1) = 0.7·c(w1w2)/c(w1) + 0.3·(c(w2)+1)/(T+V) (Jelinek-
+    Mercer interpolation with an add-one unigram backoff). Counts come
+    from TWO corpus aggregations (bigram + unigram — each one
+    shuffle); the corpus totals (T, V) are a 1-row aggregate joined by
+    broadcast; per-doc accumulation sums round(logp·1e6) longs so the
+    score is aggregation-order-independent."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    db = (d.select("doc_id", F.explode(bigrams).alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    bc = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ut = d.select(F.explode(toks).alias("w"))
+    uc = ut.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uc.agg(F.sum("cu").alias("t"),
+                 F.count(F.lit(1)).alias("vsz"))
+    logp = F.log(
+        F.lit(0.7) * (F.col("cb") / F.col("c1"))
+        + F.lit(0.3) * ((F.col("c2") + 1) / (F.col("t") + F.col("vsz"))))
+    return (db
+            .join(bc, ["w1", "w2"])
+            .join(uc.select(F.col("w").alias("w1"),
+                            F.col("cu").alias("c1")), "w1")
+            .join(uc.select(F.col("w").alias("w2"),
+                            F.col("cu").alias("c2")), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("doc_id",
+                    F.round(logp * 1e6).cast("long").alias("lp"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 # no output rounding: sum and count are exact
+                 # integers, so the two divisions are bit-identical on
+                 # both engines — a 6dp round here once landed a doc
+                 # exactly on a half boundary and the engines' round
+                 # rules split (the cell_moments lesson)
+                 ((F.sum("lp").cast("double") / 1e6)
+                  / F.count(F.lit(1))).alias("score")))
+
+
+SQL_BIGRAM_LM = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+db AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+),
+bc AS (SELECT w1, w2, count(*) AS cb FROM db GROUP BY 1, 2),
+uc AS (SELECT w, count(*) AS cu
+       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+tot AS (SELECT sum(cu) AS tt, count(*) AS vsz FROM uc)
+SELECT doc_id, count(*) AS n_bigrams,
+       (CAST(sum(CAST(round(ln(
+           0.7 * (cb / c1)
+           + 0.3 * ((c2 + 1) / (tt + vsz))) * 1e6) AS BIGINT))
+             AS DOUBLE) / 1e6) / count(*) AS score
+FROM (
+  SELECT db.doc_id, bc.cb, u1.cu AS c1, u2.cu AS c2, tot.tt, tot.vsz
+  FROM db
+  JOIN bc USING (w1, w2)
+  JOIN uc u1 ON u1.w = db.w1
+  JOIN uc u2 ON u2.w = db.w2
+  CROSS JOIN tot
+) GROUP BY doc_id
+"""
+
+
+QUERIES_TEXT["bigram_lm"] = (q_bigram_lm, SQL_BIGRAM_LM)
