@@ -322,3 +322,42 @@ def test_cf_rotated_latitude_longitude_roundtrip():
     t2 = Transformer.from_crs(crs, "EPSG:4326", always_xy=True)
     lon0, lat0 = t2.transform(rlon, rlat)
     assert abs(lat0 - 90.0) < 1e-9
+
+
+@given(st.lists(st.tuples(st.floats(-179.99, 179.99),
+                          st.floats(-89.99, 89.99)),
+                min_size=1, max_size=50),
+       st.integers(1, 20))
+@settings(max_examples=200, deadline=None)
+def test_s2_parent_commutes_with_encode(pts, level):
+    """encode(p, Lp) == parent(encode(p, L), Lp) for every Lp <= L —
+    the strict-hierarchy property that makes coarse pruning sound."""
+    import numpy as np
+    from pyproj_spark.functions import s2cell
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    fine = s2cell.encode_np(lon, lat, level)
+    assert ((fine >> 58) & 31 == level).all()
+    assert (fine & ((1 << 55) - 1) < (1 << (2 * level))).all()
+    for lp in {0, level // 2, level}:
+        assert (s2cell.parent_np(fine, lp)
+                == s2cell.encode_np(lon, lat, lp)).all()
+
+
+@given(st.text(alphabet="ab", min_size=1, max_size=20),
+       st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"),
+                        ("b", "b")]))
+@settings(max_examples=300, deadline=None)
+def test_bpe_greedy_fold_invariants(word, pair):
+    """The greedy left-to-right merge fold: output re-concatenates to
+    the input, and no un-merged (left, right) adjacency survives."""
+    a, b = pair
+    out = []
+    for x in word:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    assert "".join(out) == word
+    assert not any(out[i] == a and out[i + 1] == b
+                   for i in range(len(out) - 1))
