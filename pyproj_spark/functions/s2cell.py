@@ -218,3 +218,154 @@ def parent_np(cell, level: int):
     pos = cell & ((1 << 55) - 1)
     return ((np.int64(level) << 58) | (((cell >> 55) & 7) << 55)
             | (pos >> ((cur - level) * 2)))
+
+
+# ------------------------------------------------- covering (driver)
+
+def _st_to_uv(s: float) -> float:
+    """Inverse quadratic ST->UV (S2's UVfromST)."""
+    if s >= 0.5:
+        return (4.0 * s * s - 1.0) / 3.0
+    return (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0
+
+
+def _face_dir(face: int, u: float, v: float):
+    """Unit-sphere direction (unnormalized) for face uv — the exact
+    inverse of the _face_uv_np convention."""
+    return {0: (1.0, u, v), 1: (-u, 1.0, v), 2: (-u, -v, 1.0),
+            3: (-1.0, -v, -u), 4: (v, -1.0, -u),
+            5: (v, u, -1.0)}[face]
+
+
+def _cell_lonlat_bounds(face: int, u0, u1, v0, v1):
+    """Sound lon/lat bbox of the face rect [u0,u1]x[v0,v1]:
+    (west, south, east, north), west>east = antimeridian crossing,
+    west=-180/east=180 = full ring (pole rect).
+
+    lat extremes: equatorial faces — lat is monotone away from the
+    in-face axis, so extremes sit at (u clamped to 0, v extremes) or
+    corners; polar faces — extremes at the rect point nearest the
+    origin (clamped origin) and the farthest corner. lon extremes:
+    corners, plus axis crossings on polar faces; pole-containing rects
+    cover the full ring.
+    """
+    import math
+
+    def lonlat(u, v):
+        x, y, z = _face_dir(face, u, v)
+        lon = math.degrees(math.atan2(y, x))
+        lat = math.degrees(math.atan2(z, math.hypot(x, y)))
+        return lon, lat
+
+    corners = [(u0, v0), (u0, v1), (u1, v0), (u1, v1)]
+    cand = list(corners)
+    if face in (2, 5):
+        # polar: nearest point to origin maximizes |lat|
+        cu = min(max(0.0, u0), u1)
+        cv = min(max(0.0, v0), v1)
+        cand.append((cu, cv))
+    elif face in (0, 1):
+        # z rides on v: lat extremes at u clamped toward 0
+        cu = min(max(0.0, u0), u1)
+        cand.append((cu, v0))
+        cand.append((cu, v1))
+    else:
+        # faces 3/4: z rides on u (dir (-1,-v,-u) / (v,-1,-u))
+        cv = min(max(0.0, v0), v1)
+        cand.append((u0, cv))
+        cand.append((u1, cv))
+    pts = [lonlat(u, v) for u, v in cand]
+    south = min(p[1] for p in pts)
+    north = max(p[1] for p in pts)
+    if face in (2, 5):
+        if u0 <= 0.0 <= u1 and v0 <= 0.0 <= v1:
+            # contains the pole: full longitude ring
+            if face == 2:
+                north = 90.0
+            else:
+                south = -90.0
+            return -180.0, south, 180.0, north
+        # axis crossings add lon candidates
+        extra = []
+        if u0 <= 0.0 <= u1:
+            extra += [(0.0, v0), (0.0, v1)]
+        if v0 <= 0.0 <= v1:
+            extra += [(u0, 0.0), (u1, 0.0)]
+        pts += [lonlat(u, v) for u, v in extra]
+    # minimal enclosing lon arc: sort angles, cut at the largest gap
+    lons = sorted(p[0] for p in pts)
+    gaps = [(lons[(i + 1) % len(lons)] - lons[i]) % 360.0
+            for i in range(len(lons))]
+    cut = max(range(len(lons)), key=lambda i: gaps[i])
+    west = lons[(cut + 1) % len(lons)]
+    east = lons[cut]
+    return west, south, east, north
+
+
+def _bbox_intersects(w1, s1, e1, n1, w2, s2, e2, n2) -> bool:
+    if n1 < s2 or n2 < s1:
+        return False
+
+    def arcs(w, e):
+        return [(w, e)] if w <= e else [(w, 180.0), (-180.0, e)]
+
+    return any(not (b1 < a2 or b2 < a1)
+               for a1, b1 in arcs(w1, e1) for a2, b2 in arcs(w2, e2))
+
+
+def covering_bbox(west: float, south: float, east: float, north: float,
+                  level: int) -> list:
+    """Level-`level` cell ids intersecting the lat/lon bbox — a SOUND
+    superset (every cell containing a bbox point is included; a few
+    extra border cells may appear, harmless for a prefilter). Driver-
+    side recursive subdivision from the 6 face cells, pruning on the
+    closed-form per-face lon/lat bounds. west>east = bbox crosses the
+    antimeridian."""
+    _check_level(level)
+    out = []
+
+    def recurse(face, lvl, i, j):
+        size = 1.0 / (1 << lvl)
+        u0, u1 = _st_to_uv(i * size), _st_to_uv((i + 1) * size)
+        v0, v1 = _st_to_uv(j * size), _st_to_uv((j + 1) * size)
+        cw, cs, ce, cn = _cell_lonlat_bounds(face, u0, u1, v0, v1)
+        if not _bbox_intersects(cw, cs, ce, cn, west, south, east,
+                                north):
+            return
+        if lvl == level:
+            st = d = 0
+            for k in range(lvl - 1, -1, -1):
+                idx = st * 4 + ((i >> k) & 1) * 2 + ((j >> k) & 1)
+                d = (d << 2) | _POS[idx]
+                st = _NXT[idx]
+            out.append((level << 58) | (face << 55) | d)
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                recurse(face, lvl + 1, i * 2 + di, j * 2 + dj)
+
+    for face in range(6):
+        recurse(face, 0, 0, 0)
+    return sorted(out)
+
+
+def covering_ranges(west, south, east, north, cover_level: int,
+                    leaf_level: int) -> list:
+    """Merged half-open leaf-id ranges [(lo, hi), ...] covering the
+    bbox: covering cells at `cover_level`, each expanded to its
+    descendant range at `leaf_level`, adjacent ranges coalesced (the
+    Hilbert payoff: sorted covering cells are usually contiguous, so
+    a 60-cell covering collapses to a handful of BETWEENs)."""
+    up = 2 * (leaf_level - cover_level)
+    head = leaf_level << 58
+    ranges = []
+    for cell in covering_bbox(west, south, east, north, cover_level):
+        face = (cell >> 55) & 7
+        pos = cell & ((1 << 55) - 1)
+        lo = head | (face << 55) | (pos << up)
+        hi = head | (face << 55) | ((pos + 1) << up)
+        if ranges and ranges[-1][1] == lo:
+            ranges[-1] = (ranges[-1][0], hi)
+        else:
+            ranges.append((lo, hi))
+    return ranges

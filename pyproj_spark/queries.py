@@ -3609,3 +3609,50 @@ FROM walk w WHERE w.step = 16
 
 
 QUERIES["redirect_chains"] = (q_redirect_chains, SQL_REDIRECT_CHAINS)
+
+
+def q_s2_bbox(spark, sf_dir):
+    """The S2 range-pruning join pattern: a CONUS-ish bbox query
+    answered by (1) a driver-side covering of the bbox at level 4,
+    merged into a handful of half-open leaf-id ranges (Hilbert
+    contiguity is what makes them merge), (2) a native range prefilter
+    `exists(ranges, r -> lo <= cell < hi)` on each point's level-8 id
+    — the predicate parquet min/max pruning would serve when files are
+    sorted by the id — then (3) the exact bbox test. The oracle
+    IGNORES the covering and filters the raw coordinates directly:
+    hash equality PROVES the covering is a sound superset on this
+    input (the fuzz property test proves it broadly)."""
+    from pyproj_spark.functions import s2cell
+    W, S, E, N = -130.25, 22.25, -60.75, 52.75
+    ranges = s2cell.covering_ranges(W, S, E, N, 4, 8)
+    pts = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 360000) / 1000.0 - 179.9995)
+        .alias("lon"),
+        ((F.col("doc_id") * 104729 % 170000) / 1000.0 - 84.9995)
+        .alias("lat"))
+    cell = s2cell.cell_of(F.col("lon"), F.col("lat"), 8)
+    rlit = F.lit([list(r) for r in ranges])
+    pre = F.exists(rlit, lambda r: (F.element_at(r, 1) <= F.col("cell"))
+                   & (F.col("cell") < F.element_at(r, 2)))
+    return (pts.withColumn("cell", cell)
+            .filter(pre)
+            .filter((F.col("lon") >= W) & (F.col("lon") <= E)
+                    & (F.col("lat") >= S) & (F.col("lat") <= N))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def _s2_bbox_sql():
+    # independent recompute: bbox filter on raw coords, then the s2
+    # encode chain — no covering knowledge at all
+    base = _s2_sql(8)
+    marker = "FROM documents\n)"
+    filtered = base.replace(
+        marker,
+        "FROM documents\n), pts0 AS (\n  SELECT * FROM pts WHERE "
+        "lon >= -130.25 AND lon <= -60.75 AND lat >= 22.25 AND "
+        "lat <= 52.75\n)")
+    return filtered.replace("FROM pts\n", "FROM pts0\n")
+
+
+QUERIES["s2_bbox"] = (q_s2_bbox, _s2_bbox_sql())

@@ -141,3 +141,41 @@ def test_poles_and_antimeridian():
     assert abs(v3[0]) < 1e-15 and abs(v3[1]) < 1e-15
     # all ids carry the right level and are non-negative
     assert ((cells >> 58) & 31 == 12).all() and (cells >= 0).all()
+
+
+def test_covering_superset_fuzz():
+    """covering_bbox is a SOUND superset: every cell of every in-bbox
+    point is covered (hypothesis-style fuzz, dense sampling)."""
+    rng = np.random.default_rng(17)
+    for _ in range(30):
+        w = rng.uniform(-180, 170)
+        e = w + rng.uniform(1, 60)
+        if e > 180:
+            e -= 360
+        s = rng.uniform(-88, 80)
+        n = min(s + rng.uniform(1, 30), 89.9)
+        level = int(rng.integers(2, 9))
+        cov = set(s2cell.covering_bbox(w, s, e, n, level))
+        if w <= e:
+            lon = rng.uniform(w, e, 3000)
+        else:
+            lon = w + rng.uniform(0, (e + 360) - w, 3000)
+            lon = np.where(lon > 180, lon - 360, lon)
+        lat = rng.uniform(s, n, 3000)
+        cells = set(s2cell.encode_np(lon, lat, level).tolist())
+        assert not (cells - cov), (w, s, e, n, level)
+
+
+def test_covering_ranges_contain_leaves():
+    w, s, e, n = -130.5, 22.5, -60.25, 52.75
+    ranges = s2cell.covering_ranges(w, s, e, n, 4, 8)
+    # merged: strictly fewer ranges than covering cells, sorted,
+    # non-overlapping
+    assert len(ranges) < len(s2cell.covering_bbox(w, s, e, n, 4))
+    assert all(r1[1] <= r2[0] for r1, r2 in zip(ranges, ranges[1:]))
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(w, e, 3000)
+    lat = rng.uniform(s, n, 3000)
+    leaves = s2cell.encode_np(lon, lat, 8)
+    for c in leaves:
+        assert any(lo <= c < hi for lo, hi in ranges)
