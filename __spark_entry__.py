@@ -61,7 +61,7 @@ def _interleaved() -> dict[str, tuple]:
     # driver's bounded prefix sample
     new_this_round = [
         "stateplane", "s2cell", "s2_rollup", "bpe_merges",
-        "bpe_segment", "semdedup", "raster_pyramid", "redirect_chains", "bigram_lm", "s2_bbox",
+        "bpe_segment", "semdedup", "raster_pyramid", "redirect_chains", "bigram_lm", "s2_bbox", "s2_pip",
         "pack_sequences", "pagerank", "ppr", "hits", "cube",
         "clip_zones", "dup_spans_exact", "dup_spans", "site_template",
     ]

@@ -369,3 +369,105 @@ def covering_ranges(west, south, east, north, cover_level: int,
         else:
             ranges.append((lo, hi))
     return ranges
+
+
+def _rect_intersects_ring(w, s, e, n, ring) -> bool:
+    """Planar lat/lon rect vs even-odd polygon intersection (same
+    polygon semantics as operators/pip.py). Sound and exact for
+    non-wrapping rects: true iff a ring vertex lies in the rect, a
+    rect corner lies in the ring, or any edges cross."""
+    for lon, lat in ring:
+        if w <= lon <= e and s <= lat <= n:
+            return True
+
+    def in_ring(px, py):
+        k = len(ring)
+        inside = False
+        for i in range(k):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % k]
+            if (y1 > py) != (y2 > py) and \
+                    px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                inside = not inside
+        return inside
+
+    if any(in_ring(px, py) for px in (w, e) for py in (s, n)):
+        return True
+
+    def seg_cross(ax, ay, bx, by, cx, cy, dx, dy):
+        def o(px, py, qx, qy, rx, ry):
+            v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+            return 0 if v == 0 else (1 if v > 0 else -1)
+        o1, o2 = o(ax, ay, bx, by, cx, cy), o(ax, ay, bx, by, dx, dy)
+        o3, o4 = o(cx, cy, dx, dy, ax, ay), o(cx, cy, dx, dy, bx, by)
+        return o1 != o2 and o3 != o4
+
+    rect_edges = [((w, s), (e, s)), ((e, s), (e, n)),
+                  ((e, n), (w, n)), ((w, n), (w, s))]
+    k = len(ring)
+    for i in range(k):
+        p, q = ring[i], ring[(i + 1) % k]
+        for a, b in rect_edges:
+            if seg_cross(p[0], p[1], q[0], q[1], a[0], a[1],
+                         b[0], b[1]):
+                return True
+    return False
+
+
+def covering_polygon(ring, level: int) -> list:
+    """Level-`level` cells intersecting a planar even-odd lon/lat
+    polygon — sound superset via the same face subdivision as
+    covering_bbox, pruning on rect-vs-polygon disjointness (cell
+    lon/lat bbox is a superset of the cell, so a disjoint bbox proves
+    a disjoint cell). Cell bboxes that wrap the antimeridian are
+    split into two planar rects."""
+    _check_level(level)
+    out = []
+
+    def hits(cw, cs, ce, cn):
+        rects = [(cw, cs, ce, cn)] if cw <= ce else \
+            [(cw, cs, 180.0, cn), (-180.0, cs, ce, cn)]
+        return any(_rect_intersects_ring(w, s, e, n, ring)
+                   for w, s, e, n in rects)
+
+    def recurse(face, lvl, i, j):
+        size = 1.0 / (1 << lvl)
+        u0, u1 = _st_to_uv(i * size), _st_to_uv((i + 1) * size)
+        v0, v1 = _st_to_uv(j * size), _st_to_uv((j + 1) * size)
+        cw, cs, ce, cn = _cell_lonlat_bounds(face, u0, u1, v0, v1)
+        if not hits(cw, cs, ce, cn):
+            return
+        if lvl == level:
+            st = d = 0
+            for k in range(lvl - 1, -1, -1):
+                idx = st * 4 + ((i >> k) & 1) * 2 + ((j >> k) & 1)
+                d = (d << 2) | _POS[idx]
+                st = _NXT[idx]
+            out.append((level << 58) | (face << 55) | d)
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                recurse(face, lvl + 1, i * 2 + di, j * 2 + dj)
+
+    for face in range(6):
+        recurse(face, 0, 0, 0)
+    return sorted(out)
+
+
+def ranges_from_cells(cells, leaf_level: int) -> list:
+    """Merged half-open leaf-id ranges for a sorted same-level cell
+    list (factored from covering_ranges for polygon coverings)."""
+    ranges = []
+    for cell in cells:
+        lvl = (cell >> 58) & 31
+        up = 2 * (leaf_level - lvl)
+        head = leaf_level << 58
+        face = (cell >> 55) & 7
+        pos = cell & ((1 << 55) - 1)
+        lo = head | (face << 55) | (pos << up)
+        hi = head | (face << 55) | ((pos + 1) << up)
+        if ranges and ranges[-1][1] == lo:
+            ranges[-1] = (ranges[-1][0], hi)
+        else:
+            ranges.append((lo, hi))
+    return ranges

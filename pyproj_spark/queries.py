@@ -3656,3 +3656,53 @@ def _s2_bbox_sql():
 
 
 QUERIES["s2_bbox"] = (q_s2_bbox, _s2_bbox_sql())
+
+
+def q_s2_pip(spark, sf_dir):
+    """PIP join on the S2 index, end to end UDF-free: per-zone polygon
+    coverings (driver-side, sound-superset by rect-vs-ring pruning)
+    collapse to merged leaf-id ranges via Hilbert contiguity; each
+    point's level-8 id probes the literal range table with one
+    filter+explode (no join, no shuffle before the final project); the
+    exact even-odd crossing test runs as unrolled native expressions
+    (the same formula SQL_PIP uses, so candidate refinement is
+    bit-identical). The oracle is the covering-blind SQL_PIP: hash
+    equality proves the covering dropped no candidate. Contrast with
+    pip_join (geocell equality covering + pandas-UDF exact test)."""
+    from pyproj_spark.functions import s2cell
+    zr = []
+    for zid, ring in PIP_ZONES.items():
+        cells_z = s2cell.covering_polygon(ring, 5)
+        for lo, hi in s2cell.ranges_from_cells(cells_z, 8):
+            zr.append([zid, lo, hi])
+    pts = _doc_points(spark, sf_dir)
+    cell = s2cell.cell_of(F.col("lon"), F.col("lat"), 8)
+    rlit = F.lit(zr)
+    cands = (pts.withColumn("cell", cell)
+             .withColumn("zr", F.explode(F.filter(
+                 rlit,
+                 lambda r: (F.element_at(r, 2) <= F.col("cell"))
+                 & (F.col("cell") < F.element_at(r, 3)))))
+             .withColumn("zone_id", F.element_at(F.col("zr"), 1)))
+    lon, lat = F.col("lon"), F.col("lat")
+    crossings = F.lit(None).cast("int")
+    for zid, ring in PIP_ZONES.items():
+        k = len(ring)
+        tot = F.lit(0)
+        for i in range(k):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % k]
+            cond = (((F.lit(float(y1)) > lat)
+                     != (F.lit(float(y2)) > lat))
+                    & (lon < F.lit(float(x1))
+                       + (lat - F.lit(float(y1)))
+                       * F.lit(float(x2 - x1))
+                       / F.lit(float(y2 - y1))))
+            tot = tot + F.when(cond, 1).otherwise(0)
+        crossings = F.when(F.col("zone_id") == zid,
+                           tot).otherwise(crossings)
+    return (cands.filter(crossings % 2 == 1)
+            .select("doc_id", "zone_id"))
+
+
+QUERIES["s2_pip"] = (q_s2_pip, SQL_PIP)

@@ -179,3 +179,21 @@ def test_covering_ranges_contain_leaves():
     leaves = s2cell.encode_np(lon, lat, 8)
     for c in leaves:
         assert any(lo <= c < hi for lo, hi in ranges)
+
+
+def test_covering_polygon_superset():
+    """Polygon coverings are sound supersets over the repo's zone
+    shapes (dense in-polygon sampling)."""
+    from pyproj_spark.operators.pip import point_in_ring_np
+    from pyproj_spark.queries import PIP_ZONES
+    rng = np.random.default_rng(9)
+    for zid, ring in PIP_ZONES.items():
+        cov = set(s2cell.covering_polygon(ring, 5))
+        xs = np.array([p[0] for p in ring])
+        ys = np.array([p[1] for p in ring])
+        lons = rng.uniform(xs.min(), xs.max(), 8000)
+        lats = rng.uniform(ys.min(), ys.max(), 8000)
+        inside = point_in_ring_np(lons, lats, xs, ys)
+        cells = set(s2cell.encode_np(lons[inside], lats[inside], 5)
+                    .tolist())
+        assert not (cells - cov), zid
