@@ -371,28 +371,25 @@ def covering_ranges(west, south, east, north, cover_level: int,
     return ranges
 
 
-def _rect_intersects_ring(w, s, e, n, ring) -> bool:
-    """Planar lat/lon rect vs even-odd polygon intersection (same
-    polygon semantics as operators/pip.py). Sound and exact for
-    non-wrapping rects: true iff a ring vertex lies in the rect, a
-    rect corner lies in the ring, or any edges cross."""
+def _ring_pip(ring, px, py) -> bool:
+    """Even-odd point-in-ring (planar, operators/pip.py semantics)."""
+    k = len(ring)
+    inside = False
+    for i in range(k):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % k]
+        if (y1 > py) != (y2 > py) and \
+                px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+            inside = not inside
+    return inside
+
+
+def _rect_touches_boundary(w, s, e, n, ring) -> bool:
+    """True iff the ring's BOUNDARY meets the closed rect: a ring
+    vertex inside the rect, or a ring edge crossing a rect edge."""
     for lon, lat in ring:
         if w <= lon <= e and s <= lat <= n:
             return True
-
-    def in_ring(px, py):
-        k = len(ring)
-        inside = False
-        for i in range(k):
-            x1, y1 = ring[i]
-            x2, y2 = ring[(i + 1) % k]
-            if (y1 > py) != (y2 > py) and \
-                    px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
-                inside = not inside
-        return inside
-
-    if any(in_ring(px, py) for px in (w, e) for py in (s, n)):
-        return True
 
     def seg_cross(ax, ay, bx, by, cx, cy, dx, dy):
         def o(px, py, qx, qy, rx, ry):
@@ -412,6 +409,24 @@ def _rect_intersects_ring(w, s, e, n, ring) -> bool:
                          b[0], b[1]):
                 return True
     return False
+
+
+def _rect_intersects_ring(w, s, e, n, ring) -> bool:
+    """Planar lat/lon rect vs even-odd polygon intersection (same
+    polygon semantics as operators/pip.py). Sound and exact for
+    non-wrapping rects: true iff the boundary meets the rect or a
+    rect corner is interior."""
+    if _rect_touches_boundary(w, s, e, n, ring):
+        return True
+    return any(_ring_pip(ring, px, py)
+               for px in (w, e) for py in (s, n))
+
+
+def _rect_inside_ring(w, s, e, n, ring) -> bool:
+    """True iff the rect is ENTIRELY inside the polygon: boundary
+    never meets the rect and one (hence every) corner is interior."""
+    return (not _rect_touches_boundary(w, s, e, n, ring)
+            and _ring_pip(ring, w, s))
 
 
 def covering_polygon(ring, level: int) -> list:
@@ -471,3 +486,52 @@ def ranges_from_cells(cells, leaf_level: int) -> list:
         else:
             ranges.append((lo, hi))
     return ranges
+
+
+def covering_polygon_adaptive(ring, max_level: int,
+                              min_level: int = 1) -> list:
+    """Adaptive mixed-level covering (the real-S2 shape): interior
+    cells stay COARSE and are tagged certain=True (cell lon/lat bbox
+    entirely inside the polygon => every point of the cell is inside
+    — those rows need NO exact test downstream); only boundary cells
+    subdivide to `max_level` (certain=False). Returns
+    [(cell_id, certain), ...] — far fewer ranges than a fixed-level
+    covering, and the certain/uncertain split is what makes PIP on the
+    index cheap at scale: the exact test runs only on the boundary
+    sliver."""
+    _check_level(max_level)
+    out = []
+
+    def emit(face, lvl, i, j, certain):
+        st = d = 0
+        for k in range(lvl - 1, -1, -1):
+            idx = st * 4 + ((i >> k) & 1) * 2 + ((j >> k) & 1)
+            d = (d << 2) | _POS[idx]
+            st = _NXT[idx]
+        out.append(((lvl << 58) | (face << 55) | d, certain))
+
+    def recurse(face, lvl, i, j):
+        size = 1.0 / (1 << lvl)
+        u0, u1 = _st_to_uv(i * size), _st_to_uv((i + 1) * size)
+        v0, v1 = _st_to_uv(j * size), _st_to_uv((j + 1) * size)
+        cw, cs, ce, cn = _cell_lonlat_bounds(face, u0, u1, v0, v1)
+        rects = [(cw, cs, ce, cn)] if cw <= ce else \
+            [(cw, cs, 180.0, cn), (-180.0, cs, ce, cn)]
+        inter = [r for r in rects
+                 if _rect_intersects_ring(*r, ring)]
+        if not inter:
+            return
+        if lvl >= min_level and len(rects) == 1 \
+                and _rect_inside_ring(cw, cs, ce, cn, ring):
+            emit(face, lvl, i, j, True)
+            return
+        if lvl == max_level:
+            emit(face, lvl, i, j, False)
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                recurse(face, lvl + 1, i * 2 + di, j * 2 + dj)
+
+    for face in range(6):
+        recurse(face, 0, 0, 0)
+    return sorted(out)

@@ -3666,15 +3666,21 @@ def q_s2_pip(spark, sf_dir):
     filter+explode (no join, no shuffle before the final project); the
     exact even-odd crossing test runs as unrolled native expressions
     (the same formula SQL_PIP uses, so candidate refinement is
-    bit-identical). The oracle is the covering-blind SQL_PIP: hash
-    equality proves the covering dropped no candidate. Contrast with
-    pip_join (geocell equality covering + pandas-UDF exact test)."""
+    bit-identical). The coverings are ADAPTIVE mixed-level (real-S2
+    shape): interior cells stay coarse and carry certain=1 — their
+    points are accepted with NO exact test; only the boundary sliver
+    is refined. The oracle is the covering-blind SQL_PIP: hash
+    equality proves the covering dropped no candidate AND that no
+    certain range leaked an outside point. Contrast with pip_join
+    (geocell equality covering + pandas-UDF exact test)."""
     from pyproj_spark.functions import s2cell
     zr = []
     for zid, ring in PIP_ZONES.items():
-        cells_z = s2cell.covering_polygon(ring, 5)
-        for lo, hi in s2cell.ranges_from_cells(cells_z, 8):
-            zr.append([zid, lo, hi])
+        adapt = s2cell.covering_polygon_adaptive(ring, 8)
+        for certain in (0, 1):
+            cells_z = [c for c, cc in adapt if cc == bool(certain)]
+            for lo, hi in s2cell.ranges_from_cells(cells_z, 8):
+                zr.append([zid, lo, hi, certain])
     pts = _doc_points(spark, sf_dir)
     cell = s2cell.cell_of(F.col("lon"), F.col("lat"), 8)
     rlit = F.lit(zr)
@@ -3701,7 +3707,8 @@ def q_s2_pip(spark, sf_dir):
             tot = tot + F.when(cond, 1).otherwise(0)
         crossings = F.when(F.col("zone_id") == zid,
                            tot).otherwise(crossings)
-    return (cands.filter(crossings % 2 == 1)
+    certain = F.element_at(F.col("zr"), 4) == 1
+    return (cands.filter(certain | (crossings % 2 == 1))
             .select("doc_id", "zone_id"))
 
 

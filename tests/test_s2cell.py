@@ -197,3 +197,35 @@ def test_covering_polygon_superset():
         cells = set(s2cell.encode_np(lons[inside], lats[inside], 5)
                     .tolist())
         assert not (cells - cov), zid
+
+
+def test_adaptive_covering_certainty():
+    """Adaptive coverings: far fewer cells than fixed-level, superset
+    preserved, and certain=True ranges contain ONLY in-polygon
+    points (they skip the exact test downstream)."""
+    from pyproj_spark.operators.pip import point_in_ring_np
+    from pyproj_spark.queries import PIP_ZONES
+    rng = np.random.default_rng(31)
+    for zid, ring in PIP_ZONES.items():
+        adapt = s2cell.covering_polygon_adaptive(ring, 8)
+        fixed = s2cell.covering_polygon(ring, 8)
+        assert len(adapt) < len(fixed) / 5
+        assert any(c for _, c in adapt)
+        ranges = s2cell.ranges_from_cells([c for c, _ in adapt], 8)
+        cranges = s2cell.ranges_from_cells(
+            [c for c, cc in adapt if cc], 8)
+        xs = np.array([p[0] for p in ring])
+        ys = np.array([p[1] for p in ring])
+        lons = rng.uniform(xs.min(), xs.max(), 8000)
+        lats = rng.uniform(ys.min(), ys.max(), 8000)
+        inside = point_in_ring_np(lons, lats, xs, ys)
+        leaves = s2cell.encode_np(lons, lats, 8)
+
+        def in_r(c, rs):
+            return any(lo <= c < hi for lo, hi in rs)
+
+        for c, isin in zip(leaves, inside):
+            if isin:
+                assert in_r(c, ranges), zid          # superset
+            if in_r(c, cranges):
+                assert isin, zid                     # certainty
