@@ -1,0 +1,143 @@
+"""Spatial hot-spot statistics over tile/cell lattices — pure Catalyst.
+
+Getis-Ord Gi* (Getis & Ord 1992, "The Analysis of Spatial Association
+by Use of Distance Statistics") and global Moran's I over the OCCUPIED
+tile set with queen contiguity (the 8-neighbor ring; Gi* additionally
+includes self — the starred variant). These are the standard "where are
+the hot tiles" statistics a tiling engine is asked for right after the
+per-tile rollup (reference scope: the graft's raster<->vector tiling
+surface; pyproj itself stops at coordinates, so this is engine-new).
+
+Determinism contract (the repo-wide oracle convention): every
+aggregation is an exact integer sum (tile counts are longs; Moran's
+cross-products are scaled integers), so the float z-scores are computed
+from EXACTLY the same integers on both engines with identical
+expression trees — bit-identical doubles, no output rounding needed.
+
+Scale: the tile table is bounded by 4^z rows regardless of corpus size
+(z is fixed by the analysis), so the neighbor probe broadcasts the tile
+table — the points->tiles rollup is the only corpus-sized stage and it
+is a single partial+final hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: queen contiguity: 8 neighbors; Gi* adds self (0,0)
+_QUEEN = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+_QUEEN_NOSELF = [d for d in _QUEEN if d != (0, 0)]
+
+
+def _neighbor_sums(tiles: DataFrame, deltas: list[tuple[int, int]]
+                   ) -> DataFrame:
+    """(tx, ty, n, gsum, wsum): sum/count of occupied-neighbor values.
+
+    The probe explodes each tile into its |deltas| neighbor slots and
+    equi-joins back against the (broadcast) tile table — never a
+    range/theta join.
+    """
+    d = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx, dy in deltas])
+    probes = (tiles
+              .select("tx", "ty", "n", F.explode(d).alias("d"))
+              .select("tx", "ty", "n",
+                      (F.col("tx") + F.col("d.dx")).alias("ntx"),
+                      (F.col("ty") + F.col("d.dy")).alias("nty")))
+    nbr = F.broadcast(tiles.select(F.col("tx").alias("ntx"),
+                                   F.col("ty").alias("nty"),
+                                   F.col("n").alias("nn")))
+    return (probes.join(nbr, ["ntx", "nty"])
+            .groupBy("tx", "ty", "n")
+            .agg(F.sum("nn").alias("gsum"),
+                 F.count(F.lit(1)).alias("wsum")))
+
+
+def getis_ord_gi(tiles: DataFrame, x: str = "tx", y: str = "ty",
+                 value: str = "cnt") -> DataFrame:
+    """Per-tile Gi* z-score over the occupied-tile lattice.
+
+    Input: one row per occupied tile with an integer value column.
+    Output columns: tx, ty, n, gsum, wsum, gi_z (double; NULL when the
+    variance or neighborhood term degenerates), hot (1 / -1 / 0 at the
+    two-sided 1% level, |z| > 2.5758).
+    """
+    t = tiles.select(F.col(x).alias("tx"), F.col(y).alias("ty"),
+                     F.col(value).cast("long").alias("n"))
+    glob = t.agg(F.count(F.lit(1)).alias("nt"),
+                 F.sum("n").alias("s1"),
+                 F.sum(F.col("n") * F.col("n")).alias("s2"))
+    nb = _neighbor_sums(t, _QUEEN)  # queen + self: the starred statistic
+    out = nb.crossJoin(F.broadcast(glob))
+    ntd = F.col("nt").cast("double")
+    mean = F.col("s1").cast("double") / ntd
+    var_ = F.col("s2").cast("double") / ntd - mean * mean
+    wd = F.col("wsum").cast("double")
+    u = (ntd * wd - wd * wd) / (ntd - F.lit(1.0))
+    den = F.sqrt(var_) * F.sqrt(u)
+    num = F.col("gsum").cast("double") - mean * wd
+    z = F.when(den > 0, num / den)
+    hot = (F.when(z > 2.575829303549, 1).when(z < -2.575829303549, -1)
+           .otherwise(0))
+    return out.select("tx", "ty", "n", "gsum", "wsum", z.alias("gi_z"),
+                      hot.alias("hot"))
+
+
+def morans_i(tiles: DataFrame, x: str = "tx", y: str = "ty",
+             value: str = "cnt") -> DataFrame:
+    """Global Moran's I over the occupied-tile lattice (binary queen
+    weights, no self), with the analytic z-score under the
+    normality-assumption null (Cliff & Ord 1981 moments).
+
+    Exactness: with v_i = N*x_i - S1 (integers), the cross-product term
+    SUM_ij w_ij v_i v_j and the self term SUM v_i^2 are EXACT integer
+    sums (deviation scaling by N clears the rational mean), so
+    I = N/S0 * SUM_w(v_i v_j) / SUM(v_i^2) divides two exact integers
+    once — aggregation-order-independent on both engines. The integer
+    products stay within int64 for N*max(x) < ~3e9 (tile counts at any
+    fixed zoom satisfy this by orders of magnitude at 100 TB: N <= 4^z).
+
+    Returns ONE row: n_tiles, s0 (edge count), i_obs, e_i, z_i.
+    """
+    t = tiles.select(F.col(x).alias("tx"), F.col(y).alias("ty"),
+                     F.col(value).cast("long").alias("n"))
+    glob = t.agg(F.count(F.lit(1)).alias("nt"), F.sum("n").alias("s1"))
+    tv = (t.crossJoin(F.broadcast(glob))
+          .select("tx", "ty", "nt",
+                  (F.col("nt") * F.col("n") - F.col("s1")).alias("v")))
+    d = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx, dy in _QUEEN_NOSELF])
+    probes = (tv.select("tx", "ty", "v", F.explode(d).alias("d"))
+              .select("tx", "ty", "v",
+                      (F.col("tx") + F.col("d.dx")).alias("ntx"),
+                      (F.col("ty") + F.col("d.dy")).alias("nty")))
+    nbr = F.broadcast(tv.select(F.col("tx").alias("ntx"),
+                                F.col("ty").alias("nty"),
+                                F.col("v").alias("nv")))
+    joined = probes.join(nbr, ["ntx", "nty"])  # one row per directed edge
+    pair = joined.agg(F.sum(F.col("v") * F.col("nv")).alias("num"),
+                      F.count(F.lit(1)).alias("s0"))
+    self_ = tv.agg(F.sum(F.col("v") * F.col("v")).alias("den"),
+                   F.first("nt").alias("nt"))
+    out = pair.crossJoin(F.broadcast(self_))
+    ntd = F.col("nt").cast("double")
+    i_obs = (ntd / F.col("s0").cast("double")
+             * F.col("num").cast("double") / F.col("den").cast("double"))
+    e_i = F.lit(-1.0) / (ntd - F.lit(1.0))
+    # normality-null variance: (N^2*S1w - N*S2w + 3*S0^2) /
+    # (S0^2*(N^2-1)) - E[I]^2, with binary symmetric queen weights:
+    # S1w = 2*S0, S2w = sum_i (2*deg_i)^2 = 4*sum deg_i^2 (deg over
+    # OCCUPIED neighbors only, i.e. counted after the join)
+    deg = (joined.groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("deg"))
+           .agg(F.sum(F.col("deg") * F.col("deg")).alias("sumdeg2")))
+    out = out.crossJoin(F.broadcast(deg))
+    s0d = F.col("s0").cast("double")
+    s1w = F.lit(2.0) * s0d
+    s2w = F.lit(4.0) * F.col("sumdeg2").cast("double")
+    var_i = ((ntd * ntd * s1w - ntd * s2w + F.lit(3.0) * s0d * s0d)
+             / (s0d * s0d * (ntd * ntd - F.lit(1.0))) - e_i * e_i)
+    z_i = F.when(var_i > 0, (i_obs - e_i) / F.sqrt(var_i))
+    return out.select(F.col("nt").alias("n_tiles"), "s0",
+                      i_obs.alias("i_obs"), e_i.alias("e_i"),
+                      z_i.alias("z_i"))

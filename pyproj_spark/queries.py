@@ -2478,6 +2478,127 @@ FROM cells LEFT JOIN labeled ON labeled.cell = cells.cell
 QUERIES["grid_dbscan"] = (q_grid_dbscan, _grid_dbscan_sql())
 
 
+#: z=5 slippy tile (32x32) as SQL text — the hot-spot analysis lattice
+_TILE5_SQL = """
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 32)
+                         AS BIGINT), 0), 31) AS tx,
+         least(greatest(CAST(floor((1.0 - ln(tan(pi()/4 +
+               radians(least(greatest(lat, -85.05112877980659),
+                             85.05112877980659)) / 2)) / pi()) / 2.0 * 32)
+               AS BIGINT), 0), 31) AS ty,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+"""
+
+
+def _tiles5(spark, sf_dir):
+    from pyproj_spark.functions.tiles import tile_xy_from_lonlat
+    pts = _doc_points(spark, sf_dir)
+    tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), 5)
+    return (pts.select(tx.alias("tx"), ty.alias("ty"))
+            .groupBy("tx", "ty").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def q_hot_spots(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-scores over the z=5 tile lattice
+    (queen contiguity + self, occupied tiles): the standard "which
+    tiles are statistically hot" analysis layered on the tile rollup.
+    All aggregates are exact integer sums; the z formula is the same
+    expression tree on both engines, so the doubles hash unrounded
+    (operators/hotspot.py)."""
+    from pyproj_spark.operators.hotspot import getis_ord_gi
+    return getis_ord_gi(_tiles5(spark, sf_dir))
+
+
+#: shared Gi* scalar subexpressions (identical text, repeated — both
+#: engines recompute the same IEEE tree so repetition is bit-safe)
+_GI_MEAN = "CAST(s1 AS DOUBLE) / CAST(nt AS DOUBLE)"
+_GI_SD = (f"sqrt(CAST(s2 AS DOUBLE) / CAST(nt AS DOUBLE)"
+          f" - ({_GI_MEAN}) * ({_GI_MEAN}))")
+_GI_U = ("sqrt((CAST(nt AS DOUBLE) * CAST(wsum AS DOUBLE)"
+         " - CAST(wsum AS DOUBLE) * CAST(wsum AS DOUBLE))"
+         " / (CAST(nt AS DOUBLE) - 1.0))")
+
+SQL_HOT_SPOTS = f"""
+WITH pts AS ({_PTS_SQL}),
+t AS ({_TILE5_SQL}),
+g AS (SELECT count(*) AS nt, CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2 FROM t),
+nb AS (
+  SELECT a.tx, a.ty, a.n, CAST(sum(b.n) AS BIGINT) AS gsum,
+         count(*) AS wsum
+  FROM t a JOIN t b
+    ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+  GROUP BY 1, 2, 3
+),
+z AS (
+  SELECT nb.tx, nb.ty, nb.n, nb.gsum, nb.wsum,
+         CASE WHEN {_GI_SD} * {_GI_U} > 0
+              THEN (CAST(gsum AS DOUBLE) - ({_GI_MEAN})
+                    * CAST(wsum AS DOUBLE)) / ({_GI_SD} * {_GI_U})
+         END AS gi_z
+  FROM nb, g
+)
+SELECT tx, ty, n, gsum, wsum, gi_z,
+       CASE WHEN gi_z > 2.575829303549 THEN 1
+            WHEN gi_z < -2.575829303549 THEN -1 ELSE 0 END AS hot
+FROM z
+"""
+
+QUERIES["hot_spots"] = (q_hot_spots, SQL_HOT_SPOTS)
+
+
+def q_moran(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation over the z=5 tile
+    lattice with the analytic normality-null z-score. The deviation
+    scaling v_i = N*x_i - S1 keeps every distributed sum an exact
+    integer (operators/hotspot.py docstring has the bound analysis)."""
+    from pyproj_spark.operators.hotspot import morans_i
+    return morans_i(_tiles5(spark, sf_dir))
+
+
+SQL_MORAN = f"""
+WITH pts AS ({_PTS_SQL}),
+t AS ({_TILE5_SQL}),
+g AS (SELECT count(*) AS nt, CAST(sum(n) AS BIGINT) AS s1 FROM t),
+tv AS (SELECT tx, ty, nt * n - s1 AS v, nt FROM t, g),
+e AS (
+  SELECT a.tx, a.ty, a.v, b.v AS nv
+  FROM tv a JOIN tv b
+    ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+   AND NOT (b.tx = a.tx AND b.ty = a.ty)
+),
+pair AS (SELECT CAST(sum(v * nv) AS BIGINT) AS num, count(*) AS s0
+         FROM e),
+selfs AS (SELECT CAST(sum(v * v) AS BIGINT) AS den,
+                 CAST(max(nt) AS BIGINT) AS nt FROM tv),
+sd AS (SELECT CAST(sum(deg * deg) AS BIGINT) AS sumdeg2
+       FROM (SELECT tx, ty, count(*) AS deg FROM e GROUP BY 1, 2)),
+m AS (
+  SELECT nt AS n_tiles, s0,
+         CAST(nt AS DOUBLE) / CAST(s0 AS DOUBLE)
+           * CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS i_obs,
+         -1.0 / (CAST(nt AS DOUBLE) - 1.0) AS e_i,
+         (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+            * (2.0 * CAST(s0 AS DOUBLE))
+          - CAST(nt AS DOUBLE) * (4.0 * CAST(sumdeg2 AS DOUBLE))
+          + 3.0 * CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+         / (CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+            * (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) - 1.0))
+         - (-1.0 / (CAST(nt AS DOUBLE) - 1.0))
+           * (-1.0 / (CAST(nt AS DOUBLE) - 1.0)) AS var_i
+  FROM pair, selfs, sd
+)
+SELECT n_tiles, s0, i_obs, e_i,
+       CASE WHEN var_i > 0 THEN (i_obs - e_i) / sqrt(var_i) END AS z_i
+FROM m
+"""
+
+QUERIES["moran"] = (q_moran, SQL_MORAN)
+
+
 def q_dwell(spark, sf_dir):
     """Spatiotemporal dwell detection (stay-point analysis, Li et al.
     2008 shape, grid-quantized): each user's event stream gets a
