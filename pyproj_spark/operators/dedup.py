@@ -470,3 +470,46 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                     ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 4,
+                        w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every k-token gram, then in each window
+    of w consecutive gram hashes select the minimum (rightmost on
+    ties). Guarantee: any shared token run of length >= w + k - 1
+    produces at least one shared fingerprint, while the fingerprint
+    density stays ~2/(w+1) — the LOCAL fingerprinting scheme next to
+    the global minhash family (reference scope: engine-new; pyproj has
+    no text surface).
+
+    All-native: grams via zip_with over shifted slices (the per-row
+    evaluation-safety pattern of ngram_shingles), the rightmost-min
+    tie-break by packing ``hash * 2^20 + (2^20 - 1 - pos)`` into one
+    long (docs bounded at 2^20 grams), and window minima as a w-fold
+    zip_with least() over shifted slices. Output: (id, fp, pos) rows.
+    """
+    pos_span = 1 << 20
+    toks = tokens(F.col(text_col))
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gram = F.slice(toks, 1, m)
+    for j in range(1, k):
+        gram = F.zip_with(gram, F.slice(toks, j + 1, m),
+                          lambda a, b: F.concat(a, F.lit(" "), b))
+    combined = F.transform(
+        gram,
+        lambda g, i: _md5_long(g) * pos_span
+        + (F.lit(pos_span - 1) - i))
+    hashed = df.select(id_col, combined.alias("ch"))
+    mw = F.greatest(F.size(F.col("ch")) - (w - 1), F.lit(0))
+    wm = F.slice(F.col("ch"), 1, mw)
+    for j in range(1, w):
+        wm = F.zip_with(wm, F.slice(F.col("ch"), j + 1, mw),
+                        lambda a, b: F.least(a, b))
+    return (hashed.select(id_col, F.explode(F.array_distinct(wm))
+                          .alias("c"))
+            .select(id_col, F.shiftright("c", 20).alias("fp"),
+                    (F.lit(pos_span - 1)
+                     - F.col("c").bitwiseAND(F.lit(pos_span - 1)))
+                    .alias("pos")))

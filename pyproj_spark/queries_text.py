@@ -3499,3 +3499,43 @@ FROM (
 
 
 QUERIES_TEXT["bigram_lm"] = (q_bigram_lm, SQL_BIGRAM_LM)
+
+
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003): k=4-gram
+    hashes, window w=5 minima with rightmost tie-break — the LOCAL
+    fingerprint family (guaranteed detection of >= w+k-1 token
+    overlaps) next to the global minhash/simhash gates. The oracle
+    replays gram hashing, the position-packed tie-break, and the
+    window minima with DuckDB list lambdas (operators/dedup.py::
+    winnow_fingerprints)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    return dedup.winnow_fingerprints(d)
+
+
+_WINNOW_GRAM = _H8.format(
+    expr="tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3]"
+         " || ' ' || tk[i + 4]")
+
+SQL_WINNOW = f"""
+WITH toks AS (
+  SELECT doc_id, str_split({_NORM_SQL}, ' ') AS tk
+  FROM documents WHERE doc_id < 1000
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(greatest(len(tk) - 3, 0)),
+           i -> {_WINNOW_GRAM} * 1048576 + (1048575 - i)) AS ch
+  FROM toks
+),
+wm AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(ch) - 4, 0)),
+           j -> list_min(ch[j + 1:j + 5]))) AS fps
+  FROM grams
+)
+SELECT doc_id, c // 1048576 AS fp, 1048575 - (c % 1048576) AS pos
+FROM wm, UNNEST(fps) AS u(c)
+"""
+
+QUERIES_TEXT["winnow"] = (q_winnow, SQL_WINNOW)
