@@ -49,3 +49,30 @@ def tile_xy_from_lonlat(lon: Column, lat: Column, z: int
     tx = F.least(F.greatest(tx, F.lit(0)), F.lit(ntiles - 1))
     ty = F.least(F.greatest(ty, F.lit(0)), F.lit(ntiles - 1))
     return tx, ty
+
+
+def quadkey(tx: Column, ty: Column, z: int) -> Column:
+    """Bing-maps quadkey string for a slippy tile: one base-4 digit per
+    zoom level, MSB first (digit = 2*y_bit + x_bit) — the
+    lexicographic-prefix tile key (parent = string prefix), handy for
+    prefix-range pruning on string-keyed stores. Pure Catalyst: z is a
+    plan-time literal so the digit fold unrolls to a flat concat."""
+    digits = []
+    for i in range(z):
+        shift = z - 1 - i
+        d = (F.shiftright(ty, shift).bitwiseAND(F.lit(1)) * 2
+             + F.shiftright(tx, shift).bitwiseAND(F.lit(1)))
+        digits.append(F.substring(F.lit("0123"), F.lit(1) + d.cast("int"),
+                                  F.lit(1)))
+    return F.concat(*digits)
+
+
+def quadkey_decode(qk: Column, z: int) -> tuple[Column, Column]:
+    """(tx, ty) back from a z-digit quadkey — inverse of quadkey()."""
+    tx = F.lit(0).cast("long")
+    ty = F.lit(0).cast("long")
+    for i in range(z):
+        d = (F.ascii(F.substring(qk, i + 1, 1)) - 48).cast("long")
+        tx = tx * 2 + d.bitwiseAND(F.lit(1).cast("long"))
+        ty = ty * 2 + F.shiftright(d, 1)
+    return tx, ty

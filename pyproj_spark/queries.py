@@ -3834,3 +3834,91 @@ def q_s2_pip(spark, sf_dir):
 
 
 QUERIES["s2_pip"] = (q_s2_pip, SQL_PIP)
+
+
+def q_quadkey(spark, sf_dir):
+    """Bing quadkey tile keys at z=8: the lexicographic-prefix tile
+    addressing used by string-keyed tile stores (parent tile == string
+    prefix, so a region scan is one BETWEEN on the key). Encode is
+    pure Catalyst bit math (functions/tiles.py::quadkey); the oracle
+    rebuilds each base-4 digit independently."""
+    from pyproj_spark.functions.tiles import quadkey, tile_xy_from_lonlat
+    pts = _doc_points(spark, sf_dir)
+    tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), 8)
+    return (pts.select(tx.alias("tx"), ty.alias("ty"))
+            .select(quadkey(F.col("tx"), F.col("ty"), 8).alias("qk"))
+            .groupBy("qk").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def _quadkey_sql() -> str:
+    digit = ("substr('0123', 1 + CAST(((ty >> {s}) & 1) * 2"
+             " + ((tx >> {s}) & 1) AS INT), 1)")
+    qk = " || ".join(digit.format(s=8 - 1 - i) for i in range(8))
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+t AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 256)
+                         AS BIGINT), 0), 255) AS tx,
+         least(greatest(CAST(floor((1.0 - ln(tan(pi()/4 +
+               radians(least(greatest(lat, -85.05112877980659),
+                             85.05112877980659)) / 2)) / pi()) / 2.0 * 256)
+               AS BIGINT), 0), 255) AS ty
+  FROM pts
+)
+SELECT {qk} AS qk, count(*) AS cnt FROM t GROUP BY 1
+"""
+
+
+QUERIES["quadkey"] = (q_quadkey, _quadkey_sql())
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flow matrix (the transport-analytics rollup
+    on top of the dwell/session surface): per user-day trip endpoints
+    — first and last hex cell by event order — aggregated to (origin,
+    destination) flow counts. min_by/max_by over the time-ordered
+    event_id keeps endpoint selection deterministic on both engines;
+    one hash agg per stage, no window."""
+    from pyproj_spark.functions.hexcell import hex_of
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    minute = F.floor(F.unix_timestamp("ts") / 600)
+    lon = ((F.col("user_id") % 36) * 10 - 180 + (minute % 7) * 2.0)
+    lat = ((F.col("user_id") % 17) * 8 - 60).cast("double")
+    pts = ev.select(
+        "user_id", "event_id",
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+        hex_of(lon, lat, 2).alias("cell"))
+    trips = (pts.groupBy("user_id", "day")
+             .agg(F.min_by("cell", "event_id").alias("o_cell"),
+                  F.max_by("cell", "event_id").alias("d_cell")))
+    return (trips.groupBy("o_cell", "d_cell")
+            .agg(F.count(F.lit(1)).alias("n_trips"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def _od_matrix_sql():
+    from pyproj_spark.functions.hexcell import hex_sql
+    cell = hex_sql(2, lon_expr="lon", lat_expr="lat")
+    return f"""
+WITH pts AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         (user_id % 36) * 10 - 180
+             + (floor(epoch(ts) / 600) % 7) * 2.0 AS lon,
+         CAST((user_id % 17) * 8 - 60 AS DOUBLE) AS lat
+  FROM events
+),
+cells AS (SELECT user_id, event_id, day, {cell} AS cell FROM pts),
+trips AS (
+  SELECT user_id, day,
+         min_by(cell, event_id) AS o_cell,
+         max_by(cell, event_id) AS d_cell
+  FROM cells GROUP BY 1, 2
+)
+SELECT o_cell, d_cell, count(*) AS n_trips,
+       count(DISTINCT user_id) AS n_users
+FROM trips GROUP BY 1, 2
+"""
+
+
+QUERIES["od_matrix"] = (q_od_matrix, _od_matrix_sql())

@@ -3539,3 +3539,76 @@ FROM wm, UNNEST(fps) AS u(c)
 """
 
 QUERIES_TEXT["winnow"] = (q_winnow, SQL_WINNOW)
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation similarity over the host link graph (Small 1973 /
+    the "related pages" primitive): two hosts are similar when the
+    same sources link to both; cosine-normalized by in-degree. Scale
+    shape: pair candidates come from per-SOURCE sorted dst arrays
+    expanded with array HOFs under an out-degree cap (<= 40) — hub
+    sources are excluded instead of exploding quadratically, the same
+    guard class as the LSH hot-band cap. Counts are exact ints; the
+    similarity divides exact ints once, so it hashes unrounded."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    dsts = F.array(s(i % 97), s((i * 13 + 5) % 97), s((i * 29 + 11) % 97))
+    edges = (d.select(F.concat(F.lit("h"), s(i % 59)).alias("src"),
+                      F.explode(dsts).alias("dn"))
+             .select("src", F.concat(F.lit("h"), F.col("dn")).alias("dst"))
+             .distinct())
+    grp = (edges.groupBy("src")
+           .agg(F.sort_array(F.collect_set("dst")).alias("ds"))
+           .filter((F.size("ds") >= 2) & (F.size("ds") <= 100)))
+    pairs = grp.select(F.explode(F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size("ds") - 2),
+        lambda j: F.transform(
+            F.slice(F.col("ds"), j + 2, F.size("ds")),
+            lambda m: F.struct(
+                F.element_at(F.col("ds"), (j + 1).cast("int"))
+                .alias("id_a"),
+                m.alias("id_b")))))).alias("p")).select("p.*")
+    common = (pairs.groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    out = (common
+           .join(ind.select(F.col("dst").alias("id_a"),
+                            F.col("ind").alias("ia")), "id_a")
+           .join(ind.select(F.col("dst").alias("id_b"),
+                            F.col("ind").alias("ib")), "id_b"))
+    sim = (F.col("n_common").cast("double")
+           / F.sqrt(F.col("ia").cast("double")
+                    * F.col("ib").cast("double")))
+    return out.select("id_a", "id_b", "n_common", sim.alias("cocite_sim"))
+
+
+SQL_COCITATION = """
+WITH e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 59 AS VARCHAR) AS src,
+         'h' || CAST(d AS VARCHAR) AS dst
+  FROM documents, UNNEST([doc_id % 97, (doc_id * 13 + 5) % 97,
+                          (doc_id * 29 + 11) % 97]) AS u(d)
+),
+ok AS (SELECT src FROM e GROUP BY src
+       HAVING count(*) BETWEEN 2 AND 100),
+p AS (
+  SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS n_common
+  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+  JOIN ok ON ok.src = a.src
+  GROUP BY 1, 2
+),
+ind AS (SELECT dst, count(*) AS ind FROM e GROUP BY 1)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE)
+         / sqrt(CAST(ia.ind AS DOUBLE) * CAST(ib.ind AS DOUBLE))
+         AS cocite_sim
+FROM p
+JOIN ind ia ON ia.dst = p.id_a
+JOIN ind ib ON ib.dst = p.id_b
+"""
+
+QUERIES_TEXT["cocitation"] = (q_cocitation, SQL_COCITATION)
