@@ -60,6 +60,9 @@ DATUMS = {
     "NAD83_CSRS": ("GRS80", (0, 0, 0)),
     # EPSG:1237 "WGS 72 to WGS 84 (1)": dz=4.5 m, rz=0.554", ds=0.2263 ppm
     "WGS72": ("WGS72", (0, 0, 4.5, 0, 0, 0.554, 0.2263)),
+    # EPSG:1676 "CH1903 to WGS 84 (1)" / EPSG:1647 "CH1903+ to WGS 84 (1)"
+    "CH1903": ("bessel", (674.4, 15.1, 405.3)),
+    "CH1903plus": ("bessel", (674.374, 15.056, 405.346)),
 }
 
 #: deprecated EPSG codes -> their non-deprecated successors (reference
@@ -86,6 +89,8 @@ _GEOG = {
     4283: ("GDA94 / geographic 2D", "GDA94", "neu"),
     7844: ("GDA2020 / geographic 2D", "GDA2020", "neu"),
     4619: ("SWEREF99 / geographic 2D", "SWEREF99", "neu"),
+    4149: ("CH1903 / geographic 2D", "CH1903", "neu"),
+    4150: ("CH1903+ / geographic 2D", "CH1903plus", "neu"),
 }
 
 #: geographic codes whose ellipsoidal CS is 3D (with ellipsoidal
@@ -171,6 +176,15 @@ _PROJECTED.update({
     3112: ("GDA94 / Geoscience Australia Lambert", "GDA94",
            dict(proj="lcc", lat_1=-18, lat_2=-36, lat_0=0, lon_0=134,
                 x_0=0, y_0=0), "enu", 1.0),
+    # Swiss grids: lat_0 46°57'08.66"N, lon_0 7°26'22.50"E (Bern)
+    21781: ("CH1903 / LV03", "CH1903",
+            dict(proj="somerc", lat_0=46.952405555555565,
+                 lon_0=7.439583333333333, k_0=1.0,
+                 x_0=600000, y_0=200000), "enu", 1.0),
+    2056: ("CH1903+ / LV95", "CH1903plus",
+           dict(proj="somerc", lat_0=46.952405555555565,
+                lon_0=7.439583333333333, k_0=1.0,
+                x_0=2600000, y_0=1200000), "enu", 1.0),
 })
 # ETRS89 / UTM zones 28N-38N (EPSG 25828-25838)
 for _z in range(28, 39):

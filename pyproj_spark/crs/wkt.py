@@ -25,6 +25,10 @@ _METHOD_NAMES = {
     "ortho": ("Orthographic", 9840),
     "nsper": ("Vertical Perspective", 9838),
     "poly": ("American Polyconic", 9818),
+    # EPSG models LV03/LV95 via 9815 with azimuth=90; we emit the
+    # distinct name (code 0) so parse returns the somerc kernel, not
+    # the Hotine variant-B one (sinu/geos precedent for code 0)
+    "somerc": ("Swiss Oblique Mercator", 0),
 }
 
 _PARAM_NAMES = {

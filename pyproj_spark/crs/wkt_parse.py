@@ -179,6 +179,8 @@ _METHOD_BY_NAME = {
     "hotineobliquemercatorazimuthcenter": ("omerc", {}),
     "americanpolyconic": ("poly", {}),
     "polyconic": ("poly", {}),
+    "swissobliquemercator": ("somerc", {}),
+    "somerc": ("somerc", {}),
     "projobtranoprojlonglat": ("ob_tran", {}),
     "polerotationnetcdfcfconvention": ("ob_tran", {}),
 }

@@ -1009,7 +1009,74 @@ class Polyconic(Projection):
         return dl, phi
 
 
+class SwissObliqueMercator(Projection):
+    """Swiss oblique Mercator (PROJ ``somerc``; Rosenmund 1903): the
+    double projection — ellipsoid to the Gauss conformal sphere at
+    lat_0, rotate the center to the pseudo-equator, then equatorial
+    spherical Mercator. Formulas are swisstopo's published "Formulas
+    and constants for the calculation of the Swiss conformal
+    cylindrical projection" (public). Used by EPSG:21781 (CH1903 /
+    LV03) and EPSG:2056 (CH1903+ / LV95). The forward is fully
+    closed-form; the inverse latitude is the standard conformal
+    fixed-point (contraction ~e^2 per pass).
+    Reference scope: pyproj/crs/_cf1x8.py has no CF mapping for
+    somerc; parity target is Transformer.from_crs(4149, 21781)."""
+
+    name = "somerc"
+
+    def _setup(self, lat_0=0.0, k_0=1.0, **kw):
+        E = self.E
+        e2, e = E.e2, E.e
+        phi0 = np.radians(float(lat_0))
+        s0, c0 = np.sin(phi0), np.cos(phi0)
+        self.alpha = np.sqrt(1.0 + e2 / (1.0 - e2) * c0 ** 4)
+        self.R = (float(k_0) * E.a * np.sqrt(1.0 - e2)
+                  / (1.0 - e2 * s0 * s0))
+        self.b0 = np.arcsin(s0 / self.alpha)
+        self.K = (np.log(np.tan(np.pi / 4 + self.b0 / 2))
+                  - self.alpha * np.log(np.tan(np.pi / 4 + phi0 / 2))
+                  + self.alpha * e / 2
+                  * np.log((1 + e * s0) / (1 - e * s0)))
+
+    def _fwd(self, lam, phi):
+        e = self.E.e
+        bad = np.abs(phi) > np.pi / 2 - 1e-10
+        phis = np.where(bad, 0.0, phi)
+        sp = np.sin(phis)
+        S = (self.alpha * np.log(np.tan(np.pi / 4 + phis / 2))
+             - self.alpha * e / 2 * np.log((1 + e * sp) / (1 - e * sp))
+             + self.K)
+        b = 2.0 * (np.arctan(np.exp(S)) - np.pi / 4)
+        b = np.where(bad, np.sign(phi) * np.pi / 2, b)
+        ln = self.alpha * lam
+        sb0, cb0 = np.sin(self.b0), np.cos(self.b0)
+        sb, cb = np.sin(b), np.cos(b)
+        sbb = np.clip(cb0 * sb - sb0 * cb * np.cos(ln), -1.0, 1.0)
+        ll = np.arctan2(cb * np.sin(ln), cb0 * cb * np.cos(ln) + sb0 * sb)
+        with np.errstate(divide="ignore"):
+            y = self.R / 2.0 * np.log((1.0 + sbb) / (1.0 - sbb))
+        return self.R * ll, y
+
+    def _inv(self, x, y):
+        e = self.E.e
+        bb = 2.0 * (np.arctan(np.exp(y / self.R)) - np.pi / 4)
+        ll = x / self.R
+        sb0, cb0 = np.sin(self.b0), np.cos(self.b0)
+        sbb, cbb = np.sin(bb), np.cos(bb)
+        b = np.arcsin(np.clip(cb0 * sbb + sb0 * cbb * np.cos(ll),
+                              -1.0, 1.0))
+        lam = np.arctan2(cbb * np.sin(ll),
+                         cb0 * cbb * np.cos(ll) - sb0 * sbb) / self.alpha
+        base = (np.log(np.tan(np.pi / 4 + b / 2)) - self.K) / self.alpha
+        phi = b
+        for _ in range(8):
+            phi = (2.0 * np.arctan(np.exp(
+                base + e * np.arctanh(e * np.sin(phi)))) - np.pi / 2)
+        return lam, phi
+
+
 PROJECTIONS = {
+    "somerc": SwissObliqueMercator,
     "geos": Geostationary,
     "poly": Polyconic,
     "aea": AlbersEqualArea,

@@ -3922,3 +3922,77 @@ FROM trips GROUP BY 1, 2
 
 
 QUERIES["od_matrix"] = (q_od_matrix, _od_matrix_sql())
+
+
+def q_swissgrid(spark, sf_dir):
+    """T1 breadth: the Swiss oblique Mercator (PROJ somerc — the
+    double-projection family: ellipsoid -> Gauss conformal sphere ->
+    rotated spherical Mercator), CH1903+ geographic -> LV95
+    (EPSG:4150 -> EPSG:2056). The oracle replays the full closed-form
+    forward (conformal latitude, pseudo-equator rotation, equatorial
+    Mercator) in DuckDB from inlined float64 constants — an
+    independent libm recompute of the kernel, gated at centimetres
+    (kernels/projections.py::SwissObliqueMercator)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (6.0 + (F.col("doc_id") * 7919 % 4500) / 1000.0).alias("lon"),
+        (45.8 + (F.col("doc_id") * 104729 % 2000) / 1000.0).alias("lat"))
+    xy = transform_xy("EPSG:4150", "EPSG:2056",
+                      F.col("lon"), F.col("lat"))
+    return (docs.withColumn("xy", xy)
+            .select("doc_id",
+                    F.round(F.col("xy.x") * 100).cast("long")
+                    .alias("e_cm"),
+                    F.round(F.col("xy.y") * 100).cast("long")
+                    .alias("n_cm")))
+
+
+def _swissgrid_sql() -> str:
+    import numpy as np
+    from pyproj_spark.kernels.ellipsoid import get_ellipsoid
+    E = get_ellipsoid("bessel")
+    e2, e = E.e2, E.e
+    phi0 = np.radians(46.952405555555565)
+    s0, c0 = np.sin(phi0), np.cos(phi0)
+    alpha = np.sqrt(1.0 + e2 / (1.0 - e2) * c0 ** 4)
+    R = E.a * np.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    b0 = np.arcsin(s0 / alpha)
+    K = (np.log(np.tan(np.pi / 4 + b0 / 2))
+         - alpha * np.log(np.tan(np.pi / 4 + phi0 / 2))
+         + alpha * e / 2 * np.log((1 + e * s0) / (1 - e * s0)))
+    lon0 = np.radians(7.439583333333333)
+    sb0, cb0 = np.sin(b0), np.cos(b0)
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         6.0 + (doc_id * 7919 % 4500) / 1000.0    AS lon,
+         45.8 + (doc_id * 104729 % 2000) / 1000.0 AS lat
+  FROM documents
+),
+sph AS (
+  SELECT doc_id,
+         2 * (atan(exp({alpha!r} * ln(tan(pi()/4 + radians(lat)/2))
+              - {alpha!r} * {e!r} / 2
+                * ln((1 + {e!r} * sin(radians(lat)))
+                     / (1 - {e!r} * sin(radians(lat))))
+              + {K!r})) - pi()/4) AS b,
+         {alpha!r} * (radians(lon) - {lon0!r}) AS l
+  FROM pts
+),
+rot AS (
+  SELECT doc_id,
+         least(greatest({cb0!r} * sin(b) - {sb0!r} * cos(b) * cos(l),
+                        -1.0), 1.0) AS sbb,
+         atan2(cos(b) * sin(l),
+               {cb0!r} * cos(b) * cos(l) + {sb0!r} * sin(b)) AS ll
+  FROM sph
+)
+SELECT doc_id,
+       CAST(round(({R!r} * ll + 2600000.0) * 100) AS BIGINT) AS e_cm,
+       CAST(round(({R!r} / 2 * ln((1 + sbb) / (1 - sbb))
+                   + 1200000.0) * 100) AS BIGINT) AS n_cm
+FROM rot
+"""
+
+
+QUERIES["swissgrid"] = (q_swissgrid, _swissgrid_sql())

@@ -355,3 +355,68 @@ def test_transformer_exports():
     d2 = t2.to_json_dict()
     assert d2["type"] == "Transformation" and float(d2["accuracy"]) > 0
     assert "OPERATIONACCURACY" in t2.to_wkt()
+
+
+def _swisstopo_approx_fwd(lon_deg, lat_deg):
+    """swisstopo's published approximate WGS84->LV03 series (accuracy
+    ~1 m inside Switzerland) — an INDEPENDENT check of the somerc
+    kernel + CH1903 Helmert chain."""
+    phi_p = (lat_deg * 3600 - 169028.66) / 10000
+    lam_p = (lon_deg * 3600 - 26782.5) / 10000
+    e = (600072.37 + 211455.93 * lam_p - 10938.51 * lam_p * phi_p
+         - 0.36 * lam_p * phi_p ** 2 - 44.54 * lam_p ** 3)
+    n = (200147.07 + 308807.95 * phi_p + 3745.25 * lam_p ** 2
+         + 76.63 * phi_p ** 2 - 194.56 * lam_p ** 2 * phi_p
+         + 119.79 * phi_p ** 3)
+    return e, n
+
+
+def test_somerc_swiss_grid():
+    import numpy as np
+    from pyproj_spark.plans.spec import Transformer
+
+    t = Transformer.from_crs("EPSG:4326", "EPSG:21781", always_xy=True)
+    pts = [(8.730616, 46.044169), (8.54, 47.38), (7.0, 46.5),
+           (9.8, 46.6), (6.2, 46.2)]
+    lons = np.array([p[0] for p in pts])
+    lats = np.array([p[1] for p in pts])
+    x, y = t.transform(lons, lats)
+    for i, (lon, lat) in enumerate(pts):
+        ea, na = _swisstopo_approx_fwd(lon, lat)
+        assert abs(x[i] - ea) < 1.5 and abs(y[i] - na) < 1.5, (lon, lat)
+    # LV95 = LV03 + (2000000, 1000000) up to the CH1903/CH1903+ Helmert
+    # difference (< 0.15 m)
+    t95 = Transformer.from_crs("EPSG:4326", "EPSG:2056", always_xy=True)
+    x95, y95 = t95.transform(lons, lats)
+    assert np.allclose(x95 - x, 2000000, atol=0.15)
+    assert np.allclose(y95 - y, 1000000, atol=0.15)
+    # roundtrip
+    back = Transformer.from_crs("EPSG:21781", "EPSG:4326", always_xy=True)
+    lo, la = back.transform(x, y)
+    assert np.allclose(lo, lons, atol=1e-8)
+    assert np.allclose(la, lats, atol=1e-8)
+
+
+def test_somerc_center_anchor_and_conformality():
+    import numpy as np
+    from pyproj_spark.kernels.ellipsoid import get_ellipsoid
+    from pyproj_spark.kernels.projections import SwissObliqueMercator
+
+    p = SwissObliqueMercator(get_ellipsoid("bessel"),
+                             lon_0=7.439583333333333, x_0=600000,
+                             y_0=200000, lat_0=46.952405555555565)
+    x, y = p.forward(np.radians(np.array([7.439583333333333])),
+                     np.radians(np.array([46.952405555555565])))
+    assert abs(x[0] - 600000) < 1e-6 and abs(y[0] - 200000) < 1e-6
+    # conformal: meridian and parallel scale factors agree
+    eps = 1e-7
+    lam0, phi0 = np.radians(8.54), np.radians(47.38)
+    E = p.E
+    x0, y0 = p.forward(np.array([lam0]), np.array([phi0]))
+    x1, y1 = p.forward(np.array([lam0 + eps]), np.array([phi0]))
+    x2, y2 = p.forward(np.array([lam0]), np.array([phi0 + eps]))
+    nu = E.a / np.sqrt(1 - E.e2 * np.sin(phi0) ** 2)
+    rho = E.a * (1 - E.e2) / (1 - E.e2 * np.sin(phi0) ** 2) ** 1.5
+    h = np.hypot(x2 - x0, y2 - y0)[0] / (eps * rho)
+    k = np.hypot(x1 - x0, y1 - y0)[0] / (eps * nu * np.cos(phi0))
+    assert abs(h - k) < 1e-7
