@@ -61,7 +61,7 @@ def _interleaved() -> dict[str, tuple]:
     # driver's bounded prefix sample
     new_this_round = [
         "hot_spots", "moran", "winnow", "quadkey", "cocitation",
-        "od_matrix", "swissgrid",
+        "od_matrix", "swissgrid", "simplify",
         "stateplane", "s2cell", "s2_rollup", "bpe_merges",
         "bpe_segment", "semdedup", "raster_pyramid", "redirect_chains", "bigram_lm", "s2_bbox", "s2_pip",
         "pack_sequences", "pagerank", "ppr", "hits", "cube",

@@ -120,3 +120,57 @@ def convex_hulls(df: DataFrame, group_col: str, lon_col: str = "lon",
                   "hull array<struct<lon: double, lat: double>>")
     return (df.select(group_col, lon_col, lat_col)
             .groupBy(group_col).applyInPandas(_hull, out_schema))
+
+
+def simplify_lines(df: DataFrame, group_col: str = "user_id",
+                   seq_col: str = "seq", x_col: str = "x",
+                   y_col: str = "y", eps: float = 30.0) -> DataFrame:
+    """Douglas-Peucker polyline simplification (Douglas & Peucker 1973)
+    — the vector-tile reduction operator: per line, keep the minimal
+    vertex subset whose chord deviation stays within eps. Lines are
+    per-row-group small (a track, a ring) while the line COUNT is
+    corpus-scale, so the right Spark shape is applyInPandas per line
+    (one shuffle on the line key), the same contract as convex_hulls.
+
+    Determinism: the split decision uses only +,-,*,/,sqrt (all
+    IEEE-exact, no libm), with first-argmax tie-break — so an engine
+    replaying the same floats makes identical keep decisions, which is
+    what the unrolled-split DuckDB oracle checks. Output: the kept
+    (group, seq) vertex rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _simplify(key, pdf):
+        pdf = pdf.sort_values(seq_col)
+        xs = pdf[x_col].to_numpy(dtype=np.float64)
+        ys = pdf[y_col].to_numpy(dtype=np.float64)
+        sq = pdf[seq_col].to_numpy()
+        n = len(xs)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i0, i1 = stack.pop()
+            if i1 - i0 < 2:
+                continue
+            dx = xs[i1] - xs[i0]
+            dy = ys[i1] - ys[i0]
+            px = xs[i0 + 1:i1]
+            py = ys[i0 + 1:i1]
+            # exact same arithmetic text as the SQL oracle
+            d = (np.abs(dx * (ys[i0] - py) - (xs[i0] - px) * dy)
+                 / np.sqrt(dx * dx + dy * dy))
+            j = int(np.argmax(d))  # first max == smallest seq on ties
+            if d[j] > eps:
+                k = i0 + 1 + j
+                keep[k] = True
+                stack.append((i0, k))
+                stack.append((k, i1))
+        return pd.DataFrame({group_col: pdf[group_col].iloc[:1].repeat(
+            int(keep.sum())).to_numpy(),
+            seq_col: sq[keep]})
+
+    out_schema = f"{group_col} long, {seq_col} long"
+    return (df.select(group_col, seq_col, x_col, y_col)
+            .groupBy(group_col).applyInPandas(_simplify, out_schema))

@@ -3996,3 +3996,78 @@ FROM rot
 
 
 QUERIES["swissgrid"] = (q_swissgrid, _swissgrid_sql())
+
+
+def q_simplify(spark, sf_dir):
+    """Douglas-Peucker polyline simplification over per-user synthetic
+    planar tracks (33 vertices each) at eps=30 m — the vector-tile
+    reduction operator (operators/lines.py::simplify_lines). The
+    oracle replays DP as 32 unrolled split passes (the worst-case
+    split depth for 33-vertex lines, so termination is unconditional;
+    drained passes are empty and cost nothing); keep decisions use
+    only IEEE-exact arithmetic (+,-,*,/,sqrt), so both engines split
+    identically and the kept vertex set hash-matches exactly."""
+    from pyproj_spark.operators.lines import simplify_lines
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (ev.withColumn("seq", F.row_number().over(w))
+           .filter(F.col("seq") <= 33)
+           .select("user_id", F.col("seq").cast("long").alias("seq"),
+                   (F.col("seq") * 100.0).alias("x"),
+                   ((F.col("event_id") * 7919 % 1000) / 10.0
+                    + F.col("seq") * 3.0).alias("y")))
+    return simplify_lines(pts, eps=30.0)
+
+
+def _simplify_sql(n_pass: int = 32) -> str:
+    dist = ("abs((b.x - a.x) * (a.y - p.y) - (a.x - p.x) * (b.y - a.y))"
+            " / sqrt((b.x - a.x) * (b.x - a.x)"
+            " + (b.y - a.y) * (b.y - a.y))")
+    parts = ["""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS seq
+  FROM events
+),
+pts AS MATERIALIZED (
+  SELECT user_id, CAST(seq AS BIGINT) AS seq, seq * 100.0 AS x,
+         (event_id * 7919 % 1000) / 10.0 + seq * 3.0 AS y
+  FROM ev WHERE seq <= 33
+),
+ends AS (SELECT user_id, min(seq) AS s0, max(seq) AS s1
+         FROM pts GROUP BY 1),
+segs0 AS (SELECT user_id, s0 AS i0, s1 AS i1 FROM ends WHERE s1 > s0)"""]
+    for k in range(n_pass):
+        parts.append(f""",
+d{k} AS (
+  SELECT s.user_id, s.i0, s.i1, p.seq AS j, {dist} AS d
+  FROM segs{k} s
+  JOIN pts a ON a.user_id = s.user_id AND a.seq = s.i0
+  JOIN pts b ON b.user_id = s.user_id AND b.seq = s.i1
+  JOIN pts p ON p.user_id = s.user_id
+            AND p.seq > s.i0 AND p.seq < s.i1
+),
+sp{k} AS MATERIALIZED (
+  SELECT user_id, i0, i1, j FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, i0, i1
+                                 ORDER BY d DESC, j) AS rn
+    FROM d{k}) WHERE rn = 1 AND d > 30.0
+),
+segs{k + 1} AS (
+  SELECT user_id, i0, j AS i1 FROM sp{k}
+  UNION ALL SELECT user_id, j AS i0, i1 FROM sp{k}
+)""")
+    splits = "\nUNION\n".join(
+        f"SELECT user_id, j AS seq FROM sp{k}" for k in range(n_pass))
+    parts.append(f"""
+SELECT user_id, s0 AS seq FROM ends
+UNION
+SELECT user_id, s1 AS seq FROM ends
+UNION
+{splits}
+""")
+    return "".join(parts)
+
+
+QUERIES["simplify"] = (q_simplify, _simplify_sql())
