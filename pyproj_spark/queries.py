@@ -3753,11 +3753,18 @@ def q_s2_bbox(spark, sf_dir):
         ((F.col("doc_id") * 104729 % 170000) / 1000.0 - 84.9995)
         .alias("lat"))
     cell = s2cell.cell_of(F.col("lon"), F.col("lat"), 8)
-    rlit = F.lit([list(r) for r in ranges])
-    pre = F.exists(rlit, lambda r: (F.element_at(r, 1) <= F.col("cell"))
-                   & (F.col("cell") < F.element_at(r, 2)))
+    # probe the covering as a BROADCAST range table, NOT an exists()
+    # over a literal array: PushDownPredicate substitutes a projected
+    # column into a pushed filter, so a lambda that captures `cell`
+    # re-evaluates the whole Hilbert-fold encode once per RANGE (#
+    # ranges x encode per row — measured 114 s at sf0.1). As a BNLJ
+    # condition, `cell` is an attribute the join child computed once
+    # per row (114 -> ~3 s; ranges are disjoint so at most one match).
+    rdf = F.broadcast(spark.createDataFrame(
+        [(int(lo), int(hi)) for lo, hi in ranges], "lo long, hi long"))
     return (pts.withColumn("cell", cell)
-            .filter(pre)
+            .join(rdf, (F.col("cell") >= F.col("lo"))
+                  & (F.col("cell") < F.col("hi")))
             .filter((F.col("lon") >= W) & (F.col("lon") <= E)
                     & (F.col("lat") >= S) & (F.col("lat") <= N))
             .groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")))
@@ -3796,21 +3803,31 @@ def q_s2_pip(spark, sf_dir):
     (geocell equality covering + pandas-UDF exact test)."""
     from pyproj_spark.functions import s2cell
     zr = []
+    levels = set()
     for zid, ring in PIP_ZONES.items():
-        adapt = s2cell.covering_polygon_adaptive(ring, 8)
-        for certain in (0, 1):
-            cells_z = [c for c, cc in adapt if cc == bool(certain)]
-            for lo, hi in s2cell.ranges_from_cells(cells_z, 8):
-                zr.append([zid, lo, hi, certain])
+        for cid, certain in s2cell.covering_polygon_adaptive(ring, 8):
+            zr.append((zid, int(cid), int(certain)))
+            levels.add(cid >> 58)
     pts = _doc_points(spark, sf_dir)
     cell = s2cell.cell_of(F.col("lon"), F.col("lat"), 8)
-    rlit = F.lit(zr)
+    # containment as an ANCESTOR EQUI-JOIN: the mixed-level covering
+    # cells key a broadcast table by their own id; each point explodes
+    # to its ancestor id at every level the covering uses (closed-form
+    # bit math on the encoded attribute) and hash-joins. This keeps
+    # the probe a BroadcastHashJoin — a literal-array filter() lambda
+    # re-evaluates the captured encode per range (PushDownPredicate
+    # substitution), and a range-table BNLJ evaluates its condition
+    # per (row x range) pair with the exact test folded in (measured
+    # 17 s at sf0.1 for 2.9k ranges); the equi-join hashes once per
+    # ancestor level and runs the exact test only on hash matches
+    # (17 -> ~2.5 s).
+    rdf = F.broadcast(spark.createDataFrame(
+        zr, "zone_id int, anc long, certain int"))
+    anc = F.explode(F.array(*[
+        s2cell.parent(F.col("cell"), lv) for lv in sorted(levels)]))
     cands = (pts.withColumn("cell", cell)
-             .withColumn("zr", F.explode(F.filter(
-                 rlit,
-                 lambda r: (F.element_at(r, 2) <= F.col("cell"))
-                 & (F.col("cell") < F.element_at(r, 3)))))
-             .withColumn("zone_id", F.element_at(F.col("zr"), 1)))
+             .withColumn("anc", anc)
+             .join(rdf, "anc"))
     lon, lat = F.col("lon"), F.col("lat")
     crossings = F.lit(None).cast("int")
     for zid, ring in PIP_ZONES.items():
@@ -3828,8 +3845,8 @@ def q_s2_pip(spark, sf_dir):
             tot = tot + F.when(cond, 1).otherwise(0)
         crossings = F.when(F.col("zone_id") == zid,
                            tot).otherwise(crossings)
-    certain = F.element_at(F.col("zr"), 4) == 1
-    return (cands.filter(certain | (crossings % 2 == 1))
+    return (cands.filter((F.col("certain") == 1)
+                         | (crossings % 2 == 1))
             .select("doc_id", "zone_id"))
 
 
@@ -4071,3 +4088,217 @@ UNION
 
 
 QUERIES["simplify"] = (q_simplify, _simplify_sql())
+
+
+def q_trend_cells(spark, sf_dir):
+    """Emerging hot-spot analysis: Mann-Kendall trend test per hex
+    cell over its daily event counts (the space-time companion to the
+    Gi* snapshot — "which cells are MONOTONICALLY heating up").
+    S = sum of sign(x_j - x_i) over day pairs i<j is an exact integer;
+    the tie-corrected normal-approximation variance is a ratio of
+    exact integers — so the z-score is deterministic unrounded.
+    Scale shape: the pair stage is a per-cell self-join on (cell) with
+    day < day — pairs are bounded by days^2 per cell (a constant), not
+    by corpus size."""
+    from pyproj_spark.functions.hexcell import hex_of
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    minute = F.floor(F.unix_timestamp("ts") / 600)
+    lon = ((F.col("user_id") % 36) * 10 - 180 + (minute % 7) * 2.0)
+    lat = ((F.col("user_id") % 17) * 8 - 60).cast("double")
+    t = (ev.select(hex_of(lon, lat, 2).alias("cell"),
+                   F.floor(F.unix_timestamp("ts") / 86400).alias("day"))
+         .groupBy("cell", "day").agg(F.count(F.lit(1)).alias("n")))
+    a = t.select(F.col("cell"), F.col("day").alias("di"),
+                 F.col("n").alias("ni"))
+    b = t.select(F.col("cell"), F.col("day").alias("dj"),
+                 F.col("n").alias("nj"))
+    s = (a.join(b, "cell").filter(F.col("di") < F.col("dj"))
+         .groupBy("cell")
+         .agg(F.sum(F.signum(F.col("nj") - F.col("ni")).cast("long"))
+              .alias("s")))
+    ties = (t.groupBy("cell", "n").agg(F.count(F.lit(1)).alias("k"))
+            .groupBy("cell")
+            .agg(F.sum("k").alias("t_days"),
+                 F.sum(F.col("k") * (F.col("k") - 1)
+                       * (2 * F.col("k") + 5)).alias("tiesum")))
+    out = s.join(ties, "cell")
+    td = F.col("t_days").cast("double")
+    var_ = ((td * (td - F.lit(1.0)) * (F.lit(2.0) * td + F.lit(5.0))
+             - F.col("tiesum").cast("double")) / F.lit(18.0))
+    sd = F.col("s").cast("double")
+    z = (F.when(F.col("s") > 0, (sd - F.lit(1.0)) / F.sqrt(var_))
+         .when(F.col("s") < 0, (sd + F.lit(1.0)) / F.sqrt(var_))
+         .otherwise(F.lit(0.0)))
+    z = F.when(var_ > 0, z)
+    return (out.filter(F.col("t_days") >= 2)
+            .select("cell", "s", "t_days", z.alias("mk_z"),
+                    F.when(z > 1.959963984540054, 1)
+                    .when(z < -1.959963984540054, -1)
+                    .otherwise(0).alias("trend")))
+
+
+def _trend_cells_sql():
+    from pyproj_spark.functions.hexcell import hex_sql
+    cell = hex_sql(2, lon_expr="lon", lat_expr="lat")
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts,
+         (user_id % 36) * 10 - 180
+             + (floor(epoch(ts) / 600) % 7) * 2.0 AS lon,
+         CAST((user_id % 17) * 8 - 60 AS DOUBLE) AS lat
+  FROM events
+),
+t AS MATERIALIZED (
+  SELECT {cell} AS cell,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+s AS (
+  SELECT a.cell, CAST(sum(sign(b.n - a.n)) AS BIGINT) AS s
+  FROM t a JOIN t b ON a.cell = b.cell AND a.day < b.day
+  GROUP BY 1
+),
+ties AS (
+  SELECT cell, CAST(sum(k) AS BIGINT) AS t_days,
+         CAST(sum(k * (k - 1) * (2 * k + 5)) AS BIGINT) AS tiesum
+  FROM (SELECT cell, n, count(*) AS k FROM t GROUP BY 1, 2)
+  GROUP BY 1
+),
+j AS (
+  SELECT s.cell, s.s, ties.t_days,
+         (CAST(t_days AS DOUBLE) * (CAST(t_days AS DOUBLE) - 1.0)
+            * (2.0 * CAST(t_days AS DOUBLE) + 5.0)
+          - CAST(tiesum AS DOUBLE)) / 18.0 AS var_s
+  FROM s JOIN ties ON ties.cell = s.cell
+  WHERE t_days >= 2
+),
+z AS (
+  SELECT cell, s, t_days,
+         CASE WHEN var_s > 0 THEN
+           CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                ELSE 0.0 END
+         END AS mk_z
+  FROM j
+)
+SELECT cell, s, t_days, mk_z,
+       CASE WHEN mk_z > 1.959963984540054 THEN 1
+            WHEN mk_z < -1.959963984540054 THEN -1 ELSE 0 END AS trend
+FROM z
+"""
+
+
+QUERIES["trend_cells"] = (q_trend_cells, _trend_cells_sql())
+
+
+def q_idw_raster(spark, sf_dir):
+    """IDW interpolation raster (Shepard 1968): per 3-degree grid cell,
+    the inverse-distance-squared weighted mean of sample values from
+    the cell's 3x3 neighborhood — the scattered-points -> raster
+    operator. Scale shape: scatter (each point explodes to its 9
+    target cells) + one hash agg; never a points self-join, and the
+    neighborhood is a fixed constant. Determinism: grid centers are
+    pure arithmetic (no trig), weights use only +,-,*,/ on identical
+    expression trees, and both weight and value sums are rounded to
+    exact integer picounits BEFORE aggregation — order-independent."""
+    pts = _doc_points(spark, sf_dir).select(
+        "lon", "lat",
+        ((F.col("doc_id") * 31 % 1000) / 10.0).alias("v"))
+    d9 = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    e = (pts.select("lon", "lat", "v", F.explode(d9).alias("d"))
+         .select("lon", "lat", "v",
+                 (F.floor(F.col("lon") / 3.0) + F.col("d.dx"))
+                 .alias("cx"),
+                 (F.floor(F.col("lat") / 3.0) + F.col("d.dy"))
+                 .alias("cy")))
+    dlon = F.col("lon") - (F.col("cx") * 3.0 + 1.5)
+    dlat = F.col("lat") - (F.col("cy") * 3.0 + 1.5)
+    w = F.lit(1.0) / (dlon * dlon + dlat * dlat + F.lit(0.01))
+    e = e.select("cx", "cy",
+                 F.round(w * 1e12).cast("long").alias("wi"),
+                 F.round(w * F.col("v") * 1e9).cast("long").alias("wv"))
+    out = (e.groupBy("cx", "cy")
+           .agg(F.count(F.lit(1)).alias("n_contrib"),
+                F.sum("wi").alias("wsum"), F.sum("wv").alias("vsum")))
+    est = (F.col("vsum").cast("double") * 1e3
+           / F.col("wsum").cast("double"))
+    return out.select("cx", "cy", "n_contrib", "wsum", "vsum",
+                      est.alias("idw_value"))
+
+
+SQL_IDW = f"""
+WITH pts AS ({_PTS_SQL}),
+sv AS (SELECT lon, lat, (doc_id * 31 % 1000) / 10.0 AS v FROM pts),
+e AS (
+  SELECT lon, lat, v,
+         CAST(floor(lon / 3.0) AS BIGINT) + d.dx AS cx,
+         CAST(floor(lat / 3.0) AS BIGINT) + d.dy AS cy
+  FROM sv CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                             (1,-1),(1,0),(1,1)) AS d(dx, dy)
+),
+t AS (
+  SELECT cx, cy,
+         CAST(round((1.0 / ((lon - (cx * 3.0 + 1.5))
+                             * (lon - (cx * 3.0 + 1.5))
+                           + (lat - (cy * 3.0 + 1.5))
+                             * (lat - (cy * 3.0 + 1.5)) + 0.01))
+                    * 1e12) AS BIGINT) AS wi,
+         CAST(round((1.0 / ((lon - (cx * 3.0 + 1.5))
+                             * (lon - (cx * 3.0 + 1.5))
+                           + (lat - (cy * 3.0 + 1.5))
+                             * (lat - (cy * 3.0 + 1.5)) + 0.01))
+                    * v * 1e9) AS BIGINT) AS wv
+  FROM e
+)
+SELECT cx, cy, count(*) AS n_contrib,
+       CAST(sum(wi) AS BIGINT) AS wsum, CAST(sum(wv) AS BIGINT) AS vsum,
+       CAST(sum(wv) AS DOUBLE) * 1e3 / CAST(sum(wi) AS DOUBLE)
+           AS idw_value
+FROM t GROUP BY 1, 2
+"""
+
+QUERIES["idw_raster"] = (q_idw_raster, SQL_IDW)
+
+
+def q_rendezvous(spark, sf_dir):
+    """Rendezvous (highest-random-weight) hashing: each host is
+    assigned to the worker maximizing md5(host:worker) — the
+    consistent-assignment primitive (Thaler & Ravishankar 1998) next
+    to crawl_schedule's modulo sharding: removing a worker moves ONLY
+    that worker's hosts. max_by over the md5 long is deterministic
+    (md5 ties are impossible at 2^-32 per pair and would fail the
+    gate loudly, not silently)."""
+    hosts = (_t(spark, sf_dir, "documents")
+             .select(F.concat(F.lit("h"), (F.col("doc_id") % 997)
+                              .cast("string")).alias("host"))
+             .distinct())
+    w = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("worker")
+    e = hosts.select("host", w)
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col("host"), F.lit(":"), F.col("worker").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    return (e.withColumn("hrw", h)
+            .groupBy("host")
+            .agg(F.max_by("worker", "hrw").cast("long").alias("worker"),
+                 F.max("hrw").alias("hrw")))
+
+
+SQL_RENDEZVOUS = """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 997 AS VARCHAR) AS host
+  FROM documents
+),
+e AS (
+  SELECT host, w.worker,
+         CAST(('0x' || substr(md5(host || ':'
+              || CAST(w.worker AS VARCHAR)), 1, 8)) AS BIGINT) AS hrw
+  FROM hosts CROSS JOIN (SELECT unnest(range(10)) AS worker) w
+)
+SELECT host, CAST(max_by(worker, hrw) AS BIGINT) AS worker,
+       max(hrw) AS hrw
+FROM e GROUP BY 1
+"""
+
+QUERIES["rendezvous"] = (q_rendezvous, SQL_RENDEZVOUS)

@@ -236,3 +236,27 @@ def test_pack_sequences_no_global_window(spark):
     # cumsum over the totals frame
     unpart = [c for c, spec in wins if "ASC" in spec]
     assert unpart == ["_tot"], wins
+
+
+def test_s2_pip_is_hash_join_with_single_encode(spark):
+    """The S2 PIP probe must stay a BroadcastHashJoin on the ancestor
+    id: a literal-array filter() lambda (or a range-table BNLJ with
+    the exact test folded into its condition) re-evaluates the
+    Hilbert-fold encode per range — measured 17 s vs 4 s at sf0.1."""
+    from pyproj_spark.queries import q_s2_pip
+    plan = _plan(q_s2_pip(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the encode's Hilbert fold appears a bounded number of times (the
+    # ancestor bit-math references the ENCODED attribute, not the
+    # expression): one fold in the projection, at most one more from a
+    # constraint-inferred IsNotNull — never once per covering range
+    assert plan.count("aggregate(") <= 4
+
+
+def test_s2_bbox_prefilter_is_join_not_lambda(spark):
+    from pyproj_spark.queries import q_s2_bbox
+    plan = _plan(q_s2_bbox(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # range table, ~6 rows
+    assert "exists(" not in plan.lower().replace("filterexec", "")
+    assert plan.count("aggregate(") <= 4
