@@ -62,7 +62,8 @@ def _interleaved() -> dict[str, tuple]:
     new_this_round = [
         "hot_spots", "moran", "winnow", "quadkey", "cocitation",
         "od_matrix", "swissgrid", "simplify", "trend_cells",
-        "idw_raster", "rendezvous", "s2_pip", "s2_bbox",
+        "idw_raster", "rendezvous", "s2_pip", "s2_bbox", "wkt_geom",
+        "retention",
         "stateplane", "s2cell", "s2_rollup", "bpe_merges",
         "bpe_segment", "semdedup", "raster_pyramid", "redirect_chains", "bigram_lm", "s2_bbox", "s2_pip",
         "pack_sequences", "pagerank", "ppr", "hits", "cube",

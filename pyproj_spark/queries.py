@@ -4302,3 +4302,137 @@ FROM e GROUP BY 1
 """
 
 QUERIES["rendezvous"] = (q_rendezvous, SQL_RENDEZVOUS)
+
+
+def q_wkt_geom(spark, sf_dir):
+    """WKT geometry ingestion, UDF-free: POLYGON text (synthesized
+    identically on both engines, then PARSED BACK — an end-to-end
+    parser test) -> coordinate arrays via one regexp_extract_all pass
+    + array HOFs -> vertex count, bbox, and the exact shoelace area
+    (integer coords, so the cross-product fold is an exact long — no
+    float summation order anywhere). The vector-file ingestion
+    primitive next to the GeoJSON/zones source."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    x0 = (i * 13 % 300).cast("long")
+    y0 = (i * 29 % 300).cast("long")
+    w_ = (i * 7 % 40 + 10).cast("long")
+    h_ = (i * 11 % 30 + 5).cast("long")
+
+    def s(c):
+        return c.cast("string")
+
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        s(x0), F.lit(" "), s(y0), F.lit(", "),
+        s(x0 + w_), F.lit(" "), s(y0), F.lit(", "),
+        s(x0 + w_), F.lit(" "), s(y0 + h_), F.lit(", "),
+        s(x0), F.lit(" "), s(y0 + h_), F.lit(", "),
+        s(x0), F.lit(" "), s(y0), F.lit("))"))
+    parsed = d.select("doc_id", wkt.alias("wkt"))
+    pairs = F.regexp_extract_all(F.col("wkt"),
+                                 F.lit(r"(-?\d+) (-?\d+)"), F.lit(0))
+    xs = F.transform(pairs,
+                     lambda p: F.split(p, " ")[0].cast("long"))
+    ys = F.transform(pairs,
+                     lambda p: F.split(p, " ")[1].cast("long"))
+    parsed = parsed.select("doc_id", xs.alias("xs"), ys.alias("ys"))
+    n = F.size(F.col("xs"))
+    cross = F.zip_with(
+        F.zip_with(F.slice(F.col("xs"), 1, n - 1),
+                   F.slice(F.col("ys"), 2, n - 1),
+                   lambda a, b: a * b),
+        F.zip_with(F.slice(F.col("xs"), 2, n - 1),
+                   F.slice(F.col("ys"), 1, n - 1),
+                   lambda a, b: a * b),
+        lambda p, q: p - q)
+    area2 = F.aggregate(cross, F.lit(0).cast("long"),
+                        lambda acc, c: acc + c)
+    return parsed.select(
+        "doc_id", n.alias("n_vertices"),
+        F.array_min("xs").alias("xmin"), F.array_max("xs").alias("xmax"),
+        F.array_min("ys").alias("ymin"), F.array_max("ys").alias("ymax"),
+        (F.abs(area2).cast("double") / 2.0).alias("area"))
+
+
+SQL_WKT_GEOM = r"""
+WITH g AS (
+  SELECT doc_id,
+         'POLYGON((' || x0 || ' ' || y0 || ', '
+          || (x0 + w) || ' ' || y0 || ', '
+          || (x0 + w) || ' ' || (y0 + h) || ', '
+          || x0 || ' ' || (y0 + h) || ', '
+          || x0 || ' ' || y0 || '))' AS wkt
+  FROM (SELECT doc_id, doc_id * 13 % 300 AS x0, doc_id * 29 % 300 AS y0,
+               doc_id * 7 % 40 + 10 AS w, doc_id * 11 % 30 + 5 AS h
+        FROM documents)
+),
+p AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(wkt, '(-?\d+) (-?\d+)'),
+           s -> CAST(str_split(s, ' ')[1] AS BIGINT)) AS xs,
+         list_transform(regexp_extract_all(wkt, '(-?\d+) (-?\d+)'),
+           s -> CAST(str_split(s, ' ')[2] AS BIGINT)) AS ys
+  FROM g
+)
+SELECT doc_id, len(xs) AS n_vertices,
+       list_min(xs) AS xmin, list_max(xs) AS xmax,
+       list_min(ys) AS ymin, list_max(ys) AS ymax,
+       abs(list_sum(list_transform(range(1, len(xs)),
+             i -> xs[i] * ys[i + 1] - xs[i + 1] * ys[i])))
+         / 2.0 AS area
+FROM p
+"""
+
+QUERIES["wkt_geom"] = (q_wkt_geom, SQL_WKT_GEOM)
+
+
+def q_retention(spark, sf_dir):
+    """Cohort retention matrix (the product-analytics staple): users
+    cohorted by first-activity week; each (cohort_week, week_offset)
+    cell counts distinct users active that many weeks later, plus the
+    retention rate against the cohort size. Two hash aggregations and
+    one broadcast-sized join (weeks x users collapses to user rows
+    map-side); all counts exact ints, the rate divides two exact ints
+    once."""
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).alias("week")).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    joined = weeks.join(first, "user_id")
+    act = (joined.groupBy("cohort",
+                          (F.col("week") - F.col("cohort"))
+                          .alias("week_offset"))
+           .agg(F.countDistinct("user_id").alias("n_active")))
+    size = (first.groupBy("cohort")
+            .agg(F.countDistinct("user_id").alias("cohort_size")))
+    out = act.join(F.broadcast(size), "cohort")
+    return out.select(
+        "cohort", "week_offset", "n_active", "cohort_size",
+        (F.col("n_active").cast("double")
+         / F.col("cohort_size").cast("double")).alias("retention"))
+
+
+SQL_RETENTION = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort FROM weeks GROUP BY 1),
+act AS (
+  SELECT f.cohort, w.week - f.cohort AS week_offset,
+         count(DISTINCT w.user_id) AS n_active
+  FROM weeks w JOIN first f ON f.user_id = w.user_id
+  GROUP BY 1, 2
+),
+size_ AS (SELECT cohort, count(DISTINCT user_id) AS cohort_size
+          FROM first GROUP BY 1)
+SELECT act.cohort, week_offset, n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+           AS retention
+FROM act JOIN size_ ON size_.cohort = act.cohort
+"""
+
+QUERIES["retention"] = (q_retention, SQL_RETENTION)
