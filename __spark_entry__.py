@@ -63,7 +63,7 @@ def _interleaved() -> dict[str, tuple]:
         "hot_spots", "moran", "winnow", "quadkey", "cocitation",
         "od_matrix", "swissgrid", "simplify", "trend_cells",
         "idw_raster", "rendezvous", "s2_pip", "s2_bbox", "wkt_geom",
-        "retention",
+        "retention", "geojson_parse", "snap_roads",
         "stateplane", "s2cell", "s2_rollup", "bpe_merges",
         "bpe_segment", "semdedup", "raster_pyramid", "redirect_chains", "bigram_lm", "s2_bbox", "s2_pip",
         "pack_sequences", "pagerank", "ppr", "hits", "cube",

@@ -4436,3 +4436,138 @@ FROM act JOIN size_ ON size_.cohort = act.cohort
 """
 
 QUERIES["retention"] = (q_retention, SQL_RETENTION)
+
+
+def q_geojson_parse(spark, sf_dir):
+    """GeoJSON Feature ingestion, UDF-free: Point-feature JSON strings
+    (synthesized identically on both engines, then parsed BACK — an
+    end-to-end parser check like wkt_geom) -> typed columns via
+    get_json_object, then geocell-encoded and rolled up per (cell,
+    category). DuckDB re-parses with its own JSON engine — a
+    cross-implementation JSON conformance row."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    lon = ((i * 7919 % 360000) / 1000.0 - 180.0)
+    lat = ((i * 104729 % 170000) / 1000.0 - 85.0)
+    gj = F.concat(
+        F.lit('{"type": "Feature", "geometry": {"type": "Point", '
+              '"coordinates": ['),
+        lon.cast("string"), F.lit(", "), lat.cast("string"),
+        F.lit(']}, "properties": {"id": '), i.cast("string"),
+        F.lit(', "cat": "c'), (i % 7).cast("string"), F.lit('"}}'))
+    feats = d.select(gj.alias("gj"))
+    plon = F.get_json_object("gj", "$.geometry.coordinates[0]") \
+        .cast("double")
+    plat = F.get_json_object("gj", "$.geometry.coordinates[1]") \
+        .cast("double")
+    cat = F.get_json_object("gj", "$.properties.cat")
+    parsed = feats.select(
+        cells.cell_of(plon, plat, 6).alias("cell"), cat.alias("cat"))
+    return (parsed.groupBy("cell", "cat")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def _geojson_sql():
+    # the same geocell bit math as SQL_GEOCELL, at level 6 over the
+    # JSON-parsed coordinates
+    cell = ("(CAST(6 AS BIGINT) << 58) | ((CAST(floor((plon + 180.0) / "
+            "2.8125) AS BIGINT) % 128) << 29) | "
+            "least(greatest(CAST(floor((plat + 90.0) / 2.8125) "
+            "AS BIGINT), 0), 63)")
+    return f"""
+WITH g AS (
+  SELECT '{{"type": "Feature", "geometry": {{"type": "Point", '
+         || '"coordinates": [' || ((doc_id * 7919 % 360000) / 1000.0
+              - 180.0)
+         || ', ' || ((doc_id * 104729 % 170000) / 1000.0 - 85.0)
+         || ']}}, "properties": {{"id": ' || doc_id
+         || ', "cat": "c' || (doc_id % 7) || '"}}}}' AS gj
+  FROM documents
+),
+p AS (
+  SELECT CAST(json_extract(gj, '$.geometry.coordinates[0]')
+              AS DOUBLE) AS plon,
+         CAST(json_extract(gj, '$.geometry.coordinates[1]')
+              AS DOUBLE) AS plat,
+         json_extract_string(gj, '$.properties.cat') AS cat
+  FROM g
+)
+SELECT {cell} AS cell, cat, count(*) AS cnt FROM p GROUP BY 1, 2
+"""
+
+
+QUERIES["geojson_parse"] = (q_geojson_parse, _geojson_sql())
+
+
+#: fixed road segments (seg_id, ax, ay, bx, by) — planar degrees,
+#: shared by the Spark build and the SQL oracle (PIP_ZONES pattern)
+ROAD_SEGS = [
+    (0, -120.0, 30.0, -80.0, 45.0), (1, -80.0, 45.0, -40.0, 40.0),
+    (2, -10.0, 50.0, 30.0, 55.0), (3, 30.0, 55.0, 60.0, 35.0),
+    (4, 60.0, 35.0, 100.0, 30.0), (5, 100.0, 30.0, 140.0, 40.0),
+    (6, -60.0, -20.0, -20.0, -35.0), (7, 20.0, -30.0, 60.0, -20.0),
+    (8, 80.0, -40.0, 120.0, -25.0), (9, -150.0, 60.0, -100.0, 65.0),
+    (10, 0.0, 0.0, 40.0, 10.0), (11, -40.0, -5.0, 0.0, 0.0),
+]
+
+
+def q_snap_roads(spark, sf_dir):
+    """Map-matching primitive: snap each point to its nearest road
+    segment (closest-point projection with clamped parameter t, then
+    argmin over segments with a seg_id tie-break). The candidate stage
+    here is a broadcast cross join against the 12-segment literal
+    table; at corpus scale the segment set is cell-prefiltered first
+    (the pip_join/knn pattern) so the fan-out stays bounded. Snap
+    arithmetic is +,-,*,/ only — bit-identical across engines, so t
+    and d2 hash unrounded."""
+    pts = _doc_points(spark, sf_dir)
+    roads = F.broadcast(spark.createDataFrame(
+        ROAD_SEGS, "seg_id int, ax double, ay double, "
+        "bx double, by double"))
+    c = pts.crossJoin(roads)
+    dx, dy = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
+    traw = (((F.col("lon") - F.col("ax")) * dx
+             + (F.col("lat") - F.col("ay")) * dy)
+            / (dx * dx + dy * dy))
+    t = F.least(F.greatest(traw, F.lit(0.0)), F.lit(1.0))
+    ex = F.col("lon") - (F.col("ax") + t * dx)
+    ey = F.col("lat") - (F.col("ay") + t * dy)
+    c = c.select("doc_id", "seg_id", t.alias("t"),
+                 (ex * ex + ey * ey).alias("d2"))
+    w = Window.partitionBy("doc_id").orderBy("d2", "seg_id")
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "seg_id", "t", "d2"))
+
+
+def _snap_roads_sql():
+    vals = ", ".join(f"({s}, {ax!r}, {ay!r}, {bx!r}, {by!r})"
+                     for s, ax, ay, bx, by in ROAD_SEGS)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+segs AS (SELECT * FROM (VALUES {vals})
+         AS s(seg_id, ax, ay, bx, by)),
+c AS (
+  SELECT doc_id, seg_id,
+         least(greatest(
+           ((lon - ax) * (bx - ax) + (lat - ay) * (by - ay))
+             / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)),
+           0.0), 1.0) AS t,
+         lon, lat, ax, ay, bx, by
+  FROM pts CROSS JOIN segs
+),
+d AS (
+  SELECT doc_id, seg_id, t,
+         (lon - (ax + t * (bx - ax))) * (lon - (ax + t * (bx - ax)))
+       + (lat - (ay + t * (by - ay))) * (lat - (ay + t * (by - ay)))
+           AS d2
+  FROM c
+)
+SELECT doc_id, seg_id, t, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY d2, seg_id) AS rn
+  FROM d) WHERE rn = 1
+"""
+
+
+QUERIES["snap_roads"] = (q_snap_roads, _snap_roads_sql())
