@@ -478,3 +478,31 @@ def audio_tone_detect(df: DataFrame, bin_col: str = "payload",
 
     return df.mapInPandas(
         _det, "url string, detected_hz int, energy_share double")
+
+
+def encode_png(arr) -> bytes:
+    """Minimal deterministic PNG encoder — the inverse of decode_png:
+    8-bit greyscale/RGB/RGBA, filter 0 scanlines, one IDAT, fixed zlib
+    level (so identical pixels -> identical bytes). Together with
+    decode_png this closes the raster loop: the engine can MATERIALIZE
+    tiles as real .png bytes (operators/tiling.py::png_tiles), not
+    just pixel tables."""
+    import struct
+    import zlib
+
+    import numpy as np
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xffffffff))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))

@@ -89,3 +89,33 @@ def rasterize_tiles(points: DataFrame, zoom: int = 8, tile_px: int = 16,
         })
 
     return df.groupBy("tx", "ty").applyInPandas(render, RASTER_SCHEMA)
+
+
+PNG_TILE_SCHEMA = "z int, tx long, ty long, n_points long, png binary"
+
+
+def png_tiles(points: DataFrame, zoom: int = 8, tile_px: int = 16,
+              lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Materialize density tiles as REAL .png bytes (greyscale, pixel
+    value = min(count, 255)) — the tile-server output format, built on
+    rasterize_tiles' per-tile Arrow groups and the deterministic
+    encoder (operators/multimodal.py::encode_png). One applyInPandas
+    stage after the rasterize shuffle; bytes are reproducible (fixed
+    filter + zlib level), so downstream dedup/caching by content hash
+    works."""
+    from pyproj_spark.operators.multimodal import encode_png
+    sparse = rasterize_tiles(points, zoom, tile_px, lon_col, lat_col)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        txv = int(pdf["tx"].iloc[0])
+        tyv = int(pdf["ty"].iloc[0])
+        img = np.zeros((tile_px, tile_px), dtype=np.int64)
+        img[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = \
+            pdf["n"].to_numpy()
+        png = encode_png(np.minimum(img, 255).astype(np.uint8))
+        return pd.DataFrame({
+            "z": [zoom], "tx": [txv], "ty": [tyv],
+            "n_points": [int(pdf["n"].sum())], "png": [png]})
+
+    return sparse.groupBy("tx", "ty").applyInPandas(
+        assemble, PNG_TILE_SCHEMA)

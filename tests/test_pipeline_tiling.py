@@ -245,3 +245,36 @@ def test_raster_pyramid_consistency(spark):
         key = (gx >> 1, gy >> 1)
         merged[key] = merged.get(key, 0) + n
     assert merged == native(4)
+
+
+def test_png_tiles_roundtrip_through_own_decoder(spark):
+    import numpy as np
+    from pyproj_spark.operators.multimodal import decode_png, encode_png
+    from pyproj_spark.operators.tiling import png_tiles, rasterize_tiles
+
+    # pure encoder/decoder roundtrip first
+    rng = np.random.RandomState(11)
+    for shape in [(5, 7), (8, 8, 3), (4, 6, 4)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)),
+                              a if a.ndim == 3 else a[:, :, None])
+
+    pts = spark.createDataFrame(
+        [(float(lon), float(lat))
+         for lon in range(-10, 10) for lat in range(-5, 5)],
+        "lon double, lat double")
+    tiles = {(r.tx, r.ty): r for r in
+             png_tiles(pts, zoom=4, tile_px=8).collect()}
+    sparse = rasterize_tiles(pts, zoom=4, tile_px=8).collect()
+    assert tiles and all(r.png[:8] == b"\x89PNG\r\n\x1a\n"
+                         for r in tiles.values())
+    # decoded pixels match the sparse raster exactly (counts < 255)
+    want = {}
+    for s in sparse:
+        want.setdefault((s.tx, s.ty), {})[(s.py, s.px)] = s.n
+    for key, r in tiles.items():
+        img = decode_png(bytes(r.png))[:, :, 0]
+        nz = {(int(y), int(x)): int(img[y, x])
+              for y, x in zip(*np.nonzero(img))}
+        assert nz == {k: min(v, 255) for k, v in want[key].items()}
+        assert r.n_points == sum(want[key].values())
