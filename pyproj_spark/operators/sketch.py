@@ -63,11 +63,14 @@ def hll_registers(df: DataFrame, group_col: str, value_col: str
             .agg(F.max("rho").alias("mx")))
 
 
-def hll_estimate(regs: DataFrame, group_col: str,
+def hll_estimate(regs: DataFrame, group_col,
                  round_to: int = 4) -> DataFrame:
     """(group, hll_est, zeros) from a register table (exact integer
-    harmonic sum + linear-counting branch)."""
-    g = (regs.groupBy(group_col)
+    harmonic sum + linear-counting branch). ``group_col`` may be one
+    column name or a list (composite keys, e.g. a (z, tx, ty) tile
+    pyramid level)."""
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    g = (regs.groupBy(*gcols)
          .agg(F.sum(F.expr(f"shiftleft(1L, {W + 1} - mx)")).alias("sp"),
               F.count(F.lit(1)).alias("npres")))
     zeros = F.lit(M) - F.col("npres")

@@ -3274,8 +3274,8 @@ def q_bloom_join(spark, sf_dir):
 
 SQL_BLOOM_JOIN = """
 SELECT o.o_orderkey, count(*) AS n_lines,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-           AS rev_cents
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS rev_cents
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE o.o_totalprice > 400000
 GROUP BY 1
@@ -3368,7 +3368,7 @@ counts AS (
   FROM pts GROUP BY 1
 ),
 spread AS (
-  SELECT c.cell + d.d AS center, sum(c.cnt) AS smoothed
+  SELECT c.cell + d.d AS center, CAST(sum(c.cnt) AS BIGINT) AS smoothed
   FROM counts c CROSS JOIN (VALUES {deltas}) AS d(d)
   GROUP BY 1
 )
@@ -3614,7 +3614,7 @@ WITH keyed AS (
          n_chars
   FROM documents
 )
-SELECT k, count(*) AS n, sum(n_chars) AS sum_chars,
+SELECT k, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        max(n_chars) AS max_chars
 FROM keyed GROUP BY k
 """

@@ -975,7 +975,8 @@ dom AS (
 )
 SELECT rdom, COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
        ROUND(AVG(depth), 6) AS avg_depth,
-       SUM(CASE WHEN canonical LIKE '%?%' THEN 1 ELSE 0 END) AS n_query,
+       CAST(SUM(CASE WHEN canonical LIKE '%?%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_query,
        MIN(canonical) AS min_canonical
 FROM dom GROUP BY rdom
 """
@@ -1064,7 +1065,7 @@ WITH h AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
-       MAX(doc_id) AS max_id, SUM(doc_id) AS id_sum
+       MAX(doc_id) AS max_id, CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM h WHERE bucket < cut GROUP BY lang
 """
 
@@ -2042,7 +2043,7 @@ ent AS (
              AS em
   FROM tf JOIN tot USING (doc_id) GROUP BY 1
 )
-SELECT doc_id, n, n_types,
+SELECT doc_id, CAST(n AS BIGINT) AS n, n_types,
        round(em / 1e9, 6) AS entropy,
        round(n_types / CAST(n AS DOUBLE), 6) AS ttr
 FROM ent JOIN tot USING (doc_id)
@@ -2561,7 +2562,7 @@ spans AS (
   FROM ids GROUP BY 1, 2, 3
 )
 SELECT doc_id, n_tokens, count(*) AS n_spans,
-       sum(cov) AS dup_tokens,
+       CAST(sum(cov) AS BIGINT) AS dup_tokens,
        sum(cov) / CAST(n_tokens AS DOUBLE) AS dup_frac
 FROM spans GROUP BY doc_id, n_tokens
 """
@@ -2981,8 +2982,8 @@ spans AS (
   FROM s
 )
 SELECT bin, count(*) AS n_docs,
-       sum(least(en, (bin + 1) * 512) - greatest(st, bin * 512))
-           AS n_tokens,
+       CAST(sum(least(en, (bin + 1) * 512)
+                - greatest(st, bin * 512)) AS BIGINT) AS n_tokens,
        round(sum(least(en, (bin + 1) * 512)
                  - greatest(st, bin * 512)) / 512.0, 6) AS fill
 FROM spans GROUP BY bin

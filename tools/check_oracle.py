@@ -72,8 +72,25 @@ def main(sf_dir: str, only: set[str] | None = None):
         sc, dc = canon(sdf), canon(ddf)
         ok_rows = len(sc) == len(dc)
         ok_schema = list(sc.columns) == list(dc.columns)
-        ok_hash = ok_rows and ok_schema and value_hash(sc) == value_hash(dc)
-        status = "OK" if ok_hash else "MISMATCH"
+        # driver-strict: an int64 column on one side vs float64 on the
+        # other (DuckDB HUGEINT sums land as float64) formats
+        # differently once values exceed 9 significant digits — the
+        # exact class that flagged `cube` in round 3. Treat any
+        # int-vs-float kind divergence as a failure even when the
+        # values agree at the current SF.
+        ok_dtype = ok_schema and all(
+            pd.api.types.is_integer_dtype(sc[c])
+            == pd.api.types.is_integer_dtype(dc[c])
+            for c in sc.columns)
+        ok_hash = (ok_rows and ok_schema and ok_dtype
+                   and value_hash(sc) == value_hash(dc))
+        status = "OK" if ok_hash else (
+            "DTYPE-MISMATCH " + str([
+                (c, str(sc[c].dtype), str(dc[c].dtype))
+                for c in sc.columns
+                if pd.api.types.is_integer_dtype(sc[c])
+                != pd.api.types.is_integer_dtype(dc[c])])
+            if ok_rows and ok_schema and not ok_dtype else "MISMATCH")
         print(f"{name:20s} {status}  spark={len(sc)} duck={len(dc)} "
               f"cols={list(sc.columns) if not ok_schema else 'match'} "
               f"({time.time()-t0:.1f}s)")
