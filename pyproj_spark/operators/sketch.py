@@ -79,7 +79,7 @@ def hll_estimate(regs: DataFrame, group_col,
     est = F.when((raw <= F.lit(LC_THRESH)) & (zeros > 0),
                  F.lit(float(M)) * F.log(F.lit(float(M)) / zeros)) \
         .otherwise(raw)
-    return g.select(F.col(group_col),
+    return g.select(*[F.col(c) for c in gcols],
                     F.round(est, round_to).alias("hll_est"),
                     zeros.cast("long").alias("zeros"))
 

@@ -4571,3 +4571,251 @@ SELECT doc_id, seg_id, t, d2 FROM (
 
 
 QUERIES["snap_roads"] = (q_snap_roads, _snap_roads_sql())
+
+
+# ----------------------------------------------------- graph traversal
+
+_HOST_EDGES_SQL = """
+  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 13 + 5) % 97 AS dst
+  FROM documents
+  WHERE doc_id % 97 <> (doc_id * 13 + 5) % 97 AND doc_id % 97 < 90
+"""
+
+
+def _host_edges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    return (d.select((k % 97).alias("src"),
+                     ((k * 13 + 5) % 97).alias("dst"))
+            .filter((F.col("src") != F.col("dst"))
+                    & (F.col("src") < 90))
+            .distinct())
+
+
+def q_hop_distance(spark, sf_dir):
+    """Multi-source BFS hop distance from seed hosts {0, 7, 13} over
+    the deterministic 97-host link graph (operators/bfs.py) — the
+    TrustRank-style distance-from-whitelist crawl signal. Each round
+    shuffles only frontier x out-edges and anti-joins the distance
+    table, so rounds are diameter-bounded (<= 6 here); the oracle is
+    a DuckDB recursive CTE taking min(hop) per node."""
+    from pyproj_spark.operators.bfs import hop_distance
+    return hop_distance(_host_edges(spark, sf_dir),
+                        seeds=[0, 7, 13], max_hops=6)
+
+
+SQL_HOP_DISTANCE = f"""
+WITH RECURSIVE edges AS ({_HOST_EDGES_SQL}),
+walk(node, hop) AS (
+  SELECT CAST(s AS BIGINT) AS node, 0 AS hop
+  FROM (VALUES (0), (7), (13)) t(s)
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hop < 6
+)
+SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
+"""
+
+
+QUERIES["hop_distance"] = (q_hop_distance, SQL_HOP_DISTANCE)
+
+
+def q_label_prop(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 rounds,
+    neighbor-label mode with min-label tie-break) over the undirected
+    host graph — host-community detection for crawl sharding. The
+    min-tie-break makes LPA a pure function of the edge set, which is
+    what lets the oracle replay the identical unrolled rounds."""
+    from pyproj_spark.operators.bfs import label_propagation
+    return label_propagation(_host_edges(spark, sf_dir), rounds=3)
+
+
+def _label_prop_sql():
+    it = """
+c{o} AS (
+  SELECT u.a AS node, l.label, count(*) AS c
+  FROM und u JOIN l{i} l ON l.node = u.b GROUP BY 1, 2
+),
+l{o} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM c{o}) WHERE rn = 1
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(3))
+    return f"""
+WITH edges AS ({_HOST_EDGES_SQL}),
+und AS (
+  SELECT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges
+    UNION
+    SELECT dst AS a, src AS b FROM edges) q
+  WHERE a <> b
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+{its}
+SELECT node, label FROM l3
+"""
+
+
+QUERIES["label_prop"] = (q_label_prop, _label_prop_sql())
+
+
+# ------------------------------------------------ sketch tile pyramid
+
+def q_hll_pyramid(spark, sf_dir):
+    """Distinct-user tile pyramid: per-tile HLL registers at z=8 are
+    computed ONCE from the raw points, then merged up to z=6 and z=4
+    with element-wise register max — the mergeability property that
+    makes hierarchical distinct counting a single scan at 100 TB
+    (count(DISTINCT) per zoom would rescan and reshuffle raw values
+    per level). The oracle recomputes the identical md5 registers and
+    the same three-level merge."""
+    from pyproj_spark.operators.sketch import W, hll_estimate
+    from pyproj_spark.functions.tiles import tile_xy_from_lonlat
+    pts = _doc_points(spark, sf_dir)
+    tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), 8)
+    u = (F.col("doc_id") * 2654435761) % 4096
+    base = pts.select(tx.alias("tx"), ty.alias("ty"),
+                      u.cast("string").alias("u"))
+    v = F.conv(F.substring(F.md5(F.col("u")), 1, 15), 16, 10) \
+        .cast("long")
+    w = v.bitwiseAND(F.lit((1 << W) - 1))
+    rho = (F.when(w == 0, F.lit(W + 1))
+           .otherwise(F.lit(W + 1) - F.length(F.bin(w))))
+    regs8 = (base.select("tx", "ty",
+                         F.shiftright(v, W).alias("idx"),
+                         rho.alias("rho"))
+             .groupBy("tx", "ty", "idx")
+             .agg(F.max("rho").alias("mx")))
+
+    def up(regs, s):
+        return (regs.groupBy(F.shiftright(F.col("tx"), s).alias("tx"),
+                             F.shiftright(F.col("ty"), s).alias("ty"),
+                             "idx")
+                .agg(F.max("mx").alias("mx")))
+
+    outs = []
+    for z, regs in ((8, regs8), (6, up(regs8, 2)), (4, up(regs8, 4))):
+        outs.append(hll_estimate(regs, ["tx", "ty"])
+                    .withColumn("z", F.lit(z)))
+    r = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return r.select("z", "tx", "ty", "hll_est", "zeros")
+
+
+def _hll_pyramid_sql():
+    from pyproj_spark.operators.sketch import C_NUM, LC_THRESH, M, W
+    v = ("CAST(('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)) "
+         "AS BIGINT)")
+    w = f"({v} & {(1 << W) - 1})"
+    rho = (f"(CASE WHEN {w} = 0 THEN {W + 1} "
+           f"ELSE {W + 1} - length(bin({w})) END)")
+    raw = (f"{C_NUM!r} / (sp + ({M} - npres) "
+           f"* (1::BIGINT << {W + 1}))")
+
+    def est(regs, z):
+        return f"""
+  SELECT {z} AS z, tx, ty,
+         round(CASE WHEN {raw} <= {LC_THRESH!r} AND {M} - npres > 0
+               THEN {float(M)!r} * ln({float(M)!r} / ({M} - npres))
+               ELSE {raw} END, 4) AS hll_est,
+         CAST({M} - npres AS BIGINT) AS zeros
+  FROM (SELECT tx, ty,
+               sum(1::BIGINT << ({W + 1} - mx)) AS sp,
+               count(*) AS npres
+        FROM {regs} GROUP BY 1, 2) g{z}"""
+
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+base AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 256)
+                             AS BIGINT), 0), 255) AS tx,
+         least(greatest(CAST(floor((1.0 - ln(tan(pi()/4 +
+               radians(least(greatest(lat, -85.05112877980659),
+                             85.05112877980659)) / 2)) / pi())
+               / 2.0 * 256) AS BIGINT), 0), 255) AS ty,
+         (doc_id * 2654435761) % 4096 AS u
+  FROM pts
+),
+regs8 AS (
+  SELECT tx, ty, ({v} >> {W}) AS idx, max({rho}) AS mx
+  FROM base GROUP BY 1, 2, 3
+),
+regs6 AS (SELECT tx >> 2 AS tx, ty >> 2 AS ty, idx, max(mx) AS mx
+          FROM regs8 GROUP BY 1, 2, 3),
+regs4 AS (SELECT tx >> 4 AS tx, ty >> 4 AS ty, idx, max(mx) AS mx
+          FROM regs8 GROUP BY 1, 2, 3)
+{est('regs8', 8)}
+UNION ALL{est('regs6', 6)}
+UNION ALL{est('regs4', 4)}
+"""
+
+
+QUERIES["hll_pyramid"] = (q_hll_pyramid, _hll_pyramid_sql())
+
+
+# ------------------------------------------------- line rasterization
+
+def q_rasterize_lines(spark, sf_dir):
+    """Vector->raster polyline burn-in: deterministic segments in a
+    256x256 global pixel grid rasterize by dominant-axis DDA — one
+    native sequence() explode per segment, pixel coordinates from
+    floor(k*d/steps + 0.5) (pure IEEE double ops, so both engines
+    round identically) — then per-pixel coverage counts aggregate.
+    This is the line-drawing half of tile materialization (roads,
+    trajectories) next to the point-density rasters; within a segment
+    each k lands on a distinct dominant-axis column so no pixel is
+    double-counted. Output is bounded by the 64k pixel grid no matter
+    the corpus size; the oracle replays the DDA with
+    generate_series."""
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 17 == 0))
+    k = F.col("doc_id")
+    seg = d.select(((k * 37) % 256).alias("x0"),
+                   ((k * 59) % 256).alias("y0"),
+                   ((k * 83 + 41) % 256).alias("x1"),
+                   ((k * 101 + 7) % 256).alias("y1"))
+    steps = F.greatest(F.abs(F.col("x1") - F.col("x0")),
+                       F.abs(F.col("y1") - F.col("y0")))
+    seg = (seg.withColumn("steps", steps)
+           .withColumn("k", F.explode(
+               F.sequence(F.lit(0), F.col("steps")))))
+
+    def dda(a0, a1):
+        return F.when(F.col("steps") == 0, F.col(a0)).otherwise(
+            F.col(a0) + F.floor(
+                F.col("k") * (F.col(a1) - F.col(a0))
+                / F.col("steps") + F.lit(0.5)))
+
+    return (seg.select(dda("x0", "x1").alias("px"),
+                       dda("y0", "y1").alias("py"))
+            .groupBy("px", "py").agg(F.count(F.lit(1)).alias("n")))
+
+
+SQL_RASTERIZE_LINES = """
+WITH seg AS (
+  SELECT (doc_id * 37) % 256 AS x0, (doc_id * 59) % 256 AS y0,
+         (doc_id * 83 + 41) % 256 AS x1, (doc_id * 101 + 7) % 256 AS y1
+  FROM documents WHERE doc_id % 17 = 0
+),
+st AS (
+  SELECT x0, y0, x1, y1,
+         greatest(abs(x1 - x0), abs(y1 - y0)) AS steps
+  FROM seg
+),
+px AS (
+  SELECT CASE WHEN steps = 0 THEN x0
+         ELSE x0 + CAST(floor(k * (x1 - x0) / steps + 0.5) AS BIGINT)
+         END AS px,
+         CASE WHEN steps = 0 THEN y0
+         ELSE y0 + CAST(floor(k * (y1 - y0) / steps + 0.5) AS BIGINT)
+         END AS py
+  FROM st, unnest(generate_series(0, steps)) AS t(k)
+)
+SELECT px, py, count(*) AS n FROM px GROUP BY 1, 2
+"""
+
+
+QUERIES["rasterize_lines"] = (q_rasterize_lines, SQL_RASTERIZE_LINES)
