@@ -4819,3 +4819,188 @@ SELECT px, py, count(*) AS n FROM px GROUP BY 1, 2
 
 
 QUERIES["rasterize_lines"] = (q_rasterize_lines, SQL_RASTERIZE_LINES)
+
+
+# ------------------------------------------------ vector tile encode
+
+def q_vector_tile(spark, sf_dir):
+    """Mapbox-Vector-Tile-style point-layer encoding at z=8 /
+    extent 4096: per tile, features sort by id, coordinates quantize
+    to tile-local integers, and the geometry becomes the MVT command
+    stream — [MoveTo(count=1)=9, zigzag(dx), zigzag(dy)] per feature
+    with a running cursor (delta encoding). Everything is native
+    array HOFs (one collect_list per tile + transform/flatten); the
+    output row is the tile's feature count, command-int count, and
+    the md5 of the comma-joined stream — a content-addressable tile
+    payload. The oracle rebuilds the identical stream with DuckDB
+    ordered list aggregation. Per-tile payloads are the natural unit
+    of parallelism at 100 TB (groupBy tile, no cross-tile state)."""
+    pts = _doc_points(spark, sf_dir)
+    wx = (F.col("lon") + 180.0) / 360.0 * 256.0
+    lat_c = F.greatest(F.least(F.col("lat"), F.lit(85.05112877980659)),
+                       F.lit(-85.05112877980659))
+    import math as _m
+    wy = ((1.0 - F.log(F.tan(_m.pi / 4
+                             + F.radians(lat_c) / 2)) / _m.pi)
+          / 2.0 * 256.0)
+    tx = F.least(F.greatest(F.floor(wx), F.lit(0)),
+                 F.lit(255)).cast("long")
+    ty = F.least(F.greatest(F.floor(wy), F.lit(0)),
+                 F.lit(255)).cast("long")
+    px = F.least(F.floor((wx - tx) * 4096), F.lit(4095)).cast("long")
+    py = F.least(F.floor((wy - ty) * 4096), F.lit(4095)).cast("long")
+    feat = pts.select(tx.alias("tx"), ty.alias("ty"),
+                      F.col("doc_id"), px.alias("px"), py.alias("py"))
+    g = (feat.groupBy("tx", "ty")
+         .agg(F.sort_array(F.collect_list(
+             F.struct("doc_id", "px", "py"))).alias("fs")))
+    xs = F.transform(F.col("fs"), lambda s: s["px"])
+    ys = F.transform(F.col("fs"), lambda s: s["py"])
+    g = g.withColumn("xs", xs).withColumn("ys", ys)
+
+    def zig(d):
+        return F.when(d >= 0, d * 2).otherwise(-d * 2 - 1)
+
+    def deltas(col):
+        return F.transform(
+            F.col(col),
+            lambda x, i: zig(x - F.when(i == 0, F.lit(0)).otherwise(
+                F.element_at(F.col(col), i))))
+
+    cmds = F.flatten(F.zip_with(
+        deltas("xs"), deltas("ys"),
+        lambda zx, zy: F.array(F.lit(9), zx, zy)))
+    return (g.select("tx", "ty",
+                     F.size("fs").alias("n_feat"),
+                     F.size(cmds).alias("n_ints"),
+                     F.md5(F.concat_ws(",", cmds)).alias("cmd_md5")))
+
+
+SQL_VECTOR_TILE = f"""
+WITH pts AS ({_PTS_SQL}),
+w AS (
+  SELECT doc_id,
+         (lon + 180.0) / 360.0 * 256.0 AS wx,
+         (1.0 - ln(tan(pi()/4 + radians(least(greatest(lat,
+              -85.05112877980659), 85.05112877980659)) / 2)) / pi())
+             / 2.0 * 256.0 AS wy
+  FROM pts
+),
+q AS (
+  SELECT doc_id,
+         least(greatest(CAST(floor(wx) AS BIGINT), 0), 255) AS tx,
+         least(greatest(CAST(floor(wy) AS BIGINT), 0), 255) AS ty,
+         least(CAST(floor((wx - least(greatest(CAST(floor(wx) AS
+             BIGINT), 0), 255)) * 4096) AS BIGINT), 4095) AS px,
+         least(CAST(floor((wy - least(greatest(CAST(floor(wy) AS
+             BIGINT), 0), 255)) * 4096) AS BIGINT), 4095) AS py
+  FROM w
+),
+g AS (
+  SELECT tx, ty,
+         list(px ORDER BY doc_id) AS xs,
+         list(py ORDER BY doc_id) AS ys
+  FROM q GROUP BY 1, 2
+),
+d AS (
+  SELECT tx, ty, len(xs) AS n_feat,
+         flatten(list_transform(generate_series(1, len(xs)), i ->
+           [CAST(9 AS BIGINT),
+            CASE WHEN xs[i] - (CASE WHEN i = 1 THEN 0
+                               ELSE xs[i-1] END) >= 0
+                 THEN 2 * (xs[i] - (CASE WHEN i = 1 THEN 0
+                                    ELSE xs[i-1] END))
+                 ELSE -2 * (xs[i] - (CASE WHEN i = 1 THEN 0
+                                     ELSE xs[i-1] END)) - 1 END,
+            CASE WHEN ys[i] - (CASE WHEN i = 1 THEN 0
+                               ELSE ys[i-1] END) >= 0
+                 THEN 2 * (ys[i] - (CASE WHEN i = 1 THEN 0
+                                    ELSE ys[i-1] END))
+                 ELSE -2 * (ys[i] - (CASE WHEN i = 1 THEN 0
+                                     ELSE ys[i-1] END)) - 1 END]))
+             AS cmds
+  FROM g
+)
+SELECT tx, ty, CAST(n_feat AS INT) AS n_feat,
+       CAST(len(cmds) AS INT) AS n_ints,
+       md5(array_to_string(cmds, ',')) AS cmd_md5
+FROM d
+"""
+
+
+QUERIES["vector_tile"] = (q_vector_tile, SQL_VECTOR_TILE)
+
+
+# ------------------------------------------------ geofence episodes
+
+def q_geofence(spark, sf_dir):
+    """Geofence entry/exit detection: per-user event trajectories
+    (deterministic positions keyed by event_id, ordered by ts) are
+    tested against zone 1 with the unrolled even-odd crossing
+    expressions, then lag(inside) finds the transitions — the
+    enter/exit event stream a location-alerting pipeline emits.
+    One window over (user, ts); the exact test is pure Catalyst; the
+    oracle replays the identical crossing sum + lag in SQL."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 20 == 0))
+    lon = (F.col("event_id") * 31 % 70000) / 1000.0 - 15.0
+    lat = (F.col("event_id") * 57 % 45000) / 1000.0 + 25.0
+    ring = PIP_ZONES[1]
+    k = len(ring)
+    tot = F.lit(0)
+    for i in range(k):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % k]
+        cond = (((F.lit(float(y1)) > lat) != (F.lit(float(y2)) > lat))
+                & (lon < F.lit(float(x1))
+                   + (lat - F.lit(float(y1)))
+                   * F.lit(float(x2 - x1)) / F.lit(float(y2 - y1))))
+        tot = tot + F.when(cond, 1).otherwise(0)
+    d = (ev.select("user_id", "ts", "event_id",
+                   (tot % 2 == 1).cast("int").alias("inside")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = d.withColumn("prev", F.lag("inside").over(w))
+    return (d.filter(F.col("prev").isNotNull()
+                     & (F.col("prev") != F.col("inside")))
+            .select("user_id", "event_id",
+                    F.when(F.col("inside") == 1, F.lit("enter"))
+                    .otherwise(F.lit("exit")).alias("transition")))
+
+
+def _geofence_sql():
+    ring = PIP_ZONES[1]
+    k = len(ring)
+    terms = []
+    for i in range(k):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % k]
+        terms.append(
+            f"(CASE WHEN (({y1!r} > lat) != ({y2!r} > lat)) AND "
+            f"lon < {x1!r} + (lat - {y1!r}) * {float(x2 - x1)!r} "
+            f"/ {float(y2 - y1)!r} THEN 1 ELSE 0 END)")
+    s = " + ".join(terms)
+    return f"""
+WITH pos AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 31 % 70000) / 1000.0 - 15.0 AS lon,
+         (event_id * 57 % 45000) / 1000.0 + 25.0 AS lat
+  FROM events WHERE user_id % 20 = 0
+),
+flags AS (
+  SELECT user_id, ts, event_id,
+         CAST(({s}) % 2 = 1 AS INT) AS inside
+  FROM pos
+),
+lagged AS (
+  SELECT user_id, event_id, inside,
+         lag(inside) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+  FROM flags
+)
+SELECT user_id, event_id,
+       CASE WHEN inside = 1 THEN 'enter' ELSE 'exit' END AS transition
+FROM lagged WHERE prev IS NOT NULL AND prev <> inside
+"""
+
+
+QUERIES["geofence"] = (q_geofence, _geofence_sql())
