@@ -89,3 +89,30 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
                .select("node", (-F.col("m.nl")).alias("label")))
         lab = lab.localCheckpoint(eager=False)
     return lab
+
+
+def shortest_paths(edges: DataFrame, seeds, rounds: int = 6,
+                   src: str = "src", dst: str = "dst",
+                   weight: str = "w") -> DataFrame:
+    """Bellman-Ford style single/multi-source shortest paths over
+    integer-weighted directed edges: ``rounds`` synchronous relaxation
+    passes, each one join + one min-agg. After k rounds the distances
+    are exact for every node whose shortest path uses <= k edges —
+    the bounded-hop contract that makes the loop SQL-replayable and
+    keeps the 100-TB cost at k scans of the edge set (no
+    data-dependent convergence check in the hot path). Integer
+    weights keep every distance an exact long."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "node long, d long")
+    e = edges.select(F.col(src).alias("node"),
+                     F.col(dst).alias("nbr"),
+                     F.col(weight).alias("w"))
+    for _ in range(rounds):
+        relax = (dist.join(e, "node")
+                 .select(F.col("nbr").alias("node"),
+                         (F.col("d") + F.col("w")).alias("d")))
+        dist = (dist.union(relax)
+                .groupBy("node").agg(F.min("d").alias("d"))
+                .localCheckpoint(eager=False))
+    return dist

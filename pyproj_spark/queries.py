@@ -5004,3 +5004,282 @@ FROM lagged WHERE prev IS NOT NULL AND prev <> inside
 
 
 QUERIES["geofence"] = (q_geofence, _geofence_sql())
+
+
+def q_shortest_path(spark, sf_dir):
+    """Weighted shortest paths from host 0 over the link graph with
+    deterministic integer edge weights (Bellman-Ford, 6 relaxation
+    rounds — operators/bfs.py::shortest_paths). Exact for all paths
+    of <= 6 edges, which is the full reachable set here (hop_distance
+    proves diameter <= 6 from the seeds); the oracle unrolls the
+    identical rounds."""
+    from pyproj_spark.operators.bfs import shortest_paths
+    e = _host_edges(spark, sf_dir).withColumn(
+        "w", (F.col("src") * 7 + F.col("dst") * 11) % 20 + 1)
+    return shortest_paths(e, seeds=[0], rounds=6)
+
+
+def _shortest_path_sql():
+    it = """
+r{o} AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM r{i}
+    UNION ALL
+    SELECT e.dst AS node, r.d + e.w AS d
+    FROM r{i} r JOIN edges e ON e.src = r.node) q
+  GROUP BY node
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(6))
+    return f"""
+WITH base AS ({_HOST_EDGES_SQL}),
+edges AS (SELECT src, dst, (src * 7 + dst * 11) % 20 + 1 AS w
+          FROM base),
+r0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+{its}
+SELECT node, d FROM r6
+"""
+
+
+QUERIES["shortest_path"] = (q_shortest_path, _shortest_path_sql())
+
+
+# ------------------------------------------------ per-cell EWMA
+
+def q_cell_ewma(spark, sf_dir):
+    """Per-tile daily-count smoothing: event positions tile at z=6,
+    counts bucket by day, gaps fill with explicit zeros against a
+    per-corpus day spine (a decayed trend must see silence, not skip
+    it), and an EWMA (alpha=0.3) folds over the gap-filled series.
+    The fold is seeded with the first day's count and applied
+    left-to-right — the exact operation order DuckDB's list_reduce
+    uses, so the doubles match bit-for-bit. One narrow agg + one
+    bounded spine join + one collect per tile."""
+    ev = _t(spark, sf_dir, "events")
+    lon = (F.col("event_id") * 31 % 70000) / 1000.0 - 15.0
+    lat = (F.col("event_id") * 57 % 45000) / 1000.0 + 25.0
+    tx = F.floor((lon + 180.0) / 360.0 * 64).cast("long")
+    merc = F.log(F.tan(math.pi / 4 + F.radians(lat) / 2))
+    ty = F.floor((1.0 - merc / math.pi) / 2.0 * 64).cast("long")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    cnt = (ev.select(tx.alias("tx"), ty.alias("ty"), day.alias("d"))
+           .groupBy("tx", "ty", "d")
+           .agg(F.count(F.lit(1)).alias("n")))
+    bounds = cnt.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = (cnt.select("tx", "ty").distinct().crossJoin(bounds)
+             .select("tx", "ty", F.explode(
+                 F.sequence(F.col("d0"), F.col("d1"))).alias("d")))
+    filled = (spine.join(cnt, ["tx", "ty", "d"], "left")
+              .fillna(0, subset=["n"]))
+    g = (filled.groupBy("tx", "ty")
+         .agg(F.sort_array(F.collect_list(F.struct("d", "n")))
+              .alias("s")))
+    xs = F.transform(F.col("s"), lambda r: r["n"].cast("double"))
+    g = g.withColumn("xs", xs)
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: acc * 0.7 + x * 0.3)
+    return (g.select("tx", "ty",
+                     F.size("xs").alias("n_days"),
+                     F.element_at(F.col("xs"), -1).cast("long")
+                     .alias("last_n"),
+                     F.round(ewma, 6).alias("ewma")))
+
+
+SQL_CELL_EWMA = """
+WITH pos AS (
+  SELECT CAST(floor((((event_id * 31 % 70000) / 1000.0 - 15.0)
+              + 180.0) / 360.0 * 64) AS BIGINT) AS tx,
+         CAST(floor((1.0 - ln(tan(pi()/4 + radians(
+              (event_id * 57 % 45000) / 1000.0 + 25.0) / 2)) / pi())
+              / 2.0 * 64) AS BIGINT) AS ty,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events
+),
+cnt AS (SELECT tx, ty, d, count(*) AS n FROM pos GROUP BY 1, 2, 3),
+bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM cnt),
+spine AS (
+  SELECT DISTINCT tx, ty, s.day AS d
+  FROM cnt, bounds,
+       unnest(generate_series(bounds.d0, bounds.d1)) AS s(day)
+),
+filled AS (
+  SELECT s.tx, s.ty, s.d, coalesce(c.n, 0) AS n
+  FROM spine s LEFT JOIN cnt c USING (tx, ty, d)
+),
+g AS (
+  SELECT tx, ty,
+         list(CAST(n AS DOUBLE) ORDER BY d) AS xs
+  FROM filled GROUP BY 1, 2
+)
+SELECT tx, ty, CAST(len(xs) AS INT) AS n_days,
+       CAST(xs[-1] AS BIGINT) AS last_n,
+       round(list_reduce(xs, (acc, x) -> acc * 0.7 + x * 0.3), 6)
+           AS ewma
+FROM g
+"""
+
+
+QUERIES["cell_ewma"] = (q_cell_ewma, SQL_CELL_EWMA)
+
+
+# ------------------------------------------------ trajectory distance
+
+def q_hausdorff(spark, sf_dir):
+    """Trajectory similarity: symmetric Hausdorff distance (squared
+    degrees) between consecutive sampled users' paths. Each user's
+    first 8 positions (ordered by ts) collect into an array; the
+    directed distances are two nested array HOFs (max over a of min
+    over b) — no point-level join, so the shuffle moves one row per
+    trajectory, not one per point pair. Multiplies and adds only, so
+    the doubles are bit-identical cross-engine."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 10 == 0))
+    lon = (F.col("event_id") * 31 % 70000) / 1000.0 - 15.0
+    lat = (F.col("event_id") * 57 % 45000) / 1000.0 + 25.0
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (ev.select("user_id", "ts", "event_id",
+                     lon.alias("lon"), lat.alias("lat"))
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 8))
+    traj = (pts.groupBy("user_id")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("rn", "lon", "lat"))).alias("p")))
+    a = traj.select(F.col("user_id").alias("ua"), F.col("p").alias("pa"))
+    b = traj.select(F.col("user_id").alias("ub"), F.col("p").alias("pb"))
+    pair = a.join(b, a["ua"] + 10 == b["ub"])
+
+    def directed(pa, pb):
+        return F.array_max(F.transform(
+            F.col(pa), lambda s: F.array_min(F.transform(
+                F.col(pb),
+                lambda t: (s["lon"] - t["lon"]) * (s["lon"] - t["lon"])
+                + (s["lat"] - t["lat"]) * (s["lat"] - t["lat"])))))
+
+    hab, hba = directed("pa", "pb"), directed("pb", "pa")
+    return pair.select("ua", "ub", hab.alias("h_ab"),
+                       hba.alias("h_ba"),
+                       F.greatest(hab, hba).alias("h"))
+
+
+SQL_HAUSDORFF = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 31 % 70000) / 1000.0 - 15.0 AS lon,
+         (event_id * 57 % 45000) / 1000.0 + 25.0 AS lat,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % 10 = 0
+),
+traj AS (
+  SELECT user_id,
+         list(struct_pack(lon := lon, lat := lat) ORDER BY rn) AS p
+  FROM pts WHERE rn <= 8 GROUP BY 1
+),
+pair AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, a.p AS pa, b.p AS pb
+  FROM traj a JOIN traj b ON a.user_id + 10 = b.user_id
+)
+SELECT ua, ub,
+       list_max(list_transform(pa, s -> list_min(list_transform(pb,
+         t -> (s.lon - t.lon) * (s.lon - t.lon)
+            + (s.lat - t.lat) * (s.lat - t.lat))))) AS h_ab,
+       list_max(list_transform(pb, s -> list_min(list_transform(pa,
+         t -> (s.lon - t.lon) * (s.lon - t.lon)
+            + (s.lat - t.lat) * (s.lat - t.lat))))) AS h_ba,
+       greatest(
+         list_max(list_transform(pa, s -> list_min(list_transform(pb,
+           t -> (s.lon - t.lon) * (s.lon - t.lon)
+              + (s.lat - t.lat) * (s.lat - t.lat))))),
+         list_max(list_transform(pb, s -> list_min(list_transform(pa,
+           t -> (s.lon - t.lon) * (s.lon - t.lon)
+              + (s.lat - t.lat) * (s.lat - t.lat)))))) AS h
+FROM pair
+"""
+
+
+QUERIES["hausdorff"] = (q_hausdorff, SQL_HAUSDORFF)
+
+
+# ------------------------------------------------ marching squares
+
+def q_contours(spark, sf_dir):
+    """Iso-density contour extraction (marching squares) from the
+    point raster: cell occupancy (>= 1 point) on a 64x64 global
+    grid, then each occupied CORNER scatters its bit weight
+    (1/2/4/8) to the four surrounding case cells — one explode + one
+    sum, NO shifted self-joins — and the per-cell 4-bit case index
+    classifies the contour topology. Output: per case id, the cell
+    count and total emitted segments (saddles 5/10 emit 2; full/empty
+    emit 0). The scatter-gather shape is one shuffle regardless of
+    raster size; the oracle replays the identical scatter with
+    unnest."""
+    pts = _doc_points(spark, sf_dir)
+    gx = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 64)
+                 .cast("long"), F.lit(63))
+    lat_c = F.greatest(F.least(F.col("lat"),
+                               F.lit(85.05112877980659)),
+                       F.lit(-85.05112877980659))
+    merc = F.log(F.tan(math.pi / 4 + F.radians(lat_c) / 2))
+    gy = F.least(F.floor((1.0 - merc / math.pi) / 2.0 * 64)
+                 .cast("long"), F.lit(63))
+    occ = (pts.select(gx.alias("gx"), gy.alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") >= 1))
+
+    def corner(dx, dy, w):
+        return F.struct((F.col("gx") + dx).alias("cx"),
+                        (F.col("gy") + dy).alias("cy"),
+                        F.lit(w).alias("w"))
+
+    cases = (occ.select(F.explode(F.array(
+                corner(0, 0, 1), corner(-1, 0, 2),
+                corner(-1, -1, 4), corner(0, -1, 8))).alias("c"))
+             .select("c.*")
+             .filter((F.col("cx") >= 0) & (F.col("cx") <= 62)
+                     & (F.col("cy") >= 0) & (F.col("cy") <= 62))
+             .groupBy("cx", "cy")
+             .agg(F.sum("w").cast("int").alias("cs")))
+    segs = (F.when(F.col("cs").isin(0, 15), 0)
+            .when(F.col("cs").isin(5, 10), 2).otherwise(1))
+    return (cases.groupBy("cs")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum(segs).cast("long").alias("n_segments")))
+
+
+SQL_CONTOURS = f"""
+WITH pts AS ({_PTS_SQL}),
+occ AS (
+  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT),
+               63) AS gx,
+         least(CAST(floor((1.0 - ln(tan(pi()/4 + radians(
+               least(greatest(lat, -85.05112877980659),
+                     85.05112877980659)) / 2)) / pi())
+               / 2.0 * 64) AS BIGINT), 63) AS gy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+sc AS (
+  SELECT u.c.cx AS cx, u.c.cy AS cy, u.c.w AS w
+  FROM (SELECT gx, gy FROM occ WHERE n >= 1) o,
+       unnest([struct_pack(cx := o.gx,     cy := o.gy,     w := 1),
+               struct_pack(cx := o.gx - 1, cy := o.gy,     w := 2),
+               struct_pack(cx := o.gx - 1, cy := o.gy - 1, w := 4),
+               struct_pack(cx := o.gx,     cy := o.gy - 1, w := 8)])
+           AS u(c)
+),
+cases AS (
+  SELECT cx, cy, CAST(sum(w) AS INT) AS cs
+  FROM sc
+  WHERE cx BETWEEN 0 AND 62 AND cy BETWEEN 0 AND 62
+  GROUP BY 1, 2
+)
+SELECT cs, count(*) AS n_cells,
+       CAST(sum(CASE WHEN cs IN (0, 15) THEN 0
+                     WHEN cs IN (5, 10) THEN 2 ELSE 1 END)
+            AS BIGINT) AS n_segments
+FROM cases GROUP BY cs
+"""
+
+
+QUERIES["contours"] = (q_contours, SQL_CONTOURS)

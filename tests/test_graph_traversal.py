@@ -91,3 +91,24 @@ def test_hll_register_merge_equals_direct_grouping(spark):
               .groupBy("g", "idx").agg(F.max("mx").alias("mx")))
     assert sorted(map(tuple, direct.collect())) == \
         sorted(map(tuple, merged.collect()))
+
+
+def test_bellman_ford_prefers_cheap_long_path(spark):
+    from pyproj_spark.operators.bfs import shortest_paths
+    # direct 0->3 costs 10; 0->1->2->3 costs 3
+    e = spark.createDataFrame(
+        [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)],
+        "src long, dst long, w long")
+    got = {r["node"]: r["d"]
+           for r in shortest_paths(e, seeds=[0], rounds=6).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bellman_ford_bounded_rounds_contract(spark):
+    from pyproj_spark.operators.bfs import shortest_paths
+    # chain of 5 edges: with rounds=3 only the first 3 hops are final
+    e = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(5)], "src long, dst long, w long")
+    got = {r["node"]: r["d"]
+           for r in shortest_paths(e, seeds=[0], rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # nodes 4,5 not yet reached

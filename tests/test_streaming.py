@@ -229,3 +229,111 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
             (r.session_end, r.n_events, r.sum_value)
     # append emits only watermark-closed sessions: subset expected
     assert len(got) <= len(ref)
+
+
+def test_streaming_geofence_matches_batch(spark, tmp_path):
+    """Stateful geofence transitions: multi-micro-batch stream output
+    must equal the batch lag-window reference row for row."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyproj_spark.streaming.geofence import (inside_ring,
+                                                 streaming_geofence)
+    ring = [(0.0, 30.0), (40.0, 32.0), (50.0, 60.0), (10.0, 65.0),
+            (-10.0, 50.0)]
+    d = str(tmp_path / "ev_stream")
+    ev = spark.range(0, 900).select(
+        (F.col("id") % 30).alias("user_id"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 7).alias("ts"),
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 31 % 70000) / 1000.0 - 15.0).alias("lon"),
+        ((F.col("id") * 57 % 45000) / 1000.0 + 25.0).alias("lat"))
+    for k in range(3):
+        (ev.filter(F.col("event_id") % 3 == k).coalesce(1)
+         .write.mode("append").parquet(d))
+        _time.sleep(1.1)
+    batch = spark.read.parquet(d)
+
+    # batch reference: same flags, lag window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flags = batch.select("user_id", "ts", "event_id",
+                         inside_ring(F.col("lon"), F.col("lat"),
+                                     ring).alias("inside"))
+    ref = (flags.withColumn("prev", F.lag("inside").over(w))
+           .filter(F.col("prev").isNotNull()
+                   & (F.col("prev") != F.col("inside")))
+           .select("user_id", "event_id",
+                   F.when(F.col("inside") == 1, F.lit("enter"))
+                   .otherwise(F.lit("exit")).alias("transition")))
+    # NOTE: the stream processes files by mtime, and event_id % 3
+    # interleaves event TIME across files — so per-user in-batch order
+    # is NOT global order. Use maxFilesPerTrigger=3 (one batch) for
+    # exact parity, then a second run with per-file batches over
+    # time-ordered chunks.
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 3).parquet(d))
+    q = (streaming_geofence(stream, ring)
+         .writeStream.format("memory").queryName("gf_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from gf_stream").toPandas()
+    exp = ref.toPandas()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        sorted(map(tuple, exp.itertuples(index=False)))
+    assert len(exp) > 0
+
+
+def test_streaming_geofence_state_carries_across_batches(spark,
+                                                         tmp_path):
+    """Time-ordered chunks, one file per micro-batch: the inside flag
+    must survive in the state store between batches."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyproj_spark.streaming.geofence import (inside_ring,
+                                                 streaming_geofence)
+    ring = [(0.0, 30.0), (40.0, 32.0), (50.0, 60.0), (10.0, 65.0),
+            (-10.0, 50.0)]
+    d = str(tmp_path / "ev_stream2")
+    ev = spark.range(0, 600).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 7).alias("ts"),
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 997 % 70000) / 1000.0 - 15.0).alias("lon"),
+        ((F.col("id") * 1571 % 45000) / 1000.0 + 25.0).alias("lat"))
+    for k in range(3):  # contiguous event-time chunks, ordered mtimes
+        (ev.filter((F.col("event_id") >= k * 200)
+                   & (F.col("event_id") < (k + 1) * 200)).coalesce(1)
+         .write.mode("append").parquet(d))
+        _time.sleep(1.1)
+    batch = spark.read.parquet(d)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flags = batch.select("user_id", "ts", "event_id",
+                         inside_ring(F.col("lon"), F.col("lat"),
+                                     ring).alias("inside"))
+    ref = (flags.withColumn("prev", F.lag("inside").over(w))
+           .filter(F.col("prev").isNotNull()
+                   & (F.col("prev") != F.col("inside")))
+           .select("user_id", "event_id",
+                   F.when(F.col("inside") == 1, F.lit("enter"))
+                   .otherwise(F.lit("exit")).alias("transition")))
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (streaming_geofence(stream, ring)
+         .writeStream.format("memory").queryName("gf_stream2")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("select * from gf_stream2").toPandas()
+    exp = ref.toPandas()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        sorted(map(tuple, exp.itertuples(index=False)))
+    # fast-wrapping positions flip each user's flag many times, so
+    # transitions land in every chunk and the state store is the only
+    # way the first event of a chunk can see the previous flag
+    assert len(exp) > 50
