@@ -260,3 +260,53 @@ def test_s2_bbox_prefilter_is_join_not_lambda(spark):
     assert "BroadcastNestedLoopJoin" in plan  # range table, ~6 rows
     assert "exists(" not in plan.lower().replace("filterexec", "")
     assert plan.count("aggregate(") <= 4
+
+
+def test_vector_tile_is_udf_free_single_shuffle(spark):
+    """MVT command streams must stay native (array HOFs) with exactly
+    one hash exchange — the per-tile groupBy."""
+    from pyproj_spark.queries import q_vector_tile
+    plan = _plan(q_vector_tile(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hll_pyramid_merges_registers_not_values(spark):
+    """Pyramid levels above z8 must re-aggregate the REGISTER table;
+    the raw value column shuffles at most once (into the z8 regs)."""
+    from pyproj_spark.queries import q_hll_pyramid
+    plan = _plan(q_hll_pyramid(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every exchange keys on tile coords — never on the user value
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "u#" not in line
+
+
+def test_rasterize_and_contours_native(spark):
+    from pyproj_spark.queries import q_contours, q_rasterize_lines
+    for q in (q_rasterize_lines, q_contours):
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_traversal_rounds_have_no_cartesian(spark):
+    """BFS / LPA / Bellman-Ford rounds must stay equi-joins."""
+    from pyproj_spark.queries import (q_hop_distance, q_label_prop,
+                                      q_shortest_path)
+    for q in (q_hop_distance, q_label_prop, q_shortest_path):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hausdorff_joins_trajectories_not_points(spark):
+    """The pair join key is user id arithmetic — a hash equi-join over
+    one row per trajectory; a point-level join (or theta join) here
+    is the quadratic blowup the operator exists to avoid."""
+    from pyproj_spark.queries import q_hausdorff
+    plan = _plan(q_hausdorff(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
