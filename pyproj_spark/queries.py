@@ -5283,3 +5283,87 @@ FROM cases GROUP BY cs
 
 
 QUERIES["contours"] = (q_contours, SQL_CONTOURS)
+
+
+# ------------------------------------------------ segment-zone clip
+
+def q_clip_length(spark, sf_dir):
+    """Road-length-in-zone: deterministic segments clip against the
+    convex zone-1 pentagon with the Cyrus-Beck parametric test — per
+    polygon edge, one entering/leaving bound on t from two dot
+    products; t0 = max of entries, t1 = min of exits; the clipped
+    planar length is (t1-t0)*|d|. Fully closed-form (no iteration,
+    no UDF), embarrassingly parallel — the operator a
+    trajectory-exposure or road-coverage rollup runs per zone at
+    100 TB. The oracle unrolls the identical edge bounds."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    x0 = (k * 7919 % 80000) / 1000.0 - 20.0
+    y0 = (k * 104729 % 45000) / 1000.0 + 25.0
+    dx = (k * 4073 % 30000) / 1000.0 - 15.0
+    dy = (k * 2741 % 20000) / 1000.0 - 10.0
+    ring = PIP_ZONES[1]
+    n = len(ring)
+    t_los, t_his, empties = [], [], []
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        # CCW edge (a->b); inward normal (-(by-ay), bx-ax)
+        nx, ny = -(by - ay), (bx - ax)
+        r = F.lit(float(nx)) * dx + F.lit(float(ny)) * dy
+        s = (F.lit(float(nx)) * (x0 - F.lit(float(ax)))
+             + F.lit(float(ny)) * (y0 - F.lit(float(ay))))
+        t_los.append(F.when(r > 0, -s / r).otherwise(F.lit(0.0)))
+        t_his.append(F.when(r < 0, -s / r).otherwise(F.lit(1.0)))
+        empties.append((r == 0) & (s < 0))
+    t0 = F.greatest(F.lit(0.0), *t_los)
+    t1 = F.least(F.lit(1.0), *t_his)
+    empty = empties[0]
+    for e in empties[1:]:
+        empty = empty | e
+    seg_len = F.sqrt(dx * dx + dy * dy)
+    out = d.select(k.alias("doc_id"), t0.alias("t0"), t1.alias("t1"),
+                   (~empty).alias("ok"), seg_len.alias("sl"))
+    return (out.filter(F.col("ok") & (F.col("t1") > F.col("t0")))
+            .select("doc_id", "t0", "t1",
+                    ((F.col("t1") - F.col("t0")) * F.col("sl"))
+                    .alias("clip_len")))
+
+
+def _clip_length_sql():
+    ring = PIP_ZONES[1]
+    n = len(ring)
+    tlo, thi, emp = [], [], []
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        nx, ny = -(by - ay), (bx - ax)
+        r = f"({float(nx)!r} * dx + {float(ny)!r} * dy)"
+        s = (f"({float(nx)!r} * (x0 - {float(ax)!r}) "
+             f"+ {float(ny)!r} * (y0 - {float(ay)!r}))")
+        tlo.append(f"CASE WHEN {r} > 0 THEN -{s} / {r} ELSE 0.0 END")
+        thi.append(f"CASE WHEN {r} < 0 THEN -{s} / {r} ELSE 1.0 END")
+        emp.append(f"({r} = 0 AND {s} < 0)")
+    return f"""
+WITH seg AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 80000) / 1000.0 - 20.0 AS x0,
+         (doc_id * 104729 % 45000) / 1000.0 + 25.0 AS y0,
+         (doc_id * 4073 % 30000) / 1000.0 - 15.0 AS dx,
+         (doc_id * 2741 % 20000) / 1000.0 - 10.0 AS dy
+  FROM documents
+),
+cb AS (
+  SELECT doc_id,
+         greatest(0.0, {', '.join(tlo)}) AS t0,
+         least(1.0, {', '.join(thi)}) AS t1,
+         NOT ({' OR '.join(emp)}) AS ok,
+         sqrt(dx * dx + dy * dy) AS sl
+  FROM seg
+)
+SELECT doc_id, t0, t1, (t1 - t0) * sl AS clip_len
+FROM cb WHERE ok AND t1 > t0
+"""
+
+
+QUERIES["clip_length"] = (q_clip_length, _clip_length_sql())

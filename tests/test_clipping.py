@@ -176,3 +176,36 @@ def test_spark_intersection_area2_matches_numpy(spark):
            .select((intersection_area2(F.col("s2"), F.col("clip")) / 2)
                    .alias("a"))).first()["a"]
     assert got == pytest.approx(fan_area(L, CONC), abs=1e-12)
+
+
+def test_cyrus_beck_clip_matches_shapely_free_brute_force(spark):
+    """q_clip_length vs an independent dense-sampling estimate: the
+    parametric interval [t0, t1] must bracket exactly the inside
+    samples (up to grid resolution)."""
+    from pyproj_spark.queries import PIP_ZONES, q_clip_length
+    ring = PIP_ZONES[1]
+
+    def inside(x, y):
+        c = False
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if ((y1 > y) != (y2 > y)) and \
+                    x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                c = not c
+        return c
+
+    rows = q_clip_length(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 10
+    for r in rows[:40]:
+        k = r["doc_id"]
+        x0 = (k * 7919 % 80000) / 1000.0 - 20.0
+        y0 = (k * 104729 % 45000) / 1000.0 + 25.0
+        dx = (k * 4073 % 30000) / 1000.0 - 15.0
+        dy = (k * 2741 % 20000) / 1000.0 - 10.0
+        ts = [i / 2000.0 for i in range(2001)]
+        ins = [t for t in ts if inside(x0 + t * dx, y0 + t * dy)]
+        assert ins, f"doc {k}: no inside samples but clip emitted"
+        assert abs(min(ins) - r["t0"]) < 2e-3
+        assert abs(max(ins) - r["t1"]) < 2e-3
