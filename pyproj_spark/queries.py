@@ -5367,3 +5367,92 @@ FROM cb WHERE ok AND t1 > t0
 
 
 QUERIES["clip_length"] = (q_clip_length, _clip_length_sql())
+
+
+# ------------------------------------------------ scanline zone fill
+
+def q_zone_fill(spark, sf_dir):
+    """Polygon rasterization by scanline fill: each zone crosses every
+    pixel row of a 256x128 equirectangular grid with exactly two edge
+    intersections (convex rings), and the row's filled pixels are the
+    centers between them — emitted as compact (row, px_lo, px_hi)
+    INTERVALS, the run-length form a tile server burns to bitmaps.
+    Closed-form per (zone, row): no point explosion, no join; at
+    100 TB this is a driver-side-literal x 128-row spine, O(zones)
+    work. Completes the raster family: points (raster_pyramid), lines
+    (rasterize_lines), polygons (here), and back (contours). The
+    oracle replays the identical crossings per row. sf_dir is unused
+    (pure geometry) but kept for the driver contract."""
+    wx = 360.0 / 256
+    hy = 170.0 / 128
+    outs = []
+    for zid, ring in PIP_ZONES.items():
+        spine = spark.range(0, 128).select(
+            F.col("id").cast("long").alias("py"))
+        yc = F.lit(-85.0) + (F.col("py") + 0.5) * F.lit(hy)
+        n = len(ring)
+        cnt = F.lit(0)
+        lo, hi = F.lit(1e9), F.lit(-1e9)
+        los, his = [F.lit(1e9)], [F.lit(-1e9)]
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            cross = (F.lit(float(y1)) > yc) != (F.lit(float(y2)) > yc)
+            xc = (F.lit(float(x1)) + (yc - F.lit(float(y1)))
+                  * F.lit(float(x2 - x1)) / F.lit(float(y2 - y1)))
+            cnt = cnt + F.when(cross, 1).otherwise(0)
+            los.append(F.when(cross, xc).otherwise(F.lit(1e9)))
+            his.append(F.when(cross, xc).otherwise(F.lit(-1e9)))
+        lo, hi = F.least(*los), F.greatest(*his)
+        px_lo = F.ceil((lo + 180.0) / F.lit(wx) - 0.5).cast("long")
+        # right-exclusive to match the even-odd test's x < crossing
+        # rule: a pixel center exactly on the right crossing is OUT
+        px_hi = (F.ceil((hi + 180.0) / F.lit(wx) - 0.5) - 1).cast("long")
+        outs.append(spine.select(
+            F.lit(zid).alias("zone_id"), "py", cnt.alias("cnt"),
+            px_lo.alias("px_lo"), px_hi.alias("px_hi")))
+    r = outs[0]
+    for o in outs[1:]:
+        r = r.unionByName(o)
+    return (r.filter((F.col("cnt") == 2)
+                     & (F.col("px_hi") >= F.col("px_lo")))
+            .select("zone_id", "py", "px_lo", "px_hi",
+                    (F.col("px_hi") - F.col("px_lo") + 1)
+                    .alias("n_pix")))
+
+
+def _zone_fill_sql():
+    wx = 360.0 / 256
+    hy = 170.0 / 128
+    parts = []
+    for zid, ring in PIP_ZONES.items():
+        n = len(ring)
+        cnts, los, his = [], ["1e9"], ["-1e9"]
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            cross = f"(({y1!r} > yc) != ({y2!r} > yc))"
+            xc = (f"({x1!r} + (yc - {y1!r}) * {float(x2 - x1)!r} "
+                  f"/ {float(y2 - y1)!r})")
+            cnts.append(f"CASE WHEN {cross} THEN 1 ELSE 0 END")
+            los.append(f"CASE WHEN {cross} THEN {xc} ELSE 1e9 END")
+            his.append(f"CASE WHEN {cross} THEN {xc} ELSE -1e9 END")
+        parts.append(f"""
+SELECT {zid} AS zone_id, py,
+       ({' + '.join(cnts)}) AS cnt,
+       CAST(ceil((least({', '.join(los)}) + 180.0) / {wx!r} - 0.5)
+            AS BIGINT) AS px_lo,
+       CAST(ceil((greatest({', '.join(his)}) + 180.0) / {wx!r} - 0.5)
+            AS BIGINT) - 1 AS px_hi
+FROM (SELECT s.py AS py, -85.0 + (s.py + 0.5) * {hy!r} AS yc
+      FROM (SELECT unnest(generate_series(0, 127)) AS py) s) rows_{zid}
+""")
+        u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH sl AS ({u})
+SELECT zone_id, py, px_lo, px_hi, px_hi - px_lo + 1 AS n_pix
+FROM sl WHERE cnt = 2 AND px_hi >= px_lo
+"""
+
+
+QUERIES["zone_fill"] = (q_zone_fill, _zone_fill_sql())

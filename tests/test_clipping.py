@@ -209,3 +209,36 @@ def test_cyrus_beck_clip_matches_shapely_free_brute_force(spark):
         assert ins, f"doc {k}: no inside samples but clip emitted"
         assert abs(min(ins) - r["t0"]) < 2e-3
         assert abs(max(ins) - r["t1"]) < 2e-3
+
+
+def test_zone_fill_intervals_match_pip_at_pixel_centers(spark):
+    """Scanline intervals must contain exactly the pixel centers the
+    even-odd PIP test accepts — fill and PIP are the same geometry."""
+    from pyproj_spark.queries import PIP_ZONES, q_zone_fill
+
+    def inside(ring, x, y):
+        c = False
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if ((y1 > y) != (y2 > y)) and \
+                    x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                c = not c
+        return c
+
+    got = {}
+    for r in q_zone_fill(spark, "/root/testdata/sf0.001").collect():
+        got[(r["zone_id"], r["py"])] = (r["px_lo"], r["px_hi"])
+    wx, hy = 360.0 / 256, 170.0 / 128
+    assert len(got) > 100
+    for zid, ring in PIP_ZONES.items():
+        for py in range(128):
+            yc = -85.0 + (py + 0.5) * hy
+            ins = [px for px in range(256)
+                   if inside(ring, -180.0 + (px + 0.5) * wx, yc)]
+            if not ins:
+                assert (zid, py) not in got
+            else:
+                assert got[(zid, py)] == (min(ins), max(ins)), \
+                    (zid, py)
