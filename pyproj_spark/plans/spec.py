@@ -325,13 +325,17 @@ class Transformer:
                   inplace: bool = False):
         """Batch transform — semantics of pyproj/transformer.py:841-985.
 
-        Scalar in -> scalar out; array-likes in -> numpy arrays out.
+        Containers round-trip like the reference (utils.py
+        _copytobuffer/_convertback): scalar/0-d -> scalar,
+        list -> list, tuple -> tuple, array-likes -> numpy arrays.
         """
-        scalar = np.isscalar(xx) and np.isscalar(yy)
-        x = np.atleast_1d(np.asarray(xx, dtype=np.float64))
-        y = np.atleast_1d(np.asarray(yy, dtype=np.float64))
-        z = (np.atleast_1d(np.asarray(zz, dtype=np.float64))
-             if zz is not None else None)
+        from pyproj_spark.utils import _convertback, _copytobuffer
+        x, x_dt = _copytobuffer(xx)
+        y, y_dt = _copytobuffer(yy)
+        if zz is not None:
+            z, z_dt = _copytobuffer(zz)
+        else:
+            z = None
         t = (np.atleast_1d(np.asarray(tt, dtype=np.float64))
              if tt is not None else None)
         fwd = direction in ("FORWARD", TransformDirection.FORWARD)
@@ -362,13 +366,10 @@ class Transformer:
         else:
             xo = np.where(np.isfinite(xo), xo, np.inf)
             yo = np.where(np.isfinite(yo), yo, np.inf)
-        if scalar:
-            if zz is not None:
-                return float(xo[0]), float(yo[0]), float(zo[0])
-            return float(xo[0]), float(yo[0])
         if zz is not None:
-            return xo, yo, zo
-        return xo, yo
+            return (_convertback(x_dt, xo), _convertback(y_dt, yo),
+                    _convertback(z_dt, zo))
+        return _convertback(x_dt, xo), _convertback(y_dt, yo)
 
     def itransform(self, points, switch: bool = False, **kw):
         """Iterator facade (reference transformer.py:987-1113) — batches
