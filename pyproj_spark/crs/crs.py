@@ -112,6 +112,16 @@ class CRS:
         proj = params.get("proj")
         if proj is None:
             raise CRSError("proj= parameter required")
+        # reference parity: an unknown projection name fails at CRS
+        # construction time with CRSError (reference
+        # test/test_exception_logging.py:12-14), not later when a
+        # kernel is first planned
+        from pyproj_spark.kernels.projections import PROJECTIONS
+        known = (set(PROJECTIONS) | {"lonlat", "latlon", "geocent",
+                                     "cart", "pipeline", "noop"})
+        if proj not in known:
+            raise CRSError(
+                f"Internal Proj Error: unknown projection {proj!r}")
         # ellipsoid resolution (pyproj/geod.py:59-112 semantics)
         if "R" in params:
             ellipsoid = Ellipsoid.from_params(a=params["R"], f=0.0,

@@ -250,3 +250,17 @@ def test_exception_types():
     with pytest.raises(GeodError):
         Geod(ellps="WGS84").inv_intermediate(0, 0, 10, 10, npts=5,
                                              del_s=1000.0)
+
+
+def test_unknown_projection_raises_crs_error():
+    """Reference test_exception_logging.py:8-14: an unknown projection
+    name fails at construction with CRSError/ProjError."""
+    import pytest
+
+    from pyproj_spark.crs.crs import CRS
+    from pyproj_spark.exceptions import CRSError, ProjError
+    from pyproj_spark.proj import Proj
+    with pytest.raises(CRSError, match="Internal Proj Error"):
+        CRS("+proj=bobbyjoe")
+    with pytest.raises(ProjError, match="Internal Proj Error"):
+        Proj("+proj=bobbyjoe")
