@@ -5456,3 +5456,81 @@ FROM sl WHERE cnt = 2 AND px_hi >= px_lo
 
 
 QUERIES["zone_fill"] = (q_zone_fill, _zone_fill_sql())
+
+
+# ------------------------------------------------ separable blur
+
+def q_raster_blur(spark, sf_dir):
+    """Separable Gaussian-approximation blur over the density raster:
+    binomial weights [1,6,15,20,15,6,1] (n=6 rows of Pascal's
+    triangle) applied as TWO scatter-sum passes (horizontal then
+    vertical) — the separable trick that turns a 49-tap 2-D kernel
+    into 14 taps. Weights are integers so every partial sum is exact;
+    the normalized value divides once at the end. Each pass is one
+    explode + one groupBy — the same shuffle shape at any raster
+    size; the oracle replays both passes with unnest."""
+    pts = _doc_points(spark, sf_dir)
+    gx = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 64)
+                 .cast("long"), F.lit(63))
+    lat_c = F.greatest(F.least(F.col("lat"),
+                               F.lit(85.05112877980659)),
+                       F.lit(-85.05112877980659))
+    merc = F.log(F.tan(math.pi / 4 + F.radians(lat_c) / 2))
+    gy = F.least(F.floor((1.0 - merc / math.pi) / 2.0 * 64)
+                 .cast("long"), F.lit(63))
+    base = (pts.select(gx.alias("gx"), gy.alias("gy"))
+            .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n")))
+    wts = [1, 6, 15, 20, 15, 6, 1]
+    offs = F.array(*[F.struct(F.lit(o - 3).alias("o"),
+                              F.lit(w).alias("w"))
+                     for o, w in enumerate(wts)])
+
+    def blur(df, coord, val):
+        d = (df.select("gx", "gy", F.col(val).alias("v"),
+                       F.explode(offs).alias("k"))
+             .select((F.col("gx") + (F.col("k.o") if coord == "gx"
+                                     else F.lit(0))).alias("gx"),
+                     (F.col("gy") + (F.col("k.o") if coord == "gy"
+                                     else F.lit(0))).alias("gy"),
+                     (F.col("v") * F.col("k.w")).alias("c")))
+        return (d.filter((F.col("gx") >= 0) & (F.col("gx") <= 63)
+                         & (F.col("gy") >= 0) & (F.col("gy") <= 63))
+                .groupBy("gx", "gy").agg(F.sum("c").alias("b")))
+
+    bx = blur(base, "gx", "n")
+    by = blur(bx, "gy", "b")
+    return by.select("gx", "gy", F.col("b").cast("long").alias("bsum"),
+                     F.round(F.col("b") / 4096.0, 6).alias("blurred"))
+
+
+SQL_RASTER_BLUR = f"""
+WITH pts AS ({_PTS_SQL}),
+base AS (
+  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT),
+               63) AS gx,
+         least(CAST(floor((1.0 - ln(tan(pi()/4 + radians(
+               least(greatest(lat, -85.05112877980659),
+                     85.05112877980659)) / 2)) / pi())
+               / 2.0 * 64) AS BIGINT), 63) AS gy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+w AS (SELECT unnest(generate_series(-3, 3)) AS o),
+wt AS (SELECT o, ([1, 6, 15, 20, 15, 6, 1])[o + 4] AS wv FROM w),
+bx AS (
+  SELECT gx + o AS gx, gy, CAST(sum(n * wv) AS BIGINT) AS b
+  FROM base, wt
+  WHERE gx + o BETWEEN 0 AND 63
+  GROUP BY 1, 2
+),
+by_ AS (
+  SELECT gx, gy + o AS gy, CAST(sum(b * wv) AS BIGINT) AS b
+  FROM bx, wt
+  WHERE gy + o BETWEEN 0 AND 63
+  GROUP BY 1, 2
+)
+SELECT gx, gy, b AS bsum, round(b / 4096.0, 6) AS blurred FROM by_
+"""
+
+
+QUERIES["raster_blur"] = (q_raster_blur, SQL_RASTER_BLUR)
