@@ -5534,3 +5534,85 @@ SELECT gx, gy, b AS bsum, round(b / 4096.0, 6) AS blurred FROM by_
 
 
 QUERIES["raster_blur"] = (q_raster_blur, SQL_RASTER_BLUR)
+
+
+# ------------------------------------------------ bearing histograms
+
+def q_bearing_hist(spark, sf_dir):
+    """Per-cell movement-direction histogram: consecutive event
+    positions per user become moves; each move classifies into one of
+    8 compass octants WITHOUT trigonometry — |dx| vs |dy| compared
+    against the exact tan(22.5)/tan(67.5) constants, then the signs
+    pick the quadrant — so both engines decide every boundary with
+    the same multiply-and-compare (no atan2 implementation
+    divergence). Histogram per z=4 tile of the move origin: the
+    traffic-flow rose a map renderer draws per tile."""
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 5 == 0))
+    lon = (F.col("event_id") * 997 % 70000) / 1000.0 - 15.0
+    lat = (F.col("event_id") * 1571 % 45000) / 1000.0 + 25.0
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (ev.select("user_id", "ts", "event_id",
+                   lon.alias("lon"), lat.alias("lat"))
+         .withColumn("nlon", F.lead("lon").over(w))
+         .withColumn("nlat", F.lead("lat").over(w))
+         .filter(F.col("nlon").isNotNull()))
+    dx = F.col("nlon") - F.col("lon")
+    dy = F.col("nlat") - F.col("lat")
+    adx, ady = F.abs(dx), F.abs(dy)
+    t1 = 0.41421356237309503  # tan(22.5 deg)
+    t2 = 2.414213562373095    # tan(67.5 deg)
+    axial_ns = adx <= ady * t1
+    axial_ew = adx >= ady * t2
+    sector = (F.when(axial_ns & (dy >= 0), F.lit("N"))
+              .when(axial_ns, F.lit("S"))
+              .when(axial_ew & (dx >= 0), F.lit("E"))
+              .when(axial_ew, F.lit("W"))
+              .when((dx >= 0) & (dy >= 0), F.lit("NE"))
+              .when((dx >= 0), F.lit("SE"))
+              .when(dy >= 0, F.lit("NW"))
+              .otherwise(F.lit("SW")))
+    tx = F.floor((F.col("lon") + 180.0) / 360.0 * 16).cast("long")
+    ty = F.floor((90.0 - F.col("lat")) / 180.0 * 16).cast("long")
+    return (d.select(tx.alias("tx"), ty.alias("ty"),
+                     sector.alias("sector"))
+            .groupBy("tx", "ty", "sector")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+SQL_BEARING_HIST = """
+WITH pos AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 997 % 70000) / 1000.0 - 15.0 AS lon,
+         (event_id * 1571 % 45000) / 1000.0 + 25.0 AS lat
+  FROM events WHERE user_id % 5 = 0
+),
+mv AS (
+  SELECT lon, lat,
+         lead(lon) OVER w AS nlon, lead(lat) OVER w AS nlat
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cl AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT) AS tx,
+         CAST(floor((90.0 - lat) / 180.0 * 16) AS BIGINT) AS ty,
+         CASE
+           WHEN abs(nlon - lon) <= abs(nlat - lat)
+                * 0.41421356237309503 AND nlat - lat >= 0 THEN 'N'
+           WHEN abs(nlon - lon) <= abs(nlat - lat)
+                * 0.41421356237309503 THEN 'S'
+           WHEN abs(nlon - lon) >= abs(nlat - lat)
+                * 2.414213562373095 AND nlon - lon >= 0 THEN 'E'
+           WHEN abs(nlon - lon) >= abs(nlat - lat)
+                * 2.414213562373095 THEN 'W'
+           WHEN nlon - lon >= 0 AND nlat - lat >= 0 THEN 'NE'
+           WHEN nlon - lon >= 0 THEN 'SE'
+           WHEN nlat - lat >= 0 THEN 'NW'
+           ELSE 'SW' END AS sector
+  FROM mv WHERE nlon IS NOT NULL
+)
+SELECT tx, ty, sector, count(*) AS n FROM cl GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["bearing_hist"] = (q_bearing_hist, SQL_BEARING_HIST)
