@@ -5616,3 +5616,77 @@ SELECT tx, ty, sector, count(*) AS n FROM cl GROUP BY 1, 2, 3
 
 
 QUERIES["bearing_hist"] = (q_bearing_hist, SQL_BEARING_HIST)
+
+
+# ------------------------------------------------ distance transform
+
+def q_dist_transform(spark, sf_dir):
+    """Raster distance transform: L1 (city-block) distance from every
+    grid cell to the nearest occupied cell, by k=6 rounds of
+    scatter-min — each round every labeled cell offers dist+1 to its
+    4 neighbors and a groupBy(min) keeps the best. No lattice edge
+    table exists anywhere: the neighborhood is generated per round by
+    an explode of 4 literal offsets, so the cost is k scans of the
+    frontier regardless of raster size — the proximity raster
+    ("distance to nearest road/POI") behind coverage scoring. The
+    oracle replays the identical rounds unrolled."""
+    pts = _doc_points(spark, sf_dir)
+    gx = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 64)
+                 .cast("long"), F.lit(63))
+    lat_c = F.greatest(F.least(F.col("lat"),
+                               F.lit(85.05112877980659)),
+                       F.lit(-85.05112877980659))
+    merc = F.log(F.tan(math.pi / 4 + F.radians(lat_c) / 2))
+    gy = F.least(F.floor((1.0 - merc / math.pi) / 2.0 * 64)
+                 .cast("long"), F.lit(63))
+    dist = (pts.select(gx.alias("gx"), gy.alias("gy")).distinct()
+            .withColumn("d", F.lit(0)))
+    offs = F.array(F.struct(F.lit(1).alias("ox"), F.lit(0).alias("oy")),
+                   F.struct(F.lit(-1).alias("ox"), F.lit(0).alias("oy")),
+                   F.struct(F.lit(0).alias("ox"), F.lit(1).alias("oy")),
+                   F.struct(F.lit(0).alias("ox"), F.lit(-1).alias("oy")))
+    for _ in range(6):
+        nbr = (dist.select("gx", "gy", "d", F.explode(offs).alias("k"))
+               .select((F.col("gx") + F.col("k.ox")).alias("gx"),
+                       (F.col("gy") + F.col("k.oy")).alias("gy"),
+                       (F.col("d") + 1).alias("d"))
+               .filter((F.col("gx") >= 0) & (F.col("gx") <= 63)
+                       & (F.col("gy") >= 0) & (F.col("gy") <= 63)))
+        dist = (dist.unionByName(nbr)
+                .groupBy("gx", "gy").agg(F.min("d").alias("d"))
+                .localCheckpoint(eager=False))
+    return dist
+
+
+def _dist_transform_sql():
+    it = """
+r{o} AS (
+  SELECT gx, gy, min(d) AS d FROM (
+    SELECT gx, gy, d FROM r{i}
+    UNION ALL
+    SELECT gx + t.ox AS gx, gy + t.oy AS gy, d + 1 AS d
+    FROM r{i}, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) t(ox, oy)
+    WHERE gx + t.ox BETWEEN 0 AND 63
+      AND gy + t.oy BETWEEN 0 AND 63) q
+  GROUP BY 1, 2
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(6))
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+r0 AS (
+  SELECT DISTINCT
+         least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT),
+               63) AS gx,
+         least(CAST(floor((1.0 - ln(tan(pi()/4 + radians(
+               least(greatest(lat, -85.05112877980659),
+                     85.05112877980659)) / 2)) / pi())
+               / 2.0 * 64) AS BIGINT), 63) AS gy,
+         0 AS d
+  FROM pts
+),
+{its}
+SELECT gx, gy, d FROM r6
+"""
+
+
+QUERIES["dist_transform"] = (q_dist_transform, _dist_transform_sql())
