@@ -5690,3 +5690,96 @@ SELECT gx, gy, d FROM r6
 
 
 QUERIES["dist_transform"] = (q_dist_transform, _dist_transform_sql())
+
+
+# ------------------------------------------------ adaptive quadtree
+
+def q_quadtree(spark, sf_dir):
+    """Adaptive quadtree partitioning: tiles split top-down (z=2 -> 6)
+    until a leaf holds <= 20 points — the density-balanced layout
+    that tames web-data skew (a uniform grid gives hot cells 1000x
+    cold ones; the quadtree bounds every partition). ONE finest-level
+    scan builds the z=6 counts; coarser levels are bit-shift rollups
+    of that table; the split cascade is 4 semi-joins of count tables
+    (never the raw points). Output: the leaf set (z, tx, ty, n) —
+    non-overlapping cover of every occupied region. The oracle
+    replays the identical cascade."""
+    T = 20
+    pts = _doc_points(spark, sf_dir)
+    gx = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 64)
+                 .cast("long"), F.lit(63))
+    lat_c = F.greatest(F.least(F.col("lat"),
+                               F.lit(85.05112877980659)),
+                       F.lit(-85.05112877980659))
+    merc = F.log(F.tan(math.pi / 4 + F.radians(lat_c) / 2))
+    gy = F.least(F.floor((1.0 - merc / math.pi) / 2.0 * 64)
+                 .cast("long"), F.lit(63))
+    cnt = {6: (pts.select(gx.alias("tx"), gy.alias("ty"))
+               .groupBy("tx", "ty")
+               .agg(F.count(F.lit(1)).alias("n")))}
+    for z in (5, 4, 3, 2):
+        cnt[z] = (cnt[z + 1]
+                  .groupBy(F.shiftright(F.col("tx"), 1).alias("tx"),
+                           F.shiftright(F.col("ty"), 1).alias("ty"))
+                  .agg(F.sum("n").cast("long").alias("n")))
+    exists = cnt[2]
+    leaves = []
+    for z in (2, 3, 4, 5, 6):
+        if z == 6:
+            leaves.append(exists.withColumn("z", F.lit(z)))
+            break
+        leaves.append(exists.filter(F.col("n") <= T)
+                      .withColumn("z", F.lit(z)))
+        split = (exists.filter(F.col("n") > T)
+                 .select(F.col("tx").alias("px"),
+                         F.col("ty").alias("py")))
+        exists = (cnt[z + 1]
+                  .join(split,
+                        (F.shiftright(F.col("tx"), 1) == F.col("px"))
+                        & (F.shiftright(F.col("ty"), 1) == F.col("py")),
+                        "leftsemi"))
+    r = leaves[0]
+    for df in leaves[1:]:
+        r = r.unionByName(df)
+    return r.select("z", "tx", "ty", "n")
+
+
+def _quadtree_sql():
+    T = 20
+    lvl = """
+c{z} AS (SELECT tx >> 1 AS tx, ty >> 1 AS ty,
+                CAST(sum(n) AS BIGINT) AS n
+         FROM c{z1} GROUP BY 1, 2)"""
+    rolls = ",".join(lvl.format(z=z, z1=z + 1) for z in (5, 4, 3, 2))
+    casc = """
+e{z1} AS (
+  SELECT c.tx, c.ty, c.n FROM c{z1} c
+  WHERE EXISTS (SELECT 1 FROM e{z} e
+                WHERE e.n > {T} AND c.tx >> 1 = e.tx
+                  AND c.ty >> 1 = e.ty)
+)"""
+    cascades = ",".join(casc.format(z=z, z1=z + 1, T=T)
+                        for z in (2, 3, 4, 5))
+    leaves = "\nUNION ALL\n".join(
+        f"SELECT {z} AS z, tx, ty, n FROM e{z} WHERE n <= {T}"
+        for z in (2, 3, 4, 5)) + "\nUNION ALL\nSELECT 6, tx, ty, n FROM e6"
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+c6 AS (
+  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT),
+               63) AS tx,
+         least(CAST(floor((1.0 - ln(tan(pi()/4 + radians(
+               least(greatest(lat, -85.05112877980659),
+                     85.05112877980659)) / 2)) / pi())
+               / 2.0 * 64) AS BIGINT), 63) AS ty,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+{rolls},
+e2 AS (SELECT tx, ty, n FROM c2),
+{cascades}
+{leaves}
+"""
+
+
+QUERIES["quadtree"] = (q_quadtree, _quadtree_sql())

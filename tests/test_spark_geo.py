@@ -675,3 +675,26 @@ def test_transform_xy_keyed_dispatch(spark):
                                F.col("lon"), F.col("lat"))).toPandas()
         assert_almost_equal(r["xy"]["x"], one["xy"][0]["x"], decimal=9)
         assert_almost_equal(r["xy"]["y"], one["xy"][0]["y"], decimal=9)
+
+
+def test_quadtree_leaves_partition_all_points(spark):
+    """Leaves are disjoint, cover every point exactly once, and only
+    max-depth leaves may exceed the capacity threshold."""
+    from pyproj_spark.queries import q_quadtree
+    rows = q_quadtree(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    total = sum(r["n"] for r in rows)
+    import duckdb
+    exp = duckdb.sql(
+        "SELECT count(*) FROM "
+        "'/root/testdata/sf0.01/documents.parquet'").fetchone()[0]
+    assert total == exp  # exact cover: every point in exactly 1 leaf
+    # disjoint: no leaf is an ancestor of another
+    cells = {(r["z"], r["tx"], r["ty"]) for r in rows}
+    for z, tx, ty in cells:
+        for za in range(2, z):
+            assert (za, tx >> (z - za), ty >> (z - za)) not in cells
+    # capacity respected except at max depth
+    for r in rows:
+        if r["z"] < 6:
+            assert r["n"] <= 20
