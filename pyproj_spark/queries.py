@@ -5783,3 +5783,63 @@ e2 AS (SELECT tx, ty, n FROM c2),
 
 
 QUERIES["quadtree"] = (q_quadtree, _quadtree_sql())
+
+
+def q_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability (temporal BFS): over a
+    timestamped contact graph, node B is reachable from A only
+    through edges whose timestamps never decrease along the path —
+    the influence/contagion semantics a crawl-propagation or
+    information-flow analysis needs (static BFS overcounts: it
+    ignores that a link observed YESTERDAY cannot forward content
+    discovered TODAY). Six relaxation rounds keep (node, earliest
+    arrival day); each round joins the frontier to edges with
+    edge_day >= arrival and keeps the min. The oracle unrolls the
+    identical rounds."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    edges = (ev.select((u % 60).alias("src"),
+                       ((u * 13 + 5) % 60).alias("dst"),
+                       F.floor(F.unix_timestamp("ts") / 86400)
+                       .cast("long").alias("t"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    dist = spark.createDataFrame([(0, -1)], "node long, arr long")
+    e = edges.select(F.col("src").alias("node"), "dst", "t")
+    for _ in range(6):
+        relax = (dist.join(e, "node")
+                 .filter(F.col("t") >= F.col("arr"))
+                 .select(F.col("dst").alias("node"),
+                         F.col("t").alias("arr")))
+        dist = (dist.union(relax)
+                .groupBy("node").agg(F.min("arr").alias("arr"))
+                .localCheckpoint(eager=False))
+    return dist
+
+
+def _temporal_reach_sql():
+    it = """
+r{o} AS (
+  SELECT node, min(arr) AS arr FROM (
+    SELECT node, arr FROM r{i}
+    UNION ALL
+    SELECT e.dst AS node, e.t AS arr
+    FROM r{i} r JOIN edges e ON e.src = r.node
+    WHERE e.t >= r.arr) q
+  GROUP BY node
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(6))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % 60 AS src, (user_id * 13 + 5) % 60 AS dst,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t
+  FROM events
+  WHERE user_id % 60 <> (user_id * 13 + 5) % 60
+),
+r0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(-1 AS BIGINT) AS arr),
+{its}
+SELECT node, arr FROM r6
+"""
+
+
+QUERIES["temporal_reach"] = (q_temporal_reach, _temporal_reach_sql())
