@@ -62,7 +62,7 @@ def _interleaved() -> dict[str, tuple]:
     new_this_round = [
         "hop_distance", "label_prop", "hll_pyramid", "rasterize_lines",
         "vector_tile", "geofence", "shortest_path", "cell_ewma",
-        "hausdorff", "contours", "clip_length", "zone_fill", "raster_blur", "bearing_hist", "dist_transform", "quadtree", "temporal_reach",
+        "hausdorff", "contours", "clip_length", "zone_fill", "raster_blur", "bearing_hist", "dist_transform", "quadtree", "temporal_reach", "kcore",
         "hot_spots", "moran", "winnow", "quadkey", "cocitation",
         "od_matrix", "swissgrid", "simplify", "trend_cells",
         "idw_raster", "rendezvous", "s2_pip", "s2_bbox", "wkt_geom",

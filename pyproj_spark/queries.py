@@ -5843,3 +5843,79 @@ SELECT node, arr FROM r6
 
 
 QUERIES["temporal_reach"] = (q_temporal_reach, _temporal_reach_sql())
+
+
+def q_kcore(spark, sf_dir):
+    """3-core of the undirected host graph by iterative peeling: six
+    synchronous rounds drop every node whose degree among SURVIVORS
+    is < 3, then the surviving subgraph's degrees are reported — the
+    spam-farm/link-ring detector (a k-core survives only through
+    mutual reinforcement; hub-and-spoke structures peel away). Each
+    round is two semi-joins + one count; rounds are bounded, not
+    data-dependent, so the plan is replayable and the 100-TB cost is
+    k scans of the edge set. Uses a second link generator on top of
+    the q_pagerank graph (the single-generator graph peels to empty —
+    a vacuous gate). The oracle unrolls identical rounds."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def gen(mul, add):
+        return (d.select((k % 97).alias("src"),
+                         ((k * mul + add) % 97).alias("dst"))
+                .filter((F.col("src") != F.col("dst"))
+                        & (F.col("src") < 90)))
+
+    e = gen(13, 5).union(gen(29, 11)).distinct()
+    und = (e.select("src", "dst")
+           .union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+           .distinct())
+    active = und.select(F.col("src").alias("node")).distinct()
+
+    def degrees(act):
+        return (und.join(act.withColumnRenamed("node", "src"), "src")
+                .join(act.select(F.col("node").alias("dst")), "dst")
+                .groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                .withColumnRenamed("src", "node"))
+
+    for _ in range(6):
+        active = (degrees(active).filter(F.col("deg") >= 3)
+                  .select("node").localCheckpoint(eager=False))
+    return degrees(active).filter(F.col("deg") >= 3)
+
+
+def _kcore_sql():
+    rnd = """
+d{o} AS (
+  SELECT u.src AS node, count(*) AS deg
+  FROM und u
+  JOIN a{i} x ON x.node = u.src
+  JOIN a{i} y ON y.node = u.dst
+  GROUP BY 1
+),
+a{o} AS (SELECT node FROM d{o} WHERE deg >= 3)"""
+    rounds = ",".join(rnd.format(i=i, o=i + 1) for i in range(6))
+    base2 = _HOST_EDGES_SQL.replace("doc_id * 13 + 5",
+                                    "doc_id * 29 + 11")
+    return f"""
+WITH base AS ({_HOST_EDGES_SQL} UNION {base2}),
+und AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM base
+    UNION
+    SELECT dst AS src, src AS dst FROM base) q
+),
+a0 AS (SELECT DISTINCT src AS node FROM und),
+{rounds},
+fin AS (
+  SELECT u.src AS node, count(*) AS deg
+  FROM und u
+  JOIN a6 x ON x.node = u.src
+  JOIN a6 y ON y.node = u.dst
+  GROUP BY 1
+)
+SELECT node, deg FROM fin WHERE deg >= 3
+"""
+
+
+QUERIES["kcore"] = (q_kcore, _kcore_sql())
