@@ -4677,7 +4677,10 @@ def q_hll_pyramid(spark, sf_dir):
     from pyproj_spark.functions.tiles import tile_xy_from_lonlat
     pts = _doc_points(spark, sf_dir)
     tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), 8)
-    u = (F.col("doc_id") * 2654435761) % 4096
+    # (doc_id % 4096) first keeps the multiply inside int64 at any
+    # doc_id (identical value mod 4096); the raw product overflows —
+    # silently wrapping in Spark, erroring in DuckDB — past ~3.5e9.
+    u = ((F.col("doc_id") % 4096) * 2654435761) % 4096
     base = pts.select(tx.alias("tx"), ty.alias("ty"),
                       u.cast("string").alias("u"))
     v = F.conv(F.substring(F.md5(F.col("u")), 1, 15), 16, 10) \
@@ -4736,7 +4739,7 @@ base AS (
                radians(least(greatest(lat, -85.05112877980659),
                              85.05112877980659)) / 2)) / pi())
                / 2.0 * 256) AS BIGINT), 0), 255) AS ty,
-         (doc_id * 2654435761) % 4096 AS u
+         ((doc_id % 4096) * 2654435761) % 4096 AS u
   FROM pts
 ),
 regs8 AS (

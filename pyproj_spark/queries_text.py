@@ -1794,7 +1794,14 @@ def q_geoip(spark, sf_dir):
     from pyproj_spark.operators.iprange import ip_range_join
     d = _docs(spark, sf_dir).select(
         "doc_id",
-        ((F.col("doc_id") * 2654435761) % 4294967296).alias("ip32"))
+        # (doc_id*K) mod 2^32 computed by 16-bit split so no
+        # intermediate exceeds ~2^48: the raw product overflows int64
+        # past doc_id ~3.5e9 (Spark wraps silently, DuckDB errors).
+        # Identical value to the naive form wherever that form fits.
+        (((F.col("doc_id") % 65536) * 2654435761
+          + ((F.shiftright(F.col("doc_id"), 16) % 65536)
+             * 2654435761 % 65536) * 65536) % 4294967296)
+        .alias("ip32"))
     r = range(200)
     ranges = spark.createDataFrame(
         [(i * 8388608 + (i * 9973) % 100000,
@@ -1809,7 +1816,9 @@ def q_geoip(spark, sf_dir):
 SQL_GEOIP = """
 WITH probe AS (
   SELECT doc_id,
-         (doc_id * 2654435761) % 4294967296 AS ip32
+         ((doc_id % 65536) * 2654435761
+          + (((doc_id >> 16) % 65536) * 2654435761 % 65536) * 65536)
+         % 4294967296 AS ip32
   FROM documents
 ),
 ranges AS (

@@ -47,27 +47,31 @@ def inside_ring(lon: Column, lat: Column, ring) -> Column:
 def _transitions_fn(key, pdfs: Iterable[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
     prev = state.get[0] if state.exists else None
-    out = []
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ins = pdf["inside"].astype("float64")
-        shifted = ins.shift(1)
+    # Arrow hands a group as MULTIPLE chunks in arbitrary shuffle order
+    # when it spans >maxRecordsPerBatch rows; per-chunk sorting would
+    # diff flags against the wrong predecessor. Materialize the whole
+    # group (state is O(users); one user's micro-batch rows fit an
+    # executor by the same argument as any per-key ordered op), sort
+    # once globally, then diff.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
         if prev is not None:
-            shifted.iloc[0] = float(prev)
-        mask = shifted.notna() & (ins != shifted)
-        hits = pdf[mask.to_numpy()]
-        out.append(pd.DataFrame({
-            "user_id": int(key[0]),
-            "event_id": hits["event_id"].astype("int64"),
-            "transition": hits["inside"].map(
-                lambda v: "enter" if v else "exit")}))
-        prev = int(ins.iloc[-1])
+            state.update((int(prev),))
+        yield pd.DataFrame(columns=["user_id", "event_id", "transition"])
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    ins = pdf["inside"].astype("float64")
+    shifted = ins.shift(1)
     if prev is not None:
-        state.update((int(prev),))
-    yield (pd.concat(out) if out else pd.DataFrame(
-        columns=["user_id", "event_id", "transition"]))
+        shifted.iloc[0] = float(prev)
+    mask = shifted.notna() & (ins != shifted)
+    hits = pdf[mask.to_numpy()]
+    state.update((int(ins.iloc[-1]),))
+    yield pd.DataFrame({
+        "user_id": int(key[0]),
+        "event_id": hits["event_id"].astype("int64"),
+        "transition": hits["inside"].map(
+            lambda v: "enter" if v else "exit")})
 
 
 def streaming_geofence(events: DataFrame, ring) -> DataFrame:

@@ -58,6 +58,7 @@ class DataType(Enum):
     LIST = auto()
     TUPLE = auto()
     ARRAY = auto()
+    STDLIB_ARRAY = auto()
 
 
 def _copytobuffer_return_scalar(xxx: Any) -> tuple[np.ndarray, DataType]:
@@ -86,7 +87,10 @@ def _copytobuffer(xxx: Any) -> tuple[np.ndarray, DataType]:
             return _copytobuffer_return_scalar(xxx)
         return xxx.astype("d", order="C", copy=True), DataType.ARRAY
     if isinstance(xxx, array):
-        return np.asarray(xxx, dtype=np.float64), DataType.ARRAY
+        # Forced copy: reference _copytobuffer always copies (unless
+        # inplace), so the result must never alias the caller's buffer
+        # (reference utils.py:131-133).
+        return np.array(xxx, dtype=np.float64), DataType.STDLIB_ARRAY
     if isinstance(xxx, list):
         return np.asarray(xxx, dtype=np.float64), DataType.LIST
     if isinstance(xxx, tuple):
@@ -102,4 +106,6 @@ def _convertback(data_type: DataType, inx: np.ndarray) -> Any:
         return inx.tolist()
     if data_type == DataType.TUPLE:
         return tuple(inx)
+    if data_type == DataType.STDLIB_ARRAY:
+        return array("d", inx)
     return inx

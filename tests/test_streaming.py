@@ -337,3 +337,67 @@ def test_streaming_geofence_state_carries_across_batches(spark,
     # transitions land in every chunk and the state store is the only
     # way the first event of a chunk can see the previous flag
     assert len(exp) > 50
+
+
+def test_streaming_geofence_multichunk_group(spark, tmp_path):
+    """One user's micro-batch rows delivered as MULTIPLE Arrow chunks
+    in shuffle order: the stateful fn must globally sort the whole
+    group before diffing flags (per-chunk sorting gives wrong
+    transitions). maxRecordsPerBatch=64 forces >10 chunks for the
+    700-row user."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyproj_spark.streaming.geofence import (inside_ring,
+                                                 streaming_geofence)
+    ring = [(0.0, 30.0), (40.0, 32.0), (50.0, 60.0), (10.0, 65.0),
+            (-10.0, 50.0)]
+    d = str(tmp_path / "ev_stream3")
+    # reversed + striped event time so file order ≠ time order within
+    # the single micro-batch, across chunk boundaries
+    ev = spark.range(0, 700).select(
+        F.lit(7).cast("long").alias("user_id"),
+        F.timestamp_seconds(1700000000
+                            + ((F.col("id") * 389) % 700) * 7).alias("ts"),
+        ((F.col("id") * 389) % 700).alias("event_id"),
+        (((F.col("id") * 389) % 700) * 997 % 70000 / 1000.0 - 15.0)
+        .alias("lon"),
+        (((F.col("id") * 389) % 700) * 1571 % 45000 / 1000.0 + 25.0)
+        .alias("lat"))
+    ev.coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(0.2)
+    batch = spark.read.parquet(d)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flags = batch.select("user_id", "ts", "event_id",
+                         inside_ring(F.col("lon"), F.col("lat"),
+                                     ring).alias("inside"))
+    ref = (flags.withColumn("prev", F.lag("inside").over(w))
+           .filter(F.col("prev").isNotNull()
+                   & (F.col("prev") != F.col("inside")))
+           .select("user_id", "event_id",
+                   F.when(F.col("inside") == 1, F.lit("enter"))
+                   .otherwise(F.lit("exit")).alias("transition")))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        stream = (spark.readStream.schema(batch.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (streaming_geofence(stream, ring)
+             .writeStream.format("memory").queryName("gf_stream3")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.sql("select * from gf_stream3").toPandas()
+    exp = ref.toPandas()
+    assert sorted(map(tuple, got.itertuples(index=False))) == \
+        sorted(map(tuple, exp.itertuples(index=False)))
+    assert len(exp) > 20

@@ -33,13 +33,26 @@ def test_copytobuffer_return_scalar_invalid():
         (1, DataType.FLOAT),
         ([1], DataType.LIST),
         ((1,), DataType.TUPLE),
-        (array("d", [1]), DataType.ARRAY),
+        (array("d", [1]), DataType.STDLIB_ARRAY),
     ],
 )
 def test_copytobuffer(in_data, data_type):
     arr, dt = _copytobuffer(in_data)
     assert dt == data_type
     assert list(arr) == [1.0]
+
+
+def test_copytobuffer_stdlib_array_copies_and_roundtrips():
+    """The buffer must NOT alias the caller's array (reference
+    utils.py always copies unless inplace), and convertback must
+    restore array('d') (reference utils.py:131-133)."""
+    src = array("d", [1.0, 2.0])
+    buf, dt = _copytobuffer(src)
+    buf[0] = 99.0
+    assert list(src) == [1.0, 2.0]
+    back = _convertback(dt, buf)
+    assert isinstance(back, array) and back.typecode == "d"
+    assert list(back) == [99.0, 2.0]
 
 
 def test_copytobuffer_pandas_series():
