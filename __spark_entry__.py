@@ -46,41 +46,59 @@ def entry(spark: SparkSession) -> DataFrame:
             .orderBy("tx", "ty"))
 
 
+def _last_sampled_round() -> dict[str, int]:
+    """name -> the latest round whose driver CORRECTNESS_r*.json
+    sampled it (0 if never). Reads the artifacts the driver leaves in
+    the repo root, so the ordering is deterministic given the repo
+    state and needs no per-round editing."""
+    import glob
+    import json
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rec, dict):
+            for name in rec:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def _interleaved() -> dict[str, tuple]:
-    """Round-robin-merge the geo/relational family with the
-    text/multimodal family so any bounded prefix sample (the driver
-    checks the first ~50 registered queries) spans BOTH families —
-    appending QUERIES_TEXT last left the whole dedup/decode surface
-    out of the round-3 driver sample."""
+    """Registration order = driver-sample priority (the driver checks
+    a bounded ~50-query prefix):
+
+    1. queries ADDED OR CHANGED this round — highest-risk surface,
+       must land inside the sample;
+    2. everything else, LEAST-RECENTLY-DRIVER-SAMPLED first
+       (never-sampled queries lead), so the sample window cycles
+       through the whole registry across rounds instead of permanently
+       shadowing mid-list queries (61 of 170 had never been
+       driver-checked through r4)."""
     from pyproj_spark.queries import QUERIES
     from pyproj_spark.queries_text import QUERIES_TEXT
     merged = dict(QUERIES)
     merged.update(QUERIES_TEXT)
-    # queries ADDED OR CHANGED in the current round register first:
-    # they are the highest-risk surface and must land inside the
-    # driver's bounded prefix sample
     new_this_round = [
-        "hop_distance", "label_prop", "hll_pyramid", "rasterize_lines",
-        "vector_tile", "geofence", "shortest_path", "cell_ewma",
-        "hausdorff", "contours", "clip_length", "zone_fill", "raster_blur", "bearing_hist", "dist_transform", "quadtree", "temporal_reach", "kcore",
-        "hot_spots", "moran", "winnow", "quadkey", "cocitation",
-        "od_matrix", "swissgrid", "simplify", "trend_cells",
-        "idw_raster", "rendezvous", "s2_pip", "s2_bbox", "wkt_geom",
-        "retention", "geojson_parse", "snap_roads",
-        "stateplane", "s2cell", "s2_rollup", "bpe_merges",
-        "bpe_segment", "semdedup", "raster_pyramid", "redirect_chains", "bigram_lm", "s2_bbox", "s2_pip",
-        "pack_sequences", "pagerank", "ppr", "hits", "cube",
-        "clip_zones", "dup_spans_exact", "dup_spans", "site_template",
+        "hll_pyramid", "geoip", "semdedup", "vertical_shift",
+        "nad27_stateplane", "bpe_merges", "bpe_segment", "kcore",
+        "hop_distance", "label_prop", "shortest_path",
     ]
     out: dict[str, tuple] = {n: merged[n] for n in new_this_round
                              if n in merged}
-    a = [kv for kv in QUERIES.items() if kv[0] not in out]
-    b = [kv for kv in QUERIES_TEXT.items() if kv[0] not in out]
-    for i in range(max(len(a), len(b))):
-        if i < len(a):
-            out[a[i][0]] = a[i][1]
-        if i < len(b):
-            out[b[i][0]] = b[i][1]
+    last = _last_sampled_round()
+    rest = sorted((n for n in merged if n not in out),
+                  key=lambda n: (last.get(n, 0), n))
+    for n in rest:
+        out[n] = merged[n]
     return out
 
 

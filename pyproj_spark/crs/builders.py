@@ -5,10 +5,13 @@ datum helpers they take). Builders compose PROJJSON and feed it through
 ``CRS.from_json_dict`` — the same architecture as the reference, which
 composes PROJJSON and feeds it through PROJ.
 
-Vertical and compound CRSs are STRUCTURAL in this engine: they build,
-expose components/axes, and serialize to WKT2/PROJJSON, but the
-transform kernel raises for them (no vertical datum surfaces are
-bundled — the reference needs geoid grids for that too).
+Vertical and compound CRSs transform end-to-end: a compound CRS
+transforms its horizontal component while z crosses the geoid surface
+registered for its vertical datum/geoid model (kernels/grids.py::
+GeoidGrid — PROJ's vgridshift; the bundled surface is a synthetic
+closed-form stand-in, same container note as the horizontal shift
+grids). With no registered surface, z passes through unchanged — the
+reference's "ballpark vertical transformation".
 """
 
 from __future__ import annotations
@@ -252,7 +255,6 @@ class VerticalCRS(CRS):
 
     def __init__(self, name: str, datum: str, vertical_cs=None,
                  geoid_model: str | None = None):
-        self.srs = f"VERTCRS:{name}"
         self.kind = "vertical"
         self.name = name
         self.epsg_code = None
@@ -263,6 +265,11 @@ class VerticalCRS(CRS):
         self.proj_params = {"proj": "vertical"}
         self.to_meter = 1.0
         self.geoid_model = geoid_model
+        # srs = canonical PROJJSON: round-trips through
+        # CRS.from_user_input, which is what lets a TransformSpec
+        # (keyed on srs strings) carry a vertical/compound CRS
+        import json
+        self.srs = json.dumps(self.to_json_dict())
 
     @property
     def axis_info(self):
@@ -279,11 +286,14 @@ class VerticalCRS(CRS):
                 f'LENGTHUNIT["metre",1]{gm}]')
 
     def to_json_dict(self) -> dict:
-        return {"$schema": _SCHEMA, "type": "VerticalCRS",
-                "name": self.name,
-                "datum": {"type": "VerticalReferenceFrame",
-                          "name": self.datum_name},
-                "coordinate_system": VerticalCS().to_json_dict()}
+        d = {"$schema": _SCHEMA, "type": "VerticalCRS",
+             "name": self.name,
+             "datum": {"type": "VerticalReferenceFrame",
+                       "name": self.datum_name},
+             "coordinate_system": VerticalCS().to_json_dict()}
+        if self.geoid_model:
+            d["geoid_model"] = {"name": self.geoid_model}
+        return d
 
     def __reduce__(self):
         return (VerticalCRS, (self.name, self.datum_name, None,
@@ -296,7 +306,6 @@ class CompoundCRS(CRS):
     def __init__(self, name: str, components: list):
         comps = [c if isinstance(c, CRS) else CRS.from_user_input(c)
                  for c in components]
-        self.srs = f"COMPOUNDCRS:{name}"
         self.kind = "compound"
         self.name = name
         self.epsg_code = None
@@ -308,6 +317,8 @@ class CompoundCRS(CRS):
         self.axis = horiz.axis
         self.proj_params = {"proj": "compound"}
         self.to_meter = horiz.to_meter
+        import json
+        self.srs = json.dumps(self.to_json_dict())
 
     @property
     def axis_info(self):

@@ -473,6 +473,183 @@ for _c, _n, _l0, _lon, _kden, _x0, _y0 in _SPCS_TM:
              x_0=float(_x0), y_0=float(_y0)), "enu", 1.0)
 
 
+# --------------------------------------------------------------------
+# NAD27 State Plane (SPCS27) zones, US survey foot — parameters from
+# the NOAA/NOS C&GS Special Publication 235 zone constant tables (the
+# public source the EPSG registry ingests for the 26729-26798 /
+# 32001-32058 ranges). Curated verify-or-exclude subset: zones whose
+# constants could be cross-checked are included; LA/MD/MS/MI/NJ/NY/
+# OK-S/TN/WY/AK and NY Long Island are EXCLUDED rather than guessed
+# (the builder policy — an absent code raises CRSError, a wrong one
+# would mis-project silently).
+#
+# LCC-2SP rows: (code, zone, lat_1, lat_2, lat_0, lon_0, x_0 ftUS,
+# y_0 ftUS). x_0 = 2,000,000 ftUS / y_0 = 0 unless stated (CT).
+_SPCS27_LCC = (
+    (26741, "California zone I", 40.0, _dms(41, 40), _dms(39, 20),
+     -122.0, 2000000, 0),
+    (26742, "California zone II", _dms(38, 20), _dms(39, 50),
+     _dms(37, 40), -122.0, 2000000, 0),
+    (26743, "California zone III", _dms(37, 4), _dms(38, 26), 36.5,
+     -120.5, 2000000, 0),
+    (26744, "California zone IV", 36.0, 37.25, _dms(35, 20), -119.0,
+     2000000, 0),
+    (26745, "California zone V", _dms(34, 2), _dms(35, 28), 33.5,
+     -118.0, 2000000, 0),
+    (26746, "California zone VI", _dms(32, 47), _dms(33, 53),
+     _dms(32, 10), -116.25, 2000000, 0),
+    (26751, "Arkansas North", _dms(34, 56), _dms(36, 14), _dms(34, 20),
+     -92.0, 2000000, 0),
+    (26752, "Arkansas South", _dms(33, 18), _dms(34, 46), _dms(32, 40),
+     -92.0, 2000000, 0),
+    (26753, "Colorado North", _dms(39, 43), _dms(40, 47), _dms(39, 20),
+     -105.5, 2000000, 0),
+    (26754, "Colorado Central", _dms(38, 27), _dms(39, 45),
+     _dms(37, 50), -105.5, 2000000, 0),
+    (26755, "Colorado South", _dms(37, 14), _dms(38, 26), _dms(36, 40),
+     -105.5, 2000000, 0),
+    (26756, "Connecticut", _dms(41, 12), _dms(41, 52), _dms(40, 50),
+     -72.75, 600000, 0),
+    (26760, "Florida North", _dms(29, 35), _dms(30, 45), 29.0, -84.5,
+     2000000, 0),
+    (26775, "Iowa North", _dms(42, 4), _dms(43, 16), 41.5, -93.5,
+     2000000, 0),
+    (26776, "Iowa South", _dms(40, 37), _dms(41, 47), 40.0, -93.5,
+     2000000, 0),
+    (26777, "Kansas North", _dms(38, 43), _dms(39, 47), _dms(38, 20),
+     -98.0, 2000000, 0),
+    (26778, "Kansas South", _dms(37, 16), _dms(38, 34), _dms(36, 40),
+     -98.5, 2000000, 0),
+    (26779, "Kentucky North", _dms(37, 58), _dms(38, 58), 37.5,
+     -84.25, 2000000, 0),
+    (26780, "Kentucky South", _dms(36, 44), _dms(37, 56), _dms(36, 20),
+     -85.75, 2000000, 0),
+    (26791, "Minnesota North", _dms(47, 2), _dms(48, 38), 46.5,
+     _dms(-93, 6), 2000000, 0),
+    (26792, "Minnesota Central", _dms(45, 37), _dms(47, 3), 45.0,
+     -94.25, 2000000, 0),
+    (26793, "Minnesota South", _dms(43, 47), _dms(45, 13), 43.0,
+     -94.0, 2000000, 0),
+    (32001, "Montana North", _dms(47, 51), _dms(48, 43), 47.0, -109.5,
+     2000000, 0),
+    (32002, "Montana Central", _dms(46, 27), _dms(47, 53),
+     _dms(45, 50), -109.5, 2000000, 0),
+    (32003, "Montana South", _dms(44, 52), _dms(46, 24), 44.0, -109.5,
+     2000000, 0),
+    (32005, "Nebraska North", _dms(41, 51), _dms(42, 49), _dms(41, 20),
+     -100.0, 2000000, 0),
+    (32006, "Nebraska South", _dms(40, 17), _dms(41, 43), _dms(39, 40),
+     -99.5, 2000000, 0),
+    (32019, "North Carolina", _dms(34, 20), _dms(36, 10), _dms(33, 45),
+     -79.0, 2000000, 0),
+    (32020, "North Dakota North", _dms(47, 26), _dms(48, 44), 47.0,
+     -100.5, 2000000, 0),
+    (32021, "North Dakota South", _dms(46, 11), _dms(47, 29),
+     _dms(45, 40), -100.5, 2000000, 0),
+    (32022, "Ohio North", _dms(40, 26), _dms(41, 42), _dms(39, 40),
+     -82.5, 2000000, 0),
+    (32023, "Ohio South", _dms(38, 44), _dms(40, 2), 38.0, -82.5,
+     2000000, 0),
+    (32024, "Oklahoma North", _dms(35, 34), _dms(36, 46), 35.0, -98.0,
+     2000000, 0),
+    (32026, "Oregon North", _dms(44, 20), 46.0, _dms(43, 40), -120.5,
+     2000000, 0),
+    (32027, "Oregon South", _dms(42, 20), 44.0, _dms(41, 40), -120.5,
+     2000000, 0),
+    (32028, "Pennsylvania North", _dms(40, 53), _dms(41, 57),
+     _dms(40, 10), -77.75, 2000000, 0),
+    (32029, "Pennsylvania South", _dms(39, 56), _dms(40, 58),
+     _dms(39, 20), -77.75, 2000000, 0),
+    (32031, "South Carolina North", _dms(33, 46), _dms(34, 58), 33.0,
+     -81.0, 2000000, 0),
+    (32033, "South Carolina South", _dms(32, 20), _dms(33, 40),
+     _dms(31, 50), -81.0, 2000000, 0),
+    (32034, "South Dakota North", _dms(44, 25), _dms(45, 41),
+     _dms(43, 50), -100.0, 2000000, 0),
+    (32035, "South Dakota South", _dms(42, 50), _dms(44, 24),
+     _dms(42, 20), _dms(-100, 20), 2000000, 0),
+    (32037, "Texas North", _dms(34, 39), _dms(36, 11), 34.0, -101.5,
+     2000000, 0),
+    (32038, "Texas North Central", _dms(32, 8), _dms(33, 58),
+     _dms(31, 40), -97.5, 2000000, 0),
+    (32039, "Texas Central", _dms(30, 7), _dms(31, 53), _dms(29, 40),
+     _dms(-100, 20), 2000000, 0),
+    (32040, "Texas South Central", _dms(28, 23), _dms(30, 17),
+     _dms(27, 50), -99.0, 2000000, 0),
+    (32041, "Texas South", _dms(26, 10), _dms(27, 50), _dms(25, 40),
+     -98.5, 2000000, 0),
+    (32042, "Utah North", _dms(40, 43), _dms(41, 47), _dms(40, 20),
+     -111.5, 2000000, 0),
+    (32043, "Utah Central", _dms(39, 1), _dms(40, 39), _dms(38, 20),
+     -111.5, 2000000, 0),
+    (32044, "Utah South", _dms(37, 13), _dms(38, 21), _dms(36, 40),
+     -111.5, 2000000, 0),
+    (32046, "Virginia North", _dms(38, 2), _dms(39, 12), _dms(37, 40),
+     -78.5, 2000000, 0),
+    (32047, "Virginia South", _dms(36, 46), _dms(37, 58), _dms(36, 20),
+     -78.5, 2000000, 0),
+    (32048, "Washington North", 47.5, _dms(48, 44), 47.0,
+     _dms(-120, 50), 2000000, 0),
+    (32049, "Washington South", _dms(45, 50), _dms(47, 20),
+     _dms(45, 20), -120.5, 2000000, 0),
+    (32050, "West Virginia North", 39.0, 40.25, 38.5, -79.5,
+     2000000, 0),
+    (32051, "West Virginia South", _dms(37, 29), _dms(38, 53), 37.0,
+     -81.0, 2000000, 0),
+    (32052, "Wisconsin North", _dms(45, 34), _dms(46, 46),
+     _dms(45, 10), -90.0, 2000000, 0),
+    (32053, "Wisconsin Central", 44.25, 45.5, _dms(43, 50), -90.0,
+     2000000, 0),
+    (32054, "Wisconsin South", _dms(42, 44), _dms(44, 4), 42.0, -90.0,
+     2000000, 0),
+)
+for _c, _n, _l1, _l2, _l0, _lon, _x0, _y0 in _SPCS27_LCC:
+    _PROJECTED[_c] = (
+        f"NAD27 / {_n}", "NAD27",
+        dict(proj="lcc", lat_1=_l1, lat_2=_l2, lat_0=_l0, lon_0=_lon,
+             x_0=_x0 * US_FT, y_0=_y0 * US_FT), "enu", US_FT)
+
+# SPCS27 TM rows: (code, zone, lat_0, lon_0, k_0 denominator N in
+# 1 - 1/N, x_0 ftUS); y_0 = 0, x_0 = 500,000 ftUS throughout.
+_SPCS27_TM = (
+    (26729, "Alabama East", 30.5, _dms(-85, 50), 25000),
+    (26730, "Alabama West", 30.0, -87.5, 15000),
+    (26748, "Arizona East", 31.0, _dms(-110, 10), 10000),
+    (26749, "Arizona Central", 31.0, _dms(-111, 55), 10000),
+    (26750, "Arizona West", 31.0, _dms(-113, 45), 15000),
+    (26757, "Delaware", 38.0, _dms(-75, 25), 200000),
+    (26758, "Florida East", _dms(24, 20), -81.0, 17000),
+    (26759, "Florida West", _dms(24, 20), -82.0, 17000),
+    (26766, "Georgia East", 30.0, _dms(-82, 10), 10000),
+    (26767, "Georgia West", 30.0, _dms(-84, 10), 10000),
+    (26768, "Idaho East", _dms(41, 40), _dms(-112, 10), 19000),
+    (26769, "Idaho Central", _dms(41, 40), -114.0, 19000),
+    (26770, "Idaho West", _dms(41, 40), -115.75, 15000),
+    (26771, "Illinois East", _dms(36, 40), _dms(-88, 20), 40000),
+    (26772, "Illinois West", _dms(36, 40), _dms(-90, 10), 17000),
+    (26773, "Indiana East", 37.5, _dms(-85, 40), 30000),
+    (26774, "Indiana West", 37.5, _dms(-87, 5), 30000),
+    (26783, "Maine East", _dms(43, 50), -68.5, 10000),
+    (26784, "Maine West", _dms(42, 50), _dms(-70, 10), 30000),
+    (26796, "Missouri East", _dms(35, 50), -90.5, 15000),
+    (26797, "Missouri Central", _dms(35, 50), -92.5, 15000),
+    (26798, "Missouri West", _dms(36, 10), -94.5, 17000),
+    (32007, "Nevada East", 34.75, _dms(-115, 35), 10000),
+    (32008, "Nevada Central", 34.75, _dms(-116, 40), 10000),
+    (32009, "Nevada West", 34.75, _dms(-118, 35), 10000),
+    (32010, "New Hampshire", 42.5, _dms(-71, 40), 30000),
+    (32012, "New Mexico East", 31.0, _dms(-104, 20), 11000),
+    (32013, "New Mexico Central", 31.0, -106.25, 10000),
+    (32014, "New Mexico West", 31.0, _dms(-107, 50), 12000),
+    (32045, "Vermont", 42.5, -72.5, 28000),
+)
+for _c, _n, _l0, _lon, _kden in _SPCS27_TM:
+    _PROJECTED[_c] = (
+        f"NAD27 / {_n}", "NAD27",
+        dict(proj="tmerc", lat_0=_l0, lon_0=_lon, k_0=1.0 - 1.0 / _kden,
+             x_0=500000 * US_FT, y_0=0.0), "enu", US_FT)
+
+
 def _ftus(meters: float) -> float:
     """EPSG ftUS false easting/northing in meters, reproducing the
     registry's 3-decimal ftUS rounding (e.g. 300000 m -> 984250.000

@@ -206,8 +206,25 @@ class CRS:
 
     @classmethod
     def from_json_dict(cls, crs_dict: dict) -> "CRS":
-        """CRS from a PROJJSON dict — reference crs.py:557-575."""
+        """CRS from a PROJJSON dict — reference crs.py:557-575.
+        VerticalCRS / CompoundCRS dicts dispatch to the typed builders
+        (reference crs.py:1997-2075), so compound srs strings (stored
+        as PROJJSON) round-trip through from_user_input."""
         import json
+        typ = str(crs_dict.get("type", ""))
+        if typ in ("VerticalCRS", "CompoundCRS"):
+            from pyproj_spark.crs import builders
+            if typ == "VerticalCRS":
+                gm = crs_dict.get("geoid_model", {})
+                return builders.VerticalCRS(
+                    crs_dict.get("name", "undefined"),
+                    crs_dict.get("datum", {}).get("name", "undefined"),
+                    geoid_model=gm.get("name") if isinstance(gm, dict)
+                    else gm)
+            return builders.CompoundCRS(
+                crs_dict.get("name", "undefined"),
+                [cls.from_json_dict(c)
+                 for c in crs_dict.get("components", [])])
         from pyproj_spark.crs.projjson import crs_record_from_json_dict
         rec = crs_record_from_json_dict(crs_dict)
         return cls._from_record(rec, srs=json.dumps(crs_dict))
@@ -635,6 +652,15 @@ class CRS:
         e = self.ellipsoid
         ndim = 3 if self.kind == "geocentric" \
             else getattr(self, "n_dim", 2)
+        if e is None or self.kind == "compound":
+            # vertical CRSs have no horizontal ellipsoid; compound
+            # identity must include every component (two compounds
+            # sharing a horizontal but differing in vertical datum /
+            # geoid model are different CRSs)
+            return (self.kind, ndim, self.datum_name,
+                    getattr(self, "geoid_model", None),
+                    tuple(c._key(with_towgs84) for c in
+                          getattr(self, "sub_crs_list", [])) or None)
         return (self.kind, ndim, round(e.a, 9),
                 round(e.f, 15),
                 self.towgs84 if with_towgs84 else None,

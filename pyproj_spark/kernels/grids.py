@@ -181,3 +181,87 @@ def grid_for(src_datum, dst_datum):
 
 
 register_grid("NAD27", "NAD83", build_synthetic_conus_grid())
+
+
+# --------------------------------------------------------- geoid grids
+
+@dataclass
+class GeoidGrid:
+    """Scalar geoid-undulation grid N(lon, lat) in meters on a regular
+    lon/lat node lattice (the vertical analogue of :class:`ShiftGrid`;
+    reference surface: PROJ's vgridshift step, which is what pyproj's
+    compound-CRS transforms run through — transformer.py:841-985 z
+    semantics). Ellipsoidal height = gravity-related height + N."""
+
+    name: str
+    west: float
+    south: float
+    east: float
+    north: float
+    nx: int
+    ny: int
+    n_m: np.ndarray  # (ny, nx) undulation, meters
+
+    @property
+    def dx(self) -> float:
+        return (self.east - self.west) / (self.nx - 1)
+
+    @property
+    def dy(self) -> float:
+        return (self.north - self.south) / (self.ny - 1)
+
+    def interpolate(self, lon, lat):
+        """Bilinear N at (lon, lat) degrees; out-of-window points clamp
+        to the edge cell (the global synthetic grid has no outside)."""
+        fx = (np.asarray(lon, dtype=np.float64) - self.west) / self.dx
+        fy = (np.asarray(lat, dtype=np.float64) - self.south) / self.dy
+        ix = np.clip(np.floor(fx).astype(np.int64), 0, self.nx - 2)
+        iy = np.clip(np.floor(fy).astype(np.int64), 0, self.ny - 2)
+        tx = np.clip(fx - ix, 0.0, 1.0)
+        ty = np.clip(fy - iy, 0.0, 1.0)
+        f = self.n_m
+        return (f[iy, ix] * (1 - tx) * (1 - ty)
+                + f[iy, ix + 1] * tx * (1 - ty)
+                + f[iy + 1, ix] * (1 - tx) * ty
+                + f[iy + 1, ix + 1] * tx * ty)
+
+
+#: closed-form geoid node values (meters) — REPRODUCED IN SQL by the
+#: vertical_shift oracle query; keep both definitions in sync
+def _synth_geoid_m(ix, iy):
+    return (-12.0 + 9.0 * np.sin(0.045 * ix) + 7.0 * np.cos(0.03 * iy)
+            + 2.0 * np.sin(0.011 * ix * iy % 6.0))
+
+
+def build_synthetic_geoid() -> GeoidGrid:
+    """Deterministic global geoid stand-in (realistic magnitude:
+    undulations of roughly -28..+6 m; the real EGM field spans about
+    -107..+85 m). 1-degree node step."""
+    west, south, east, north = -180.0, -90.0, 180.0, 90.0
+    nx, ny = 361, 181
+    ix = np.arange(nx, dtype=np.float64)[None, :]
+    iy = np.arange(ny, dtype=np.float64)[:, None]
+    return GeoidGrid(
+        name="synth_geoid_2025.tif", west=west, south=south, east=east,
+        north=north, nx=nx, ny=ny,
+        n_m=np.broadcast_to(_synth_geoid_m(ix, iy), (ny, nx)).copy())
+
+
+_GEOIDS: dict = {}
+#: vertical datum (or geoid model) name -> geoid grid name
+GEOID_REGISTRY: dict = {}
+
+
+def register_geoid(key: str, grid: GeoidGrid):
+    _GEOIDS[grid.name] = grid
+    GEOID_REGISTRY[str(key).upper()] = grid.name
+
+
+def geoid_for(key) -> GeoidGrid | None:
+    name = GEOID_REGISTRY.get(str(key).upper())
+    return _GEOIDS[name] if name is not None else None
+
+
+_SYNTH_GEOID = build_synthetic_geoid()
+for _k in ("SYNTH GEOID 2025", "SYNTH2025", "NAVD88 (SYNTH)"):
+    register_geoid(_k, _SYNTH_GEOID)

@@ -92,6 +92,9 @@ class Projection:
         self.lon_0 = np.radians(float(lon_0))
         self.x_0 = float(x_0)
         self.y_0 = float(y_0)
+        #: +over semantics (reference transformer.py force_over kwarg):
+        #: True disables the adjlon longitude wrap in both directions
+        self.over = bool(kw.pop("over", False))
         self._setup(**kw)
 
     def _setup(self, **kw):
@@ -99,14 +102,16 @@ class Projection:
 
     def forward(self, lam, phi):
         dl = lam - self.lon_0
-        dl = np.remainder(dl + np.pi, 2.0 * np.pi) - np.pi
+        if not self.over:
+            dl = np.remainder(dl + np.pi, 2.0 * np.pi) - np.pi
         x, y = self._fwd(dl, phi)
         return x + self.x_0, y + self.y_0
 
     def inverse(self, x, y):
         lam, phi = self._inv(x - self.x_0, y - self.y_0)
         lam = lam + self.lon_0
-        lam = np.remainder(lam + np.pi, 2.0 * np.pi) - np.pi
+        if not self.over:
+            lam = np.remainder(lam + np.pi, 2.0 * np.pi) - np.pi
         return lam, phi
 
 
@@ -230,7 +235,8 @@ class UTM(TransverseMercator):
 
     def __init__(self, E, zone: int, south: bool = False, **kw):
         super().__init__(E, lon_0=zone * 6 - 183, x_0=500000.0,
-                         y_0=10000000.0 if south else 0.0, k_0=0.9996)
+                         y_0=10000000.0 if south else 0.0, k_0=0.9996,
+                         over=kw.pop("over", False))
 
 
 class LambertConformalConic(Projection):

@@ -201,3 +201,61 @@ def ann_topk_lsh(embeddings: DataFrame, k: int = 3, n_planes: int = 6,
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("id_a", "rank", "id_b", "sim"))
+
+
+def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 1,
+             threshold: float = 0.30, member_cap: int = 64,
+             id_col: str = "vec_id", vec_col: str = "v",
+             target_cluster_size: int = 512) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public) with a
+    BOUNDED per-cluster pair fan-out.
+
+    Scale contract (the part the naive formulation breaks): the
+    within-cluster cosine stage compares each member only against the
+    ``member_cap`` LOWEST-id members of its cluster (the cluster's
+    "representative set" — the star-edge analog of dedup.py's LSH
+    ``band_cap``), so total pair count is <= member_cap * n — LINEAR
+    in corpus size even when k-means degenerates to one mega-cluster,
+    where the uncapped rule is quadratic. Removal policy stays
+    deterministic and SQL-replayable: a vector is removed iff a
+    LOWER-id representative of its cluster has rounded cosine >=
+    ``threshold``; with member_cap >= the largest cluster this is
+    exactly the canonical-minimum-survivor rule.
+
+    ``k=None`` derives k from corpus size (ceil(n / target_cluster_
+    size), min 8) — SemDeDup uses ~50k clusters at LAION scale for the
+    same reason: cluster population, not corpus size, bounds per-key
+    shuffle volume. The oracle-gated query pins k=8 (the SQL replay
+    cannot depend on n); the derived-k path is covered by pytest.
+    """
+    from pyproj_spark.operators.kmeans import kmeans
+    e0 = emb.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("v"))
+    if k is None:
+        n = e0.count()
+        k = max(8, -(-n // target_cluster_size))
+    asg = kmeans(e0, k=k, iters=iters).select("vec_id", "cluster")
+    # norms hoisted to one pass per VECTOR; the pair stage then does
+    # one dot product per pair instead of dot + two norms
+    e = e0.join(asg, "vec_id").withColumn("n", _norm(F.col("v")))
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    ranked = e.withColumn("rk", F.row_number().over(w))
+    reps = (ranked.filter(F.col("rk") <= member_cap)
+            .select("cluster", F.col("vec_id").alias("id_a"),
+                    F.col("v").alias("va"), F.col("n").alias("na")))
+    members = ranked.select("cluster", F.col("vec_id").alias("id_b"),
+                            F.col("v").alias("vb"),
+                            F.col("n").alias("nb"))
+    dup = (reps.join(members, "cluster")
+           .filter(F.col("id_a") < F.col("id_b"))
+           .withColumn("sim", F.round(
+               _dot(F.col("va"), F.col("vb"))
+               / (F.col("na") * F.col("nb")), 6))
+           .filter(F.col("sim") >= threshold)
+           .select(F.col("id_b").alias("vec_id")).distinct()
+           .withColumn("removed", F.lit(True)))
+    return (e.select("vec_id", "cluster")
+            .join(dup, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce("removed", F.lit(False))
+                    .alias("removed")))

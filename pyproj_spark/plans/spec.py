@@ -49,6 +49,7 @@ OP_HELMERT3 = 2
 OP_HELMERT7 = 3
 OP_BALLPARK = 4
 OP_GRID = 5
+OP_VGRID = 6
 
 OP_NAMES = {
     OP_NOOP: "Null transformation",
@@ -57,20 +58,36 @@ OP_NAMES = {
     OP_HELMERT7: "Helmert 7-parameter transformation",
     OP_BALLPARK: "Ballpark geographic offset",
     OP_GRID: "Gridded datum shift (hgridshift)",
+    OP_VGRID: "Vertical geoid-grid shift (vgridshift)",
 }
 
 
 @dataclass(frozen=True)
 class TransformSpec:
-    """Picklable plan: everything a worker needs to build the kernel."""
+    """Picklable plan: everything a worker needs to build the kernel.
+
+    The option fields mirror reference ``transformer.py:667-752``:
+    ``accuracy`` (minimum metres; construction fails if the planned
+    operation cannot meet it or has unknown accuracy), ``allow_
+    ballpark`` (False refuses a ballpark plan at construction),
+    ``force_over`` (+over: disable longitude wrapping in the
+    projection legs), ``only_best`` (error at transform time when the
+    best known operation's grid is not available instead of falling
+    back — reference test_transformer.py:856-863 semantics)."""
 
     src_srs: str
     dst_srs: str
     always_xy: bool = False
+    accuracy: Optional[float] = None
+    allow_ballpark: Optional[bool] = None
+    force_over: bool = False
+    only_best: Optional[bool] = None
 
     @property
     def key(self) -> tuple:
-        return (self.src_srs, self.dst_srs, self.always_xy)
+        return (self.src_srs, self.dst_srs, self.always_xy,
+                self.accuracy, self.allow_ballpark, self.force_over,
+                self.only_best)
 
 
 class _Kernel:
@@ -80,12 +97,55 @@ class _Kernel:
         self.spec = spec
         self.src = CRS.from_user_input(spec.src_srs)
         self.dst = CRS.from_user_input(spec.dst_srs)
+        # compound/vertical CRSs carry a real third dimension: the
+        # facade's push/pop-v_3 z-restore must NOT apply to them
+        self.src_is_3d = self.src.is_compound or self.src.is_vertical
+        self.dst_is_3d = self.dst.is_compound or self.dst.is_vertical
         self.noop = self.src == self.dst
         if self.noop:
             return
+        # vertical legs (reference transformer.py:841-985 z semantics):
+        # a compound CRS transforms its HORIZONTAL component while z
+        # crosses the geoid surface of its vertical component
+        # (ellipsoidal h = gravity-related H + N(lon, lat), PROJ's
+        # vgridshift); with no geoid surface registered for the
+        # vertical datum, z passes through unchanged — the reference's
+        # "ballpark vertical transformation".
+        from pyproj_spark.kernels.grids import geoid_for
+
+        def _vert(crs):
+            if crs.is_compound:
+                for c in crs.sub_crs_list:
+                    if c.is_vertical:
+                        return c
+            return crs if crs.is_vertical else None
+
+        def _geoid(crs):
+            v = _vert(crs)
+            if v is None:
+                return None
+            return geoid_for(getattr(v, "geoid_model", None)
+                             or v.datum_name)
+
+        self.src_geoid = _geoid(self.src)
+        self.dst_geoid = _geoid(self.dst)
+        self.vertical_only = self.src.is_vertical and self.dst.is_vertical
+        if self.vertical_only:
+            return
+        if self.src.is_vertical or self.dst.is_vertical:
+            from pyproj_spark.exceptions import CRSError
+            raise CRSError(
+                "cannot transform between a vertical-only CRS and a "
+                "non-vertical CRS (no horizontal component)")
+        if self.src.is_compound:
+            self.src = next(c for c in self.src.sub_crs_list
+                            if not c.is_vertical)
+        if self.dst.is_compound:
+            self.dst = next(c for c in self.dst.sub_crs_list
+                            if not c.is_vertical)
         E_s, E_d = self.src.ellipsoid, self.dst.ellipsoid
-        self.proj_src = self._make_proj(self.src)
-        self.proj_dst = self._make_proj(self.dst)
+        self.proj_src = self._make_proj(self.src, over=spec.force_over)
+        self.proj_dst = self._make_proj(self.dst, over=spec.force_over)
         # datum legs: only when both sides define a shift and they differ
         # (or the ellipsoids differ). Missing towgs84 on either side =>
         # ballpark transform (reinterpret coordinates), like PROJ's
@@ -121,9 +181,79 @@ class _Kernel:
             pure3 = (len(tuple(h_s)) == 3 or tuple(h_s)[3:] == (0,) * 4) \
                 and (len(tuple(h_d)) == 3 or tuple(h_d)[3:] == (0,) * 4)
             self.base_op = OP_HELMERT3 if pure3 else OP_HELMERT7
+        self._apply_plan_options(spec)
+
+    def _apply_plan_options(self, spec: TransformSpec) -> None:
+        """Enforce the from_crs option kwargs (reference
+        transformer.py:667-752) against the planned operation.
+
+        Accuracy model (engine policy, documented): noop and same-datum
+        conversions are exact (0 m); a registered grid shift reports
+        its inventory accuracy; a towgs84 Helmert leg is taken as 1 m
+        (the typical published accuracy of towgs84 sets); ballpark and
+        cross-datum conversions without a shift are UNKNOWN (-1) and
+        never satisfy an accuracy filter — which reproduces the ported
+        reference tests (4326->3857 passes any filter; 4326->4258
+        raises, test_transformer.py:1372-1375)."""
+        from pyproj_spark.exceptions import ProjError
+        self.only_best_missing_grid = None
+        if self.grid is not None:
+            self.op_accuracy = self._inventory_accuracy(self.grid.name)
+        elif self.base_op == OP_CONVERSION and (
+                self.src.datum_name is not None
+                and self.src.datum_name == self.dst.datum_name):
+            self.op_accuracy = 0.0
+        elif self.base_op in (OP_HELMERT3, OP_HELMERT7):
+            self.op_accuracy = 1.0
+        else:
+            self.op_accuracy = -1.0
+        if spec.allow_ballpark is False and self.base_op == OP_BALLPARK \
+                and self.grid is None:
+            raise ProjError(
+                "Transformer creation failed: only a ballpark "
+                "transformation is available and allow_ballpark=False")
+        if spec.accuracy is not None and (
+                self.op_accuracy < 0
+                or self.op_accuracy > float(spec.accuracy)):
+            raise ProjError(
+                f"Transformer creation failed: no operation with "
+                f"accuracy {spec.accuracy} m (planned operation "
+                f"accuracy: {self.op_accuracy})")
+        if spec.only_best:
+            best = self._best_inventory_grid()
+            if best is not None:
+                from pyproj_spark.kernels.grids import _GRIDS
+                if best not in _GRIDS:
+                    self.only_best_missing_grid = best
+
+    def _best_inventory_grid(self):
+        """Filename of the best (lowest-accuracy, non-superseded)
+        inventory grid for this datum pair, or None."""
+        from pyproj_spark.catalog_api import _PAIR_GRIDS
+        from pyproj_spark.kernels.grids import _GRIDS
+        pair = _PAIR_GRIDS.get((self.src.datum_name,
+                                self.dst.datum_name)) \
+            or _PAIR_GRIDS.get((self.dst.datum_name,
+                                self.src.datum_name)) or ()
+        # best = lowest accuracy; accuracy ties prefer an AVAILABLE
+        # grid (equally-accurate candidates are interchangeable, so an
+        # available one IS a best operation)
+        live = [(acc, fname not in _GRIDS, fname)
+                for fname, acc, sup in pair if not sup]
+        return min(live)[2] if live else None
 
     @staticmethod
-    def _make_proj(crs: CRS):
+    def _inventory_accuracy(grid_name: str) -> float:
+        from pyproj_spark.catalog_api import _PAIR_GRIDS
+        for entries in _PAIR_GRIDS.values():
+            for fname, acc, _sup in entries:
+                if fname == grid_name:
+                    return float(acc)
+        return 0.15  # registered synthetic grids: NADCON-class
+
+
+    @staticmethod
+    def _make_proj(crs: CRS, over: bool = False):
         if crs.is_geographic or crs.is_geocentric:
             return None
         params = dict(crs.proj_params)
@@ -138,11 +268,11 @@ class _Kernel:
             zone = int(params.pop("zone"))
             south = bool(params.pop("south", False))
             params.pop("k_0", None)
-            return cls(crs.ellipsoid, zone=zone, south=south)
+            return cls(crs.ellipsoid, zone=zone, south=south, over=over)
         if "k" in params and "k_0" not in params:
             params["k_0"] = params.pop("k")
         params.pop("units", None)
-        return cls(crs.ellipsoid, **params)
+        return cls(crs.ellipsoid, over=over, **params)
 
     # -- one side: native units -> geodetic radians (+h meters), in the
     # GREENWICH frame: a non-Greenwich prime meridian (+pm=paris etc.)
@@ -192,20 +322,55 @@ class _Kernel:
                 direction == "IDENT":
             ops = np.full(x.shape, OP_NOOP, dtype=np.int8)
             return ((x, y, z) if has_z else (x, y, None)) + (ops,)
-        if direction in (TransformDirection.INVERSE, "INVERSE"):
+        if getattr(self, "only_best_missing_grid", None):
+            # only_best=True and the best known operation's grid is not
+            # available: fail the points instead of falling back
+            # (reference test_transformer.py:856-863)
+            bad = np.full(x.shape, np.inf)
+            ops = np.full(x.shape, OP_BALLPARK, dtype=np.int8)
+            return (bad, bad.copy(), bad.copy() if has_z else None, ops)
+        inverse = direction in (TransformDirection.INVERSE, "INVERSE")
+        if getattr(self, "vertical_only", False):
+            # vertical datum A -> B at horizontal position (x, y) =
+            # (lon, lat) degrees: H_b = H_a + N_a - N_b
+            g_s, g_d = ((self.dst_geoid, self.src_geoid) if inverse
+                        else (self.src_geoid, self.dst_geoid))
+            zo = z.copy()
+            applied = False
+            if g_s is not None:
+                zo = zo + g_s.interpolate(x, y)
+                applied = True
+            if g_d is not None:
+                zo = zo - g_d.interpolate(x, y)
+                applied = True
+            ops = np.full(x.shape,
+                          OP_VGRID if applied else OP_BALLPARK,
+                          dtype=np.int8)
+            return (x, y, zo if has_z else None, ops)
+        if inverse:
             src, dst = self.dst, self.src
             proj_s, proj_d = self.proj_dst, self.proj_src
             helm_s = getattr(self, "helm_dst", None)
             helm_d = getattr(self, "helm_src", None)
+            geoid_s = getattr(self, "dst_geoid", None)
+            geoid_d = getattr(self, "src_geoid", None)
         else:
             src, dst = self.src, self.dst
             proj_s, proj_d = self.proj_src, self.proj_dst
             helm_s = getattr(self, "helm_src", None)
             helm_d = getattr(self, "helm_dst", None)
+            geoid_s = getattr(self, "src_geoid", None)
+            geoid_d = getattr(self, "dst_geoid", None)
 
         ops = np.full(x.shape, self.base_op, dtype=np.int8)
         with np.errstate(all="ignore"):
             lam, phi, h = self._to_geodetic(src, proj_s, x, y, z)
+            if geoid_s is not None:
+                # gravity-related -> ellipsoidal height on the source
+                # geoid surface (vgridshift forward)
+                h = h + geoid_s.interpolate(np.degrees(lam),
+                                            np.degrees(phi))
+                ops = np.full(x.shape, OP_VGRID, dtype=np.int8)
             if self.datum_shift:
                 X, Y, Z = geodetic_to_geocentric(src.ellipsoid, lam, phi, h)
                 X, Y, Z = helm_s.forward(X, Y, Z, t=t)
@@ -238,6 +403,11 @@ class _Kernel:
                     phi2 = np.where(inside, np.radians(glat), phi2)
                     h2 = np.where(inside, h, h2)
                     ops = np.where(inside, np.int8(OP_GRID), ops)
+            if geoid_d is not None:
+                # ellipsoidal -> gravity-related on the target geoid
+                h2 = h2 - geoid_d.interpolate(np.degrees(lam2),
+                                              np.degrees(phi2))
+                ops = np.full(x.shape, OP_VGRID, dtype=np.int8)
             xo, yo, zo = self._from_geodetic(dst, proj_d, lam2, phi2, h2)
         return ((xo, yo, zo) if has_z else (xo, yo, None)) + (ops,)
 
@@ -264,10 +434,26 @@ class Transformer:
 
     @classmethod
     def from_crs(cls, crs_from, crs_to, always_xy: bool = False,
+                 area_of_interest=None, authority: str | None = None,
+                 accuracy: float | None = None,
+                 allow_ballpark: bool | None = None,
+                 force_over: bool = False,
+                 only_best: bool | None = None,
                  **_ignored) -> "Transformer":
+        """Reference transformer.py:667-752 contract. ``authority`` and
+        ``area_of_interest`` select among candidate operations in the
+        reference; this engine plans a single operation per pair, so
+        they are accepted (and AOI-aware candidate pruning lives on
+        TransformerGroup, catalog_api.py); the four semantic kwargs —
+        accuracy / allow_ballpark / force_over / only_best — are
+        enforced (see TransformSpec)."""
         src = CRS.from_user_input(crs_from)
         dst = CRS.from_user_input(crs_to)
-        return cls(TransformSpec(src.srs, dst.srs, always_xy=always_xy))
+        return cls(TransformSpec(
+            src.srs, dst.srs, always_xy=always_xy,
+            accuracy=None if accuracy is None else float(accuracy),
+            allow_ballpark=allow_ballpark, force_over=bool(force_over),
+            only_best=only_best))
 
     @classmethod
     def from_pipeline(cls, proj_pipeline: str, always_xy: bool = False,
@@ -350,8 +536,12 @@ class Transformer:
         # 2D<->2D semantics: PROJ brackets the pipeline in push/pop v_3,
         # so the input z rides along the datum leg but is RESTORED on
         # output (tested by reference test/test_datum_shift.py:38-70).
-        src3d = src.is_geocentric or src.epsg_code == 4979
-        dst3d = dst.is_geocentric or dst.epsg_code == 4979
+        src3d = (src.is_geocentric or src.epsg_code == 4979
+                 or (self._kernel.src_is_3d if fwd
+                     else self._kernel.dst_is_3d))
+        dst3d = (dst.is_geocentric or dst.epsg_code == 4979
+                 or (self._kernel.dst_is_3d if fwd
+                     else self._kernel.src_is_3d))
         if z is not None and not (src3d or dst3d):
             zo = z
         if radians and dst.is_geographic:
@@ -361,6 +551,11 @@ class Transformer:
             bad = ~np.isfinite(xo) | ~np.isfinite(yo)
             if bad.any():
                 from pyproj_spark.exceptions import ProjError
+                missing = getattr(self._kernel,
+                                  "only_best_missing_grid", None)
+                if missing:
+                    raise ProjError(
+                        f"Grid {missing} is not available.")
                 raise ProjError(f"transform error on {int(bad.sum())} "
                                 f"point(s)")
         else:

@@ -836,8 +836,116 @@ FROM geom
 """
 
 
+def q_nad27_stateplane(spark, sf_dir):
+    """SPCS27 catalog breadth (round-5): NAD27 lon/lat -> the five
+    Texas NAD27 state-plane zones (LCC-2SP on Clarke 1866, US survey
+    foot, 2,000,000-ftUS false easting), zone chosen by lat band —
+    the legacy-data workflow Transformer.from_crs(4267, 32040). The
+    engine reproduces Snyder's published SPCS27 worked example
+    (TX SC, 28°30'N 96°W -> 2,963,503.91 / 254,759.80 ftUS) exactly;
+    the oracle recomputes the full Snyder LCC-2SP closed form in
+    DuckDB from the SP-235 sexagesimal constants, independently
+    checking catalog parameters, clrk66 constants, ftUS conversion,
+    and the projection kernel. One scan, one pandas-UDF crossing
+    (transform_xy_keyed), zone dispatch inside the kernel."""
+    from pyproj_spark.functions.transform import transform_xy_keyed
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 8000) / 1000.0 - 103.0).alias("lon"),
+        ((F.col("doc_id") * 104729 % 10000) / 1000.0 + 26.0).alias("lat"))
+    epsg = F.lit(None).cast("int")
+    for code, lo, hi in reversed(_TX27_ZONES):
+        epsg = F.when((F.col("lat") >= lo) & (F.col("lat") < hi),
+                      F.lit(code)).otherwise(epsg)
+    xy = transform_xy_keyed(
+        "EPSG:4267", {c: f"EPSG:{c}" for c, _, _ in _TX27_ZONES},
+        F.col("epsg"), F.col("lon"), F.col("lat"))
+    return (docs.withColumn("epsg", epsg).withColumn("xy", xy)
+            .select("doc_id", "epsg",
+                    F.round(F.col("xy.x")).cast("long").alias("easting"),
+                    F.round(F.col("xy.y")).cast("long").alias("northing")))
+
+
+_TX27_ZONES = (  # (epsg, lat band lo, hi) — same bands as stateplane
+    (32041, 26.0, 28.0), (32040, 28.0, 30.0), (32039, 30.0, 32.0),
+    (32038, 32.0, 34.0), (32037, 34.0, 36.0),
+)
+
+# Snyder LCC-2SP in SQL on Clarke 1866 (a = 6378206.4 m,
+# b = 6356583.8 m -> e2 = 1 - (b/a)^2), output in US survey feet
+# (1200/3937 m). Same closed form as SQL_STATEPLANE, NAD27 constants.
+SQL_NAD27_STATEPLANE = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 8000) / 1000.0 - 103.0   AS lon,
+         (doc_id * 104729 % 10000) / 1000.0 + 26.0 AS lat
+  FROM documents
+), zones AS (
+  SELECT * FROM (VALUES
+    (32041, 26.0 + 10.0/60.0, 27.0 + 50.0/60.0, 25.0 + 40.0/60.0,
+     -98.5, 26.0, 28.0),
+    (32040, 28.0 + 23.0/60.0, 30.0 + 17.0/60.0, 27.0 + 50.0/60.0,
+     -99.0, 28.0, 30.0),
+    (32039, 30.0 + 7.0/60.0, 31.0 + 53.0/60.0, 29.0 + 40.0/60.0,
+     -(100.0 + 20.0/60.0), 30.0, 32.0),
+    (32038, 32.0 + 8.0/60.0, 33.0 + 58.0/60.0, 31.0 + 40.0/60.0,
+     -97.5, 32.0, 34.0),
+    (32037, 34.0 + 39.0/60.0, 36.0 + 11.0/60.0, 34.0,
+     -101.5, 34.0, 36.0)
+  ) AS z(epsg, lat1, lat2, lat0, lon0, lo, hi)
+), j AS (
+  SELECT p.doc_id, p.lon, p.lat, z.*,
+         sqrt(1.0 - (6356583.8/6378206.4) * (6356583.8/6378206.4))
+             AS e,
+         1.0 - (6356583.8/6378206.4) * (6356583.8/6378206.4) AS e2
+  FROM pts p JOIN zones z ON p.lat >= z.lo AND p.lat < z.hi
+), c AS (
+  SELECT *,
+    exp(-(ln(tan(radians(lat1)) + sqrt(tan(radians(lat1))
+              * tan(radians(lat1)) + 1.0))
+          - e * 0.5 * ln((1.0 + e * sin(radians(lat1)))
+                         / (1.0 - e * sin(radians(lat1)))))) AS t1,
+    exp(-(ln(tan(radians(lat2)) + sqrt(tan(radians(lat2))
+              * tan(radians(lat2)) + 1.0))
+          - e * 0.5 * ln((1.0 + e * sin(radians(lat2)))
+                         / (1.0 - e * sin(radians(lat2)))))) AS t2,
+    exp(-(ln(tan(radians(lat0)) + sqrt(tan(radians(lat0))
+              * tan(radians(lat0)) + 1.0))
+          - e * 0.5 * ln((1.0 + e * sin(radians(lat0)))
+                         / (1.0 - e * sin(radians(lat0)))))) AS t0,
+    exp(-(ln(tan(radians(lat)) + sqrt(tan(radians(lat))
+              * tan(radians(lat)) + 1.0))
+          - e * 0.5 * ln((1.0 + e * sin(radians(lat)))
+                         / (1.0 - e * sin(radians(lat)))))) AS tp,
+    cos(radians(lat1)) / sqrt(1.0 - e2 * sin(radians(lat1))
+                              * sin(radians(lat1))) AS m1,
+    cos(radians(lat2)) / sqrt(1.0 - e2 * sin(radians(lat2))
+                              * sin(radians(lat2))) AS m2
+  FROM j
+), k AS (
+  SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n FROM c
+), kf AS (
+  SELECT *, m1 / (n * power(t1, n)) AS bigf FROM k
+), geom AS (
+  SELECT doc_id, epsg, n,
+         6378206.4 * bigf * power(t0, n) AS rho0,
+         6378206.4 * bigf * power(tp, n) AS rho,
+         n * radians(lon - lon0) AS theta
+  FROM kf
+)
+SELECT doc_id, epsg,
+       CAST(round((rho * sin(theta)) / (1200.0/3937.0)
+                  + 2000000.0) AS BIGINT) AS easting,
+       CAST(round((rho0 - rho * cos(theta)) / (1200.0/3937.0))
+            AS BIGINT) AS northing
+FROM geom
+"""
+
+
 QUERIES = {
     "webmerc_transform": (q_webmerc_transform, SQL_WEBMERC),
+    "nad27_stateplane": (q_nad27_stateplane, SQL_NAD27_STATEPLANE),
     "stateplane": (q_stateplane, SQL_STATEPLANE),
     "geocell": (q_geocell, SQL_GEOCELL),
     "s2cell": (q_s2cell, _s2_sql(_S2_LEVEL)),
@@ -1049,6 +1157,65 @@ FROM s
 """
 
 QUERIES["grid_shift"] = (q_grid_shift, SQL_GRID_SHIFT)
+
+
+def q_vertical_shift(spark, sf_dir):
+    """Compound-CRS vertical transform (reference transformer.py:
+    841-985 z semantics): gravity-related heights H on a synthetic
+    vertical datum become ellipsoidal heights h = H + N(lon, lat)
+    through the registered geoid surface (kernels/grids.py::GeoidGrid,
+    PROJ's vgridshift), fused with the horizontal leg in ONE pandas-UDF
+    crossing (transform_xyz on CompoundCRS(4326+vertical) -> EPSG:4979).
+    The oracle recomputes the bilinear undulation from the geoid's
+    closed-form node values — the same replay pattern as grid_shift."""
+    from pyproj_spark.crs.builders import CompoundCRS, VerticalCRS
+    from pyproj_spark.functions.transform import transform_xyz
+    vert = VerticalCRS("Synth height", "NAVD88 (synth)",
+                       geoid_model="SYNTH2025")
+    comp = CompoundCRS("WGS 84 + synth height", ["EPSG:4326", vert])
+    pts = _doc_points(spark, sf_dir).select(
+        "doc_id", "lon", "lat",
+        ((F.col("doc_id") % 4000) / 10.0 - 200.0).alias("h_grav"))
+    xyz = transform_xyz(comp, "EPSG:4979", F.col("lon"), F.col("lat"),
+                        F.col("h_grav"))
+    return pts.withColumn("o", xyz).select(
+        "doc_id",
+        F.round(F.col("o.x"), 7).alias("lon_out"),
+        F.round(F.col("o.y"), 7).alias("lat_out"),
+        F.round(F.col("o.z"), 6).alias("h_ell"))
+
+
+# closed-form geoid node values — MUST match kernels/grids.py
+# _synth_geoid_m; global window (-180, -90, 180, 90), 1-degree step
+def _vertical_shift_sql():
+    n = ("(-12.0 + 9.0*sin(0.045*({ix})) + 7.0*cos(0.03*({iy})) "
+         "+ 2.0*sin(fmod(0.011*({ix})*({iy}), 6.0)))")
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (
+  SELECT doc_id, lon, lat,
+         (doc_id % 4000) / 10.0 - 200.0 AS h_grav,
+         least(CAST(floor(lon + 180.0) AS BIGINT), 359) AS ix,
+         least(CAST(floor(lat + 90.0) AS BIGINT), 179)  AS iy,
+         (lon + 180.0) - least(CAST(floor(lon + 180.0) AS BIGINT), 359)
+             AS tx,
+         (lat + 90.0) - least(CAST(floor(lat + 90.0) AS BIGINT), 179)
+             AS ty
+  FROM pts
+)
+SELECT doc_id,
+  round(lon, 7) AS lon_out,
+  round(lat, 7) AS lat_out,
+  round(h_grav
+        + {n.format(ix='ix', iy='iy')} * (1-tx) * (1-ty)
+        + {n.format(ix='ix+1', iy='iy')} * tx * (1-ty)
+        + {n.format(ix='ix', iy='iy+1')} * (1-tx) * ty
+        + {n.format(ix='ix+1', iy='iy+1')} * tx * ty, 6) AS h_ell
+FROM c
+"""
+
+
+QUERIES["vertical_shift"] = (q_vertical_shift, _vertical_shift_sql())
 
 
 def q_grid_inventory(spark, sf_dir):
@@ -5797,7 +5964,8 @@ def q_temporal_reach(spark, sf_dir):
     ignores that a link observed YESTERDAY cannot forward content
     discovered TODAY). Six relaxation rounds keep (node, earliest
     arrival day); each round joins the frontier to edges with
-    edge_day >= arrival and keeps the min. The oracle unrolls the
+    edge_day >= arrival and keeps the min; small graphs take the
+    bfs.py driver cutover (identical rounds). The oracle unrolls the
     identical rounds."""
     ev = _t(spark, sf_dir, "events")
     u = F.col("user_id")
@@ -5807,17 +5975,8 @@ def q_temporal_reach(spark, sf_dir):
                        .cast("long").alias("t"))
              .filter(F.col("src") != F.col("dst"))
              .distinct())
-    dist = spark.createDataFrame([(0, -1)], "node long, arr long")
-    e = edges.select(F.col("src").alias("node"), "dst", "t")
-    for _ in range(6):
-        relax = (dist.join(e, "node")
-                 .filter(F.col("t") >= F.col("arr"))
-                 .select(F.col("dst").alias("node"),
-                         F.col("t").alias("arr")))
-        dist = (dist.union(relax)
-                .groupBy("node").agg(F.min("arr").alias("arr"))
-                .localCheckpoint(eager=False))
-    return dist
+    from pyproj_spark.operators.bfs import temporal_reach
+    return temporal_reach(edges, seeds=[0], rounds=6)
 
 
 def _temporal_reach_sql():
@@ -5856,7 +6015,10 @@ def q_kcore(spark, sf_dir):
     mutual reinforcement; hub-and-spoke structures peel away). Each
     round is two semi-joins + one count; rounds are bounded, not
     data-dependent, so the plan is replayable and the 100-TB cost is
-    k scans of the edge set. Uses a second link generator on top of
+    k scans of the edge set — while SMALL graphs (<= 200k edges) take
+    the driver-side cutover in operators/bfs.py::kcore_survivors
+    (identical rounds; measured 9.8 s -> <2 s at sf0.01, the cc.py
+    pattern). Uses a second link generator on top of
     the q_pagerank graph (the single-generator graph peels to empty —
     a vacuous gate). The oracle unrolls identical rounds."""
     d = _t(spark, sf_dir, "documents")
@@ -5873,18 +6035,8 @@ def q_kcore(spark, sf_dir):
            .union(e.select(F.col("dst").alias("src"),
                            F.col("src").alias("dst")))
            .distinct())
-    active = und.select(F.col("src").alias("node")).distinct()
-
-    def degrees(act):
-        return (und.join(act.withColumnRenamed("node", "src"), "src")
-                .join(act.select(F.col("node").alias("dst")), "dst")
-                .groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-                .withColumnRenamed("src", "node"))
-
-    for _ in range(6):
-        active = (degrees(active).filter(F.col("deg") >= 3)
-                  .select("node").localCheckpoint(eager=False))
-    return degrees(active).filter(F.col("deg") >= 3)
+    from pyproj_spark.operators.bfs import kcore_survivors
+    return kcore_survivors(und, k=3, rounds=6)
 
 
 def _kcore_sql():

@@ -3339,46 +3339,32 @@ WITH RECURSIVE words AS (
 QUERIES_TEXT["bpe_merges"] = (q_bpe_merges, _bpe_sql())
 
 
+#: per-cluster representative cap for the gated semdedup query: pairs
+#: are bounded at SEMDEDUP_CAP * n even under a degenerate one-cluster
+#: assignment. 64 is real capping at sf0.1 (clusters ~250 members)
+#: while sf0.01 clusters (~60) stay mostly uncapped.
+SEMDEDUP_CAP = 64
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
-    semantic near-duplicate pruning at corpus scale. The scale story
-    IS the composition: k-means cells bound the pairwise cosine work
-    to within-cluster pairs (never an all-pairs corpus self-join) —
-    the same assignments the gated `kmeans` query produces, then one
-    hash equi-join on the cluster id. k=8 is gate-sized; at corpus
-    scale k grows with n (SemDeDup uses ~50k clusters for LAION-scale
-    inputs) so per-cluster pair counts — and the per-key shuffle
-    volume of this join — stay bounded. Deterministic removal policy:
-    a vector is removed iff a LOWER-id vector in its cluster has
-    rounded cosine >= 0.30 (canonical-minimum survivor, the
-    `canonical_docs` convention)."""
-    from pyproj_spark.operators.kmeans import kmeans
-    from pyproj_spark.operators.similarity import _dot, _norm
+    semantic near-duplicate pruning at corpus scale, via
+    operators/similarity.py::semdedup. The scale story is twofold:
+    k-means cells bound cosine work to within-cluster pairs, AND each
+    member is compared only against its cluster's SEMDEDUP_CAP
+    lowest-id representatives — pair count <= cap * n, linear even if
+    clustering degenerates to one mega-cluster (the uncapped rule is
+    quadratic there). k=8 is gate-sized because the SQL replay cannot
+    depend on n; the operator's k=None derives k from corpus size
+    (SemDeDup uses ~50k clusters at LAION scale). Removal policy:
+    removed iff a lower-id representative has rounded cosine >= 0.30
+    (canonical-minimum survivor, the `canonical_docs` convention)."""
+    from pyproj_spark.operators.similarity import semdedup
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .select("vec_id",
                 F.col("embedding").cast("array<double>").alias("v"))
-    asg = kmeans(emb, k=8, iters=1).select("vec_id", "cluster")
-    # norms hoisted to one pass per VECTOR; the pair stage then does
-    # one dot product per pair instead of dot + two 64-dim norms
-    # (same float ops in the same order -> bit-identical sims)
-    e = emb.join(asg, "vec_id").withColumn("n", _norm(F.col("v")))
-    a = e.select(F.col("cluster"), F.col("vec_id").alias("id_a"),
-                 F.col("v").alias("va"), F.col("n").alias("na"))
-    b = e.select(F.col("cluster"), F.col("vec_id").alias("id_b"),
-                 F.col("v").alias("vb"), F.col("n").alias("nb"))
-    dup = (a.join(b, "cluster")
-           .filter(F.col("id_a") < F.col("id_b"))
-           .withColumn("sim", F.round(
-               _dot(F.col("va"), F.col("vb"))
-               / (F.col("na") * F.col("nb")), 6))
-           .filter(F.col("sim") >= 0.30)
-           .select(F.col("id_b").alias("vec_id")).distinct()
-           .withColumn("removed", F.lit(True)))
-    return (e.select("vec_id", "cluster")
-            .join(dup, "vec_id", "left")
-            .select("vec_id", "cluster",
-                    F.coalesce("removed", F.lit(False))
-                    .alias("removed")))
+    return semdedup(emb, k=8, iters=1, threshold=0.30,
+                    member_cap=SEMDEDUP_CAP)
 
 
 def _semdedup_sql():
@@ -3390,13 +3376,19 @@ def _semdedup_sql():
            " * sqrt(list_dot_product(eb.v, eb.v))), 6)")
     return f"""{km},
 asg AS (SELECT vec_id, cluster FROM a2),
+ranked AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY vec_id)
+             AS rk
+  FROM asg
+),
 dup AS (
   SELECT DISTINCT pb.vec_id AS vec_id
-  FROM asg pa JOIN asg pb ON pa.cluster = pb.cluster
-                         AND pa.vec_id < pb.vec_id
+  FROM ranked pa JOIN ranked pb ON pa.cluster = pb.cluster
+                              AND pa.vec_id < pb.vec_id
   JOIN e ea ON ea.vec_id = pa.vec_id
   JOIN e eb ON eb.vec_id = pb.vec_id
-  WHERE {cos} >= 0.30
+  WHERE pa.rk <= {SEMDEDUP_CAP} AND {cos} >= 0.30
 )
 SELECT a.vec_id, a.cluster,
        (a.vec_id IN (SELECT vec_id FROM dup)) AS removed

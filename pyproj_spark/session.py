@@ -24,12 +24,25 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+#: JVM flags that remove the two measured sources of run-to-run stalls
+#: in local mode: G1 concurrent cycles / heap resizing (ParallelGC +
+#: fixed -Xms) and code-cache pressure from whole-stage-codegen class
+#: churn (default 240m ReservedCodeCacheSize flushes hot methods).
+#: Measured on this box: late-run spikes of 3-7x under defaults
+#: disappear under these flags (see bench.py methodology notes).
+STEADY_JVM_OPTS = ("-XX:ReservedCodeCacheSize=1g -XX:+UseParallelGC "
+                   "-XX:CICompilerCount=4 -Xms20g")
+
+
 def get_spark(app_name: str = "pyproj_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              java_opts: str | None = None) -> SparkSession:
     """Build (or reuse) a local SparkSession tuned for the engine.
 
     On a real cluster the same confs apply, minus ``master``; jobs are
     submitted with ``spark-submit --py-files pyproj_spark.zip``.
+    ``java_opts`` (driver JVM flags) only takes effect for the process's
+    FIRST session — pass it before any other get_spark call.
     """
     n = cores or default_parallelism()
     sp = shuffle_partitions or max(2 * n, 32)
@@ -49,4 +62,7 @@ def get_spark(app_name: str = "pyproj_spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions",
+                                 java_opts)
     return builder.getOrCreate()

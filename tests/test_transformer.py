@@ -420,3 +420,82 @@ def test_somerc_center_anchor_and_conformality():
     h = np.hypot(x2 - x0, y2 - y0)[0] / (eps * rho)
     k = np.hypot(x1 - x0, y1 - y0)[0] / (eps * nu * np.cos(phi0))
     assert abs(h - k) < 1e-7
+
+
+# ---------------------------------- from_crs option kwargs (round 5)
+
+def test_transformer_force_over():
+    """Ported reference test_transformer.py:1987-2007."""
+    from pyproj_spark.plans.spec import TransformDirection, Transformer
+    transformer = Transformer.from_crs("EPSG:4326", "EPSG:3857",
+                                       force_over=True)
+    xxx, yyy = transformer.transform(0, 140)
+    xxx_over, yyy_over = transformer.transform(0, -220)
+    assert xxx > 0
+    assert xxx_over < 0
+    xxx_inverse, yyy_inverse = transformer.transform(
+        xxx, yyy, direction=TransformDirection.INVERSE)
+    xxx_over_inverse, yyy_over_inverse = transformer.transform(
+        xxx_over, yyy_over, direction=TransformDirection.INVERSE)
+    assert abs(xxx_inverse) < 1e-7
+    assert abs(yyy_inverse - 140) < 1e-7
+    assert abs(xxx_over_inverse) < 1e-7
+    assert abs(yyy_over_inverse - (-220)) < 1e-7
+    # default (no +over) wraps -220 to +140
+    default = Transformer.from_crs("EPSG:4326", "EPSG:3857")
+    xw, _ = default.transform(0, -220)
+    assert abs(xw - xxx) < 1e-6
+
+
+def test_transformer_accuracy_filter():
+    """Ported reference test_transformer.py:1372-1375: the WGS84 ->
+    ETRS89 leg has no operation of known accuracy, so an accuracy
+    filter fails at construction; a same-datum conversion passes."""
+    import pytest
+
+    from pyproj_spark.exceptions import ProjError
+    from pyproj_spark.plans.spec import Transformer
+    with pytest.raises(ProjError):
+        Transformer.from_crs("EPSG:4326", "EPSG:4258", accuracy=0.05)
+    Transformer.from_crs("EPSG:4326", "EPSG:3857", accuracy=0.05)
+
+
+def test_transformer_allow_ballpark_filter():
+    """allow_ballpark=False refuses a ballpark-only plan (proj-string
+    CRS without towgs84 on one side) but passes real plans."""
+    import pytest
+
+    from pyproj_spark.crs.crs import CRS
+    from pyproj_spark.exceptions import ProjError
+    from pyproj_spark.plans.spec import Transformer
+    Transformer.from_crs("EPSG:4326", "EPSG:3857", allow_ballpark=False)
+    no_shift = CRS.from_proj4("+proj=longlat +ellps=intl +no_defs")
+    with pytest.raises(ProjError):
+        Transformer.from_crs(no_shift, "EPSG:4326",
+                             allow_ballpark=False)
+
+
+def test_transformer__only_best():
+    """Ported reference test_transformer.py:856-863 shape: the best
+    grid for OSGB36 -> ETRS89 (OSTN15) is inventoried but not
+    available, so only_best=True fails the points."""
+    import numpy as np
+    import pytest
+
+    from pyproj_spark.exceptions import ProjError
+    from pyproj_spark.plans.spec import Transformer
+    transformer = Transformer.from_crs("EPSG:4277", "EPSG:4258",
+                                       only_best=True)
+    with pytest.raises(ProjError,
+                       match=r"Grid .* is not available\."):
+        transformer.transform(52, -1, errcheck=True)
+    x, _ = transformer.transform(52, -1)
+    assert not np.isfinite(x)
+    # without only_best the Helmert fallback produces real output
+    x2, _ = Transformer.from_crs("EPSG:4277",
+                                 "EPSG:4258").transform(52, -1)
+    assert np.isfinite(x2)
+    # only_best where the best grid IS available: normal output
+    x3, _ = Transformer.from_crs("EPSG:4267", "EPSG:4269",
+                                 only_best=True).transform(40, -100)
+    assert np.isfinite(x3)
