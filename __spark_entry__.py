@@ -88,9 +88,10 @@ def _interleaved() -> dict[str, tuple]:
     merged = dict(QUERIES)
     merged.update(QUERIES_TEXT)
     new_this_round = [
-        "hll_pyramid", "geoip", "semdedup", "vertical_shift",
-        "nad27_stateplane", "bpe_merges", "bpe_segment", "kcore",
-        "hop_distance", "label_prop", "shortest_path",
+        "gauss_kruger", "hll_pyramid", "geoip", "semdedup",
+        "vertical_shift", "nad27_stateplane", "bpe_merges",
+        "bpe_segment", "kcore", "hop_distance", "label_prop",
+        "shortest_path",
     ]
     out: dict[str, tuple] = {n: merged[n] for n in new_this_round
                              if n in merged}

@@ -30,6 +30,12 @@ _DATUM_AOU = {
     "NAD27": (167.65, 7.15, -47.74, 83.17),
     "OSGB36": (-9.0, 49.75, 2.01, 61.01),
     "NZGD2000": (160.6, -55.95, -171.2, -25.88),
+    "pulkovo42": (19.57, 39.95, -168.97, 85.19),
+    "potsdam": (5.86, 47.27, 15.04, 55.09),
+    "JGD2000": (122.38, 17.09, 157.65, 46.05),
+    "JGD2011": (122.38, 17.09, 157.65, 46.05),
+    "belge72": (2.5, 49.5, 6.4, 51.51),
+    "sjtsk": (12.09, 47.73, 22.56, 51.06),
 }
 
 
@@ -47,9 +53,12 @@ def crs_catalog_df(spark: SparkSession) -> DataFrame:
 
 
 def get_authorities(spark) -> list[str]:
-    """reference pyproj/database.pyx:54-79"""
-    return [r[0] for r in
-            crs_catalog_df(spark).select("auth_name").distinct().collect()]
+    """reference pyproj/database.pyx:54-79 — the bundled namespaces
+    (EPSG from the catalog DataFrame plus the static ESRI/IGNF/OGC
+    tables in crs/catalog.py)."""
+    epsg = {r[0] for r in
+            crs_catalog_df(spark).select("auth_name").distinct().collect()}
+    return sorted(epsg | set(catalog.AUTHORITY_NAMES))
 
 
 def get_codes(spark, auth_name: str, pj_type: str,
@@ -175,6 +184,12 @@ def get_proj_operations_map() -> dict:
         "ob_tran": "General Oblique Transformation",
         "omerc": "Oblique Mercator",
         "poly": "Polyconic (American)",
+        "somerc": "Swiss. Obl. Mercator",
+        "moll": "Mollweide",
+        "mill": "Miller Cylindrical",
+        "gnom": "Gnomonic",
+        "cass": "Cassini",
+        "krovak": "Krovak",
     }
     from pyproj_spark.kernels.projections import PROJECTIONS
     out = {k: descriptions.get(k, k) for k in sorted(PROJECTIONS)}

@@ -63,6 +63,16 @@ DATUMS = {
     # EPSG:1676 "CH1903 to WGS 84 (1)" / EPSG:1647 "CH1903+ to WGS 84 (1)"
     "CH1903": ("bessel", (674.4, 15.1, 405.3)),
     "CH1903plus": ("bessel", (674.374, 15.056, 405.346)),
+    # EPSG:1254 "Pulkovo 1942 to WGS 84 (1)" (geocentric translations)
+    "pulkovo42": ("krass", (28.0, -130.0, -95.0)),
+    # Japanese Geodetic Datum 2000 / 2011 — ITRF-aligned, GRS80
+    "JGD2000": ("GRS80", (0, 0, 0)),
+    "JGD2011": ("GRS80", (0, 0, 0)),
+    # EPSG:15929 "BD72 to WGS 84 (3)" (coordinate-frame 7-param)
+    "belge72": ("intl", (-106.8686, 52.2978, -103.7239,
+                         0.3366, -0.457, 1.8422, -1.2747)),
+    # EPSG:1622 "S-JTSK to WGS 84 (1)" (geocentric translations)
+    "sjtsk": ("bessel", (589.0, 76.0, 480.0)),
 }
 
 #: deprecated EPSG codes -> their non-deprecated successors (reference
@@ -70,6 +80,12 @@ DATUMS = {
 DEPRECATED = {
     4140: [4617],  # NAD83(CSRS98) -> NAD83(CSRS)
 }
+
+
+def _dms(deg: float, minutes: float = 0.0) -> float:
+    """EPSG sexagesimal parameter -> decimal degrees (sign on deg)."""
+    s = -1.0 if deg < 0 else 1.0
+    return s * (abs(deg) + minutes / 60.0)
 
 _GEOG = {
     # 4-tuple entries carry a non-Greenwich prime meridian name
@@ -91,6 +107,12 @@ _GEOG = {
     4619: ("SWEREF99 / geographic 2D", "SWEREF99", "neu"),
     4149: ("CH1903 / geographic 2D", "CH1903", "neu"),
     4150: ("CH1903+ / geographic 2D", "CH1903plus", "neu"),
+    4284: ("Pulkovo 1942 / geographic 2D", "pulkovo42", "neu"),
+    4314: ("DHDN / geographic 2D", "potsdam", "neu"),
+    4612: ("JGD2000 / geographic 2D", "JGD2000", "neu"),
+    6668: ("JGD2011 / geographic 2D", "JGD2011", "neu"),
+    4313: ("BD72 / geographic 2D", "belge72", "neu"),
+    4156: ("S-JTSK / geographic 2D", "sjtsk", "neu"),
 }
 
 #: geographic codes whose ellipsoidal CS is 3D (with ellipsoidal
@@ -226,6 +248,71 @@ for _z in range(3, 23):
         f"NAD27 / UTM zone {_z}N", "NAD27", dict(proj="utm", zone=_z),
         "enu", 1.0)
 
+# Pulkovo 1942 / 6-degree Gauss-Kruger zones 2-32 (EPSG 28402-28432):
+# tmerc k=1, lon_0 = 6*zone - 3 (wrapped past the antimeridian for the
+# far-eastern zones), zone-prefixed false easting zone*1e6 + 500000.
+# EPSG authority axis order is (X=northing, Y=easting) -> "neu".
+for _z in range(2, 33):
+    _lon0 = 6 * _z - 3
+    _PROJECTED[28400 + _z] = (
+        f"Pulkovo 1942 / Gauss-Kruger zone {_z}", "pulkovo42",
+        dict(proj="tmerc", lat_0=0, lon_0=_lon0 if _lon0 <= 180
+             else _lon0 - 360, k_0=1.0,
+             x_0=_z * 1_000_000 + 500_000, y_0=0), "neu", 1.0)
+# DHDN / 3-degree Gauss-Kruger zones 2-5 (EPSG 31466-31469):
+# tmerc k=1, lon_0 = 3*zone, false easting zone*1e6 + 500000, Bessel.
+for _z in range(2, 6):
+    _PROJECTED[31464 + _z] = (
+        f"DHDN / 3-degree Gauss-Kruger zone {_z}", "potsdam",
+        dict(proj="tmerc", lat_0=0, lon_0=3 * _z, k_0=1.0,
+             x_0=_z * 1_000_000 + 500_000, y_0=0), "neu", 1.0)
+
+# Japan Plane Rectangular CS zones I-XIX (GSI origin table): tmerc
+# k=0.9999, x_0=y_0=0, axis (X=northing, Y=easting). JGD2000 zones are
+# EPSG 2443-2461; JGD2011 re-issues the same grid as EPSG 6669-6687.
+_JPRCS_ORIGINS = (
+    (33.0, 129.5), (33.0, 131.0), (36.0, _dms(132, 10)), (33.0, 133.5),
+    (36.0, _dms(134, 20)), (36.0, 136.0), (36.0, _dms(137, 10)),
+    (36.0, 138.5), (36.0, _dms(139, 50)), (40.0, _dms(140, 50)),
+    (44.0, _dms(140, 15)), (44.0, _dms(142, 15)), (44.0, _dms(144, 15)),
+    (26.0, 142.0), (26.0, 127.5), (26.0, 124.0), (26.0, 131.0),
+    (20.0, 136.0), (26.0, 154.0))
+_ROMAN = ("I II III IV V VI VII VIII IX X XI XII XIII XIV XV XVI XVII "
+          "XVIII XIX").split()
+for _i, (_la0, _lo0) in enumerate(_JPRCS_ORIGINS):
+    _p = dict(proj="tmerc", lat_0=_la0, lon_0=_lo0, k_0=0.9999,
+              x_0=0, y_0=0)
+    _PROJECTED[2443 + _i] = (
+        f"JGD2000 / Japan Plane Rectangular CS {_ROMAN[_i]}", "JGD2000",
+        dict(_p), "neu", 1.0)
+    _PROJECTED[6669 + _i] = (
+        f"JGD2011 / Japan Plane Rectangular CS {_ROMAN[_i]}", "JGD2011",
+        dict(_p), "neu", 1.0)
+
+# BD72 / Belgian Lambert 72 (EPSG:31370): LCC-2SP with the false
+# origin at the north pole (lat_0=90) — exercises the rho0->0 branch.
+_PROJECTED[31370] = (
+    "BD72 / Belgian Lambert 72", "belge72",
+    dict(proj="lcc", lat_1=51.16666723333333, lat_2=49.8333339,
+         lat_0=90, lon_0=4.367486666666666,
+         x_0=150000.013, y_0=5400088.438), "enu", 1.0)
+
+# DHDN / Soldner Berlin (EPSG:3068): Cassini-Soldner on Bessel with
+# the Muggelberg origin (52 deg 25'07.1338"N, 13 deg 37'37.9332"E)
+_PROJECTED[3068] = (
+    "DHDN / Soldner Berlin", "potsdam",
+    dict(proj="cass", lat_0=52.41864827777778, lon_0=13.62720366666667,
+         x_0=40000, y_0=10000), "enu", 1.0)
+
+# S-JTSK / Krovak East North (EPSG:5514): EPSG method 9819; the
+# engine reproduces the guidance-note worked example to 2 cm
+# (tests/test_projections_round5.py::TestKrovak).
+_PROJECTED[5514] = (
+    "S-JTSK / Krovak East North", "sjtsk",
+    dict(proj="krovak", lat_0=49.5, lon_0=24.833333333333332,
+         alpha=30.28813972527778, k_0=0.9999, x_0=0, y_0=0),
+    "enu", 1.0)
+
 # California SPCS83 zones 1-6, US survey foot (EPSG 2225-2230):
 # lcc 2SP with x_0 = 6,561,666.667 ftUS (2,000,000 m), y_0 =
 # 1,640,416.667 ftUS (500,000 m) — EPSG registry parameters
@@ -253,11 +340,6 @@ for _z in range(1, 61):
         f"WGS 84 / UTM zone {_z}S", "WGS84",
         dict(proj="utm", zone=_z, south=True), "enu", 1.0)
 
-
-def _dms(deg: float, minutes: float = 0.0) -> float:
-    """EPSG sexagesimal parameter -> decimal degrees (sign on deg)."""
-    s = -1.0 if deg < 0 else 1.0
-    return s * (abs(deg) + minutes / 60.0)
 
 
 # --------------------------------------------------------------------
@@ -714,3 +796,89 @@ def all_codes():
     for c, (name, datum, *_rest) in _PROJECTED.items():
         rows.append(("EPSG", c, "PROJECTED_CRS", name, datum))
     return rows
+
+
+# --------------------------------------------------------- non-EPSG
+# Non-EPSG authority namespaces (reference pyproj/database.pyx:54-79
+# lists EPSG, ESRI, IGNF, OGC, PROJ from proj.db). Each entry is
+# either a full record tuple in the _PROJECTED/_GEOG shape, or an
+# int EPSG alias. ESRI parameters are the published Esri
+# projection-engine well-known definitions; IGNF entries alias the
+# registry CRSs they are numerically identical to.
+_ESRI = {
+    # Esri continental Albers family (NAD83 / GRS80)
+    "102001": ("Canada_Albers_Equal_Area_Conic", "NAD83",
+               dict(proj="aea", lat_1=50, lat_2=70, lat_0=40, lon_0=-96,
+                    x_0=0, y_0=0), "enu", 1.0),
+    "102003": ("USA_Contiguous_Albers_Equal_Area_Conic", "NAD83",
+               dict(proj="aea", lat_1=29.5, lat_2=45.5, lat_0=37.5,
+                    lon_0=-96, x_0=0, y_0=0), "enu", 1.0),
+    "102008": ("North_America_Albers_Equal_Area_Conic", "NAD83",
+               dict(proj="aea", lat_1=20, lat_2=60, lat_0=40, lon_0=-96,
+                    x_0=0, y_0=0), "enu", 1.0),
+    # Esri world projections on WGS84
+    "54004": ("World_Mercator", "WGS84",
+              dict(proj="merc", lon_0=0, k_0=1, x_0=0, y_0=0),
+              "enu", 1.0),
+    "54032": ("World_Azimuthal_Equidistant", "WGS84",
+              dict(proj="aeqd", lat_0=0, lon_0=0, x_0=0, y_0=0),
+              "enu", 1.0),
+    "54034": ("World_Cylindrical_Equal_Area", "WGS84",
+              dict(proj="cea", lat_ts=0, lon_0=0, x_0=0, y_0=0),
+              "enu", 1.0),
+    "54009": ("World_Mollweide", "WGS84",
+              dict(proj="moll", lon_0=0, x_0=0, y_0=0), "enu", 1.0),
+    "54003": ("World_Miller_Cylindrical", "WGS84",
+              dict(proj="mill", lon_0=0, x_0=0, y_0=0), "enu", 1.0),
+}
+
+_IGNF = {
+    "LAMB93": 2154,    # RGF93 / Lambert-93
+    "RGF93G": 4171,    # RGF93 geographic (IGNF axis order is lon/lat)
+    "WGS84G": 4326,    # WGS84 geographic (lon/lat)
+    "UTM31WGS84": 32631,
+}
+
+AUTHORITY_NAMES = ("EPSG", "ESRI", "IGNF", "OGC")
+
+
+def authority_entry(auth: str, code) -> dict:
+    """Resolve a non-EPSG (authority, code) to a catalog record.
+
+    IGNF aliases resolve to their EPSG twins but keep IGNF's
+    lon/lat ("enu") axis convention for geographic CRSs; the record's
+    ``code`` is cleared so ``to_epsg`` reports the match through
+    identification confidence, not authority identity (reference
+    pyproj/crs/crs.py:1300-1340)."""
+    from pyproj_spark.exceptions import CRSError
+    auth = str(auth).upper()
+    key = str(code).upper()
+    if auth == "ESRI":
+        if key not in _ESRI:
+            raise CRSError(f"ESRI:{code} is not in the bundled catalog")
+        name, datum, params, axis, to_meter = _ESRI[key]
+        ellps, towgs84 = DATUMS[datum]
+        return dict(kind="projected", code=None, name=name, datum=datum,
+                    ellps=ellps, towgs84=towgs84, axis=axis,
+                    proj_params=dict(params), to_meter=to_meter,
+                    deprecated=False)
+    if auth == "IGNF":
+        if key not in _IGNF:
+            raise CRSError(f"IGNF:{code} is not in the bundled catalog")
+        rec = epsg_entry(_IGNF[key])
+        rec.update(code=None, axis="enu" if rec["kind"] == "geographic"
+                   else rec["axis"])
+        return rec
+    raise CRSError(f"unsupported authority {auth!r}")
+
+
+def authority_codes(auth: str) -> list:
+    """Code strings bundled for a non-EPSG authority."""
+    auth = str(auth).upper()
+    if auth == "ESRI":
+        return sorted(_ESRI)
+    if auth == "IGNF":
+        return sorted(_IGNF)
+    if auth == "OGC":
+        return ["CRS84"]
+    return []

@@ -246,6 +246,9 @@ class CRS:
             rec = catalog.epsg_entry(4326)
             rec.update(axis="enu", code=None, name="WGS 84 (CRS84)")
             return cls._from_record(rec, "OGC:CRS84")
+        if auth in ("ESRI", "IGNF"):
+            rec = catalog.authority_entry(auth, code)
+            return cls._from_record(rec, f"{auth}:{code}")
         raise CRSError(f"unsupported authority {auth_name!r}")
 
     @classmethod
@@ -573,9 +576,12 @@ class CRS:
         return ("EPSG", str(code)) if code is not None else None
 
     def _identify(self):
-        """(code, confidence) of the best catalog candidate, or None."""
+        """(code, confidence) of the best catalog candidate, or None.
+        Within a confidence tier a name match wins the tie — needed for
+        parameter-identical twins (JGD2000 vs JGD2011 zones, ftUS
+        restatements) where only the name distinguishes the codes."""
         me, me_nt = self._key(), self._key(with_towgs84=False)
-        best = None
+        best = None  # (code, conf, name_match)
         for code, cand in _catalog_crss():
             if cand._key() == me:
                 conf = 100 if (cand.axis == self.axis
@@ -584,11 +590,12 @@ class CRS:
                 conf = 25
             else:
                 continue
-            if best is None or conf > best[1]:
-                best = (code, conf)
+            nm = cand.name == self.name
+            if best is None or (conf, nm) > (best[1], best[2]):
+                best = (code, conf, nm)
                 if conf == 100:
                     break
-        return best
+        return best and (best[0], best[1])
 
     def to_proj4(self) -> str:
         parts = []

@@ -29,6 +29,11 @@ _METHOD_NAMES = {
     # distinct name (code 0) so parse returns the somerc kernel, not
     # the Hotine variant-B one (sinu/geos precedent for code 0)
     "somerc": ("Swiss Oblique Mercator", 0),
+    "moll": ("Mollweide", 0),
+    "mill": ("Miller Cylindrical", 0),
+    "gnom": ("Gnomonic", 0),
+    "cass": ("Cassini-Soldner", 9806),
+    "krovak": ("Krovak", 9819),
 }
 
 _PARAM_NAMES = {

@@ -138,7 +138,7 @@ _METHOD_BY_CODE = {
     9820: "laea", 9832: "aeqd", 9829: "stere", 9810: "stere",
     9809: "stere", 1028: "eqc", 9804: "merc", 9801: "lcc", 9822: "aea",
     9835: "cea", 9815: "omerc", 9838: "nsper", 9840: "ortho",
-    9818: "poly",
+    9818: "poly", 9806: "cass", 9819: "krovak",
 }
 
 #: normalized method name -> (proj, extra params). Normalization strips
@@ -181,6 +181,13 @@ _METHOD_BY_NAME = {
     "polyconic": ("poly", {}),
     "swissobliquemercator": ("somerc", {}),
     "somerc": ("somerc", {}),
+    "mollweide": ("moll", {}),
+    "millercylindrical": ("mill", {}),
+    "gnomonic": ("gnom", {}),
+    "cassinisoldner": ("cass", {}),
+    "cassini": ("cass", {}),
+    "krovak": ("krovak", {}),
+    "krovakeastnorth": ("krovak", {}),
     "projobtranoprojlonglat": ("ob_tran", {}),
     "polerotationnetcdfcfconvention": ("ob_tran", {}),
 }

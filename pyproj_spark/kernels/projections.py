@@ -1081,6 +1081,230 @@ class SwissObliqueMercator(Projection):
         return lam, phi
 
 
+class Mollweide(Projection):
+    """Mollweide (spherical, Snyder pp. 251-252) — equal-area
+    pseudocylindrical; PROJ moll treats the ellipsoid as a sphere of
+    radius a. Golden: R=1, lon_0=-90, (50N, 75W) ->
+    (0.1788845, 0.9208758) (Snyder numerical example; theta converges
+    to 0.7091086 rad)."""
+
+    name = "moll"
+    spherical_factors = True
+
+    def _fwd(self, dl, phi):
+        a = self.E.a
+        # 2*theta + sin(2*theta) = pi * sin(phi), Newton on t = 2*theta
+        rhs = np.pi * np.sin(phi)
+        t = 2.0 * np.arcsin(np.clip(rhs / np.pi, -1.0, 1.0))
+        for _ in range(10):
+            f = t + np.sin(t) - rhs
+            t = t - f / np.maximum(1.0 + np.cos(t), 1e-14)
+        th = t / 2.0
+        sqrt2 = np.sqrt(2.0)
+        return (2.0 * sqrt2 / np.pi * a * dl * np.cos(th),
+                sqrt2 * a * np.sin(th))
+
+    def _inv(self, x, y):
+        a = self.E.a
+        sqrt2 = np.sqrt(2.0)
+        th = np.arcsin(np.clip(y / (sqrt2 * a), -1.0, 1.0))
+        phi = np.arcsin(np.clip((2.0 * th + np.sin(2.0 * th)) / np.pi,
+                                -1.0, 1.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dl = np.pi * x / (2.0 * sqrt2 * a * np.cos(th))
+        return dl, phi
+
+
+class MillerCylindrical(Projection):
+    """Miller cylindrical (spherical, Snyder pp. 86-89):
+    y = R ln(tan(pi/4 + 0.4 phi)) / 0.8."""
+
+    name = "mill"
+    spherical_factors = True
+
+    def _fwd(self, dl, phi):
+        a = self.E.a
+        return a * dl, a * np.arcsinh(np.tan(0.8 * phi)) / 0.8
+
+    def _inv(self, x, y):
+        a = self.E.a
+        return x / a, np.arctan(np.sinh(0.8 * y / a)) / 0.8
+
+
+class Gnomonic(Projection):
+    """Gnomonic (spherical, Snyder pp. 164-168): every great circle
+    maps to a straight line (validated by the collinearity property
+    test). Points on or past the horizon (cos c <= 0) -> inf."""
+
+    name = "gnom"
+    spherical_factors = True
+
+    def _setup(self, lat_0=0.0, **kw):
+        p0 = np.radians(float(lat_0))
+        self.sp0, self.cp0 = np.sin(p0), np.cos(p0)
+
+    def _fwd(self, dl, phi):
+        a = self.E.a
+        sp, cp = np.sin(phi), np.cos(phi)
+        cosc = self.sp0 * sp + self.cp0 * cp * np.cos(dl)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k = np.where(cosc > 1e-10, 1.0 / cosc, np.inf)
+        return (a * k * cp * np.sin(dl),
+                a * k * (self.cp0 * sp - self.sp0 * cp * np.cos(dl)))
+
+    def _inv(self, x, y):
+        a = self.E.a
+        rho = np.hypot(x, y)
+        c = np.arctan(rho / a)
+        sc, cc = np.sin(c), np.cos(c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi = np.where(
+                rho < 1e-10, np.arcsin(np.clip(self.sp0, -1, 1)),
+                np.arcsin(np.clip(cc * self.sp0 + y * sc * self.cp0
+                                  / np.where(rho < 1e-10, 1.0, rho),
+                                  -1.0, 1.0)))
+            dl = np.arctan2(x * sc, rho * self.cp0 * cc
+                            - y * self.sp0 * sc)
+            dl = np.where(rho < 1e-10, 0.0, dl)
+        return dl, phi
+
+
+class Cassini(Projection):
+    """Cassini-Soldner (ellipsoidal, Snyder pp. 92-95, eq. 8-13..8-17;
+    PROJ cass). The meridian arc M uses the engine's exact
+    rectifying-latitude series (the same Krueger machinery as tmerc,
+    exact to the alpha/beta order) instead of Snyder's truncated
+    3-21/3-26 — at dl=0 the forward equals the tmerc northing to
+    sub-micron (ulp-level arctan-vs-arctan2 difference only), which
+    the tests assert. EPSG:3068 Soldner Berlin."""
+
+    name = "cass"
+
+    def _setup(self, lat_0=0.0, **kw):
+        E = self.E
+        n = E.n
+        self.A = E.a / (1.0 + n) * (1.0 + n ** 2 / 4 + n ** 4 / 64 + n ** 6 / 256)
+        self.alpha = [_polyn(c, n) for c in _ALPHA]
+        self.beta = [_polyn(c, n) for c in _BETA]
+        self.m0 = float(self._mdist(np.array([np.radians(float(lat_0))]))[0])
+
+    def _mdist(self, phi):
+        e = self.E.e
+        chi = np.arctan(_taupf(np.tan(phi), e))
+        mu = chi.copy()
+        for j, aj in enumerate(self.alpha, start=1):
+            mu = mu + aj * np.sin(2 * j * chi)
+        return self.A * mu
+
+    def _footpoint(self, m):
+        mu = m / self.A
+        chi = mu.copy()
+        for j, bj in enumerate(self.beta, start=1):
+            chi = chi - bj * np.sin(2 * j * mu)
+        return np.arctan(_tauf(np.tan(chi), self.E.e))
+
+    def _fwd(self, dl, phi):
+        E = self.E
+        s, c = np.sin(phi), np.cos(phi)
+        N = E.a / np.sqrt(1.0 - E.e2 * s * s)
+        T = np.tan(phi) ** 2
+        A_ = dl * c
+        C = E.e2 * c * c / (1.0 - E.e2)
+        x = N * (A_ - T * A_ ** 3 / 6.0
+                 - (8.0 - T + 8.0 * C) * T * A_ ** 5 / 120.0)
+        y = (self._mdist(phi) - self.m0
+             + N * np.tan(phi) * (A_ ** 2 / 2.0
+                                  + (5.0 - T + 6.0 * C) * A_ ** 4 / 24.0))
+        return x, y
+
+    def _inv(self, x, y):
+        E = self.E
+        p1 = self._footpoint(self.m0 + y)
+        s1, c1 = np.sin(p1), np.cos(p1)
+        T1 = np.tan(p1) ** 2
+        N1 = E.a / np.sqrt(1.0 - E.e2 * s1 * s1)
+        R1 = E.a * (1.0 - E.e2) / (1.0 - E.e2 * s1 * s1) ** 1.5
+        D = x / N1
+        phi = p1 - (N1 * np.tan(p1) / R1) * (D ** 2 / 2.0
+                                             - (1.0 + 3.0 * T1) * D ** 4 / 24.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dl = (D - T1 * D ** 3 / 3.0
+                  + (1.0 + 3.0 * T1) * T1 * D ** 5 / 15.0) / c1
+        return dl, phi
+
+
+class Krovak(Projection):
+    """Krovak oblique conformal conic (EPSG method 9819, the S-JTSK
+    grid of CZ/SK; PROJ krovak). Constants follow the EPSG guidance
+    note: gaussian sphere at lat_0, oblique rotation by the cone
+    azimuth alpha, conformal cone on the 78.5-degree pseudo-standard
+    parallel. Returns PROJ's default east-north orientation
+    (x = -westing, y = -southing) as used by EPSG:5514."""
+
+    name = "krovak"
+
+    def _setup(self, lat_0=49.5, alpha=30.28813972527778, k_0=0.9999,
+               **kw):
+        E = self.E
+        e, e2 = E.e, E.e2
+        pc = np.radians(float(lat_0))
+        self.alphac = np.radians(float(alpha))
+        pp = np.radians(78.5)  # pseudo-standard parallel (fixed)
+        sc = np.sin(pc)
+        self.B = np.sqrt(1.0 + e2 * np.cos(pc) ** 4 / (1.0 - e2))
+        A_ = E.a * np.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc)
+        self.g0 = np.arcsin(sc / self.B)
+        self.t0 = (np.tan(np.pi / 4 + self.g0 / 2)
+                   * ((1.0 + e * sc) / (1.0 - e * sc)) ** (e * self.B / 2)
+                   / np.tan(np.pi / 4 + pc / 2) ** self.B)
+        self.n = np.sin(pp)
+        self.r0 = float(k_0) * A_ / np.tan(pp)
+        self.tan_pp = np.tan(np.pi / 4 + pp / 2)
+
+    def _fwd(self, dl, phi):
+        e = self.E.e
+        sp = np.sin(phi)
+        U = 2.0 * (np.arctan(
+            self.t0 * np.tan(phi / 2 + np.pi / 4) ** self.B
+            / ((1.0 + e * sp) / (1.0 - e * sp)) ** (e * self.B / 2))
+            - np.pi / 4)
+        V = -self.B * dl
+        cU = np.cos(U)
+        T = np.arcsin(np.clip(np.cos(self.alphac) * np.sin(U)
+                              + np.sin(self.alphac) * cU * np.cos(V),
+                              -1.0, 1.0))
+        D = np.arcsin(np.clip(cU * np.sin(V) / np.cos(T), -1.0, 1.0))
+        theta = self.n * D
+        r = (self.r0 * self.tan_pp ** self.n
+             / np.tan(T / 2 + np.pi / 4) ** self.n)
+        # Krovak native axes: X = southing (r cos theta), Y = westing
+        # (r sin theta); east-north variant negates and swaps.
+        return -r * np.sin(theta), -r * np.cos(theta)
+
+    def _inv(self, x, y):
+        e = self.E.e
+        Xp, Yp = -y, -x  # back to southing/westing
+        r = np.hypot(Xp, Yp)
+        theta = np.arctan2(Yp, Xp)
+        D = theta / self.n
+        T = 2.0 * (np.arctan((self.r0 / r) ** (1.0 / self.n)
+                             * self.tan_pp) - np.pi / 4)
+        U = np.arcsin(np.clip(np.cos(self.alphac) * np.sin(T)
+                              - np.sin(self.alphac) * np.cos(T)
+                              * np.cos(D), -1.0, 1.0))
+        V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U),
+                              -1.0, 1.0))
+        phi = U.copy()
+        for _ in range(12):
+            sp = np.sin(phi)
+            phi = 2.0 * (np.arctan(
+                self.t0 ** (-1.0 / self.B)
+                * np.tan(U / 2 + np.pi / 4) ** (1.0 / self.B)
+                * ((1.0 + e * sp) / (1.0 - e * sp)) ** (e / 2))
+                - np.pi / 4)
+        return -V / self.B, phi
+
+
 PROJECTIONS = {
     "somerc": SwissObliqueMercator,
     "geos": Geostationary,
@@ -1104,4 +1328,9 @@ PROJECTIONS = {
     "stere": Stereographic,
     "eqc": EquidistantCylindrical,
     "sinu": Sinusoidal,
+    "moll": Mollweide,
+    "mill": MillerCylindrical,
+    "gnom": Gnomonic,
+    "cass": Cassini,
+    "krovak": Krovak,
 }

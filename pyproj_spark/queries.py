@@ -6074,3 +6074,104 @@ SELECT node, deg FROM fin WHERE deg >= 3
 
 
 QUERIES["kcore"] = (q_kcore, _kcore_sql())
+
+
+def q_gauss_kruger(spark, sf_dir):
+    """Round-5 catalog breadth: Pulkovo 1942 lon/lat across Russia ->
+    the 6-degree Gauss-Kruger zone family (EPSG 28405-28416, tmerc k=1
+    on the Krassowsky 1940 ellipsoid, zone-prefixed false eastings),
+    zone chosen by longitude — the reference workflow
+    ``Transformer.from_crs(4284, 28407)`` (pyproj/transformer.py:
+    184-230). The oracle replays the full Krueger order-6 series
+    (Karney 2011, the engine's own tmerc kernel at
+    kernels/projections.py:179-231) in DuckDB with the kernel's exact
+    coefficient doubles, hyperbolics spelled via exp/ln identities —
+    an independent end-to-end check of catalog parameters, krass
+    constants, and the transverse-Mercator kernel. One scan, zone
+    dispatch inside one pandas-UDF crossing (transform_xy_keyed)."""
+    from pyproj_spark.functions.transform import transform_xy_keyed
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (24.0 + (F.col("doc_id") * 7919 % 72000) / 1000.0).alias("lon"),
+        (40.0 + (F.col("doc_id") * 104729 % 28000) / 1000.0).alias("lat"))
+    zone = F.floor(F.col("lon") / 6.0).cast("int") + 1
+    docs = docs.withColumn("epsg", (zone + 28400).cast("int"))
+    xy = transform_xy_keyed(
+        "EPSG:4284", {28400 + z: f"EPSG:{28400 + z}"
+                      for z in range(5, 17)},
+        F.col("epsg"), F.col("lon"), F.col("lat"))
+    return (docs.withColumn("xy", xy)
+            .select("doc_id", "epsg",
+                    F.round(F.col("xy.x")).cast("long").alias("easting"),
+                    F.round(F.col("xy.y")).cast("long").alias("northing")))
+
+
+def _gauss_kruger_sql():
+    """Krueger order-6 tmerc replay in SQL. Coefficients come from the
+    kernel's own TransverseMercator instance (same doubles, printed
+    via repr so both engines parse bit-identical literals); sinh/cosh/
+    asinh/atanh are spelled with exp/ln. Series terms are added in the
+    kernel's j-ascending order."""
+    from pyproj_spark.kernels.ellipsoid import get_ellipsoid
+    from pyproj_spark.kernels.projections import TransverseMercator
+
+    tm = TransverseMercator(get_ellipsoid("krass"), k_0=1.0, lat_0=0.0)
+    e, A = repr(tm.E.e), repr(tm.A)
+    xi_terms = "".join(
+        f" + {a!r}*sin({2 * j}*xip)*(exp({2 * j}*etap)"
+        f" + exp(-({2 * j})*etap))/2.0"
+        for j, a in enumerate(tm.alpha, start=1))
+    eta_terms = "".join(
+        f" + {a!r}*cos({2 * j}*xip)*(exp({2 * j}*etap)"
+        f" - exp(-({2 * j})*etap))/2.0"
+        for j, a in enumerate(tm.alpha, start=1))
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         24.0 + (doc_id * 7919 % 72000) / 1000.0   AS lon,
+         40.0 + (doc_id * 104729 % 28000) / 1000.0 AS lat
+  FROM documents
+), z AS (
+  SELECT doc_id, lon, lat,
+         CAST(floor(lon / 6.0) AS INT) + 1 AS zone
+  FROM pts
+), d AS (
+  SELECT doc_id, zone + 28400 AS epsg,
+         zone * 1000000.0 + 500000.0 AS x0,
+         ((radians(lon) - radians(6.0 * zone - 3.0)) + pi()) - pi() AS dl,
+         radians(lat) AS phi
+  FROM z
+), t1 AS (
+  SELECT *, tan(phi) AS tau FROM d
+), t2 AS (
+  SELECT *, sqrt(1.0 + tau*tau) AS tau1 FROM t1
+), t3 AS (
+  SELECT *,
+    (exp({e} * 0.5 * ln((1.0 + {e}*tau/tau1) / (1.0 - {e}*tau/tau1)))
+     - exp(-({e} * 0.5 * ln((1.0 + {e}*tau/tau1)
+                            / (1.0 - {e}*tau/tau1))))) / 2.0 AS sig
+  FROM t2
+), t4 AS (
+  SELECT *, sqrt(1.0 + sig*sig)*tau - sig*tau1 AS taup, cos(dl) AS cl
+  FROM t3
+), t5 AS (
+  SELECT *, atan2(taup, cl) AS xip,
+    ln(sin(dl)/sqrt(taup*taup + cl*cl)
+       + sqrt((sin(dl)/sqrt(taup*taup + cl*cl))
+              * (sin(dl)/sqrt(taup*taup + cl*cl)) + 1.0)) AS etap
+  FROM t4
+), t6 AS (
+  SELECT doc_id, epsg, x0,
+         xip{xi_terms} AS xi,
+         etap{eta_terms} AS eta
+  FROM t5
+)
+SELECT doc_id, epsg,
+       CAST(round({A}*eta + x0) AS BIGINT) AS easting,
+       CAST(round({A}*xi) AS BIGINT)       AS northing
+FROM t6
+"""
+
+
+QUERIES["gauss_kruger"] = (q_gauss_kruger, _gauss_kruger_sql())

@@ -147,7 +147,7 @@ def test_geometry_ops():
 
 def test_catalog_api(spark):
     from pyproj_spark import catalog_api as ca
-    assert ca.get_authorities(spark) == ["EPSG"]
+    assert ca.get_authorities(spark) == ["EPSG", "ESRI", "IGNF", "OGC"]
     codes = ca.get_codes(spark, "EPSG", "GEOGRAPHIC_2D_CRS")
     assert 4326 in codes and 4267 in codes
     # AOI filtering: Greece bbox should keep GGRS87 but drop OSGB36
