@@ -88,21 +88,73 @@ def _safe_batch(rows) -> list:
     return accepted[:k]
 
 
+def _learn_driver(rows, n_merges: int) -> list:
+    """The merge loop on the COLLECTED word table — the bounded-driver
+    cutover (kmeans-centroid / cc.py ≤200k-edge pattern): the table is
+    ≤ max_words rows BY CONSTRUCTION, so after the one distributed
+    corpus pass the iteration is a pure-Python loop instead of
+    n_merges Spark jobs of ~0.4 s fixed scheduling latency each.
+    Identical semantics: integer pair counts weighted by word freq,
+    selection (freq desc, l asc, r asc), greedy left-to-right
+    non-overlapping application."""
+    words = [(list(r["syms"]), int(r["cnt"])) for r in rows]
+    out = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for syms, cnt in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, left, right, left + right, freq))
+        for w, (syms, cnt) in enumerate(words):
+            i, merged = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[w] = (merged, cnt)
+    return out
+
+
 def learn_bpe(docs: DataFrame, text_col: str = "text",
               n_merges: int = 8, max_words: int = 2000,
-              max_len: int = 12, batch_window: int = 32) -> DataFrame:
+              max_len: int = 12, batch_window: int = 32,
+              driver_cutover: int = 100_000) -> DataFrame:
     """Learn ``n_merges`` BPE merge rules; returns the merge table
     (step, left, right, merged, freq) — the artifact a tokenizer
     ships. Deterministic: integer pair counts, ties broken (freq desc,
     left asc, right asc); words bounded to the ``max_words`` most
     frequent (freq desc, word asc) of length [2, max_len].
 
-    Each driver round collects the top ``batch_window`` pairs and
-    accepts every merge the frequency-gap bound proves safe
-    (:func:`_safe_batch`) — identical merge sequence to one-at-a-time
-    selection, in ~2-4 jobs instead of ``n_merges`` (each job is a
-    fixed ~0.4 s scheduling latency on the tiny word table, so
-    batching is a ~3x wall-time cut)."""
+    The corpus pass is always distributed (ONE scan builds the
+    compressed word table). The merge loop then follows the repo's
+    bounded-driver contract: when ``max_words <= driver_cutover`` the
+    ≤max_words rows are collected once and merges run driver-side
+    (:func:`_learn_driver` — same cutover rule as kmeans centroids and
+    the ≤200k-edge graph loops); above the cutover each driver round
+    collects the top ``batch_window`` pairs and accepts every merge
+    the frequency-gap bound proves safe (:func:`_safe_batch`) —
+    identical merge sequence either way."""
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+    merge_schema = StructType([
+        StructField("step", IntegerType()),
+        StructField("left", StringType()),
+        StructField("right", StringType()),
+        StructField("merged", StringType()),
+        StructField("freq", LongType())])
+    if max_words <= driver_cutover:
+        rows = _word_table(docs, text_col, max_words, max_len).collect()
+        return docs.sparkSession.createDataFrame(
+            _learn_driver(rows, n_merges), merge_schema)
     cur = _word_table(docs, text_col, max_words, max_len).cache()
     spark = docs.sparkSession
     out = []
@@ -131,14 +183,7 @@ def learn_bpe(docs: DataFrame, text_col: str = "text",
             syms_col = _apply_merge(syms_col, left, right)
         cur = (cur.withColumn("syms", syms_col)
                .localCheckpoint(eager=False))
-    from pyspark.sql.types import (IntegerType, LongType, StringType,
-                                   StructField, StructType)
-    return spark.createDataFrame(out, StructType([
-        StructField("step", IntegerType()),
-        StructField("left", StringType()),
-        StructField("right", StringType()),
-        StructField("merged", StringType()),
-        StructField("freq", LongType())]))
+    return spark.createDataFrame(out, merge_schema)
 
 
 def segment_words(docs: DataFrame, merges: list,

@@ -145,34 +145,42 @@ def kmeans_fit(df: DataFrame, vec_col: str = "v", k: int = 8,
     deterministic, row-order-robust), or "parallel" (md5-coin
     k-means|| — the cluster-scale quality seeding, O(rounds) scans
     instead of k-means++'s O(k), still fully deterministic)."""
-    emb = df.select(id_col, F.col(vec_col).alias("v"))
-    if init == "farthest":
-        cents = farthest_first_init(df, k, vec_col, id_col, round_to)
-    elif init == "parallel":
-        cents = kmeans_parallel_init(df, k, vec_col, id_col,
-                                     round_to=round_to)
-    elif init == "first":
-        cents = [list(r.v) for r in
-                 emb.orderBy(id_col).limit(k).collect()]
-    else:
-        raise ValueError(f"init must be first|farthest|parallel: {init}")
-    for _ in range(iters):
-        assigned = assign_clusters(emb, cents)
-        rows = (assigned
-                .select("cluster", F.posexplode("v")
-                        .alias("dim", "val"))
-                .groupBy("cluster", "dim")
-                .agg(F.round(F.avg("val"), round_to).alias("m"))
-                .collect())
-        nxt = [list(c) for c in cents]  # empty cluster: keep old
-        by_c: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_c.setdefault(r.cluster, {})[r.dim] = r.m
-        for c, dims in by_c.items():
-            for d, m in dims.items():
-                nxt[c][d] = m
-        cents = nxt
-    return cents
+    # cache the projected vector column ONCE: every Lloyd pass (and
+    # the "first" init collect) re-reads it; without the cache each
+    # pass re-scans the source — at corpus scale that is iters extra
+    # full reads of the embedding table
+    emb = df.select(id_col, F.col(vec_col).alias("v")).cache()
+    try:
+        if init == "farthest":
+            cents = farthest_first_init(df, k, vec_col, id_col, round_to)
+        elif init == "parallel":
+            cents = kmeans_parallel_init(df, k, vec_col, id_col,
+                                         round_to=round_to)
+        elif init == "first":
+            cents = [list(r.v) for r in
+                     emb.orderBy(id_col).limit(k).collect()]
+        else:
+            raise ValueError(
+                f"init must be first|farthest|parallel: {init}")
+        for _ in range(iters):
+            assigned = assign_clusters(emb, cents)
+            rows = (assigned
+                    .select("cluster", F.posexplode("v")
+                            .alias("dim", "val"))
+                    .groupBy("cluster", "dim")
+                    .agg(F.round(F.avg("val"), round_to).alias("m"))
+                    .collect())
+            nxt = [list(c) for c in cents]  # empty cluster: keep old
+            by_c: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_c.setdefault(r.cluster, {})[r.dim] = r.m
+            for c, dims in by_c.items():
+                for d, m in dims.items():
+                    nxt[c][d] = m
+            cents = nxt
+        return cents
+    finally:
+        emb.unpersist()
 
 
 def kmeans(df: DataFrame, vec_col: str = "v", k: int = 8,

@@ -6175,3 +6175,86 @@ FROM t6
 
 
 QUERIES["gauss_kruger"] = (q_gauss_kruger, _gauss_kruger_sql())
+
+
+def q_krovak_grid(spark, sf_dir):
+    """Round-5 family gate for the Krovak oblique conformal conic
+    (EPSG method 9819, S-JTSK / Krovak East North = EPSG:5514; the
+    kernel reproduces the EPSG guidance-note worked example to 2 cm —
+    tests/test_projections_round5.py::TestKrovak). Deterministic
+    points over the CZ/SK window go through ONE pandas-UDF crossing
+    (Transformer.from_crs(4156, 5514), reference transformer.py:
+    184-230); the oracle replays the full closed form — gaussian
+    sphere, oblique rotation, conformal cone — in DuckDB from the
+    kernel's own plan-time constant doubles."""
+    from pyproj_spark.functions.transform import transform_xy
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (12.2 + (F.col("doc_id") * 7919 % 10000) / 1000.0).alias("lon"),
+        (47.8 + (F.col("doc_id") * 104729 % 3200) / 1000.0).alias("lat"))
+    xy = transform_xy("EPSG:4156", "EPSG:5514",
+                      F.col("lon"), F.col("lat"))
+    return (docs.withColumn("xy", xy)
+            .select("doc_id",
+                    F.round(F.col("xy.x")).cast("long").alias("x_east"),
+                    F.round(F.col("xy.y")).cast("long").alias("y_north")))
+
+
+def _krovak_sql():
+    """EPSG 9819 replay with the kernel's constants (repr doubles).
+    asin/atan2/pow/exp/ln are libm on both engines (the LCC stateplane
+    precedent); hyperbolics are not needed by this projection."""
+    import numpy as np
+
+    from pyproj_spark.kernels.ellipsoid import get_ellipsoid
+    from pyproj_spark.kernels.projections import Krovak
+
+    kv = Krovak(get_ellipsoid("bessel"), lon_0=24.833333333333332,
+                lat_0=49.5, alpha=30.28813972527778, k_0=0.9999)
+    e = repr(kv.E.e)
+    B, t0, n, r0 = repr(kv.B), repr(kv.t0), repr(kv.n), repr(kv.r0)
+    ca, sa = repr(float(np.cos(kv.alphac))), repr(float(np.sin(kv.alphac)))
+    tpp = repr(kv.tan_pp)
+    lon0 = repr(24.833333333333332)
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         12.2 + (doc_id * 7919 % 10000) / 1000.0  AS lon,
+         47.8 + (doc_id * 104729 % 3200) / 1000.0 AS lat
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         ((radians(lon) - radians({lon0})) + pi()) - pi() AS dl,
+         radians(lat) AS phi
+  FROM pts
+), u AS (
+  SELECT doc_id, dl, phi,
+    2.0 * (atan({t0} * power(tan(phi/2 + pi()/4), {B})
+                / power((1.0 + {e}*sin(phi)) / (1.0 - {e}*sin(phi)),
+                        {e}*{B}/2)) - pi()/4) AS bigu,
+    -({B}) * dl AS bigv
+  FROM d
+), tt AS (
+  SELECT doc_id, bigv,
+    asin({ca} * sin(bigu) + {sa} * cos(bigu) * cos(bigv)) AS bigt,
+    cos(bigu) AS cu
+  FROM u
+), dd AS (
+  SELECT doc_id, bigt,
+    asin(cu * sin(bigv) / cos(bigt)) AS bigd
+  FROM tt
+), geom AS (
+  SELECT doc_id,
+    {n} * bigd AS theta,
+    {r0} * power({tpp}, {n}) / power(tan(bigt/2 + pi()/4), {n}) AS r
+  FROM dd
+)
+SELECT doc_id,
+       CAST(round(-(r * sin(theta))) AS BIGINT) AS x_east,
+       CAST(round(-(r * cos(theta))) AS BIGINT) AS y_north
+FROM geom
+"""
+
+
+QUERIES["krovak_grid"] = (q_krovak_grid, _krovak_sql())
