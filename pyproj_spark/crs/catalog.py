@@ -56,6 +56,15 @@ DATUMS = {
     "GDA2020": ("GRS80", (0, 0, 0)),
     "SWEREF99": ("GRS80", (0, 0, 0)),
     "NZGD2000": ("GRS80", (0, 0, 0)),
+    # NAD83(2011) — ITRF-era US realization, GRS80, null shift like
+    # NAD83/NAD83(CSRS) at this catalog's accuracy tier
+    "NAD83_2011": ("GRS80", (0, 0, 0)),
+    # Amersfoort (Netherlands) — EPSG coordinate-frame rotation 15934
+    # (the well-known RDNAPTRANS 7-parameter set PROJ ships for 4289)
+    "Amersfoort": ("bessel", (565.417, 50.3319, 465.552,
+                              -0.398957, 0.343988, -1.8774, 4.0725)),
+    # Israel 1993 — EPSG transformation 1073 (geocentric translations)
+    "Israel1993": ("GRS80", (-48.0, 55.0, 52.0)),
     "GDM2000": ("GRS80", (0, 0, 0)),
     "NAD83_CSRS": ("GRS80", (0, 0, 0)),
     # EPSG:1237 "WGS 72 to WGS 84 (1)": dz=4.5 m, rz=0.554", ds=0.2263 ppm
@@ -113,6 +122,11 @@ _GEOG = {
     6668: ("JGD2011 / geographic 2D", "JGD2011", "neu"),
     4313: ("BD72 / geographic 2D", "belge72", "neu"),
     4156: ("S-JTSK / geographic 2D", "sjtsk", "neu"),
+    4674: ("SIRGAS 2000 / geographic 2D", "SIRGAS2000", "neu"),
+    4167: ("NZGD2000 / geographic 2D", "NZGD2000", "neu"),
+    6318: ("NAD83(2011) / geographic 2D", "NAD83_2011", "neu"),
+    4289: ("Amersfoort / geographic 2D", "Amersfoort", "neu"),
+    4141: ("Israel 1993 / geographic 2D", "Israel1993", "neu"),
 }
 
 #: geographic codes whose ellipsoidal CS is 3D (with ellipsoidal
@@ -223,11 +237,102 @@ for _z in range(48, 59):
     _PROJECTED[28300 + _z] = (
         f"GDA94 / MGA zone {_z}", "GDA94",
         dict(proj="utm", zone=_z, south=True), "enu", 1.0)
-# GDA2020 / MGA zones 48-58 (EPSG 7848-7858)
-for _z in range(48, 59):
+# GDA2020 / MGA zones 46-59 (EPSG 7846-7859; 46/47 cover the Cocos
+# and Christmas Island extensions added with GDA2020)
+for _z in range(46, 60):
     _PROJECTED[7800 + _z] = (
         f"GDA2020 / MGA zone {_z}", "GDA2020",
         dict(proj="utm", zone=_z, south=True), "enu", 1.0)
+# SIRGAS 2000 / UTM zones 11N-22N (EPSG 31965-31976) and 17S-25S
+# (EPSG 31977-31985)
+for _z in range(11, 23):
+    _PROJECTED[31954 + _z] = (
+        f"SIRGAS 2000 / UTM zone {_z}N", "SIRGAS2000",
+        dict(proj="utm", zone=_z), "enu", 1.0)
+for _z in range(17, 26):
+    _PROJECTED[31960 + _z] = (
+        f"SIRGAS 2000 / UTM zone {_z}S", "SIRGAS2000",
+        dict(proj="utm", zone=_z, south=True), "enu", 1.0)
+
+_PROJECTED.update({
+    # Dutch national grid — EPSG method 9809 double stereographic
+    # (kernels/projections.py ObliqueStereographicAlternative;
+    # EPSG GN7-2 worked example asserted in tests/test_projections.py)
+    28992: ("Amersfoort / RD New", "Amersfoort",
+            dict(proj="sterea", lat_0=52.15616055555555,
+                 lon_0=5.38763888888889, k_0=0.9999079,
+                 x_0=155000.0, y_0=463000.0), "enu", 1.0),
+    3347: ("NAD83 / Statistics Canada Lambert", "NAD83",
+           dict(proj="lcc", lat_1=49.0, lat_2=77.0, lat_0=63.390675,
+                lon_0=-91.86666666666666, x_0=6200000.0,
+                y_0=3000000.0), "enu", 1.0),
+    3978: ("NAD83 / Canada Atlas Lambert", "NAD83",
+           dict(proj="lcc", lat_1=49.0, lat_2=77.0, lat_0=49.0,
+                lon_0=-95.0, x_0=0.0, y_0=0.0), "enu", 1.0),
+    3979: ("NAD83(CSRS) / Canada Atlas Lambert", "NAD83_CSRS",
+           dict(proj="lcc", lat_1=49.0, lat_2=77.0, lat_0=49.0,
+                lon_0=-95.0, x_0=0.0, y_0=0.0), "enu", 1.0),
+    6350: ("NAD83(2011) / Conus Albers", "NAD83_2011",
+           dict(proj="aea", lat_1=29.5, lat_2=45.5, lat_0=23.0,
+                lon_0=-96.0, x_0=0.0, y_0=0.0), "enu", 1.0),
+    # Israeli TM Grid — EPSG 2039 natural-origin parameters
+    2039: ("Israel 1993 / Israeli TM Grid", "Israel1993",
+           dict(proj="tmerc", lat_0=31.73439361111111,
+                lon_0=35.20451694444445, k_0=1.0000067,
+                x_0=219529.584, y_0=626907.39), "enu", 1.0),
+    # polar-science workhorses
+    3995: ("WGS 84 / Arctic Polar Stereographic", "WGS84",
+           dict(proj="stere", lat_0=90.0, lat_ts=71.0, lon_0=0.0,
+                x_0=0.0, y_0=0.0), "enu", 1.0),
+    5041: ("WGS 84 / UPS North (E,N)", "WGS84",
+           dict(proj="stere", lat_0=90.0, k_0=0.994, lon_0=0.0,
+                x_0=2000000.0, y_0=2000000.0), "enu", 1.0),
+    5042: ("WGS 84 / UPS South (E,N)", "WGS84",
+           dict(proj="stere", lat_0=-90.0, k_0=0.994, lon_0=0.0,
+                x_0=2000000.0, y_0=2000000.0), "enu", 1.0),
+    4087: ("WGS 84 / World Equidistant Cylindrical", "WGS84",
+           dict(proj="eqc", lat_ts=0.0, lon_0=0.0, x_0=0.0, y_0=0.0),
+           "enu", 1.0),
+    3577: ("GDA94 / Australian Albers", "GDA94",
+           dict(proj="aea", lat_1=-18.0, lat_2=-36.0, lat_0=0.0,
+                lon_0=132.0, x_0=0.0, y_0=0.0), "enu", 1.0),
+    5243: ("ETRS89 / LCC Germany (E-N)", "ETRS89",
+           dict(proj="lcc", lat_1=48.66666666666666,
+                lat_2=53.66666666666666, lat_0=51.0, lon_0=10.5,
+                x_0=0.0, y_0=0.0), "enu", 1.0),
+    # Equal Earth family (EPSG method 1078)
+    8857: ("WGS 84 / Equal Earth Greenwich", "WGS84",
+           dict(proj="eqearth", lon_0=0.0, x_0=0.0, y_0=0.0),
+           "enu", 1.0),
+    8858: ("WGS 84 / Equal Earth Americas", "WGS84",
+           dict(proj="eqearth", lon_0=-90.0, x_0=0.0, y_0=0.0),
+           "enu", 1.0),
+    8859: ("WGS 84 / Equal Earth Asia-Pacific", "WGS84",
+           dict(proj="eqearth", lon_0=150.0, x_0=0.0, y_0=0.0),
+           "enu", 1.0),
+})
+# North Pole LAEA regional family (EPSG 3571-3576): laea at the pole,
+# per-region central meridian
+for _c, _reg, _lon in ((3571, "Bering Sea", 180.0),
+                       (3572, "Alaska", -150.0),
+                       (3573, "Canada", -100.0),
+                       (3574, "North Atlantic", -40.0),
+                       (3575, "Europe", 10.0),
+                       (3576, "Russia", 90.0)):
+    _PROJECTED[_c] = (
+        f"WGS 84 / North Pole LAEA {_reg}", "WGS84",
+        dict(proj="laea", lat_0=90.0, lon_0=_lon, x_0=0.0, y_0=0.0),
+        "enu", 1.0)
+# RGF93 conic-conformal zone family CC42-CC50 (EPSG 3942-3950):
+# 1-degree latitude bands, lat_0 = 42+i, parallels at lat_0 +/- 0.75,
+# y_0 climbing 1,000,000 m per band
+for _i in range(9):
+    _lat0 = 42.0 + _i
+    _PROJECTED[3942 + _i] = (
+        f"RGF93 v1 / CC{42 + _i}", "RGF93",
+        dict(proj="lcc", lat_1=_lat0 - 0.75, lat_2=_lat0 + 0.75,
+             lat_0=_lat0, lon_0=3.0, x_0=1700000.0,
+             y_0=1200000.0 + _i * 1000000.0), "enu", 1.0)
 
 # NAD83 UTM zones 1-23 (EPSG 26901-26923)
 for _z in range(1, 24):
@@ -830,6 +935,9 @@ _ESRI = {
               dict(proj="moll", lon_0=0, x_0=0, y_0=0), "enu", 1.0),
     "54003": ("World_Miller_Cylindrical", "WGS84",
               dict(proj="mill", lon_0=0, x_0=0, y_0=0), "enu", 1.0),
+    # Esri's legacy Web-Mercator codes — numeric aliases of EPSG:3857
+    "102100": 3857,
+    "102113": 3857,
 }
 
 _IGNF = {
@@ -856,6 +964,10 @@ def authority_entry(auth: str, code) -> dict:
     if auth == "ESRI":
         if key not in _ESRI:
             raise CRSError(f"ESRI:{code} is not in the bundled catalog")
+        if isinstance(_ESRI[key], int):  # numeric alias of an EPSG CRS
+            rec = epsg_entry(_ESRI[key])
+            rec.update(code=None)
+            return rec
         name, datum, params, axis, to_meter = _ESRI[key]
         ellps, towgs84 = DATUMS[datum]
         return dict(kind="projected", code=None, name=name, datum=datum,

@@ -16,6 +16,7 @@ _METHOD_NAMES = {
     "laea": ("Lambert Azimuthal Equal Area", 9820),
     "aeqd": ("Modified Azimuthal Equidistant", 9832),
     "stere": ("Polar Stereographic (variant B)", 9829),
+    "sterea": ("Oblique Stereographic", 9809),
     "eqc": ("Equidistant Cylindrical", 1028),
     "sinu": ("Sinusoidal", 0),
     "geos": ("Geostationary Satellite (Sweep Y)", 0),
@@ -34,6 +35,7 @@ _METHOD_NAMES = {
     "gnom": ("Gnomonic", 0),
     "cass": ("Cassini-Soldner", 9806),
     "krovak": ("Krovak", 9819),
+    "eqearth": ("Equal Earth", 1078),
 }
 
 _PARAM_NAMES = {

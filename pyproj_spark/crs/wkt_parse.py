@@ -136,9 +136,9 @@ def parse_wkt(s: str) -> Node:
 _METHOD_BY_CODE = {
     9807: "tmerc", 9805: "merc", 1024: "webmerc", 9802: "lcc",
     9820: "laea", 9832: "aeqd", 9829: "stere", 9810: "stere",
-    9809: "stere", 1028: "eqc", 9804: "merc", 9801: "lcc", 9822: "aea",
+    9809: "sterea", 1028: "eqc", 9804: "merc", 9801: "lcc", 9822: "aea",
     9835: "cea", 9815: "omerc", 9838: "nsper", 9840: "ortho",
-    9818: "poly", 9806: "cass", 9819: "krovak",
+    9818: "poly", 9806: "cass", 9819: "krovak", 1078: "eqearth",
 }
 
 #: normalized method name -> (proj, extra params). Normalization strips
@@ -163,7 +163,10 @@ _METHOD_BY_NAME = {
     "polarstereographicvarianta": ("stere", {}),
     "polarstereographicvariantb": ("stere", {}),
     "stereographic": ("stere", {}),
-    "obliquestereographic": ("stere", {}),
+    # EPSG 9809 "Oblique Stereographic" is the double (conformal-
+    # sphere) projection — PROJ sterea, not stere
+    "obliquestereographic": ("sterea", {}),
+    "doublestereographic": ("sterea", {}),
     "equidistantcylindrical": ("eqc", {}),
     "equirectangular": ("eqc", {}),
     "sinusoidal": ("sinu", {}),
@@ -188,6 +191,7 @@ _METHOD_BY_NAME = {
     "cassini": ("cass", {}),
     "krovak": ("krovak", {}),
     "krovakeastnorth": ("krovak", {}),
+    "equalearth": ("eqearth", {}),
     "projobtranoprojlonglat": ("ob_tran", {}),
     "polerotationnetcdfcfconvention": ("ob_tran", {}),
 }

@@ -55,6 +55,8 @@ class Ellipsoid:
             f = (a - b) / a
         elif rf is not None:
             f = 0.0 if rf == 0 else 1.0 / rf
+            if name == "unknown":
+                name = _name_from_params(float(a), rf=float(rf))
             return cls(a=float(a), f=float(f), name=name,
                        rf_exact=float(rf))
         elif es is not None:
@@ -63,7 +65,28 @@ class Ellipsoid:
             f = 1.0 - math.sqrt(1.0 - e * e)
         elif f is None:
             f = 0.0
+        if name == "unknown":
+            name = _name_from_params(float(a), f=float(f))
         return cls(a=float(a), f=float(f), name=name)
+
+
+def _name_from_params(a: float, rf: float | None = None,
+                      f: float | None = None) -> str:
+    """Recover the catalog ellipsoid name from (a, rf-or-f) so parsed
+    WKT with a recognized figure round-trips byte-identically (the
+    reference resolves names through proj.db the same way)."""
+    for nm, (ca, crf, cb) in _ELLPS.items():
+        if abs(ca - a) > 1e-6:
+            continue
+        if crf is None:
+            crf = 0.0 if cb == ca else 1.0 / ((ca - cb) / ca)
+        if rf is not None and abs(crf - rf) <= 1e-9 * max(1.0, abs(crf)):
+            return nm
+        if f is not None and crf and abs(1.0 / crf - f) <= 1e-15:
+            return nm
+        if f is not None and not crf and f == 0.0:
+            return nm
+    return "unknown"
 
 
 # PROJ's public named-ellipsoid table (subset; a + rf or b).

@@ -479,6 +479,154 @@ class Stereographic(Projection):
         return lam, phi
 
 
+class EqualEarth(Projection):
+    """eqearth — Equal Earth (Šavrič, Patterson & Jenny 2019; EPSG
+    method 1078, EPSG:8857-8859). Ellipsoidal handling as in PROJ:
+    authalic latitude + authalic radius, then the published polynomial
+    pseudocylindrical form; exactly equal-area by construction."""
+
+    name = "eqearth"
+
+    A1, A2, A3, A4 = 1.340264, -0.081106, 0.000893, 0.003796
+    M = np.sqrt(3.0) / 2.0
+
+    def _setup(self, **kw):
+        E = self.E
+        e, e2 = E.e, E.e2
+        if e == 0:
+            self.qp = 2.0
+        else:
+            sp = 1.0
+            self.qp = (1.0 - e2) * (sp / (1.0 - e2 * sp * sp)
+                                    + np.arctanh(e * sp) / e)
+        self.Rq = E.a * np.sqrt(self.qp / 2.0)
+
+    def _beta(self, phi):
+        E = self.E
+        e, e2 = E.e, E.e2
+        if e == 0:
+            return phi
+        s = np.sin(phi)
+        q = (1.0 - e2) * (s / (1.0 - e2 * s * s) + np.arctanh(e * s) / e)
+        return np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+
+    def _poly(self, t):
+        """y/theta polynomial and its theta-derivative."""
+        t2 = t * t
+        t6 = t2 * t2 * t2
+        f = self.A1 + self.A2 * t2 + t6 * (self.A3 + self.A4 * t2)
+        fp = self.A1 + 3.0 * self.A2 * t2 \
+            + t6 * (7.0 * self.A3 + 9.0 * self.A4 * t2)
+        return f, fp
+
+    def _fwd(self, dl, phi):
+        beta = self._beta(phi)
+        theta = np.arcsin(self.M * np.sin(beta))
+        f, fp = self._poly(theta)
+        x = self.Rq * dl * np.cos(theta) / (self.M * fp)
+        y = self.Rq * theta * f
+        return x, y
+
+    def _inv(self, x, y):
+        E = self.E
+        e, e2 = E.e, E.e2
+        # Newton for theta from y = Rq * theta * f(theta)
+        yr = y / self.Rq
+        theta = np.clip(yr / self.A1, -np.pi / 2, np.pi / 2)
+        for _ in range(12):
+            f, fp = self._poly(theta)
+            theta = theta - (theta * f - yr) / np.maximum(fp, 1e-12)
+        f, fp = self._poly(theta)
+        dl = self.M * x * fp / (self.Rq * np.cos(theta))
+        beta = np.arcsin(np.clip(np.sin(theta) / self.M, -1.0, 1.0))
+        if e == 0:
+            return dl, beta
+        q = self.qp * np.sin(beta)
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(10):
+            s = np.sin(phi)
+            d = ((1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi) + 1e-300)
+                 * (q / (1.0 - e2) - s / (1.0 - e2 * s * s)
+                    - np.arctanh(e * s) / e))
+            phi = phi + d
+        return dl, phi
+
+
+class ObliqueStereographicAlternative(Projection):
+    """sterea — EPSG method 9809 "Oblique Stereographic": double
+    projection through a conformal sphere (Gauss sphere at lat_0),
+    then spherical oblique stereographic. This is PROJ's ``sterea``
+    (distinct from ``stere``'s direct Snyder oblique form) and the
+    projection of Amersfoort / RD New (EPSG:28992). Formulas from
+    EPSG Guidance Note 7-2 §"Oblique and Equatorial Stereographic".
+    Reference surfaces the method through proj=sterea CRS strings
+    (pyproj/crs/crs.py CRS.from_proj4)."""
+
+    name = "sterea"
+
+    def _setup(self, lat_0=0.0, k_0=1.0, **kw):
+        E = self.E
+        e, e2 = E.e, E.e2
+        phi0 = np.radians(float(lat_0))
+        self.k0 = float(k_0)
+        s0, c0 = np.sin(phi0), np.cos(phi0)
+        # Gauss (conformal) sphere constants at the origin
+        rho0 = E.a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+        nu0 = E.a / np.sqrt(1.0 - e2 * s0 * s0)
+        self.R = np.sqrt(rho0 * nu0)
+        self.n = np.sqrt(1.0 + e2 * c0 ** 4 / (1.0 - e2))
+        S1 = (1.0 + s0) / (1.0 - s0)
+        S2 = (1.0 - e * s0) / (1.0 + e * s0)
+        w1 = (S1 * S2 ** e) ** self.n
+        sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+        self.c = ((self.n + s0) * (1.0 - sin_chi00)
+                  / ((self.n - s0) * (1.0 + sin_chi00)))
+        w2 = self.c * w1
+        chi0 = np.arcsin((w2 - 1.0) / (w2 + 1.0))
+        self.schi0, self.cchi0 = np.sin(chi0), np.cos(chi0)
+
+    def _conformal(self, phi):
+        """Ellipsoidal latitude -> conformal-sphere latitude chi."""
+        e = self.E.e
+        sp = np.sin(phi)
+        Sa = (1.0 + sp) / (1.0 - sp)
+        Sb = (1.0 - e * sp) / (1.0 + e * sp)
+        w = self.c * (Sa * Sb ** e) ** self.n
+        return np.arcsin(np.clip((w - 1.0) / (w + 1.0), -1.0, 1.0))
+
+    def _fwd(self, dl, phi):
+        L = self.n * dl  # conformal-sphere longitude offset
+        chi = self._conformal(phi)
+        sc, cc = np.sin(chi), np.cos(chi)
+        sl, cl = np.sin(L), np.cos(L)
+        B = 1.0 + sc * self.schi0 + cc * self.cchi0 * cl
+        f = 2.0 * self.R * self.k0 / B
+        return f * cc * sl, f * (sc * self.cchi0 - cc * self.schi0 * cl)
+
+    def _inv(self, x, y):
+        e = self.E.e
+        # invert the spherical oblique stereographic to (chi, L)
+        rho = np.hypot(x, y)
+        ce = 2.0 * np.arctan2(rho, 2.0 * self.R * self.k0)
+        sce, cce = np.sin(ce), np.cos(ce)
+        safe_rho = np.where(rho == 0, 1.0, rho)
+        chi = np.arcsin(np.clip(
+            cce * self.schi0 + y * sce * self.cchi0 / safe_rho, -1, 1))
+        chi = np.where(rho == 0, np.arcsin(np.clip(self.schi0, -1, 1)),
+                       chi)
+        L = np.arctan2(x * sce,
+                       safe_rho * self.cchi0 * cce - y * self.schi0 * sce)
+        L = np.where(rho == 0, 0.0, L)
+        # invert the conformal mapping: from
+        # w = (1+sin chi)/(1-sin chi) = c*(Sa*Sb^e)^n and
+        # ln(Sa*Sb^e) = 2*psi (isometric latitude), psi = -ln ts
+        sc = np.sin(chi)
+        psi = (np.log((1.0 + sc) / np.maximum(1.0 - sc, 1e-300) / self.c)
+               / (2.0 * self.n))
+        phi = _phi_from_ts(np.exp(-psi), e)
+        return L / self.n, phi
+
+
 class EquidistantCylindrical(Projection):
     """eqc / Plate Carrée — spherical formulas like PROJ."""
 
@@ -1326,6 +1474,8 @@ PROJECTIONS = {
     "laea": LambertAzimuthalEqualArea,
     "aeqd": AzimuthalEquidistant,
     "stere": Stereographic,
+    "sterea": ObliqueStereographicAlternative,
+    "eqearth": EqualEarth,
     "eqc": EquidistantCylindrical,
     "sinu": Sinusoidal,
     "moll": Mollweide,

@@ -1188,8 +1188,13 @@ def q_vertical_shift(spark, sf_dir):
 # closed-form geoid node values — MUST match kernels/grids.py
 # _synth_geoid_m; global window (-180, -90, 180, 90), 1-degree step
 def _vertical_shift_sql():
-    n = ("(-12.0 + 9.0*sin(0.045*({ix})) + 7.0*cos(0.03*({iy})) "
-         "+ 2.0*sin(fmod(0.011*({ix})*({iy}), 6.0)))")
+    # literals CAST to DOUBLE: DuckDB parses 0.011 as DECIMAL, making
+    # 0.011*120*150 EXACTLY 198.0 while float64 gives 197.99999999...,
+    # which lands on the other side of the fmod(., 6) discontinuity
+    # (0.31 m node swing). Both engines must do IEEE double arithmetic.
+    n = ("(-12.0 + 9.0*sin(CAST(0.045 AS DOUBLE)*({ix})) "
+         "+ 7.0*cos(CAST(0.03 AS DOUBLE)*({iy})) "
+         "+ 2.0*sin(fmod(CAST(0.011 AS DOUBLE)*({ix})*({iy}), 6.0)))")
     return f"""
 WITH pts AS ({_PTS_SQL}),
 c AS (
@@ -6258,3 +6263,87 @@ FROM geom
 
 
 QUERIES["krovak_grid"] = (q_krovak_grid, _krovak_sql())
+
+
+def q_rd_grid(spark, sf_dir):
+    """Round-5 family gate for the EPSG-9809 double stereographic
+    (Amersfoort / RD New, EPSG:28992; kernel reproduces the EPSG
+    guidance-note worked example to 2 mm —
+    tests/test_projections_round5.py::TestObliqueStereographic).
+    Deterministic points over the NL window go through ONE pandas-UDF
+    crossing (Transformer.from_crs(4289, 28992), reference
+    transformer.py:184-230); the oracle replays the conformal-sphere
+    double projection in DuckDB from the kernel's plan-time constant
+    doubles (the krovak_grid / gauss_kruger pattern)."""
+    from pyproj_spark.functions.transform import transform_xy
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (3.3 + (F.col("doc_id") * 7919 % 3800) / 1000.0).alias("lon"),
+        (50.8 + (F.col("doc_id") * 104729 % 2700) / 1000.0).alias("lat"))
+    xy = transform_xy("EPSG:4289", "EPSG:28992",
+                      F.col("lon"), F.col("lat"))
+    return (docs.withColumn("xy", xy)
+            .select("doc_id",
+                    F.round(F.col("xy.x")).cast("long").alias("x_east"),
+                    F.round(F.col("xy.y")).cast("long").alias("y_north")))
+
+
+def _rd_sql():
+    """EPSG 9809 replay with the kernel's constants (repr doubles):
+    conformal-sphere latitude via the exact (Sa*Sb^e)^n power chain,
+    then the spherical oblique stereographic. asin/pow/sin/cos are
+    libm on both engines; whole-meter rounding absorbs ulp skew."""
+    from pyproj_spark.kernels.ellipsoid import get_ellipsoid
+    from pyproj_spark.kernels.projections import (
+        ObliqueStereographicAlternative)
+
+    kv = ObliqueStereographicAlternative(
+        get_ellipsoid("bessel"), lat_0=52.15616055555555,
+        lon_0=5.38763888888889, k_0=0.9999079,
+        x_0=155000.0, y_0=463000.0)
+    def D(v):
+        # DOUBLE-cast literals: DuckDB parses full-precision repr()
+        # numerics as DECIMAL, whose products overflow DECIMAL(18)
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    e = D(kv.E.e)
+    R, n, c = D(kv.R), D(kv.n), D(kv.c)
+    schi0, cchi0 = D(kv.schi0), D(kv.cchi0)
+    k0 = D(kv.k0)
+    lon0 = D(5.38763888888889)
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         3.3 + (doc_id * 7919 % 3800) / 1000.0   AS lon,
+         50.8 + (doc_id * 104729 % 2700) / 1000.0 AS lat
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         {n} * (((radians(lon) - radians({lon0})) + pi()) - pi()) AS L,
+         sin(radians(lat)) AS sp
+  FROM pts
+), conf AS (
+  SELECT doc_id, L,
+    {c} * power(((1.0 + sp) / (1.0 - sp))
+                * power((1.0 - {e}*sp) / (1.0 + {e}*sp), {e}),
+                {n}) AS w
+  FROM d
+), chi AS (
+  SELECT doc_id, L, asin((w - 1.0) / (w + 1.0)) AS chi FROM conf
+), geom AS (
+  SELECT doc_id,
+    2.0 * {R} * {k0}
+      / (1.0 + sin(chi)*{schi0} + cos(chi)*{cchi0}*cos(L)) AS f,
+    cos(chi) AS cc, sin(chi) AS sc, sin(L) AS sl, cos(L) AS cl
+  FROM chi
+)
+SELECT doc_id,
+       CAST(round(f * cc * sl + 155000.0) AS BIGINT) AS x_east,
+       CAST(round(f * (sc * {cchi0} - cc * {schi0} * cl)
+                  + 463000.0) AS BIGINT) AS y_north
+FROM geom
+"""
+
+
+QUERIES["rd_grid"] = (q_rd_grid, _rd_sql())

@@ -200,3 +200,162 @@ class TestKrovak:
             slon = np.hypot(xl - x0, yl - y0) / (nu * np.cos(np.radians(lat)))
             slat = np.hypot(xp - x0, yp - y0) / rho
             assert slon == pytest.approx(slat, rel=1e-6)
+
+
+class TestObliqueStereographic:
+    """sterea — EPSG method 9809 (double stereographic through the
+    Gauss conformal sphere), the Amersfoort / RD New projection.
+    Reference exposes it via proj=sterea (pyproj/crs/crs.py
+    CRS.from_proj4); distinct from stere's direct Snyder form."""
+
+    def test_epsg_worked_example_rd_new(self):
+        # EPSG Guidance Note 7-2, Oblique Stereographic example:
+        # Amersfoort / RD New (EPSG:28992), Bessel 1841,
+        # 53N 6E -> E 196105.283 m, N 557057.739 m
+        x, y = t("EPSG:4289", "EPSG:28992").transform(6.0, 53.0)
+        assert x == pytest.approx(196105.283, abs=2e-3)
+        assert y == pytest.approx(557057.739, abs=2e-3)
+
+    def test_roundtrip(self):
+        tr = t("EPSG:4289", "EPSG:28992")
+        ti = t("EPSG:28992", "EPSG:4289")
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(3.2, 7.2, 500)
+        lat = rng.uniform(50.7, 53.6, 500)
+        x, y = tr.transform(lon, lat)
+        lo, la = ti.transform(x, y)
+        np.testing.assert_allclose(lo, lon, atol=1e-11)
+        np.testing.assert_allclose(la, lat, atol=1e-11)
+
+    def test_conformality(self):
+        # double stereographic is conformal: local Jacobian is a
+        # scaled rotation (equal column norms, orthogonal columns)
+        from pyproj_spark.kernels.ellipsoid import get_ellipsoid
+        E = get_ellipsoid("bessel")
+        tr = t("EPSG:4289", "EPSG:28992")
+        h = 1e-6
+        for lon, lat in ((5.0, 52.0), (6.8, 51.2), (4.1, 53.1)):
+            x0, y0 = tr.transform(lon, lat)
+            xl, yl = tr.transform(lon + h, lat)
+            xp, yp = tr.transform(lon, lat + h)
+            # ellipsoidal arc lengths: parallel = nu*cos(phi)*dlam,
+            # meridian = rho*dphi — conformal => equal scale both ways
+            s2 = np.sin(np.radians(lat)) ** 2
+            nu = E.a / np.sqrt(1.0 - E.e2 * s2)
+            rho = E.a * (1.0 - E.e2) / (1.0 - E.e2 * s2) ** 1.5
+            gl = np.hypot(xl - x0, yl - y0) / (nu * np.cos(np.radians(lat)))
+            gp = np.hypot(xp - x0, yp - y0) / rho
+            assert gl == pytest.approx(gp, rel=1e-4)
+            dot = (xl - x0) * (xp - x0) + (yl - y0) * (yp - y0)
+            assert abs(dot) < 1e-3 * np.hypot(xl - x0, yl - y0) \
+                * np.hypot(xp - x0, yp - y0)
+
+    def test_sterea_differs_from_stere(self):
+        # same parameters through stere (single projection) must NOT
+        # reproduce the 9809 double-projection easting/northing
+        xs, ys = t("+proj=longlat +ellps=bessel",
+                   "+proj=sterea +lat_0=52.15616055555555 "
+                   "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
+                   "+y_0=463000 +ellps=bessel").transform(6.0, 53.0)
+        xd, yd = t("+proj=longlat +ellps=bessel",
+                   "+proj=stere +lat_0=52.15616055555555 "
+                   "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
+                   "+y_0=463000 +ellps=bessel").transform(6.0, 53.0)
+        assert (abs(xs - xd) > 0.01) or (abs(ys - yd) > 0.01)
+
+    def test_wkt_roundtrip_with_named_ellipsoid(self):
+        # parsed WKT recovers the bessel name from (a, rf), so the
+        # emitted WKT is byte-stable across a parse cycle
+        from pyproj_spark.crs.crs import CRS
+        w = CRS.from_epsg(28992).to_wkt()
+        assert 'METHOD["Oblique Stereographic",ID["EPSG",9809]]' in w
+        assert CRS.from_wkt(w).to_wkt() == w
+
+
+class TestEqualEarth:
+    """eqearth — Equal Earth (Šavrič/Patterson/Jenny 2019; EPSG
+    method 1078, EPSG:8857-8859). Reference exposes it through
+    proj=eqearth CRS strings and the EPSG codes."""
+
+    def test_exactly_equal_area(self):
+        from pyproj_spark.kernels.ellipsoid import get_ellipsoid
+        E = get_ellipsoid("WGS84")
+        tr = t("EPSG:4326", "EPSG:8857")
+        h = 1e-6
+        for lon, lat in ((0.0, 0.0), (100.0, 45.0), (-60.0, -70.0),
+                         (170.0, 80.0), (30.0, -20.0)):
+            x0, y0 = tr.transform(lon, lat)
+            xl, yl = tr.transform(lon + h, lat)
+            xp, yp = tr.transform(lon, lat + h)
+            jac = abs((xl - x0) * (yp - y0)
+                      - (xp - x0) * (yl - y0)) / np.radians(h) ** 2
+            s2 = np.sin(np.radians(lat)) ** 2
+            nu = E.a / np.sqrt(1 - E.e2 * s2)
+            rho = E.a * (1 - E.e2) / (1 - E.e2 * s2) ** 1.5
+            assert jac == pytest.approx(
+                nu * rho * np.cos(np.radians(lat)), rel=1e-4)
+
+    def test_aspect_ratio(self):
+        # the defining Equal Earth trait: width:height = 2.05458:1
+        tr = t("EPSG:4326", "EPSG:8857")
+        xe, _ = tr.transform(179.999999, 0.0)
+        _, yp = tr.transform(0.0, 90.0)
+        assert abs(xe) / yp == pytest.approx(2.05458, abs=2e-5)
+
+    def test_pseudocylindrical(self):
+        # parallels are straight lines: y independent of lon
+        tr = t("EPSG:4326", "EPSG:8857")
+        _, y1 = tr.transform(0.0, 37.0)
+        _, y2 = tr.transform(120.0, 37.0)
+        assert y1 == pytest.approx(y2, abs=1e-9)
+
+    def test_roundtrip(self):
+        tr = t("EPSG:4326", "EPSG:8857")
+        ti = t("EPSG:8857", "EPSG:4326")
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-179.0, 179.0, 1000)
+        lat = rng.uniform(-89.0, 89.0, 1000)
+        x, y = tr.transform(lon, lat)
+        lo, la = ti.transform(x, y)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_americas_aspect_is_lon_shift(self):
+        # 8858 is 8857 with lon_0=-90: same invariants, shifted frame
+        xg, yg = t("EPSG:4326", "EPSG:8857").transform(10.0, 40.0)
+        xa, ya = t("EPSG:4326", "EPSG:8858").transform(-80.0, 40.0)
+        assert xa == pytest.approx(xg, abs=1e-6)
+        assert ya == pytest.approx(yg, abs=1e-6)
+
+
+class TestRound5CatalogAdditions:
+    def test_polar_families_roundtrip(self):
+        from pyproj_spark.crs.crs import CRS
+        for code in (3995, 5041, 5042, 3571, 3572, 3573, 3574, 3575,
+                     3576, 3577, 4087, 5243, 6350, 3347, 3978, 3979,
+                     2039, 31965, 31976, 31977, 31985, 7846, 7859):
+            w = CRS.from_epsg(code).to_wkt()
+            assert CRS.from_wkt(w).to_wkt() == w, code
+
+    def test_ups_north_grid(self):
+        # UPS: pole maps to (2e6, 2e6); at 84N the northing offset is
+        # ~666.7 km of meridian arc scaled by k0=0.994
+        x, y = t("EPSG:4326", "EPSG:5041").transform(0.0, 84.0)
+        assert x == pytest.approx(2000000.0, abs=1e-6)
+        assert 2000000.0 - y == pytest.approx(666727.7, abs=1.0)
+
+    def test_esri_webmercator_alias(self):
+        from pyproj_spark.crs.crs import CRS
+        a = CRS.from_user_input("ESRI:102100")
+        t1 = Transformer.from_crs("EPSG:4326", a, always_xy=True)
+        t2 = t("EPSG:4326", "EPSG:3857")
+        assert t1.transform(5.0, 45.0) == t2.transform(5.0, 45.0)
+
+    def test_sirgas_utm_matches_wgs84_utm(self):
+        # SIRGAS2000 is ITRF-aligned: same UTM numbers as WGS84 zone
+        # sub-mm agreement (the null-Helmert datum hop costs ~0.1 mm
+        # of geocentric roundtrip noise vs the direct WGS84 path)
+        xs, ys = t("EPSG:4674", "EPSG:31983").transform(-46.0, -23.0)
+        xw, yw = t("EPSG:4326", "EPSG:32723").transform(-46.0, -23.0)
+        assert xs == pytest.approx(xw, abs=1e-3)
+        assert ys == pytest.approx(yw, abs=1e-3)
