@@ -6347,3 +6347,54 @@ FROM geom
 
 
 QUERIES["rd_grid"] = (q_rd_grid, _rd_sql())
+
+
+def q_rhumb_line(spark, sf_dir):
+    """Rhumb-line (loxodrome) inverse problem — constant steering
+    course + track length between deterministic point pairs, the
+    navigation complement of `geod_sphere`'s great-circle inverse
+    (reference Geod surfaces only geodesics; ships steer rhumbs).
+    Pure Catalyst closed forms (`functions/rhumb.py`): isometric
+    latitudes, Mercator-course atan2, exact E-W degeneracy guard —
+    the whole plan is one scan inside whole-stage codegen, and the
+    oracle replays every term in SQL."""
+    from pyproj_spark.functions.rhumb import rhumb_inverse
+    pts = _doc_points(spark, sf_dir)
+    lon2 = (F.col("doc_id") * 12553 % 360000) / 1000.0 - 180.0
+    lat2 = (F.col("doc_id") * 24001 % 170000) / 1000.0 - 85.0
+    rl = rhumb_inverse(F.col("lon"), F.col("lat"), lon2, lat2)
+    return pts.select("doc_id",
+                      rl["bearing_deg"].alias("bearing_deg"),
+                      rl["dist_m"].alias("dist_m"))
+
+
+SQL_RHUMB_LINE = f"""
+WITH pts AS ({_PTS_SQL}),
+p AS (
+  SELECT doc_id, lon, lat,
+         (doc_id * 12553 % 360000) / 1000.0 - 180.0 AS lon2,
+         (doc_id * 24001 % 170000) / 1000.0 - 85.0  AS lat2
+  FROM pts
+), c AS (
+  SELECT doc_id,
+         radians(lat)  AS la1, radians(lat2) AS la2,
+         radians(fmod(lon2 - lon + 540.0, 360.0) - 180.0) AS dlam
+  FROM p
+), d AS (
+  SELECT doc_id, dlam, la2 - la1 AS dphi,
+         ln(tan(pi()/4 + la2/2)) - ln(tan(pi()/4 + la1/2)) AS dpsi,
+         cos(la1) AS cl1
+  FROM c
+), e AS (
+  SELECT doc_id, dlam, dphi, dpsi,
+         CASE WHEN abs(dpsi) > 1e-12 THEN dphi / dpsi ELSE cl1 END AS q
+  FROM d
+)
+SELECT doc_id,
+       fmod(degrees(atan2(dlam, dpsi)) + 360.0, 360.0) AS bearing_deg,
+       sqrt(dphi*dphi + q*q*dlam*dlam) * 6371008.8 AS dist_m
+FROM e
+"""
+
+
+QUERIES["rhumb_line"] = (q_rhumb_line, SQL_RHUMB_LINE)

@@ -3614,3 +3614,76 @@ JOIN ind ib ON ib.dst = p.id_b
 """
 
 QUERIES_TEXT["cocitation"] = (q_cocitation, SQL_COCITATION)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR pretraining-data selection (Xie et al. 2023): importance
+    resampling toward a target corpus (here lang='en') in a hashed
+    token-bucket feature space. One corpus pass builds the FIXED-size
+    (1024-row) bucket log-ratio table (map-side partial agg ->
+    broadcast); per-doc weights are exact-long micro sums; Gumbel
+    top-k with md5 coins makes the sample-without-replacement
+    deterministic across runs, partitionings, and engines
+    (`operators/dsir.py`). The at-scale shape of learned data
+    selection: no corpus-size state anywhere but the doc-keyed sum."""
+    from pyproj_spark.operators.dsir import (bucket_log_ratios,
+                                             dsir_weights, gumbel_topk)
+    docs = _docs(spark, sf_dir)
+    ratios = bucket_log_ratios(docs, F.col("lang") == "en")
+    w = dsir_weights(docs, ratios)
+    return gumbel_topk(w, 150).select(
+        "doc_id", "n_toks", "w_micros", "sel_key")
+
+
+SQL_DSIR_SAMPLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token,
+         lang = 'en' AS is_t
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024
+             AS bucket
+  FROM toks
+),
+pb AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM tb GROUP BY 1
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM pb),
+lr AS (
+  SELECT bucket,
+         CAST(round((ln((ct + 1.0) / (tt + 1024.0))
+                     - ln((cr + 1.0) / (tr + 1024.0))) * 1e6)
+              AS BIGINT) AS lr_micros
+  FROM pb, tot
+),
+s AS (
+  SELECT tb.doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(lr.lr_micros) AS BIGINT) AS w_micros
+  FROM tb JOIN lr USING (bucket) GROUP BY 1
+),
+w AS (
+  SELECT d.doc_id,
+         coalesce(s.n_toks, 0) AS n_toks,
+         coalesce(s.w_micros, 0) AS w_micros
+  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, n_toks, w_micros,
+       w_micros / 1e6
+       + (- ln(- ln((CAST(('0x' || substr(
+               md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 0.5) / 4294967296.0))) AS sel_key
+FROM w
+ORDER BY sel_key DESC, doc_id
+LIMIT 150
+"""
+
+QUERIES_TEXT["dsir_sample"] = (q_dsir_sample, SQL_DSIR_SAMPLE)
