@@ -6398,3 +6398,156 @@ FROM e
 
 
 QUERIES["rhumb_line"] = (q_rhumb_line, SQL_RHUMB_LINE)
+
+
+#: fixed great-circle routes for the intersection gate (lon1, lat1,
+#: lon2, lat2) — all spans well under 180 degrees
+GC_ROUTES = {
+    0: (-120.0, 30.0, 20.0, 55.0),
+    1: (-70.0, -30.0, 110.0, 25.0),
+    2: (-10.0, 60.0, 60.0, -40.0),
+    3: (140.0, 40.0, -140.0, -20.0),
+    4: (-40.0, -60.0, 40.0, 65.0),
+    5: (-150.0, 10.0, -60.0, 45.0),
+    6: (10.0, -70.0, 120.0, -5.0),
+    7: (60.0, 70.0, 170.0, 10.0),
+}
+
+
+def q_gc_intersect(spark, sf_dir):
+    """Great-circle segment intersection join — which document legs
+    cross which fixed routes, and where (the route-conflict /
+    crossing-detection primitive). Closed-form spherical vector
+    algebra, pure Catalyst: each segment's plane normal n = p1 x p2,
+    the candidate intersection +/-(n1 x n2) normalized, crossing iff
+    each segment's endpoints straddle the other's plane AND both
+    midpoint hemispheres agree on the candidate sign (which also
+    rejects the antipodal ghost). No iteration, no UDF; the literal
+    8-route table folds in map-side (broadcast semantics without even
+    a join — an explode over a literal array), so the plan is one
+    scan + one filter at ANY corpus size; a big-route-set variant
+    would prefilter by cell covering exactly like pip_join."""
+    import math as _m
+    pts = _doc_points(spark, sf_dir)
+    lon2 = (F.col("doc_id") * 12553 % 360000) / 1000.0 - 180.0
+    lat2 = (F.col("doc_id") * 24001 % 170000) / 1000.0 - 85.0
+    segs = pts.select(
+        "doc_id",
+        F.radians("lon").alias("lo1"), F.radians("lat").alias("la1"),
+        F.radians(lon2).alias("lo2"), F.radians(lat2).alias("la2"))
+
+    routes = F.array(*[
+        F.struct(F.lit(rid).alias("route_id"),
+                 *[F.lit(_m.radians(v)).alias(n)
+                   for n, v in zip(("qo1", "qa1", "qo2", "qa2"), seg)])
+        for rid, seg in sorted(GC_ROUTES.items())])
+    df = segs.select("*", F.explode(routes).alias("r")).select(
+        "doc_id", "lo1", "la1", "lo2", "la2", "r.*")
+
+    def vec(lo, la, tag):
+        return [(F.cos(F.col(la)) * F.cos(F.col(lo))).alias(f"{tag}x"),
+                (F.cos(F.col(la)) * F.sin(F.col(lo))).alias(f"{tag}y"),
+                F.sin(F.col(la)).alias(f"{tag}z")]
+
+    df = df.select("doc_id", "route_id",
+                   *vec("lo1", "la1", "p1"), *vec("lo2", "la2", "p2"),
+                   *vec("qo1", "qa1", "q1"), *vec("qo2", "qa2", "q2"))
+
+    def cross(a, b, tag):
+        c = F.col
+        return [(c(a + "y") * c(b + "z") - c(a + "z") * c(b + "y"))
+                .alias(f"{tag}x"),
+                (c(a + "z") * c(b + "x") - c(a + "x") * c(b + "z"))
+                .alias(f"{tag}y"),
+                (c(a + "x") * c(b + "y") - c(a + "y") * c(b + "x"))
+                .alias(f"{tag}z")]
+
+    df = df.select("*", *cross("p1", "p2", "n1"), *cross("q1", "q2", "n2"))
+    df = df.select("*", *cross("n1", "n2", "t"))
+
+    def dot(a, b):
+        c = F.col
+        return (c(a + "x") * c(b + "x") + c(a + "y") * c(b + "y")
+                + c(a + "z") * c(b + "z"))
+
+    # straddle tests + hemisphere orientation: s chooses +t or -t and
+    # must be the SAME for both segments' midpoint hemispheres
+    sa = dot("t", "p1") + dot("t", "p2")
+    sb = dot("t", "q1") + dot("t", "q2")
+    crossing = ((dot("n1", "q1") * dot("n1", "q2") < 0)
+                & (dot("n2", "p1") * dot("n2", "p2") < 0)
+                & (sa * sb > 0))
+    sgn = F.when(sa > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    tn = F.sqrt(dot("t", "t"))
+    ix = sgn * F.col("tx") / tn
+    iy = sgn * F.col("ty") / tn
+    iz = sgn * F.col("tz") / tn
+    return (df.filter(crossing)
+            .select("doc_id", "route_id",
+                    F.degrees(F.atan2(iy, ix)).alias("ix_lon"),
+                    F.degrees(F.asin(F.least(F.greatest(
+                        iz, F.lit(-1.0)), F.lit(1.0)))).alias("ix_lat")))
+
+
+def _gc_routes_sql() -> str:
+    import math as _m
+    rows = ", ".join(
+        f"({rid}, {_m.radians(a)!r}, {_m.radians(b)!r}, "
+        f"{_m.radians(c)!r}, {_m.radians(d)!r})"
+        for rid, (a, b, c, d) in sorted(GC_ROUTES.items()))
+    return ("SELECT * FROM (VALUES " + rows
+            + ") AS r(route_id, qo1, qa1, qo2, qa2)")
+
+
+SQL_GC_INTERSECT = f"""
+WITH pts AS ({_PTS_SQL}),
+segs AS (
+  SELECT doc_id,
+         radians(lon) AS lo1, radians(lat) AS la1,
+         radians((doc_id * 12553 % 360000) / 1000.0 - 180.0) AS lo2,
+         radians((doc_id * 24001 % 170000) / 1000.0 - 85.0)  AS la2
+  FROM pts
+),
+routes AS ({_gc_routes_sql()}),
+v AS (
+  SELECT doc_id, route_id,
+    cos(la1)*cos(lo1) AS p1x, cos(la1)*sin(lo1) AS p1y, sin(la1) AS p1z,
+    cos(la2)*cos(lo2) AS p2x, cos(la2)*sin(lo2) AS p2y, sin(la2) AS p2z,
+    cos(qa1)*cos(qo1) AS q1x, cos(qa1)*sin(qo1) AS q1y, sin(qa1) AS q1z,
+    cos(qa2)*cos(qo2) AS q2x, cos(qa2)*sin(qo2) AS q2y, sin(qa2) AS q2z
+  FROM segs, routes
+),
+n AS (
+  SELECT *,
+    p1y*p2z - p1z*p2y AS n1x, p1z*p2x - p1x*p2z AS n1y,
+    p1x*p2y - p1y*p2x AS n1z,
+    q1y*q2z - q1z*q2y AS n2x, q1z*q2x - q1x*q2z AS n2y,
+    q1x*q2y - q1y*q2x AS n2z
+  FROM v
+),
+t AS (
+  SELECT *,
+    n1y*n2z - n1z*n2y AS tx, n1z*n2x - n1x*n2z AS ty,
+    n1x*n2y - n1y*n2x AS tz
+  FROM n
+),
+s AS (
+  SELECT *,
+    (tx*p1x + ty*p1y + tz*p1z) + (tx*p2x + ty*p2y + tz*p2z) AS sa,
+    (tx*q1x + ty*q1y + tz*q1z) + (tx*q2x + ty*q2y + tz*q2z) AS sb
+  FROM t
+)
+SELECT doc_id, route_id,
+  degrees(atan2(CASE WHEN sa > 0 THEN 1.0 ELSE -1.0 END * ty / sqrt(tx*tx + ty*ty + tz*tz),
+                CASE WHEN sa > 0 THEN 1.0 ELSE -1.0 END * tx / sqrt(tx*tx + ty*ty + tz*tz))) AS ix_lon,
+  degrees(asin(least(greatest(
+      CASE WHEN sa > 0 THEN 1.0 ELSE -1.0 END * tz / sqrt(tx*tx + ty*ty + tz*tz),
+      -1.0), 1.0))) AS ix_lat
+FROM s
+WHERE (n1x*q1x + n1y*q1y + n1z*q1z) * (n1x*q2x + n1y*q2y + n1z*q2z) < 0
+  AND (n2x*p1x + n2y*p1y + n2z*p1z) * (n2x*p2x + n2y*p2y + n2z*p2z) < 0
+  AND sa * sb > 0
+"""
+
+
+QUERIES["gc_intersect"] = (q_gc_intersect, SQL_GC_INTERSECT)

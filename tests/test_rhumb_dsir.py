@@ -158,3 +158,107 @@ class TestDSIR:
         all_frac = np.mean(
             [1.0 if r.w_micros > 0 else 0.0 for r in w.collect()])
         assert frac_target_like > all_frac
+
+
+class TestGreatCircleIntersection:
+    """gc_intersect gate's geometry, validated against an independent
+    numpy formulation (densified arc sign-change count)."""
+
+    def _spark_pairs(self, spark):
+        import pandas as pd
+        from pyproj_spark.queries import QUERIES
+        df = QUERIES["gc_intersect"][0](
+            spark, "/root/testdata/sf0.001").toPandas()
+        return df
+
+    def test_intersections_lie_on_both_arcs(self, spark):
+        import math
+        from pyproj_spark.queries import GC_ROUTES, _doc_points
+        df = self._spark_pairs(spark)
+        pts = {r.doc_id: (r.lon, r.lat) for r in _doc_points(
+            spark, "/root/testdata/sf0.001").collect()}
+
+        def uv(lon, lat):
+            lo, la = math.radians(lon), math.radians(lat)
+            return np.array([math.cos(la) * math.cos(lo),
+                             math.cos(la) * math.sin(lo),
+                             math.sin(la)])
+
+        for _, row in df.iterrows():
+            p1 = uv(*pts[row.doc_id])
+            lon2 = (row.doc_id * 12553 % 360000) / 1000.0 - 180.0
+            lat2 = (row.doc_id * 24001 % 170000) / 1000.0 - 85.0
+            p2 = uv(lon2, lat2)
+            a, b, c, d = GC_ROUTES[row.route_id]
+            q1, q2 = uv(a, b), uv(c, d)
+            x = uv(row.ix_lon, row.ix_lat)
+            # on both planes
+            assert abs(np.dot(np.cross(p1, p2), x)) < 1e-9
+            assert abs(np.dot(np.cross(q1, q2), x)) < 1e-9
+            # within both angular spans: x between the endpoints
+            for e1, e2 in ((p1, p2), (q1, q2)):
+                full = math.acos(np.clip(np.dot(e1, e2), -1, 1))
+                part = (math.acos(np.clip(np.dot(e1, x), -1, 1))
+                        + math.acos(np.clip(np.dot(x, e2), -1, 1)))
+                assert part == pytest.approx(full, abs=1e-9)
+
+    def test_count_matches_densified_signchange(self, spark):
+        import math
+        from pyproj_spark.queries import GC_ROUTES, _doc_points
+        df = self._spark_pairs(spark)
+        got = set(zip(df.doc_id, df.route_id))
+        pts = _doc_points(spark, "/root/testdata/sf0.001").collect()
+
+        def uv(lon, lat):
+            lo, la = math.radians(lon), math.radians(lat)
+            return np.array([math.cos(la) * math.cos(lo),
+                             math.cos(la) * math.sin(lo),
+                             math.sin(la)])
+
+        def slerp(a, b, n=2000):
+            w = math.acos(np.clip(np.dot(a, b), -1, 1))
+            t = np.linspace(0, 1, n)[:, None]
+            return (np.sin((1 - t) * w) * a + np.sin(t * w) * b) \
+                / math.sin(w)
+
+        def slerp_t(a, b, t):
+            w = math.acos(np.clip(np.dot(a, b), -1, 1))
+            v = (math.sin((1 - t) * w) * a + math.sin(t * w) * b) \
+                / math.sin(w)
+            return v / np.linalg.norm(v)
+
+        expect = set()
+        routes = {rid: (uv(s[0], s[1]), uv(s[2], s[3]))
+                  for rid, s in GC_ROUTES.items()}
+        for r in pts:
+            lon2 = (r.doc_id * 12553 % 360000) / 1000.0 - 180.0
+            lat2 = (r.doc_id * 24001 % 170000) / 1000.0 - 85.0
+            p1, p2 = uv(r.lon, r.lat), uv(lon2, lat2)
+            if np.dot(p1, p2) > 1.0 - 1e-15:  # degenerate leg
+                continue
+            arc = slerp(p1, p2)
+            for rid, (q1, q2) in routes.items():
+                n2 = np.cross(q1, q2)
+                sgn = np.sign(arc @ n2)
+                # crossing of the ROUTE plane within our arc...
+                if not (sgn[0] * sgn[-1] < 0):
+                    continue
+                # ...bisected to the exact plane crossing, which must
+                # then lie WITHIN the route's span (tight tolerance —
+                # the discretization error is gone after bisection)
+                i = int(np.argmax(sgn != sgn[0]))
+                lo, hi = (i - 1) / (len(arc) - 1), i / (len(arc) - 1)
+                for _ in range(60):
+                    mid = (lo + hi) / 2
+                    if np.sign(np.dot(slerp_t(p1, p2, mid), n2)) \
+                            == sgn[0]:
+                        lo = mid
+                    else:
+                        hi = mid
+                x = slerp_t(p1, p2, (lo + hi) / 2)
+                full = math.acos(np.clip(np.dot(q1, q2), -1, 1))
+                part = (math.acos(np.clip(np.dot(q1, x), -1, 1))
+                        + math.acos(np.clip(np.dot(x, q2), -1, 1)))
+                if part - full < 1e-9:
+                    expect.add((r.doc_id, rid))
+        assert got == expect
