@@ -281,6 +281,14 @@ _PROJECTED.update({
                 lon_0=35.20451694444445, k_0=1.0000067,
                 x_0=219529.584, y_0=626907.39), "enu", 1.0),
     # polar-science workhorses
+    # pan-European statistical mapping pair to 3035 (LAEA)
+    3034: ("ETRS89-extended / LCC Europe", "ETRS89",
+           dict(proj="lcc", lat_1=35.0, lat_2=65.0, lat_0=52.0,
+                lon_0=10.0, x_0=4000000.0, y_0=2800000.0), "enu", 1.0),
+    # Pacific-centred Mercator (Pacific Disaster Center)
+    3832: ("WGS 84 / PDC Mercator", "WGS84",
+           dict(proj="merc", lon_0=150.0, lat_ts=0.0, x_0=0.0,
+                y_0=0.0), "enu", 1.0),
     3995: ("WGS 84 / Arctic Polar Stereographic", "WGS84",
            dict(proj="stere", lat_0=90.0, lat_ts=71.0, lon_0=0.0,
                 x_0=0.0, y_0=0.0), "enu", 1.0),

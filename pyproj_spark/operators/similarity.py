@@ -259,3 +259,67 @@ def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 1,
             .select("vec_id", "cluster",
                     F.coalesce("removed", F.lit(False))
                     .alias("removed")))
+
+
+def sq8_stats(embeddings: DataFrame,
+              vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (mn, mx) training stats for int8 scalar
+    quantization, as ONE row of two aligned arrays. posexplode ->
+    groupBy(pos) is map-side-combined down to <= dim rows per
+    partition before the (tiny) shuffle; the arrays re-assemble with
+    an order-locked collect_list. Exact float min/max, so any engine
+    recomputes the identical stats from the same data."""
+    per_dim = (embeddings
+               .select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                       .alias("i", "x"))
+               .groupBy("i")
+               .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    return per_dim.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "mn"))),
+                    lambda s: s["mn"]).alias("mn"),
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "mx"))),
+                    lambda s: s["mx"]).alias("mx"))
+
+
+def sq8_codes(df: DataFrame, stats: DataFrame, id_col: str,
+              vec_col: str = "embedding",
+              out_col: str = "codes") -> DataFrame:
+    """Affine-quantize each vector to int8 codes in [-128, 127]:
+    q_i = round((x_i - mn_i) / (mx_i - mn_i) * 255) - 128 (degenerate
+    dims quantize to 0). The stats row broadcasts; codes are exact
+    integers, so downstream dot products are exact longs — this is
+    what makes 4x-smaller embedding search replayable bit-for-bit."""
+    x = F.col(vec_col).cast("array<double>")
+    scaled = F.zip_with(
+        F.zip_with(x, F.col("mn"), lambda v, lo: F.struct(
+            v.alias("v"), lo.alias("lo"))),
+        F.col("mx"),
+        lambda s, hi: F.when(
+            hi > s["lo"],
+            F.round((s["v"] - s["lo"]) / (hi - s["lo"]) * 255.0)
+            .cast("long") - 128).otherwise(F.lit(0).cast("long")))
+    return (df.crossJoin(F.broadcast(stats))
+            .select(F.col(id_col), scaled.alias(out_col)))
+
+
+def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", qid_col: str = "qid",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN over int8 scalar-quantized codes: exact-long integer dot
+    products between corpus codes and the broadcast quantized query
+    set, top-k per query with id tie-break. The 100-TB shape: stats
+    are one tiny agg, codes quantize map-side, and the score join is
+    broadcast — the only shuffle is the per-query top-k TakeOrdered
+    window over candidate rows."""
+    stats = sq8_stats(embeddings, vec_col)
+    e = sq8_codes(embeddings, stats, id_col, vec_col, "c")
+    q = sq8_codes(queries, stats, qid_col, vec_col, "qc")
+    cand = e.join(F.broadcast(q), F.col(id_col) != F.col(qid_col))
+    dot = F.aggregate(F.zip_with(F.col("c"), F.col("qc"),
+                                 lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), id_col)
+    return (cand.withColumn("score", dot)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, "rank", id_col, "score"))

@@ -3687,3 +3687,66 @@ LIMIT 150
 """
 
 QUERIES_TEXT["dsir_sample"] = (q_dsir_sample, SQL_DSIR_SAMPLE)
+
+
+def q_sq8_ann(spark, sf_dir):
+    """int8 scalar-quantized embedding search (the memory-scale path:
+    4x smaller vectors, integer arithmetic): per-dim min/max stats ->
+    affine int8 codes -> exact-long code dot products -> top-5 per
+    query (`operators/similarity.py::sq8_topk`). Everything after the
+    stats agg is exact integers, so the oracle replays the WHOLE
+    pipeline — stats, codes, scores, ranks — bit-for-bit in SQL."""
+    from pyproj_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 1000)
+    queries = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .filter(F.col("vec_id") < 8)
+               .withColumnRenamed("vec_id", "qid"))
+    return similarity.sq8_topk(emb, queries, k=5)
+
+
+SQL_SQ8_ANN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 1000),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 8),
+stats AS (
+  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM e, UNNEST(generate_series(1, 64)) AS t(i)
+  GROUP BY i
+),
+ec AS (
+  SELECT vec_id,
+         list(CASE WHEN mx > mn
+                   THEN CAST(round((v[i] - mn) / (mx - mn) * 255.0)
+                             AS BIGINT) - 128
+                   ELSE 0 END ORDER BY i) AS c
+  FROM e CROSS JOIN stats
+  GROUP BY vec_id
+),
+qc AS (
+  SELECT qid,
+         list(CASE WHEN mx > mn
+                   THEN CAST(round((v[i] - mn) / (mx - mn) * 255.0)
+                             AS BIGINT) - 128
+                   ELSE 0 END ORDER BY i) AS c
+  FROM q CROSS JOIN stats
+  GROUP BY qid
+),
+cand AS (
+  SELECT qid, vec_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+                                      i -> ec.c[i] * qc.c[i]))
+              AS BIGINT) AS score
+  FROM ec CROSS JOIN qc WHERE vec_id != qid
+),
+ranked AS (
+  SELECT qid, vec_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 5
+"""
+
+QUERIES_TEXT["sq8_ann"] = (q_sq8_ann, SQL_SQ8_ANN)

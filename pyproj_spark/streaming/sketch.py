@@ -88,3 +88,60 @@ def streaming_hll_distinct(stream: DataFrame, group_col: str,
             .applyInPandasWithState(
                 _hll_fn, OUT_SCHEMA, STATE_SCHEMA, "update",
                 GroupStateTimeout.NoTimeout))
+
+
+# ----------------------------------------------------------- CM
+
+from pyproj_spark.operators.sketch import CM_D, CM_W  # noqa: E402
+
+CM_OUT_SCHEMA = "grp string, value string, est long"
+CM_STATE_SCHEMA = "counters array<long>"
+
+
+def _cm_col(r: int, v: str, w: int) -> int:
+    """EXACT arithmetic of the batch operator (operators/sketch.py
+    cm_build): md5(f'{r}:{v}') first-15-hex -> int % w."""
+    return int(hashlib.md5(f"{r}:{v}".encode()).hexdigest()[:15],
+               16) % w
+
+
+def streaming_cm_heavy(stream: DataFrame, group_col: str,
+                       value_col: str, probes: list,
+                       d: int = CM_D, w: int = CM_W) -> DataFrame:
+    """Streaming Count-Min: the d*w counter matrix is PERFECT keyed
+    stream state — additive, so micro-batch boundaries cannot change
+    it, and O(d*w) longs per group forever. Each trigger re-emits the
+    current frequency estimate for every probe value (update mode).
+    After the stream drains, the estimates are BIT-IDENTICAL to the
+    batch sketch over the union of rows (cm_build + min-over-rows
+    probe) — the same batch/stream-parity contract as streaming HLL
+    above."""
+    from pyspark.sql import functions as F
+
+    probe_strs = [str(p) for p in probes]
+
+    def _fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+            ) -> Iterator[pd.DataFrame]:
+        cnt = (np.array(state.get[0], dtype=np.int64) if state.exists
+               else np.zeros(d * w, dtype=np.int64))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vs = pdf["_v"].astype(str)
+            for r in range(d):
+                cols = vs.map(lambda v, _r=r: _cm_col(_r, v, w)) \
+                    .to_numpy(dtype=np.int64)
+                np.add.at(cnt, r * w + cols, 1)
+        state.update((cnt.astype(int).tolist(),))
+        ests = [int(min(cnt[r * w + _cm_col(r, p, w)]
+                        for r in range(d))) for p in probe_strs]
+        yield pd.DataFrame({"grp": [str(key[0])] * len(probe_strs),
+                            "value": probe_strs, "est": ests})
+
+    keyed = stream.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("string").alias("_v"))
+    return (keyed.groupBy("grp")
+            .applyInPandasWithState(
+                _fn, CM_OUT_SCHEMA, CM_STATE_SCHEMA, "update",
+                GroupStateTimeout.NoTimeout))

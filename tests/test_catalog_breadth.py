@@ -127,3 +127,19 @@ class TestAuthorities:
         assert set(catalog.AUTHORITY_NAMES) >= {"EPSG", "ESRI", "IGNF"}
         assert "102003" in catalog.authority_codes("ESRI")
         assert "LAMB93" in catalog.authority_codes("IGNF")
+
+
+class TestEuroPacificAdditions:
+    def test_lcc_europe_false_origin(self):
+        # EPSG:3034 natural origin (10E, 52N) -> the false origin
+        x, y = xy("EPSG:4258", "EPSG:3034", 10.0, 52.0)
+        assert x == pytest.approx(4000000.0, abs=1e-6)
+        assert y == pytest.approx(2800000.0, abs=1e-6)
+
+    def test_pdc_mercator_is_shifted_world_mercator(self):
+        # EPSG:3832 = Mercator centred on 150E: equals EPSG:3395
+        # easting of (lon-150) at the equator band
+        x1, y1 = xy("EPSG:4326", "EPSG:3832", 170.0, -20.0)
+        x2, y2 = xy("EPSG:4326", "EPSG:3395", 20.0, -20.0)
+        assert x1 == pytest.approx(x2, abs=1e-6)
+        assert y1 == pytest.approx(y2, abs=1e-6)

@@ -84,3 +84,37 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     got2 = weighted_sample(df.repartition(7), k=10, weight_col="w",
                            stratum_col="lang").toPandas()
     assert set(got["doc_id"]) == set(got2["doc_id"])
+
+
+def test_sq8_quantized_topk_recall(spark):
+    """int8 scalar quantization must preserve neighborhood structure:
+    SQ8 top-5 by integer dot overlaps the exact float-dot top-5 for
+    most queries, and codes stay in [-128, 127]."""
+    from pyspark.sql import functions as F
+    from pyproj_spark.operators.similarity import (sq8_codes,
+                                                   sq8_stats, sq8_topk)
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "qid")
+
+    codes = sq8_codes(emb, sq8_stats(emb), "vec_id")
+    rng = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi")).collect()[0]
+    assert rng.lo >= -128 and rng.hi <= 127
+
+    got = sq8_topk(emb, q, k=5).collect()
+    import numpy as np
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    hits = total = 0
+    for qid in range(8):
+        exact = sorted(((float(vecs[i] @ vecs[qid]), i)
+                        for i in vecs if i != qid), reverse=True)[:5]
+        exact_ids = {i for _, i in exact}
+        got_ids = {r.vec_id for r in got if r.qid == qid}
+        assert len(got_ids) == 5
+        hits += len(exact_ids & got_ids)
+        total += 5
+    assert hits / total >= 0.8

@@ -401,3 +401,48 @@ def test_streaming_geofence_multichunk_group(spark, tmp_path):
     assert sorted(map(tuple, got.itertuples(index=False))) == \
         sorted(map(tuple, exp.itertuples(index=False)))
     assert len(exp) > 20
+
+
+def test_streaming_cm_matches_batch(spark, tmp_path):
+    """Streaming Count-Min parity: after the stream drains, every
+    probe's estimate equals the batch sketch's min-over-rows probe on
+    the same rows — the counter matrix is additive state, so
+    micro-batch boundaries cannot change it."""
+    from pyspark.sql import functions as F
+    from pyproj_spark.operators.sketch import cm_build
+    from pyproj_spark.streaming.sketch import streaming_cm_heavy
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_type", "user_id")
+    probes = [r.user_id for r in
+              ev.groupBy("user_id").count()
+              .orderBy(F.desc("count"), "user_id").limit(5).collect()]
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)   # duplicates across triggers
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    out = streaming_cm_heavy(stream, "event_type", "user_id", probes)
+    q = (out.writeStream.format("memory").queryName("cm_stream")
+         .option("checkpointLocation", str(tmp_path / "ck_cm"))
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = (spark.sql("select grp, value, max(est) as est from "
+                      "cm_stream group by grp, value").toPandas()
+            .set_index(["grp", "value"]).sort_index())
+
+    both = ev.union(ev)  # the stream saw every row twice
+    for grp in [r.grp for r in
+                spark.sql("select distinct grp from cm_stream")
+                .collect()]:
+        sub = both.filter(F.col("event_type") == grp)
+        sketch = {(r.r, r.c): r.cnt
+                  for r in cm_build(sub, "user_id").collect()}
+        from pyproj_spark.streaming.sketch import _cm_col, CM_D, CM_W
+        for p in probes:
+            exp = min(sketch.get((r, _cm_col(r, str(p), CM_W)), 0)
+                      for r in range(CM_D))
+            assert last.loc[(grp, str(p)), "est"] == exp
