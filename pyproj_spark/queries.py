@@ -6551,3 +6551,100 @@ WHERE (n1x*q1x + n1y*q1y + n1z*q1z) * (n1x*q2x + n1y*q2y + n1z*q2z) < 0
 
 
 QUERIES["gc_intersect"] = (q_gc_intersect, SQL_GC_INTERSECT)
+
+
+def q_hmm_match(spark, sf_dir):
+    """HMM map-matching (Newson-Krummen shape): Viterbi over the
+    12-segment road table — min sum(d2) + LAMBDA per segment switch —
+    for 8-point trajectories (traj = doc_id/8). Candidate costs are
+    one broadcast-crossed scan; the DP runs per-trajectory in
+    applyInPandas with EXACT int64 costs (`operators/hmm.py`), so the
+    oracle replays the full forward recursion AND the backward
+    argmin path reconstruction in unrolled SQL, bit for bit. The
+    path-coherent upgrade of snap_roads: a noisy point near a wrong
+    segment stays on the route unless the detour beats LAMBDA."""
+    from pyproj_spark.operators.hmm import viterbi_match
+    pts = _doc_points(spark, sf_dir)
+    bound = pts.agg(F.floor(F.count("*") / 8).alias("ntraj"))
+    p = (pts.crossJoin(F.broadcast(bound))
+         .filter(F.floor(F.col("doc_id") / 8) < F.col("ntraj"))
+         .select(F.floor(F.col("doc_id") / 8).cast("long")
+                 .alias("traj_id"),
+                 (F.col("doc_id") % 8).alias("step"), "lon", "lat"))
+    segs = spark.createDataFrame(
+        ROAD_SEGS, "seg_id int, ax double, ay double, "
+        "bx double, by double")
+    return viterbi_match(p, segs)
+
+
+def _hmm_sql() -> str:
+    from pyproj_spark.operators.hmm import LAMBDA
+    vals = ", ".join(f"({s}, {ax!r}, {ay!r}, {bx!r}, {by!r})"
+                     for s, ax, ay, bx, by in ROAD_SEGS)
+    parts = [f"""
+WITH pts AS ({_PTS_SQL}),
+lim AS (SELECT count(*) // 8 AS ntraj FROM documents),
+p AS (
+  SELECT doc_id // 8 AS traj_id, doc_id % 8 AS step, lon, lat
+  FROM pts, lim WHERE doc_id // 8 < ntraj
+),
+segs AS (SELECT * FROM (VALUES {vals})
+         AS s(seg_id, ax, ay, bx, by)),
+cc AS (
+  SELECT traj_id, step, seg_id,
+         least(greatest(
+           ((lon - ax) * (bx - ax) + (lat - ay) * (by - ay))
+             / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)),
+           0.0), 1.0) AS t,
+         lon, lat, ax, ay, bx, by
+  FROM p CROSS JOIN segs
+),
+em AS MATERIALIZED (
+  SELECT traj_id, step, seg_id,
+         CAST(round((
+           (lon - (ax + t * (bx - ax))) * (lon - (ax + t * (bx - ax)))
+         + (lat - (ay + t * (by - ay))) * (lat - (ay + t * (by - ay)))
+         ) * 1e10) AS BIGINT) AS em
+  FROM cc
+),
+v0 AS MATERIALIZED (SELECT traj_id, seg_id, em AS v FROM em WHERE step = 0)"""]
+    for k in range(1, 8):
+        parts.append(f""",
+m{k - 1} AS (SELECT traj_id, min(v) AS m FROM v{k - 1} GROUP BY 1),
+v{k} AS MATERIALIZED (
+  SELECT e.traj_id, e.seg_id,
+         e.em + least(pv.v, pm.m + {LAMBDA}) AS v
+  FROM em e
+  JOIN v{k - 1} pv ON pv.traj_id = e.traj_id
+                   AND pv.seg_id = e.seg_id
+  JOIN m{k - 1} pm ON pm.traj_id = e.traj_id
+  WHERE e.step = {k}
+)""")
+    parts.append(f""",
+b7 AS (
+  SELECT traj_id, seg_id FROM (
+    SELECT traj_id, seg_id,
+           row_number() OVER (PARTITION BY traj_id
+                              ORDER BY v, seg_id) AS rn
+    FROM v7) WHERE rn = 1
+)""")
+    for k in range(6, -1, -1):
+        parts.append(f""",
+b{k} AS (
+  SELECT traj_id, seg_id FROM (
+    SELECT vv.traj_id, vv.seg_id,
+           row_number() OVER (
+             PARTITION BY vv.traj_id
+             ORDER BY vv.v + CASE WHEN vv.seg_id != nb.seg_id
+                                  THEN {LAMBDA} ELSE 0 END,
+                      vv.seg_id) AS rn
+    FROM v{k} vv JOIN b{k + 1} nb USING (traj_id)) WHERE rn = 1
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT traj_id, CAST({k} AS BIGINT) AS step, seg_id FROM b{k}"
+        for k in range(8))
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+QUERIES["hmm_match"] = (q_hmm_match, _hmm_sql())
