@@ -323,3 +323,100 @@ def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(qid_col, "rank", id_col, "score"))
+
+
+# ---------------------------------------------------------------- PQ
+
+PQ_M = 4      # subspaces
+PQ_K = 16     # centroids per subspace codebook
+PQ_SUB = 16   # dims per subspace (PQ_M * PQ_SUB = embedding dim)
+
+
+def pq_train(embeddings: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             iters: int = 1) -> list[list[list[float]]]:
+    """Train PQ codebooks (Jegou, Douze & Schmid 2011): an
+    independent k-means per 16-dim subspace — kmeans_fit with the
+    SQL-replayable conventions (first-K init by id, per-pass
+    centroid rounding, exact tie-breaks), so an oracle can re-derive
+    every codebook from the data alone. Returns PQ_M lists of PQ_K
+    rounded centroids. Training cost: PQ_M * (iters + 1) scans of a
+    16-dim projection — at 100 TB you train on a bounded sample; the
+    ENCODING pass below is the corpus-scale stage."""
+    from pyproj_spark.operators.kmeans import kmeans_fit
+    v = F.col(vec_col).cast("array<double>")
+    cbs = []
+    for m in range(PQ_M):
+        sub = embeddings.select(
+            id_col, F.slice(v, m * PQ_SUB + 1, PQ_SUB).alias("v"))
+        cbs.append(kmeans_fit(sub, k=PQ_K, iters=iters,
+                              id_col=id_col))
+    return cbs
+
+
+def _sub_dists(sub: Column, cents: list, round_to: int = 6) -> Column:
+    """array of rounded squared distances to each centroid — the
+    assign_clusters arithmetic, inlined so all PQ_M argmins run in
+    ONE projection."""
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                     for c in cents])
+    return F.transform(
+        carr,
+        lambda c: F.round(F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x), round_to))
+
+
+def pq_codes(df: DataFrame, codebooks: list, id_col: str,
+             vec_col: str = "embedding") -> DataFrame:
+    """Product-quantize each vector to PQ_M 0-based codebook indices
+    (argmin rounded-d2 per subspace, first-index tie-break): 64
+    doubles become 4 small ints — the 64x-compression ANN storage
+    layout. One map-side projection, no joins, no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    for m, cents in enumerate(codebooks):
+        sub = F.slice(v, m * PQ_SUB + 1, PQ_SUB)
+        d2s = _sub_dists(sub, cents)
+        cols.append((F.array_position(d2s, F.array_min(d2s)) - 1)
+                    .cast("int").alias(f"code{m}"))
+    return df.select(*cols)
+
+
+def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", qid_col: str = "qid",
+                vec_col: str = "embedding",
+                iters: int = 1) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: corpus vectors live only
+    as codes; each query precomputes a PQ_M x PQ_K table of
+    squared-distance-to-centroid entries (rounded once to exact 1e-9
+    longs) and a candidate's distance is PQ_M integer lookups + an
+    exact-long sum. The 100-TB shape: the code table is 64x smaller
+    than the vectors, query tables broadcast, and the only wide
+    exchange is the per-query top-k window."""
+    cbs = pq_train(embeddings, id_col, vec_col, iters)
+    e = pq_codes(embeddings, cbs, id_col, vec_col)
+    qv = F.col(vec_col).cast("array<double>")
+    qcols = [F.col(qid_col)]
+    for m, cents in enumerate(cbs):
+        sub = F.slice(qv, m * PQ_SUB + 1, PQ_SUB)
+        carr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in cents])
+        tab = F.transform(
+            carr,
+            lambda c: F.round(F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x) * 1e9)
+            .cast("long"))
+        qcols.append(tab.alias(f"t{m}"))
+    q = queries.select(*qcols)
+    cand = e.join(F.broadcast(q), F.col(id_col) != F.col(qid_col))
+    dist = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col(f"t{m}"), F.col(f"code{m}") + 1)
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy(qid_col).orderBy("dist", id_col)
+    return (cand.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, "rank", id_col, "dist"))

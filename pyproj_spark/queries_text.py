@@ -3750,3 +3750,98 @@ SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 5
 """
 
 QUERIES_TEXT["sq8_ann"] = (q_sq8_ann, SQL_SQ8_ANN)
+
+
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance (Jegou et
+    al. 2011; `operators/similarity.py::pq_adc_topk`): codebooks are
+    TRAINED — an independent SQL-replayable k-means (first-16 init,
+    one rounded Lloyd pass) per 16-dim subspace — then 64-d vectors
+    compress to 4 small codes and candidates cost 4 integer lookups
+    + an exact-long sum. The oracle re-derives the codebooks, every
+    code, and every distance-table entry from the data alone and
+    hash-matches the ranking — the full train/encode/search pipeline
+    cross-checked across engines."""
+    from pyproj_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 1000)
+    queries = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .filter(F.col("vec_id") < 8)
+               .withColumnRenamed("vec_id", "qid"))
+    return similarity.pq_adc_topk(emb, queries, k=5)
+
+
+def _pq_sql():
+    """Per-subspace replay of the kmeans-oracle pattern (see
+    _kmeans_sql): c0 = first-16 subvectors, one rounded Lloyd pass,
+    argmin codes, exact-long query tables, 4-lookup ADC sum."""
+    dist = ("round(list_aggregate(list_transform(range(1, 17), "
+            "i -> power(sv[i] - c[i], 2)), 'sum'), 6)")
+    rawd = ("list_aggregate(list_transform(range(1, 17), "
+            "i -> power(sv[i] - c[i], 2)), 'sum')")
+    parts = ["""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 1000),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 8)"""]
+    for m in range(4):
+        lo, hi = m * 16 + 1, m * 16 + 16
+        parts.append(f""",
+em{m} AS MATERIALIZED (
+  SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM e
+),
+qm{m} AS (SELECT qid, list_slice(v, {lo}, {hi}) AS sv FROM q),
+c0_{m} AS (SELECT vec_id AS cl, sv AS c FROM em{m} WHERE vec_id < 16),
+a{m} AS MATERIALIZED (
+  SELECT vec_id, cl AS cluster FROM (
+    SELECT em{m}.vec_id, c0_{m}.cl,
+           row_number() OVER (PARTITION BY em{m}.vec_id
+                              ORDER BY {dist}, cl) AS rk
+    FROM em{m} CROSS JOIN c0_{m}) WHERE rk = 1
+),
+mu{m} AS (
+  SELECT a{m}.cluster, g.i, round(avg(em{m}.sv[g.i]), 6) AS mval
+  FROM a{m} JOIN em{m} USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) g
+  GROUP BY a{m}.cluster, g.i
+),
+c1_{m} AS MATERIALIZED (
+  SELECT c0_{m}.cl, coalesce(mm.c, c0_{m}.c) AS c
+  FROM c0_{m} LEFT JOIN (
+    SELECT cluster AS cl, list(mval ORDER BY i) AS c
+    FROM mu{m} GROUP BY 1) mm USING (cl)
+),
+code{m} AS MATERIALIZED (
+  SELECT vec_id, cl AS code FROM (
+    SELECT em{m}.vec_id, c1_{m}.cl,
+           row_number() OVER (PARTITION BY em{m}.vec_id
+                              ORDER BY {dist}, cl) AS rk
+    FROM em{m} CROSS JOIN c1_{m}) WHERE rk = 1
+),
+qt{m} AS MATERIALIZED (
+  SELECT qid, cl,
+         CAST(round({rawd} * 1e9) AS BIGINT) AS t
+  FROM qm{m} CROSS JOIN c1_{m}
+)""")
+    parts.append("""
+SELECT qid, rank, vec_id, dist FROM (
+  SELECT qid, vec_id, dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist, vec_id) AS rank
+  FROM (
+    SELECT qt0.qid, code0.vec_id,
+           qt0.t + qt1.t + qt2.t + qt3.t AS dist
+    FROM code0
+    JOIN code1 USING (vec_id) JOIN code2 USING (vec_id)
+    JOIN code3 USING (vec_id)
+    JOIN qt0 ON qt0.cl = code0.code
+    JOIN qt1 ON (qt1.qid = qt0.qid AND qt1.cl = code1.code)
+    JOIN qt2 ON (qt2.qid = qt0.qid AND qt2.cl = code2.code)
+    JOIN qt3 ON (qt3.qid = qt0.qid AND qt3.cl = code3.code)
+    WHERE code0.vec_id != qt0.qid)
+) WHERE rank <= 5
+""")
+    return "".join(parts)
+
+
+QUERIES_TEXT["pq_ann"] = (q_pq_ann, _pq_sql())

@@ -118,3 +118,42 @@ def test_sq8_quantized_topk_recall(spark):
         hits += len(exact_ids & got_ids)
         total += 5
     assert hits / total >= 0.8
+
+
+def test_pq_adc_approximates_true_distance(spark):
+    """Trained-codebook PQ must (a) emit valid 0-based codes, (b)
+    use all/most codebook entries (training worked), and (c) recall
+    most of the true-nearest set through 64x-compressed codes."""
+    from pyspark.sql import functions as F
+    from pyproj_spark.operators.similarity import (
+        PQ_K, PQ_M, pq_adc_topk, pq_codes, pq_train)
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "qid")
+
+    cbs = pq_train(emb)
+    codes = pq_codes(emb, cbs, "vec_id").collect()
+    import collections
+    for m in range(PQ_M):
+        vals = [r[f"code{m}"] for r in codes]
+        assert all(0 <= v < PQ_K for v in vals)
+        # Lloyd-trained codebooks must actually spread the data
+        assert len(collections.Counter(vals)) >= PQ_K // 2
+
+    got = pq_adc_topk(emb, q, k=5).collect()
+    import numpy as np
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    hits = total = 0
+    for qid in range(8):
+        true = sorted(((float(((vecs[i] - vecs[qid]) ** 2).sum()), i)
+                       for i in vecs if i != qid))[:20]
+        true_ids = {i for _, i in true}
+        got_ids = {r.vec_id for r in got if r.qid == qid}
+        assert len(got_ids) == 5
+        hits += len(true_ids & got_ids)
+        total += 5
+    # one-pass-Lloyd PQ at 64x compression: top-5 should mostly land
+    # inside the true top-20 neighborhood
+    assert hits / total >= 0.5
