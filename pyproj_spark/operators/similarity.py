@@ -420,3 +420,81 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(qid_col, "rank", id_col, "dist"))
+
+
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 8, nprobe: int = 2,
+               id_col: str = "vec_id", qid_col: str = "qid",
+               vec_col: str = "embedding",
+               iters: int = 1) -> DataFrame:
+    """IVF-PQ (the FAISS-style composition of the two scale paths):
+    coarse md5-pseudo-centroid cells prune the search to nprobe
+    cells; RESIDUALS (vector minus its coarse centroid) are
+    product-quantized with trained codebooks; queries build one
+    exact-long ADC table per probed cell from THEIR residual in that
+    cell. Search cost = candidates-in-probed-cells x 4 integer
+    lookups; storage = 4 bytes of codes + a cell id per vector. All
+    stages reuse this module's gated conventions, so the full
+    index-build + search replays in SQL."""
+    dim = PQ_M * PQ_SUB
+    cents = [_plane_components_py(j, dim) for j in range(n_centroids)]
+    cent_arr = F.array(*[F.array(*[F.lit(c) for c in cc])
+                         for cc in cents])
+
+    def with_cell_residual(df, idc):
+        v = F.col(vec_col).cast("array<double>")
+        scores = F.array(*[_dot_const(v, cc) for cc in cents])
+        cell = F.array_position(scores, F.array_max(scores)) \
+            .cast("int")
+        staged = df.select(F.col(idc), v.alias("_v"),
+                           cell.alias("cell"))
+        resid = F.zip_with(F.col("_v"),
+                           F.element_at(cent_arr, F.col("cell")),
+                           lambda a, b: a - b)
+        return staged.select(idc, "cell", resid.alias("_r"))
+
+    e = with_cell_residual(embeddings, id_col)
+    cbs = pq_train(e, id_col, "_r", iters)
+    ecodes = pq_codes(e, cbs, id_col, "_r").join(
+        e.select(id_col, "cell"), id_col)
+
+    # queries: top-nprobe cells by dot, then a residual PER cell
+    qv = F.col(vec_col).cast("array<double>")
+    qscores = F.array(*[_dot_const(qv, cc) for cc in cents])
+    probes = (queries.select(F.col(qid_col), qv.alias("_q"),
+                             F.posexplode(qscores)
+                             .alias("cidx", "score")))
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("score"), "cidx")
+    probes = (probes.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe)
+              .select(qid_col, "_q",
+                      (F.col("cidx") + 1).cast("int").alias("cell")))
+    qres = probes.select(
+        qid_col, "cell",
+        F.zip_with(F.col("_q"), F.element_at(cent_arr, F.col("cell")),
+                   lambda a, b: a - b).alias("_r"))
+    qcols = [F.col(qid_col), F.col("cell")]
+    for m, cc in enumerate(cbs):
+        sub = F.slice(F.col("_r"), m * PQ_SUB + 1, PQ_SUB)
+        carr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in cc])
+        tab = F.transform(
+            carr,
+            lambda c: F.round(F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x) * 1e9)
+            .cast("long"))
+        qcols.append(tab.alias(f"t{m}"))
+    qtabs = qres.select(*qcols)
+
+    cand = (ecodes.join(F.broadcast(qtabs), "cell")
+            .filter(F.col(id_col) != F.col(qid_col)))
+    dist = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col(f"t{m}"), F.col(f"code{m}") + 1)
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy(qid_col).orderBy("dist", id_col)
+    return (cand.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, "rank", id_col, "dist"))

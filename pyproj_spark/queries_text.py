@@ -3845,3 +3845,136 @@ SELECT qid, rank, vec_id, dist FROM (
 
 
 QUERIES_TEXT["pq_ann"] = (q_pq_ann, _pq_sql())
+
+
+def q_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (FAISS-style composition of the gated IVF and PQ
+    paths; `operators/similarity.py::ivfpq_topk`): md5 coarse cells
+    prune to nprobe=2, residuals are product-quantized with TRAINED
+    codebooks, queries build one exact-long ADC table per probed
+    cell. The oracle re-derives coarse centroids with DuckDB's own
+    md5, recomputes residuals, replays the per-subspace Lloyd
+    training, and hash-matches the final ranking — the whole
+    index build + search cross-checked across engines."""
+    from pyproj_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 1000)
+    queries = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .filter(F.col("vec_id") < 8)
+               .withColumnRenamed("vec_id", "qid"))
+    return similarity.ivfpq_topk(emb, queries, k=5)
+
+
+def _ivfpq_sql():
+    dist = ("round(list_aggregate(list_transform(range(1, 17), "
+            "i -> power(sv[i] - c[i], 2)), 'sum'), 6)")
+    rawd = ("list_aggregate(list_transform(range(1, 17), "
+            "i -> power(sv[i] - c[i], 2)), 'sum')")
+    comp = ("((CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || "
+            "CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 20001 "
+            "- 10000) / 10000.0)")
+    parts = [f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 1000),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 8),
+cmp AS MATERIALIZED (
+  SELECT j, list_transform(generate_series(1, 64),
+                           i -> {comp}) AS c
+  FROM range(8) t(j)
+),
+ecell AS MATERIALIZED (
+  SELECT vec_id, j + 1 AS cell FROM (
+    SELECT e.vec_id, cmp.j,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> v[i] * c[i])) DESC, j) AS rk
+    FROM e CROSS JOIN cmp) WHERE rk = 1
+),
+eres AS MATERIALIZED (
+  SELECT e.vec_id, ecell.cell,
+         list_transform(generate_series(1, 64),
+                        i -> v[i] - c[i]) AS r
+  FROM e JOIN ecell USING (vec_id)
+  JOIN cmp ON cmp.j + 1 = ecell.cell
+),
+qcell AS (
+  SELECT qid, j + 1 AS cell FROM (
+    SELECT q.qid, cmp.j,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> v[i] * c[i])) DESC, j) AS rk
+    FROM q CROSS JOIN cmp) WHERE rk <= 2
+),
+qres AS MATERIALIZED (
+  SELECT q.qid, qcell.cell,
+         list_transform(generate_series(1, 64),
+                        i -> v[i] - c[i]) AS r
+  FROM q JOIN qcell USING (qid)
+  JOIN cmp ON cmp.j + 1 = qcell.cell
+)"""]
+    for m in range(4):
+        lo, hi = m * 16 + 1, m * 16 + 16
+        parts.append(f""",
+em{m} AS MATERIALIZED (
+  SELECT vec_id, list_slice(r, {lo}, {hi}) AS sv FROM eres
+),
+qm{m} AS (SELECT qid, cell, list_slice(r, {lo}, {hi}) AS sv
+          FROM qres),
+c0_{m} AS (SELECT vec_id AS cl, sv AS c FROM em{m} WHERE vec_id < 16),
+a{m} AS MATERIALIZED (
+  SELECT vec_id, cl AS cluster FROM (
+    SELECT em{m}.vec_id, c0_{m}.cl,
+           row_number() OVER (PARTITION BY em{m}.vec_id
+                              ORDER BY {dist}, cl) AS rk
+    FROM em{m} CROSS JOIN c0_{m}) WHERE rk = 1
+),
+mu{m} AS (
+  SELECT a{m}.cluster, g.i, round(avg(em{m}.sv[g.i]), 6) AS mval
+  FROM a{m} JOIN em{m} USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) g
+  GROUP BY a{m}.cluster, g.i
+),
+c1_{m} AS MATERIALIZED (
+  SELECT c0_{m}.cl, coalesce(mm.c, c0_{m}.c) AS c
+  FROM c0_{m} LEFT JOIN (
+    SELECT cluster AS cl, list(mval ORDER BY i) AS c
+    FROM mu{m} GROUP BY 1) mm USING (cl)
+),
+code{m} AS MATERIALIZED (
+  SELECT vec_id, cl AS code FROM (
+    SELECT em{m}.vec_id, c1_{m}.cl,
+           row_number() OVER (PARTITION BY em{m}.vec_id
+                              ORDER BY {dist}, cl) AS rk
+    FROM em{m} CROSS JOIN c1_{m}) WHERE rk = 1
+),
+qt{m} AS MATERIALIZED (
+  SELECT qid, cell, cl,
+         CAST(round({rawd} * 1e9) AS BIGINT) AS t
+  FROM qm{m} CROSS JOIN c1_{m}
+)""")
+    parts.append("""
+SELECT qid, rank, vec_id, dist FROM (
+  SELECT qid, vec_id, dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist, vec_id) AS rank
+  FROM (
+    SELECT qt0.qid, ecell.vec_id,
+           qt0.t + qt1.t + qt2.t + qt3.t AS dist
+    FROM ecell
+    JOIN code0 USING (vec_id) JOIN code1 USING (vec_id)
+    JOIN code2 USING (vec_id) JOIN code3 USING (vec_id)
+    JOIN qt0 ON (qt0.cell = ecell.cell AND qt0.cl = code0.code)
+    JOIN qt1 ON (qt1.qid = qt0.qid AND qt1.cell = ecell.cell
+                 AND qt1.cl = code1.code)
+    JOIN qt2 ON (qt2.qid = qt0.qid AND qt2.cell = ecell.cell
+                 AND qt2.cl = code2.code)
+    JOIN qt3 ON (qt3.qid = qt0.qid AND qt3.cell = ecell.cell
+                 AND qt3.cl = code3.code)
+    WHERE ecell.vec_id != qt0.qid)
+) WHERE rank <= 5
+""")
+    return "".join(parts)
+
+
+QUERIES_TEXT["ivfpq"] = (q_ivfpq, _ivfpq_sql())

