@@ -2,7 +2,7 @@
 nearest-segment snapping (queries.py `snap_roads`): match each
 trajectory to the road-segment sequence minimizing
 sum(emission d^2) + lambda * (number of segment switches).
-Newson & Krummen's classic formulation, distilled to a deterministic
+Newson & Krumm's (2009) classic formulation, distilled to a deterministic
 integer form.
 
 Distributed shape (what must survive 100 TB):

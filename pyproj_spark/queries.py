@@ -6554,7 +6554,7 @@ QUERIES["gc_intersect"] = (q_gc_intersect, SQL_GC_INTERSECT)
 
 
 def q_hmm_match(spark, sf_dir):
-    """HMM map-matching (Newson-Krummen shape): Viterbi over the
+    """HMM map-matching (Newson-Krumm 2009 shape): Viterbi over the
     12-segment road table — min sum(d2) + LAMBDA per segment switch —
     for 8-point trajectories (traj = doc_id/8). Candidate costs are
     one broadcast-crossed scan; the DP runs per-trajectory in
