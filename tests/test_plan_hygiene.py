@@ -310,3 +310,58 @@ def test_hausdorff_joins_trajectories_not_points(spark):
     plan = _plan(q_hausdorff(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rhumb_line_single_scan_no_exchange(spark):
+    # pure Catalyst closed forms: no shuffle, no Python, one scan
+    from pyproj_spark.queries import q_rhumb_line
+    plan = _plan(q_rhumb_line(spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_gc_intersect_folds_routes_map_side(spark):
+    # literal route table explodes map-side: no join operator at all
+    from pyproj_spark.queries import q_gc_intersect
+    plan = _plan(q_gc_intersect(spark, SF))
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_dsir_scoring_broadcasts_bucket_table(spark):
+    # the 1024-row log-ratio table must broadcast; the only SMJ
+    # allowed is the doc-keyed left join back to ids
+    from pyproj_spark.queries_text import q_dsir_sample
+    plan = _plan(q_dsir_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "TakeOrderedAndProject" in plan  # gumbel top-k, no sort
+
+
+def test_sq8_and_pq_broadcast_query_side(spark):
+    from pyproj_spark.queries_text import q_pq_ann, q_sq8_ann
+    for q in (q_sq8_ann, q_pq_ann):
+        plan = _plan(q(spark, SF))
+        # candidate scoring joins the tiny query side by broadcast —
+        # a corpus-corpus SMJ here is a scale regression
+        assert "BroadcastNestedLoopJoin" in plan \
+            or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_prunes_by_cell_equijoin(spark):
+    # candidates attach by a broadcast CELL equi-join (hash), never a
+    # full cartesian against the corpus
+    from pyproj_spark.queries_text import q_ivfpq
+    plan = _plan(q_ivfpq(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hmm_emissions_have_no_shuffle_before_dp(spark):
+    # emission costs are a map-side literal cross: the only wide
+    # exchange is the per-trajectory grouping for the DP
+    from pyproj_spark.queries import q_hmm_match
+    plan = _plan(q_hmm_match(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
