@@ -6648,3 +6648,51 @@ b{k} AS (
 
 
 QUERIES["hmm_match"] = (q_hmm_match, _hmm_sql())
+
+
+def q_colocate(spark, sf_dir):
+    """Spatiotemporal co-location: user pairs within 0.5 degrees in
+    the same hour over a metro-scale 40x20-degree domain (`operators/colocation.py` — one side explodes into its
+    3x3 neighbor cells, hash equi-join on (cell, window), work
+    bounded by bucket density). The oracle is covering-BLIND — a raw
+    same-window pair join on coordinates alone — so hash equality
+    proves the cell decomposition catches every pair exactly once."""
+    from pyproj_spark.operators.colocation import colocate
+    def h(salt):
+        return F.conv(F.substring(F.md5(F.concat(
+            F.lit(salt), F.col("event_id").cast("string"))), 1, 8),
+            16, 10).cast("long")
+
+    # md5 coordinates: consecutive event_ids (= same window) must not
+    # sit on a multiplicative lattice or same-window distances take
+    # only ~20 discrete values and the gate passes vacuously at 0 rows
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        ((h("cx:") % 40000) / 1000.0 - 20.0).alias("lon"),
+        ((h("cy:") % 20000) / 1000.0 + 30.0).alias("lat"))
+    return colocate(ev, radius_deg=0.5, window_s=3600)
+
+
+SQL_COLOCATE = """
+WITH pts AS (
+  SELECT user_id AS u,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS wnd,
+         (CAST(('0x' || substr(md5('cx:' || CAST(event_id AS VARCHAR)),
+               1, 8)) AS BIGINT) % 40000) / 1000.0 - 20.0  AS x,
+         (CAST(('0x' || substr(md5('cy:' || CAST(event_id AS VARCHAR)),
+               1, 8)) AS BIGINT) % 20000) / 1000.0 + 30.0 AS y
+  FROM events
+),
+pairs AS (
+  SELECT a.u AS u1, b.u AS u2, a.wnd
+  FROM pts a JOIN pts b
+    ON (a.wnd = b.wnd AND a.u < b.u)
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 0.25
+)
+SELECT u1, u2, CAST(count(*) AS BIGINT) AS n_contacts,
+       min(wnd) AS first_wnd
+FROM pairs GROUP BY 1, 2
+"""
+
+
+QUERIES["colocate"] = (q_colocate, SQL_COLOCATE)

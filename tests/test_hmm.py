@@ -95,3 +95,51 @@ class TestViterbi:
         em = {(r.step, r.seg_id): r.em
               for r in emission_costs(pts, segs).collect()}
         assert em[(4, 1)] < em[(4, 0)]  # snap would have flipped
+
+
+class TestColocate:
+    """operators/colocation.py — 3x3-cell bucketed contact join."""
+
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import numpy as np
+        from pyproj_spark.operators.colocation import colocate
+        rng = np.random.default_rng(13)
+        rows = []
+        for i in range(600):
+            rows.append((int(i % 25),
+                         1704067200 + int(rng.integers(0, 6 * 3600)),
+                         float(rng.uniform(0, 5)),
+                         float(rng.uniform(0, 5))))
+        df = spark.createDataFrame(
+            rows, "user_id long, es long, lon double, lat double"
+        ).select("user_id", F.timestamp_seconds("es").alias("ts"),
+                 "lon", "lat")
+        r = 0.7
+        got = {(x.u1, x.u2): (x.n_contacts, x.first_wnd)
+               for x in colocate(df, radius_deg=r).collect()}
+        brute = {}
+        for a, b in itertools.combinations(rows, 2):
+            (ua, ta, xa, ya), (ub, tb, xb, yb) = a, b
+            if ua == ub or ta // 3600 != tb // 3600:
+                continue
+            if (xa - xb) ** 2 + (ya - yb) ** 2 >= r * r:
+                continue
+            k = (min(ua, ub), max(ua, ub))
+            n, w = brute.get(k, (0, 1 << 62))
+            brute[k] = (n + 1, min(w, ta // 3600))
+        assert got == brute
+        assert len(got) > 10  # fixture is non-trivial
+
+    def test_pairs_cross_cell_boundaries(self, spark):
+        # two users straddling a cell edge are still found (the 3x3
+        # expansion's whole purpose)
+        from pyproj_spark.operators.colocation import colocate
+        df = spark.createDataFrame(
+            [(1, 1704067200, 0.99, 0.5), (2, 1704067300, 1.01, 0.5),
+             (3, 1704067200, 3.0, 3.0)],
+            "user_id long, es long, lon double, lat double"
+        ).select("user_id", F.timestamp_seconds("es").alias("ts"),
+                 "lon", "lat")
+        got = colocate(df, radius_deg=1.0).collect()
+        assert [(r.u1, r.u2) for r in got] == [(1, 2)]
