@@ -89,7 +89,7 @@ def _interleaved() -> dict[str, tuple]:
     merged.update(QUERIES_TEXT)
     new_this_round = [
         "rhumb_line", "dsir_sample", "gc_intersect", "sq8_ann",
-        "hmm_match", "pq_ann", "ivfpq", "colocate",
+        "hmm_match", "pq_ann", "ivfpq", "colocate", "fertility",
         "rd_grid", "gauss_kruger", "krovak_grid", "hll_pyramid", "geoip",
         "semdedup", "vertical_shift", "nad27_stateplane", "bpe_merges",
         "bpe_segment", "kcore", "hop_distance", "label_prop",

@@ -3978,3 +3978,59 @@ SELECT qid, rank, vec_id, dist FROM (
 
 
 QUERIES_TEXT["ivfpq"] = (q_ivfpq, _ivfpq_sql())
+
+
+def q_fertility(spark, sf_dir):
+    """Tokenizer fertility — mean BPE tokens per word and chars per
+    token, per language: the metric that decides whether a tokenizer
+    taxes some languages with more tokens per word (the
+    multilingual-pretraining cost model). Reuses the gated BPE
+    machinery: learn 8 merges corpus-wide, segment the capped word
+    table once (broadcast — ≤2000 rows by construction), join
+    per-lang word usage, and aggregate EXACT long token/char sums;
+    the two output ratios are single divisions of exact longs."""
+    from pyproj_spark.operators.bpe import learn_bpe, segment_words
+    d = _docs(spark, sf_dir)
+    m = learn_bpe(d, n_merges=8).orderBy("step").collect()
+    seg = segment_words(d, [(r["left"], r["right"]) for r in m]) \
+        .select("w", F.size("pieces").alias("n_pieces"))
+    lw = (d.select("lang", F.explode(
+        F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .filter((F.length("w") >= 2) & (F.length("w") <= 12))
+        .groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cw")))
+    j = lw.join(F.broadcast(seg), "w")
+    agg = j.groupBy("lang").agg(
+        F.sum("cw").alias("n_words"),
+        F.sum(F.col("cw") * F.col("n_pieces")).alias("n_tokens"),
+        F.sum(F.col("cw") * F.length("w")).alias("n_chars"))
+    return agg.select(
+        "lang", "n_words", "n_tokens",
+        (F.col("n_tokens") / F.col("n_words")).alias("fertility"),
+        (F.col("n_chars") / F.col("n_tokens")).alias("chars_per_tok"))
+
+
+def _fertility_sql():
+    chain = _bpe_sql().rsplit("\nSELECT 1 AS step", 1)[0]
+    return f"""{chain}
+, lw AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS cw
+  FROM (SELECT lang,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+                   AS w
+        FROM documents)
+  WHERE length(w) BETWEEN 2 AND 12
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(sum(cw) AS BIGINT) AS n_words,
+       CAST(sum(cw * len(syms)) AS BIGINT) AS n_tokens,
+       CAST(sum(cw * len(syms)) AS BIGINT)
+           / CAST(sum(cw) AS BIGINT) AS fertility,
+       CAST(sum(cw * length(w)) AS BIGINT)
+           / CAST(sum(cw * len(syms)) AS BIGINT) AS chars_per_tok
+FROM lw JOIN syms8 USING (w)
+GROUP BY lang
+"""
+
+
+QUERIES_TEXT["fertility"] = (q_fertility, _fertility_sql())

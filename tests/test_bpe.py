@@ -137,3 +137,15 @@ def test_safe_batch_matches_sequential_selection():
                  rng.randint(1, 30)
                  for _ in range(rng.randint(4, 40))}
         assert run(dict(words), 8, window=16) == run(dict(words), 8)
+
+
+def test_fertility_bounds(spark):
+    """Fertility >= 1 (a word is at least one piece) and chars per
+    token <= max word length; every lang present."""
+    from pyproj_spark.queries_text import q_fertility
+    rows = q_fertility(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert 0 < r.chars_per_tok <= 12.0
+        assert r.n_tokens >= r.n_words
