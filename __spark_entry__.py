@@ -88,6 +88,7 @@ def _interleaved() -> dict[str, tuple]:
     merged = dict(QUERIES)
     merged.update(QUERIES_TEXT)
     new_this_round = [
+        "symspell_pairs", "resample_track",
         "rhumb_line", "dsir_sample", "gc_intersect", "sq8_ann",
         "hmm_match", "pq_ann", "ivfpq", "colocate", "fertility",
         "rd_grid", "gauss_kruger", "krovak_grid", "hll_pyramid", "geoip",

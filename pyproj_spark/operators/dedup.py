@@ -513,3 +513,62 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                     (F.lit(pos_span - 1)
                      - F.col("c").bitwiseAND(F.lit(pos_span - 1)))
                     .alias("pos")))
+
+
+def delete_neighborhood(title: Column) -> Column:
+    """SymSpell deletion neighborhood of depth 1: the string itself plus
+    every string obtainable by deleting exactly one character
+    (array_distinct'ed — deleting either of two identical adjacent
+    characters yields the same key).
+
+    Completeness (the property the covering-blind oracle certifies):
+    for any s, t with levenshtein(s, t) <= 1 the neighborhoods
+    intersect — equal strings share the identity key, a substitution
+    at i shares delete(i), an insertion shares the shorter string
+    itself. So an equi-join on exploded keys misses NO pair at
+    distance <= 1 (Garbe's symmetric-delete argument), while candidate
+    buckets stay bounded by true collision counts instead of the
+    O(alphabet x len) of generate-all-edits blocking."""
+    c = title
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(c.substr(F.lit(1), i - F.lit(1)),
+                           c.substr(i + F.lit(1),
+                                    F.length(c) - i)))
+    return F.array_distinct(F.concat(F.array(c), dels))
+
+
+def symspell_pairs(df: DataFrame, id_col: str = "doc_id",
+                   title_col: str = "title") -> DataFrame:
+    """All pairs of rows whose ``title_col`` values are within
+    Levenshtein distance 1 (exact, not approximate), found WITHOUT an
+    all-pairs join: explode each title's depth-1 deletion neighborhood,
+    hash equi-join on the key, verify candidates with the native
+    ``levenshtein`` expression (JVM-side in Spark, C-side in the DuckDB
+    oracle — both engines agree on unit-cost edit distance).
+
+    Scale shape: the only shuffle is the key equi-join; a key's bucket
+    holds only strings at mutual distance <= 2 that share that
+    subsequence, so fan-out is bounded by true near-dup density, never
+    by corpus size. Reference analogue: none (graft dedup family —
+    complements minhash/simhash/winnow with the TYPO regime those
+    token-level schemes cannot see).
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b, one row per pair.
+    """
+    keyed = df.select(
+        F.col(id_col), F.col(title_col),
+        F.explode(delete_neighborhood(F.col(title_col))).alias("k"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (a.join(b, (F.col("a.k") == F.col("b.k"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                    F.col(f"a.{title_col}").alias("ta"),
+                    F.col(f"b.{title_col}").alias("tb"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    return (cand
+            .withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
+            .where(F.col("dist") <= 1)
+            .select("doc_a", "doc_b", "dist"))

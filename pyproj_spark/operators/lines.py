@@ -174,3 +174,57 @@ def simplify_lines(df: DataFrame, group_col: str = "user_id",
     out_schema = f"{group_col} long, {seq_col} long"
     return (df.select(group_col, seq_col, x_col, y_col)
             .groupBy(group_col).applyInPandas(_simplify, out_schema))
+
+
+def resample_tracks(points: DataFrame, user_col: str = "user_id",
+                    ts_us_col: str = "t_us", lon_col: str = "lon",
+                    lat_col: str = "lat",
+                    step_us: int = 21_600_000_000,
+                    tiebreak_col: str | None = None) -> DataFrame:
+    """Trajectory resampling to a fixed time grid (the stage that makes
+    irregular GPS/ping streams joinable on time): for every consecutive
+    ping pair of a track, emit each grid instant g = k*step in
+    (t1, t2] with the position linearly interpolated at
+    f = (g - t1) / (t2 - t1).
+
+    Plan shape: ONE window shuffle (partitionBy user, the same
+    partitioning every downstream per-user op reuses) + a native
+    sequence/explode — output is bounded by elapsed-time/step per
+    track, never by ping count squared. Grid indices are computed with
+    exact integer arithmetic ((t - t%step)/step — both factors exactly
+    representable, so the double division is exact and cross-engine
+    safe); the interpolation factor is a single IEEE divide replayed
+    identically by the oracle.
+
+    Pairs with t2 == t1 (duplicate timestamps) carry no grid interval
+    and are skipped deterministically — pass ``tiebreak_col`` so tied
+    timestamps chain in a deterministic order (otherwise the anchor
+    choice for the segments AROUND a tie is shuffle-order-dependent).
+    Grid intervals (t1, t2] of consecutive pairs partition the track's
+    time span, so no grid instant is emitted twice."""
+    order = ([ts_us_col, tiebreak_col] if tiebreak_col
+             else [ts_us_col])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    t1, t2 = F.col(ts_us_col), F.col("_t2")
+    k1 = ((t1 - t1 % step_us) / step_us).cast("long") + 1
+    k2 = ((t2 - t2 % step_us) / step_us).cast("long")
+    f = ((F.col("g_us") - t1).cast("double")
+         / (t2 - t1).cast("double"))
+    return (points
+            .withColumn("_t2", F.lead(ts_us_col).over(w))
+            .withColumn("_lon2", F.lead(lon_col).over(w))
+            .withColumn("_lat2", F.lead(lat_col).over(w))
+            .filter(F.col("_t2") > t1)
+            .withColumn("_k1", k1).withColumn("_k2", k2)
+            .filter(F.col("_k2") >= F.col("_k1"))
+            .select(user_col, ts_us_col, "_t2", lon_col, lat_col,
+                    "_lon2", "_lat2",
+                    F.explode(F.sequence("_k1", "_k2")).alias("_k"))
+            .withColumn("g_us", F.col("_k") * step_us)
+            .select(
+                F.col(user_col),
+                F.col("g_us"),
+                (F.col(lon_col)
+                 + (F.col("_lon2") - F.col(lon_col)) * f).alias("lon_g"),
+                (F.col(lat_col)
+                 + (F.col("_lat2") - F.col(lat_col)) * f).alias("lat_g")))

@@ -6696,3 +6696,60 @@ FROM pairs GROUP BY 1, 2
 
 
 QUERIES["colocate"] = (q_colocate, SQL_COLOCATE)
+
+
+# ------------------------------------------------ trajectory resample
+
+def q_resample(spark, sf_dir):
+    """Trajectory resampling to a fixed 6-hour grid
+    (operators/lines.py::resample_tracks): irregular per-user ping
+    streams (positions keyed off event_id like the other trajectory
+    fixtures) become positions at exact grid instants via linear
+    interpolation over each bracketing ping pair — the stage that makes
+    GPS streams joinable on time (e.g. with the colocate window join).
+    Exact-integer grid index math; the single IEEE interpolation divide
+    is replayed verbatim by the oracle."""
+    from pyproj_spark.operators.lines import resample_tracks
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 5 == 0))
+    pts = ev.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        ((F.col("event_id") * 31 % 70000) / 1000.0 - 15.0).alias("lon"),
+        ((F.col("event_id") * 57 % 45000) / 1000.0 + 25.0).alias("lat"))
+    return resample_tracks(pts, tiebreak_col="event_id")
+
+
+SQL_RESAMPLE = """
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         (event_id * 31 % 70000) / 1000.0 - 15.0 AS lon,
+         (event_id * 57 % 45000) / 1000.0 + 25.0 AS lat
+  FROM events WHERE user_id % 5 = 0
+),
+seg AS (
+  SELECT user_id, t_us, lon, lat,
+         lead(t_us) OVER w AS t2,
+         lead(lon)  OVER w AS lon2,
+         lead(lat)  OVER w AS lat2
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+grid AS (
+  SELECT user_id, t_us, t2, lon, lat, lon2, lat2,
+         unnest(generate_series((t_us - t_us % 21600000000)
+                                    // 21600000000 + 1,
+                                (t2 - t2 % 21600000000)
+                                    // 21600000000)) AS k
+  FROM seg WHERE t2 > t_us
+)
+SELECT user_id, k * 21600000000 AS g_us,
+       lon + (lon2 - lon) * (CAST(k * 21600000000 - t_us AS DOUBLE)
+                             / CAST(t2 - t_us AS DOUBLE)) AS lon_g,
+       lat + (lat2 - lat) * (CAST(k * 21600000000 - t_us AS DOUBLE)
+                             / CAST(t2 - t_us AS DOUBLE)) AS lat_g
+FROM grid
+"""
+
+
+QUERIES["resample_track"] = (q_resample, SQL_RESAMPLE)

@@ -4034,3 +4034,48 @@ GROUP BY lang
 
 
 QUERIES_TEXT["fertility"] = (q_fertility, _fertility_sql())
+
+
+def q_symspell(spark, sf_dir):
+    """Typo-regime near-dup pairs (SymSpell symmetric-delete blocking,
+    operators/dedup.py::symspell_pairs): titles synthesized with
+    single-character deletions/insertions injected on a doc_id schedule,
+    every pair within Levenshtein <= 1 recovered via the depth-1
+    deletion-neighborhood equi-join + exact native levenshtein verify.
+    The oracle is covering-BLIND (raw a.id < b.id pair join with the
+    same levenshtein filter), so hash equality proves the blocking
+    misses no pair — the completeness theorem, certified on data."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    t0 = F.concat(F.lit("w"), (i % 40).cast("string"),
+                  F.lit(" report "), (i % 7).cast("string"))
+    title = (F.when(i % 5 == 0,
+                    t0.substr(F.lit(1), F.length(t0) - F.lit(1)))
+             .when(i % 5 == 1, F.concat(t0, F.lit("x")))
+             .otherwise(t0))
+    titles = d.select("doc_id", title.alias("title"))
+    from pyproj_spark.operators.dedup import symspell_pairs
+    return symspell_pairs(titles)
+
+
+SQL_SYMSPELL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN substr(t0, 1, length(t0) - 1)
+              WHEN doc_id % 5 = 1 THEN t0 || 'x'
+              ELSE t0 END AS title
+  FROM (SELECT doc_id,
+               'w' || CAST(doc_id % 40 AS VARCHAR) || ' report '
+                   || CAST(doc_id % 7 AS VARCHAR) AS t0
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM t a JOIN t b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.title) - length(b.title)) <= 1
+ AND levenshtein(a.title, b.title) <= 1
+"""
+
+
+QUERIES_TEXT["symspell_pairs"] = (q_symspell, SQL_SYMSPELL)
