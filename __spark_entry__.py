@@ -88,7 +88,8 @@ def _interleaved() -> dict[str, tuple]:
     merged = dict(QUERIES)
     merged.update(QUERIES_TEXT)
     new_this_round = [
-        "symspell_pairs", "resample_track",
+        "symspell_pairs", "resample_track", "anchor_text",
+        "corpus_drift", "zonal_stats", "sph_centroid",
         "rhumb_line", "dsir_sample", "gc_intersect", "sq8_ann",
         "hmm_match", "pq_ann", "ivfpq", "colocate", "fertility",
         "rd_grid", "gauss_kruger", "krovak_grid", "hll_pyramid", "geoip",

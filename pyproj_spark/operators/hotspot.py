@@ -141,3 +141,41 @@ def morans_i(tiles: DataFrame, x: str = "tx", y: str = "ty",
     return out.select(F.col("nt").alias("n_tiles"), "s0",
                       i_obs.alias("i_obs"), e_i.alias("e_i"),
                       z_i.alias("z_i"))
+
+
+def spherical_centroids(df, group_col: str, lon_col: str = "lon",
+                        lat_col: str = "lat"):
+    """Per-group mean position ON THE SPHERE: points map to unit
+    3-vectors, components sum, and the mean vector converts back to
+    (lon, lat) via atan2 — the antimeridian-correct average that naive
+    lon/lat means get wrong (two points at +179/-179 average to 180,
+    not 0). Also returns the mean resultant length R_bar in [0, 1]
+    (Fisher dispersion: 1 = all points coincide, 0 = spread evenly).
+
+    Determinism contract: each trig component rounds to exact integer
+    NANO units per row BEFORE the distributed sum (order-independent
+    long adds); the only floats after the shuffle are the closing
+    atan2/sqrt on identical exact integers — bit-identical
+    cross-engine. One hash aggregation; partial aggregation map-side."""
+    rlon = F.radians(F.col(lon_col))
+    rlat = F.radians(F.col(lat_col))
+    nano = F.lit(1_000_000_000.0)
+
+    def q(c):
+        return F.round(c * nano).cast("long")
+
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q(F.cos(rlat) * F.cos(rlon))).alias("sx"),
+        F.sum(q(F.cos(rlat) * F.sin(rlon))).alias("sy"),
+        F.sum(q(F.sin(rlat))).alias("sz"))
+    x = F.col("sx").cast("double")
+    y = F.col("sy").cast("double")
+    z = F.col("sz").cast("double")
+    norm = F.sqrt(x * x + y * y + z * z)
+    return agg.select(
+        group_col, "n",
+        F.degrees(F.atan2(y, x)).alias("lon_c"),
+        F.degrees(F.atan2(z, F.sqrt(x * x + y * y))).alias("lat_c"),
+        (norm / (F.col("n").cast("double") * F.lit(1e9)))
+        .alias("r_bar"))

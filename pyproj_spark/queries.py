@@ -6753,3 +6753,106 @@ FROM grid
 
 
 QUERIES["resample_track"] = (q_resample, SQL_RESAMPLE)
+
+
+# ------------------------------------------------ raster zonal stats
+
+def q_zonal_stats(spark, sf_dir):
+    """Raster zonal statistics (the classic map-algebra reduce): the
+    point corpus rasterizes to a 1-degree integer grid (one hash agg),
+    each cell CENTER runs through the gated PIP machinery
+    (operators/pip.py::pip_join — broadcast zone rings + cell
+    prefilter + exact even-odd test), and per-zone stats aggregate
+    over covered cells. Composition of three gated stages; work after
+    the raster agg is bounded by the grid size (360x170), never by
+    corpus size. The oracle replays raster + even-odd + agg from raw
+    coordinates, covering-blind."""
+    from pyproj_spark.operators.pip import pip_join
+    pts = _doc_points(spark, sf_dir)
+    ras = (pts.select(F.floor("lon").cast("long").alias("gx"),
+                      F.floor("lat").cast("long").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("cnt")))
+    centers = ras.select(
+        "gx", "gy", "cnt",
+        (F.col("gx") + F.lit(0.5)).alias("lon"),
+        (F.col("gy") + F.lit(0.5)).alias("lat"))
+    hits = pip_join(centers, _zones_df(spark))
+    return (hits.groupBy("zone_id")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("cnt").alias("total_pts"),
+                 F.max("cnt").alias("max_cell"))
+            .withColumn("mean_cell",
+                        F.col("total_pts").cast("double")
+                        / F.col("n_cells").cast("double")))
+
+
+SQL_ZONAL = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon) AS BIGINT) AS gx,
+         CAST(floor(lat) AS BIGINT) AS gy,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+cen AS (SELECT gx, gy, cnt, gx + 0.5 AS lon, gy + 0.5 AS lat FROM ras),
+edges AS ({{edges}}),
+hit AS (
+  SELECT gx, gy, cnt, zone_id
+  FROM cen p CROSS JOIN edges e
+  GROUP BY gx, gy, cnt, zone_id, lon, lat
+  HAVING SUM(CASE WHEN ((y1 > lat) != (y2 > lat))
+                   AND lon < x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+                  THEN 1 ELSE 0 END) % 2 = 1
+)
+SELECT zone_id, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(cnt) AS BIGINT) AS total_pts,
+       CAST(max(cnt) AS BIGINT) AS max_cell,
+       CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cell
+FROM hit GROUP BY 1
+""".format(edges=_zone_edges_sql())
+
+
+QUERIES["zonal_stats"] = (q_zonal_stats, SQL_ZONAL)
+
+
+# ------------------------------------------------ spherical centroid
+
+def q_sph_centroid(spark, sf_dir):
+    """Per-language spherical mean position + Fisher dispersion
+    (operators/hotspot.py::spherical_centroids): the
+    antimeridian-correct centroid (unit-vector mean, atan2 close) that
+    planar cell_moments cannot provide. Trig components round to exact
+    integer nano units per row before the ONE distributed sum, so the
+    shuffle moves only longs and the closing atan2 runs on identical
+    integers in both engines."""
+    from pyproj_spark.operators.hotspot import spherical_centroids
+    return spherical_centroids(_doc_points(spark, sf_dir), "lang")
+
+
+SQL_SPH_CENTROID = f"""
+WITH pts AS ({_PTS_SQL}),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(cos(radians(lat)) * cos(radians(lon)) * 1e9)
+                       AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(cos(radians(lat)) * sin(radians(lon)) * 1e9)
+                       AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(sin(radians(lat)) * 1e9) AS BIGINT))
+             AS BIGINT) AS sz
+  FROM pts GROUP BY 1
+)
+SELECT lang, n,
+       degrees(atan2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE))) AS lon_c,
+       degrees(atan2(CAST(sz AS DOUBLE),
+                     sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                          + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+           AS lat_c,
+       sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+            + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+            + CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+           / (CAST(n AS DOUBLE) * 1e9) AS r_bar
+FROM agg
+"""
+
+
+QUERIES["sph_centroid"] = (q_sph_centroid, SQL_SPH_CENTROID)

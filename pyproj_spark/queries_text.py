@@ -4079,3 +4079,175 @@ FROM t a JOIN t b
 
 
 QUERIES_TEXT["symspell_pairs"] = (q_symspell, SQL_SYMSPELL)
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text index build (the web-search relevance signal PageRank
+    doesn't carry): hyperlinks extract natively
+    (operators/extract.py::extract_links), anchor strings tokenize with
+    a native split, and each link TARGET aggregates its incoming anchor
+    vocabulary — total in-links, distinct referring hosts (diversity),
+    and the dominant anchor term (count desc, term asc tie-break) via
+    one window over the (dst, term) counts. Two hash aggregations and
+    one window; no Python anywhere."""
+    from pyproj_spark.operators.extract import extract_links
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    def a(dst, txt):
+        return F.concat(F.lit('<a href="http://h'), dst,
+                        F.lit('.example.com/p/'), s(i), F.lit('">'),
+                        txt, F.lit("</a>"))
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        a(s(i % 89), F.concat(F.lit("w"), s(i % 23), F.lit(" q"),
+                              s(i % 13))),
+        F.lit("<p>filler</p>"),
+        a(s((i * 17 + 3) % 89), F.concat(F.lit("w"), s(i % 23))),
+        F.lit("</body></html>"))
+    pages = d.select(F.concat(F.lit("h"), s(i % 59)).alias("src_host"),
+                     html.alias("html"))
+    links = extract_links(pages)
+    per_host = links.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct("src_host").alias("n_src_hosts"))
+    from pyspark.sql import Window
+    terms = (links
+             .select("dst_host",
+                     F.explode(F.split("anchor_text", " ")).alias("term"))
+             .where(F.col("term") != "")
+             .groupBy("dst_host", "term")
+             .agg(F.count(F.lit(1)).alias("term_n")))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("term_n").desc(), F.col("term").asc())
+    top = (terms.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("dst_host", F.col("term").alias("top_term"),
+                   F.col("term_n").alias("top_term_n")))
+    return per_host.join(top, "dst_host")
+
+
+SQL_ANCHOR_TEXT = """
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 59 AS VARCHAR) AS src_host,
+         '<html><body>'
+         || '<a href="http://h' || CAST(doc_id % 89 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">'
+         || 'w' || CAST(doc_id % 23 AS VARCHAR)
+         || ' q' || CAST(doc_id % 13 AS VARCHAR) || '</a>'
+         || '<p>filler</p>'
+         || '<a href="http://h' || CAST((doc_id * 17 + 3) % 89 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '">'
+         || 'w' || CAST(doc_id % 23 AS VARCHAR) || '</a>'
+         || '</body></html>' AS html
+  FROM documents
+),
+links AS (
+  SELECT src_host,
+         unnest(regexp_extract_all(html,
+             '<a href="https?://([^/"]+)[^"]*">([^<]*)</a>', 1))
+             AS dst_host,
+         unnest(regexp_extract_all(html,
+             '<a href="https?://([^/"]+)[^"]*">([^<]*)</a>', 2))
+             AS anchor_text
+  FROM pages
+),
+per_host AS (
+  SELECT dst_host, CAST(count(*) AS BIGINT) AS n_anchors,
+         CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+  FROM links GROUP BY 1
+),
+terms AS (
+  SELECT dst_host, term, CAST(count(*) AS BIGINT) AS term_n
+  FROM (SELECT dst_host,
+               unnest(string_split(anchor_text, ' ')) AS term
+        FROM links)
+  WHERE term <> '' GROUP BY 1, 2
+),
+top AS (
+  SELECT dst_host, term AS top_term, term_n AS top_term_n
+  FROM (SELECT *, row_number() OVER (PARTITION BY dst_host
+                  ORDER BY term_n DESC, term ASC) AS rn FROM terms)
+  WHERE rn = 1
+)
+SELECT p.dst_host, p.n_anchors, p.n_src_hosts, t.top_term, t.top_term_n
+FROM per_host p JOIN top t USING (dst_host)
+"""
+
+
+QUERIES_TEXT["anchor_text"] = (q_anchor_text, SQL_ANCHOR_TEXT)
+
+
+def q_corpus_drift(spark, sf_dir):
+    """Corpus drift monitor (the data-quality alarm between crawl
+    snapshots): unigram distributions of two snapshot halves compared
+    by per-token Jensen-Shannon contributions. Each token's
+    0.5*p*ln(p/m) + 0.5*q*ln(q/m) term is rounded to exact integer
+    NANO units BEFORE any distributed reduction (the repo's float-sum
+    determinism rule), and the report is the top 30 drift tokens via
+    TakeOrderedAndProject — never a global window. Two corpus
+    aggregations + one broadcast of the 2-row totals."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
+    toks = toks.where((F.length("token") >= 2) & (F.length("token") <= 12))
+    counts = (toks.groupBy("token")
+              .agg(F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+                   .alias("c1"),
+                   F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+                   .alias("c2")))
+    tot = counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("c1").cast("double") / F.col("n1").cast("double")
+    q = F.col("c2").cast("double") / F.col("n2").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (F.when(F.col("c1") > 0, p * F.log(p / m) / F.lit(2.0))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("c2") > 0, q * F.log(q / m) / F.lit(2.0))
+            .otherwise(F.lit(0.0)))
+    out = j.select("token", "c1", "c2",
+                   F.round(term * 1e9).cast("long").alias("jsd_nano"))
+    return (out.orderBy(F.col("jsd_nano").desc(), F.col("token"))
+            .limit(30))
+
+
+SQL_CORPUS_DRIFT = """
+WITH toks AS (
+  SELECT doc_id % 2 AS snap,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM toks WHERE length(token) BETWEEN 2 AND 12 GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2 FROM counts),
+terms AS (
+  SELECT token, c1, c2,
+         CAST(round((
+           CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                * ln((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                     / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 2.0))
+                / 2.0 ELSE 0.0 END
+           + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                * ln((CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 2.0))
+                / 2.0 ELSE 0.0 END) * 1e9) AS BIGINT) AS jsd_nano
+  FROM counts, tot
+)
+SELECT token, c1, c2, jsd_nano
+FROM terms ORDER BY jsd_nano DESC, token LIMIT 30
+"""
+
+
+QUERIES_TEXT["corpus_drift"] = (q_corpus_drift, SQL_CORPUS_DRIFT)
