@@ -99,6 +99,7 @@ def _dms(deg: float, minutes: float = 0.0) -> float:
 _GEOG = {
     # 4-tuple entries carry a non-Greenwich prime meridian name
     4807: ("NTF (Paris) / geographic 2D", "NTF", "neu", "paris"),
+    4275: ("NTF / geographic 2D", "NTF", "neu"),
     4326: ("WGS84 / geographic 2D", "WGS84", "neu"),
     4979: ("WGS84 / geographic 3D", "WGS84", "neu"),
     4937: ("ETRS89 / geographic 3D", "ETRS89", "neu"),
@@ -845,6 +846,110 @@ for _c, _n, _l0, _lon, _kden in _SPCS27_TM:
              x_0=500000 * US_FT, y_0=0.0), "enu", US_FT)
 
 
+DATUMS.update({
+    # ITRF-aligned national realizations — GRS80, null shift at this
+    # catalog's accuracy tier (same convention as ETRS89/GDA2020)
+    "Korea2000": ("GRS80", (0, 0, 0)),
+    "LKS94": ("GRS80", (0, 0, 0)),
+    "LKS92": ("GRS80", (0, 0, 0)),
+    "D96": ("GRS80", (0, 0, 0)),       # Slovenia 1996
+    "IRENET95": ("GRS80", (0, 0, 0)),
+    # SVY21 is defined on the WGS84 ellipsoid, null shift
+    "SVY21": ("WGS84", (0, 0, 0)),
+    # EPSG:1825 "Hong Kong 1980 to WGS 84 (1)" geocentric translations
+    "HK1980": ("intl", (-162.619, -276.959, -161.764)),
+})
+
+_PROJECTED.update({
+    # Korea 2000 (axis order in the registry is Northing, Easting)
+    5179: ("Korea 2000 / Unified CS", "Korea2000",
+           dict(proj="tmerc", lat_0=38, lon_0=127.5, k_0=0.9996,
+                x_0=1000000, y_0=2000000), "neu", 1.0),
+    5186: ("Korea 2000 / Central Belt 2010", "Korea2000",
+           dict(proj="tmerc", lat_0=38, lon_0=127, k_0=1.0,
+                x_0=200000, y_0=600000), "neu", 1.0),
+    # Portugal TM06: lat_0 39°40'05.73"N, lon_0 8°07'59.19"W
+    3763: ("ETRS89 / Portugal TM06", "ETRS89",
+           dict(proj="tmerc", lat_0=39.66825833333333,
+                lon_0=-8.133108333333334, k_0=1.0, x_0=0, y_0=0),
+           "enu", 1.0),
+    # Poland: CS92 nationwide + CS2000 3-degree belts 5-8 (all N,E)
+    2180: ("ETRS89 / Poland CS92", "ETRS89",
+           dict(proj="tmerc", lat_0=0, lon_0=19, k_0=0.9993,
+                x_0=500000, y_0=-5300000), "neu", 1.0),
+    2176: ("ETRS89 / Poland CS2000 zone 5", "ETRS89",
+           dict(proj="tmerc", lat_0=0, lon_0=15, k_0=0.999923,
+                x_0=5500000, y_0=0), "neu", 1.0),
+    2177: ("ETRS89 / Poland CS2000 zone 6", "ETRS89",
+           dict(proj="tmerc", lat_0=0, lon_0=18, k_0=0.999923,
+                x_0=6500000, y_0=0), "neu", 1.0),
+    2178: ("ETRS89 / Poland CS2000 zone 7", "ETRS89",
+           dict(proj="tmerc", lat_0=0, lon_0=21, k_0=0.999923,
+                x_0=7500000, y_0=0), "neu", 1.0),
+    2179: ("ETRS89 / Poland CS2000 zone 8", "ETRS89",
+           dict(proj="tmerc", lat_0=0, lon_0=24, k_0=0.999923,
+                x_0=8500000, y_0=0), "neu", 1.0),
+    # Belgian Lambert 2008 (the BD72 Lambert 72 sibling is 31370)
+    3812: ("ETRS89 / Belgian Lambert 2008", "ETRS89",
+           dict(proj="lcc", lat_1=49.833333333333336,
+                lat_2=51.166666666666664, lat_0=50.797815,
+                lon_0=4.359215833333333, x_0=649328.0, y_0=665262.0),
+           "enu", 1.0),
+    # Baltic TM family (registry axis order Northing, Easting)
+    3301: ("ETRS89 / Estonian grid 1997", "ETRS89",
+           dict(proj="lcc", lat_1=59.33333333333334, lat_2=58.0,
+                lat_0=57.51755393055556, lon_0=24,
+                x_0=500000, y_0=6375000), "neu", 1.0),
+    3346: ("LKS94 / Lithuania TM", "LKS94",
+           dict(proj="tmerc", lat_0=0, lon_0=24, k_0=0.9998,
+                x_0=500000, y_0=0), "neu", 1.0),
+    3059: ("LKS92 / Latvia TM", "LKS92",
+           dict(proj="tmerc", lat_0=0, lon_0=24, k_0=0.9996,
+                x_0=500000, y_0=-6000000), "neu", 1.0),
+    3794: ("Slovenia 1996 / Slovene National Grid", "D96",
+           dict(proj="tmerc", lat_0=0, lon_0=15, k_0=0.9999,
+                x_0=500000, y_0=-5000000), "enu", 1.0),
+    2157: ("IRENET95 / Irish Transverse Mercator", "IRENET95",
+           dict(proj="tmerc", lat_0=53.5, lon_0=-8, k_0=0.99982,
+                x_0=600000, y_0=750000), "enu", 1.0),
+    # Singapore: lat_0 1°22'N, lon_0 103°50'E; N,E axis order
+    3414: ("SVY21 / Singapore TM", "SVY21",
+           dict(proj="tmerc", lat_0=1.3666666666666667,
+                lon_0=103.83333333333333, k_0=1.0,
+                x_0=28001.642, y_0=38744.572), "neu", 1.0),
+    # Hong Kong 1980 Grid: lat_0 22°18'43.68"N, lon_0 114°10'42.80"E
+    2326: ("Hong Kong 1980 Grid System", "HK1980",
+           dict(proj="tmerc", lat_0=22.312133333333333,
+                lon_0=114.17855555555556, k_0=1.0,
+                x_0=836694.05, y_0=819069.8), "neu", 1.0),
+    # California statewide Albers, NAD83 and NAD83(2011)
+    3310: ("NAD83 / California Albers", "NAD83",
+           dict(proj="aea", lat_1=34, lat_2=40.5, lat_0=0, lon_0=-120,
+                x_0=0, y_0=-4000000), "enu", 1.0),
+    6414: ("NAD83(2011) / California Albers", "NAD83_2011",
+           dict(proj="aea", lat_1=34, lat_2=40.5, lat_0=0, lon_0=-120,
+                x_0=0, y_0=-4000000), "enu", 1.0),
+})
+
+# NTF (Paris) / Lambert zones — LCC 1SP with lon_0 = 0 relative to the
+# PARIS meridian (the "pm" param; kernels shift longitudes by the
+# catalog offset on the way in/out). Zone params are the classic PROJ
+# epsg-file values; 2757x are the "carto" variants whose false northing
+# prepends the zone digit.
+_NTF_LAMBERT = (
+    (27561, "Lambert Nord France", 49.5, 0.999877340, 200000.0),
+    (27562, "Lambert Centre France", 46.8, 0.99987742, 200000.0),
+    (27563, "Lambert Sud France", 44.1, 0.999877499, 200000.0),
+    (27571, "Lambert zone I", 49.5, 0.999877340, 1200000.0),
+    (27572, "Lambert zone II", 46.8, 0.99987742, 2200000.0),
+    (27573, "Lambert zone III", 44.1, 0.999877499, 3200000.0),
+)
+for _c, _n, _l0, _k, _y0 in _NTF_LAMBERT:
+    _PROJECTED[_c] = (
+        f"NTF (Paris) / {_n}", "NTF",
+        dict(proj="lcc", lat_0=_l0, lat_1=_l0, k_0=_k, lon_0=0,
+             x_0=600000.0, y_0=_y0, pm="paris"), "enu", 1.0)
+
 def _ftus(meters: float) -> float:
     """EPSG ftUS false easting/northing in meters, reproducing the
     registry's 3-decimal ftUS rounding (e.g. 300000 m -> 984250.000
@@ -886,10 +991,14 @@ def epsg_entry(code: int) -> dict:
     if code in _PROJECTED:
         name, datum, params, axis, to_meter = _PROJECTED[code]
         ellps, towgs84 = DATUMS[datum]
+        params = dict(params)
+        # projected CRSs on a non-Greenwich meridian (NTF Paris Lambert
+        # zones) name it via a "pm" param; lon_0 is relative to it
+        pm = PRIME_MERIDIANS[params.pop("pm")] if "pm" in params else 0.0
         return dict(kind="projected", code=code, name=name, datum=datum,
                     ellps=ellps, towgs84=towgs84, axis=axis,
-                    proj_params=dict(params), to_meter=to_meter,
-                    deprecated=dep)
+                    proj_params=params, to_meter=to_meter,
+                    deprecated=dep, pm=pm)
     from pyproj_spark.exceptions import CRSError
     raise CRSError(f"EPSG:{code} is not in the bundled catalog "
                      f"({len(_GEOG) + len(_GEOCENT) + len(_PROJECTED)} "
@@ -954,6 +1063,12 @@ _IGNF = {
     "WGS84G": 4326,    # WGS84 geographic (lon/lat)
     "UTM31WGS84": 32631,
 }
+
+_ESRI["54008"] = ("World_Sinusoidal", "WGS84",
+                  dict(proj="sinu", lon_0=0, x_0=0, y_0=0), "enu", 1.0)
+# Lambert II étendu — the pre-RGF93 all-France default (alias of 27572)
+_IGNF["LAMBE"] = 27572
+
 
 AUTHORITY_NAMES = ("EPSG", "ESRI", "IGNF", "OGC")
 

@@ -143,3 +143,97 @@ class TestEuroPacificAdditions:
         x2, y2 = xy("EPSG:4326", "EPSG:3395", 20.0, -20.0)
         assert x1 == pytest.approx(x2, abs=1e-6)
         assert y1 == pytest.approx(y2, abs=1e-6)
+
+
+class TestRound5SessionAdditions:
+    """NTF (Paris) Lambert zones, Korea 2000, Poland CS92/CS2000,
+    Baltic TM family, Portugal TM06, Belgian Lambert 2008, IRENET95
+    ITM, SVY21, Hong Kong 1980, California Albers (reference
+    pyproj/database.pyx:129-277 catalog surface)."""
+
+    PARIS = 2.337229166666667  # 2d20'14.025"E, EPSG:8903 in degrees
+
+    def test_ntf_lambert_natural_origins(self):
+        # Each classic zone's origin (Paris meridian, zone lat_0) maps
+        # to (600000, 200000); "carto" variants prepend the zone digit
+        # to the false northing.
+        for code, lat0, y0 in [(27561, 49.5, 200000.0),
+                               (27562, 46.8, 200000.0),
+                               (27563, 44.1, 200000.0),
+                               (27571, 49.5, 1200000.0),
+                               (27572, 46.8, 2200000.0),
+                               (27573, 44.1, 3200000.0)]:
+            x, y = xy("EPSG:4275", f"EPSG:{code}", self.PARIS, lat0)
+            assert x == pytest.approx(600000.0, abs=1e-6), code
+            assert y == pytest.approx(y0, abs=1e-6), code
+
+    def test_ntf_paris_geographic_zero_is_paris_meridian(self):
+        # 4807 longitudes are measured from Paris: lon=0 there equals
+        # lon=PARIS in the Greenwich-framed 4275.
+        x1, y1 = xy("EPSG:4807", "EPSG:27572", 0.0, 46.8)
+        x2, y2 = xy("EPSG:4275", "EPSG:27572", self.PARIS, 46.8)
+        assert x1 == pytest.approx(x2, abs=1e-9)
+        assert y1 == pytest.approx(y2, abs=1e-9)
+
+    def test_lambert_2e_paris_golden(self):
+        # Central Paris in Lambert II etendu: the classic pre-RGF93
+        # all-France grid (also IGNF:LAMBE); well-known ~(601.1km,
+        # 2428.7km) values.
+        x, y = xy("EPSG:4326", "EPSG:27572", 2.3522, 48.8566)
+        assert x == pytest.approx(601152.3, abs=5.0)
+        assert y == pytest.approx(2428695.9, abs=5.0)
+        assert CRS.from_user_input("IGNF:LAMBE").to_epsg() == 27572
+
+    def test_tm_origin_family(self):
+        # tmerc members: natural origin -> (x_0, y_0) exactly when the
+        # geographic anchor shares the ellipsoid; 1 mm when the
+        # null-shift Helmert crosses WGS84<->GRS80 (flattening differs
+        # in the 9th decimal)
+        for code, geog, lon0, lat0, x0, y0 in [
+            (5179, 4326, 127.5, 38.0, 1000000.0, 2000000.0),
+            (5186, 4326, 127.0, 38.0, 200000.0, 600000.0),
+            (2180, 4258, 19.0, 0.0, 500000.0, -5300000.0),
+            (2177, 4258, 18.0, 0.0, 6500000.0, 0.0),
+            (3763, 4258, -8.133108333333334, 39.66825833333333, 0.0, 0.0),
+            (3346, 4258, 24.0, 0.0, 500000.0, 0.0),
+            (3059, 4258, 24.0, 0.0, 500000.0, -6000000.0),
+            (3794, 4258, 15.0, 0.0, 500000.0, -5000000.0),
+            (2157, 4258, -8.0, 53.5, 600000.0, 750000.0),
+            (3414, 4326, 103.83333333333333, 1.3666666666666667,
+             28001.642, 38744.572),
+        ]:
+            tol = 1e-3 if geog == 4326 else 1e-6
+            x, y = xy(f"EPSG:{geog}", f"EPSG:{code}", lon0, lat0)
+            assert x == pytest.approx(x0, abs=tol), code
+            assert y == pytest.approx(y0, abs=tol), code
+
+    def test_hk1980_origin_same_datum(self):
+        crs = CRS.from_epsg(2326)
+        assert "Hong Kong" in crs.name
+        # origin exactness requires the HK1980 geographic side; check
+        # WGS84 round-trip + ballpark instead (datum shift ~200 m).
+        x, y = xy("EPSG:4326", "EPSG:2326", 114.17855555555556,
+                  22.312133333333333)
+        assert abs(x - 836694.05) < 300 and abs(y - 819069.8) < 300
+        lon, lat = xy("EPSG:2326", "EPSG:4326", x, y)
+        assert lon == pytest.approx(114.17855555555556, abs=1e-8)
+        assert lat == pytest.approx(22.312133333333333, abs=1e-8)
+
+    def test_california_albers_twins(self):
+        # NAD83 and NAD83(2011) variants share projection params
+        x1, y1 = xy("EPSG:4269", "EPSG:3310", -120.0, 37.0)
+        x2, y2 = xy("EPSG:4269", "EPSG:6414", -120.0, 37.0)
+        assert (x1, y1) == (x2, y2)
+        assert x1 == pytest.approx(0.0, abs=1e-6)
+
+    def test_estonia_lcc_origin(self):
+        x, y = xy("EPSG:4258", "EPSG:3301", 24.0, 57.51755393055556)
+        assert x == pytest.approx(500000.0, abs=1e-6)
+        assert y == pytest.approx(6375000.0, abs=1e-6)
+
+    def test_world_sinusoidal_esri(self):
+        crs = CRS.from_authority("ESRI", "54008")
+        assert crs.proj_params["proj"] == "sinu"
+        # equal-area sanity at the equator: x = a * lon_rad
+        x, y = xy("ESRI:54008", "EPSG:4326", 0.0, 0.0)
+        assert (x, y) == (0.0, 0.0)
