@@ -6856,3 +6856,282 @@ FROM agg
 
 
 QUERIES["sph_centroid"] = (q_sph_centroid, SQL_SPH_CENTROID)
+
+
+# ------------------------------------------------ PBSM rect join
+
+#: shared integer rect derivations (documents -> fat rects, events ->
+#: small rects); multipliers keep id*k far below int64 even at corpus
+#: ids (~1e14 headroom)
+_RECT_A_SQL = """
+  SELECT doc_id AS id,
+         doc_id * 7919 % 320          AS x_lo,
+         doc_id * 7919 % 320 + 3 + doc_id % 13  AS x_hi,
+         doc_id * 104729 % 144        AS y_lo,
+         doc_id * 104729 % 144 + 2 + doc_id % 11 AS y_hi
+  FROM documents
+"""
+_RECT_B_SQL = """
+  SELECT event_id AS id,
+         event_id * 6151 % 340                 AS x_lo,
+         event_id * 6151 % 340 + event_id % 4  AS x_hi,
+         event_id * 3571 % 156                 AS y_lo,
+         event_id * 3571 % 156 + event_id % 3  AS y_hi
+  FROM events
+"""
+
+
+def _rects_a(spark, sf_dir):
+    d = F.col("doc_id")
+    return _t(spark, sf_dir, "documents").select(
+        d.alias("id"),
+        (d * 7919 % 320).alias("x_lo"),
+        (d * 7919 % 320 + 3 + d % 13).alias("x_hi"),
+        (d * 104729 % 144).alias("y_lo"),
+        (d * 104729 % 144 + 2 + d % 11).alias("y_hi"))
+
+
+def _rects_b(spark, sf_dir):
+    e = F.col("event_id")
+    return _t(spark, sf_dir, "events").select(
+        e.alias("id"),
+        (e * 6151 % 340).alias("x_lo"),
+        (e * 6151 % 340 + e % 4).alias("x_hi"),
+        (e * 3571 % 156).alias("y_lo"),
+        (e * 3571 % 156 + e % 3).alias("y_hi"))
+
+
+def q_rect_join(spark, sf_dir):
+    """PBSM rectangle-intersection join (operators/rectjoin.py): grid
+    cells + hash equi-join + responsibility-cell dedup, the classic
+    partition-based spatial-merge plan. The oracle is covering-BLIND
+    (a plain non-equi theta join), so hash equality proves the cell
+    decomposition finds every intersecting pair exactly once."""
+    from pyproj_spark.operators.rectjoin import rect_join
+    pairs = rect_join(_rects_a(spark, sf_dir), _rects_b(spark, sf_dir),
+                      cell=32)
+    return (pairs.groupBy(F.col("a_id").alias("id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("ix_area").alias("sum_area"),
+                 F.max("ix_area").alias("max_area")))
+
+
+SQL_RECT_JOIN = f"""
+WITH a AS ({_RECT_A_SQL}), b AS ({_RECT_B_SQL}),
+pairs AS (
+  SELECT a.id AS a_id,
+         (least(a.x_hi, b.x_hi) - greatest(a.x_lo, b.x_lo) + 1)
+         * (least(a.y_hi, b.y_hi) - greatest(a.y_lo, b.y_lo) + 1)
+             AS ix_area
+  FROM a JOIN b
+    ON a.x_lo <= b.x_hi AND b.x_lo <= a.x_hi
+   AND a.y_lo <= b.y_hi AND b.y_lo <= a.y_hi
+)
+SELECT a_id AS id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ix_area) AS BIGINT) AS sum_area,
+       CAST(max(ix_area) AS BIGINT) AS max_area
+FROM pairs GROUP BY 1
+"""
+
+
+QUERIES["rect_join"] = (q_rect_join, SQL_RECT_JOIN)
+
+
+# ------------------------------------------------ dissolve sweep
+
+def q_union_area(spark, sf_dir):
+    """Polygon/rect dissolve by scanline interval union
+    (operators/sweep.py): per-row gaps-and-islands sweep — N
+    overlapping shapes union in O(N log N), never a pairwise
+    difference. The oracle replays the identical integer sweep, so
+    island boundaries cannot flip."""
+    from pyproj_spark.operators.sweep import union_by_row
+    return union_by_row(_rects_a(spark, sf_dir))
+
+
+SQL_UNION_AREA = f"""
+WITH a AS ({_RECT_A_SQL}),
+rws AS (
+  SELECT id, x_lo, x_hi, unnest(generate_series(y_lo, y_hi)) AS y
+  FROM a
+),
+m AS (
+  SELECT y, id, x_lo, x_hi,
+         CASE WHEN max(x_hi) OVER w IS NULL THEN 1
+              WHEN x_lo > max(x_hi) OVER w THEN 1 ELSE 0 END AS ni
+  FROM rws
+  WINDOW w AS (PARTITION BY y ORDER BY x_lo, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+i AS (
+  SELECT y, id, x_lo, x_hi,
+         sum(ni) OVER (PARTITION BY y ORDER BY x_lo, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+  FROM m
+),
+pi AS (
+  SELECT y, island, min(x_lo) AS ilo, max(x_hi) AS ihi,
+         count(*) AS n
+  FROM i GROUP BY 1, 2
+)
+SELECT y, CAST(sum(n) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(ihi - ilo + 1) AS BIGINT) AS union_len
+FROM pi GROUP BY 1
+"""
+
+
+QUERIES["union_area"] = (q_union_area, SQL_UNION_AREA)
+
+
+# ------------------------------------------------ trajectory cleaning
+
+def q_speed_filter(spark, sf_dir):
+    """GPS spike filter (operators/lines.py::clean_tracks): per-user
+    segment speeds from one lag window; the spike decision compares
+    exact integer metres to vmax*dt so the flag boundary is
+    engine-proof (metres, not mm: asin ulp error amplifies near
+    antipodal segments). Output: per-user fix QA summary — the
+    trajectory-cleaning stage every telemetry pipeline runs before
+    map-matching."""
+    from pyproj_spark.operators.lines import clean_tracks
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"))
+    seg = clean_tracks(ev, vmax_ms=250.0)
+    return (seg.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_segs"),
+                 F.sum("spike").cast("long").alias("n_spikes"),
+                 F.sum(F.when(F.col("spike") == 0, F.col("dist_m"))
+                       .otherwise(F.lit(0))).alias("clean_m")))
+
+
+SQL_SPEED_FILTER = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 7919 % 360000) / 1000.0 - 180.0  AS lon,
+         (event_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events
+),
+seg AS (
+  SELECT user_id, event_id, ts, lon, lat,
+         lead(lon) OVER w AS lon2, lead(lat) OVER w AS lat2,
+         lead(ts)  OVER w AS ts2
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+  SELECT user_id,
+         CAST(round(2.0 * 6371008.8 * asin(sqrt(
+             pow(sin((radians(lat2) - radians(lat)) / 2), 2)
+             + cos(radians(lat)) * cos(radians(lat2))
+               * pow(sin((radians(lon2) - radians(lon)) / 2), 2)
+         ))) AS BIGINT) AS dist_m,
+         CAST(floor(epoch(ts2)) AS BIGINT)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS dt_s
+  FROM seg WHERE lon2 IS NOT NULL
+),
+f AS (
+  SELECT user_id, dist_m,
+         CASE WHEN dist_m > greatest(dt_s, 1) * 250
+              THEN 1 ELSE 0 END AS spike
+  FROM d
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(spike) AS BIGINT) AS n_spikes,
+       CAST(sum(CASE WHEN spike = 0 THEN dist_m ELSE 0 END) AS BIGINT)
+           AS clean_m
+FROM f GROUP BY 1
+"""
+
+
+QUERIES["speed_filter"] = (q_speed_filter, SQL_SPEED_FILTER)
+
+
+# ------------------------------------------------ slerp waypoints
+
+def q_line_interp(spark, sf_dir):
+    """Spherical fractional interpolation (the distributed closed-form
+    twin of G3 npts, kernels/geod.py): the point 1/4 and 3/4 of the way
+    along each per-user segment by slerp on unit vectors — pure
+    Catalyst trig, one window shuffle, no Python. Outputs integer
+    0.1-millidegree units so library-level atan2 ulp differences
+    cannot flip the hash."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (ev.withColumn("lon2", F.lead("lon").over(w))
+             .withColumn("lat2", F.lead("lat").over(w))
+             .filter(F.col("lon2").isNotNull()))
+    r1, g1 = F.radians("lat"), F.radians("lon")
+    r2, g2 = F.radians("lat2"), F.radians("lon2")
+    x1, y1, z1 = F.cos(r1)*F.cos(g1), F.cos(r1)*F.sin(g1), F.sin(r1)
+    x2, y2, z2 = F.cos(r2)*F.cos(g2), F.cos(r2)*F.sin(g2), F.sin(r2)
+    dot = x1*x2 + y1*y2 + z1*z2
+    om = F.acos(F.least(F.greatest(dot, F.lit(-1.0)), F.lit(1.0)))
+    out = seg.filter(om > 1e-6)
+    cols = []
+    for tag, f in (("q1", 0.25), ("q3", 0.75)):
+        a = F.sin((1.0 - f) * om) / F.sin(om)
+        b = F.sin(f * om) / F.sin(om)
+        px, py, pz = a*x1 + b*x2, a*y1 + b*y2, a*z1 + b*z2
+        cols += [
+            F.round(F.degrees(F.atan2(py, px)) * 1e4).cast("long")
+             .alias(f"lon_{tag}"),
+            F.round(F.degrees(F.atan2(pz, F.sqrt(px*px + py*py))) * 1e4)
+             .cast("long").alias(f"lat_{tag}")]
+    return out.select("user_id", F.col("event_id").alias("seg_id"), *cols)
+
+
+SQL_LINE_INTERP = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 7919 % 360000) / 1000.0 - 180.0  AS lon,
+         (event_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events
+),
+seg AS (
+  SELECT user_id, event_id, lon, lat,
+         lead(lon) OVER w AS lon2, lead(lat) OVER w AS lat2
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+v AS (
+  SELECT user_id, event_id,
+         cos(radians(lat)) * cos(radians(lon)) AS x1,
+         cos(radians(lat)) * sin(radians(lon)) AS y1,
+         sin(radians(lat)) AS z1,
+         cos(radians(lat2)) * cos(radians(lon2)) AS x2,
+         cos(radians(lat2)) * sin(radians(lon2)) AS y2,
+         sin(radians(lat2)) AS z2
+  FROM seg WHERE lon2 IS NOT NULL
+),
+o AS (
+  SELECT *, acos(least(greatest(x1*x2 + y1*y2 + z1*z2, -1.0), 1.0)) AS om
+  FROM v
+),
+p AS (
+  SELECT user_id, event_id, om, x1, y1, z1, x2, y2, z2,
+         sin(0.75 * om) / sin(om) AS a1, sin(0.25 * om) / sin(om) AS b1,
+         sin(0.25 * om) / sin(om) AS a3, sin(0.75 * om) / sin(om) AS b3
+  FROM o WHERE om > 1e-6
+)
+SELECT user_id, event_id AS seg_id,
+       CAST(round(degrees(atan2(a1*y1 + b1*y2, a1*x1 + b1*x2)) * 1e4)
+            AS BIGINT) AS lon_q1,
+       CAST(round(degrees(atan2(a1*z1 + b1*z2,
+            sqrt(pow(a1*x1 + b1*x2, 2) + pow(a1*y1 + b1*y2, 2)))) * 1e4)
+            AS BIGINT) AS lat_q1,
+       CAST(round(degrees(atan2(a3*y1 + b3*y2, a3*x1 + b3*x2)) * 1e4)
+            AS BIGINT) AS lon_q3,
+       CAST(round(degrees(atan2(a3*z1 + b3*z2,
+            sqrt(pow(a3*x1 + b3*x2, 2) + pow(a3*y1 + b3*y2, 2)))) * 1e4)
+            AS BIGINT) AS lat_q3
+FROM p
+"""
+
+
+QUERIES["line_interp"] = (q_line_interp, SQL_LINE_INTERP)
