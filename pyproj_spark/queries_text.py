@@ -4251,3 +4251,128 @@ FROM terms ORDER BY jsd_nano DESC, token LIMIT 30
 
 
 QUERIES_TEXT["corpus_drift"] = (q_corpus_drift, SQL_CORPUS_DRIFT)
+
+
+# ------------------------------------------------ CDC chunk dedup
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (operators/dedup.py::
+    cdc_chunk_table): position-independent md5-anchor boundaries ->
+    per-source chunk-level dedup ratio, the storage/span-dedup stage
+    between exact (whole-doc) and n-gram (dup_spans) granularity.
+    distinct counts are per source; the oracle replays the identical
+    running-sum chunking in SQL."""
+    from pyproj_spark.operators.dedup import cdc_chunk_table
+    docs = _docs(spark, sf_dir)
+    chunks = cdc_chunk_table(docs).join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id")
+    return (chunks.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("total_chunks"),
+                 F.countDistinct("chunk_hash").alias("distinct_chunks"),
+                 F.sum("n_words").alias("total_words")))
+
+
+SQL_CDC_CHUNKS = f"""
+WITH words AS (
+  SELECT doc_id AS id,
+         generate_subscripts(str_split({_NORM_SQL}, ' '), 1) - 1 AS pos,
+         unnest(str_split({_NORM_SQL}, ' ')) AS word
+  FROM documents
+),
+grp AS (
+  SELECT id, pos, word,
+         sum(CASE WHEN substr(md5(word), 1, 1) = '0' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS grp
+  FROM words
+),
+chunks AS (
+  SELECT id, grp, md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash,
+         count(*) AS n_words
+  FROM grp GROUP BY 1, 2
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS total_chunks,
+       CAST(count(DISTINCT c.chunk_hash) AS BIGINT) AS distinct_chunks,
+       CAST(sum(c.n_words) AS BIGINT) AS total_words
+FROM chunks c JOIN documents d ON c.id = d.doc_id
+GROUP BY 1
+"""
+
+
+QUERIES_TEXT["cdc_chunks"] = (q_cdc_chunks, SQL_CDC_CHUNKS)
+
+
+# ------------------------------------------------ sitemap ingestion
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap ingestion round-trip (operators/extract.py::
+    parse_sitemaps): per-source sitemap XML synthesized from the
+    corpus (the warc_ingest pattern — container bytes built, then
+    parsed back by the REAL parser), then every derived stat comes
+    ONLY from the parsed entries: url count, doc-id sum re-extracted
+    from the <loc> paths, distinct lastmod days, exact priority
+    decimal sum."""
+    from pyproj_spark.operators.extract import parse_sitemaps
+    d = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit("/d/"),
+        d.cast("string"), F.lit("</loc><lastmod>2024-"),
+        F.lpad((d % 12 + 1).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."),
+        (d % 9 + 1).cast("string"), F.lit("</priority></url>"))
+    xml = (_docs(spark, sf_dir)
+           .select(F.col("source").alias("host"), d.alias("doc_id"),
+                   entry.alias("e"))
+           .groupBy("host")
+           .agg(F.concat(
+               F.lit('<?xml version="1.0"?><urlset>'),
+               F.array_join(F.transform(
+                   F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                   lambda s: s["e"]), ""),
+               F.lit("</urlset>")).alias("xml")))
+    ent = parse_sitemaps(xml)
+    return (ent.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.sum(F.regexp_extract("loc", r"/d/(\d+)$", 1)
+                       .cast("long")).alias("id_sum"),
+                 F.countDistinct("lastmod").alias("n_days"),
+                 F.sum(F.regexp_extract("priority", r"0\.(\d)", 1)
+                       .cast("long")).alias("pri_tenths")))
+
+
+SQL_SITEMAP = """
+WITH xml AS (
+  SELECT source AS host,
+         '<?xml version="1.0"?><urlset>'
+         || string_agg('<url><loc>https://' || source || '/d/' || doc_id
+             || '</loc><lastmod>2024-'
+             || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+             || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || '</lastmod><priority>0.' || CAST(doc_id % 9 + 1 AS VARCHAR)
+             || '</priority></url>', '' ORDER BY doc_id)
+         || '</urlset>' AS xml
+  FROM documents GROUP BY 1
+),
+ent AS (
+  SELECT host,
+         unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc,
+         unnest(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1))
+             AS lastmod,
+         unnest(regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1))
+             AS priority
+  FROM xml
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CAST(regexp_extract(loc, '/d/(\\d+)$', 1) AS BIGINT))
+            AS BIGINT) AS id_sum,
+       CAST(count(DISTINCT lastmod) AS BIGINT) AS n_days,
+       CAST(sum(CAST(regexp_extract(priority, '0\\.(\\d)', 1) AS BIGINT))
+            AS BIGINT) AS pri_tenths
+FROM ent GROUP BY 1
+"""
+
+
+QUERIES_TEXT["sitemap_parse"] = (q_sitemap_parse, SQL_SITEMAP)
