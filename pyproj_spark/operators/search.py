@@ -142,3 +142,55 @@ SELECT query_id, rank, doc_id, score FROM (
                                ORDER BY score DESC, doc_id) AS rank
   FROM total) WHERE rank <= {top_k}
 """
+
+
+#: RAKE phrase delimiters: function words that cannot appear inside a
+#: keyword candidate (Rose et al. 2010 use a stoplist exactly this way)
+RAKE_STOPWORDS = (
+    "the a an and or of to in on for with is are was were be been at by"
+    " from as that this it its not no but if then than so such these"
+    " those there here he she they we you i his her their our your my"
+).split()
+
+
+def rake_keywords(df: DataFrame, text_col: str = "text",
+                  top_k: int = 30, max_words: int = 4) -> DataFrame:
+    """RAKE keyword extraction (Rapid Automatic Keyword Extraction):
+    candidate phrases are maximal stopword-free word runs; each word
+    scores deg(w)/freq(w) (degree = summed length of phrase
+    occurrences containing it); a phrase scores the sum of its word
+    scores. Word scores quantize to exact integer MICRO units before
+    the per-phrase sum, so distributed aggregation order cannot move
+    the result — the repo's standard float-sum discipline.
+
+    Shape: two corpus passes (word stats, then phrase scores), both
+    hash aggs; the phrase→word explode is bounded by max_words. The
+    final top-k is one TakeOrdered."""
+    # punctuation is a phrase delimiter (a keyword never crosses a
+    # sentence/clause boundary), NOT whitespace — so substitute the
+    # delimiter char BEFORE stopword splitting
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z ]", "|")
+    stoppat = r"\b(" + "|".join(RAKE_STOPWORDS) + r")\b"
+    phrases = F.filter(
+        F.transform(F.split(F.regexp_replace(norm, stoppat, "|"), r"\|"),
+                    lambda p: F.trim(F.regexp_replace(p, r" +", " "))),
+        lambda p: (p != "") & (F.size(F.split(p, " ")) <= max_words))
+    occ = df.select(F.explode(phrases).alias("phrase"))
+    words = occ.select("phrase", F.size(F.split("phrase", " "))
+                       .alias("plen"),
+                       F.explode(F.split("phrase", " ")).alias("word"))
+    stats = (words.groupBy("word")
+             .agg(F.count(F.lit(1)).alias("freq"),
+                  F.sum("plen").alias("deg"))
+             .withColumn("w_micro",
+                         F.round(F.lit(1e6) * F.col("deg") / F.col("freq"))
+                         .cast("long")))
+    uniq = (occ.groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .withColumn("word", F.explode(F.split("phrase", " "))))
+    scored = (uniq.join(stats.select("word", "w_micro"), "word")
+              .groupBy("phrase")
+              .agg(F.max("n_occ").alias("n_occ"),
+                   F.sum("w_micro").alias("score_micro")))
+    return (scored.orderBy(F.desc("score_micro"), F.asc("phrase"))
+            .limit(top_k))

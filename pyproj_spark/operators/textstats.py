@@ -145,3 +145,28 @@ def repetition_features(df: DataFrame, text_col: str = "text",
         F.round(F.coalesce("top_bigram_cnt", F.lit(0))
                 / F.greatest("n_bigrams", F.lit(1)), 6)
         .alias("top_bigram_frac"))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease signals (the classic readability quality
+    filter): words, sentence count (non-empty [.!?]+ splits),
+    syllable proxy (vowel-group runs — the standard heuristic when
+    no pronunciation dict ships). All three are exact integer counts
+    so the closing FRE formula runs on identical inputs in any
+    engine; one scan, pure Catalyst."""
+    words = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^a-z ]", " ")), r" +")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    sents = F.split(F.col(text_col), r"[.!?]+")
+    n_sents = F.greatest(
+        F.size(F.filter(sents, lambda s: F.trim(s) != "")), F.lit(1))
+    n_syll = F.size(F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), F.lit(0)))
+    out = df.select(F.col(id_col), n_words.alias("n_words"),
+                    n_sents.alias("n_sents"), n_syll.alias("n_syll"))
+    fre = (F.lit(206.835)
+           - F.lit(1.015) * F.col("n_words") / F.col("n_sents")
+           - F.lit(84.6) * F.col("n_syll")
+           / F.greatest(F.col("n_words"), F.lit(1)))
+    return out.withColumn("fre", fre)

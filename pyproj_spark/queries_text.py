@@ -4376,3 +4376,104 @@ FROM ent GROUP BY 1
 
 
 QUERIES_TEXT["sitemap_parse"] = (q_sitemap_parse, SQL_SITEMAP)
+
+
+# ------------------------------------------------ readability
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease quality filter (operators/textstats.py::
+    readability): per-language means of the three exact integer
+    signals plus the FRE closed on exact sums — the grade-level
+    curation axis quality_filter (Gopher) does not cover."""
+    from pyproj_spark.operators.textstats import readability
+    docs = _docs(spark, sf_dir)
+    per = readability(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("words"),
+                 F.sum("n_sents").cast("long").alias("sents"),
+                 F.sum("n_syll").cast("long").alias("sylls"))
+            .withColumn("fre_corpus",
+                        F.lit(206.835)
+                        - F.lit(1.015) * F.col("words") / F.col("sents")
+                        - F.lit(84.6) * F.col("sylls") / F.col("words")))
+
+
+SQL_READABILITY = """
+WITH per AS (
+  SELECT doc_id, lang,
+         len(list_filter(str_split(trim(regexp_replace(lower(text),
+             '[^a-z ]', ' ', 'g')), ' '), w -> w != '')) AS n_words,
+         greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+             s -> trim(s) != '')), 1) AS n_sents,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS words,
+       CAST(sum(n_sents) AS BIGINT) AS sents,
+       CAST(sum(n_syll) AS BIGINT) AS sylls,
+       206.835 - 1.015 * (CAST(sum(n_words) AS DOUBLE)
+                          / CAST(sum(n_sents) AS DOUBLE))
+               - 84.6 * (CAST(sum(n_syll) AS DOUBLE)
+                         / CAST(sum(n_words) AS DOUBLE)) AS fre_corpus
+FROM per GROUP BY 1
+"""
+
+
+QUERIES_TEXT["readability"] = (q_readability, SQL_READABILITY)
+
+
+# ------------------------------------------------ RAKE keywords
+
+def q_rake_keywords(spark, sf_dir):
+    """Corpus RAKE keyword extraction (operators/search.py::
+    rake_keywords): top stopword-free phrases by summed
+    degree/frequency word scores in exact micro units."""
+    from pyproj_spark.operators.search import rake_keywords
+    return rake_keywords(_docs(spark, sf_dir), top_k=30)
+
+
+def _rake_sql() -> str:
+    from pyproj_spark.operators.search import RAKE_STOPWORDS
+    stoppat = r"\b(" + "|".join(RAKE_STOPWORDS) + r")\b"
+    return f"""
+WITH occ AS (
+  SELECT unnest(list_filter(
+      list_transform(
+          str_split(regexp_replace(
+              regexp_replace(lower(text), '[^a-z ]', '|', 'g'),
+              '{stoppat}', '|', 'g'), '|'),
+          p -> trim(regexp_replace(p, ' +', ' ', 'g'))),
+      p -> p != '' AND len(str_split(p, ' ')) <= 4)) AS phrase
+  FROM documents
+),
+w AS (
+  SELECT phrase, len(str_split(phrase, ' ')) AS plen,
+         unnest(str_split(phrase, ' ')) AS word
+  FROM occ
+),
+stats AS (
+  SELECT word,
+         CAST(round(1e6 * CAST(sum(plen) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS w_micro
+  FROM w GROUP BY 1
+),
+uniq AS (
+  SELECT phrase, count(*) AS n_occ FROM occ GROUP BY 1
+),
+uw AS (
+  SELECT u.phrase, u.n_occ, unnest(str_split(u.phrase, ' ')) AS word
+  FROM uniq u
+)
+SELECT uw.phrase, CAST(max(uw.n_occ) AS BIGINT) AS n_occ,
+       CAST(sum(s.w_micro) AS BIGINT) AS score_micro
+FROM uw JOIN stats s USING (word)
+GROUP BY 1
+ORDER BY score_micro DESC, phrase ASC
+LIMIT 30
+"""
+
+
+QUERIES_TEXT["rake_keywords"] = (q_rake_keywords, _rake_sql())
