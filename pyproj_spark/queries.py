@@ -6769,8 +6769,8 @@ def q_zonal_stats(spark, sf_dir):
     coordinates, covering-blind."""
     from pyproj_spark.operators.pip import pip_join
     pts = _doc_points(spark, sf_dir)
-    ras = (pts.select(F.floor("lon").cast("long").alias("gx"),
-                      F.floor("lat").cast("long").alias("gy"))
+    ras = (pts.select(F.floor(F.col("lon") / 6).cast("long").alias("gx"),
+                      F.floor(F.col("lat") / 6).cast("long").alias("gy"))
            .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("cnt")))
     centers = ras.select(
         "gx", "gy", "cnt",
@@ -7135,3 +7135,156 @@ FROM p
 
 
 QUERIES["line_interp"] = (q_line_interp, SQL_LINE_INTERP)
+
+
+# ------------------------------------------------ Horn slope (terrain)
+
+def q_dem_slope(spark, sf_dir):
+    """Terrain analysis: Horn's-method gradient (the GIS slope/aspect
+    kernel, Horn 1981) over the point-density raster treated as a DEM.
+    Pure scatter-sum — each cell throws weighted contributions at its
+    8 neighbours and one hash agg gathers dz/dx, dz/dy as EXACT
+    integer sums (weights ±1/±2); no shifted self-joins, the same
+    shape that made raster_blur and dist_transform scale. Output
+    restricted to occupied cells (semi join with the raster)."""
+    pts = _doc_points(spark, sf_dir)
+    ras = (pts.select(F.floor(F.col("lon") / 6).cast("long").alias("gx"),
+                      F.floor(F.col("lat") / 6).cast("long").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("cnt")))
+    offs = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if ox == 0 and oy == 0:
+                continue
+            wx = ox * (2 if oy == 0 else 1)
+            wy = oy * (2 if ox == 0 else 1)
+            offs.append(F.struct(F.lit(ox).alias("ox"),
+                                 F.lit(oy).alias("oy"),
+                                 F.lit(wx).alias("wx"),
+                                 F.lit(wy).alias("wy")))
+    sc = (ras.select("gx", "gy", "cnt",
+                     F.explode(F.array(*offs)).alias("o"))
+          .select((F.col("gx") - F.col("o.ox")).alias("tx"),
+                  (F.col("gy") - F.col("o.oy")).alias("ty"),
+                  (F.col("cnt") * F.col("o.wx")).alias("cx"),
+                  (F.col("cnt") * F.col("o.wy")).alias("cy")))
+    grad = (sc.groupBy("tx", "ty")
+            .agg(F.sum("cx").alias("dzdx"), F.sum("cy").alias("dzdy")))
+    occupied = ras.select(F.col("gx").alias("tx"),
+                          F.col("gy").alias("ty"))
+    return (occupied.join(grad, ["tx", "ty"], "left")
+            .select("tx", "ty",
+                    F.coalesce("dzdx", F.lit(0)).alias("dzdx"),
+                    F.coalesce("dzdy", F.lit(0)).alias("dzdy"))
+            .withColumn("mag_l1",
+                        F.abs(F.col("dzdx")) + F.abs(F.col("dzdy"))))
+
+
+SQL_DEM_SLOPE = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon / 6) AS BIGINT) AS gx,
+         CAST(floor(lat / 6) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+offs(ox, oy, wx, wy) AS (
+  VALUES (-1,-1,-1,-1), (-1,0,-2,0), (-1,1,-1,1),
+         (0,-1,0,-2),                (0,1,0,2),
+         (1,-1,1,-1),  (1,0,2,0),   (1,1,1,1)
+),
+grad AS (
+  SELECT gx - ox AS tx, gy - oy AS ty,
+         CAST(sum(cnt * wx) AS BIGINT) AS dzdx,
+         CAST(sum(cnt * wy) AS BIGINT) AS dzdy
+  FROM ras CROSS JOIN offs
+  GROUP BY 1, 2
+)
+SELECT r.gx AS tx, r.gy AS ty,
+       coalesce(g.dzdx, 0) AS dzdx, coalesce(g.dzdy, 0) AS dzdy,
+       abs(coalesce(g.dzdx, 0)) + abs(coalesce(g.dzdy, 0)) AS mag_l1
+FROM ras r LEFT JOIN grad g ON g.tx = r.gx AND g.ty = r.gy
+"""
+
+
+QUERIES["dem_slope"] = (q_dem_slope, SQL_DEM_SLOPE)
+
+
+# ------------------------------------------------ DTW route conformance
+
+#: reference route in integer milli-degrees (driver literal; a route
+#: TABLE would broadcast) — a diagonal sweep with a dogleg so warps
+#: genuinely differ per user
+_DTW_REF = [(-120000, -40000), (-80000, -20000), (-40000, 0),
+            (0, 10000), (40000, 20000), (80000, 30000),
+            (120000, 50000), (160000, 70000)]
+
+
+def q_dtw_route(spark, sf_dir):
+    """DTW route conformance (operators/dtw.py::dtw_to_reference):
+    each user's first 6 fixes vs an 8-point reference route, exact
+    int64 squared-milli-degree costs. The oracle unrolls the full
+    6x8 DP lattice in chained nested SELECTs — every min/plus is
+    replayed on identical integers."""
+    from pyproj_spark.operators.dtw import dtw_to_reference
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        (F.col("event_id") * 7919 % 360000 - 180000).alias("x"),
+        (F.col("event_id") * 104729 % 170000 - 85000).alias("y"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.withColumn("i", F.row_number().over(w))
+          .filter(F.col("i") <= 6))
+    six = (tr.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") == 6).select("user_id"))
+    tracks = tr.join(six, "user_id", "left_semi")
+    return dtw_to_reference(tracks, _DTW_REF)
+
+
+def _dtw_sql() -> str:
+    ref = _DTW_REF
+    m = len(ref)
+
+    def cost(j):
+        rx, ry = ref[j - 1]
+        return (f"(x - ({rx})) * (x - ({rx}))"
+                f" + (y - ({ry})) * (y - ({ry}))")
+
+    # row 1: cumulative along the reference
+    inner = "SELECT user_id, x, y FROM tr WHERE i = 1"
+    sel = f"SELECT *, {cost(1)} AS dp1 FROM ({inner})"
+    for j in range(2, m + 1):
+        sel = f"SELECT *, {cost(j)} + dp{j-1} AS dp{j} FROM ({sel})"
+    ctes = [f"r1 AS (SELECT user_id, "
+            f"{', '.join(f'dp{j}' for j in range(1, m+1))} FROM ({sel}))"]
+    for i in range(2, 7):
+        inner = (f"SELECT p.user_id, t.x, t.y, "
+                 + ", ".join(f"p.dp{j} AS p{j}" for j in range(1, m + 1))
+                 + f" FROM r{i-1} p JOIN tr t"
+                 f" ON t.user_id = p.user_id AND t.i = {i}")
+        sel = f"SELECT *, {cost(1)} + p1 AS dp1 FROM ({inner})"
+        for j in range(2, m + 1):
+            sel = (f"SELECT *, {cost(j)} + least(p{j}, p{j-1}, dp{j-1})"
+                   f" AS dp{j} FROM ({sel})")
+        ctes.append(
+            f"r{i} AS (SELECT user_id, "
+            f"{', '.join(f'dp{j}' for j in range(1, m+1))} FROM ({sel}))")
+    return f"""
+WITH ranked AS (
+  SELECT user_id,
+         event_id * 7919 % 360000 - 180000  AS x,
+         event_id * 104729 % 170000 - 85000 AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+),
+tr AS (
+  SELECT * FROM ranked WHERE i <= 6
+  AND user_id IN (SELECT user_id FROM ranked WHERE i = 6)
+),
+{', '.join(ctes)}
+SELECT user_id, 6 AS n_pts, CAST(dp{m} AS BIGINT) AS dtw_cost
+FROM r6
+"""
+
+
+QUERIES["dtw_route"] = (q_dtw_route, _dtw_sql())

@@ -4477,3 +4477,68 @@ LIMIT 30
 
 
 QUERIES_TEXT["rake_keywords"] = (q_rake_keywords, _rake_sql())
+
+
+# ------------------------------------------------ n-gram novelty
+
+def q_ngram_novelty(spark, sf_dir):
+    """Crawl novelty curve: per crawl day (derived batch key), how
+    many distinct 3-gram shingles appear that were never seen in any
+    earlier day — the marginal-new-content metric that decides when
+    recrawling a source stops paying. Two hash aggs over the shared
+    shingle table (operators/dedup.py::ngram_shingles); novelty ratio
+    in exact micro units. (ngram_shingles hashes the md5 HEX of the
+    shingle — the oracle replays the double hash; a single-md5
+    oracle differs only at birthday collisions, which is exactly
+    the kind of sf0.1-only divergence the gate exists to catch.)"""
+    from pyproj_spark.operators.dedup import ngram_shingles
+    docs = _docs(spark, sf_dir).withColumn(
+        "day", (F.col("doc_id") % 10).cast("long"))
+    sh = (ngram_shingles(docs, n=3)
+          .join(docs.select("doc_id", "day"), "doc_id")
+          .select("day", "shingle_hash").distinct())
+    first = (sh.groupBy("shingle_hash")
+             .agg(F.min("day").alias("first_day")))
+    per_day = sh.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    novel = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_novel"))
+    return (per_day.join(novel, "day", "left")
+            .select("day", "n_shingles",
+                    F.coalesce("n_novel", F.lit(0)).alias("n_novel"))
+            .withColumn("novelty_micro",
+                        F.round(F.lit(1e6) * F.col("n_novel")
+                                / F.col("n_shingles")).cast("long")))
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 10 AS day,
+         str_split({_NORM_SQL}, ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT day,
+         CAST(('0x' || substr(md5(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+                              1, 8)) AS BIGINT) AS shingle_hash
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+first AS (
+  SELECT shingle_hash, min(day) AS first_day FROM sh GROUP BY 1
+),
+per_day AS (
+  SELECT day, count(*) AS n_shingles FROM sh GROUP BY 1
+),
+novel AS (
+  SELECT first_day AS day, count(*) AS n_novel FROM first GROUP BY 1
+)
+SELECT p.day, CAST(p.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(round(1e6 * CAST(coalesce(n.n_novel, 0) AS DOUBLE)
+                  / CAST(p.n_shingles AS DOUBLE)) AS BIGINT)
+           AS novelty_micro
+FROM per_day p LEFT JOIN novel n ON p.day = n.day
+"""
+
+
+QUERIES_TEXT["ngram_novelty"] = (q_ngram_novelty, SQL_NGRAM_NOVELTY)
