@@ -498,3 +498,43 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(qid_col, "rank", id_col, "dist"))
+
+
+def jl_sign_matrix(k: int, dim: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 Achlioptas/JL projection matrix from md5
+    parity of (seed:i:j) — reproducible on any engine without
+    shipping data (the _plane_components_py convention)."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"{seed}:{i}:{j}".encode())
+                      .hexdigest()[0], 16) % 2 == 0 else -1
+             for j in range(dim)]
+            for i in range(k)]
+
+
+def jl_project(embeddings: DataFrame, k: int = 16,
+               dim: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               seed: str = "jl") -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003): the embedding-compression step before
+    LSH/ANN when the raw dim is too wide. Components quantize to
+    integer MICRO units BEFORE the fold, so the per-component sums
+    are exact longs and any engine replaying the same signs agrees
+    bit-for-bit. Pure Catalyst: the matrix ships as literal arrays,
+    one zip_with+aggregate per output component, one scan, no
+    shuffle at all. Returns long-format (id, comp, p_micro)."""
+    signs = jl_sign_matrix(k, dim, seed)
+    comps = F.array(*[
+        F.struct(
+            F.lit(i).alias("comp"),
+            F.aggregate(
+                F.zip_with(F.col(vec_col),
+                           F.array(*[F.lit(s) for s in signs[i]]),
+                           lambda e, s: F.round(e * 1e6).cast("long") * s),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            .alias("p_micro"))
+        for i in range(k)])
+    return (embeddings
+            .select(id_col, F.explode(comps).alias("c"))
+            .select(id_col, F.col("c.comp").alias("comp"),
+                    F.col("c.p_micro").alias("p_micro")))

@@ -4542,3 +4542,40 @@ FROM per_day p LEFT JOIN novel n ON p.day = n.day
 
 
 QUERIES_TEXT["ngram_novelty"] = (q_ngram_novelty, SQL_NGRAM_NOVELTY)
+
+
+# ------------------------------------------------ JL projection
+
+def q_jl_project(spark, sf_dir):
+    """JL ±1 projection of the embedding table to 16 components
+    (operators/similarity.py::jl_project): exact integer-micro
+    component sums; the oracle re-derives the identical sign matrix
+    from the shared md5-parity literals and replays the quantized
+    fold index-wise."""
+    from pyproj_spark.operators.similarity import jl_project
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return jl_project(emb, k=16, dim=64)
+
+
+def _jl_sql() -> str:
+    from pyproj_spark.operators.similarity import jl_sign_matrix
+    signs = jl_sign_matrix(16, 64)
+    rows = ", ".join(f"({i}, {j}, {s})"
+                     for i, row in enumerate(signs)
+                     for j, s in enumerate(row))
+    return f"""
+WITH m(comp, j, s) AS (VALUES {rows}),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT e.vec_id, m.comp,
+       CAST(sum(CAST(round(CAST(e.v AS DOUBLE) * 1e6) AS BIGINT) * m.s)
+            AS BIGINT) AS p_micro
+FROM e JOIN m USING (j)
+GROUP BY 1, 2
+"""
+
+
+QUERIES_TEXT["jl_project"] = (q_jl_project, _jl_sql())
