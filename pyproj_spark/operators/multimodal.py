@@ -506,3 +506,41 @@ def encode_png(arr) -> bytes:
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 6))
             + chunk(b"IEND", b""))
+
+
+def image_dhash(df: DataFrame, bin_col: str = "payload") -> DataFrame:
+    """Perceptual difference hash (dHash) for near-duplicate IMAGE
+    dedup: decode (real container decode via decode_image), integer
+    BT.601 luma ((299R+587G+114B)//1000 — exact, no float), nearest
+    downsample to 9x8 (src = i*src_dim // dst_dim, the image_resize
+    convention), then 64 horizontal-gradient bits row-major as a
+    '0'/'1' string. Resilient to re-encode/resize/brightness-scale —
+    the image twin of simhash for text. One mapInPandas stage;
+    undecodable blobs are skipped like image_resize."""
+    import numpy as np
+
+    def _dhash(batches: Iterator[pd.DataFrame]
+               ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf["url"], pdf[bin_col]):
+                try:
+                    px = decode_image(bytes(b)).astype(np.int64)
+                except (ValueError, NotImplementedError):
+                    continue
+                h, w = px.shape[:2]
+                if px.shape[2] == 1:
+                    luma = px[:, :, 0]
+                else:
+                    luma = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                            + 114 * px[:, :, 2]) // 1000
+                xs = (np.arange(9) * w) // 9
+                ys = (np.arange(8) * h) // 8
+                g = luma[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8)
+                rows.append((u, "".join(
+                    "1" if v else "0" for v in bits.ravel())))
+            yield pd.DataFrame(rows, columns=["url", "dhash"])
+
+    return df.select("url", bin_col).mapInPandas(
+        _dhash, "url string, dhash string")

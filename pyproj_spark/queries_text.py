@@ -4579,3 +4579,92 @@ GROUP BY 1, 2
 
 
 QUERIES_TEXT["jl_project"] = (q_jl_project, _jl_sql())
+
+
+# ------------------------------------------------ perceptual image hash
+
+def q_image_dhash(spark, sf_dir):
+    """Near-duplicate IMAGE dedup via dHash (operators/multimodal.py::
+    image_dhash): real PNG bytes synthesized per doc (18x12, the
+    image_meta pixel formulas), decoded through the REAL zlib
+    inflate+unfilter path, then integer luma -> 9x8 nearest sample ->
+    64 gradient bits; per-hash duplicate counts close the dedup loop.
+    The oracle recomputes luma/sampling/bits arithmetically from the
+    pixel formulas — hash equality gates the whole decode+hash chain."""
+    import struct
+    import zlib
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyproj_spark.operators.multimodal import image_dhash
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+
+    W, H = 18, 12
+
+    def _png(d: int) -> bytes:
+        x, y = np.meshgrid(np.arange(W), np.arange(H))
+        px = np.stack([(x * 7 + d) % 256, (y * 13 + d * 3) % 256,
+                       (x + y) % 256], -1).astype(np.uint8)
+        rows = bytearray()
+        for yy in range(H):
+            rows.append(0)
+            rows += px[yy].tobytes()
+
+        def chunk(t: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + t + data
+                    + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + chunk(b"IEND", b""))
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "payload": [_png(int(d)) for d in pdf["doc_id"]]})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    hashed = image_dhash(blobs).withColumn("doc_id",
+                                           F.col("url").cast("long"))
+    from pyspark.sql import Window as W_
+    return hashed.select(
+        "doc_id", "dhash",
+        F.count(F.lit(1)).over(W_.partitionBy("dhash")).alias("n_same"))
+
+
+def _image_dhash_sql() -> str:
+    # fully parenthesized: % must apply per channel before the
+    # weighted sum
+    def luma(xe, ye):
+        return (f"(299 * ((({xe}) * 7 + doc_id) % 256)"
+                f" + 587 * ((({ye}) * 13 + doc_id * 3) % 256)"
+                f" + 114 * ((({xe}) + ({ye})) % 256)) // 1000"
+                )
+    return f"""
+WITH grid AS (
+  SELECT y, x, 2 * x AS x1, 2 * x + 2 AS x2, (3 * y) // 2 AS yy
+  FROM unnest(generate_series(0, 7)) AS gy(y),
+       unnest(generate_series(0, 7)) AS gx(x)
+),
+bits AS (
+  SELECT doc_id, y, x,
+         CASE WHEN {luma('x2', 'yy')} > {luma('x1', 'yy')}
+              THEN '1' ELSE '0' END AS bit
+  FROM documents, grid
+),
+h AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+  FROM bits GROUP BY 1
+)
+SELECT doc_id, dhash,
+       CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+FROM h
+"""
+
+
+QUERIES_TEXT["image_dhash"] = (q_image_dhash, _image_dhash_sql())
