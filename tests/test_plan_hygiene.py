@@ -365,3 +365,62 @@ def test_hmm_emissions_have_no_shuffle_before_dp(spark):
     plan = _plan(q_hmm_match(spark, SF))
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_rect_join_is_equi_join_no_nested_loop(spark):
+    # PBSM's whole point: the cell decomposition turns the theta join
+    # into a hash equi-join; a BroadcastNestedLoopJoin or cartesian
+    # here means the decomposition degenerated
+    from pyproj_spark.queries import q_rect_join
+    plan = _plan(q_rect_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_union_area_single_row_partition_windows(spark):
+    # the sweep's shuffles are all keyed by the scanline row; a
+    # global (unpartitioned) window would serialize the corpus
+    from pyproj_spark.queries import q_union_area
+    plan = _plan(q_union_area(spark, SF))
+    assert "Window" in plan
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "y#" in m.group(1)  # partitioned by the row key
+
+
+def test_speed_filter_single_window_no_join(spark):
+    from pyproj_spark.queries import q_speed_filter
+    plan = _plan(q_speed_filter(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + agg
+
+
+def test_jl_project_no_exchange_at_all(spark):
+    # literal sign matrix + per-row fold: any exchange is a regression
+    from pyproj_spark.queries_text import q_jl_project
+    plan = _plan(q_jl_project(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_cdc_chunks_windows_partition_by_doc(spark):
+    from pyproj_spark.queries_text import q_cdc_chunks
+    plan = _plan(q_cdc_chunks(spark, SF))
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("id#" in s for s in specs)
+
+
+def test_dem_slope_scatter_has_no_self_join(spark):
+    # gradient gathers by hash agg over scattered contributions; the
+    # only join allowed is the occupied-cell semi/outer join
+    from pyproj_spark.queries import q_dem_slope
+    plan = _plan(q_dem_slope(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    njoins = sum(plan.count(k) for k in
+                 ("SortMergeJoin", "BroadcastHashJoin",
+                  "ShuffledHashJoin"))
+    assert njoins <= 1
