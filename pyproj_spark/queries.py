@@ -7288,3 +7288,58 @@ FROM r6
 
 
 QUERIES["dtw_route"] = (q_dtw_route, _dtw_sql())
+
+
+# ------------------------------------------------ 1-D range join
+
+def q_range_join(spark, sf_dir):
+    """Interval-overlap (range) join (operators/rangejoin.py): event
+    activity intervals vs maintenance windows, decomposed into bucket
+    equi-joins with responsibility-bucket dedup — the plan Spark
+    would otherwise run as a BroadcastNestedLoopJoin. The oracle is
+    decomposition-BLIND (DuckDB's native IEJoin on the raw overlap
+    predicate), so hash equality proves every overlapping pair is
+    found exactly once."""
+    from pyproj_spark.operators.rangejoin import range_join
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.unix_timestamp("ts").alias("lo")).withColumn(
+        "hi", F.col("lo") + F.col("id") % 600)
+    base = 1704067200  # 2024-01-01, the events month
+    win = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_orderkey") % 4 == 0)
+           .select(F.col("o_orderkey").alias("id"))
+           .withColumn("lo", F.lit(base)
+                       + (F.col("id") * 377) % (30 * 86400))
+           .withColumn("hi", F.col("lo") + F.col("id") % 900))
+    pairs = range_join(ev, win, bucket=900)
+    return (pairs.groupBy(F.col("b_id").alias("win_id"))
+            .agg(F.count(F.lit(1)).alias("n_overlaps"),
+                 F.sum("ov_len").alias("total_overlap_s")))
+
+
+SQL_RANGE_JOIN = """
+WITH a AS (
+  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+         CAST(floor(epoch(ts)) AS BIGINT) + event_id % 600 AS hi
+  FROM events
+),
+b AS (
+  SELECT o_orderkey AS id,
+         1704067200 + (o_orderkey * 377) % (30 * 86400) AS lo,
+         1704067200 + (o_orderkey * 377) % (30 * 86400)
+             + o_orderkey % 900 AS hi
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+pairs AS (
+  SELECT b.id AS win_id, least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1
+             AS ov_len
+  FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+)
+SELECT win_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(ov_len) AS BIGINT) AS total_overlap_s
+FROM pairs GROUP BY 1
+"""
+
+
+QUERIES["range_join"] = (q_range_join, SQL_RANGE_JOIN)

@@ -85,3 +85,30 @@ class TestUnionByRow:
         rects = [(0, 0, 100, 5, 5), (1, 10, 20, 5, 5), (2, 30, 90, 5, 5)]
         [r] = union_by_row(spark.createDataFrame(rects, COLS)).collect()
         assert (r.y, r.n_intervals, r.n_islands, r.union_len) == (5, 3, 1, 101)
+
+
+class TestRangeJoin:
+    def test_matches_brute_force_each_pair_once(self, spark):
+        from pyproj_spark.operators.rangejoin import range_join
+        a = [(i, i * 37 % 500, i * 37 % 500 + i % 40) for i in range(80)]
+        b = [(i, i * 53 % 480, i * 53 % 480 + i % 60) for i in range(60)]
+        for bucket in (7, 64, 1000):
+            got = range_join(
+                spark.createDataFrame(a, ["id", "lo", "hi"]),
+                spark.createDataFrame(b, ["id", "lo", "hi"]),
+                bucket=bucket).collect()
+            tuples = [(r.a_id, r.b_id, r.ov_len) for r in got]
+            assert len(tuples) == len(set(tuples)), bucket
+            brute = {(ai, bi, min(ah, bh) - max(al, bl) + 1)
+                     for ai, al, ah in a for bi, bl, bh in b
+                     if al <= bh and bl <= ah}
+            assert set(tuples) == brute, bucket
+
+    def test_touching_intervals_overlap_by_one(self, spark):
+        from pyproj_spark.operators.rangejoin import range_join
+        a = [(0, 0, 10)]
+        b = [(0, 10, 20), (1, 11, 20)]
+        got = range_join(spark.createDataFrame(a, ["id", "lo", "hi"]),
+                         spark.createDataFrame(b, ["id", "lo", "hi"]),
+                         bucket=4).collect()
+        assert [(r.a_id, r.b_id, r.ov_len) for r in got] == [(0, 0, 1)]
