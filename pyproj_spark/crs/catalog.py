@@ -1068,6 +1068,10 @@ _ESRI["54008"] = ("World_Sinusoidal", "WGS84",
                   dict(proj="sinu", lon_0=0, x_0=0, y_0=0), "enu", 1.0)
 # Lambert II étendu — the pre-RGF93 all-France default (alias of 27572)
 _IGNF["LAMBE"] = 27572
+# the classic NTF (Paris) zone ladder: LAMB1-3 and the "carto" twins
+_IGNF.update({"LAMB1": 27561, "LAMB2": 27562, "LAMB3": 27563,
+              "LAMB1C": 27571, "LAMB2C": 27572, "LAMB3C": 27573,
+              "NTFG": 4275, "NTFP": 4807})
 
 
 AUTHORITY_NAMES = ("EPSG", "ESRI", "IGNF", "OGC")
