@@ -6769,8 +6769,8 @@ def q_zonal_stats(spark, sf_dir):
     coordinates, covering-blind."""
     from pyproj_spark.operators.pip import pip_join
     pts = _doc_points(spark, sf_dir)
-    ras = (pts.select(F.floor(F.col("lon") / 6).cast("long").alias("gx"),
-                      F.floor(F.col("lat") / 6).cast("long").alias("gy"))
+    ras = (pts.select(F.floor("lon").cast("long").alias("gx"),
+                      F.floor("lat").cast("long").alias("gy"))
            .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("cnt")))
     centers = ras.select(
         "gx", "gy", "cnt",
