@@ -91,7 +91,7 @@ def _interleaved() -> dict[str, tuple]:
         "rect_join", "union_area", "speed_filter", "line_interp",
         "cdc_chunks", "sitemap_parse", "readability", "rake_keywords",
         "ngram_novelty", "dem_slope", "dtw_route", "jl_project",
-        "image_dhash", "range_join",
+        "image_dhash", "range_join", "audio_fp", "quality_auc",
         "symspell_pairs", "resample_track", "anchor_text",
         "corpus_drift", "zonal_stats", "sph_centroid",
         "rhumb_line", "dsir_sample", "gc_intersect", "sq8_ann",

@@ -544,3 +544,42 @@ def image_dhash(df: DataFrame, bin_col: str = "payload") -> DataFrame:
 
     return df.select("url", bin_col).mapInPandas(
         _dhash, "url string, dhash string")
+
+
+def audio_fingerprint(df: DataFrame, bin_col: str = "payload",
+                      frame: int = 16) -> DataFrame:
+    """Acoustic fingerprint for near-duplicate AUDIO dedup (the
+    energy-difference family behind Shazam-style matchers, reduced to
+    its deterministic core): real RIFF/PCM decode, fixed-size frames
+    (partial tail dropped), per-frame energy as an EXACT integer
+    sum of squared samples, one bit per consecutive-frame energy
+    rise. Gain-scaling leaves every comparison's sign unchanged, so
+    the fingerprint is volume-invariant — the audio twin of
+    image_dhash. One mapInPandas stage; undecodable blobs skipped."""
+    import numpy as np
+
+    from pyproj_spark.kernels.riff import decode_wav
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, b in zip(pdf["url"], pdf[bin_col]):
+                try:
+                    samples, _rate = decode_wav(bytes(b))
+                except (ValueError, NotImplementedError):
+                    continue
+                s = np.asarray(samples, dtype=np.int64)
+                if s.ndim > 1:
+                    s = s[:, 0]
+                nf = len(s) // frame
+                if nf < 2:
+                    continue
+                e = (s[:nf * frame].reshape(nf, frame) ** 2).sum(axis=1)
+                bits = "".join("1" if e[k + 1] > e[k] else "0"
+                               for k in range(nf - 1))
+                rows.append((u, nf, bits))
+            yield pd.DataFrame(rows,
+                               columns=["url", "n_frames", "fp"])
+
+    return df.select("url", bin_col).mapInPandas(
+        _fp, "url string, n_frames int, fp string")

@@ -4668,3 +4668,142 @@ FROM h
 
 
 QUERIES_TEXT["image_dhash"] = (q_image_dhash, _image_dhash_sql())
+
+
+# ------------------------------------------------ audio fingerprint
+
+def q_audio_fp(spark, sf_dir):
+    """Near-duplicate AUDIO dedup via energy-difference fingerprints
+    (operators/multimodal.py::audio_fingerprint): real 16-bit WAV
+    bytes synthesized per doc, decoded through the REAL RIFF/PCM
+    path, framed at 16 samples, exact integer energies, one bit per
+    energy rise. The oracle recomputes frames/energies/bits from the
+    sample formula — the decode+hash chain gates end to end."""
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from pyproj_spark.operators.multimodal import audio_fingerprint
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
+
+    def _wav(d: int) -> bytes:
+        from pyproj_spark.kernels.riff import encode_wav
+        n = d % 120 + 64
+        s = ((np.arange(n) * 53 + d * 29) % 256) - 128
+        return encode_wav(s, rate=8000, bits=16)
+
+    def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "payload": [_wav(int(d)) for d in pdf["doc_id"]]})
+
+    blobs = docs.mapInPandas(_blob, "url string, payload binary")
+    return audio_fingerprint(blobs).select(
+        F.col("url").cast("long").alias("doc_id"), "n_frames", "fp")
+
+
+SQL_AUDIO_FP = """
+WITH d AS (
+  SELECT doc_id, doc_id % 120 + 64 AS n FROM documents
+),
+samples AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i,
+         ((unnest(generate_series(0, n - 1)) * 53 + doc_id * 29) % 256)
+             - 128 AS s
+  FROM d
+),
+fr AS (
+  SELECT doc_id, i // 16 AS f, CAST(sum(s * s) AS BIGINT) AS e
+  FROM samples WHERE i // 16 < n // 16
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT doc_id, f,
+         CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY f)
+              THEN '1' ELSE '0' END AS bit
+  FROM fr
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_frames,
+       string_agg(bit, '' ORDER BY f) FILTER (WHERE f > 0) AS fp
+FROM b GROUP BY 1
+"""
+
+
+QUERIES_TEXT["audio_fp"] = (q_audio_fp, SQL_AUDIO_FP)
+
+
+# ------------------------------------------------ exact ROC-AUC
+
+def q_quality_auc(spark, sf_dir):
+    """Filter-evaluation metric: exact ROC-AUC of a quality score
+    against a weak binary label per source, via the Mann-Whitney
+    rank-sum identity with tie-averaged ranks. Doubled average ranks
+    (2·avg = |score<s| + |score<=s| + 1) keep EVERYTHING integer
+    until the single closing division; the per-source score
+    distribution (bounded cardinality) is the only window input, so
+    the corpus never sorts globally. The classifier being scored is
+    the n_chars length signal against the lang=='en' label — the
+    point is the gated metric machinery, not the toy model."""
+    from pyspark.sql import Window as W_
+    docs = _docs(spark, sf_dir).select(
+        "source", F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("pos"))
+    dist = (docs.groupBy("source", "score")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("pos").alias("pos_cnt")))
+    w = (W_.partitionBy("source").orderBy("score")
+         .rowsBetween(W_.unboundedPreceding, -1))
+    ranked = (dist
+              .withColumn("lt", F.coalesce(F.sum("cnt").over(w),
+                                           F.lit(0)))
+              .withColumn("le", F.col("lt") + F.col("cnt")))
+    agg = (ranked.groupBy("source")
+           .agg(F.sum(F.col("pos_cnt")
+                      * (F.col("lt") + F.col("le") + 1)).alias("r2"),
+                F.sum("pos_cnt").alias("n_pos"),
+                F.sum(F.col("cnt") - F.col("pos_cnt")).alias("n_neg")))
+    return (agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select("source", "n_pos", "n_neg",
+                    F.round(F.lit(1e6)
+                            * (F.col("r2")
+                               - F.col("n_pos") * (F.col("n_pos") + 1))
+                            / (2 * F.col("n_pos") * F.col("n_neg")))
+                    .cast("long").alias("auc_micro")))
+
+
+SQL_QUALITY_AUC = """
+WITH d AS (
+  SELECT source, n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+dist AS (
+  SELECT source, score, count(*) AS cnt, sum(pos) AS pos_cnt
+  FROM d GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, score, cnt, pos_cnt,
+         coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+  FROM dist
+),
+agg AS (
+  SELECT source,
+         CAST(sum(pos_cnt * (lt + lt + cnt + 1)) AS BIGINT) AS r2,
+         CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+         CAST(sum(cnt - pos_cnt) AS BIGINT) AS n_neg
+  FROM ranked GROUP BY 1
+)
+SELECT source, n_pos, n_neg,
+       CAST(round(1e6 * CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / CAST(2 * n_pos * n_neg AS DOUBLE)) AS BIGINT)
+           AS auc_micro
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+QUERIES_TEXT["quality_auc"] = (q_quality_auc, SQL_QUALITY_AUC)

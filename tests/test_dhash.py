@@ -62,3 +62,31 @@ class TestDHash:
             ["url", "payload"])
         rows = image_dhash(df).collect()
         assert {r.url for r in rows} == {"ok"}
+
+
+class TestAudioFingerprint:
+    def _fp(self, spark, tracks):
+        import numpy as np
+        from pyproj_spark.kernels.riff import encode_wav
+        from pyproj_spark.operators.multimodal import audio_fingerprint
+        df = spark.createDataFrame(
+            [(str(i), encode_wav(np.asarray(s), rate=8000, bits=16))
+             for i, s in enumerate(tracks)], ["url", "payload"])
+        return {r.url: (r.n_frames, r.fp)
+                for r in audio_fingerprint(df).collect()}
+
+    def test_volume_invariant(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(9)
+        base = rng.randint(-4000, 4000, 160)
+        h = self._fp(spark, [base, base * 2, base // 2])
+        assert h["0"][1] == h["1"][1] == h["2"][1]
+
+    def test_different_audio_differs_and_partial_tail_dropped(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(10)
+        a = rng.randint(-4000, 4000, 165)  # 10 frames + 5-sample tail
+        b = rng.randint(-4000, 4000, 160)
+        h = self._fp(spark, [a, b])
+        assert h["0"][0] == 10 and len(h["0"][1]) == 9
+        assert h["0"][1] != h["1"][1]
