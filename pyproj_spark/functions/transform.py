@@ -129,6 +129,36 @@ def transform_xyz(crs_from, crs_to, x: Column, y: Column, z: Column,
     return _xf(x, y, z)
 
 
+_PIPELINE_CACHE: dict = {}
+
+
+def transform_pipeline(pipeline: str, x: Column, y: Column,
+                       z: Column | None = None) -> Column:
+    """Run a ``+proj=pipeline`` string over coordinate columns ->
+    struct<x,y,z>. The DataFrame form of the reference's
+    ``Transformer.from_pipeline(...).transform(...)``
+    (``pyproj/transformer.py:270-330``): the string is validated on the
+    driver, each python worker parses it once (module cache keyed by
+    the string — the kernel holds only step closures), and whole Arrow
+    batches cross in one call."""
+    from pyproj_spark.plans.pipeline import PipelineKernel
+    PipelineKernel(pipeline)  # driver-side validation: raise HERE
+
+    @pandas_udf("struct<x:double,y:double,z:double>")
+    def _pl(xs: pd.Series, ys: pd.Series, zs: pd.Series) -> pd.DataFrame:
+        k = _PIPELINE_CACHE.get(pipeline)
+        if k is None:
+            from pyproj_spark.plans.pipeline import PipelineKernel as PK
+            k = _PIPELINE_CACHE[pipeline] = PK(pipeline)
+        xo, yo, zo = k(xs.to_numpy(dtype="float64"),
+                       ys.to_numpy(dtype="float64"),
+                       zs.to_numpy(dtype="float64"))
+        return pd.DataFrame({"x": xo, "y": yo, "z": zo})
+
+    zc = F.lit(0.0) if z is None else z.cast("double")
+    return _pl(x, y, zc)
+
+
 def geod_inverse(ellps: str, lon1: Column, lat1: Column, lon2: Column,
                  lat2: Column) -> Column:
     """struct<az12,az21,dist> — Karney inverse as a pandas UDF.

@@ -104,3 +104,65 @@ class Helmert:
     def is_identity(self):
         return (not self.time_dependent
                 and all(v == 0.0 for v in self.p))
+
+
+class Molodensky:
+    """(Abridged) Molodensky datum shift, EPSG method 9604 (full) /
+    9605 (abridged) — the direct geodetic-domain alternative to the
+    cart->helmert->cart chain, PROJ's ``+proj=molodensky`` step
+    (reference drives it through pipeline transformers,
+    ``pyproj/transformer.py:754-803``). Params: dx dy dz (m) geocentric
+    translation, da (m) semi-major change, df flattening change, source
+    ellipsoid. Formulas are the EPSG Guidance Note 7-2 closed forms —
+    pure elementwise numpy, no iteration, so one Arrow crossing batches
+    the whole partition."""
+
+    def __init__(self, E: Ellipsoid, dx=0.0, dy=0.0, dz=0.0,
+                 da=0.0, df=0.0, abridged=False):
+        self.E = E
+        self.dx, self.dy, self.dz = float(dx), float(dy), float(dz)
+        self.da, self.df = float(da), float(df)
+        self.abridged = bool(abridged)
+
+    def _shift(self, lam, phi, h, dx, dy, dz, da, df):
+        E = self.E
+        sphi, cphi = np.sin(phi), np.cos(phi)
+        slam, clam = np.sin(lam), np.cos(lam)
+        w2 = 1.0 - E.e2 * sphi * sphi
+        w = np.sqrt(w2)
+        N = E.a / w
+        M = E.a * (1.0 - E.e2) / (w2 * w)
+        if self.abridged:
+            adffda = E.a * df + E.f * da
+            dphi = (-dx * sphi * clam - dy * sphi * slam + dz * cphi
+                    + adffda * np.sin(2.0 * phi)) / M
+            dlam = (-dx * slam + dy * clam) / (N * cphi)
+            dh = (dx * cphi * clam + dy * cphi * slam + dz * sphi
+                  + adffda * sphi * sphi - da)
+        else:
+            dphi = (-dx * sphi * clam - dy * sphi * slam + dz * cphi
+                    + da * N * E.e2 * sphi * cphi / E.a
+                    + df * (M / (1.0 - E.f) + N * (1.0 - E.f))
+                    * sphi * cphi) / (M + h)
+            dlam = (-dx * slam + dy * clam) / ((N + h) * cphi)
+            dh = (dx * cphi * clam + dy * cphi * slam + dz * sphi
+                  - da * E.a / N + df * (1.0 - E.f) * N * sphi * sphi)
+        return lam + dlam, phi + dphi, h + dh
+
+    def forward(self, lam, phi, h=None):
+        """radians/metres in -> radians/metres out."""
+        lam = np.asarray(lam, dtype=np.float64)
+        phi = np.asarray(phi, dtype=np.float64)
+        h = np.zeros_like(lam) if h is None else np.asarray(h, np.float64)
+        return self._shift(lam, phi, h, self.dx, self.dy, self.dz,
+                           self.da, self.df)
+
+    def inverse(self, lam, phi, h=None):
+        """Negated-parameter shift evaluated on the TARGET ellipsoid
+        coordinates — PROJ's molodensky inverse convention (first-order
+        exact, like the method itself)."""
+        lam = np.asarray(lam, dtype=np.float64)
+        phi = np.asarray(phi, dtype=np.float64)
+        h = np.zeros_like(lam) if h is None else np.asarray(h, np.float64)
+        return self._shift(lam, phi, h, -self.dx, -self.dy, -self.dz,
+                           -self.da, -self.df)

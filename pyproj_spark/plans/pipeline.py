@@ -112,6 +112,17 @@ class PipelineKernel:
                 keys = ("x", "y", "z", "rx", "ry", "rz", "s")
                 h = Helmert(*[float(sp.get(k, 0.0)) for k in keys])
                 self.steps.append(("helmert_inv" if inv else "helmert", h))
+            elif name == "molodensky":
+                from pyproj_spark.kernels.datum import Molodensky
+                E = _ellipsoid_of(sp, gparams)
+                mo = Molodensky(
+                    E, dx=float(sp.get("dx", 0.0)),
+                    dy=float(sp.get("dy", 0.0)),
+                    dz=float(sp.get("dz", 0.0)),
+                    da=float(sp.get("da", 0.0)),
+                    df=float(sp.get("df", 0.0)),
+                    abridged="abridged" in sp)
+                self.steps.append(("molo_inv" if inv else "molo", mo))
             elif name == "hgridshift":
                 from pyproj_spark.kernels.grids import get_grid
                 gname = str(sp.get("grids", ""))
@@ -160,6 +171,10 @@ class PipelineKernel:
                 elif kind == "helmert":
                     x, y, z = arg.forward(x, y, z)
                 elif kind == "helmert_inv":
+                    x, y, z = arg.inverse(x, y, z)
+                elif kind == "molo":
+                    x, y, z = arg.forward(x, y, z)
+                elif kind == "molo_inv":
                     x, y, z = arg.inverse(x, y, z)
                 elif kind in ("hgrid", "hgrid_inv"):
                     # angular step (radians, PROJ hgridshift semantics);

@@ -7343,3 +7343,84 @@ FROM pairs GROUP BY 1
 
 
 QUERIES["range_join"] = (q_range_join, SQL_RANGE_JOIN)
+
+
+# -- molodensky: direct geodetic-domain datum shift (EPSG 9604) ------
+
+# f_WGS84 - f_intl, computed once so the pipeline literal and the SQL
+# expression produce the identical IEEE double
+_MOLO_DF = 1.0 / 298.257223563 - 1.0 / 297.0
+_MOLO_PIPE = (
+    "+proj=pipeline "
+    "+step +proj=unitconvert +xy_in=deg +xy_out=rad "
+    "+step +proj=molodensky +ellps=intl +dx=-87 +dy=-96 +dz=-120 "
+    f"+da=-251.0 +df={_MOLO_DF!r} "
+    "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+
+
+def q_molodensky(spark, sf_dir):
+    """Full (non-abridged) Molodensky datum shift ED50->WGS84 driven as
+    a ``+proj=molodensky`` pipeline step through the batched pipeline
+    UDF (reference runs this PROJ step via Transformer.from_pipeline,
+    ``pyproj/transformer.py:270-330``; method EPSG 9604). Exercises the
+    ellipsoid-change terms (da, df) and the height-aware (M+h, N+h)
+    divisors the cart->helmert->cart chain never touches. The oracle
+    recomputes the EPSG Guidance Note 7-2 closed form in SQL."""
+    from pyproj_spark.functions.transform import transform_pipeline
+    pts = _doc_points(spark, sf_dir).select(
+        "doc_id", "lon", (F.col("lat") * 0.94).alias("lat"),
+        ((F.col("doc_id") % 2000) / 10.0).alias("h"))
+    out = transform_pipeline(_MOLO_PIPE, F.col("lon"), F.col("lat"),
+                             F.col("h"))
+    return pts.withColumn("o", out).select(
+        "doc_id",
+        F.round(F.col("o.x"), 7).alias("lon_wgs"),
+        F.round(F.col("o.y"), 7).alias("lat_wgs"),
+        F.round(F.col("o.z"), 3).alias("h_wgs"))
+
+
+SQL_MOLODENSKY = f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (
+  SELECT doc_id, radians(lon) AS lam, radians(lat * 0.94) AS phi,
+         (doc_id % 2000) / 10.0 AS h
+  FROM pts
+),
+k AS (
+  SELECT doc_id, lam, phi, h,
+         6378388.0 AS a, 1.0 / 297.0 AS f,
+         (1.0 / 297.0) * (2.0 - 1.0 / 297.0) AS e2,
+         -87.0 AS dx, -96.0 AS dy, -120.0 AS dz,
+         -251.0 AS da, 1.0 / 298.257223563 - 1.0 / 297.0 AS df
+  FROM c
+),
+g AS (
+  SELECT *, sin(phi) AS s, cos(phi) AS cp,
+         1.0 - e2 * sin(phi) * sin(phi) AS w2
+  FROM k
+),
+r AS (
+  SELECT *, a / sqrt(w2) AS nn,
+         a * (1.0 - e2) / (w2 * sqrt(w2)) AS mm
+  FROM g
+),
+d AS (
+  SELECT doc_id, lam, phi, h,
+         (-dx * s * cos(lam) - dy * s * sin(lam) + dz * cp
+          + da * nn * e2 * s * cp / a
+          + df * (mm / (1.0 - f) + nn * (1.0 - f)) * s * cp)
+         / (mm + h) AS dphi,
+         (-dx * sin(lam) + dy * cos(lam)) / ((nn + h) * cp) AS dlam,
+         dx * cp * cos(lam) + dy * cp * sin(lam) + dz * s
+          - da * a / nn + df * (1.0 - f) * nn * s * s AS dh
+  FROM r
+)
+SELECT doc_id,
+       round(degrees(lam + dlam), 7) AS lon_wgs,
+       round(degrees(phi + dphi), 7) AS lat_wgs,
+       round(h + dh, 3) AS h_wgs
+FROM d
+"""
+
+
+QUERIES["molodensky"] = (q_molodensky, SQL_MOLODENSKY)
