@@ -7424,3 +7424,54 @@ FROM d
 
 
 QUERIES["molodensky"] = (q_molodensky, SQL_MOLODENSKY)
+
+
+# -- hilbert: Hilbert-curve write layout (zorder's stronger twin) ----
+
+def q_hilbert(spark, sf_dir):
+    """Hilbert-curve write-layout keys over the corpus points, with the
+    same 16-range-bucket bbox-extent proof as ``zorder`` — the two
+    gated queries together let the layouts be compared bucket by
+    bucket (Hilbert's unit-step path yields tighter extents, which is
+    what min/max file pruning monetizes at 10^12 rows). Keys are a
+    4-state automaton threaded through one named intermediate per bit
+    level — linear plan, all inside WholeStageCodegen; the oracle
+    replays the identical packed-constant arithmetic as chained CTEs.
+    The global ntile window is gate scaffolding only (the production
+    write path is repartitionByRange on the key, functions/hilbert.py).
+    """
+    from pyproj_spark.functions.hilbert import with_hilbert
+    pts = _doc_points(spark, sf_dir)
+    keyed = with_hilbert(pts, F.col("lon"), F.col("lat"), 10)
+    w = Window.orderBy("hkey", "doc_id")
+    return (keyed.withColumn("bucket", F.ntile(16).over(w))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"),
+                 F.min("hkey").alias("hmin"),
+                 F.max("hkey").alias("hmax"),
+                 F.round(F.max("lon") - F.min("lon"), 6)
+                 .alias("lon_span"),
+                 F.round(F.max("lat") - F.min("lat"), 6)
+                 .alias("lat_span")))
+
+
+def _hilbert_sql():
+    from pyproj_spark.functions.hilbert import hilbert_sql
+    return f"""
+WITH pts AS (
+  SELECT doc_id, lon, lat FROM ({_PTS_SQL})
+),
+{hilbert_sql(10, doc_cols="doc_id, lon, lat")},
+b AS (
+  SELECT p.doc_id, p.lon, p.lat, h.hkey,
+         ntile(16) OVER (ORDER BY h.hkey, p.doc_id) AS bucket
+  FROM pts p JOIN hil h USING (doc_id)
+)
+SELECT bucket, count(*) AS cnt, min(hkey) AS hmin, max(hkey) AS hmax,
+       round(max(lon) - min(lon), 6) AS lon_span,
+       round(max(lat) - min(lat), 6) AS lat_span
+FROM b GROUP BY bucket
+"""
+
+
+QUERIES["hilbert"] = (q_hilbert, _hilbert_sql())

@@ -424,3 +424,24 @@ def test_dem_slope_scatter_has_no_self_join(spark):
                  ("SortMergeJoin", "BroadcastHashJoin",
                   "ShuffledHashJoin"))
     assert njoins <= 1
+
+
+def test_hilbert_pure_catalyst_no_python(spark):
+    # the Hilbert key is native bit math threaded through named
+    # intermediates: a Python/Arrow stage appearing here means someone
+    # swapped the automaton for a UDF; nested-expression blowup would
+    # show as a plan string exploding in size
+    from pyproj_spark.queries import q_hilbert
+    df = q_hilbert(spark, SF)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(plan) < 200_000
+
+
+def test_molodensky_single_arrow_crossing(spark):
+    # one pipeline UDF = one Python boundary; a second Arrow stage
+    # would mean the unitconvert legs escaped the kernel
+    from pyproj_spark.queries import q_molodensky
+    plan = _plan(q_molodensky(spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
