@@ -583,3 +583,52 @@ def audio_fingerprint(df: DataFrame, bin_col: str = "payload",
 
     return df.select("url", bin_col).mapInPandas(
         _fp, "url string, n_frames int, fp string")
+
+
+def sniff_mime(payload):
+    """Content-type from magic bytes — the WHATWG MIME-sniffing core a
+    crawl pipeline runs on every fetched body before trusting the
+    server's Content-Type header. PURE Catalyst (hex-prefix CASE over
+    the first bytes; no Arrow crossing), because at 10^12 bodies this
+    runs on every single row of the ingest path.
+
+    Covers the container set the engine can decode (multimodal.py /
+    kernels/riff.py / kernels/jpeg.py) plus the crawl staples: pdf,
+    zip, gzip, and tag-sniffed HTML with the spec's leading-whitespace
+    skip. Unknown bytes fall through to application/octet-stream,
+    never an error — sniffing is a routing decision, not validation.
+    """
+    from pyspark.sql import Column  # noqa: F401 (signature clarity)
+
+    hx = F.hex(F.substring(payload, 1, 16))
+
+    def pre(h: str):
+        return hx.startswith(h.upper())
+
+    riff_kind = F.hex(F.substring(payload, 9, 4))
+    # decode the prefix as text for tag sniffing; invalid UTF-8 becomes
+    # replacement chars which simply never match the tags
+    head = F.lower(F.regexp_replace(
+        F.substring(payload.cast("string"), 1, 80),
+        r"^[\t\n\x0b\f\r ]+", ""))
+    return (
+        F.when(pre("255044462D"), F.lit("application/pdf"))
+        .when(pre("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(pre("FFD8FF"), F.lit("image/jpeg"))
+        .when(pre("474946383761") | pre("474946383961"),
+              F.lit("image/gif"))
+        .when(pre("424D"), F.lit("image/bmp"))
+        .when(pre("52494646") & (riff_kind == "57415645"),
+              F.lit("audio/wav"))
+        .when(pre("52494646") & (riff_kind == "41564920"),
+              F.lit("video/avi"))
+        .when(pre("52494646") & (riff_kind == "57454250"),
+              F.lit("image/webp"))
+        .when(pre("504B0304") | pre("504B0506"),
+              F.lit("application/zip"))
+        .when(pre("1F8B"), F.lit("application/gzip"))
+        .when(head.startswith("<!doctype html") | head.startswith("<html")
+              | head.startswith("<head") | head.startswith("<body"),
+              F.lit("text/html"))
+        .when(head.startswith("<?xml"), F.lit("text/xml"))
+        .otherwise(F.lit("application/octet-stream")))

@@ -4807,3 +4807,64 @@ FROM agg WHERE n_pos > 0 AND n_neg > 0
 
 
 QUERIES_TEXT["quality_auc"] = (q_quality_auc, SQL_QUALITY_AUC)
+
+
+# -- mime_sniff: magic-byte content-type routing ---------------------
+
+_MIME_HEX = {
+    0: "255044462D312E370A",            # %PDF-1.7\n
+    1: "89504E470D0A1A0A49484452",      # PNG signature + IHDR
+    2: "FFD8FFE145786966",              # JPEG SOI + APP1 'Exif'
+    3: "474946383961",                  # GIF89a
+    4: "524946462400000057415645",      # RIFF....WAVE
+    5: "504B0304",                      # zip local-file header
+    6: "1F8B08",                        # gzip deflate
+    7: "20090D0A3C21444F43545950452048544D4C3E3C48544D4C3E",
+    #  ^ whitespace-led mixed-case '<!DOCTYPE HTML><HTML>'
+    8: "3C3F786D6C2076657273696F6E3D22312E30223F3E",   # <?xml ...?>
+    9: "00010203FE",                    # junk -> octet-stream
+}
+_MIME_EXPECT = {
+    0: "application/pdf", 1: "image/png", 2: "image/jpeg",
+    3: "image/gif", 4: "audio/wav", 5: "application/zip",
+    6: "application/gzip", 7: "text/html", 8: "text/xml",
+    9: "application/octet-stream",
+}
+
+
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME sniffing over a synthesized binary body column
+    (WHATWG-style routing every crawl ingest runs before trusting
+    Content-Type). Payloads are REAL container prefixes — PNG/JPEG/
+    GIF/RIFF-WAVE/zip/gzip/pdf plus whitespace-led mixed-case HTML and
+    junk bytes — built natively with unhex, sniffed natively with a
+    hex-prefix CASE: the whole query has zero Python stages
+    (plan-locked). The oracle states the expected routing per class;
+    adversarial byte cases are pytest-locked in test_mime.py."""
+    from pyproj_spark.operators.multimodal import sniff_mime
+    d = _docs(spark, sf_dir)
+    hexcase = F.lit(None).cast("string")
+    sel = F.col("doc_id") % 10
+    for k, h in _MIME_HEX.items():
+        hexcase = F.when(sel == k, F.lit(h)).otherwise(hexcase)
+    body = F.concat(F.unhex(hexcase),
+                    F.substring(F.col("text"), 1, 32).cast("binary"))
+    sniffed = d.select("doc_id", sniff_mime(body).alias("mime"))
+    return (sniffed.groupBy("mime")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+def _mime_sql():
+    when = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in _MIME_EXPECT.items())
+    return f"""
+SELECT CASE doc_id % 10 {when} END AS mime,
+       count(*) AS n_docs, min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES_TEXT["mime_sniff"] = (q_mime_sniff, _mime_sql())

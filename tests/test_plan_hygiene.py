@@ -445,3 +445,12 @@ def test_molodensky_single_arrow_crossing(spark):
     plan = _plan(q_molodensky(spark, SF))
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_mime_sniff_zero_python_stages(spark):
+    # body synthesis (unhex CASE) and sniffing (hex-prefix CASE) are
+    # both native; ANY Python stage here is an ingest-path regression
+    from pyproj_spark.queries_text import q_mime_sniff
+    plan = _plan(q_mime_sniff(spark, SF))
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine before shuffle
