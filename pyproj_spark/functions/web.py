@@ -88,3 +88,48 @@ def path_depth(path: Column) -> Column:
     """Number of non-empty path segments — a cheap crawl-depth proxy."""
     return F.size(F.filter(F.split(path, "/"),
                            lambda s: s != F.lit("")))
+
+
+def resolve_dot_segments(path: Column, max_depth: int = 6) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments as a bounded unroll of two
+    native regex rules per level: ``/./`` collapse and
+    ``/segment/../`` elimination, then the root-overflow rule
+    (``/../`` at the root resolves to ``/``). ``max_depth`` bounds the
+    relative-nesting depth resolved (6 covers any non-pathological
+    crawl URL; deeper chains just stay partially resolved — routing
+    keys degrade gracefully, they don't error). Patterns avoid
+    lookaround so the identical rules run on RE2 (DuckDB) and Java
+    regex (Spark)."""
+    # the consumed segment must not itself be "." or ".." (else one
+    # match eats two ups); alternation instead of lookahead so the
+    # same pattern runs on RE2
+    seg = r"(\.\.[^/]+|\.[^./][^/]*|[^./][^/]*)"
+    for _ in range(max_depth):
+        path = F.regexp_replace(path, r"/\.(/|$)", "/")
+        path = F.regexp_replace(path, "/" + seg + r"/\.\.(/|$)", "/")
+    path = F.regexp_replace(path, r"^(/\.\.)+(/|$)", "/")
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) dedup key — the
+    web-archive canonical form (``com,example,www)/path?query``):
+    host labels reversed and comma-joined, scheme dropped, default
+    ports stripped, dot segments resolved, query params sorted,
+    fragment removed. Grouping a 10^12-page crawl by this key is the
+    classic same-page-collapse; all native Catalyst."""
+    p = url_parts(url)
+    rev_host = F.array_join(F.reverse(F.split(p["host"], r"\.")), ",")
+    scheme = p["scheme"]
+    default_port = ((scheme == "http") & (p["port"] == "80")) | \
+        ((scheme == "https") & (p["port"] == "443"))
+    port = F.when(p["port"] == "", F.lit("")) \
+        .when(default_port, F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), p["port"]))
+    path = resolve_dot_segments(p["path"])
+    query = F.when(
+        p["query"] == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"),
+                 F.array_join(F.array_sort(F.split(p["query"], "&")),
+                              "&")))
+    return F.concat(rev_host, port, F.lit(")"), path, query)

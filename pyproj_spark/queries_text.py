@@ -4868,3 +4868,53 @@ FROM documents GROUP BY 1
 
 
 QUERIES_TEXT["mime_sniff"] = (q_mime_sniff, _mime_sql())
+
+
+# -- surt_dedup: SURT canonical-key page collapse --------------------
+
+def q_surt_dedup(spark, sf_dir):
+    """SURT-key crawl collapse: three synthesized per-page URL variants
+    (mixed-case scheme/host + default port + fragment; ``/./`` dot
+    segment; ``/x/../`` up-reference) that only become the SAME page
+    identity after full RFC 3986 dot-segment resolution + query-param
+    sorting + host reversal (functions/web.py surt_key — all native
+    regex/array ops, zero Python). Grouping by the key recovers the
+    true page and counts how many surface forms it had; the oracle
+    states the expected key arithmetically per (site, page) class and
+    counts variants via the synthesis rule. Adversarial RFC cases
+    (root overflow, trailing ``..``, deep chains) are pytest-locked in
+    test_surt.py."""
+    from pyproj_spark.functions.web import surt_key
+    d = F.col("doc_id")
+    s = (d % 23).cast("string")
+    pg = (d % 7).cast("string")
+    v = d % 3
+    url = F.when(v == 0, F.concat(
+        F.lit("http://sub.site"), s, F.lit(".com/a/c"), pg,
+        F.lit("/index.html?b=2&a=1"))
+    ).when(v == 1, F.concat(
+        F.lit("HTTP://SUB.Site"), s, F.lit(".COM:80/a/./c"), pg,
+        F.lit("/index.html?a=1&b=2#x"))
+    ).otherwise(F.concat(
+        F.lit("http://sub.site"), s, F.lit(".com/a/x/../c"), pg,
+        F.lit("/./index.html?b=2&a=1")))
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    keyed = docs.select("doc_id", "url",
+                        surt_key(F.col("url")).alias("surt"))
+    return (keyed.groupBy("surt")
+            .agg(F.count("*").alias("n_fetches"),
+                 F.countDistinct("url").alias("n_variants"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+SQL_SURT_DEDUP = """
+SELECT 'com,site' || CAST(doc_id % 23 AS VARCHAR) || ',sub)/a/c'
+       || CAST(doc_id % 7 AS VARCHAR) || '/index.html?a=1&b=2' AS surt,
+       count(*) AS n_fetches,
+       count(DISTINCT doc_id % 3) AS n_variants,
+       min(doc_id) AS first_doc
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES_TEXT["surt_dedup"] = (q_surt_dedup, SQL_SURT_DEDUP)
