@@ -170,3 +170,32 @@ def readability(df: DataFrame, id_col: str = "doc_id",
            - F.lit(84.6) * F.col("n_syll")
            / F.greatest(F.col("n_words"), F.lit(1)))
     return out.withColumn("fre", fre)
+
+
+#: the 27 CP1252 punctuation remaps of bytes 0x80-0x9F (what a UTF-8
+#: trail byte in that range shows as after a CP1252 misdecode)
+_CP1252_REMAP = "".join(map(chr, [
+    0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+    0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+    0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+    0x0153, 0x017E, 0x0178]))
+#: lead chars Â-Å (misdecoded 2-byte UTF-8 leads C2-C5,
+#: covering Latin supplement through Cyrillic) and â (lead E2,
+#: the 3-byte punctuation block behind 'â€™'); trail = Latin-1
+#: 0x80-0xBF plus the CP1252 remaps
+MOJIBAKE_RE = ("[\u00c2-\u00c5\u00e2]"
+               "[\u0080-\u00bf" + _CP1252_REMAP + "]")
+
+
+def mojibake_stats(text: Column) -> Column:
+    """struct<n_moji:bigint, n_repl:bigint> — double-encoding artifact
+    count (UTF-8 read as CP1252/Latin-1 and re-encoded: 'Ã©'
+    for 'é', 'â€™' for a right quote) plus U+FFFD
+    replacement-char count: the two standard corrupt-decode signals a
+    crawl-cleaning pass filters on. Native regexp_count, lookaround-
+    free pattern."""
+    return F.struct(
+        F.regexp_count(text, F.lit(MOJIBAKE_RE)).cast("long")
+        .alias("n_moji"),
+        F.regexp_count(text, F.lit("�")).cast("long")
+        .alias("n_repl"))

@@ -4918,3 +4918,62 @@ FROM documents GROUP BY 1
 
 
 QUERIES_TEXT["surt_dedup"] = (q_surt_dedup, SQL_SURT_DEDUP)
+
+
+# -- mojibake: corrupt-decode artifact scoring -----------------------
+
+#: planted artifacts, built from escapes so each class's true count is
+#: known arithmetically: class 0 = three 2-byte double-encodes
+#: (Caf\xc3\xa9 d\xc3\xa9j\xc3\xa0), class 1 = two 3-byte punctuation
+#: double-encodes (don’t + left quote through CP1252), class 2 =
+#: two U+FFFD replacement chars, class 3 = clean
+_MOJI_PLANT = {
+    0: " CafÃ© dÃ©jÃ  vu",
+    1: " donâ€™t â€œquote",
+    2: " bad�decode�",
+    3: "",
+}
+
+
+def q_mojibake(spark, sf_dir):
+    """Corrupt-decode scoring — the crawl-cleaning pass that catches
+    UTF-8 text that went through a CP1252/Latin-1 misdecode ('Ã©' for
+    'é', 'â€™' for a right quote) or lossy decode (U+FFFD). Artifacts
+    are planted per class with known counts; mojibake_stats counts
+    them back with one native lookaround-free regexp (zero Python,
+    plan analogous to mime_sniff), and the per-lang rollup reports
+    docs flagged + artifact totals. The oracle states the planted
+    arithmetic; adversarial strings (clean accented French, genuine
+    CP1252 punctuation) are pytest-locked so the regex can't just
+    match all non-ASCII."""
+    from pyproj_spark.operators.textstats import mojibake_stats
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    plant = F.lit(None).cast("string")
+    for k, v in _MOJI_PLANT.items():
+        plant = F.when(m == k, F.lit(v)).otherwise(plant)
+    scored = d.select(
+        "doc_id", "lang",
+        mojibake_stats(F.concat(F.col("text"), plant)).alias("s"))
+    return (scored.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("s.n_moji").alias("total_moji"),
+                 F.sum("s.n_repl").alias("total_repl"),
+                 F.sum(F.when((F.col("s.n_moji") > 0)
+                              | (F.col("s.n_repl") > 0), 1)
+                       .otherwise(0)).alias("n_flagged")))
+
+
+SQL_MOJIBAKE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END)
+            AS BIGINT) AS total_moji,
+       CAST(sum(CASE doc_id % 4 WHEN 2 THEN 2 ELSE 0 END) AS BIGINT)
+           AS total_repl,
+       CAST(sum(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM documents GROUP BY lang
+"""
+
+
+QUERIES_TEXT["mojibake"] = (q_mojibake, SQL_MOJIBAKE)
