@@ -133,3 +133,17 @@ def surt_key(url: Column) -> Column:
                  F.array_join(F.array_sort(F.split(p["query"], "&")),
                               "&")))
     return F.concat(rev_host, port, F.lit(")"), path, query)
+
+
+def hreflang_links(html: Column) -> Column:
+    """array<struct<hreflang:string, href:string>> extracted from
+    ``<link rel="alternate" hreflang=... href=...>`` tags — the
+    signal that groups a multilingual site's pages into translation
+    clusters (the dedup unit for multilingual corpus balancing: keep
+    one page per cluster per language, not N mirrors). Two zipped
+    regexp_extract_all passes over the same tag pattern, native."""
+    tag = (r'<link\s+rel="alternate"\s+hreflang="([^"]*)"\s+'
+           r'href="([^"]*)"\s*/?>')
+    return F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(tag), 1).alias("hreflang"),
+        F.regexp_extract_all(html, F.lit(tag), 2).alias("href"))

@@ -4977,3 +4977,77 @@ FROM documents GROUP BY lang
 
 
 QUERIES_TEXT["mojibake"] = (q_mojibake, SQL_MOJIBAKE)
+
+
+# -- hreflang_cluster: multilingual translation-cluster grouping -----
+
+_HREFLANG_LANGS = ("en", "de", "fr")
+
+
+def q_hreflang_cluster(spark, sf_dir):
+    """Translation-cluster assembly from hreflang alternate links —
+    the multilingual-balancing unit of a corpus pipeline (keep one
+    page per cluster+language instead of N mirrors). Each synthesized
+    page declares alternates for all three language variants of its
+    group plus x-default; hreflang_links extracts the tag pairs
+    natively, the x-default href becomes the cluster key, and the
+    rollup reports pages per cluster, languages actually present
+    (from the pages' own URLs), and declared alternates. Aggregation
+    shuffles once on the cluster key; the extraction never leaves the
+    row. The oracle replays the group arithmetic including the
+    distinct-language set."""
+    from pyproj_spark.functions.web import hreflang_links
+    d = F.col("doc_id")
+    g = (d % 151).cast("string")
+    v = d % 3
+    lang = (F.when(v == 0, _HREFLANG_LANGS[0])
+            .when(v == 1, _HREFLANG_LANGS[1])
+            .otherwise(_HREFLANG_LANGS[2]))
+    base = F.concat(F.lit("https://ex.com/"), lang, F.lit("/p"), g)
+    alts = [F.concat(F.lit(f'<link rel="alternate" hreflang="{lg}" '
+                           f'href="https://ex.com/{lg}/p'), g,
+                     F.lit('">'))
+            for lg in _HREFLANG_LANGS]
+    xdef = F.concat(
+        F.lit('<link rel="alternate" hreflang="x-default" '
+              'href="https://ex.com/en/p'), g, F.lit('">'))
+    html = F.concat(F.lit("<html><head>"), *alts, xdef,
+                    F.lit("</head><body>t</body></html>"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", base.alias("url"), html.alias("html"),
+        lang.alias("page_lang"))
+    links = docs.withColumn("links", hreflang_links(F.col("html")))
+    cluster = F.element_at(
+        F.filter(F.col("links"),
+                 lambda e: e["hreflang"] == F.lit("x-default")),
+        1)["href"]
+    keyed = links.select(
+        "doc_id", "url", "page_lang", cluster.alias("cluster"),
+        F.size(F.filter(F.col("links"),
+                        lambda e: e["hreflang"] != F.lit("x-default")))
+        .alias("n_declared"))
+    return (keyed.groupBy("cluster")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("url").alias("n_urls"),
+                 F.array_join(F.array_sort(F.collect_set("page_lang")),
+                              ",").alias("langs_present"),
+                 F.max("n_declared").alias("n_declared")))
+
+
+SQL_HREFLANG = """
+WITH v AS (
+  SELECT doc_id, doc_id % 151 AS g,
+         CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+              ELSE 'fr' END AS lang
+  FROM documents
+)
+SELECT 'https://ex.com/en/p' || CAST(g AS VARCHAR) AS cluster,
+       count(*) AS n_pages,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_urls,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs_present,
+       CAST(3 AS INTEGER) AS n_declared
+FROM v GROUP BY g
+"""
+
+
+QUERIES_TEXT["hreflang_cluster"] = (q_hreflang_cluster, SQL_HREFLANG)
