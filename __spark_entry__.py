@@ -88,7 +88,7 @@ def _interleaved() -> dict[str, tuple]:
     merged = dict(QUERIES)
     merged.update(QUERIES_TEXT)
     new_this_round = [
-        "molodensky", "hilbert", "mime_sniff", "surt_dedup", "mojibake", "hreflang_cluster",
+        "molodensky", "hilbert", "mime_sniff", "surt_dedup", "mojibake", "hreflang_cluster", "flow_dir",
         "rect_join", "union_area", "speed_filter", "line_interp",
         "cdc_chunks", "sitemap_parse", "readability", "rake_keywords",
         "ngram_novelty", "dem_slope", "dtw_route", "jl_project",

@@ -7475,3 +7475,103 @@ FROM b GROUP BY bucket
 
 
 QUERIES["hilbert"] = (q_hilbert, _hilbert_sql())
+
+
+# -- flow_dir: D8 steepest-descent flow direction --------------------
+
+#: ESRI D8 direction codes by neighbour offset (ox, oy) from the cell
+_D8 = [(1, 0, 1), (1, -1, 2), (0, -1, 4), (-1, -1, 8),
+       (-1, 0, 16), (-1, 1, 32), (0, 1, 64), (1, 1, 128)]
+
+
+def q_flow_dir(spark, sf_dir):
+    """Terrain hydrology: D8 flow direction (Jenson & Domingue 1988 /
+    the ESRI encoding) over the point-density raster as a DEM. Each
+    occupied cell flows to the steepest-DESCENT occupied neighbour;
+    descent is compared with EXACT integers by weighting cardinal
+    drops x10 and diagonal drops x7 (the 7/10 ~ 1/sqrt(2) integer
+    distance convention), ties broken by the smallest direction code,
+    pitless cells report 0. Same scatter-sum shape as dem_slope —
+    one scatter explode, one cell-key equi-join, one argmax agg; no
+    windowed self-joins, so the plan is the one you'd run on a
+    10^12-point density raster."""
+    pts = _doc_points(spark, sf_dir)
+    ras = (pts.select(F.floor(F.col("lon") / 6).cast("long").alias("gx"),
+                      F.floor(F.col("lat") / 6).cast("long").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("z")))
+    offs = [F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"),
+                     F.lit(code).alias("code"),
+                     F.lit(10 if ox * oy == 0 else 7).alias("w"))
+            for ox, oy, code in _D8]
+    # scatter each cell's elevation to the 8 targets it neighbours
+    nbr = (ras.select("gx", "gy", "z",
+                      F.explode(F.array(*offs)).alias("o"))
+           .select((F.col("gx") - F.col("o.ox")).alias("tx"),
+                   (F.col("gy") - F.col("o.oy")).alias("ty"),
+                   F.col("z").alias("zn"),
+                   F.col("o.code").alias("code"),
+                   F.col("o.w").alias("w")))
+    cells_t = ras.select(F.col("gx").alias("tx"),
+                         F.col("gy").alias("ty"),
+                         F.col("z").alias("zt"))
+    # LEFT join: an occupied cell with no occupied neighbour is a pit
+    # (it must appear with d8=0, not vanish)
+    scored = (cells_t.join(nbr, ["tx", "ty"], "left")
+              .select("tx", "ty", "zt",
+                      ((F.col("zt") - F.col("zn")) * F.col("w"))
+                      .alias("score"), "code"))
+    # lexicographic (score desc, code asc) packed into one integer so
+    # a plain max works in BOTH engines (DuckDB max_by takes no struct
+    # key): key = score*256 + (255 - code); decode with pmod
+    key = F.col("score") * 256 + (F.lit(255) - F.col("code"))
+    best = (scored.groupBy("tx", "ty")
+            .agg(F.max(key).alias("k"), F.max("zt").alias("z")))
+    r = F.pmod(F.col("k"), F.lit(256))
+    score = (F.col("k") - r) / 256
+    return best.select(
+        "tx", "ty", "z",
+        F.when(F.col("k").isNotNull() & (score > 0), F.lit(255) - r)
+        .otherwise(F.lit(0)).cast("int").alias("d8"),
+        F.greatest(F.coalesce(score, F.lit(0.0)), F.lit(0.0))
+        .cast("long").alias("drop_score"))
+
+
+SQL_FLOW_DIR = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon / 6) AS BIGINT) AS gx,
+         CAST(floor(lat / 6) AS BIGINT) AS gy, count(*) AS z
+  FROM pts GROUP BY 1, 2
+),
+offs(ox, oy, code, w) AS (
+  VALUES (1,0,1,10), (1,-1,2,7), (0,-1,4,10), (-1,-1,8,7),
+         (-1,0,16,10), (-1,1,32,7), (0,1,64,10), (1,1,128,7)
+),
+nbr AS (
+  SELECT gx - ox AS tx, gy - oy AS ty, z AS zn, code, w
+  FROM ras CROSS JOIN offs
+),
+scored AS (
+  SELECT t.gx AS tx, t.gy AS ty, t.z AS zt,
+         (t.z - n.zn) * n.w AS score, n.code
+  FROM ras t LEFT JOIN nbr n ON t.gx = n.tx AND t.gy = n.ty
+),
+best AS (
+  SELECT tx, ty, max(zt) AS z,
+         max(score * 256 + (255 - code)) AS k
+  FROM scored GROUP BY tx, ty
+),
+dec AS (
+  SELECT tx, ty, z, ((k % 256) + 256) % 256 AS r,
+         (k - (((k % 256) + 256) % 256)) / 256 AS score
+  FROM best
+)
+SELECT tx, ty, z,
+       CAST(CASE WHEN score > 0 THEN 255 - r ELSE 0 END
+            AS INTEGER) AS d8,
+       CAST(greatest(coalesce(score, 0), 0) AS BIGINT) AS drop_score
+FROM dec
+"""
+
+
+QUERIES["flow_dir"] = (q_flow_dir, SQL_FLOW_DIR)
