@@ -88,6 +88,8 @@ def _interleaved() -> dict[str, tuple]:
     merged = dict(QUERIES)
     merged.update(QUERIES_TEXT)
     new_this_round = [
+        "hillshade", "viewshed", "textrank", "posting_lists",
+        "url_templates",
         "molodensky", "hilbert", "mime_sniff", "surt_dedup", "mojibake", "hreflang_cluster", "flow_dir",
         "rect_join", "union_area", "speed_filter", "line_interp",
         "cdc_chunks", "sitemap_parse", "readability", "rake_keywords",

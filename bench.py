@@ -169,7 +169,8 @@ def main():
     # one-sided — r4's per-query medians moved +-50% between identical
     # builds from interleaving alone)
     qsamples: dict = {}
-    for _ in range(3):
+    n_passes = 0 if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") else 3
+    for _ in range(n_passes):
         for name, fn in entrymod.queries().items():
             t0 = time.time()
             try:
@@ -191,8 +192,12 @@ def main():
     # runs (see _level_child for why). The 2-core level gets 6 runs per
     # child because its JIT ramp lasts ~4 runs (compiler threads share
     # the 2 pinned cores); the full-machine level gets 8 cheap runs.
-    t2, times2 = _run_level(2, SCALE_PATH, reps=2, runs=6)
-    t8, times8 = _run_level(8, SCALE_PATH, reps=2, runs=7)
+    # runs per child sized from observed ramps (BENCH r5 child_run_secs):
+    # the 2-core level is still descending at run 6 (16.9, 15.5, 15.7 —
+    # compiler threads share the 2 pinned cores), so give it 10 runs;
+    # steady-state runs are cheap (~15 s) next to the ~55 s ramp run.
+    t2, times2 = _run_level(2, SCALE_PATH, reps=2, runs=10)
+    t8, times8 = _run_level(8, SCALE_PATH, reps=2, runs=10)
     t32, times32 = (_run_level(CPUS, PAGES_PATH, reps=3, runs=8)
                     if CPUS >= 16 else (None, []))
     thr = {2: SCALE_PAGES / t2, 8: SCALE_PAGES / t8}

@@ -356,11 +356,42 @@ for _z in range(1, 61):
     _PROJECTED[32300 + _z] = (
         f"WGS 72 / UTM zone {_z}S", "WGS72",
         dict(proj="utm", zone=_z, south=True), "enu", 1.0)
-# NAD27 UTM zones 3N-22N (EPSG 26703-26722)
-for _z in range(3, 23):
+# NAD27 UTM zones 1N-22N (EPSG 26701-26722)
+for _z in range(1, 23):
     _PROJECTED[26700 + _z] = (
         f"NAD27 / UTM zone {_z}N", "NAD27", dict(proj="utm", zone=_z),
         "enu", 1.0)
+
+# Austria: MGI Gauss-Kruger belts (Bessel 1841, Ferro-free lon_0 in
+# Greenwich degrees; y_0 = -5,000,000 strips the leading 5). The MGI
+# -> WGS84 7-parameter set is the registry's standard Austria
+# transformation (EPSG 1618).
+DATUMS["MGI"] = ("bessel", (577.326, 90.129, 463.919,
+                            5.137, 1.474, 5.297, 2.4232))
+for _code, _band, _lon, _x0 in (
+        (31254, "West", _dms(10, 20), 0.0),
+        (31255, "Central", _dms(13, 20), 0.0),
+        (31256, "East", _dms(16, 20), 0.0),
+        (31257, "M28", _dms(10, 20), 150000.0),
+        (31258, "M31", _dms(13, 20), 450000.0),
+        (31259, "M34", _dms(16, 20), 750000.0)):
+    _PROJECTED[_code] = (
+        f"MGI / Austria GK {_band}", "MGI",
+        dict(proj="tmerc", lat_0=0.0, lon_0=_lon, k_0=1.0,
+             x_0=_x0, y_0=-5000000.0), "enu", 1.0)
+
+# Iceland ISN93 (GRS80 ITRF-aligned, null shift) / Lambert 1993
+DATUMS["ISN93"] = ("GRS80", (0, 0, 0))
+_PROJECTED[3057] = (
+    "ISN93 / Lambert 1993", "ISN93",
+    dict(proj="lcc", lat_1=64.25, lat_2=65.75, lat_0=65.0, lon_0=-19.0,
+         x_0=500000.0, y_0=500000.0), "enu", 1.0)
+
+# NSIDC Sea Ice Polar Stereographic South (twin of the bundled 3413)
+_PROJECTED[3976] = (
+    "WGS 84 / NSIDC Sea Ice Polar Stereographic South", "WGS84",
+    dict(proj="stere", lat_0=-90, lat_ts=-70, lon_0=0, x_0=0, y_0=0),
+    "enu", 1.0)
 
 # Pulkovo 1942 / 6-degree Gauss-Kruger zones 2-32 (EPSG 28402-28432):
 # tmerc k=1, lon_0 = 6*zone - 3 (wrapped past the antimeridian for the

@@ -7575,3 +7575,221 @@ FROM dec
 
 
 QUERIES["flow_dir"] = (q_flow_dir, SQL_FLOW_DIR)
+
+
+def q_hillshade(spark, sf_dir):
+    """Analytical hillshade (Horn 1981 gradient -> slope/aspect ->
+    Lambertian illumination, the standard ESRI/GDAL formula with a
+    NW sun at 45 deg altitude) over the point-density DEM. Reuses the
+    dem_slope scatter-sum plan (exact integer dz/dx, dz/dy via
+    8-neighbour weighted contributions + ONE hash agg — no shifted
+    self-joins), then closed-form trig entirely in native Catalyst.
+    Both engines evaluate the identical formula; outputs rounded to
+    6 decimals so the libm-ulp tier is far from the hash boundary."""
+    pts = _doc_points(spark, sf_dir)
+    ras = (pts.select(F.floor(F.col("lon") / 6).cast("long").alias("gx"),
+                      F.floor(F.col("lat") / 6).cast("long").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("cnt")))
+    offs = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if ox == 0 and oy == 0:
+                continue
+            wx = ox * (2 if oy == 0 else 1)
+            wy = oy * (2 if ox == 0 else 1)
+            offs.append(F.struct(F.lit(ox).alias("ox"),
+                                 F.lit(oy).alias("oy"),
+                                 F.lit(wx).alias("wx"),
+                                 F.lit(wy).alias("wy")))
+    sc = (ras.select("gx", "gy", "cnt",
+                     F.explode(F.array(*offs)).alias("o"))
+          .select((F.col("gx") - F.col("o.ox")).alias("tx"),
+                  (F.col("gy") - F.col("o.oy")).alias("ty"),
+                  (F.col("cnt") * F.col("o.wx")).alias("cx"),
+                  (F.col("cnt") * F.col("o.wy")).alias("cy")))
+    grad = (sc.groupBy("tx", "ty")
+            .agg(F.sum("cx").alias("sdx"), F.sum("cy").alias("sdy")))
+    g = (ras.select(F.col("gx").alias("tx"), F.col("gy").alias("ty"))
+         .join(grad, ["tx", "ty"], "left")
+         .select("tx", "ty",
+                 F.coalesce("sdx", F.lit(0)).cast("double").alias("dzdx"),
+                 F.coalesce("sdy", F.lit(0)).cast("double").alias("dzdy")))
+    # z-factor folded into Horn's 1/8 divisor; zenith 45deg, azimuth
+    # 315deg (NW) measured like GDAL: az_rad = 2*pi - az + pi/2
+    slope = F.atan(F.sqrt(F.col("dzdx") * F.col("dzdx")
+                          + F.col("dzdy") * F.col("dzdy")) / 8.0)
+    aspect = F.atan2(F.col("dzdy"), -F.col("dzdx"))
+    import math
+    azr = F.lit(2.0 * math.pi - math.radians(315.0) + math.pi / 2.0)
+    zen = F.lit(math.radians(45.0))
+    shade = 255.0 * (F.cos(zen) * F.cos(slope)
+                     + F.sin(zen) * F.sin(slope) * F.cos(azr - aspect))
+    return g.select(
+        "tx", "ty",
+        F.col("dzdx").cast("long").alias("dzdx"),
+        F.col("dzdy").cast("long").alias("dzdy"),
+        F.round(F.degrees(slope), 6).alias("slope_deg"),
+        F.round(shade, 6).alias("shade"))
+
+
+SQL_HILLSHADE = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon / 6) AS BIGINT) AS gx,
+         CAST(floor(lat / 6) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+offs(ox, oy, wx, wy) AS (
+  VALUES (-1,-1,-1,-1), (-1,0,-2,0), (-1,1,-1,1),
+         (0,-1,0,-2),                (0,1,0,2),
+         (1,-1,1,-1),  (1,0,2,0),   (1,1,1,1)
+),
+grad AS (
+  SELECT gx - ox AS tx, gy - oy AS ty,
+         sum(cnt * wx) AS sdx, sum(cnt * wy) AS sdy
+  FROM ras CROSS JOIN offs GROUP BY 1, 2
+),
+g AS (
+  SELECT r.gx AS tx, r.gy AS ty,
+         CAST(coalesce(grad.sdx, 0) AS DOUBLE) AS dzdx,
+         CAST(coalesce(grad.sdy, 0) AS DOUBLE) AS dzdy
+  FROM ras r LEFT JOIN grad ON r.gx = grad.tx AND r.gy = grad.ty
+),
+trig AS (
+  SELECT tx, ty, dzdx, dzdy,
+         atan(sqrt(dzdx * dzdx + dzdy * dzdy) / 8.0) AS slope,
+         atan2(dzdy, -dzdx) AS aspect
+  FROM g
+)
+SELECT tx, ty, CAST(dzdx AS BIGINT) AS dzdx, CAST(dzdy AS BIGINT) AS dzdy,
+       round(slope * 180.0 / pi(), 6) AS slope_deg,
+       round(255.0 * (cos(pi() / 4) * cos(slope)
+             + sin(pi() / 4) * sin(slope)
+               * cos(2 * pi() - 315.0 * pi() / 180.0 + pi() / 2
+                     - aspect)), 6) AS shade
+FROM trig
+"""
+
+QUERIES["hillshade"] = (q_hillshade, SQL_HILLSHADE)
+
+
+def q_viewshed(spark, sf_dir):
+    """Viewshed / line-of-sight over the density DEM: from the densest
+    cell (the observer, eye height +2), every occupied cell within
+    Chebyshev radius 10 is tested against the max elevation angle of
+    the cells sampled along the sightline (rounded-fraction stepping,
+    one sample per Chebyshev ring). The blocked test is EXACT — the
+    angle comparison (z_s-oz)/sqrt(ds2) >= (z_t-oz)/sqrt(dt2) is done
+    by sign-split cross-multiplication of squared integers, never a
+    float sqrt — so DuckDB gates it bit-for-bit. Plan shape: bounded
+    fan-out (<= (2R+1)^2 targets x <= R-1 samples), one equi-join of
+    samples against the raster, one hash agg per target; the observer
+    row is a broadcast cross join. At 100 TB the raster is the
+    aggregated density table (cells, not points) and R is fixed, so
+    the whole viewshed is O(cells in the window)."""
+    R = 10
+    pts = _doc_points(spark, sf_dir)
+    ras = (pts.select(F.floor(F.col("lon") / 6).cast("long").alias("gx"),
+                      F.floor(F.col("lat") / 6).cast("long").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("z")))
+    obs = (ras.orderBy(F.col("z").desc(), "gx", "gy").limit(1)
+           .select(F.col("gx").alias("ox"), F.col("gy").alias("oy"),
+                   (F.col("z") + 2).alias("oz")))
+    t = (ras.crossJoin(F.broadcast(obs))
+         .withColumn("dx", F.col("gx") - F.col("ox"))
+         .withColumn("dy", F.col("gy") - F.col("oy"))
+         .withColumn("n", F.greatest(F.abs("dx"), F.abs("dy")))
+         .filter((F.col("n") >= 1) & (F.col("n") <= R)))
+    # interior samples at rounded fractions k/n, k = 1..n-1
+    s = (t.filter(F.col("n") >= 2)
+         .select("gx", "gy", "z", "ox", "oy", "oz", "dx", "dy", "n",
+                 F.explode(F.sequence(F.lit(1), F.col("n") - 1))
+                 .alias("k"))
+         .withColumn("sx", F.col("ox") + F.floor(
+             (2.0 * F.col("k") * F.col("dx") + F.col("n"))
+             / (2.0 * F.col("n"))).cast("long"))
+         .withColumn("sy", F.col("oy") + F.floor(
+             (2.0 * F.col("k") * F.col("dy") + F.col("n"))
+             / (2.0 * F.col("n"))).cast("long")))
+    zs = ras.select(F.col("gx").alias("sx"), F.col("gy").alias("sy"),
+                    F.col("z").alias("zs"))
+    s = (s.join(zs, ["sx", "sy"], "left")
+         .withColumn("zs", F.coalesce("zs", F.lit(0)))
+         .withColumn("ds2", (F.col("sx") - F.col("ox"))
+                     * (F.col("sx") - F.col("ox"))
+                     + (F.col("sy") - F.col("oy"))
+                     * (F.col("sy") - F.col("oy")))
+         .withColumn("dt2", F.col("dx") * F.col("dx")
+                     + F.col("dy") * F.col("dy"))
+         .withColumn("a", F.col("zs") - F.col("oz"))
+         .withColumn("b", F.col("z") - F.col("oz")))
+    blocked = (F.when((F.col("a") >= 0) & (F.col("b") < 0), F.lit(1))
+               .when((F.col("a") < 0) & (F.col("b") >= 0), F.lit(0))
+               .when((F.col("a") >= 0) & (F.col("b") >= 0),
+                     (F.col("a") * F.col("a") * F.col("dt2")
+                      >= F.col("b") * F.col("b") * F.col("ds2"))
+                     .cast("int"))
+               .otherwise((F.col("a") * F.col("a") * F.col("dt2")
+                           <= F.col("b") * F.col("b") * F.col("ds2"))
+                          .cast("int")))
+    blk = (s.withColumn("blk", blocked)
+           .groupBy("gx", "gy").agg(F.max("blk").alias("blocked")))
+    return (t.join(blk, ["gx", "gy"], "left")
+            .select("gx", "gy", "z", "n",
+                    (F.coalesce(F.col("blocked"), F.lit(0)) == 0)
+                    .cast("int").alias("visible")))
+
+
+SQL_VIEWSHED = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon / 6) AS BIGINT) AS gx,
+         CAST(floor(lat / 6) AS BIGINT) AS gy,
+         count(*) AS z
+  FROM pts GROUP BY 1, 2
+),
+obs AS (
+  SELECT gx AS ox, gy AS oy, z + 2 AS oz
+  FROM ras ORDER BY z DESC, gx, gy LIMIT 1
+),
+t AS (
+  SELECT gx, gy, z, ox, oy, oz, gx - ox AS dx, gy - oy AS dy,
+         greatest(abs(gx - ox), abs(gy - oy)) AS n
+  FROM ras CROSS JOIN obs
+  WHERE greatest(abs(gx - ox), abs(gy - oy)) BETWEEN 1 AND 10
+),
+s AS (
+  SELECT t.*, k,
+         ox + CAST(floor((2.0 * k * dx + n) / (2.0 * n)) AS BIGINT)
+           AS sx,
+         oy + CAST(floor((2.0 * k * dy + n) / (2.0 * n)) AS BIGINT)
+           AS sy
+  FROM t, unnest(generate_series(1, CAST(n - 1 AS BIGINT))) AS u(k)
+  WHERE n >= 2
+),
+j AS (
+  SELECT s.gx, s.gy,
+         coalesce(r.z, 0) - s.oz AS a, s.z - s.oz AS b,
+         (s.sx - s.ox) * (s.sx - s.ox)
+           + (s.sy - s.oy) * (s.sy - s.oy) AS ds2,
+         s.dx * s.dx + s.dy * s.dy AS dt2
+  FROM s LEFT JOIN ras r ON s.sx = r.gx AND s.sy = r.gy
+),
+blk AS (
+  SELECT gx, gy, max(CASE
+    WHEN a >= 0 AND b < 0 THEN 1
+    WHEN a < 0 AND b >= 0 THEN 0
+    WHEN a >= 0 AND b >= 0 THEN
+      CASE WHEN a * a * dt2 >= b * b * ds2 THEN 1 ELSE 0 END
+    ELSE CASE WHEN a * a * dt2 <= b * b * ds2 THEN 1 ELSE 0 END
+  END) AS blocked
+  FROM j GROUP BY 1, 2
+)
+SELECT t.gx, t.gy, t.z, t.n,
+       CAST(CASE WHEN coalesce(blk.blocked, 0) = 0
+            THEN 1 ELSE 0 END AS INTEGER) AS visible
+FROM t LEFT JOIN blk ON t.gx = blk.gx AND t.gy = blk.gy
+"""
+
+QUERIES["viewshed"] = (q_viewshed, SQL_VIEWSHED)

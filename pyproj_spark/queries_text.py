@@ -5051,3 +5051,274 @@ FROM v GROUP BY g
 
 
 QUERIES_TEXT["hreflang_cluster"] = (q_hreflang_cluster, SQL_HREFLANG)
+
+
+def q_posting_lists(spark, sf_dir):
+    """Inverted-index construction with delta (d-gap) encoded posting
+    lists — the core IR build step (reference has no analogue; this is
+    graft surface for the search side of a crawl pipeline). One
+    distinct + one token-keyed aggregation: postings for SELECTIVE
+    terms (df <= cap) are materialized as sorted doc-id gap strings —
+    the standard compressed-index layout — while hot terms past the
+    cap keep exact df but a '<sharded>' marker instead of a
+    collect_list that would OOM one reducer at corpus scale (the same
+    hot-key policy as dedup.py band_cap). Gap encoding is exact
+    integer arithmetic, so the DuckDB replay gates it value-for-value."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        )).alias("token"))
+    post = toks.distinct()
+    cap = 64
+    agg = (post.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("df"),
+                F.min("doc_id").alias("first_doc"),
+                F.max("doc_id").alias("last_doc"),
+                F.sort_array(F.collect_list("doc_id")).alias("ids")))
+    gaps = F.expr(
+        "array_join(transform(ids, (x, i) -> "
+        "CAST(IF(i = 0, x, x - ids[i-1]) AS STRING)), ',')")
+    return (agg.filter(F.col("df") >= 5)
+            .select("token", "df", "first_doc", "last_doc",
+                    F.when(F.col("df") <= cap, gaps)
+                    .otherwise(F.lit("<sharded>")).alias("postings")))
+
+
+SQL_POSTING_LISTS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+gapped AS (
+  SELECT token, doc_id,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY token
+                                             ORDER BY doc_id),
+                           0) AS gap
+  FROM toks
+),
+agg AS (
+  SELECT token, count(*) AS df,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id)
+           AS gap_str
+  FROM gapped GROUP BY token
+)
+SELECT token, df, first_doc, last_doc,
+       CASE WHEN df <= 64 THEN gap_str ELSE '<sharded>' END AS postings
+FROM agg WHERE df >= 5
+"""
+
+QUERIES_TEXT["posting_lists"] = (q_posting_lists, SQL_POSTING_LISTS)
+
+
+def q_url_templates(spark, sf_dir):
+    """URL path-template mining: collapse digit runs to a '{n}'
+    placeholder and aggregate per (host, template) — the standard
+    crawl-frontier heuristic for spotting calendar traps, paginated
+    listings, and parametric duplicates before fetching them (used by
+    every large crawler's URL-dedup stage). Pure native Catalyst
+    string ops; the synthesized URL population mixes four path shapes
+    with embedded numeric ids so templates genuinely collide. DuckDB
+    re-derives the same templates with ITS regex engine, gating both
+    the synthesis and the collapse."""
+    d = F.col("doc_id")
+    path = (F.when(d % 4 == 0,
+                   F.concat(F.lit("/product/"), (d * 17 % 1000)
+                            .cast("string")))
+            .when(d % 4 == 1,
+                  F.concat(F.lit("/article/20"),
+                           (d % 22 + 1).cast("string"),
+                           F.lit("/"), (d % 12 + 1).cast("string"),
+                           F.lit("/post-"), d.cast("string")))
+            .when(d % 4 == 2,
+                  F.concat(F.lit("/user/"), (d % 97).cast("string"),
+                           F.lit("/profile")))
+            .otherwise(F.lit("/about/contact")))
+    host = F.concat(F.lit("site"), (d % 23).cast("string"),
+                    F.lit(".example.com"))
+    urls = _docs(spark, sf_dir).select(
+        "doc_id", host.alias("host"), path.alias("path"))
+    tmpl = F.regexp_replace(F.col("path"), "[0-9]+", "{n}")
+    return (urls.withColumn("template", tmpl)
+            .groupBy("host", "template")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("path").alias("n_distinct_paths"),
+                 F.min("path").alias("sample_path"))
+            .filter(F.col("n_urls") >= 2))
+
+
+SQL_URL_TEMPLATES = """
+WITH urls AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 23 AS VARCHAR) || '.example.com'
+           AS host,
+         CASE
+           WHEN doc_id % 4 = 0 THEN
+             '/product/' || CAST(doc_id * 17 % 1000 AS VARCHAR)
+           WHEN doc_id % 4 = 1 THEN
+             '/article/20' || CAST(doc_id % 22 + 1 AS VARCHAR)
+             || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+             || '/post-' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 4 = 2 THEN
+             '/user/' || CAST(doc_id % 97 AS VARCHAR) || '/profile'
+           ELSE '/about/contact'
+         END AS path
+  FROM documents
+)
+SELECT host, regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+       count(*) AS n_urls,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_distinct_paths,
+       min(path) AS sample_path
+FROM urls GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+QUERIES_TEXT["url_templates"] = (q_url_templates, SQL_URL_TEMPLATES)
+
+
+def q_textrank(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the word co-occurrence graph — the graph-based
+    complement to the statistical RAKE/TF-IDF extractors already
+    gated. Bounded the scale-safe way: only the top-30 corpus
+    vocabulary participates (one agg + TakeOrdered), adjacency edges
+    come from consecutive vocab tokens via an array HOF (never a
+    token self-join), and the <= C(30,2)-row edge table is collected
+    for a driver-side iteration loop with the SAME integer-unit
+    HALF_UP arithmetic as operators/pagerank.py, so the DuckDB oracle
+    replays the 3 unrolled damped iterations bit-for-bit. At corpus
+    scale the vocab cap is the knob; the distributed part is one
+    tokenize + one groupBy."""
+    docs = _docs(spark, sf_dir)
+    arr = F.expr("filter(split(lower(text), '[^a-z0-9]+'), "
+                 "x -> x <> '')")
+    toks = docs.select("doc_id", arr.alias("tk"))
+    vocab = [r.token for r in
+             (toks.select(F.explode("tk").alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+              .orderBy(F.col("c").desc(), "token").limit(30)
+              .collect())]
+    vlit = F.array(*[F.lit(v) for v in vocab])
+    ff = F.filter(F.col("tk"), lambda t: F.array_contains(vlit, t))
+    pairs = F.when(
+        F.size(ff) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ff) - 2),
+            lambda i: F.struct(
+                F.least(F.element_at(ff, (i + 1).cast("int")),
+                        F.element_at(ff, (i + 2).cast("int")))
+                .alias("w1"),
+                F.greatest(F.element_at(ff, (i + 1).cast("int")),
+                           F.element_at(ff, (i + 2).cast("int")))
+                .alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    edges = (toks.select(F.explode(pairs).alias("p"))
+             .filter(F.col("p.w1") != F.col("p.w2"))
+             .groupBy(F.col("p.w1").alias("w1"),
+                      F.col("p.w2").alias("w2"))
+             .agg(F.count(F.lit(1)).alias("w")))
+    rows = edges.collect()  # bounded: <= C(vocab_cap, 2) rows
+    import numpy as np
+    nodes = sorted({r.w1 for r in rows} | {r.w2 for r in rows})
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    wmat = np.zeros((n, n), dtype=np.int64)
+    for r in rows:
+        wmat[idx[r.w1], idx[r.w2]] += r.w
+        wmat[idx[r.w2], idx[r.w1]] += r.w
+    wdeg = wmat.sum(axis=1)
+
+    def rnd(x, p):  # HALF_UP for non-negative, = F.round / DuckDB round
+        s = 10.0 ** p
+        return np.floor(x * s + 0.5) / s
+
+    rank = np.ones(n, dtype=np.float64)
+    for _ in range(3):
+        contrib = np.zeros(n, dtype=np.int64)
+        for u in range(n):
+            if wdeg[u] == 0:
+                continue
+            cu = np.floor((wmat[u] / float(wdeg[u])) * rank[u] * 1e12
+                          + 0.5).astype(np.int64)
+            contrib += cu
+        rank = rnd(0.15 + 0.85 * (contrib.astype(np.float64) / 1e12), 9)
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    out = [(t, int(wdeg[idx[t]]), float(rank[idx[t]])) for t in nodes]
+    return spark.createDataFrame(
+        out, StructType([StructField("token", StringType()),
+                         StructField("wdeg", LongType()),
+                         StructField("rank", DoubleType())]))
+
+
+def _textrank_sql():
+    it = """
+r{o} AS (
+  SELECT n.token,
+         round(0.15 + 0.85 * (coalesce(
+           (SELECT sum(CAST(round(s.w / wd.wdeg * r.rank * 1e12)
+                            AS BIGINT))
+            FROM sym s
+            JOIN r{i} r ON s.src = r.token
+            JOIN wdeg wd ON wd.token = s.src
+            WHERE s.dst = n.token AND wd.wdeg > 0),
+           0) / 1e12), 9) AS rank
+  FROM nodes n
+)"""
+    its = ",".join(it.format(i=k, o=k + 1) for k in range(3))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT unnest(tk) AS token FROM toks) GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 30
+),
+ptoks AS (
+  SELECT doc_id, u.token AS token, u.pos AS pos
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(tk)),
+                 i -> struct_pack(token := tk[i], pos := i))) AS u
+        FROM toks)
+  WHERE u.token IN (SELECT token FROM vocab)
+),
+ftoks AS (
+  SELECT doc_id, list(token ORDER BY pos) AS ff
+  FROM ptoks GROUP BY doc_id
+),
+adj AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(ff) - 1),
+           i -> struct_pack(w1 := least(ff[i], ff[i + 1]),
+                            w2 := greatest(ff[i], ff[i + 1])))) AS p
+  FROM ftoks
+),
+edges AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS w
+  FROM adj WHERE p.w1 <> p.w2 GROUP BY 1, 2
+),
+sym AS (
+  SELECT w1 AS src, w2 AS dst, w FROM edges
+  UNION ALL
+  SELECT w2 AS src, w1 AS dst, w FROM edges
+),
+nodes AS (SELECT DISTINCT src AS token FROM sym),
+wdeg AS (SELECT src AS token, sum(w) AS wdeg FROM sym GROUP BY 1),
+r0 AS (SELECT token, 1.0 AS rank FROM nodes),
+{its}
+SELECT n.token, CAST(w.wdeg AS BIGINT) AS wdeg, r.rank
+FROM nodes n JOIN wdeg w ON w.token = n.token
+JOIN r3 r ON r.token = n.token
+"""
+
+
+QUERIES_TEXT["textrank"] = (q_textrank, _textrank_sql())

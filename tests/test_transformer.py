@@ -499,3 +499,50 @@ def test_transformer__only_best():
     x3, _ = Transformer.from_crs("EPSG:4267", "EPSG:4269",
                                  only_best=True).transform(40, -100)
     assert np.isfinite(x3)
+
+
+@pytest.mark.parametrize("epsg,domain", [
+    (31254, (9.5, 11.5, 46.5, 48.5)),   # MGI / Austria GK West
+    (31255, (12.0, 15.0, 46.5, 48.8)),  # MGI / Austria GK Central
+    (31256, (15.0, 17.5, 46.5, 49.0)),  # MGI / Austria GK East
+    (31257, (9.5, 11.5, 46.5, 48.5)),   # M28
+    (31258, (12.0, 15.0, 46.5, 48.8)),  # M31
+    (31259, (15.0, 17.5, 46.5, 49.0)),  # M34
+    (3057, (-24.0, -14.0, 63.0, 67.0)),  # ISN93 / Lambert 1993
+    (3976, (-179.0, 179.0, -85.0, -55.0)),  # NSIDC south
+    (26701, (-180.0, -174.0, 50.0, 60.0)),  # NAD27 / UTM 1N
+])
+def test_roundtrip_new_round5_codes(epsg, domain):
+    t = Transformer.from_crs(4326, epsg, always_xy=True)
+    rng = np.random.default_rng(epsg)
+    lo1, lo2, la1, la2 = domain
+    lon = rng.uniform(lo1, lo2, 100)
+    lat = rng.uniform(la1, la2, 100)
+    x, y = t.transform(lon, lat)
+    lon2, lat2 = t.transform(x, y, direction="INVERSE")
+    assert_almost_equal(lon2, lon, decimal=7)
+    assert_almost_equal(lat2, lat, decimal=7)
+
+
+def test_austria_gk_east_vienna_sanity():
+    # Vienna (16.3726E, 48.2082N): GK East lon_0 = 16d20', so the
+    # easting is a few km; the northing is the ~5340 km meridian arc
+    # minus the 5,000 km false northing. Parameter-fact sanity bounds.
+    t = Transformer.from_crs(4326, 31256, always_xy=True)
+    x, y = t.transform(16.3726, 48.2082)
+    assert abs(x) < 50_000
+    assert 330_000 < y < 350_000
+    # M34 variant only shifts the false easting by +750 km
+    tm = Transformer.from_crs(4326, 31259, always_xy=True)
+    xm, ym = tm.transform(16.3726, 48.2082)
+    assert_almost_equal(xm - x, 750_000.0, decimal=6)
+    assert_almost_equal(ym, y, decimal=6)
+
+
+def test_nsidc_south_pole_axis_convention():
+    # lon = lon_0 = 0 lands on the +y axis (south polar aspect);
+    # the standard parallel -70 is true-to-scale by construction.
+    t = Transformer.from_crs(4326, 3976, always_xy=True)
+    x, y = t.transform(0.0, -70.0)
+    assert_almost_equal(x, 0.0, decimal=6)
+    assert y > 1.0e6
