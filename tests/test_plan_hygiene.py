@@ -454,3 +454,51 @@ def test_mime_sniff_zero_python_stages(spark):
     plan = _plan(q_mime_sniff(spark, SF))
     assert "EvalPython" not in plan
     assert "partial_count" in plan  # map-side combine before shuffle
+
+
+def test_posting_lists_single_agg_no_join(spark):
+    # inverted-index build = distinct + ONE token-keyed hash agg; a
+    # join or window appearing here means someone "optimized" the gap
+    # encoding into a per-token self-join
+    from pyproj_spark.queries_text import q_posting_lists
+    plan = _plan(q_posting_lists(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_viewshed_equi_join_bounded_fanout(spark):
+    # sightline samples attach to the raster via EQUI joins only (the
+    # observer row is a broadcast); a nested-loop join here would be
+    # O(cells^2) at corpus scale
+    from pyproj_spark.queries import q_viewshed
+    plan = _plan(q_viewshed(spark, SF))
+    # the ONLY non-equi join allowed is the broadcast 1-row observer
+    # (it appears once per lineage branch); never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert frag.startswith(" BuildRight, Cross")
+    # the sample->raster attach is an equi join
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_hillshade_scatter_no_self_join(spark):
+    # hillshade reuses the dem_slope scatter-sum: gradients come from
+    # explode + ONE hash agg, never 8 shifted self-joins of the raster
+    from pyproj_spark.queries import q_hillshade
+    plan = _plan(q_hillshade(spark, SF))
+    assert plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin") <= 1  # the occupied-cell left join only
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_textrank_edges_from_hofs_not_self_join(spark):
+    # adjacency pairs come from an array HOF over the vocab-filtered
+    # token array; the only joins allowed are vocab-bounded
+    from pyproj_spark.queries_text import q_textrank
+    df = q_textrank(spark, SF)
+    # result is a tiny driver-built frame; the heavy lineage already
+    # ran — assert the output invariants instead
+    rows = df.collect()
+    assert 0 < len(rows) <= 30
+    assert all(r.rank > 0 for r in rows)
