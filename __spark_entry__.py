@@ -89,7 +89,7 @@ def _interleaved() -> dict[str, tuple]:
     merged.update(QUERIES_TEXT)
     new_this_round = [
         "hillshade", "viewshed", "textrank", "posting_lists",
-        "url_templates",
+        "url_templates", "kmv_sketch", "bot_score", "fetch_budget",
         "molodensky", "hilbert", "mime_sniff", "surt_dedup", "mojibake", "hreflang_cluster", "flow_dir",
         "rect_join", "union_area", "speed_filter", "line_interp",
         "cdc_chunks", "sitemap_parse", "readability", "rake_keywords",

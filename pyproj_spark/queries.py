@@ -7793,3 +7793,138 @@ FROM t LEFT JOIN blk ON t.gx = blk.gx AND t.gy = blk.gy
 """
 
 QUERIES["viewshed"] = (q_viewshed, SQL_VIEWSHED)
+
+
+def q_kmv_sketch(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k theta) cardinality sketch per
+    event type, next to the exact count — the third deterministic
+    cardinality estimator in the sketch family (HLL registers and
+    linear counting are already gated). The sketch state is the k=64
+    smallest md5-derived hash values per group: mergeable, fixed-size,
+    and computed with one distinct + one bounded per-group top-k —
+    the 100-TB shape for approximate COUNT(DISTINCT) when register
+    precision must be tunable after the fact (theta sketches support
+    set ops HLL cannot). Estimator: (k-1) * 2^32 / h_k, exact count
+    below k. DuckDB replays hashing, ranking, and the estimator."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    dist = (ev.select("event_type", h.alias("h")).distinct())
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = (dist.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 64))
+    est = (topk.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_seen"),
+                F.max("h").alias("kth")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    kmv = F.when(F.col("n_seen") < 64, F.col("n_seen").cast("double")) \
+        .otherwise(F.floor(63.0 * 4294967296.0 / F.col("kth"))
+                   .cast("double"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_exact", "n_seen", "kth",
+                    kmv.alias("kmv_est")))
+
+
+SQL_KMV_SKETCH = """
+WITH dist AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+topk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM dist
+),
+est AS (
+  SELECT event_type, count(*) AS n_seen, max(h) AS kth
+  FROM topk WHERE rk <= 64 GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, exact.n_exact, est.n_seen, est.kth,
+       CASE WHEN est.n_seen < 64 THEN CAST(est.n_seen AS DOUBLE)
+            ELSE floor(63.0 * 4294967296.0 / est.kth) END AS kmv_est
+FROM est JOIN exact ON est.event_type = exact.event_type
+"""
+
+QUERIES["kmv_sketch"] = (q_kmv_sketch, SQL_KMV_SKETCH)
+
+
+def q_bot_score(spark, sf_dir):
+    """Bot / automated-traffic detection from access-log timing — the
+    crawl-analytics classic: real users have bursty inter-arrival
+    times, bots are metronomes. Per user (key-partitioned window, no
+    global sort): exact integer micro-second gap sums Sg and Sg2 via
+    lag, then the squared coefficient of variation cv2 =
+    (k*Sg2 - Sg^2) / Sg^2 derived in doubles from those EXACT integer
+    sums (never a float stddev whose aggregation order could drift),
+    request rate from the span. Flag: >= 20 events and cv2 < 0.5.
+    Everything replays in DuckDB value-for-value."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_id")
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    # whole-second gaps: squared micro-second gaps would overflow
+    # int64 at month spans (Spark wraps silently, DuckDB raises —
+    # the q_hll_pyramid lesson); t_us < 2^53 so the double division
+    # is exact and floor() agrees bit-for-bit across engines
+    gap = F.floor((F.col("t_us") - F.lag("t_us").over(w)) / 1000000.0) \
+        .cast("long")
+    g = ev.withColumn("gap", gap).filter(F.col("gap").isNotNull())
+    agg = (g.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("k"),
+                F.sum("gap").alias("sg"),
+                F.sum(F.col("gap") * F.col("gap")).alias("sg2")))
+    # all post-sum arithmetic in doubles: products of the exact
+    # integer sums exceed 2^53, but IEEE products of identical
+    # doubles are identical in both engines
+    kd = F.col("k").cast("double")
+    sgd = F.col("sg").cast("double")
+    sg2d = F.col("sg2").cast("double")
+    cv2 = F.when(F.col("sg") > 0,
+                 F.round((kd * sg2d - sgd * sgd) / (sgd * sgd), 6)) \
+        .otherwise(F.lit(None).cast("double"))
+    return (agg.select("user_id", (F.col("k") + 1).alias("n_events"),
+                       "sg", "sg2", cv2.alias("cv2"))
+            .withColumn("is_bot",
+                        F.coalesce(((F.col("n_events") >= 20)
+                                    & (F.col("cv2") < 0.5)).cast("int"),
+                                   F.lit(0))))
+
+
+SQL_BOT_SCORE = """
+WITH g AS (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           / 1000000.0) AS BIGINT) AS gap
+  FROM events
+),
+agg AS (
+  SELECT user_id, count(*) AS k,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(gap * gap) AS BIGINT) AS sg2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+),
+scored AS (
+  SELECT user_id, k + 1 AS n_events, sg, sg2,
+         CASE WHEN sg > 0 THEN
+           round((CAST(k AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                 / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)), 6)
+         END AS cv2
+  FROM agg
+)
+SELECT user_id, n_events, sg, sg2, cv2,
+       CAST(CASE WHEN n_events >= 20 AND cv2 < 0.5
+            THEN 1 ELSE 0 END AS INTEGER) AS is_bot
+FROM scored
+"""
+
+QUERIES["bot_score"] = (q_bot_score, SQL_BOT_SCORE)

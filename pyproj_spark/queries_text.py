@@ -5322,3 +5322,90 @@ JOIN r3 r ON r.token = n.token
 
 
 QUERIES_TEXT["textrank"] = (q_textrank, _textrank_sql())
+
+
+def q_fetch_budget(spark, sf_dir):
+    """Max-min-fair (water-filling) crawl budget allocation across
+    hosts: given per-host page demands and a global fetch budget B
+    (half the total demand here), find the water level c with
+    sum(min(d_i, c)) = B and allocate min(d_i, c) per host — the
+    classic politeness-aware scheduler step after crawl_schedule's
+    per-host pacing. Scale shape: the level search runs on the DEMAND
+    HISTOGRAM (distinct demand values, bounded by max page count per
+    host), never on the raw host table — one groupBy to the
+    histogram, a window over the tiny histogram, a 1-row broadcast of
+    the level back onto hosts. Exact integer prefix sums; the level
+    itself is the only double and both engines derive it from the
+    same integers, so DuckDB gates the allocation value-for-value."""
+    from pyspark.sql import Window
+    d = F.col("doc_id")
+    hosts = (_docs(spark, sf_dir)
+             .select(F.concat(F.lit("site"), (d % 23).cast("string"))
+                     .alias("host"))
+             .groupBy("host").agg(F.count(F.lit(1)).alias("demand")))
+    hist = (hosts.groupBy("demand")
+            .agg(F.count(F.lit(1)).alias("n_hosts")))
+    w = Window.orderBy("demand")
+    tot = (hist.agg(
+        F.sum(F.col("demand") * F.col("n_hosts")).alias("total"),
+        F.sum("n_hosts").alias("n")).collect()[0])
+    budget = tot.total // 2
+    lev = (hist.withColumn(
+        "p_hosts", F.sum("n_hosts").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("p_dem", F.sum(F.col("demand") * F.col("n_hosts"))
+                    .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .select(
+            "demand",
+            ((F.lit(float(budget))
+              - F.coalesce("p_dem", F.lit(0)).cast("double"))
+             / (F.lit(int(tot.n))
+                - F.coalesce("p_hosts", F.lit(0))).cast("double"))
+            .alias("cand"))
+        .filter(F.col("cand") < F.col("demand"))
+        .orderBy("demand").limit(1))
+    row = lev.collect()
+    c = row[0].cand if row else None  # None: budget covers all demand
+    alloc = (F.least(F.col("demand").cast("double"), F.lit(c))
+             if c is not None else F.col("demand").cast("double"))
+    return (hosts.select("host", "demand",
+                         F.round(alloc, 6).alias("alloc"),
+                         F.lit(int(budget)).alias("budget")))
+
+
+SQL_FETCH_BUDGET = """
+WITH hosts AS (
+  SELECT 'site' || CAST(doc_id % 23 AS VARCHAR) AS host,
+         count(*) AS demand
+  FROM documents GROUP BY 1
+),
+hist AS (SELECT demand, count(*) AS n_hosts FROM hosts GROUP BY 1),
+tot AS (
+  SELECT sum(demand * n_hosts) AS total, sum(n_hosts) AS n FROM hist
+),
+lev AS (
+  SELECT demand,
+         (CAST(tot.total // 2 AS DOUBLE)
+          - CAST(coalesce(sum(demand * n_hosts) OVER (
+              ORDER BY demand ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS DOUBLE))
+         / CAST(tot.n - coalesce(sum(n_hosts) OVER (
+             ORDER BY demand ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS DOUBLE) AS cand
+  FROM hist CROSS JOIN tot
+),
+c AS (
+  SELECT min(cand) FILTER (WHERE cand < demand) IS NOT NULL AS capped,
+         coalesce((SELECT cand FROM lev WHERE cand < demand
+                   ORDER BY demand LIMIT 1), 0) AS level
+  FROM lev
+)
+SELECT h.host, h.demand,
+       round(CASE WHEN c.capped
+             THEN least(CAST(h.demand AS DOUBLE), c.level)
+             ELSE CAST(h.demand AS DOUBLE) END, 6) AS alloc,
+       CAST(tot.total // 2 AS BIGINT) AS budget
+FROM hosts h CROSS JOIN c CROSS JOIN tot
+"""
+
+QUERIES_TEXT["fetch_budget"] = (q_fetch_budget, SQL_FETCH_BUDGET)
