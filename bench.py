@@ -200,9 +200,12 @@ def main():
     # (15.54/15.64 s) but the 8-core floor swung 3.81-4.66 s between
     # two clean runs and it multiplies straight into the efficiency
     # ratio — so the 8-core level gets a third child.)
-    t2, times2 = _run_level(2, SCALE_PATH, reps=2, runs=10)
-    t8, times8 = _run_level(8, SCALE_PATH, reps=3, runs=10)
-    t32, times32 = (_run_level(CPUS, PAGES_PATH, reps=3, runs=8)
+    # (and their floors kept landing on runs 9-10 — the 8-core C2 ramp
+    # is still live at run 10 — so steady-state runs are extended to
+    # 12/16; each costs ~16 s / ~4.5 s, trivial next to the ramp.)
+    t2, times2 = _run_level(2, SCALE_PATH, reps=2, runs=12)
+    t8, times8 = _run_level(8, SCALE_PATH, reps=3, runs=16)
+    t32, times32 = (_run_level(CPUS, PAGES_PATH, reps=3, runs=10)
                     if CPUS >= 16 else (None, []))
     thr = {2: SCALE_PAGES / t2, 8: SCALE_PAGES / t8}
     if t32 is not None:

@@ -7928,3 +7928,139 @@ FROM scored
 """
 
 QUERIES["bot_score"] = (q_bot_score, SQL_BOT_SCORE)
+
+
+def q_geom_valid(spark, sf_dir):
+    """Geometry validity kernel (the ST_IsValid core): exact
+    self-intersection and winding tests on polygons assembled from
+    doc points, entirely in INTEGER milli-degree arithmetic — every
+    orientation predicate is a BIGINT cross product with sign-split
+    comparisons (never o1*o2, whose product overflows int64), so the
+    DuckDB replay is bit-identical with no epsilon anywhere. Per
+    polygon (<= 8 vertices, doc_id order — a deliberately wiggly mix
+    of valid and bowtie shapes): non-adjacent edge pairs via array
+    HOFs (bounded C(8,2), no join), strict proper-intersection
+    counts, plus the exact shoelace 2*area and winding direction.
+    Scale shape: one groupBy gid + per-row bounded HOFs; polygons
+    with millions of vertices would swap the HOF for the cell-join
+    sweep in operators/sweep.py."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 37).alias("gid"),
+        (F.col("doc_id") * 7919 % 360000).alias("ix"),
+        (F.col("doc_id") * 104729 % 170000).alias("iy"))
+    w = Window.partitionBy("gid").orderBy("doc_id")
+    verts = (d.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 8))
+    poly = (verts.groupBy("gid")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("doc_id", "ix", "iy"))),
+                lambda s: F.struct(s["ix"].alias("ix"),
+                                   s["iy"].alias("iy"))).alias("vs"))
+            .filter(F.size("vs") >= 3))
+    vs = F.col("vs")
+    n = F.size(vs)
+
+    def vat(i):  # 1-based element_at on the vertex array
+        return F.element_at(vs, (i + 1).cast("int"))
+
+    def orient(a, b, c):
+        return ((b["ix"] - a["ix"]) * (c["iy"] - a["iy"])
+                - (b["iy"] - a["iy"]) * (c["ix"] - a["ix"]))
+
+    def opp(o1, o2):  # strict opposite signs without multiplying
+        return ((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))
+
+    def pair_hits(i):
+        # edges j in [i+2, n-1], excluding (0, n-1) which are adjacent
+        jmax = F.when(i == 0, n - 2).otherwise(n - 1)
+        return F.size(F.filter(
+            F.sequence(i + 2, jmax),
+            lambda j: opp(orient(vat(i), vat((i + 1) % n), vat(j)),
+                          orient(vat(i), vat((i + 1) % n),
+                                 vat((j + 1) % n)))
+            & opp(orient(vat(j), vat((j + 1) % n), vat(i)),
+                  orient(vat(j), vat((j + 1) % n), vat((i + 1) % n)))))
+
+    selfx = F.aggregate(
+        F.sequence(F.lit(0), n - 3),
+        F.lit(0),
+        lambda acc, i: acc + F.when(i + 2 <= F.when(i == 0, n - 2)
+                                    .otherwise(n - 1), pair_hits(i))
+        .otherwise(F.lit(0)))
+    area2 = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + (vat(i)["ix"] * vat((i + 1) % n)["iy"]
+                              - vat((i + 1) % n)["ix"] * vat(i)["iy"]))
+    return poly.select(
+        "gid", n.alias("nv"), selfx.alias("n_selfx"),
+        (selfx == 0).cast("int").alias("is_valid"),
+        area2.alias("area2"),
+        F.when(area2 > 0, F.lit("ccw")).when(area2 < 0, F.lit("cw"))
+        .otherwise(F.lit("degenerate")).alias("winding"))
+
+
+SQL_GEOM_VALID = """
+WITH verts AS (
+  SELECT gid, rn, ix, iy,
+         count(*) OVER (PARTITION BY gid) AS n
+  FROM (
+    SELECT doc_id % 37 AS gid,
+           doc_id * 7919 % 360000 AS ix,
+           doc_id * 104729 % 170000 AS iy,
+           row_number() OVER (PARTITION BY doc_id % 37
+                              ORDER BY doc_id) AS rn
+    FROM documents)
+  WHERE rn <= 8
+),
+poly AS (SELECT gid, least(max(n), 8) AS n FROM verts GROUP BY gid
+         HAVING least(max(n), 8) >= 3),
+edges AS (
+  SELECT a.gid, a.rn - 1 AS i, a.ix AS x1, a.iy AS y1,
+         b.ix AS x2, b.iy AS y2
+  FROM verts a
+  JOIN poly p ON p.gid = a.gid
+  JOIN verts b ON b.gid = a.gid AND b.rn = (a.rn % p.n) + 1
+  WHERE a.rn <= p.n
+),
+pairs AS (
+  SELECT e1.gid,
+         (e1.x2 - e1.x1) * (e2.y1 - e1.y1)
+           - (e1.y2 - e1.y1) * (e2.x1 - e1.x1) AS o1,
+         (e1.x2 - e1.x1) * (e2.y2 - e1.y1)
+           - (e1.y2 - e1.y1) * (e2.x2 - e1.x1) AS o2,
+         (e2.x2 - e2.x1) * (e1.y1 - e2.y1)
+           - (e2.y2 - e2.y1) * (e1.x1 - e2.x1) AS o3,
+         (e2.x2 - e2.x1) * (e1.y2 - e2.y1)
+           - (e2.y2 - e2.y1) * (e1.x2 - e2.x1) AS o4
+  FROM edges e1
+  JOIN edges e2 ON e1.gid = e2.gid AND e2.i > e1.i + 1
+  JOIN poly p ON p.gid = e1.gid
+  WHERE NOT (e1.i = 0 AND e2.i = p.n - 1)
+),
+hits AS (
+  SELECT gid, count(*) FILTER (WHERE
+    ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0)) AND
+    ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))) AS n_selfx
+  FROM pairs GROUP BY gid
+),
+sh AS (
+  SELECT e.gid,
+         CAST(sum(x1 * y2 - x2 * y1) AS BIGINT) AS area2
+  FROM edges e GROUP BY e.gid
+)
+SELECT p.gid, CAST(p.n AS INTEGER) AS nv,
+       CAST(coalesce(h.n_selfx, 0) AS INTEGER) AS n_selfx,
+       CAST(CASE WHEN coalesce(h.n_selfx, 0) = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS is_valid,
+       sh.area2,
+       CASE WHEN sh.area2 > 0 THEN 'ccw'
+            WHEN sh.area2 < 0 THEN 'cw'
+            ELSE 'degenerate' END AS winding
+FROM poly p LEFT JOIN hits h ON h.gid = p.gid
+JOIN sh ON sh.gid = p.gid
+"""
+
+QUERIES["geom_valid"] = (q_geom_valid, SQL_GEOM_VALID)
