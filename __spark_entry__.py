@@ -90,7 +90,7 @@ def _interleaved() -> dict[str, tuple]:
     new_this_round = [
         "hillshade", "viewshed", "textrank", "posting_lists",
         "url_templates", "kmv_sketch", "bot_score", "fetch_budget",
-        "geom_valid",
+        "geom_valid", "link_reciprocity", "concurrency",
         "molodensky", "hilbert", "mime_sniff", "surt_dedup", "mojibake", "hreflang_cluster", "flow_dir",
         "rect_join", "union_area", "speed_filter", "line_interp",
         "cdc_chunks", "sitemap_parse", "readability", "rake_keywords",

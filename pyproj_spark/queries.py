@@ -8064,3 +8064,96 @@ JOIN sh ON sh.gid = p.gid
 """
 
 QUERIES["geom_valid"] = (q_geom_valid, SQL_GEOM_VALID)
+
+
+def q_concurrency(spark, sf_dir):
+    """Peak-concurrency sweep (interval max-overlap): sessions are
+    rebuilt from events with the engine's 30-minute-gap rule, then
+    each session contributes a +1 boundary at its start and a -1 at
+    its end and a running sum over boundaries — ordered WITHIN each
+    event-type partition, never globally — yields concurrent-session
+    counts; one agg takes the peak and its first time. This is the
+    load-curve primitive behind capacity planning on access logs.
+    Integer boundary sums replay exactly in DuckDB (ties broken by
+    delta so ends close before starts open at the same instant)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"))
+    w = Window.partitionBy("event_type", "user_id").orderBy("t_us")
+    gap = F.col("t_us") - F.lag("t_us").over(w)
+    sess = (ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("event_type", "user_id", "sess_id")
+        .agg(F.min("t_us").alias("t0"), F.max("t_us").alias("t1")))
+    bounds = (sess.select("event_type", F.col("t0").alias("t"),
+                          F.lit(1).alias("delta"))
+              .unionAll(sess.select("event_type",
+                                    (F.col("t1") + 1).alias("t"),
+                                    F.lit(-1).alias("delta"))))
+    ws = Window.partitionBy("event_type").orderBy("t", "delta")
+    run = bounds.withColumn(
+        "load", F.sum("delta").over(
+            ws.rowsBetween(Window.unboundedPreceding, 0)))
+    run = run.withColumn(
+        "wpeak", F.max("load").over(Window.partitionBy("event_type")))
+    return (run.groupBy("event_type")
+            .agg(F.max("load").alias("peak"),
+                 F.min(F.when(F.col("load") == F.col("wpeak"),
+                              F.col("t"))).alias("peak_t_us"),
+                 F.count(F.lit(1)).alias("n_bounds")))
+
+
+SQL_CONCURRENCY = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+),
+gapped AS (
+  SELECT *, t_us - lag(t_us) OVER (PARTITION BY event_type, user_id
+                                   ORDER BY t_us) AS gap
+  FROM ev
+),
+marked AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0
+            END AS new_sess
+  FROM gapped
+),
+sess AS (
+  SELECT event_type, user_id,
+         sum(new_sess) OVER (PARTITION BY event_type, user_id
+                             ORDER BY t_us ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS sess_id,
+         t_us
+  FROM marked
+),
+spans AS (
+  SELECT event_type, user_id, sess_id,
+         min(t_us) AS t0, max(t_us) AS t1
+  FROM sess GROUP BY 1, 2, 3
+),
+bounds AS (
+  SELECT event_type, t0 AS t, 1 AS delta FROM spans
+  UNION ALL
+  SELECT event_type, t1 + 1 AS t, -1 AS delta FROM spans
+),
+run AS (
+  SELECT event_type, t,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) AS load
+  FROM bounds
+),
+peak AS (
+  SELECT event_type, max(load) AS peak, count(*) AS n_bounds
+  FROM run GROUP BY 1
+)
+SELECT p.event_type, CAST(p.peak AS BIGINT) AS peak,
+       min(r.t) FILTER (WHERE r.load = p.peak) AS peak_t_us,
+       p.n_bounds
+FROM peak p JOIN run r ON r.event_type = p.event_type
+GROUP BY 1, 2, 4
+"""
+
+QUERIES["concurrency"] = (q_concurrency, SQL_CONCURRENCY)

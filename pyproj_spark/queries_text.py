@@ -5409,3 +5409,53 @@ FROM hosts h CROSS JOIN c CROSS JOIN tot
 """
 
 QUERIES_TEXT["fetch_budget"] = (q_fetch_budget, SQL_FETCH_BUDGET)
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """Host-level link reciprocity — the classic webspam / link-farm
+    signal (organic linking is asymmetric; exchange schemes are
+    mutual). Distinct host edges derive from doc_id arithmetic, then
+    ONE self-equi-join on the reversed key (dst, src) marks mutual
+    pairs: per host, out-degree, mutual count, reciprocity ratio.
+    The join is key-to-key (never all-pairs) and the edge table is
+    already host-aggregated, so the shape survives a trillion-page
+    graph; skewed hub hosts hit the same salted-agg machinery as
+    every other host-keyed rollup here."""
+    d = F.col("doc_id")
+    edges = (_docs(spark, sf_dir)
+             .select((d % 53).alias("src"),
+                     ((d * 7 + 3) % 53).alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    rev = edges.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"),
+                       F.lit(1).alias("mutual"))
+    marked = edges.join(rev, ["src", "dst"], "left")
+    return (marked.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("out_deg"),
+                 F.sum(F.coalesce("mutual", F.lit(0))).alias("n_mutual"))
+            .select(F.col("src").alias("host"), "out_deg", "n_mutual",
+                    F.round(F.col("n_mutual")
+                            / F.col("out_deg").cast("double"), 6)
+                    .alias("reciprocity")))
+
+
+SQL_LINK_RECIPROCITY = """
+WITH edges AS (
+  SELECT DISTINCT doc_id % 53 AS src, (doc_id * 7 + 3) % 53 AS dst
+  FROM documents WHERE doc_id % 53 <> (doc_id * 7 + 3) % 53
+),
+marked AS (
+  SELECT e.src, e.dst,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+  FROM edges e LEFT JOIN edges r
+    ON r.src = e.dst AND r.dst = e.src
+)
+SELECT src AS host, count(*) AS out_deg,
+       CAST(sum(mutual) AS BIGINT) AS n_mutual,
+       round(sum(mutual) / CAST(count(*) AS DOUBLE), 6) AS reciprocity
+FROM marked GROUP BY src
+"""
+
+QUERIES_TEXT["link_reciprocity"] = (q_link_reciprocity,
+                                    SQL_LINK_RECIPROCITY)
