@@ -91,6 +91,7 @@ def _interleaved() -> dict[str, tuple]:
         "hillshade", "viewshed", "textrank", "posting_lists",
         "url_templates", "kmv_sketch", "bot_score", "fetch_budget",
         "geom_valid", "link_reciprocity", "concurrency",
+        "polyline_encode", "haar_raster", "gravity_flows",
         "molodensky", "hilbert", "mime_sniff", "surt_dedup", "mojibake", "hreflang_cluster", "flow_dir",
         "rect_join", "union_area", "speed_filter", "line_interp",
         "cdc_chunks", "sitemap_parse", "readability", "rake_keywords",

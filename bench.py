@@ -205,7 +205,7 @@ def main():
     # 12/16; each costs ~16 s / ~4.5 s, trivial next to the ramp.)
     t2, times2 = _run_level(2, SCALE_PATH, reps=2, runs=12)
     t8, times8 = _run_level(8, SCALE_PATH, reps=3, runs=16)
-    t32, times32 = (_run_level(CPUS, PAGES_PATH, reps=3, runs=10)
+    t32, times32 = (_run_level(CPUS, PAGES_PATH, reps=4, runs=12)
                     if CPUS >= 16 else (None, []))
     thr = {2: SCALE_PAGES / t2, 8: SCALE_PAGES / t8}
     if t32 is not None:

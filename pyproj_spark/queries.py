@@ -8157,3 +8157,268 @@ GROUP BY 1, 2, 4
 """
 
 QUERIES["concurrency"] = (q_concurrency, SQL_CONCURRENCY)
+
+
+def _polyline_enc(sexpr: str, chr_fn: str, shr) -> str:
+    """Google Encoded Polyline chunk emitter for a non-negative
+    zigzag value expression: 5-bit little-endian groups, +63, 0x20
+    continuation — unrolled to 6 chunks (covers |delta| < 2^29,
+    far above the +-180e5 coordinate range). `shr(expr, bits)` is
+    the dialect's right shift, `chr_fn` its int->char function."""
+    parts = []
+    for i in range(6):
+        cur = shr(sexpr, 5 * i)
+        nxt = shr(sexpr, 5 * (i + 1))
+        ch = chr_fn % (f"63 + (({cur}) & 31) + "
+                       f"(CASE WHEN ({nxt}) > 0 THEN 32 ELSE 0 END)")
+        if i == 0:
+            parts.append(ch)
+        else:
+            parts.append(f"CASE WHEN ({cur}) > 0 THEN {ch} "
+                         f"ELSE '' END")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def q_polyline_encode(spark, sf_dir):
+    """Google Encoded Polyline sink (the interchange format of every
+    mapping API): per-user tracks (first 10 fixes by time) delta-
+    encoded, zigzag-mapped and emitted as 5-bit/char base-63 strings
+    — pure native string/bit expressions, no Python. Coordinates are
+    exact INTEGER e5 units derived from event ids, so the encoder's
+    byte output is engine-proof and DuckDB replays it char-for-char
+    with its own bit ops. Plan: one key-partitioned window for the
+    deltas + one ordered string agg per user; at fleet scale this is
+    the standard trajectory EXPORT stage (polylines feed the tile
+    servers the raster ops here consume)."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("t_us"),
+                  ((F.col("event_id") * 7919 % 360000 - 180000) * 100)
+                  .alias("lon5"),
+                  ((F.col("event_id") * 104729 % 170000 - 85000) * 100)
+                  .alias("lat5")))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    pts = (ev.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 10)
+           .withColumn("dlat", F.col("lat5")
+                       - F.coalesce(F.lag("lat5").over(w), F.lit(0)))
+           .withColumn("dlon", F.col("lon5")
+                       - F.coalesce(F.lag("lon5").over(w), F.lit(0))))
+
+    def spark_shr(e, b):
+        return f"shiftright({e}, {b})" if b else f"({e})"
+
+    zz = ("(CASE WHEN {d} >= 0 THEN {d} * 2 "
+          "ELSE -{d} * 2 - 1 END)")
+    enc_lat = _polyline_enc(zz.format(d="dlat"), "char(%s)", spark_shr)
+    enc_lon = _polyline_enc(zz.format(d="dlon"), "char(%s)", spark_shr)
+    chunk = pts.withColumn(
+        "chunk", F.expr(f"concat({enc_lat}, {enc_lon})"))
+    return (chunk.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("rn", "chunk"))),
+                     lambda s: s["chunk"]), "").alias("polyline")))
+
+
+def _polyline_sql():
+    def duck_shr(e, b):
+        return f"(({e}) >> {b})" if b else f"({e})"
+
+    zz = "(CASE WHEN {d} >= 0 THEN {d} * 2 ELSE -{d} * 2 - 1 END)"
+    enc_lat = _polyline_enc(zz.format(d="dlat"),
+                            "chr(CAST(%s AS INTEGER))", duck_shr)
+    enc_lon = _polyline_enc(zz.format(d="dlon"),
+                            "chr(CAST(%s AS INTEGER))", duck_shr)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         (event_id * 7919 % 360000 - 180000) * 100 AS lon5,
+         (event_id * 104729 % 170000 - 85000) * 100 AS lat5
+  FROM events
+),
+pts AS (
+  SELECT *, row_number() OVER w AS rn,
+         lat5 - coalesce(lag(lat5) OVER w, 0) AS dlat,
+         lon5 - coalesce(lag(lon5) OVER w, 0) AS dlon
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+chunks AS (
+  SELECT user_id, rn, {enc_lat} || {enc_lon} AS chunk
+  FROM pts WHERE rn <= 10
+)
+SELECT user_id, count(*) AS n_points,
+       string_agg(chunk, '' ORDER BY rn) AS polyline
+FROM chunks GROUP BY user_id
+"""
+
+
+QUERIES["polyline_encode"] = (q_polyline_encode, _polyline_sql())
+
+
+def q_haar_raster(spark, sf_dir):
+    """One-level 2-D Haar wavelet transform of the density raster —
+    the compression/LOD primitive under raster pyramids (JPEG2000's
+    core step): per 2x2 block the LL/HL/LH/HH coefficients as EXACT
+    integer signed sums (sign = 1-2*(parity)), computed with ONE
+    hash aggregation over sign-annotated cells — the same
+    scatter-gather shape as dem_slope, no shifted self-joins, and
+    missing cells contribute implicit zeros. detail_energy ranks
+    blocks by high-frequency content (where the raster is NOT smooth
+    — the cells a lossy tile encoder must keep). DuckDB replays the
+    signed sums value-for-value."""
+    pts = _doc_points(spark, sf_dir)
+    ras = (pts.select(
+        (F.floor(F.col("lon") / 6) + 30).cast("long").alias("gx"),
+        (F.floor(F.col("lat") / 6) + 15).cast("long").alias("gy"))
+        .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("z")))
+    sx = 1 - 2 * (F.col("gx") % 2)
+    sy = 1 - 2 * (F.col("gy") % 2)
+    blk = (ras.select(
+        F.floor(F.col("gx") / 2).cast("long").alias("bx"),
+        F.floor(F.col("gy") / 2).cast("long").alias("by"),
+        F.col("z"),
+        (F.col("z") * sx).alias("zx"),
+        (F.col("z") * sy).alias("zy"),
+        (F.col("z") * sx * sy).alias("zxy"))
+        .groupBy("bx", "by")
+        .agg(F.sum("z").alias("ll"), F.sum("zx").alias("hl"),
+             F.sum("zy").alias("lh"), F.sum("zxy").alias("hh")))
+    energy = (F.col("hl") * F.col("hl") + F.col("lh") * F.col("lh")
+              + F.col("hh") * F.col("hh"))
+    return blk.select("bx", "by", "ll", "hl", "lh", "hh",
+                      energy.alias("detail_energy"))
+
+
+SQL_HAAR_RASTER = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon / 6) + 30 AS BIGINT) AS gx,
+         CAST(floor(lat / 6) + 15 AS BIGINT) AS gy,
+         count(*) AS z
+  FROM pts GROUP BY 1, 2
+),
+blk AS (
+  SELECT CAST(floor(gx / 2) AS BIGINT) AS bx,
+         CAST(floor(gy / 2) AS BIGINT) AS by,
+         CAST(sum(z) AS BIGINT) AS ll,
+         CAST(sum(z * (1 - 2 * (gx % 2))) AS BIGINT) AS hl,
+         CAST(sum(z * (1 - 2 * (gy % 2))) AS BIGINT) AS lh,
+         CAST(sum(z * (1 - 2 * (gx % 2)) * (1 - 2 * (gy % 2)))
+              AS BIGINT) AS hh
+  FROM ras GROUP BY 1, 2
+)
+SELECT bx, by, ll, hl, lh, hh,
+       hl * hl + lh * lh + hh * hh AS detail_energy
+FROM blk
+"""
+
+QUERIES["haar_raster"] = (q_haar_raster, SQL_HAAR_RASTER)
+
+
+def q_gravity_flows(spark, sf_dir):
+    """Gravity spatial-interaction model (Zipf 1946, the workhorse of
+    trip-distribution modeling): observed origin-destination flows
+    between the top-12 density cells are compared against the gravity
+    expectation G * m_i * m_j / d2_ij, with G calibrated in-plan so
+    total expected equals total observed flow. Flows come from
+    consecutive user fixes (one key-partitioned lag window), the top
+    cells attach by BROADCAST equi-joins, and the calibration is a
+    1-row cross join — the 100-TB shape: no collect, no global sort,
+    masses/distances in exact integers so both engines derive the
+    identical doubles. Residual > 1 flags corridors the gravity
+    model under-predicts (real interaction structure)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.floor(((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0)
+                / 30).cast("long").alias("cx"),
+        F.floor(((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0)
+                / 30).cast("long").alias("cy"))
+    top = (ev.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("m"))
+           .orderBy(F.col("m").desc(), "cx", "cy").limit(12))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    mov = (ev.withColumn("px", F.lag("cx").over(w))
+           .withColumn("py", F.lag("cy").over(w))
+           .filter(F.col("px").isNotNull()
+                   & ((F.col("px") != F.col("cx"))
+                      | (F.col("py") != F.col("cy")))))
+    t1 = top.select(F.col("cx").alias("px"), F.col("cy").alias("py"),
+                    F.col("m").alias("m1"))
+    t2 = top.select(F.col("cx").alias("cx"), F.col("cy").alias("cy"),
+                    F.col("m").alias("m2"))
+    obs = (mov.join(F.broadcast(t1), ["px", "py"])
+           .join(F.broadcast(t2), ["cx", "cy"])
+           .groupBy("px", "py", "cx", "cy", "m1", "m2")
+           .agg(F.count(F.lit(1)).alias("flow")))
+    d2 = ((F.col("cx") - F.col("px")) * (F.col("cx") - F.col("px"))
+          + (F.col("cy") - F.col("py")) * (F.col("cy") - F.col("py")))
+    # integer-unit weights (round(w*1e9) BIGINT) so the calibration
+    # sum is aggregation-order-independent — the pagerank discipline
+    obs = obs.withColumn(
+        "wgt_u", F.round((F.col("m1") * F.col("m2")).cast("double")
+                         / d2.cast("double") * 1e9, 0).cast("long"))
+    tot = obs.agg(F.sum("flow").alias("sum_t"),
+                  F.sum("wgt_u").alias("sum_w_u"))
+    out = obs.crossJoin(F.broadcast(tot))
+    expected = (F.col("wgt_u").cast("double")
+                * F.col("sum_t").cast("double")
+                / F.col("sum_w_u").cast("double"))
+    return out.select(
+        F.col("px").alias("ox"), F.col("py").alias("oy"),
+        F.col("cx").alias("dx"), F.col("cy").alias("dy"),
+        "flow", F.round(expected, 6).alias("expected"),
+        F.round(F.col("flow").cast("double") / expected, 6)
+        .alias("residual"))
+
+
+SQL_GRAVITY = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         CAST(floor(((event_id * 7919 % 360000) / 1000.0 - 180.0)
+                    / 30) AS BIGINT) AS cx,
+         CAST(floor(((event_id * 104729 % 170000) / 1000.0 - 85.0)
+                    / 30) AS BIGINT) AS cy
+  FROM events
+),
+top AS (
+  SELECT cx, cy, count(*) AS m FROM ev GROUP BY 1, 2
+  ORDER BY m DESC, cx, cy LIMIT 12
+),
+mov AS (
+  SELECT user_id, cx, cy,
+         lag(cx) OVER w AS px, lag(cy) OVER w AS py
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+obs AS (
+  SELECT m.px, m.py, m.cx, m.cy, t1.m AS m1, t2.m AS m2,
+         count(*) AS flow
+  FROM mov m
+  JOIN top t1 ON t1.cx = m.px AND t1.cy = m.py
+  JOIN top t2 ON t2.cx = m.cx AND t2.cy = m.cy
+  WHERE m.px IS NOT NULL AND (m.px <> m.cx OR m.py <> m.cy)
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+wgts AS (
+  SELECT *, CAST(round(CAST(m1 * m2 AS DOUBLE)
+            / CAST((cx - px) * (cx - px) + (cy - py) * (cy - py)
+                   AS DOUBLE) * 1e9, 0) AS BIGINT) AS wgt_u
+  FROM obs
+),
+tot AS (SELECT CAST(sum(flow) AS BIGINT) AS sum_t,
+               CAST(sum(wgt_u) AS BIGINT) AS sum_w_u
+        FROM wgts)
+SELECT px AS ox, py AS oy, cx AS dx, cy AS dy, flow,
+       round(CAST(wgt_u AS DOUBLE) * CAST(sum_t AS DOUBLE)
+             / CAST(sum_w_u AS DOUBLE), 6) AS expected,
+       round(CAST(flow AS DOUBLE)
+             / (CAST(wgt_u AS DOUBLE) * CAST(sum_t AS DOUBLE)
+                / CAST(sum_w_u AS DOUBLE)), 6) AS residual
+FROM wgts CROSS JOIN tot
+"""
+
+QUERIES["gravity_flows"] = (q_gravity_flows, SQL_GRAVITY)

@@ -698,3 +698,36 @@ def test_quadtree_leaves_partition_all_points(spark):
     for r in rows:
         if r["z"] < 6:
             assert r["n"] <= 20
+
+
+def test_polyline_encoder_google_vector():
+    # the canonical Encoded Polyline test vector from the published
+    # algorithm spec: (38.5,-120.2),(40.7,-120.95),(43.252,-126.453)
+    # -> "_p~iF~ps|U_ulLnnqC_mqNvxq`@" — run through the SAME chunk
+    # expression the gated query uses, on a literal DuckDB table.
+    import duckdb
+
+    from pyproj_spark.queries import _polyline_enc
+
+    def duck_shr(e, b):
+        return f"(({e}) >> {b})" if b else f"({e})"
+
+    zz = "(CASE WHEN {d} >= 0 THEN {d} * 2 ELSE -{d} * 2 - 1 END)"
+    enc_lat = _polyline_enc(zz.format(d="dlat"),
+                            "chr(CAST(%s AS INTEGER))", duck_shr)
+    enc_lon = _polyline_enc(zz.format(d="dlon"),
+                            "chr(CAST(%s AS INTEGER))", duck_shr)
+    con = duckdb.connect()
+    sql = f"""
+    WITH pts(rn, lat5, lon5) AS (VALUES
+      (1, 3850000, -12020000), (2, 4070000, -12095000),
+      (3, 4325200, -12645300)),
+    d AS (
+      SELECT rn, lat5 - coalesce(lag(lat5) OVER (ORDER BY rn), 0)
+               AS dlat,
+             lon5 - coalesce(lag(lon5) OVER (ORDER BY rn), 0) AS dlon
+      FROM pts)
+    SELECT string_agg({enc_lat} || {enc_lon}, '' ORDER BY rn) AS p
+    FROM d
+    """
+    assert con.execute(sql).fetchone()[0] == "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
