@@ -102,9 +102,12 @@ def _interleaved() -> dict[str, tuple]:
         "rhumb_line", "dsir_sample", "gc_intersect", "sq8_ann",
         "hmm_match", "pq_ann", "ivfpq", "colocate", "fertility",
         "rd_grid", "gauss_kruger", "krovak_grid", "hll_pyramid", "geoip",
-        "semdedup", "vertical_shift", "nad27_stateplane", "bpe_merges",
-        "bpe_segment", "kcore", "hop_distance", "label_prop",
-        "shortest_path",
+        "vertical_shift", "nad27_stateplane",
+        # (semdedup/bpe_merges/bpe_segment/kcore/hop_distance/
+        # label_prop/shortest_path/hll_pyramid already driver-sampled
+        # in r4 — dropped from the priority head so every
+        # never-sampled query fits the ~50-query prefix window; they
+        # rotate back in via the least-recently-sampled ordering.)
     ]
     out: dict[str, tuple] = {n: merged[n] for n in new_this_round
                              if n in merged}

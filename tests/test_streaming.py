@@ -446,3 +446,58 @@ def test_streaming_cm_matches_batch(spark, tmp_path):
             exp = min(sketch.get((r, _cm_col(r, str(p), CM_W)), 0)
                       for r in range(CM_D))
             assert last.loc[(grp, str(p)), "est"] == exp
+
+
+def test_geofence_group_spanning_many_arrow_chunks(spark, tmp_path):
+    """One user's micro-batch rows delivered as MULTIPLE Arrow chunks
+    (rows >> arrow.maxRecordsPerBatch) must still produce globally
+    time-ordered transitions — the concat-then-sort contract in
+    _transitions_fn. With per-chunk sorting this test flaps: chunks
+    arrive in shuffle order and diffs run against the wrong
+    predecessor."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyproj_spark.streaming.geofence import (inside_ring,
+                                                 streaming_geofence)
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        ring = [(-10.0, -10.0), (10.0, -10.0), (10.0, 10.0),
+                (-10.0, 10.0)]
+        n = 1000  # ~16 chunks for the single user
+        rows = [(1, i, i,
+                 (0.0 if (i // 100) % 2 == 0 else 50.0), 0.0)
+                for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, "
+                  "lon double, lat double")
+        # batch oracle: lag over the (ts, event_id) order
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flags = df.withColumn(
+            "inside", inside_ring(F.col("lon"), F.col("lat"), ring))
+        batch = (flags.withColumn("prev", F.lag("inside").over(w))
+                 .filter(F.col("prev").isNotNull()
+                         & (F.col("inside") != F.col("prev")))
+                 .select("event_id",
+                         F.when(F.col("inside") == 1, "enter")
+                         .otherwise("exit").alias("transition")))
+        expected = {(r.event_id, r.transition)
+                    for r in batch.collect()}
+        assert len(expected) == 9  # flips at 100,200,...,900
+
+        src = str(tmp_path / "src")
+        df.repartition(8).write.parquet(src)  # shuffled chunk order
+        stream = (spark.readStream.schema(df.schema).parquet(src))
+        out = str(tmp_path / "out")
+        q = (streaming_geofence(stream, ring).writeStream
+             .format("memory").queryName("geo_chunks")
+             .option("checkpointLocation", out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r.event_id, r.transition)
+               for r in spark.sql("SELECT * FROM geo_chunks").collect()}
+        assert got == expected
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
