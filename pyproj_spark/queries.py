@@ -4364,6 +4364,83 @@ FROM z
 QUERIES["trend_cells"] = (q_trend_cells, _trend_cells_sql())
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope per hex cell over its daily event counts
+    — the ESTIMATOR companion to the Mann-Kendall TEST (`trend_cells`
+    tells you a cell is heating up; this says how fast, immune to
+    outlier days). sen_slope = median over all day pairs i<j of
+    (n_j-n_i)/(day_j-day_i); intercept = median(n_i - slope*day_i)
+    (Conover's pairing). Medians are Spark's exact `percentile`
+    (linear interpolation) replayed by DuckDB `quantile_cont` on
+    identical double ratios-of-integers. Scale shape: the pair stage
+    is the same per-cell (cell)-equijoin as trend_cells — pairs
+    bounded by days^2 per cell (a constant), not corpus size; both
+    medians are per-cell aggregations, no global sort."""
+    from pyproj_spark.functions.hexcell import hex_of
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    minute = F.floor(F.unix_timestamp("ts") / 600)
+    lon = ((F.col("user_id") % 36) * 10 - 180 + (minute % 7) * 2.0)
+    lat = ((F.col("user_id") % 17) * 8 - 60).cast("double")
+    t = (ev.select(hex_of(lon, lat, 2).alias("cell"),
+                   F.floor(F.unix_timestamp("ts") / 86400).alias("day"))
+         .groupBy("cell", "day").agg(F.count(F.lit(1)).alias("n")))
+    a = t.select(F.col("cell"), F.col("day").alias("di"),
+                 F.col("n").alias("ni"))
+    b = t.select(F.col("cell"), F.col("day").alias("dj"),
+                 F.col("n").alias("nj"))
+    slopes = (a.join(b, "cell").filter(F.col("di") < F.col("dj"))
+              .withColumn("slope",
+                          (F.col("nj") - F.col("ni")).cast("double")
+                          / (F.col("dj") - F.col("di")).cast("double"))
+              .groupBy("cell")
+              .agg(F.count(F.lit(1)).alias("n_pairs"),
+                   F.expr("percentile(slope, 0.5)").alias("sen_slope")))
+    return (t.join(slopes, "cell")
+            .withColumn("resid", F.col("n").cast("double")
+                        - F.col("sen_slope") * F.col("day").cast("double"))
+            .groupBy("cell")
+            .agg(F.first("n_pairs").alias("n_pairs"),
+                 F.first("sen_slope").alias("sen_slope"),
+                 F.expr("percentile(resid, 0.5)").alias("sen_intercept")))
+
+
+def _theil_sen_sql():
+    from pyproj_spark.functions.hexcell import hex_sql
+    cell = hex_sql(2, lon_expr="lon", lat_expr="lat")
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts,
+         (user_id % 36) * 10 - 180
+             + (floor(epoch(ts) / 600) % 7) * 2.0 AS lon,
+         CAST((user_id % 17) * 8 - 60 AS DOUBLE) AS lat
+  FROM events
+),
+t AS MATERIALIZED (
+  SELECT {cell} AS cell,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.cell, count(*) AS n_pairs,
+         quantile_cont(CAST(b.n - a.n AS DOUBLE)
+                       / CAST(b.day - a.day AS DOUBLE), 0.5) AS sen_slope
+  FROM t a JOIN t b ON a.cell = b.cell AND a.day < b.day
+  GROUP BY 1
+)
+SELECT t.cell, any_value(s.n_pairs) AS n_pairs,
+       any_value(s.sen_slope) AS sen_slope,
+       quantile_cont(CAST(t.n AS DOUBLE)
+                     - s.sen_slope * CAST(t.day AS DOUBLE), 0.5)
+           AS sen_intercept
+FROM t JOIN slopes s ON s.cell = t.cell
+GROUP BY t.cell
+"""
+
+
+QUERIES["theil_sen"] = (q_theil_sen, _theil_sen_sql())
+
+
 def q_idw_raster(spark, sf_dir):
     """IDW interpolation raster (Shepard 1968): per 3-degree grid cell,
     the inverse-distance-squared weighted mean of sample values from

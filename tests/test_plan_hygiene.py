@@ -502,3 +502,13 @@ def test_textrank_edges_from_hofs_not_self_join(spark):
     rows = df.collect()
     assert 0 < len(rows) <= 30
     assert all(r.rank > 0 for r in rows)
+
+
+def test_theil_sen_cell_equijoins_only(spark):
+    # the pair stage must be a (cell)-equijoin (days^2-bounded per
+    # cell), never a nested-loop; both medians are hash-agg percentiles
+    from pyproj_spark.queries import q_theil_sen
+    plan = _plan(q_theil_sen(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "percentile" in plan
