@@ -7287,6 +7287,77 @@ FROM ras r LEFT JOIN grad g ON g.tx = r.gx AND g.ty = r.gy
 QUERIES["dem_slope"] = (q_dem_slope, SQL_DEM_SLOPE)
 
 
+def q_terrain_tpi(spark, sf_dir):
+    """Topographic Position Index (Weiss 2001) and Terrain Ruggedness
+    Index (Riley et al. 1999) over the point-density DEM: per occupied
+    cell, TPI = z - mean(8-neighborhood z) and
+    TRI = sqrt(sum (z - n_i)^2). Empty neighbor cells are elevation 0
+    (the raster's natural zero), so both reduce to the EXACT integer
+    moments S1 = sum n_i, S2 = sum n_i^2 gathered by the same
+    scatter-sum shape as dem_slope/raster_blur — one explode + one
+    hash agg, no 8-way shifted self-join; the only join is the
+    occupied-cell gather. sum (z-n_i)^2 = 8 z^2 - 2 z S1 + S2
+    stays in int64 (cnt <= corpus rows per 6-degree cell at sf0.1;
+    at 100 TB the cell side shrinks with a zoom parameter, not the
+    arithmetic)."""
+    pts = _doc_points(spark, sf_dir)
+    ras = (pts.select(F.floor(F.col("lon") / 6).cast("long").alias("gx"),
+                      F.floor(F.col("lat") / 6).cast("long").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("cnt")))
+    offs = [F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+            for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+            if not (ox == 0 and oy == 0)]
+    sc = (ras.select("gx", "gy", "cnt",
+                     F.explode(F.array(*offs)).alias("o"))
+          .select((F.col("gx") - F.col("o.ox")).alias("tx"),
+                  (F.col("gy") - F.col("o.oy")).alias("ty"),
+                  F.col("cnt").alias("n1"),
+                  (F.col("cnt") * F.col("cnt")).alias("n2")))
+    mom = (sc.groupBy("tx", "ty")
+           .agg(F.sum("n1").alias("s1"), F.sum("n2").alias("s2")))
+    z = F.col("cnt").cast("double")
+    s1 = F.coalesce(F.col("s1"), F.lit(0)).cast("double")
+    s2 = F.coalesce(F.col("s2"), F.lit(0)).cast("double")
+    return (ras.join(mom, (F.col("gx") == F.col("tx"))
+                     & (F.col("gy") == F.col("ty")), "left")
+            .select(F.col("gx"), F.col("gy"), F.col("cnt").alias("z"),
+                    (z - s1 / F.lit(8.0)).alias("tpi"),
+                    F.sqrt(F.lit(8.0) * z * z - F.lit(2.0) * z * s1
+                           + s2).alias("tri")))
+
+
+SQL_TERRAIN_TPI = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon / 6) AS BIGINT) AS gx,
+         CAST(floor(lat / 6) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+offs(ox, oy) AS (
+  VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1), (1,-1), (1,0), (1,1)
+),
+mom AS (
+  SELECT gx - ox AS tx, gy - oy AS ty,
+         CAST(sum(cnt) AS BIGINT) AS s1,
+         CAST(sum(cnt * cnt) AS BIGINT) AS s2
+  FROM ras CROSS JOIN offs
+  GROUP BY 1, 2
+)
+SELECT r.gx, r.gy, r.cnt AS z,
+       CAST(r.cnt AS DOUBLE)
+           - CAST(coalesce(m.s1, 0) AS DOUBLE) / 8.0 AS tpi,
+       sqrt(8.0 * CAST(r.cnt AS DOUBLE) * CAST(r.cnt AS DOUBLE)
+            - 2.0 * CAST(r.cnt AS DOUBLE)
+                  * CAST(coalesce(m.s1, 0) AS DOUBLE)
+            + CAST(coalesce(m.s2, 0) AS DOUBLE)) AS tri
+FROM ras r LEFT JOIN mom m ON m.tx = r.gx AND m.ty = r.gy
+"""
+
+
+QUERIES["terrain_tpi"] = (q_terrain_tpi, SQL_TERRAIN_TPI)
+
+
 # ------------------------------------------------ DTW route conformance
 
 #: reference route in integer milli-degrees (driver literal; a route

@@ -512,3 +512,16 @@ def test_theil_sen_cell_equijoins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "percentile" in plan
+
+
+def test_terrain_tpi_scatter_no_self_join(spark):
+    # moments gather by hash agg over scattered contributions; only
+    # the occupied-cell left join is allowed (same lock as dem_slope)
+    from pyproj_spark.queries import q_terrain_tpi
+    plan = _plan(q_terrain_tpi(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    njoins = sum(plan.count(k) for k in
+                 ("SortMergeJoin", "BroadcastHashJoin",
+                  "ShuffledHashJoin"))
+    assert njoins <= 1
