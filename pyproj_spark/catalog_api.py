@@ -186,6 +186,9 @@ def get_proj_operations_map() -> dict:
         "poly": "Polyconic (American)",
         "somerc": "Swiss. Obl. Mercator",
         "moll": "Mollweide",
+        "bonne": "Bonne",
+        "vandg": "Van Der Grinten",
+        "wintri": "Winkel Tripel",
         "mill": "Miller Cylindrical",
         "gnom": "Gnomonic",
         "cass": "Cassini",

@@ -36,6 +36,9 @@ _METHOD_NAMES = {
     "cass": ("Cassini-Soldner", 9806),
     "krovak": ("Krovak", 9819),
     "eqearth": ("Equal Earth", 1078),
+    "bonne": ("Bonne", 9827),
+    "vandg": ("Van Der Grinten", 0),
+    "wintri": ("Winkel Tripel", 0),
 }
 
 _PARAM_NAMES = {

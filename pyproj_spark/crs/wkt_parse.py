@@ -192,6 +192,11 @@ _METHOD_BY_NAME = {
     "krovak": ("krovak", {}),
     "krovakeastnorth": ("krovak", {}),
     "equalearth": ("eqearth", {}),
+    "bonne": ("bonne", {}),
+    "bonnesouthorientated": ("bonne", {}),
+    "vandergrinten": ("vandg", {}),
+    "vandergrinteni": ("vandg", {}),
+    "winkeltripel": ("wintri", {}),
     "projobtranoprojlonglat": ("ob_tran", {}),
     "polerotationnetcdfcfconvention": ("ob_tran", {}),
 }

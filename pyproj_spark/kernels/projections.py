@@ -114,6 +114,32 @@ class Projection:
             lam = np.remainder(lam + np.pi, 2.0 * np.pi) - np.pi
         return lam, phi
 
+    # -- exact rectifying-latitude meridian arc (the same Krueger
+    # alpha/beta machinery as tmerc; used by cass and bonne) --
+
+    def _arc_setup(self):
+        E = self.E
+        n = E.n
+        self.A = E.a / (1.0 + n) * (1.0 + n ** 2 / 4
+                                    + n ** 4 / 64 + n ** 6 / 256)
+        self.alpha = [_polyn(c, n) for c in _ALPHA]
+        self.beta = [_polyn(c, n) for c in _BETA]
+
+    def _mdist(self, phi):
+        e = self.E.e
+        chi = np.arctan(_taupf(np.tan(phi), e))
+        mu = chi.copy()
+        for j, aj in enumerate(self.alpha, start=1):
+            mu = mu + aj * np.sin(2 * j * chi)
+        return self.A * mu
+
+    def _footpoint(self, m):
+        mu = m / self.A
+        chi = mu.copy()
+        for j, bj in enumerate(self.beta, start=1):
+            chi = chi - bj * np.sin(2 * j * mu)
+        return np.arctan(_tauf(np.tan(chi), self.E.e))
+
 
 class LongLat(Projection):
     name = "longlat"
@@ -1329,27 +1355,8 @@ class Cassini(Projection):
     name = "cass"
 
     def _setup(self, lat_0=0.0, **kw):
-        E = self.E
-        n = E.n
-        self.A = E.a / (1.0 + n) * (1.0 + n ** 2 / 4 + n ** 4 / 64 + n ** 6 / 256)
-        self.alpha = [_polyn(c, n) for c in _ALPHA]
-        self.beta = [_polyn(c, n) for c in _BETA]
+        self._arc_setup()
         self.m0 = float(self._mdist(np.array([np.radians(float(lat_0))]))[0])
-
-    def _mdist(self, phi):
-        e = self.E.e
-        chi = np.arctan(_taupf(np.tan(phi), e))
-        mu = chi.copy()
-        for j, aj in enumerate(self.alpha, start=1):
-            mu = mu + aj * np.sin(2 * j * chi)
-        return self.A * mu
-
-    def _footpoint(self, m):
-        mu = m / self.A
-        chi = mu.copy()
-        for j, bj in enumerate(self.beta, start=1):
-            chi = chi - bj * np.sin(2 * j * mu)
-        return np.arctan(_tauf(np.tan(chi), self.E.e))
 
     def _fwd(self, dl, phi):
         E = self.E
@@ -1453,7 +1460,174 @@ class Krovak(Projection):
         return -V / self.B, phi
 
 
+class Bonne(Projection):
+    """Bonne pseudoconic (ellipsoidal, Snyder pp. 138-140, eq.
+    14-1..14-11; PROJ bonne, EPSG method 9827). Equal-area by
+    construction: parallels are concentric circular arcs true to
+    scale, meridian distances along the central meridian are true.
+    The meridian arc M uses the engine's exact rectifying-latitude
+    series (the same Krueger machinery as tmerc/cass) instead of
+    Snyder's truncated eq. 3-21. lat_1 is the standard parallel;
+    lat_1 = 0 degenerates to sinusoidal and is rejected, matching
+    PROJ's -35 error."""
+
+    name = "bonne"
+
+    def _setup(self, lat_1=None, **kw):
+        if lat_1 is None or float(lat_1) == 0.0:
+            raise ValueError("bonne requires a nonzero +lat_1")
+        self._arc_setup()
+        E = self.E
+        p1 = np.radians(float(lat_1))
+        self.sign1 = 1.0 if p1 >= 0 else -1.0
+        s1 = np.sin(p1)
+        m1 = np.cos(p1) / np.sqrt(1.0 - E.e2 * s1 * s1)
+        #: radius of the standard-parallel arc (a*m1/sin(phi1))
+        self.rho1 = float(E.a * m1 / s1)
+        self.M1 = float(self._mdist(np.array([p1]))[0])
+
+    def _fwd(self, dl, phi):
+        E = self.E
+        sp = np.sin(phi)
+        m = np.cos(phi) / np.sqrt(1.0 - E.e2 * sp * sp)
+        rho = self.rho1 + self.M1 - self._mdist(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Ea = np.where(rho != 0.0, E.a * m * dl / rho, 0.0)
+        return rho * np.sin(Ea), self.rho1 - rho * np.cos(Ea)
+
+    def _inv(self, x, y):
+        E = self.E
+        rho = self.sign1 * np.hypot(x, self.rho1 - y)
+        phi = self._footpoint(self.rho1 + self.M1 - rho)
+        sp = np.sin(phi)
+        m = np.cos(phi) / np.sqrt(1.0 - E.e2 * sp * sp)
+        ang = np.arctan2(self.sign1 * x, self.sign1 * (self.rho1 - y))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dl = np.where(np.abs(m) > 1e-15, rho * ang / (E.a * m), 0.0)
+        return dl, phi
+
+
+class VanDerGrinten(Projection):
+    """Van der Grinten I (spherical, Snyder pp. 239-243, eq.
+    29-6a..29-17 forward / 28-18..28-26 closed-form cubic inverse;
+    PROJ vandg). The whole world maps inside the circle of radius
+    pi*R (property-locked); equator and central meridian are straight
+    and true-ratio, all other meridians/parallels are circular arcs."""
+
+    name = "vandg"
+    spherical_factors = True
+
+    def _fwd(self, dl, phi):
+        R = self.E.a
+        theta = np.arcsin(np.clip(np.abs(2.0 * phi / np.pi), 0.0, 1.0))
+        st, ct = np.sin(theta), np.cos(theta)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            A = 0.5 * np.abs(np.pi / dl - dl / np.pi)
+            G = ct / (st + ct - 1.0)
+            P = G * (2.0 / st - 1.0)
+            Q = A * A + G
+            P2A2 = P * P + A * A
+            GmP2 = G - P * P
+            x = (np.sign(dl) * np.pi * R
+                 * (A * GmP2 + np.sqrt(np.maximum(
+                     A * A * GmP2 * GmP2 - P2A2 * (G * G - P * P), 0.0)))
+                 / P2A2)
+            y = (np.sign(phi) * np.pi * R
+                 * (P * Q - A * np.sqrt(np.maximum(
+                     (A * A + 1.0) * P2A2 - Q * Q, 0.0)))
+                 / P2A2)
+        # equator: straight, true to scale
+        eq = np.abs(phi) < 1e-14
+        x = np.where(eq, R * dl, x)
+        y = np.where(eq, 0.0, y)
+        # central meridian / poles: x = 0, y = pi*R*tan(theta/2).
+        # |dl| below TOL must take this branch: the general formula's
+        # (A^2+1)(P^2+A^2) - Q^2 subtracts two A^4-scale terms whose
+        # true difference is O(A^2) — below one ulp once A > 1e8
+        # (PROJ vandg.c applies the same TOL guard).
+        special = (np.abs(dl) < 1e-8) | (np.abs(phi) >= np.pi / 2 - 1e-12)
+        x = np.where(special & ~eq, 0.0, x)
+        y = np.where(special & ~eq,
+                     np.sign(phi) * np.pi * R * np.tan(theta / 2.0), y)
+        return x, y
+
+    def _inv(self, x, y):
+        R = self.E.a
+        X = x / (np.pi * R)
+        Y = y / (np.pi * R)
+        X2, Y2 = X * X, Y * Y
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c1 = -np.abs(Y) * (1.0 + X2 + Y2)
+            c2 = c1 - 2.0 * Y2 + X2
+            c3 = -2.0 * c1 + 1.0 + 2.0 * Y2 + (X2 + Y2) ** 2
+            d = (Y2 / c3 + (2.0 * c2 ** 3 / c3 ** 3
+                            - 9.0 * c1 * c2 / (c3 * c3)) / 27.0)
+            a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+            m1 = 2.0 * np.sqrt(np.maximum(-a1 / 3.0, 0.0))
+            th1 = np.arccos(np.clip(3.0 * d / (a1 * m1), -1.0, 1.0)) / 3.0
+            phi = (np.sign(y) * np.pi
+                   * (-m1 * np.cos(th1 + np.pi / 3.0) - c2 / (3.0 * c3)))
+            lam = (np.pi * (X2 + Y2 - 1.0
+                            + np.sqrt(1.0 + 2.0 * (X2 - Y2)
+                                      + (X2 + Y2) ** 2))
+                   / (2.0 * X))
+        phi = np.where(Y == 0.0, 0.0, phi)
+        lam = np.where(X == 0.0, 0.0, lam)
+        return lam, phi
+
+
+class WinkelTripel(Projection):
+    """Winkel Tripel (spherical; PROJ wintri): the arithmetic mean of
+    the equirectangular projection on lat_1 and the Aitoff projection.
+    PROJ's default lat_1 is acos(2/pi) (Winkel's original choice).
+    No closed-form inverse exists: _inv runs a fixed-count damped 2-D
+    Newton with a central-difference Jacobian (deterministic: fixed
+    iteration count, pure numpy)."""
+
+    name = "wintri"
+    spherical_factors = True
+
+    def _setup(self, lat_1=None, **kw):
+        self.cosphi1 = (2.0 / np.pi if lat_1 is None
+                        else float(np.cos(np.radians(float(lat_1)))))
+
+    def _fwd(self, dl, phi):
+        R = self.E.a
+        c = np.cos(phi)
+        d = np.arccos(np.clip(c * np.cos(dl / 2.0), -1.0, 1.0))
+        sinc = np.where(d != 0.0,
+                        np.sin(np.where(d != 0.0, d, 1.0))
+                        / np.where(d != 0.0, d, 1.0), 1.0)
+        x = 0.5 * R * (dl * self.cosphi1
+                       + 2.0 * c * np.sin(dl / 2.0) / sinc)
+        y = 0.5 * R * (phi + np.sin(phi) / sinc)
+        return x, y
+
+    def _inv(self, x, y):
+        R = self.E.a
+        lam = np.clip(x / (R * 0.5 * (self.cosphi1 + 1.0)), -np.pi, np.pi)
+        phi = np.clip(y / R, -np.pi / 2, np.pi / 2)
+        h = 1e-7
+        for _ in range(25):
+            fx, fy = self._fwd(lam, phi)
+            rx, ry = fx - x, fy - y
+            fx1, fy1 = self._fwd(lam + h, phi)
+            fx2, fy2 = self._fwd(lam, phi + h)
+            j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
+            j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            dlam = (rx * j22 - ry * j12) / det
+            dphi = (ry * j11 - rx * j21) / det
+            lam = np.clip(lam - dlam, -np.pi, np.pi)
+            phi = np.clip(phi - dphi, -np.pi / 2, np.pi / 2)
+        return lam, phi
+
+
 PROJECTIONS = {
+    "bonne": Bonne,
+    "vandg": VanDerGrinten,
+    "wintri": WinkelTripel,
     "somerc": SwissObliqueMercator,
     "geos": Geostationary,
     "poly": Polyconic,

@@ -6342,6 +6342,152 @@ FROM geom
 QUERIES["krovak_grid"] = (q_krovak_grid, _krovak_sql())
 
 
+def q_world_proj(spark, sf_dir):
+    """Round-5 world-projection family gate: Bonne (ellipsoidal
+    pseudoconic, EPSG method 9827), Van der Grinten I and Winkel
+    Tripel (the reference reaches all three via +proj strings,
+    pyproj/crs/crs.py:236-320). Deterministic world-spanning points
+    (chosen off the equator/central-meridian special branches) go
+    through three Transformer.from_crs pipelines — one pandas-UDF
+    crossing each — and the oracle replays every closed form in
+    DuckDB: the exact rectifying-latitude meridian-arc series for
+    Bonne (kernel-constant doubles, the gauss_kruger pattern), the
+    A/G/P/Q circle construction for Van der Grinten, and the
+    equirectangular-Aitoff mean for Winkel. Outputs rounded to whole
+    meters (BIGINT) so cross-engine libm ulp wobble cannot flip the
+    hash."""
+    from pyproj_spark.functions.transform import transform_xy
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 350000) / 1000.0 - 174.9995)
+        .alias("lon"),
+        ((F.col("doc_id") * 104729 % 160000) / 1000.0 - 79.9995)
+        .alias("lat"))
+    bo = transform_xy("EPSG:4326", "+proj=bonne +lat_1=45 +ellps=WGS84",
+                      F.col("lon"), F.col("lat"))
+    vg = transform_xy("EPSG:4326", "+proj=vandg +R=6371000",
+                      F.col("lon"), F.col("lat"))
+    wt = transform_xy("EPSG:4326", "+proj=wintri +ellps=WGS84",
+                      F.col("lon"), F.col("lat"))
+    return (docs.withColumn("bo", bo).withColumn("vg", vg)
+            .withColumn("wt", wt)
+            .select("doc_id",
+                    F.round(F.col("bo.x")).cast("long").alias("x_bonne"),
+                    F.round(F.col("bo.y")).cast("long").alias("y_bonne"),
+                    F.round(F.col("vg.x")).cast("long").alias("x_vdg"),
+                    F.round(F.col("vg.y")).cast("long").alias("y_vdg"),
+                    F.round(F.col("wt.x")).cast("long").alias("x_wt"),
+                    F.round(F.col("wt.y")).cast("long").alias("y_wt")))
+
+
+def _world_proj_sql():
+    """Closed-form replay of all three kernels with repr'd constant
+    doubles; hyperbolics spelled via exp/ln (gauss_kruger precedent).
+    The +pi()-pi() dance replays the kernel's longitude wrap
+    bit-exactly."""
+    from pyproj_spark.kernels.ellipsoid import get_ellipsoid
+    from pyproj_spark.kernels.projections import Bonne
+
+    bn = Bonne(get_ellipsoid("WGS84"), lat_1=45.0)
+    e, a, A = repr(bn.E.e), repr(bn.E.a), repr(bn.A)
+    e2 = repr(bn.E.e2)
+    rho1, M1 = repr(bn.rho1), repr(bn.M1)
+    mu_terms = "".join(f" + {aj!r}*sin({2 * j}*chi)"
+                       for j, aj in enumerate(bn.alpha, start=1))
+    R_VDG = repr(6371000.0)
+    R_WT = a  # wintri on WGS84 uses the semi-major axis as the sphere
+    C1 = repr(2.0 / 3.141592653589793)  # wintri default cos(lat_1)
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 350000) / 1000.0 - 174.9995  AS lon,
+         (doc_id * 104729 % 160000) / 1000.0 - 79.9995 AS lat
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         (radians(lon) + pi()) - pi() AS dl,
+         radians(lat) AS phi
+  FROM pts
+), bonne1 AS (
+  SELECT *, tan(phi) AS tau, sqrt(1.0 + tan(phi)*tan(phi)) AS tau1
+  FROM d
+), bonne2 AS (
+  SELECT *,
+    (exp({e} * 0.5 * ln((1.0 + {e}*tau/tau1) / (1.0 - {e}*tau/tau1)))
+     - exp(-({e} * 0.5 * ln((1.0 + {e}*tau/tau1)
+                            / (1.0 - {e}*tau/tau1))))) / 2.0 AS sig
+  FROM bonne1
+), bonne3 AS (
+  SELECT *, atan(sqrt(1.0 + sig*sig)*tau - sig*tau1) AS chi
+  FROM bonne2
+), bonne4 AS (
+  -- NB: column names must differ case-insensitively (DuckDB folds
+  -- identifier case), so the meridian arc is marc, not M
+  SELECT doc_id, dl, phi,
+         {A} * (chi{mu_terms}) AS marc,
+         cos(phi) / sqrt(1.0 - {e2}*sin(phi)*sin(phi)) AS mpar
+  FROM bonne3
+), bonne5 AS (
+  SELECT doc_id, dl, phi, mpar,
+         {rho1} + {M1} - marc AS rho
+  FROM bonne4
+), bonne AS (
+  SELECT doc_id, dl, phi,
+         rho * sin({a}*mpar*dl/rho)          AS xb,
+         {rho1} - rho * cos({a}*mpar*dl/rho) AS yb
+  FROM bonne5
+), vdg1 AS (
+  SELECT doc_id, dl, phi,
+         asin(abs(2.0*phi/pi())) AS th
+  FROM d
+), vdg2 AS (
+  SELECT *,
+         0.5 * abs(pi()/dl - dl/pi())             AS av,
+         cos(th) / (sin(th) + cos(th) - 1.0)      AS g
+  FROM vdg1
+), vdg3 AS (
+  SELECT *, g * (2.0/sin(th) - 1.0) AS p, av*av + g AS q
+  FROM vdg2
+), vdg AS (
+  SELECT doc_id,
+         sign(dl) * pi() * {R_VDG}
+           * (av*(g - p*p)
+              + sqrt(greatest(av*av*(g - p*p)*(g - p*p)
+                              - (p*p + av*av)*(g*g - p*p), 0.0)))
+           / (p*p + av*av) AS xv,
+         sign(phi) * pi() * {R_VDG}
+           * (p*q - av*sqrt(greatest((av*av + 1.0)*(p*p + av*av)
+                                     - q*q, 0.0)))
+           / (p*p + av*av) AS yv
+  FROM vdg3
+), wt1 AS (
+  SELECT doc_id, dl, phi,
+         acos(cos(phi) * cos(dl/2.0)) AS dd
+  FROM d
+), wt AS (
+  SELECT doc_id,
+         0.5 * {R_WT} * (dl * {C1}
+           + 2.0*cos(phi)*sin(dl/2.0) * dd / sin(dd)) AS xw,
+         0.5 * {R_WT} * (phi + sin(phi) * dd / sin(dd)) AS yw
+  FROM wt1
+)
+SELECT b.doc_id,
+       CAST(round(b.xb) AS BIGINT) AS x_bonne,
+       CAST(round(b.yb) AS BIGINT) AS y_bonne,
+       CAST(round(v.xv) AS BIGINT) AS x_vdg,
+       CAST(round(v.yv) AS BIGINT) AS y_vdg,
+       CAST(round(w.xw) AS BIGINT) AS x_wt,
+       CAST(round(w.yw) AS BIGINT) AS y_wt
+FROM bonne b
+JOIN vdg v ON v.doc_id = b.doc_id
+JOIN wt  w ON w.doc_id = b.doc_id
+"""
+
+
+QUERIES["world_proj"] = (q_world_proj, _world_proj_sql())
+
+
 def q_rd_grid(spark, sf_dir):
     """Round-5 family gate for the EPSG-9809 double stereographic
     (Amersfoort / RD New, EPSG:28992; kernel reproduces the EPSG
