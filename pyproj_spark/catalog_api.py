@@ -189,6 +189,8 @@ def get_proj_operations_map() -> dict:
         "bonne": "Bonne",
         "vandg": "Van Der Grinten",
         "wintri": "Winkel Tripel",
+        "hammer": "Hammer Aitoff",
+        "aitoff": "Aitoff",
         "mill": "Miller Cylindrical",
         "gnom": "Gnomonic",
         "cass": "Cassini",

@@ -39,6 +39,8 @@ _METHOD_NAMES = {
     "bonne": ("Bonne", 9827),
     "vandg": ("Van Der Grinten", 0),
     "wintri": ("Winkel Tripel", 0),
+    "hammer": ("Hammer Aitoff", 0),
+    "aitoff": ("Aitoff", 0),
 }
 
 _PARAM_NAMES = {

@@ -197,6 +197,9 @@ _METHOD_BY_NAME = {
     "vandergrinten": ("vandg", {}),
     "vandergrinteni": ("vandg", {}),
     "winkeltripel": ("wintri", {}),
+    "hammeraitoff": ("hammer", {}),
+    "hammer": ("hammer", {}),
+    "aitoff": ("aitoff", {}),
     "projobtranoprojlonglat": ("ob_tran", {}),
     "polerotationnetcdfcfconvention": ("ob_tran", {}),
 }

@@ -1624,7 +1624,80 @@ class WinkelTripel(Projection):
         return lam, phi
 
 
+class Hammer(Projection):
+    """Hammer (Hammer-Aitoff; spherical, Snyder pp. 160-163, eq.
+    24-4..24-9; PROJ hammer with W=0.5): the equatorial Lambert
+    azimuthal equal-area projection with longitudes halved and x
+    doubled — exactly equal-area (property-locked), the whole world
+    in a 2:1 ellipse."""
+
+    name = "hammer"
+    spherical_factors = True
+
+    def _fwd(self, dl, phi):
+        R = self.E.a
+        c = np.cos(phi)
+        z = np.sqrt(1.0 + c * np.cos(dl / 2.0))
+        return (R * np.sqrt(8.0) * c * np.sin(dl / 2.0) / z,
+                R * np.sqrt(2.0) * np.sin(phi) / z)
+
+    def _inv(self, x, y):
+        R = self.E.a
+        xp, yp = x / 2.0, y  # undo the x-doubling -> equatorial LAEA
+        rho = np.hypot(xp, yp)
+        c = 2.0 * np.arcsin(np.clip(rho / (2.0 * R), -1.0, 1.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi = np.where(rho > 0.0,
+                           np.arcsin(np.clip(yp * np.sin(c)
+                                             / np.where(rho > 0, rho, 1.0),
+                                             -1.0, 1.0)), 0.0)
+            lam2 = np.arctan2(xp * np.sin(c), rho * np.cos(c))
+        return 2.0 * np.where(rho > 0.0, lam2, 0.0), phi
+
+
+class Aitoff(Projection):
+    """Aitoff (spherical; PROJ aitoff): the equatorial azimuthal
+    equidistant projection with longitudes halved and x doubled —
+    the parent of Winkel Tripel's curved half. No closed-form
+    inverse: fixed-count damped 2-D Newton (the wintri pattern)."""
+
+    name = "aitoff"
+    spherical_factors = True
+
+    def _fwd(self, dl, phi):
+        R = self.E.a
+        c = np.cos(phi)
+        d = np.arccos(np.clip(c * np.cos(dl / 2.0), -1.0, 1.0))
+        sinc = np.where(d != 0.0,
+                        np.sin(np.where(d != 0.0, d, 1.0))
+                        / np.where(d != 0.0, d, 1.0), 1.0)
+        return (2.0 * R * c * np.sin(dl / 2.0) / sinc,
+                R * np.sin(phi) / sinc)
+
+    def _inv(self, x, y):
+        R = self.E.a
+        lam = np.clip(x / R, -np.pi, np.pi)
+        phi = np.clip(y / R, -np.pi / 2, np.pi / 2)
+        h = 1e-7
+        for _ in range(25):
+            fx, fy = self._fwd(lam, phi)
+            rx, ry = fx - x, fy - y
+            fx1, fy1 = self._fwd(lam + h, phi)
+            fx2, fy2 = self._fwd(lam, phi + h)
+            j11, j21 = (fx1 - fx) / h, (fy1 - fy) / h
+            j12, j22 = (fx2 - fx) / h, (fy2 - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            dlam = (rx * j22 - ry * j12) / det
+            dphi = (ry * j11 - rx * j21) / det
+            lam = np.clip(lam - dlam, -np.pi, np.pi)
+            phi = np.clip(phi - dphi, -np.pi / 2, np.pi / 2)
+        return lam, phi
+
+
 PROJECTIONS = {
+    "hammer": Hammer,
+    "aitoff": Aitoff,
     "bonne": Bonne,
     "vandg": VanDerGrinten,
     "wintri": WinkelTripel,

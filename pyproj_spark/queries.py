@@ -6488,6 +6488,73 @@ JOIN wt  w ON w.doc_id = b.doc_id
 QUERIES["world_proj"] = (q_world_proj, _world_proj_sql())
 
 
+def q_hammer_aitoff(spark, sf_dir):
+    """Companion world-projection gate: Hammer (equal-area 2:1
+    ellipse) and Aitoff — the modified-azimuthal pair (equatorial
+    LAEA / AEQD with halved longitudes and doubled x; Snyder pp.
+    160-163 and 230). Same shape as world_proj: one pandas-UDF
+    crossing per projection, whole-meter BIGINT output, full closed
+    forms replayed in DuckDB. wintri = mean(eqc, aitoff) is locked in
+    tests/test_projections_world.py, so this gate plus world_proj
+    cross-checks all three modified-azimuthal kernels."""
+    from pyproj_spark.functions.transform import transform_xy
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 350000) / 1000.0 - 174.9995)
+        .alias("lon"),
+        ((F.col("doc_id") * 104729 % 160000) / 1000.0 - 79.9995)
+        .alias("lat"))
+    hm = transform_xy("EPSG:4326", "+proj=hammer +ellps=WGS84",
+                      F.col("lon"), F.col("lat"))
+    at = transform_xy("EPSG:4326", "+proj=aitoff +ellps=WGS84",
+                      F.col("lon"), F.col("lat"))
+    return (docs.withColumn("hm", hm).withColumn("at", at)
+            .select("doc_id",
+                    F.round(F.col("hm.x")).cast("long").alias("x_hammer"),
+                    F.round(F.col("hm.y")).cast("long").alias("y_hammer"),
+                    F.round(F.col("at.x")).cast("long").alias("x_aitoff"),
+                    F.round(F.col("at.y")).cast("long").alias("y_aitoff")))
+
+
+def _hammer_aitoff_sql():
+    from pyproj_spark.kernels.ellipsoid import get_ellipsoid
+
+    R = repr(get_ellipsoid("WGS84").a)
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 350000) / 1000.0 - 174.9995  AS lon,
+         (doc_id * 104729 % 160000) / 1000.0 - 79.9995 AS lat
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         (radians(lon) + pi()) - pi() AS dl,
+         radians(lat) AS phi
+  FROM pts
+), hm AS (
+  SELECT doc_id,
+         sqrt(1.0 + cos(phi) * cos(dl/2.0)) AS zh,
+         acos(cos(phi) * cos(dl/2.0))       AS da,
+         dl, phi
+  FROM d
+)
+SELECT doc_id,
+       CAST(round({R} * sqrt(8.0) * cos(phi) * sin(dl/2.0) / zh)
+            AS BIGINT) AS x_hammer,
+       CAST(round({R} * sqrt(2.0) * sin(phi) / zh)
+            AS BIGINT) AS y_hammer,
+       CAST(round(2.0 * {R} * cos(phi) * sin(dl/2.0) * da / sin(da))
+            AS BIGINT) AS x_aitoff,
+       CAST(round({R} * sin(phi) * da / sin(da))
+            AS BIGINT) AS y_aitoff
+FROM hm
+"""
+
+
+QUERIES["hammer_aitoff"] = (q_hammer_aitoff, _hammer_aitoff_sql())
+
+
 def q_rd_grid(spark, sf_dir):
     """Round-5 family gate for the EPSG-9809 double stereographic
     (Amersfoort / RD New, EPSG:28992; kernel reproduces the EPSG

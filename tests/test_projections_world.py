@@ -230,3 +230,53 @@ class TestTransformerIntegration:
             c2 = CRS.from_wkt(c.to_wkt())
             p4 = c2.to_proj4()
             assert srs.split()[0].split("=")[1] in p4
+
+
+class TestHammerAitoff:
+    def test_hammer_equal_area_and_ellipse(self):
+        from pyproj_spark.kernels.projections import Hammer
+        p = Hammer(_UnitSphere())
+        lam = np.radians(np.linspace(-170.0, 170.0, 15))
+        phi = np.radians(np.linspace(-85.0, 85.0, 15))
+        L, P = np.meshgrid(lam, phi)
+        L, P = L.ravel(), P.ravel()
+        x, y = p.forward(L, P)
+        h = 1e-6
+        x1, y1 = p.forward(L + h, P)
+        x2, y2 = p.forward(L, P + h)
+        J = ((x1 - x) * (y2 - y) - (x2 - x) * (y1 - y)) / (h * h)
+        np.testing.assert_allclose(J, np.cos(P), rtol=1e-5)
+        # whole world inside the 2:1 ellipse of semi-axes 2sqrt2, sqrt2
+        assert np.max((x / np.sqrt(8.0)) ** 2
+                      + (y / np.sqrt(2.0)) ** 2) <= 1.0 + 1e-12
+        l2, p2 = p.inverse(x, y)
+        assert np.max(np.abs(l2 - L)) < 1e-12
+        assert np.max(np.abs(p2 - P)) < 1e-12
+
+    def test_aitoff_roundtrip_and_central_meridian(self):
+        from pyproj_spark.kernels.projections import Aitoff
+        p = Aitoff(_UnitSphere())
+        lam = np.radians(np.linspace(-170.0, 170.0, 15))
+        phi = np.radians(np.linspace(-85.0, 85.0, 15))
+        L, P = np.meshgrid(lam, phi)
+        L, P = L.ravel(), P.ravel()
+        x, y = p.forward(L, P)
+        l2, p2 = p.inverse(x, y)
+        assert np.max(np.abs(l2 - L)) < 1e-9
+        assert np.max(np.abs(p2 - P)) < 1e-9
+        ph = np.radians(np.array([10.0, -70.0, 85.0]))
+        x0, y0 = p.forward(np.zeros_like(ph), ph)
+        np.testing.assert_allclose(x0, 0.0, atol=1e-15)
+        np.testing.assert_allclose(y0, ph, atol=1e-12)
+
+    def test_wintri_is_mean_of_eqc_and_aitoff(self):
+        from pyproj_spark.kernels.projections import Aitoff, WinkelTripel
+        a = Aitoff(_UnitSphere())
+        w = WinkelTripel(_UnitSphere())
+        lam = np.radians(np.array([-120.0, 30.0, 160.0]))
+        phi = np.radians(np.array([-55.0, 12.0, 78.0]))
+        xa, ya = a.forward(lam, phi)
+        xw, yw = w.forward(lam, phi)
+        np.testing.assert_allclose(
+            xw, 0.5 * (lam * 2.0 / np.pi + xa), atol=1e-14)
+        np.testing.assert_allclose(yw, 0.5 * (phi + ya), atol=1e-14)
