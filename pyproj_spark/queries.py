@@ -7571,6 +7571,146 @@ FROM ras r LEFT JOIN mom m ON m.tx = r.gx AND m.ty = r.gy
 QUERIES["terrain_tpi"] = (q_terrain_tpi, SQL_TERRAIN_TPI)
 
 
+def q_focal_mode(spark, sf_dir):
+    """Focal majority filter (GIS map-algebra "focal statistics:
+    majority"): per occupied cell, the most frequent density value in
+    its 3x3 neighborhood (self included), ties broken by the SMALLER
+    value — fully deterministic. Same scatter shape as raster_blur:
+    explode 9 offsets, hash-agg (cell, value) frequencies, then a
+    cell-partitioned row_number window picks the mode; the window
+    keys equal the agg keys so no extra exchange. Empty neighbors
+    contribute nothing (majority over defined cells, the ArcGIS
+    convention)."""
+    pts = _doc_points(spark, sf_dir)
+    ras = (pts.select(F.floor(F.col("lon") / 6).cast("long").alias("gx"),
+                      F.floor(F.col("lat") / 6).cast("long").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("cnt")))
+    offs = [F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+            for ox in (-1, 0, 1) for oy in (-1, 0, 1)]
+    sc = (ras.select("gx", "gy", "cnt",
+                     F.explode(F.array(*offs)).alias("o"))
+          .select((F.col("gx") - F.col("o.ox")).alias("tx"),
+                  (F.col("gy") - F.col("o.oy")).alias("ty"),
+                  F.col("cnt").alias("v")))
+    freq = (sc.groupBy("tx", "ty", "v")
+            .agg(F.count(F.lit(1)).alias("k")))
+    w = Window.partitionBy("tx", "ty").orderBy(F.desc("k"), F.asc("v"))
+    mode = (freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("tx", "ty", F.col("v").alias("mode_v"),
+                    F.col("k").alias("mode_k")))
+    return (ras.join(mode, (F.col("gx") == F.col("tx"))
+                     & (F.col("gy") == F.col("ty")))
+            .select("gx", "gy", "cnt", "mode_v", "mode_k"))
+
+
+SQL_FOCAL_MODE = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS MATERIALIZED (
+  SELECT CAST(floor(lon / 6) AS BIGINT) AS gx,
+         CAST(floor(lat / 6) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+offs(ox, oy) AS (
+  VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0), (0,1),
+         (1,-1), (1,0), (1,1)
+),
+freq AS (
+  SELECT gx - ox AS tx, gy - oy AS ty, cnt AS v, count(*) AS k
+  FROM ras CROSS JOIN offs
+  GROUP BY 1, 2, 3
+),
+mode AS (
+  SELECT tx, ty, v AS mode_v, k AS mode_k,
+         row_number() OVER (PARTITION BY tx, ty
+                            ORDER BY k DESC, v ASC) AS rn
+  FROM freq
+)
+SELECT r.gx, r.gy, r.cnt, m.mode_v, m.mode_k
+FROM ras r JOIN mode m ON m.tx = r.gx AND m.ty = r.gy AND m.rn = 1
+"""
+
+
+QUERIES["focal_mode"] = (q_focal_mode, SQL_FOCAL_MODE)
+
+
+def q_zone_diameter(spark, sf_dir):
+    """Spatial-extent statistic: per coarse zone, the great-circle
+    DIAMETER (max pairwise haversine distance) of the zone's points,
+    computed over a deterministic per-zone member cap — rank by
+    doc_id, keep the first 40 — so the pair stage is bounded at
+    40^2 per zone regardless of corpus size (the band_cap pattern;
+    an uncapped diameter would be quadratic in the hottest zone at
+    100 TB). Output keeps both the true member count and the capped
+    count so the approximation is visible. Whole-meter BIGINT
+    diameter: cross-engine libm ulp wobble cannot flip the hash."""
+    pts = _doc_points(spark, sf_dir).withColumn(
+        "zone", F.floor(F.col("lon") / 30).cast("long") * 16
+        + F.floor(F.col("lat") / 30).cast("long") + 8)
+    n = pts.groupBy("zone").agg(F.count(F.lit(1)).alias("n_pts"))
+    w = Window.partitionBy("zone").orderBy("doc_id")
+    capped = (pts.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 40)
+              .select("zone", "doc_id", "lon", "lat"))
+    a = capped.select("zone", F.col("doc_id").alias("ia"),
+                      F.col("lon").alias("lo_a"), F.col("lat").alias("la_a"))
+    b = capped.select("zone", F.col("doc_id").alias("ib"),
+                      F.col("lon").alias("lo_b"), F.col("lat").alias("la_b"))
+    pairs = a.join(b, "zone").filter(F.col("ia") < F.col("ib"))
+    hav = (F.pow(F.sin(F.radians(F.col("la_b") - F.col("la_a")) / 2), 2)
+           + F.cos(F.radians("la_a")) * F.cos(F.radians("la_b"))
+           * F.pow(F.sin(F.radians(F.col("lo_b") - F.col("lo_a")) / 2), 2))
+    dist = 2.0 * 6371000.0 * F.asin(F.sqrt(hav))
+    diam = (pairs.select("zone", dist.alias("d"))
+            .groupBy("zone").agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.max("d")).cast("long").alias("diam_m")))
+    return (n.join(diam, "zone", "left")
+            .select("zone", "n_pts",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce("diam_m", F.lit(0)).alias("diam_m")))
+
+
+SQL_ZONE_DIAMETER = f"""
+WITH pts AS ({_PTS_SQL}),
+z AS (
+  SELECT doc_id, lon, lat,
+         CAST(floor(lon / 30) AS BIGINT) * 16
+           + CAST(floor(lat / 30) AS BIGINT) + 8 AS zone
+  FROM pts
+),
+n AS (SELECT zone, count(*) AS n_pts FROM z GROUP BY 1),
+capped AS (
+  SELECT zone, doc_id, lon, lat
+  FROM (SELECT *, row_number() OVER (PARTITION BY zone
+                                     ORDER BY doc_id) AS rn FROM z)
+  WHERE rn <= 40
+),
+pairs AS (
+  SELECT a.zone,
+         2.0 * 6371000.0 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS d
+  FROM capped a JOIN capped b
+    ON a.zone = b.zone AND a.doc_id < b.doc_id
+),
+diam AS (
+  SELECT zone, count(*) AS n_pairs,
+         CAST(round(max(d)) AS BIGINT) AS diam_m
+  FROM pairs GROUP BY 1
+)
+SELECT n.zone, n.n_pts,
+       coalesce(diam.n_pairs, 0) AS n_pairs,
+       coalesce(diam.diam_m, 0) AS diam_m
+FROM n LEFT JOIN diam ON diam.zone = n.zone
+"""
+
+
+QUERIES["zone_diameter"] = (q_zone_diameter, SQL_ZONE_DIAMETER)
+
+
 # ------------------------------------------------ DTW route conformance
 
 #: reference route in integer milli-degrees (driver literal; a route

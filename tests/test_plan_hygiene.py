@@ -525,3 +525,23 @@ def test_terrain_tpi_scatter_no_self_join(spark):
                  ("SortMergeJoin", "BroadcastHashJoin",
                   "ShuffledHashJoin"))
     assert njoins <= 1
+
+
+def test_focal_mode_window_keys_equal_agg_keys(spark):
+    # mode selection must not add an exchange beyond the freq agg:
+    # window partition keys == agg keys
+    from pyproj_spark.queries import q_focal_mode
+    plan = _plan(q_focal_mode(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zone_diameter_pairs_are_capped(spark):
+    # the pair join must run on the 40-capped member set, never the
+    # raw zone membership: assert bounded pair counts
+    from pyproj_spark.queries import q_zone_diameter
+    df = q_zone_diameter(spark, SF)
+    rows = df.collect()
+    assert all(r.n_pairs <= 40 * 39 // 2 for r in rows)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
