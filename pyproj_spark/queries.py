@@ -5453,6 +5453,188 @@ FROM pair
 QUERIES["hausdorff"] = (q_hausdorff, SQL_HAUSDORFF)
 
 
+def q_sinuosity(spark, sf_dir):
+    """Trajectory sinuosity: per user track, total great-circle path
+    length / great-circle chord between first and last fix — the
+    standard route-directness metric (1 = straight, >> 1 = wandering).
+    One user-keyed window (lag) for segments, one hash agg for the
+    path sum, one first/last gather from the same window — no joins
+    beyond the final per-user assembly. Whole-meter BIGINT lengths
+    plus a 3-decimal ratio keep cross-engine libm ulp wobble out of
+    the hash. Scale: everything is partitioned by user_id; no global
+    sort, no pair joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def hav(lo1, la1, lo2, la2):
+        h = (F.pow(F.sin(F.radians(la2 - la1) / 2), 2)
+             + F.cos(F.radians(la1)) * F.cos(F.radians(la2))
+             * F.pow(F.sin(F.radians(lo2 - lo1) / 2), 2))
+        return 2.0 * 6371000.0 * F.asin(F.sqrt(h))
+
+    seg = (ev.withColumn("plon", F.lag("lon").over(w))
+           .withColumn("plat", F.lag("lat").over(w))
+           .withColumn("rn", F.row_number().over(w)))
+    agg = (seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_fix"),
+        F.sum(F.when(F.col("plon").isNotNull(),
+                     hav(F.col("plon"), F.col("plat"),
+                         F.col("lon"), F.col("lat")))
+              .otherwise(F.lit(0.0))).alias("path"),
+        F.min(F.struct("rn", "lon", "lat")).alias("first"),
+        F.max(F.struct("rn", "lon", "lat")).alias("last")))
+    chord = hav(F.col("first.lon"), F.col("first.lat"),
+                F.col("last.lon"), F.col("last.lat"))
+    return (agg.filter(F.col("n_fix") >= 2)
+            .withColumn("chord", chord)
+            .filter(F.col("chord") > 1.0)
+            .select("user_id", "n_fix",
+                    F.round("path").cast("long").alias("path_m"),
+                    F.round("chord").cast("long").alias("chord_m"),
+                    F.round(F.col("path") / F.col("chord"), 3)
+                    .alias("sinuosity")))
+
+
+SQL_SINUOSITY = """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         (event_id * 7919 % 360000) / 1000.0 - 180.0  AS lon,
+         (event_id * 104729 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events
+),
+seg AS (
+  SELECT user_id, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+         row_number() OVER w AS rn
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT user_id, count(*) AS n_fix,
+         sum(CASE WHEN plon IS NOT NULL THEN
+           2.0 * 6371000.0 * asin(sqrt(
+             pow(sin(radians(lat - plat) / 2), 2)
+             + cos(radians(plat)) * cos(radians(lat))
+               * pow(sin(radians(lon - plon) / 2), 2)))
+           ELSE 0.0 END) AS path,
+         arg_min(lon, rn) AS flon, arg_min(lat, rn) AS flat,
+         arg_max(lon, rn) AS llon, arg_max(lat, rn) AS llat
+  FROM seg GROUP BY 1
+),
+fin AS (
+  SELECT user_id, n_fix, path,
+         2.0 * 6371000.0 * asin(sqrt(
+           pow(sin(radians(llat - flat) / 2), 2)
+           + cos(radians(flat)) * cos(radians(llat))
+             * pow(sin(radians(llon - flon) / 2), 2))) AS chord
+  FROM agg
+  WHERE n_fix >= 2
+)
+SELECT user_id, n_fix,
+       CAST(round(path) AS BIGINT)  AS path_m,
+       CAST(round(chord) AS BIGINT) AS chord_m,
+       round(path / chord, 3)       AS sinuosity
+FROM fin
+WHERE chord > 1.0
+"""
+
+
+QUERIES["sinuosity"] = (q_sinuosity, SQL_SINUOSITY)
+
+
+def q_std_ellipse(spark, sf_dir):
+    """Standard deviational ellipse (Lefever 1926; the ArcGIS
+    "Directional Distribution" statistic) per coarse zone: the 2x2
+    covariance of point coordinates -> eigenvalues (major/minor axis)
+    and orientation. Coordinates are synthesized as EXACT integer
+    milli-degrees so every sum is an exact int64 (no float-summation
+    order divergence between engines); the covariance, eigen closed
+    form, and atan2 orientation then run on identical doubles.
+    Scale: one hash agg of five integer moments per zone — the
+    textbook single-pass-moments shape."""
+    pts = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") * 7919 % 360000 - 180000).alias("x"),
+        (F.col("doc_id") * 104729 % 170000 - 85000).alias("y"))
+    z = pts.withColumn(
+        "zone", F.floor(F.col("x") / 30000).cast("long") * 16
+        + F.floor(F.col("y") / 30000).cast("long") + 8)
+    mom = z.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n = F.col("n").cast("double")
+    cxx = (n * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double")) / (n * n)
+    cyy = (n * F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double")) / (n * n)
+    cxy = (n * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double")) / (n * n)
+    mid = (cxx + cyy) / 2.0
+    rad = F.sqrt(F.pow((cxx - cyy) / 2.0, 2) + cxy * cxy)
+    theta = F.degrees(F.atan2(2.0 * cxy, cxx - cyy) / 2.0)
+    return (mom.filter(F.col("n") >= 3)
+            .select("zone", "n",
+                    F.round(F.sqrt(mid + rad), 4).alias("major"),
+                    F.round(F.sqrt(F.greatest(mid - rad, F.lit(0.0))), 4)
+                    .alias("minor"),
+                    F.round(theta, 4).alias("theta_deg")))
+
+
+SQL_STD_ELLIPSE = """
+WITH pts AS (
+  SELECT doc_id,
+         doc_id * 7919 % 360000 - 180000   AS x,
+         doc_id * 104729 % 170000 - 85000  AS y
+  FROM documents
+),
+z AS (
+  SELECT x, y,
+         CAST(floor(x / 30000.0) AS BIGINT) * 16
+           + CAST(floor(y / 30000.0) AS BIGINT) + 8 AS zone
+  FROM pts
+),
+mom AS (
+  SELECT zone, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*x) AS BIGINT) AS sxx,
+         CAST(sum(y*y) AS BIGINT) AS syy,
+         CAST(sum(x*y) AS BIGINT) AS sxy
+  FROM z GROUP BY 1
+),
+cov AS (
+  SELECT zone, n,
+    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cxx,
+    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cyy,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cxy
+  FROM mom
+  WHERE n >= 3
+)
+SELECT zone, n,
+  round(sqrt((cxx + cyy) / 2.0
+             + sqrt(pow((cxx - cyy) / 2.0, 2) + cxy*cxy)), 4) AS major,
+  round(sqrt(greatest((cxx + cyy) / 2.0
+             - sqrt(pow((cxx - cyy) / 2.0, 2) + cxy*cxy), 0.0)), 4)
+      AS minor,
+  round(degrees(atan2(2.0 * cxy, cxx - cyy) / 2.0), 4) AS theta_deg
+FROM cov
+"""
+
+
+QUERIES["std_ellipse"] = (q_std_ellipse, SQL_STD_ELLIPSE)
+
+
 # ------------------------------------------------ marching squares
 
 def q_contours(spark, sf_dir):

@@ -545,3 +545,22 @@ def test_zone_diameter_pairs_are_capped(spark):
     assert all(r.n_pairs <= 40 * 39 // 2 for r in rows)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_sinuosity_user_keyed_window_no_joins(spark):
+    # path + endpoints come from ONE user-keyed window and one hash
+    # agg; no pair joins anywhere in the plan
+    from pyproj_spark.queries import q_sinuosity
+    plan = _plan(q_sinuosity(spark, SF))
+    for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert k not in plan
+
+
+def test_std_ellipse_single_agg_no_joins(spark):
+    # single-pass integer moments: one hash agg, zero joins
+    from pyproj_spark.queries import q_std_ellipse
+    plan = _plan(q_std_ellipse(spark, SF))
+    for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert k not in plan
