@@ -90,6 +90,7 @@ def _interleaved() -> dict[str, tuple]:
     new_this_round = [
         "theil_sen", "terrain_tpi", "world_proj", "hammer_aitoff",
         "focal_mode", "zone_diameter", "sinuosity", "std_ellipse",
+        "itrf_epoch",
         "hillshade", "viewshed", "textrank", "posting_lists",
         "url_templates", "kmv_sketch", "bot_score", "fetch_budget",
         "geom_valid", "link_reciprocity", "concurrency",

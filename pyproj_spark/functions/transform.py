@@ -159,6 +159,39 @@ def transform_pipeline(pipeline: str, x: Column, y: Column,
     return _pl(x, y, zc)
 
 
+_ITRF_CACHE: dict = {}
+
+
+def transform_itrf(frame_from: str, frame_to: str, x: Column, y: Column,
+                   z: Column, t: Column) -> Column:
+    """struct<x,y,z> — the 4D time-dependent ITRF frame transform with
+    a PER-ROW epoch column (the DataFrame form of the reference's
+    ``Transformer.from_pipeline("+init=A:B").transform(xx,yy,zz,tt)``,
+    golden at reference test/test_transformer.py:87-102): the
+    published IERS rates are evaluated at each row's decimal year
+    before the 14-parameter Helmert applies. Frames are validated on
+    the driver; workers cache one kernel per frame pair."""
+    from pyproj_spark.kernels.itrf import ITRFTransformer
+    ITRFTransformer(frame_from, frame_to)  # driver-side validation
+    key = (frame_from, frame_to)
+
+    @pandas_udf("struct<x:double,y:double,z:double>")
+    def _itrf(xs: pd.Series, ys: pd.Series, zs: pd.Series,
+              ts: pd.Series) -> pd.DataFrame:
+        tr = _ITRF_CACHE.get(key)
+        if tr is None:
+            from pyproj_spark.kernels.itrf import ITRFTransformer as IT
+            tr = _ITRF_CACHE[key] = IT(*key)
+        xo, yo, zo, _ = tr.transform(
+            xs.to_numpy(dtype="float64"), ys.to_numpy(dtype="float64"),
+            zz=zs.to_numpy(dtype="float64"),
+            tt=ts.to_numpy(dtype="float64"))
+        return pd.DataFrame({"x": xo, "y": yo, "z": zo})
+
+    return _itrf(x.cast("double"), y.cast("double"),
+                 z.cast("double"), t.cast("double"))
+
+
 def geod_inverse(ellps: str, lon1: Column, lat1: Column, lon2: Column,
                  lat2: Column) -> Column:
     """struct<az12,az21,dist> — Karney inverse as a pandas UDF.

@@ -6737,6 +6737,86 @@ FROM hm
 QUERIES["hammer_aitoff"] = (q_hammer_aitoff, _hammer_aitoff_sql())
 
 
+def q_itrf_epoch(spark, sf_dir):
+    """4D time-dependent frame transform gate (reference
+    test_transformer.py:87-102 semantics, transformer.py T3's t
+    dimension): geocentric ITRF2014 points with PER-ROW decimal-year
+    epochs -> ITRF2000 via the published IERS 14-parameter Helmert
+    (rates applied at each row's epoch). Inputs are exact integers and
+    the whole transform is +-*/ linear algebra — no libm — so the
+    oracle replays the kernel's _params_at + forward operation order
+    bit-identically in DuckDB; outputs in 0.1-mm BIGINT units.
+    One Arrow crossing; scale shape is a pure map."""
+    from pyproj_spark.functions.transform import transform_itrf
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") * 7919 % 4000000 + 1000000).alias("x"),
+        (F.col("doc_id") * 104729 % 4000000 + 1000000).alias("y"),
+        (F.col("doc_id") * 31337 % 3000000 + 3000000).alias("z"),
+        (2000.0 + (F.col("doc_id") % 80) / 4.0).alias("epoch"))
+    out = transform_itrf("ITRF2014", "ITRF2000",
+                         F.col("x"), F.col("y"), F.col("z"),
+                         F.col("epoch"))
+    return (docs.withColumn("o", out)
+            .select("doc_id", "epoch",
+                    F.round(F.col("o.x") * 10000.0).cast("long")
+                    .alias("x2"),
+                    F.round(F.col("o.y") * 10000.0).cast("long")
+                    .alias("y2"),
+                    F.round(F.col("o.z") * 10000.0).cast("long")
+                    .alias("z2")))
+
+
+def _itrf_epoch_sql():
+    """Replays kernels/datum.py Helmert._params_at + .forward with the
+    itrf_helmert("ITRF2014","ITRF2000") instance's literal doubles in
+    the kernel's exact operation order (pure IEEE +-*/: bit-identical
+    across engines)."""
+    import numpy as np
+
+    from pyproj_spark.kernels.itrf import itrf_helmert
+
+    h, inv = itrf_helmert("ITRF2014", "ITRF2000")
+    assert not inv and h.t_epoch == 2000.0
+    tx, ty, tz, rx, ry, rz, s = map(repr, h.p)
+    dtx, dty, dtz, drx, dry, drz, ds = map(repr, h.rates)
+    as2rad = repr(float(np.pi / (180.0 * 3600.0)))
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         CAST(doc_id * 7919 % 4000000 + 1000000 AS DOUBLE)  AS x,
+         CAST(doc_id * 104729 % 4000000 + 1000000 AS DOUBLE) AS y,
+         CAST(doc_id * 31337 % 3000000 + 3000000 AS DOUBLE) AS z,
+         2000.0 + (doc_id % 80) / 4.0 AS epoch
+  FROM documents
+), p AS (
+  SELECT *, epoch - 2000.0 AS dt FROM pts
+), q AS (
+  SELECT doc_id, epoch, x, y, z,
+         {tx} + {dtx} * dt AS txt,
+         {ty} + {dty} * dt AS tyt,
+         {tz} + {dtz} * dt AS tzt,
+         ({rx} + {drx} * dt) * {as2rad} AS rxt,
+         ({ry} + {dry} * dt) * {as2rad} AS ryt,
+         ({rz} + {drz} * dt) * {as2rad} AS rzt,
+         1.0 + ({s} + {ds} * dt) * 1e-06 AS m
+  FROM p
+)
+SELECT doc_id, epoch,
+       CAST(round((txt + m * (x - rzt * y + ryt * z)) * 10000.0)
+            AS BIGINT) AS x2,
+       CAST(round((tyt + m * (rzt * x + y - rxt * z)) * 10000.0)
+            AS BIGINT) AS y2,
+       CAST(round((tzt + m * (-ryt * x + rxt * y + z)) * 10000.0)
+            AS BIGINT) AS z2
+FROM q
+"""
+
+
+QUERIES["itrf_epoch"] = (q_itrf_epoch, _itrf_epoch_sql())
+
+
 def q_rd_grid(spark, sf_dir):
     """Round-5 family gate for the EPSG-9809 double stereographic
     (Amersfoort / RD New, EPSG:28992; kernel reproduces the EPSG
