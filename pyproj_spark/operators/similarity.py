@@ -343,15 +343,48 @@ def pq_train(embeddings: DataFrame, id_col: str = "vec_id",
     rounded centroids. Training cost: PQ_M * (iters + 1) scans of a
     16-dim projection — at 100 TB you train on a bounded sample; the
     ENCODING pass below is the corpus-scale stage."""
-    from pyproj_spark.operators.kmeans import kmeans_fit
     v = F.col(vec_col).cast("array<double>")
-    cbs = []
-    for m in range(PQ_M):
-        sub = embeddings.select(
-            id_col, F.slice(v, m * PQ_SUB + 1, PQ_SUB).alias("v"))
-        cbs.append(kmeans_fit(sub, k=PQ_K, iters=iters,
-                              id_col=id_col))
-    return cbs
+    # all PQ_M subspaces train in ONE keyed frame (posexplode of the
+    # slices) so each Lloyd pass is a single job — 4 sequential
+    # kmeans_fit calls cost 2 driver round-trips EACH for identical
+    # arithmetic (assignment + update formulas below are byte-for-byte
+    # kmeans.assign_clusters / kmeans_fit at round_to=6, first-K init)
+    keyed = embeddings.select(
+        F.posexplode(F.array(*[F.slice(v, m * PQ_SUB + 1, PQ_SUB)
+                               for m in range(PQ_M)]))
+        .alias("_m", "sv")).cache()
+    try:
+        first = (embeddings.select(id_col, v.alias("_v"))
+                 .orderBy(id_col).limit(PQ_K).collect())
+        cbs = [[[float(x) for x in r._v[m * PQ_SUB:(m + 1) * PQ_SUB]]
+                for r in first] for m in range(PQ_M)]
+        for _ in range(iters):
+            allc = F.array(*[
+                F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                          for c in cb]) for cb in cbs])
+            dists = F.transform(
+                F.element_at(allc, F.col("_m") + 1),
+                lambda c: F.round(F.aggregate(
+                    F.zip_with(F.col("sv"), c,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6))
+            staged = keyed.withColumn("_d", dists)
+            cluster = (F.array_position(F.col("_d"),
+                                        F.array_min("_d")) - 1) \
+                .cast("int")
+            rows = (staged.withColumn("cluster", cluster)
+                    .select("_m", "cluster",
+                            F.posexplode("sv").alias("dim", "val"))
+                    .groupBy("_m", "cluster", "dim")
+                    .agg(F.round(F.avg("val"), 6).alias("mu"))
+                    .collect())
+            nxt = [[list(c) for c in cb] for cb in cbs]
+            for r in rows:  # empty cluster: keep old centroid
+                nxt[r._m][r.cluster][r.dim] = r.mu
+            cbs = nxt
+        return cbs
+    finally:
+        keyed.unpersist()
 
 
 def _sub_dists(sub: Column, cents: list, round_to: int = 6) -> Column:

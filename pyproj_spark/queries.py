@@ -2771,6 +2771,108 @@ FROM m
 QUERIES["moran"] = (q_moran, SQL_MORAN)
 
 
+def q_geary(spark, sf_dir):
+    """Global Geary's C over the z=5 tile lattice — the local-contrast
+    complement to Moran's I (C reacts to neighbor DIFFERENCES, Moran to
+    neighbor covariance), with the Cliff-Ord normality z. Same exact
+    integer deviation scaling as moran (operators/hotspot.py)."""
+    from pyproj_spark.operators.hotspot import gearys_c
+    return gearys_c(_tiles5(spark, sf_dir))
+
+
+SQL_GEARY = f"""
+WITH pts AS ({_PTS_SQL}),
+t AS ({_TILE5_SQL}),
+g AS (SELECT count(*) AS nt, CAST(sum(n) AS BIGINT) AS s1 FROM t),
+tv AS (SELECT tx, ty, nt * n - s1 AS v, nt FROM t, g),
+e AS (
+  SELECT a.tx, a.ty, a.v, b.v AS nv
+  FROM tv a JOIN tv b
+    ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+   AND NOT (b.tx = a.tx AND b.ty = a.ty)
+),
+pair AS (SELECT CAST(sum((v - nv) * (v - nv)) AS BIGINT) AS num,
+                count(*) AS s0 FROM e),
+selfs AS (SELECT CAST(sum(v * v) AS BIGINT) AS den,
+                 CAST(max(nt) AS BIGINT) AS nt FROM tv),
+sd AS (SELECT CAST(sum(deg * deg) AS BIGINT) AS sumdeg2
+       FROM (SELECT tx, ty, count(*) AS deg FROM e GROUP BY 1, 2)),
+m AS (
+  SELECT nt AS n_tiles, s0,
+         (CAST(nt AS DOUBLE) - 1.0) * CAST(num AS DOUBLE)
+           / (2.0 * CAST(s0 AS DOUBLE) * CAST(den AS DOUBLE)) AS c_obs,
+         ((2.0 * (2.0 * CAST(s0 AS DOUBLE))
+             + 4.0 * CAST(sumdeg2 AS DOUBLE))
+            * (CAST(nt AS DOUBLE) - 1.0)
+          - 4.0 * CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+         / (2.0 * (CAST(nt AS DOUBLE) + 1.0)
+            * CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) AS var_c
+  FROM pair, selfs, sd
+)
+SELECT n_tiles, s0, c_obs, 1.0 AS e_c,
+       CASE WHEN var_c > 0 THEN (c_obs - 1.0) / sqrt(var_c) END AS z_c
+FROM m
+"""
+
+QUERIES["geary_c"] = (q_geary, SQL_GEARY)
+
+
+def q_ripley(spark, sf_dir):
+    """Ripley's K / Besag L point-pattern statistics at three radii
+    over the deterministic doc points — cell-bounded ordered-pair
+    counting (3x3 equijoin on r_max cells, never all-pairs), exact
+    integer milli-degree distances (operators/hotspot.py)."""
+    from pyproj_spark.operators.hotspot import ripley_k
+    return ripley_k(_doc_points(spark, sf_dir), [1.0, 2.0, 4.0])
+
+
+SQL_RIPLEY = f"""
+WITH pts AS ({_PTS_SQL}),
+p AS (
+  SELECT doc_id AS pid,
+         CAST(round(lon * 1000) AS BIGINT) AS mx,
+         CAST(round(lat * 1000) AS BIGINT) AS my
+  FROM pts
+),
+pc AS (SELECT pid, mx, my,
+              CAST(floor(mx / 4000) AS BIGINT) AS cx,
+              CAST(floor(my / 4000) AS BIGINT) AS cy FROM p),
+e AS (
+  SELECT a.mx - b.mx AS dx, a.my - b.my AS dy
+  FROM pc a JOIN pc b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.pid <> b.pid
+),
+cnts AS (SELECT
+  CAST(sum(CASE WHEN dx*dx + dy*dy <= 1000000 THEN 1 ELSE 0 END)
+       AS BIGINT) AS c0,
+  CAST(sum(CASE WHEN dx*dx + dy*dy <= 4000000 THEN 1 ELSE 0 END)
+       AS BIGINT) AS c1,
+  CAST(sum(CASE WHEN dx*dx + dy*dy <= 16000000 THEN 1 ELSE 0 END)
+       AS BIGINT) AS c2
+  FROM e),
+np AS (SELECT count(*) AS n_pts FROM pc),
+rr AS (SELECT i, CAST(r AS DOUBLE) AS r
+       FROM (VALUES (0, 1.0), (1, 2.0), (2, 4.0)) v(i, r)),
+base AS (
+  SELECT rr.r,
+         CASE WHEN rr.i = 0 THEN c0
+              WHEN rr.i = 1 THEN c1 ELSE c2 END AS npairs,
+         CAST(n_pts AS DOUBLE) AS nd
+  FROM rr, cnts, np
+)
+SELECT r, npairs,
+       61200.0 * CAST(npairs AS DOUBLE) / (nd * (nd - 1.0)) AS k_hat,
+       sqrt((61200.0 * CAST(npairs AS DOUBLE) / (nd * (nd - 1.0)))
+            / pi()) - r AS l_minus_r
+FROM base ORDER BY r
+"""
+
+QUERIES["ripley_k"] = (q_ripley, SQL_RIPLEY)
+
+
 def q_dwell(spark, sf_dir):
     """Spatiotemporal dwell detection (stay-point analysis, Li et al.
     2008 shape, grid-quantized): each user's event stream gets a

@@ -5204,19 +5204,18 @@ def q_textrank(spark, sf_dir):
               .collect())]
     vlit = F.array(*[F.lit(v) for v in vocab])
     ff = F.filter(F.col("tk"), lambda t: F.array_contains(vlit, t))
-    pairs = F.when(
-        F.size(ff) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ff) - 2),
-            lambda i: F.struct(
-                F.least(F.element_at(ff, (i + 1).cast("int")),
-                        F.element_at(ff, (i + 2).cast("int")))
-                .alias("w1"),
-                F.greatest(F.element_at(ff, (i + 1).cast("int")),
-                           F.element_at(ff, (i + 2).cast("int")))
-                .alias("w2")))
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    edges = (toks.select(F.explode(pairs).alias("p"))
+    # consecutive pairs via zip_with over two slices of a MATERIALIZED
+    # ff column — element_at(ff, i) inside a transform lambda would
+    # re-evaluate the whole vocab filter per access (the O(tokens^2)
+    # HOF-inlining trap measured at 26 s/sf0.1; zip_with is 1.5 s)
+    fft = toks.select(ff.alias("ff"))
+    n1 = F.greatest(F.size(F.col("ff")) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("ff"), F.lit(1), n1),
+        F.slice(F.col("ff"), F.lit(2), n1),
+        lambda a, b: F.struct(F.least(a, b).alias("w1"),
+                              F.greatest(a, b).alias("w2")))
+    edges = (fft.select(F.explode(pairs).alias("p"))
              .filter(F.col("p.w1") != F.col("p.w2"))
              .groupBy(F.col("p.w1").alias("w1"),
                       F.col("p.w2").alias("w2"))

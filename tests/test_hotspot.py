@@ -97,3 +97,77 @@ def test_moran_partitioning_invariance(spark):
     a = morans_i(_tiles_df(spark, rows)).collect()[0]
     b = morans_i(_tiles_df(spark, rows).repartition(7)).collect()[0]
     assert a == b  # exact integer sums -> bit-identical doubles
+
+def _geary_ref(rows):
+    """Reference Geary's C (binary queen weights, no self)."""
+    vals = {(tx, ty): n for tx, ty, n in rows}
+    nt = len(vals)
+    mean = sum(vals.values()) / nt
+    num = s0 = 0.0
+    for (tx, ty), n in vals.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) != (0, 0) and (tx + dx, ty + dy) in vals:
+                    num += (n - vals[(tx + dx, ty + dy)]) ** 2
+                    s0 += 1
+    den = sum((v - mean) ** 2 for v in vals.values())
+    return (nt - 1) * num / (2 * s0 * den), s0
+
+
+def test_geary_blocks_vs_checkerboard(spark):
+    from pyproj_spark.operators.hotspot import gearys_c
+    # homogeneous halves: neighbors alike -> C < 1, z < 0
+    blocks = [(tx, ty, 100 if tx < 3 else 1)
+              for tx in range(6) for ty in range(6)]
+    b = gearys_c(_tiles_df(spark, blocks)).collect()[0]
+    ref_c, ref_s0 = _geary_ref(blocks)
+    assert b.s0 == ref_s0 == 220 and b.e_c == 1.0
+    assert b.c_obs == pytest.approx(ref_c, abs=1e-12)
+    assert b.c_obs < 1 and b.z_c < -2
+    # checkerboard: rook neighbors contrast -> C > 1
+    checker = [(tx, ty, 1 + 4 * ((tx + ty) % 2))
+               for tx in range(6) for ty in range(6)]
+    c = gearys_c(_tiles_df(spark, checker)).collect()[0]
+    ref_cc, _ = _geary_ref(checker)
+    assert c.c_obs == pytest.approx(ref_cc, abs=1e-12)
+    assert c.c_obs > 1
+
+
+def test_geary_partitioning_invariance(spark):
+    from pyproj_spark.operators.hotspot import gearys_c
+    rows = [(tx, ty, (tx * 7 + ty * 3) % 11 + 1)
+            for tx in range(8) for ty in range(8)]
+    a = gearys_c(_tiles_df(spark, rows)).collect()[0]
+    b = gearys_c(_tiles_df(spark, rows).repartition(7)).collect()[0]
+    assert a == b
+
+
+def _ripley_pts(spark, pts):
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    return spark.createDataFrame(rows, "doc_id long, lon double, lat double")
+
+
+def test_ripley_matches_brute_force(spark):
+    import math
+    from pyproj_spark.operators.hotspot import ripley_k
+    # deterministic scatter + a tight cluster
+    pts = [((i * 37) % 50 - 25.0, (i * 61) % 40 - 20.0)
+           for i in range(60)]
+    pts += [(0.1 * j, 0.05 * j) for j in range(12)]  # cluster near 0
+    out = {r.r: r for r in
+           ripley_k(_ripley_pts(spark, pts), [1.0, 2.0, 4.0]).collect()}
+    n = len(pts)
+    area = 360.0 * 170.0
+    for r in (1.0, 2.0, 4.0):
+        brute = sum(
+            1 for i in range(n) for j in range(n) if i != j
+            and (round(pts[i][0] * 1000) - round(pts[j][0] * 1000)) ** 2
+            + (round(pts[i][1] * 1000) - round(pts[j][1] * 1000)) ** 2
+            <= (r * 1000) ** 2)
+        assert out[r].npairs == brute, r
+        assert out[r].k_hat == pytest.approx(
+            area * brute / (n * (n - 1)), rel=1e-12)
+        assert out[r].l_minus_r == pytest.approx(
+            math.sqrt(out[r].k_hat / math.pi) - r, abs=1e-12)
+    # the planted cluster makes the pattern super-Poisson at r=1
+    assert out[1.0].l_minus_r > 0
