@@ -235,6 +235,96 @@ def hits(edges: DataFrame, iters: int = 2, src: str = "src",
     return h.join(a, "node").select("node", "hub", "auth")
 
 
+def _salsa_small(spark, edge_rows, iters, round_to):
+    """Driver replay of the SALSA loop — identical integer-unit sums
+    as the distributed path."""
+    import numpy as np
+
+    es = np.array([r[0] for r in edge_rows], dtype=np.int64)
+    ed = np.array([r[1] for r in edge_rows], dtype=np.int64)
+    nodes = np.unique(np.concatenate([es, ed]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    si = np.array([idx[int(v)] for v in es])
+    di = np.array([idx[int(v)] for v in ed])
+    n = len(nodes)
+    outdeg = np.bincount(si, minlength=n)
+    indeg = np.bincount(di, minlength=n)
+
+    def prop(scores, from_idx, to_idx, deg):
+        w = scores / np.maximum(deg, 1)
+        cm = np.floor(w[from_idx] * 1e12 + 0.5).astype(np.int64)
+        sm = np.zeros(n, dtype=np.int64)
+        np.add.at(sm, to_idx, cm)
+        norm = int(sm.sum())
+        s = 10.0 ** round_to
+        return np.floor(sm.astype(np.float64) / float(norm) * s
+                        + 0.5) / s
+
+    h = np.ones(n)
+    a = None
+    for _ in range(iters):
+        a = prop(h, si, di, outdeg)
+        h = prop(a, di, si, indeg)
+    out = [(int(v), float(hh), float(aa))
+           for v, hh, aa in zip(nodes, h, a)]
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    return spark.createDataFrame(
+        out, StructType([StructField("node", LongType()),
+                         StructField("hub", DoubleType()),
+                         StructField("auth", DoubleType())]))
+
+
+def salsa(edges: DataFrame, iters: int = 2, src: str = "src",
+          dst: str = "dst", round_to: int = 9,
+          small_limit: int = 200_000) -> DataFrame:
+    """SALSA (Lempel & Moran, "The stochastic approach for
+    link-structure analysis", WWW 2000 — public): HITS with
+    degree-normalized propagation — each step is a random-walk step on
+    the bipartite hub/authority graph (a(j) = SUM h(i)/outdeg(i) over
+    in-links, h(i) = SUM a(j)/indeg(j) over out-links), which removes
+    HITS' TKC bias (tightly-knit communities absorbing all the score
+    mass). Same determinism contract as hits(): per-edge contributions
+    are CAST(round(score/deg * 1e12) AS BIGINT) exact longs, L1
+    normalization divides two exact longs, per-iteration rounding to
+    round_to dp so a SQL oracle replays the unrolled loop
+    bit-for-bit. Returns (node, hub, auth)."""
+    e = edges.select(src, dst).distinct().cache()
+    integral = all(f.dataType.typeName() in
+                   ("long", "integer", "short", "byte")
+                   for f in e.schema.fields)
+    if integral and e.count() <= small_limit:
+        return _salsa_small(edges.sparkSession, e.collect(), iters,
+                            round_to)
+    nodes = (e.select(F.col(src).alias("node"))
+             .unionByName(e.select(F.col(dst).alias("node")))
+             .distinct().cache())
+    odeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    ideg = e.groupBy(dst).agg(F.count(F.lit(1)).alias("deg"))
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    a = None
+
+    def propagate(scores, score_col, key_in, key_out, out_col, deg):
+        cm = (e.join(scores.withColumnRenamed("node", key_in), key_in)
+              .join(deg, key_in)
+              .select(F.col(key_out).alias("node"),
+                      F.round(F.col(score_col) / F.col("deg") * 1e12)
+                      .cast("long").alias("cm"))
+              .groupBy("node").agg(F.sum("cm").alias("sm")))
+        norm = cm.agg(F.sum("sm")).first()[0]
+        return (nodes.join(cm, "node", "left")
+                .select("node",
+                        F.round(F.coalesce(F.col("sm"), F.lit(0))
+                                .cast("double") / F.lit(float(norm)),
+                                round_to).alias(out_col))
+                .localCheckpoint(eager=False))
+
+    for _ in range(iters):
+        a = propagate(h, "hub", src, dst, "auth", odeg)
+        h = propagate(a, "auth", dst, src, "hub", ideg)
+    return h.join(a, "node").select("node", "hub", "auth")
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """Per-node triangle counts via DEGREE-ORDERED ORIENTATION (the

@@ -2283,6 +2283,72 @@ FROM h2 JOIN a2 ON a2.node = h2.node
 QUERIES["hits"] = (q_hits, _hits_sql())
 
 
+def q_salsa(spark, sf_dir):
+    """SALSA hubs & authorities over the same 97-host link graph as
+    q_hits — the degree-normalized random-walk variant that removes
+    HITS' tightly-knit-community bias (operators/pagerank.py::salsa).
+    2 iterations, exact integer-unit contribution sums, the oracle
+    replays the unrolled loop bit-for-bit."""
+    from pyproj_spark.operators.pagerank import salsa
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    edges = (d.select((k % 97).alias("src"),
+                      ((k * 13 + 5) % 97).alias("dst"))
+             .filter((F.col("src") != F.col("dst"))
+                     & (F.col("src") < 90)))
+    out = salsa(edges, iters=2)
+    return out.select("node", (F.col("hub") + 0.0).alias("hub"),
+                      (F.col("auth") + 0.0).alias("auth"))
+
+
+def _salsa_sql():
+    prop = """
+c{o} AS (
+  SELECT e.{key_out} AS node,
+         sum(CAST(round(s.{score} / d.deg * 1e12) AS BIGINT)) AS sm
+  FROM edges e JOIN {prev} s ON s.node = e.{key_in}
+  JOIN {degtab} d ON d.node = e.{key_in}
+  GROUP BY 1
+),
+n{o} AS (SELECT sum(sm) AS nm FROM c{o}),
+{o} AS (
+  SELECT n.node,
+         round(CAST(coalesce(c.sm, 0) AS DOUBLE) / an.nm, 9)
+             AS {out_col}
+  FROM nodes n LEFT JOIN c{o} c ON c.node = n.node
+  CROSS JOIN n{o} an
+)"""
+    steps = []
+    prev = "h0"
+    for t in range(1, 3):
+        steps.append(prop.format(o=f"a{t}", prev=prev, key_in="src",
+                                 key_out="dst", score="hub",
+                                 out_col="auth", degtab="odeg"))
+        steps.append(prop.format(o=f"h{t}", prev=f"a{t}", key_in="dst",
+                                 key_out="src", score="auth",
+                                 out_col="hub", degtab="ideg"))
+        prev = f"h{t}"
+    its = ",".join(steps)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 13 + 5) % 97 AS dst
+  FROM documents
+  WHERE doc_id % 97 <> (doc_id * 13 + 5) % 97 AND doc_id % 97 < 90
+),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+odeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+ideg AS (SELECT dst AS node, count(*) AS deg FROM edges GROUP BY 1),
+h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+{its}
+SELECT h2.node, h2.hub + 0.0 AS hub, a2.auth + 0.0 AS auth
+FROM h2 JOIN a2 ON a2.node = h2.node
+"""
+
+
+QUERIES["salsa"] = (q_salsa, _salsa_sql())
+
+
 def q_set_ops(spark, sf_dir):
     """Set operators with SQL bag/distinct semantics: the (lang,
     source) profiles present in BOTH corpus halves (INTERSECT) and

@@ -3503,6 +3503,85 @@ FROM (
 QUERIES_TEXT["bigram_lm"] = (q_bigram_lm, SQL_BIGRAM_LM)
 
 
+def q_kneser_ney(spark, sf_dir):
+    """Kneser-Ney smoothed bigram LM scoring (Kneser & Ney 1995; Chen
+    & Goodman 1998 — the canonical n-gram smoothing, and the standard
+    perplexity-filter backbone before neural LMs): absolute discount
+    d=0.75 with the CONTINUATION unigram backoff
+    p(w2|w1) = max(c(w1w2)-d, 0)/c(w1.)
+             + (d*N1+(w1.)/c(w1.)) * N1+(.w2)/N1+(..),
+    where N1+ are distinct-bigram-type counts — the part plain
+    interpolation (bigram_lm) lacks: a word that appears often but
+    only after ONE context ("francisco") gets a LOW backoff weight.
+    All quantities come from the one bigram-count table (two cheap
+    reaggregations); per-doc accumulation sums round(logp*1e6) longs
+    so the score is aggregation-order-independent."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    db = (d.select("doc_id", F.explode(bigrams).alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    bc = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bc.groupBy("w1").agg(F.sum("cb").alias("c1"),
+                               F.count(F.lit(1)).alias("n1f"))
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    tot = bc.agg(F.count(F.lit(1)).alias("nbt"))
+    p = (F.greatest(F.col("cb") - F.lit(0.75), F.lit(0.0))
+         / F.col("c1")
+         + (F.lit(0.75) * F.col("n1f") / F.col("c1"))
+         * (F.col("n1p") / F.col("nbt")))
+    return (db
+            .join(bc, ["w1", "w2"])
+            .join(ctx, "w1")
+            .join(cont, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("doc_id",
+                    F.round(F.log(p) * 1e6).cast("long").alias("lp"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 ((F.sum("lp").cast("double") / 1e6)
+                  / F.count(F.lit(1))).alias("score")))
+
+
+SQL_KNESER_NEY = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+db AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+),
+bc AS (SELECT w1, w2, count(*) AS cb FROM db GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1, count(*) AS n1f
+        FROM bc GROUP BY 1),
+cont AS (SELECT w2, count(*) AS n1p FROM bc GROUP BY 1),
+tot AS (SELECT count(*) AS nbt FROM bc)
+SELECT doc_id, count(*) AS n_bigrams,
+       (CAST(sum(CAST(round(ln(
+           greatest(cb - 0.75e0, 0.0e0) / c1
+           + (0.75e0 * n1f / c1) * (n1p / nbt)) * 1e6) AS BIGINT))
+             AS DOUBLE) / 1e6) / count(*) AS score
+FROM (
+  SELECT db.doc_id, bc.cb, ctx.c1, ctx.n1f, cont.n1p, tot.nbt
+  FROM db
+  JOIN bc USING (w1, w2)
+  JOIN ctx ON ctx.w1 = db.w1
+  JOIN cont ON cont.w2 = db.w2
+  CROSS JOIN tot
+) GROUP BY doc_id
+"""
+
+
+QUERIES_TEXT["kneser_ney"] = (q_kneser_ney, SQL_KNESER_NEY)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS, Schleimer et al. 2003): k=4-gram
     hashes, window w=5 minima with rightmost tie-break — the LOCAL

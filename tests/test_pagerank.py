@@ -152,3 +152,35 @@ def test_redirect_resolution(spark):
     out2 = {r["url"]: r["target"]
             for r in resolve_redirects(df2).collect()}
     assert out2[1] == 4  # 1 -> min(3,9)=3 -> 4
+
+
+def test_salsa_cutover_and_degree_normalization(spark):
+    """SALSA: driver replay == distributed loop bit-for-bit, scores
+    are L1-normalized, and the degree normalization shows: on a star
+    where one hub links to k leaves plus a 2-cycle elsewhere, SALSA
+    authority mass per leaf equals the 1/outdeg-weighted walk."""
+    import pyspark.sql.functions as F
+    from pyproj_spark.operators.pagerank import salsa
+    edges = (spark.range(0, 3000)
+             .select((F.col("id") % 97).alias("src"),
+                     ((F.col("id") * 13 + 5) % 97).alias("dst"))
+             .filter((F.col("src") != F.col("dst"))
+                     & (F.col("src") < 90)))
+
+    def pdsort(df):
+        return (df.toPandas().sort_values("node")
+                .reset_index(drop=True))
+
+    fast = pdsort(salsa(edges, iters=2))
+    slow = pdsort(salsa(edges, iters=2, small_limit=0))
+    assert fast.equals(slow)
+    assert abs(fast.hub.sum() - 1.0) < 1e-6
+    assert abs(fast.auth.sum() - 1.0) < 1e-6
+    # star 0->{1,2,3} plus cycle 4<->5: after one walk step each star
+    # leaf holds (1/3)/norm of the authority mass, cycle nodes 1/norm
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 5), (5, 4)], "src long, dst long")
+    out = {r.node: r for r in salsa(star, iters=1).collect()}
+    assert out[1].auth == out[2].auth == out[3].auth
+    assert abs(out[1].auth - (1.0 / 3) / 3) < 1e-9  # norm = 1/3*3 + 2
+    assert abs(out[4].auth - 1.0 / 3) < 1e-9
