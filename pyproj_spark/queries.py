@@ -8508,6 +8508,98 @@ FROM dec
 QUERIES["flow_dir"] = (q_flow_dir, SQL_FLOW_DIR)
 
 
+def q_flow_accum(spark, sf_dir):
+    """D8 flow ACCUMULATION (upstream contributing-cell counts, Jenson
+    & Domingue 1988 — the step after flow_dir that yields stream
+    networks/watersheds) over the point-density DEM. Every D8 edge
+    descends strictly in z (flow_dir emits d8>0 only for a positive
+    weighted drop), so the flow graph is a DAG and one z-descending
+    sweep accumulates exactly: acc(v) = #cells whose flow path passes
+    through v. Scale contract (the hotspot-module convention): the
+    raster table is bounded by the grid resolution regardless of
+    corpus size — the corpus-scale stage is the points->cells rollup,
+    one hash aggregation — so the sweep runs driver-side on the
+    bounded cell table, exactly like the pagerank/cc small-graph
+    cutover. The oracle counts path ancestors with a recursive CTE."""
+    code2off = {code: (ox, oy) for ox, oy, code in _D8}
+    rows = q_flow_dir(spark, sf_dir).collect()
+    acc = {(r.tx, r.ty): 0 for r in rows}
+    # topological order = z descending (edges strictly decrease z)
+    for r in sorted(rows, key=lambda r: (-r.z, r.tx, r.ty)):
+        if r.d8 > 0:
+            ox, oy = code2off[r.d8]
+            tgt = (r.tx + ox, r.ty + oy)
+            acc[tgt] += acc[(r.tx, r.ty)] + 1
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+    out = [(r.tx, r.ty, r.z, r.d8, acc[(r.tx, r.ty)]) for r in rows]
+    return spark.createDataFrame(
+        out, StructType([StructField("tx", LongType()),
+                         StructField("ty", LongType()),
+                         StructField("z", LongType()),
+                         StructField("d8", IntegerType()),
+                         StructField("acc", LongType())]))
+
+
+SQL_FLOW_ACCUM = f"""
+WITH RECURSIVE pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon / 6) AS BIGINT) AS gx,
+         CAST(floor(lat / 6) AS BIGINT) AS gy, count(*) AS z
+  FROM pts GROUP BY 1, 2
+),
+offs(ox, oy, code, w) AS (
+  VALUES (1,0,1,10), (1,-1,2,7), (0,-1,4,10), (-1,-1,8,7),
+         (-1,0,16,10), (-1,1,32,7), (0,1,64,10), (1,1,128,7)
+),
+nbr AS (
+  SELECT gx - ox AS tx, gy - oy AS ty, z AS zn, code, w
+  FROM ras CROSS JOIN offs
+),
+scored AS (
+  SELECT t.gx AS tx, t.gy AS ty, t.z AS zt,
+         (t.z - n.zn) * n.w AS score, n.code
+  FROM ras t LEFT JOIN nbr n ON t.gx = n.tx AND t.gy = n.ty
+),
+best AS (
+  SELECT tx, ty, max(zt) AS z,
+         max(score * 256 + (255 - code)) AS k
+  FROM scored GROUP BY tx, ty
+),
+dec AS (
+  SELECT tx, ty, z, ((k % 256) + 256) % 256 AS r,
+         (k - (((k % 256) + 256) % 256)) / 256 AS score
+  FROM best
+),
+fd AS (
+  SELECT tx, ty, z,
+         CAST(CASE WHEN score > 0 THEN 255 - r ELSE 0 END
+              AS INTEGER) AS d8
+  FROM dec
+),
+edges AS (
+  SELECT f.tx AS sx, f.ty AS sy,
+         f.tx + o.ox AS ex, f.ty + o.oy AS ey
+  FROM fd f JOIN offs o ON o.code = f.d8
+  WHERE f.d8 > 0
+),
+walk AS (
+  SELECT sx, sy, ex AS cx, ey AS cy FROM edges
+  UNION ALL
+  SELECT w.sx, w.sy, e.ex, e.ey
+  FROM walk w JOIN edges e ON e.sx = w.cx AND e.sy = w.cy
+),
+acc AS (SELECT cx AS tx, cy AS ty, count(*) AS acc
+        FROM walk GROUP BY 1, 2)
+SELECT f.tx, f.ty, CAST(f.z AS BIGINT) AS z, f.d8,
+       CAST(coalesce(a.acc, 0) AS BIGINT) AS acc
+FROM fd f LEFT JOIN acc a ON a.tx = f.tx AND a.ty = f.ty
+"""
+
+
+QUERIES["flow_accum"] = (q_flow_accum, SQL_FLOW_ACCUM)
+
+
 def q_hillshade(spark, sf_dir):
     """Analytical hillshade (Horn 1981 gradient -> slope/aspect ->
     Lambertian illumination, the standard ESRI/GDAL formula with a

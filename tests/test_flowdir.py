@@ -66,3 +66,18 @@ def test_pits_have_no_lower_neighbour(cells):
             tgt = (int(r.tx) + ox, int(r.ty) + oy)
             if tgt in z:
                 assert z[tgt] >= int(r.z)
+
+
+def test_flow_accum_conserves_and_orders(spark):
+    """Basin conservation: every cell's path ends at exactly one pit,
+    so sum over pits of (acc + 1) = total cells; and accumulation is
+    monotone along flow (acc(target) >= acc(source) + 1)."""
+    from pyproj_spark.queries import q_flow_accum
+    pdf = q_flow_accum(spark, SF).toPandas()
+    acc = {(int(r.tx), int(r.ty)): int(r.acc) for r in pdf.itertuples()}
+    pits = pdf[pdf["d8"] == 0]
+    assert (pits["acc"] + 1).sum() == len(pdf)
+    for r in pdf[pdf["d8"] > 0].itertuples():
+        ox, oy = OFF[int(r.d8)]
+        assert acc[(int(r.tx) + ox, int(r.ty) + oy)] >= int(r.acc) + 1
+    assert pdf["acc"].max() > 0  # a non-trivial network formed
