@@ -8221,6 +8221,77 @@ FROM r6
 QUERIES["dtw_route"] = (q_dtw_route, _dtw_sql())
 
 
+def q_frechet(spark, sf_dir):
+    """Discrete Frechet distance to the same 8-point reference route
+    as dtw_route (operators/dtw.py::frechet_to_reference) — the
+    bottleneck (max-leash) member of the trajectory triad. The oracle
+    unrolls the same 6x8 lattice with greatest/least on identical
+    int64 squared costs."""
+    from pyproj_spark.operators.dtw import frechet_to_reference
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        (F.col("event_id") * 7919 % 360000 - 180000).alias("x"),
+        (F.col("event_id") * 104729 % 170000 - 85000).alias("y"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.withColumn("i", F.row_number().over(w))
+          .filter(F.col("i") <= 6))
+    six = (tr.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") == 6).select("user_id"))
+    tracks = tr.join(six, "user_id", "left_semi")
+    return frechet_to_reference(tracks, _DTW_REF)
+
+
+def _frechet_sql() -> str:
+    ref = _DTW_REF
+    m = len(ref)
+
+    def cost(j):
+        rx, ry = ref[j - 1]
+        return (f"(x - ({rx})) * (x - ({rx}))"
+                f" + (y - ({ry})) * (y - ({ry}))")
+
+    inner = "SELECT user_id, x, y FROM tr WHERE i = 1"
+    sel = f"SELECT *, {cost(1)} AS dp1 FROM ({inner})"
+    for j in range(2, m + 1):
+        sel = (f"SELECT *, greatest({cost(j)}, dp{j-1}) AS dp{j}"
+               f" FROM ({sel})")
+    ctes = [f"r1 AS (SELECT user_id, "
+            f"{', '.join(f'dp{j}' for j in range(1, m+1))} FROM ({sel}))"]
+    for i in range(2, 7):
+        inner = (f"SELECT p.user_id, t.x, t.y, "
+                 + ", ".join(f"p.dp{j} AS p{j}" for j in range(1, m + 1))
+                 + f" FROM r{i-1} p JOIN tr t"
+                 f" ON t.user_id = p.user_id AND t.i = {i}")
+        sel = f"SELECT *, greatest({cost(1)}, p1) AS dp1 FROM ({inner})"
+        for j in range(2, m + 1):
+            sel = (f"SELECT *, greatest({cost(j)},"
+                   f" least(p{j}, p{j-1}, dp{j-1}))"
+                   f" AS dp{j} FROM ({sel})")
+        ctes.append(
+            f"r{i} AS (SELECT user_id, "
+            f"{', '.join(f'dp{j}' for j in range(1, m+1))} FROM ({sel}))")
+    return f"""
+WITH ranked AS (
+  SELECT user_id,
+         event_id * 7919 % 360000 - 180000  AS x,
+         event_id * 104729 % 170000 - 85000 AS y,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+),
+tr AS (
+  SELECT * FROM ranked WHERE i <= 6
+  AND user_id IN (SELECT user_id FROM ranked WHERE i = 6)
+),
+{', '.join(ctes)}
+SELECT user_id, 6 AS n_pts, CAST(dp{m} AS BIGINT) AS frechet_sq
+FROM r6
+"""
+
+
+QUERIES["frechet"] = (q_frechet, _frechet_sql())
+
+
 # ------------------------------------------------ 1-D range join
 
 def q_range_join(spark, sf_dir):
