@@ -4679,6 +4679,76 @@ FROM t GROUP BY 1, 2
 QUERIES["idw_raster"] = (q_idw_raster, SQL_IDW)
 
 
+def q_kde_raster(spark, sf_dir):
+    """Kernel density estimation raster with the EPANECHNIKOV kernel
+    (Epanechnikov 1969 — the minimum-MSE kernel): per 2-degree cell
+    center, sum of max(0, h^2 - d^2) over points within bandwidth
+    h = 4 degrees. The kernel is POLYNOMIAL, so with exact integer
+    milli-degree coordinates every weight is an exact long — zero
+    libm in the whole query (the reason Epanechnikov over Gaussian
+    here: exp() ulps would sit directly on the rounding boundary of
+    a summed unit). Scale shape: scatter to the fixed 5x5 cell
+    neighborhood + one hash agg, never a points self-join."""
+    pts = _doc_points(spark, sf_dir)
+    mx = F.round(F.col("lon") * 1000).cast("long")
+    my = F.round(F.col("lat") * 1000).cast("long")
+    d25 = F.array(*[F.struct(F.lit(dx).alias("dx"),
+                             F.lit(dy).alias("dy"))
+                    for dx in range(-2, 3) for dy in range(-2, 3)])
+    e = (pts.select(mx.alias("mx"), my.alias("my"),
+                    F.explode(d25).alias("d"))
+         .select("mx", "my",
+                 (F.floor(F.col("mx") / 2000) + F.col("d.dx"))
+                 .alias("cx"),
+                 (F.floor(F.col("my") / 2000) + F.col("d.dy"))
+                 .alias("cy")))
+    ddx = F.col("mx") - (F.col("cx") * 2000 + 1000)
+    ddy = F.col("my") - (F.col("cy") * 2000 + 1000)
+    w = F.greatest(F.lit(16000000) - (ddx * ddx + ddy * ddy),
+                   F.lit(0)).cast("long")
+    out = (e.select("cx", "cy", w.alias("w"))
+           .filter(F.col("w") > 0)
+           .groupBy("cx", "cy")
+           .agg(F.count(F.lit(1)).alias("n_contrib"),
+                F.sum("w").alias("wsum")))
+    return out.select(
+        "cx", "cy", "n_contrib", "wsum",
+        (F.col("wsum").cast("double") / 16000000.0).alias("kde"))
+
+
+SQL_KDE = f"""
+WITH pts AS ({_PTS_SQL}),
+p AS (
+  SELECT CAST(round(lon * 1000) AS BIGINT) AS mx,
+         CAST(round(lat * 1000) AS BIGINT) AS my
+  FROM pts
+),
+e AS (
+  SELECT mx, my,
+         CAST(floor(mx / 2000) AS BIGINT) + d.dx AS cx,
+         CAST(floor(my / 2000) AS BIGINT) + d.dy AS cy
+  FROM p CROSS JOIN (
+    SELECT a.dx, b.dy
+    FROM (VALUES (-2),(-1),(0),(1),(2)) a(dx),
+         (VALUES (-2),(-1),(0),(1),(2)) b(dy)) d
+),
+t AS (
+  SELECT cx, cy,
+         greatest(16000000 - ((mx - (cx * 2000 + 1000))
+                              * (mx - (cx * 2000 + 1000))
+                            + (my - (cy * 2000 + 1000))
+                              * (my - (cy * 2000 + 1000))), 0) AS w
+  FROM e
+)
+SELECT cx, cy, count(*) AS n_contrib,
+       CAST(sum(w) AS BIGINT) AS wsum,
+       CAST(sum(w) AS DOUBLE) / 16000000.0 AS kde
+FROM t WHERE w > 0 GROUP BY 1, 2
+"""
+
+QUERIES["kde_raster"] = (q_kde_raster, SQL_KDE)
+
+
 def q_rendezvous(spark, sf_dir):
     """Rendezvous (highest-random-weight) hashing: each host is
     assigned to the worker maximizing md5(host:worker) — the
@@ -8669,6 +8739,102 @@ FROM fd f LEFT JOIN acc a ON a.tx = f.tx AND a.ty = f.ty
 
 
 QUERIES["flow_accum"] = (q_flow_accum, SQL_FLOW_ACCUM)
+
+
+def q_watershed(spark, sf_dir):
+    """Watershed (drainage-basin) labeling: every DEM cell is tagged
+    with the pit its D8 flow path terminates at — the segmentation
+    that turns flow_dir into catchments. The flow graph is FUNCTIONAL
+    (<= 1 outgoing edge), so this is the redirect_chains shape:
+    pointer DOUBLING over (cell -> D8 target) edges, O(log max_path)
+    shuffles instead of one per hop (operators/redirects.py) — the
+    genuinely distributed path, no driver sweep. Cells pack into
+    positive longs ((tx+1000)*10000 + ty+1000) so the doubling table
+    is a plain long equi-join; isolated pits (no in-edges) label
+    themselves. The oracle walks each cell to its terminal with a
+    recursive CTE."""
+    from pyproj_spark.operators.redirects import resolve_redirects
+    fd = q_flow_dir(spark, sf_dir).select("tx", "ty", "z", "d8")
+    off_x = F.create_map(*[F.lit(v) for c in _D8
+                           for v in (c[2], c[0])])[F.col("d8")]
+    off_y = F.create_map(*[F.lit(v) for c in _D8
+                           for v in (c[2], c[1])])[F.col("d8")]
+
+    def enc(tx, ty):
+        return (tx + 1000) * 10000 + (ty + 1000)
+
+    edges = (fd.filter(F.col("d8") > 0)
+             .select(enc(F.col("tx"), F.col("ty")).alias("src"),
+                     enc(F.col("tx") + off_x,
+                         F.col("ty") + off_y).alias("dst")))
+    res = resolve_redirects(edges, max_hops=1024)
+    lab = res.select(F.col("url").alias("cid"),
+                     F.col("target").alias("bid"))
+    cells = fd.select("tx", "ty", "z",
+                      enc(F.col("tx"), F.col("ty")).alias("cid"))
+    out = (cells.join(F.broadcast(lab), "cid", "left")
+           .withColumn("bid", F.coalesce("bid", F.col("cid"))))
+    return out.select(
+        "tx", "ty", "z",
+        (F.floor(F.col("bid") / 10000) - 1000).cast("long").alias("btx"),
+        (F.col("bid") % 10000 - 1000).cast("long").alias("bty"))
+
+
+SQL_WATERSHED = f"""
+WITH RECURSIVE pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon / 6) AS BIGINT) AS gx,
+         CAST(floor(lat / 6) AS BIGINT) AS gy, count(*) AS z
+  FROM pts GROUP BY 1, 2
+),
+offs(ox, oy, code, w) AS (
+  VALUES (1,0,1,10), (1,-1,2,7), (0,-1,4,10), (-1,-1,8,7),
+         (-1,0,16,10), (-1,1,32,7), (0,1,64,10), (1,1,128,7)
+),
+nbr AS (
+  SELECT gx - ox AS tx, gy - oy AS ty, z AS zn, code, w
+  FROM ras CROSS JOIN offs
+),
+scored AS (
+  SELECT t.gx AS tx, t.gy AS ty, t.z AS zt,
+         (t.z - n.zn) * n.w AS score, n.code
+  FROM ras t LEFT JOIN nbr n ON t.gx = n.tx AND t.gy = n.ty
+),
+best AS (
+  SELECT tx, ty, max(zt) AS z,
+         max(score * 256 + (255 - code)) AS k
+  FROM scored GROUP BY tx, ty
+),
+dec AS (
+  SELECT tx, ty, z, ((k % 256) + 256) % 256 AS r,
+         (k - (((k % 256) + 256) % 256)) / 256 AS score
+  FROM best
+),
+fd AS (
+  SELECT tx, ty, z,
+         CAST(CASE WHEN score > 0 THEN 255 - r ELSE 0 END
+              AS INTEGER) AS d8
+  FROM dec
+),
+walk AS (
+  SELECT tx, ty, tx AS cx, ty AS cy FROM fd
+  UNION ALL
+  SELECT w.tx, w.ty, f2.tx + o.ox, f2.ty + o.oy
+  FROM walk w
+  JOIN fd f2 ON f2.tx = w.cx AND f2.ty = w.cy AND f2.d8 > 0
+  JOIN offs o ON o.code = f2.d8
+),
+term AS (
+  SELECT w.tx, w.ty, w.cx AS btx, w.cy AS bty
+  FROM walk w JOIN fd p ON p.tx = w.cx AND p.ty = w.cy AND p.d8 = 0
+)
+SELECT f.tx, f.ty, CAST(f.z AS BIGINT) AS z,
+       t.btx, t.bty
+FROM fd f JOIN term t ON t.tx = f.tx AND t.ty = f.ty
+"""
+
+
+QUERIES["watershed"] = (q_watershed, SQL_WATERSHED)
 
 
 def q_hillshade(spark, sf_dir):

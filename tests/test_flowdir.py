@@ -81,3 +81,20 @@ def test_flow_accum_conserves_and_orders(spark):
         ox, oy = OFF[int(r.d8)]
         assert acc[(int(r.tx) + ox, int(r.ty) + oy)] >= int(r.acc) + 1
     assert pdf["acc"].max() > 0  # a non-trivial network formed
+
+
+def test_watershed_labels_are_pits_and_flow_consistent(spark):
+    from pyproj_spark.queries import q_flow_dir, q_watershed
+    fd = {(int(r.tx), int(r.ty)): int(r.d8)
+          for r in q_flow_dir(spark, SF).collect()}
+    ws = {(int(r.tx), int(r.ty)): (int(r.btx), int(r.bty))
+          for r in q_watershed(spark, SF).collect()}
+    assert set(ws) == set(fd)
+    for cell, basin in ws.items():
+        assert fd[basin] == 0, (cell, basin)  # label IS a pit
+        d8 = fd[cell]
+        if d8 > 0:  # flowing into your neighbour = same basin
+            ox, oy = OFF[d8]
+            assert ws[(cell[0] + ox, cell[1] + oy)] == basin
+        else:
+            assert basin == cell  # pits label themselves

@@ -171,3 +171,28 @@ def test_ripley_matches_brute_force(spark):
             math.sqrt(out[r].k_hat / math.pi) - r, abs=1e-12)
     # the planted cluster makes the pattern super-Poisson at r=1
     assert out[1.0].l_minus_r > 0
+
+
+def test_kde_raster_matches_brute_force(spark):
+    from pyproj_spark.queries import q_kde_raster, _doc_points
+    sf = "/root/testdata/sf0.001"
+    pts = _doc_points(spark, sf).select("lon", "lat").collect()
+    brute = {}
+    for p in pts:
+        mx, my = round(p.lon * 1000), round(p.lat * 1000)
+        import math
+        gx, gy = math.floor(mx / 2000), math.floor(my / 2000)
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                cx, cy = gx + dx, gy + dy
+                d2 = ((mx - (cx * 2000 + 1000)) ** 2
+                      + (my - (cy * 2000 + 1000)) ** 2)
+                w = max(16000000 - d2, 0)
+                if w > 0:
+                    n, s = brute.get((cx, cy), (0, 0))
+                    brute[(cx, cy)] = (n + 1, s + w)
+    got = {(int(r.cx), int(r.cy)): (int(r.n_contrib), int(r.wsum))
+           for r in q_kde_raster(spark, sf).collect()}
+    assert got == brute
+    # kernel support: a contributing point is within h of the center
+    assert all(s <= n * 16000000 for n, s in got.values())
