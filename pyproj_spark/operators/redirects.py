@@ -60,3 +60,41 @@ def resolve_redirects(edges: DataFrame, src: str = "src",
                     F.col("nxt").alias("target"),
                     F.coalesce(~F.col("_has_out"), F.lit(True))
                     .alias("resolved")))
+
+
+def resolve_with_distance(edges: DataFrame, src: str = "src",
+                          dst: str = "dst", weight: str = "w",
+                          max_hops: int = 1024) -> DataFrame:
+    """Pointer doubling with ACCUMATED edge weight: (node, target,
+    dist) where target is the terminal reached and dist the exact
+    integer sum of edge weights along the path — the distance-to-
+    outlet / hops-to-terminal generalization of resolve_redirects.
+    Each round both squares the hop horizon AND adds the second
+    half's accumulated weight (d'(u) = d(u) + d(nxt(u))): still
+    O(log max_path) shuffles. Terminals absorb with d = 0, so extra
+    rounds are no-ops. Edges must be functional (one out-edge per
+    source; enforced by a min-by dedup) and weights integral."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(weight).cast("long").alias("w"))
+         .filter(F.col("u") != F.col("v"))
+         .groupBy("u").agg(F.min_by("v", F.struct("v", "w")).alias("v"),
+                           F.min_by("w", F.struct("v", "w")).alias("w"))
+         .cache())
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct())
+    succ = (nodes.join(e.withColumnRenamed("u", "node"), "node", "left")
+            .select("node",
+                    F.coalesce("v", F.col("node")).alias("nxt"),
+                    F.coalesce("w", F.lit(0)).alias("d")))
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        hop2 = succ.select(F.col("node").alias("_n"),
+                           F.col("nxt").alias("_m"),
+                           F.col("d").alias("_d"))
+        succ = (succ.join(hop2, succ["nxt"] == hop2["_n"])
+                .select("node", F.col("_m").alias("nxt"),
+                        (F.col("d") + F.col("_d")).alias("d"))
+                .localCheckpoint(eager=False))
+    return succ.select(F.col("node"), F.col("nxt").alias("target"),
+                       F.col("d").alias("dist"))

@@ -8837,6 +8837,129 @@ FROM fd f JOIN term t ON t.tx = f.tx AND t.ty = f.ty
 QUERIES["watershed"] = (q_watershed, SQL_WATERSHED)
 
 
+def q_flow_length(spark, sf_dir):
+    """Flow-path length to outlet: each cell's D8 path distance to its
+    pit in the 10/7 integer metric (cardinal/diagonal — the flow_dir
+    convention, ~x10 cell widths). The hydrological 'time to outlet'
+    surface. Distributed shape: pointer doubling WITH accumulated edge
+    weight (operators/redirects.py::resolve_with_distance) — each
+    round squares the horizon and adds the far half's distance, so a
+    10^6-cell raster resolves in ~10 shuffles. Oracle: recursive walk
+    summing the same integer weights."""
+    from pyproj_spark.operators.redirects import resolve_with_distance
+    fd = q_flow_dir(spark, sf_dir).select("tx", "ty", "z", "d8")
+    off_x = F.create_map(*[F.lit(v) for c in _D8
+                           for v in (c[2], c[0])])[F.col("d8")]
+    off_y = F.create_map(*[F.lit(v) for c in _D8
+                           for v in (c[2], c[1])])[F.col("d8")]
+    stepw = F.when(F.col("d8").isin(1, 4, 16, 64), F.lit(10)) \
+        .otherwise(F.lit(7))
+
+    def enc(tx, ty):
+        return (tx + 1000) * 10000 + (ty + 1000)
+
+    edges = (fd.filter(F.col("d8") > 0)
+             .select(enc(F.col("tx"), F.col("ty")).alias("src"),
+                     enc(F.col("tx") + off_x,
+                         F.col("ty") + off_y).alias("dst"),
+                     stepw.alias("w")))
+    res = resolve_with_distance(edges, max_hops=1024)
+    lab = res.select(F.col("node").alias("cid"), "dist")
+    cells = fd.select("tx", "ty", "z",
+                      enc(F.col("tx"), F.col("ty")).alias("cid"))
+    return (cells.join(F.broadcast(lab), "cid", "left")
+            .select("tx", "ty", "z",
+                    F.coalesce("dist", F.lit(0)).cast("long")
+                    .alias("flow_len")))
+
+
+def _flow_length_sql():
+    # reuse the watershed CTE chain up to fd, then walk with weights
+    head = SQL_WATERSHED.split("walk AS")[0]
+    return head + """walk AS (
+  SELECT tx, ty, tx AS cx, ty AS cy, CAST(0 AS BIGINT) AS d FROM fd
+  UNION ALL
+  SELECT w.tx, w.ty, f2.tx + o.ox, f2.ty + o.oy,
+         w.d + (CASE WHEN f2.d8 IN (1, 4, 16, 64)
+                     THEN 10 ELSE 7 END)
+  FROM walk w
+  JOIN fd f2 ON f2.tx = w.cx AND f2.ty = w.cy AND f2.d8 > 0
+  JOIN offs o ON o.code = f2.d8
+),
+term AS (
+  SELECT w.tx, w.ty, w.d
+  FROM walk w JOIN fd p ON p.tx = w.cx AND p.ty = w.cy AND p.d8 = 0
+)
+SELECT f.tx, f.ty, CAST(f.z AS BIGINT) AS z,
+       CAST(t.d AS BIGINT) AS flow_len
+FROM fd f JOIN term t ON t.tx = f.tx AND t.ty = f.ty
+"""
+
+
+QUERIES["flow_length"] = (q_flow_length, _flow_length_sql())
+
+
+def q_vw_filter(spark, sf_dir):
+    """One-pass Visvalingam-Whyatt effective-area screen (Visvalingam
+    & Whyatt 1993): drop every interior vertex whose triangle with its
+    immediate neighbours has 2*area below threshold — the
+    area-significance complement to Douglas-Peucker's offset metric
+    (q_simplify). This is the bounded ONE-PASS screening variant
+    (iterative VW re-evaluates areas after each removal — a sequential
+    priority queue, the wrong shape for a cluster; the one-pass screen
+    is the standard distributed pre-filter). Integer milli coords make
+    2*area an exact long cross product; one key-partitioned window,
+    no self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (ev.withColumn("seq", F.row_number().over(w))
+           .filter(F.col("seq") <= 33)
+           .select("user_id", F.col("seq").cast("long").alias("seq"),
+                   (F.col("seq") * 1000).cast("long").alias("x"),
+                   (F.col("event_id") * 7919 % 100000).cast("long")
+                   .alias("y")))
+    ws = Window.partitionBy("user_id").orderBy("seq")
+    x0, y0 = F.lag("x").over(ws), F.lag("y").over(ws)
+    x2, y2 = F.lead("x").over(ws), F.lead("y").over(ws)
+    area2 = F.abs((F.col("x") - x0) * (y2 - y0)
+                  - (x2 - x0) * (F.col("y") - y0))
+    staged = pts.withColumn("eff2", area2)
+    return (staged
+            .filter(F.col("eff2").isNull()
+                    | (F.col("eff2") >= 2000000))
+            .select("user_id", "seq", "x", "y",
+                    F.coalesce("eff2", F.lit(0)).cast("long")
+                    .alias("eff2")))
+
+
+SQL_VW = """
+WITH pts AS (
+  SELECT user_id, seq, seq * 1000 AS x,
+         event_id * 7919 % 100000 AS y
+  FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS seq
+    FROM events
+  ) WHERE seq <= 33
+),
+eff AS (
+  SELECT user_id, seq, x, y,
+         abs((x - lag(x) OVER w) * (lead(y) OVER w - lag(y) OVER w)
+             - (lead(x) OVER w - lag(x) OVER w) * (y - lag(y) OVER w))
+             AS eff2
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+)
+SELECT user_id, CAST(seq AS BIGINT) AS seq,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(coalesce(eff2, 0) AS BIGINT) AS eff2
+FROM eff WHERE eff2 IS NULL OR eff2 >= 2000000
+"""
+
+QUERIES["vw_filter"] = (q_vw_filter, SQL_VW)
+
+
 def q_hillshade(spark, sf_dir):
     """Analytical hillshade (Horn 1981 gradient -> slope/aspect ->
     Lambertian illumination, the standard ESRI/GDAL formula with a

@@ -3582,6 +3582,70 @@ FROM (
 QUERIES_TEXT["kneser_ney"] = (q_kneser_ney, SQL_KNESER_NEY)
 
 
+def q_good_turing(spark, sf_dir):
+    """Good-Turing frequency smoothing (Good 1953 / the SGT of Gale &
+    Sampson 1995, unsmoothed-N_r form): the counts-of-counts table
+    N_r = #{words seen exactly r times} and the adjusted count
+    r* = (r+1) * N_{r+1} / N_r — the third smoothing family next to
+    Jelinek-Mercer (bigram_lm) and Kneser-Ney, and the estimator of
+    UNSEEN mass p0 = N_1/T that dedup/coverage analyses lean on.
+    Shape: two reaggregations of the unigram count table (corpus pass
+    -> word counts -> counts-of-counts), one lead window over the
+    r-ordered bounded table. Output is bounded by #distinct
+    frequencies (~sqrt(T))."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""))
+    uc = (d.select(F.explode(toks).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("r")))
+    from pyspark.sql import Window
+    nr = uc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = uc.agg(F.sum("r").alias("t"))
+    ws = Window.orderBy("r")
+    nxt = F.lead("n_r").over(ws)
+    nxt_r = F.lead("r").over(ws)
+    # r* defined only when N_{r+1} exists (consecutive r)
+    r_star = F.when(nxt_r == F.col("r") + 1,
+                    (F.col("r") + 1) * nxt
+                    / F.col("n_r").cast("double"))
+    return (nr.crossJoin(F.broadcast(tot))
+            .select("r", "n_r",
+                    r_star.alias("r_star"),
+                    (F.col("r") * F.col("n_r")).alias("mass"),
+                    (F.col("r") * F.col("n_r")
+                     / F.col("t").cast("double")).alias("p_mass"))
+            .orderBy("r"))
+
+
+SQL_GOOD_TURING = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uc AS (SELECT w, count(*) AS r
+       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+nr AS (SELECT r, count(*) AS n_r FROM uc GROUP BY 1),
+tot AS (SELECT CAST(sum(r) AS BIGINT) AS tt FROM uc),
+led AS (
+  SELECT r, n_r,
+         lead(n_r) OVER (ORDER BY r) AS nxt,
+         lead(r) OVER (ORDER BY r) AS nxt_r
+  FROM nr
+)
+SELECT r, n_r,
+       CASE WHEN nxt_r = r + 1
+            THEN (r + 1) * nxt / CAST(n_r AS DOUBLE) END AS r_star,
+       CAST(r * n_r AS BIGINT) AS mass,
+       r * n_r / CAST(tt AS DOUBLE) AS p_mass
+FROM led CROSS JOIN tot
+ORDER BY r
+"""
+
+
+QUERIES_TEXT["good_turing"] = (q_good_turing, SQL_GOOD_TURING)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (MOSS, Schleimer et al. 2003): k=4-gram
     hashes, window w=5 minima with rightmost tie-break — the LOCAL

@@ -98,3 +98,20 @@ def test_watershed_labels_are_pits_and_flow_consistent(spark):
             assert ws[(cell[0] + ox, cell[1] + oy)] == basin
         else:
             assert basin == cell  # pits label themselves
+
+
+def test_flow_length_telescopes_along_flow(spark):
+    """flow_len(cell) = step_weight(cell) + flow_len(target); pits 0."""
+    from pyproj_spark.queries import q_flow_dir, q_flow_length
+    fd = {(int(r.tx), int(r.ty)): int(r.d8)
+          for r in q_flow_dir(spark, SF).collect()}
+    fl = {(int(r.tx), int(r.ty)): int(r.flow_len)
+          for r in q_flow_length(spark, SF).collect()}
+    assert set(fl) == set(fd)
+    for cell, d8 in fd.items():
+        if d8 == 0:
+            assert fl[cell] == 0, cell
+        else:
+            ox, oy = OFF[d8]
+            w = 10 if d8 in (1, 4, 16, 64) else 7
+            assert fl[cell] == w + fl[(cell[0] + ox, cell[1] + oy)], cell

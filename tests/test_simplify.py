@@ -50,3 +50,39 @@ def test_dp_spike_is_kept(spark):
             for i in range(15)]
     kept = sorted(r.seq for r in _run(spark, rows, eps=5.0))
     assert 7 in kept
+
+
+def test_vw_filter_endpoints_and_threshold(spark):
+    """One-pass Visvalingam screen: both endpoints survive, every
+    surviving interior vertex clears the area threshold, and every
+    dropped vertex is below it (recomputed brute-force)."""
+    from pyproj_spark.queries import q_vw_filter
+    sf = "/root/testdata/sf0.001"
+    kept = {}
+    for r in q_vw_filter(spark, sf).collect():
+        kept.setdefault(r.user_id, {})[r.seq] = (r.x, r.y, r.eff2)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyproj_spark.queries import _t
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (ev.withColumn("seq", F.row_number().over(w))
+           .filter(F.col("seq") <= 33)
+           .select("user_id", "seq",
+                   (F.col("seq") * 1000).alias("x"),
+                   (F.col("event_id") * 7919 % 100000).alias("y"))
+           .collect())
+    tracks = {}
+    for r in pts:
+        tracks.setdefault(r.user_id, {})[r.seq] = (int(r.x), int(r.y))
+    for u, t in tracks.items():
+        seqs = sorted(t)
+        assert seqs[0] in kept[u] and seqs[-1] in kept[u], u
+        for i in range(1, len(seqs) - 1):
+            x0, y0 = t[seqs[i - 1]]
+            x, y = t[seqs[i]]
+            x2, y2 = t[seqs[i + 1]]
+            a2 = abs((x - x0) * (y2 - y0) - (x2 - x0) * (y - y0))
+            assert (seqs[i] in kept[u]) == (a2 >= 2000000), (u, seqs[i])
+            if seqs[i] in kept[u]:
+                assert kept[u][seqs[i]][2] == a2
