@@ -88,6 +88,11 @@ def _interleaved() -> dict[str, tuple]:
     merged = dict(QUERIES)
     merged.update(QUERIES_TEXT)
     new_this_round = [
+        # ninth-session additions (newest first)
+        "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
+        "frechet", "watershed", "kde_raster", "flow_length",
+        "vw_filter", "good_turing", "rrf_fusion", "sorted_neighborhood",
+        "textrank", "pq_ann", "ivfpq",  # changed this session
         "theil_sen", "terrain_tpi", "world_proj", "hammer_aitoff",
         "focal_mode", "zone_diameter", "sinuosity", "std_ellipse",
         "itrf_epoch",

@@ -1705,6 +1705,180 @@ def _bm25_sql():
 QUERIES_TEXT["bm25"] = (q_bm25, _bm25_sql())
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009
+    — public) of the two gated retrieval paths: BM25 lexical ranking
+    and exact-cosine embedding ranking, fused per query as
+    RRF(d) = sum over lists of 1/(60 + rank_d) — the standard hybrid-
+    search combiner (rank-based, so the incomparable score scales of
+    the two lists never matter). Query ids 1-3 are shared: BM25 terms
+    from _BM25_QUERIES, embedding queries vec_id 1-3. The fused score
+    adds exactly two doubles in a fixed order — no aggregation-order
+    exposure — and ties break on doc_id."""
+    from pyproj_spark.operators.search import bm25_search
+    b = bm25_search(_docs(spark, sf_dir), _BM25_QUERIES, top_k=10)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 1000)
+    qv = emb.filter(F.col("vec_id").isin(1, 2, 3)) \
+        .withColumnRenamed("vec_id", "qid")
+    c = similarity.cosine_topk(emb, qv, k=10)
+    bb = b.select(F.col("query_id").cast("long").alias("qid"),
+                  F.col("doc_id").cast("long").alias("doc_id"),
+                  F.col("rank").alias("rb"))
+    cc = c.select(F.col("qid").cast("long").alias("qid"),
+                  F.col("vec_id").cast("long").alias("doc_id"),
+                  F.col("rank").alias("rc"))
+    f = bb.join(cc, ["qid", "doc_id"], "full_outer")
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")),
+                      F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rc")),
+                        F.lit(0.0)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf"), "doc_id")
+    return (f.withColumn("rrf", rrf)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("qid", "rank", "doc_id", "rrf",
+                    F.coalesce("rb", F.lit(0)).alias("rb"),
+                    F.coalesce("rc", F.lit(0)).alias("rc")))
+
+
+def _rrf_sql():
+    from pyproj_spark.operators.search import bm25_sql
+    bm = bm25_sql(_BM25_QUERIES, top_k=10).strip()
+    marker = "SELECT query_id, rank, doc_id, score FROM ("
+    head, tail = bm.split(marker, 1)
+    assert head.startswith("WITH")
+    return head.rstrip() + f""",
+bmr AS (
+  {marker}{tail}
+),
+e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id < 1000),
+q2 AS (SELECT vec_id AS qid, v AS qv FROM e2
+       WHERE vec_id IN (1, 2, 3)),
+cr AS (
+  SELECT qid, vec_id, rank FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY
+             round(list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(qv, qv))), 6) DESC,
+             vec_id) AS rank
+    FROM e2 CROSS JOIN q2 WHERE vec_id != qid
+  ) WHERE rank <= 10
+),
+bb AS (SELECT CAST(query_id AS BIGINT) AS qid,
+              CAST(doc_id AS BIGINT) AS doc_id, rank AS rb FROM bmr),
+cc AS (SELECT CAST(qid AS BIGINT) AS qid,
+              CAST(vec_id AS BIGINT) AS doc_id, rank AS rc FROM cr),
+f AS (
+  SELECT coalesce(bb.qid, cc.qid) AS qid,
+         coalesce(bb.doc_id, cc.doc_id) AS doc_id, bb.rb, cc.rc,
+         coalesce(1.0e0 / (60 + bb.rb), 0.0e0)
+           + coalesce(1.0e0 / (60 + cc.rc), 0.0e0) AS rrf
+  FROM bb FULL OUTER JOIN cc
+    ON bb.qid = cc.qid AND bb.doc_id = cc.doc_id
+)
+SELECT qid, rank, doc_id, rrf,
+       coalesce(rb, 0) AS rb, coalesce(rc, 0) AS rc
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY rrf DESC, doc_id) AS rank
+  FROM f
+) WHERE rank <= 10
+"""
+
+
+QUERIES_TEXT["rrf_fusion"] = (q_rrf_fusion, _rrf_sql())
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood entity-resolution join (Hernandez & Stolfo
+    1995 — the THIRD blocking family next to LSH banding and exact
+    keys): records sort by a normalized text key and only records
+    within a window of w=5 positions become candidate pairs — O(n*w)
+    candidates regardless of corpus skew. Scale shape: the sort is
+    PARTITIONED by a 2-char key prefix (the standard blocked-SNM
+    variant — a global-order window would serialize into one task,
+    the pack_sequences lesson), so every window is key-partitioned.
+    Candidates verify with exact set-Jaccard over the first 20
+    distinct tokens; both sides replay identically."""
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    key = F.substring(norm, 1, 24)
+    toks = F.array_distinct(F.slice(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                 lambda t: t != F.lit("")), 1, 20))
+    base = d.select("doc_id", key.alias("k"),
+                    F.substring(key, 1, 2).alias("blk"),
+                    toks.alias("tok"))
+    w = Window.partitionBy("blk").orderBy("k", "doc_id")
+    led = base
+    for i in range(1, 5):  # windows evaluate BEFORE the generator
+        led = (led.withColumn(f"db{i}", F.lead("doc_id", i).over(w))
+               .withColumn(f"tb{i}", F.lead("tok", i).over(w)))
+    cands = F.array(*[
+        F.struct(F.col(f"db{i}").alias("doc_b"),
+                 F.col(f"tb{i}").alias("tok_b"))
+        for i in range(1, 5)])
+    pairs = (led.withColumn("c", F.explode(cands))
+             .filter(F.col("c.doc_b").isNotNull())
+             .select(F.col("doc_id").alias("doc_a"),
+                     F.col("c.doc_b").alias("doc_b"),
+                     (F.size(F.array_intersect("tok", "c.tok_b"))
+                      / F.size(F.array_union("tok", "c.tok_b")))
+                     .alias("j")))
+    return (pairs.filter(F.col("j") >= 0.5)
+            .select("doc_a", "doc_b", F.round("j", 6).alias("jacc")))
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH base AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, 24) AS k,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, 2) AS blk,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')[1:20]) AS tok
+  FROM documents
+),
+led AS (
+  SELECT doc_id AS doc_a, tok,
+         u.db AS doc_b, u.tb AS tok_b
+  FROM (
+    SELECT doc_id, tok,
+           [struct_pack(db := lead(doc_id, 1) OVER w,
+                        tb := lead(tok, 1) OVER w),
+            struct_pack(db := lead(doc_id, 2) OVER w,
+                        tb := lead(tok, 2) OVER w),
+            struct_pack(db := lead(doc_id, 3) OVER w,
+                        tb := lead(tok, 3) OVER w),
+            struct_pack(db := lead(doc_id, 4) OVER w,
+                        tb := lead(tok, 4) OVER w)] AS cands
+    FROM base
+    WINDOW w AS (PARTITION BY blk ORDER BY k, doc_id)
+  ), unnest(cands) AS t(u)
+  WHERE u.db IS NOT NULL
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(tok, tok_b))
+           / len(list_distinct(list_concat(tok, tok_b))) AS j
+  FROM led
+)
+SELECT doc_a, doc_b, round(j, 6) AS jacc
+FROM scored WHERE j >= 0.5
+"""
+
+
+QUERIES_TEXT["sorted_neighborhood"] = (q_sorted_neighborhood,
+                                       SQL_SORTED_NEIGHBORHOOD)
+
+
 def q_cm_heavy(spark, sf_dir):
     """Heavy-hitter tokens by Count-Min estimate (operators/sketch.py):
     the corpus collapses into 4x512 counters in one partial-aggregated
