@@ -88,6 +88,8 @@ def _interleaved() -> dict[str, tuple]:
     merged = dict(QUERIES)
     merged.update(QUERIES_TEXT)
     new_this_round = [
+        # tenth-session additions (newest first)
+        "quadrat_csr", "solar_position", "knox_test",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

@@ -9805,3 +9805,220 @@ FROM wgts CROSS JOIN tot
 """
 
 QUERIES["gravity_flows"] = (q_gravity_flows, SQL_GRAVITY)
+
+
+def q_quadrat_csr(spark, sf_dir):
+    """Quadrat-count test of complete spatial randomness (the classic
+    first question of point-pattern analysis, Greig-Smith 1952): doc
+    points binned into the fixed 36x17 grid of 10-degree quadrats;
+    the chi-square statistic against the CSR null reduces to
+    Q * sum(n_i^2) / N - N, which needs only TWO exact integers (N and
+    sum of squared quadrat counts) — empty quadrats are accounted for
+    algebraically, never materialized. One hash aggregation, one
+    1-row reduction: the 100-TB shape (no quadrat table join, no
+    densification). VMR > 1 means clustered, < 1 means dispersed."""
+    pts = _doc_points(spark, sf_dir)
+    q = (pts.select(F.floor((F.col("lon") + 180.0) / 10).alias("qx"),
+                    F.floor((F.col("lat") + 85.0) / 10).alias("qy"))
+         .groupBy("qx", "qy").agg(F.count(F.lit(1)).alias("n")))
+    nq = 36 * 17
+    agg = q.agg(F.sum("n").alias("n_points"),
+                F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+                F.count(F.lit(1)).alias("occupied"))
+    npts = F.col("n_points").cast("double")
+    chi2 = F.lit(float(nq)) * F.col("sum_sq").cast("double") / npts - npts
+    # VMR from the same two integers: var = (sum_sq/Q - mean^2) with
+    # the EMPTY quadrats in the denominator, mean = N/Q
+    mean = npts / F.lit(float(nq))
+    vmr = (F.col("sum_sq").cast("double") / F.lit(float(nq))
+           - mean * mean) / mean
+    return agg.select(
+        "n_points", F.lit(nq).cast("long").alias("n_quadrats"),
+        "occupied", "sum_sq",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(vmr, 6).alias("vmr"))
+
+
+SQL_QUADRAT = f"""
+WITH pts AS ({_PTS_SQL}),
+q AS (
+  SELECT CAST(floor((lon + 180.0) / 10) AS BIGINT) AS qx,
+         CAST(floor((lat + 85.0) / 10) AS BIGINT) AS qy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_points,
+       CAST(612 AS BIGINT) AS n_quadrats,
+       count(*) AS occupied,
+       CAST(sum(n * n) AS BIGINT) AS sum_sq,
+       round(612.0 * CAST(sum(n * n) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE) - CAST(sum(n) AS DOUBLE), 6)
+           AS chi2,
+       round((CAST(sum(n * n) AS DOUBLE) / 612.0
+              - (CAST(sum(n) AS DOUBLE) / 612.0)
+                * (CAST(sum(n) AS DOUBLE) / 612.0))
+             / (CAST(sum(n) AS DOUBLE) / 612.0), 6) AS vmr
+FROM q
+"""
+
+QUERIES["quadrat_csr"] = (q_quadrat_csr, SQL_QUADRAT)
+
+
+def q_solar_position(spark, sf_dir):
+    """Solar geometry per observation (the NOAA/Spencer 1971 Fourier
+    forms every remote-sensing pipeline uses to stamp sun angles onto
+    imagery): each doc point gets a deterministic 2026 UTC instant
+    (day = doc_id % 365, second-of-day = doc_id * 37 % 86400); the
+    fractional-year angle drives declination and the equation of time,
+    the longitude-corrected true solar time gives the hour angle, and
+    cos(zenith) = sin phi sin delta + cos phi cos delta cos H. The
+    output keeps COS zenith (never acos — its derivative explodes at
+    |x| -> 1 and would amplify cross-engine trig ulps past round-6);
+    the daylight flag derives from the ROUNDED value so both engines
+    decide from the identical number. Pure per-row Catalyst trig:
+    embarrassingly parallel, zero exchanges before the scan-level
+    projection."""
+    pts = _doc_points(spark, sf_dir)
+    doy = (F.col("doc_id") % 365).cast("double")
+    sod = (F.col("doc_id") * 37 % 86400).cast("double")
+    g = (F.lit(2.0 * math.pi / 365.0)
+         * (doy + (sod / 3600.0 - 12.0) / 24.0))
+    decl = (F.lit(0.006918)
+            - F.lit(0.399912) * F.cos(g) + F.lit(0.070257) * F.sin(g)
+            - F.lit(0.006758) * F.cos(2 * g)
+            + F.lit(0.000907) * F.sin(2 * g)
+            - F.lit(0.002697) * F.cos(3 * g)
+            + F.lit(0.00148) * F.sin(3 * g))
+    eqt = F.lit(229.18) * (F.lit(0.000075)
+                           + F.lit(0.001868) * F.cos(g)
+                           - F.lit(0.032077) * F.sin(g)
+                           - F.lit(0.014615) * F.cos(2 * g)
+                           - F.lit(0.040849) * F.sin(2 * g))
+    tst = sod / 60.0 + eqt + 4.0 * F.col("lon")
+    ha = F.radians(tst / 4.0 - 180.0)
+    phi = F.radians(F.col("lat"))
+    cosz = (F.sin(phi) * F.sin(decl)
+            + F.cos(phi) * F.cos(decl) * F.cos(ha))
+    cosz_r = F.round(cosz, 6)
+    return pts.select(
+        "doc_id",
+        F.round(F.degrees(decl), 6).alias("decl_deg"),
+        F.round(eqt, 6).alias("eqtime_min"),
+        cosz_r.alias("cos_zenith"),
+        (cosz_r > 0).alias("daylight"))
+
+
+SQL_SOLAR = f"""
+WITH pts AS ({_PTS_SQL}),
+t AS (
+  SELECT doc_id, lon, lat,
+         2.0 * pi() / 365.0
+           * (CAST(doc_id % 365 AS DOUBLE)
+              + (CAST(doc_id * 37 % 86400 AS DOUBLE) / 3600.0 - 12.0)
+                / 24.0) AS g,
+         CAST(doc_id * 37 % 86400 AS DOUBLE) AS sod
+  FROM pts
+),
+s AS (
+  SELECT doc_id, lon, lat, sod,
+         0.006918 - 0.399912 * cos(g) + 0.070257 * sin(g)
+           - 0.006758 * cos(2 * g) + 0.000907 * sin(2 * g)
+           - 0.002697 * cos(3 * g) + 0.00148 * sin(3 * g) AS decl,
+         229.18 * (0.000075 + 0.001868 * cos(g) - 0.032077 * sin(g)
+                   - 0.014615 * cos(2 * g) - 0.040849 * sin(2 * g))
+             AS eqt
+  FROM t
+),
+h AS (
+  SELECT doc_id, decl, eqt,
+         radians((sod / 60.0 + eqt + 4.0 * lon) / 4.0 - 180.0) AS ha,
+         radians(lat) AS phi
+  FROM s
+)
+SELECT doc_id, round(degrees(decl), 6) AS decl_deg,
+       round(eqt, 6) AS eqtime_min,
+       round(sin(phi) * sin(decl) + cos(phi) * cos(decl) * cos(ha), 6)
+           AS cos_zenith,
+       round(sin(phi) * sin(decl) + cos(phi) * cos(decl) * cos(ha), 6)
+           > 0 AS daylight
+FROM h
+"""
+
+QUERIES["solar_position"] = (q_solar_position, SQL_SOLAR)
+
+
+def q_knox_test(spark, sf_dir):
+    """Knox space-time interaction statistic (Knox 1964, the classic
+    epidemiology test: do events cluster in space AND time jointly?):
+    close pairs = event pairs within 2 grid degrees AND within a
+    3-day lag, counted per integer day-lag. Positions are md5-derived
+    (the event_id linear-congruential lattice has NO close pairs at
+    gate scale — a measured dead gate, not a guess). Scale shape:
+    each left event scatters to its 3x3 cell neighborhood (cell size
+    = the 3-degree radius) and equi-joins the right side on the
+    single true cell — every qualifying pair is found EXACTLY once
+    (the right cell is unique), so no post-join dedup; fan-out is a
+    constant 9x regardless of corpus size. The DuckDB oracle takes
+    the opposite plan on purpose — a non-equi IEJoin on the time
+    axis — so the two engines certify each other across plan
+    families. Events deterministically thinned 1-in-7 to keep the
+    oracle's O(n * lag-window) bounded at gate scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    hx = F.conv(F.substring(
+        F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10) \
+        .cast("long")
+    hy = F.conv(F.substring(
+        F.md5(F.concat(F.lit("y"), F.col("event_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    pt = ev.select(
+        "event_id",
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+        ((hx % 360000) / 1000.0 - 180.0).alias("x"),
+        ((hy % 170000) / 1000.0 - 85.0).alias("y"))
+    pt = pt.withColumn("cx", F.floor((F.col("x") + 180.0) / 3)
+                       .cast("long")) \
+           .withColumn("cy", F.floor((F.col("y") + 85.0) / 3)
+                       .cast("long"))
+    d9 = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                   for dx in range(-1, 2) for dy in range(-1, 2)])
+    a = (pt.select("event_id", "day", "x", "y",
+                   F.explode(d9).alias("d"),
+                   F.col("cx"), F.col("cy"))
+         .select(F.col("event_id").alias("ia"), F.col("day").alias("da"),
+                 F.col("x").alias("xa"), F.col("y").alias("ya"),
+                 (F.col("cx") + F.col("d.dx")).alias("jcx"),
+                 (F.col("cy") + F.col("d.dy")).alias("jcy")))
+    b = pt.select(F.col("event_id").alias("ib"), F.col("day").alias("db"),
+                  F.col("x").alias("xb"), F.col("y").alias("yb"),
+                  F.col("cx").alias("jcx"), F.col("cy").alias("jcy"))
+    dx = F.col("xa") - F.col("xb")
+    dy_ = F.col("ya") - F.col("yb")
+    pairs = (a.join(b, ["jcx", "jcy"])
+             .filter((F.col("ia") < F.col("ib"))
+                     & (dx * dx + dy_ * dy_ <= F.lit(9.0))
+                     & (F.abs(F.col("da") - F.col("db")) <= 3)))
+    return (pairs.groupBy(F.abs(F.col("da") - F.col("db")).alias("lag"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("lag"))
+
+
+SQL_KNOX = """
+WITH pt AS (
+  SELECT event_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 360000) / 1000.0 - 180.0 AS x,
+         (CAST(('0x' || substr(md5('y' || CAST(event_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 170000) / 1000.0
+             - 85.0 AS y
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT abs(a.day - b.day) AS lag, count(*) AS n_pairs
+FROM pt a JOIN pt b
+  ON a.event_id < b.event_id
+ AND b.day BETWEEN a.day - 3 AND a.day + 3
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9.0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["knox_test"] = (q_knox_test, SQL_KNOX)
