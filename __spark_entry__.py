@@ -90,6 +90,7 @@ def _interleaved() -> dict[str, tuple]:
     new_this_round = [
         # tenth-session additions (newest first)
         "quadrat_csr", "solar_position", "knox_test",
+        "bib_coupling", "jsonld_extract", "meta_robots",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

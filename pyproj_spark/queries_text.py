@@ -5775,3 +5775,233 @@ FROM marked GROUP BY src
 
 QUERIES_TEXT["link_reciprocity"] = (q_link_reciprocity,
                                     SQL_LINK_RECIPROCITY)
+
+
+def q_bib_coupling(spark, sf_dir):
+    """Bibliographic coupling over a host link graph (Kessler 1963 —
+    the out-link transpose of co-citation, already gated as
+    `cocitation`): two SOURCE hosts are coupled when they cite the
+    same destination; strength is Jaccard over their out-link sets.
+    Scale shape: pair candidates come from per-DESTINATION sorted src
+    arrays expanded with array HOFs under an in-degree cap (<= 60) —
+    popular destinations are excluded instead of exploding
+    quadratically (the LSH hot-band guard class). A DIFFERENT edge
+    fixture than cocitation (83-host sources, 211 destinations, two
+    outlinks per doc) so the two measures gate independent graphs.
+    Counts are exact ints; Jaccard divides exact ints once."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    dsts = F.array(s((i * 17 + 3) % 211), s((i * 31 + 7) % 211))
+    edges = (d.select(F.concat(F.lit("s"), s(i % 83)).alias("src"),
+                      F.explode(dsts).alias("dn"))
+             .select("src", F.concat(F.lit("d"), F.col("dn")).alias("dst"))
+             .distinct())
+    grp = (edges.groupBy("dst")
+           .agg(F.sort_array(F.collect_set("src")).alias("ss"))
+           .filter((F.size("ss") >= 2) & (F.size("ss") <= 60)))
+    pairs = grp.select(F.explode(F.flatten(F.transform(
+        F.sequence(F.lit(0), F.size("ss") - 2),
+        lambda j: F.transform(
+            F.slice(F.col("ss"), j + 2, F.size("ss")),
+            lambda m: F.struct(
+                F.element_at(F.col("ss"), (j + 1).cast("int"))
+                .alias("src_a"),
+                m.alias("src_b")))))).alias("p")).select("p.*")
+    shared = (pairs.groupBy("src_a", "src_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out = (shared
+           .join(outd.select(F.col("src").alias("src_a"),
+                             F.col("deg").alias("da")), "src_a")
+           .join(outd.select(F.col("src").alias("src_b"),
+                             F.col("deg").alias("db")), "src_b")
+           .filter(F.col("n_shared") >= 2))
+    jac = (F.col("n_shared").cast("double")
+           / (F.col("da") + F.col("db") - F.col("n_shared"))
+           .cast("double"))
+    return out.select("src_a", "src_b", "n_shared",
+                      jac.alias("coupling_jaccard"))
+
+
+SQL_BIB_COUPLING = """
+WITH e AS (
+  SELECT DISTINCT 's' || CAST(doc_id % 83 AS VARCHAR) AS src,
+         'd' || CAST(d AS VARCHAR) AS dst
+  FROM documents,
+       UNNEST([(doc_id * 17 + 3) % 211,
+               (doc_id * 31 + 7) % 211]) AS u(d)
+),
+ok AS (SELECT dst FROM e GROUP BY dst
+       HAVING count(*) BETWEEN 2 AND 60),
+p AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  JOIN ok ON ok.dst = a.dst
+  GROUP BY 1, 2
+),
+outd AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+SELECT src_a, src_b, n_shared,
+       CAST(n_shared AS DOUBLE)
+         / CAST(da.deg + db.deg - n_shared AS DOUBLE)
+         AS coupling_jaccard
+FROM p
+JOIN outd da ON da.src = p.src_a
+JOIN outd db ON db.src = p.src_b
+WHERE n_shared >= 2
+"""
+
+QUERIES_TEXT["bib_coupling"] = (q_bib_coupling, SQL_BIB_COUPLING)
+
+
+def q_jsonld_extract(spark, sf_dir):
+    """schema.org JSON-LD structured-data extraction (the WAT-plus
+    layer every knowledge-graph crawl builds): pages carry a
+    deterministic <script type="application/ld+json"> block — Article
+    on two of three pages, Product (with integer-cents price) on the
+    third — pulled with one non-greedy regexp group (Java regex and
+    RE2 agree on lazy quantifiers) and fielded with the engines' OWN
+    JSON parsers (get_json_object vs json_extract_string), so the
+    gate crosses two independent JSON implementations. Pure per-row
+    Catalyst: zero exchanges before the projection."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    art = F.concat(
+        F.lit('{"@type":"Article","headline":"Doc '), s(i),
+        F.lit('","author":{"name":"author-'), s(i % 7),
+        F.lit('"},"wordCount":'), s(i % 900 + 100), F.lit("}"))
+    prod = F.concat(
+        F.lit('{"@type":"Product","name":"SKU-'), s(i),
+        F.lit('","offers":{"price":'), s((i * 37) % 9000 + 99),
+        F.lit(',"priceCurrency":"USD"}}'))
+    block = F.when(i % 3 == 0, prod).otherwise(art)
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        block, F.lit("</script></head><body>x</body></html>"))
+    pages = d.select("doc_id", html.alias("html"))
+    ld_re = r'<script type="application/ld\+json">(.*?)</script>'
+    j = F.regexp_extract("html", ld_re, 1)
+    return pages.select(
+        "doc_id",
+        F.get_json_object(j, "$['@type']").alias("schema_type"),
+        F.coalesce(F.get_json_object(j, "$.headline"),
+                   F.get_json_object(j, "$.name")).alias("title"),
+        F.get_json_object(j, "$.author.name").alias("author"),
+        F.get_json_object(j, "$.offers.price").cast("long")
+        .alias("price_cents"),
+        F.get_json_object(j, "$.wordCount").cast("long")
+        .alias("word_count"))
+
+
+SQL_JSONLD = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><script type="application/ld+json">'
+         || CASE WHEN doc_id % 3 = 0 THEN
+              '{"@type":"Product","name":"SKU-'
+              || CAST(doc_id AS VARCHAR)
+              || '","offers":{"price":'
+              || CAST((doc_id * 37) % 9000 + 99 AS VARCHAR)
+              || ',"priceCurrency":"USD"}}'
+            ELSE
+              '{"@type":"Article","headline":"Doc '
+              || CAST(doc_id AS VARCHAR)
+              || '","author":{"name":"author-'
+              || CAST(doc_id % 7 AS VARCHAR) || '"},"wordCount":'
+              || CAST(doc_id % 900 + 100 AS VARCHAR) || '}'
+            END
+         || '</script></head><body>x</body></html>' AS html
+  FROM documents
+),
+j AS (
+  SELECT doc_id,
+         regexp_extract(html,
+           '<script type="application/ld\+json">(.*?)</script>', 1)
+             AS ld
+  FROM pages
+)
+SELECT doc_id,
+       json_extract_string(ld, '$."@type"') AS schema_type,
+       coalesce(json_extract_string(ld, '$.headline'),
+                json_extract_string(ld, '$.name')) AS title,
+       json_extract_string(ld, '$.author.name') AS author,
+       CAST(json_extract_string(ld, '$.offers.price') AS BIGINT)
+           AS price_cents,
+       CAST(json_extract_string(ld, '$.wordCount') AS BIGINT)
+           AS word_count
+FROM j
+"""
+
+QUERIES_TEXT["jsonld_extract"] = (q_jsonld_extract, SQL_JSONLD)
+
+
+def q_meta_robots(spark, sf_dir):
+    """Per-page robots directives (the <meta name=robots> /
+    X-Robots-Tag layer that robots.txt — already gated as
+    `robots_filter` — cannot express): pages deterministically carry
+    a meta robots tag (noindex,nofollow on 1-in-5, noindex on
+    1-in-7) and 1-in-11 responses add an X-Robots-Tag header;
+    indexability = NO noindex in EITHER channel (RFC 9309bis
+    most-restrictive-wins), and the crawl keeps follow semantics
+    separately. One regexp pass per channel, pure Catalyst booleans,
+    then a per-source rollup — the two-level gate every indexer
+    implements."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    meta = (F.when(i % 5 == 0,
+                   F.lit('<meta name="robots" content="noindex, '
+                         'nofollow">'))
+            .when(i % 7 == 0,
+                  F.lit('<meta name="robots" content="noindex">'))
+            .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("</head><body>x</body></html>"))
+    hdr = F.when(i % 11 == 0, F.lit("X-Robots-Tag: nofollow")) \
+        .otherwise(F.lit(""))
+    pages = d.select("doc_id", "source", html.alias("html"),
+                     hdr.alias("headers"))
+    content = F.regexp_extract(
+        "html", r'<meta name="robots" content="([^"]*)">', 1)
+    meta_noindex = content.contains("noindex")
+    meta_nofollow = content.contains("nofollow")
+    hdr_nofollow = F.col("headers").contains("nofollow")
+    flags = pages.select(
+        "doc_id", "source",
+        (~meta_noindex).alias("indexable"),
+        (~(meta_nofollow | hdr_nofollow)).alias("followable"))
+    roll = (flags.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum(F.col("indexable").cast("long"))
+                 .alias("n_indexable"),
+                 F.sum(F.col("followable").cast("long"))
+                 .alias("n_followable")))
+    return roll
+
+
+SQL_META_ROBOTS = """
+WITH pages AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN 'noindex, nofollow'
+              WHEN doc_id % 7 = 0 THEN 'noindex'
+              ELSE '' END AS content,
+         CASE WHEN doc_id % 11 = 0 THEN 'X-Robots-Tag: nofollow'
+              ELSE '' END AS headers
+  FROM documents
+)
+SELECT source, count(*) AS n_pages,
+       CAST(sum(CASE WHEN content LIKE '%noindex%' THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_indexable,
+       CAST(sum(CASE WHEN content LIKE '%nofollow%'
+                       OR headers LIKE '%nofollow%' THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_followable
+FROM pages GROUP BY source
+"""
+
+QUERIES_TEXT["meta_robots"] = (q_meta_robots, SQL_META_ROBOTS)
