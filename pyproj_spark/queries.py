@@ -10022,3 +10022,141 @@ GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["knox_test"] = (q_knox_test, SQL_KNOX)
+
+
+def q_skyline(spark, sf_dir):
+    """Skyline (Pareto-dominance preference) query — Borzsony/
+    Kossmann/Stocker 2001, the classic "best hotels" operator no
+    plain ORDER BY can express: per language, keep documents not
+    dominated on (n_chars, freshness) — dominated means another doc
+    is >= on both and > on one. Scale shape: ONE sort per group and
+    two integer window maxes replace the quadratic dominance
+    self-join — dominance splits exactly into (a) strictly-longer
+    docs with >= freshness (a RANGE frame ending 1 BEFORE the current
+    n_chars) and (b) equal-length docs with > freshness (the
+    same-key frame minus self). The DuckDB oracle runs the
+    textbook NOT EXISTS anti-join instead, so the O(n log n) window
+    plan is certified against the O(n^2) definition."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("len"),
+        ((F.col("doc_id") * 7919 + 13) % 1000).alias("fresh"))
+    strictly_longer = (Window.partitionBy("lang")
+                       .orderBy(F.col("len"))
+                       .rangeBetween(1, Window.unboundedFollowing))
+    same_len = (Window.partitionBy("lang", "len")
+                .orderBy(F.col("fresh"))
+                .rangeBetween(1, Window.unboundedFollowing))
+    d = (d.withColumn("max_f_longer",
+                      F.max("fresh").over(strictly_longer))
+         .withColumn("max_f_same",
+                     F.max("fresh").over(same_len)))
+    dominated = ((F.col("max_f_longer") >= F.col("fresh"))
+                 | F.col("max_f_same").isNotNull())
+    return (d.filter(~F.coalesce(dominated, F.lit(False)))
+            .select("lang", "doc_id", "len", "fresh"))
+
+
+SQL_SKYLINE = """
+WITH d AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS len,
+         (doc_id * 7919 + 13) % 1000 AS fresh
+  FROM documents
+)
+SELECT lang, doc_id, len, fresh
+FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.lang = a.lang
+    AND b.len >= a.len AND b.fresh >= a.fresh
+    AND (b.len > a.len OR b.fresh > a.fresh)
+    AND b.doc_id <> a.doc_id
+)
+-- two docs with IDENTICAL (len, fresh) are mutually non-dominating
+-- by the standard definition; the b.doc_id <> a.doc_id guard plus
+-- the strict-on-one clause keeps exact ties in the skyline, matching
+-- the window plan (both frames exclude the tie row).
+"""
+
+QUERIES["skyline"] = (q_skyline, SQL_SKYLINE)
+
+
+def q_cell_mad(spark, sf_dir):
+    """Robust per-cell outlier detection: median + MAD (the
+    estimator survey robust-statistics práctica always lands on —
+    mean/stddev break down under the very outliers being hunted).
+    Both medians are LOWER medians picked by row_number at position
+    (n+1)/2 — an exact integer selection both engines replay
+    identically, never an interpolated percentile (engines disagree
+    on interpolation ulps). Outlier rule: |v - med| > 3 * MAD with
+    MAD > 0 (the degenerate all-equal cell flags nothing). Scale
+    shape: two key-partitioned sorts per cell, no self-join."""
+    pts = _doc_points(spark, sf_dir)
+    v = (F.col("doc_id") * 331 % 1000
+         + F.when(F.col("doc_id") % 43 == 0, 5000).otherwise(0))
+    t = pts.select(
+        F.floor((F.col("lon") + 180.0) / 30).alias("cx"),
+        F.floor((F.col("lat") + 85.0) / 30).alias("cy"),
+        "doc_id", v.alias("v"))
+    w = Window.partitionBy("cx", "cy").orderBy("v", "doc_id")
+    cnt = Window.partitionBy("cx", "cy")
+    med = (t.withColumn("rn", F.row_number().over(w))
+           .withColumn("n", F.count(F.lit(1)).over(cnt))
+           .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+           .select("cx", "cy", F.col("v").alias("med")))
+    dev = (t.join(med, ["cx", "cy"])
+           .withColumn("ad", F.abs(F.col("v") - F.col("med"))))
+    w2 = Window.partitionBy("cx", "cy").orderBy("ad", "doc_id")
+    mad = (dev.withColumn("rn", F.row_number().over(w2))
+           .withColumn("n", F.count(F.lit(1)).over(cnt))
+           .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+           .select("cx", "cy", F.col("ad").alias("mad")))
+    out = (dev.join(mad, ["cx", "cy"])
+           .filter((F.col("mad") > 0)
+                   & (F.col("ad") > 3 * F.col("mad"))))
+    return (out.groupBy("cx", "cy", "med", "mad")
+            .agg(F.count(F.lit(1)).alias("n_outliers"),
+                 F.sum("v").alias("sum_outlier_v")))
+
+
+SQL_CELL_MAD = f"""
+WITH pts AS ({_PTS_SQL}),
+t AS (
+  SELECT CAST(floor((lon + 180.0) / 30) AS BIGINT) AS cx,
+         CAST(floor((lat + 85.0) / 30) AS BIGINT) AS cy,
+         doc_id,
+         doc_id * 331 % 1000
+           + CASE WHEN doc_id % 43 = 0 THEN 5000 ELSE 0 END AS v
+  FROM pts
+),
+med AS (
+  SELECT cx, cy, v AS med FROM (
+    SELECT cx, cy, v,
+           row_number() OVER (PARTITION BY cx, cy
+                              ORDER BY v, doc_id) AS rn,
+           count(*) OVER (PARTITION BY cx, cy) AS n
+    FROM t)
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT t.cx, t.cy, t.doc_id, t.v, med.med,
+         abs(t.v - med.med) AS ad
+  FROM t JOIN med ON med.cx = t.cx AND med.cy = t.cy
+),
+mad AS (
+  SELECT cx, cy, ad AS mad FROM (
+    SELECT cx, cy, ad,
+           row_number() OVER (PARTITION BY cx, cy
+                              ORDER BY ad, doc_id) AS rn,
+           count(*) OVER (PARTITION BY cx, cy) AS n
+    FROM dev)
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+)
+SELECT dev.cx, dev.cy, dev.med, mad.mad,
+       count(*) AS n_outliers,
+       CAST(sum(dev.v) AS BIGINT) AS sum_outlier_v
+FROM dev JOIN mad ON mad.cx = dev.cx AND mad.cy = dev.cy
+WHERE mad.mad > 0 AND dev.ad > 3 * mad.mad
+GROUP BY 1, 2, 3, 4
+"""
+
+QUERIES["cell_mad"] = (q_cell_mad, SQL_CELL_MAD)

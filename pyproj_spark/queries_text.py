@@ -6005,3 +6005,116 @@ FROM pages GROUP BY source
 """
 
 QUERIES_TEXT["meta_robots"] = (q_meta_robots, SQL_META_ROBOTS)
+
+
+def q_feed_parse(spark, sf_dir):
+    """RSS 2.0 / Atom 1.0 feed ingestion in ONE parser pass (the
+    sibling of `sitemap_parse` for the feed-discovery side of a
+    crawler): even-id sources publish RSS <item> entries, odd-id
+    sources publish Atom <entry> entries; both vocabularies are
+    pulled with one alternation-group regexp_extract_all per field
+    (title, link-as-text vs link-as-href, pubDate vs updated) and the
+    zipped arrays explode into one normalized (host, title, url, day)
+    entry table. Per-host rollup keeps exact integer sums only.
+    Scale shape: per-feed parsing is a row-local array pipeline —
+    no shuffle until the final rollup."""
+    d = F.col("doc_id")
+    h = F.col("host_id")
+    item = F.when(
+        h % 2 == 0,
+        F.concat(F.lit("<item><title>T"), d.cast("string"),
+                 F.lit("</title><link>https://h"), h.cast("string"),
+                 F.lit("/p/"), d.cast("string"),
+                 F.lit("</link><pubDate>day-"),
+                 (d % 28).cast("string"),
+                 F.lit("</pubDate></item>"))).otherwise(
+        F.concat(F.lit('<entry><title>T'), d.cast("string"),
+                 F.lit('</title><link href="https://h'),
+                 h.cast("string"), F.lit("/p/"), d.cast("string"),
+                 F.lit('"/><updated>day-'), (d % 28).cast("string"),
+                 F.lit("</updated></entry>")))
+    feeds = (_docs(spark, sf_dir)
+             .select(d.alias("doc_id"), (d % 37).alias("host_id"))
+             .select("doc_id", "host_id", item.alias("e"))
+             .groupBy("host_id")
+             .agg(F.array_join(F.transform(
+                 F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                 lambda s: s["e"]), "").alias("xml")))
+    titles = F.expr(
+        r"regexp_extract_all(xml, '<title>([^<]*)</title>', 1)")
+    links = F.expr(
+        "regexp_extract_all(xml, "
+        r"'<link>([^<]*)</link>|<link href=\"([^\"]*)\"/>', 0)")
+    days = F.expr(
+        "regexp_extract_all(xml, "
+        "'<pubDate>day-([0-9]+)</pubDate>|<updated>day-([0-9]+)"
+        "</updated>', 0)")
+    ent = (feeds.select(
+        "host_id",
+        F.explode(F.zip_with(
+            titles, F.zip_with(links, days,
+                               lambda l, dd: F.struct(
+                                   l.alias("l"), dd.alias("dd"))),
+            lambda t, ld: F.struct(t.alias("title"),
+                                   ld["l"].alias("l"),
+                                   ld["dd"].alias("dd"))))
+        .alias("x"))
+        .select("host_id",
+                F.col("x.title").alias("title"),
+                F.regexp_extract("x.l", r'(https://[^<"]+)', 1)
+                .alias("url"),
+                F.regexp_extract("x.dd", r"day-([0-9]+)", 1)
+                .cast("long").alias("day")))
+    return (ent.groupBy("host_id")
+            .agg(F.count(F.lit(1)).alias("n_entries"),
+                 F.sum(F.regexp_extract("title", r"T(\d+)", 1)
+                       .cast("long")).alias("id_sum"),
+                 F.countDistinct("url").alias("n_urls"),
+                 F.sum("day").alias("day_sum")))
+
+
+SQL_FEED_PARSE = """
+WITH base AS (
+  SELECT doc_id, doc_id % 37 AS host_id,
+         CASE WHEN (doc_id % 37) % 2 = 0 THEN
+           '<item><title>T' || CAST(doc_id AS VARCHAR)
+           || '</title><link>https://h'
+           || CAST(doc_id % 37 AS VARCHAR) || '/p/'
+           || CAST(doc_id AS VARCHAR) || '</link><pubDate>day-'
+           || CAST(doc_id % 28 AS VARCHAR) || '</pubDate></item>'
+         ELSE
+           '<entry><title>T' || CAST(doc_id AS VARCHAR)
+           || '</title><link href="https://h'
+           || CAST(doc_id % 37 AS VARCHAR) || '/p/'
+           || CAST(doc_id AS VARCHAR) || '"/><updated>day-'
+           || CAST(doc_id % 28 AS VARCHAR) || '</updated></entry>'
+         END AS e
+  FROM documents
+),
+feeds AS (
+  SELECT host_id, string_agg(e, '' ORDER BY doc_id) AS xml
+  FROM base GROUP BY 1
+),
+ent AS (
+  SELECT host_id,
+         unnest(regexp_extract_all(xml,
+             '<title>([^<]*)</title>', 1)) AS title,
+         unnest(regexp_extract_all(xml,
+             '<link>([^<]*)</link>|<link href="([^"]*)"/>', 0))
+             AS l,
+         unnest(regexp_extract_all(xml,
+             '<pubDate>day-([0-9]+)</pubDate>|<updated>day-([0-9]+)'
+             || '</updated>', 0)) AS dd
+  FROM feeds
+)
+SELECT host_id, count(*) AS n_entries,
+       CAST(sum(CAST(regexp_extract(title, 'T(\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS id_sum,
+       count(DISTINCT regexp_extract(l, '(https://[^<"]+)', 1))
+           AS n_urls,
+       CAST(sum(CAST(regexp_extract(dd, 'day-([0-9]+)', 1) AS BIGINT))
+            AS BIGINT) AS day_sum
+FROM ent GROUP BY 1
+"""
+
+QUERIES_TEXT["feed_parse"] = (q_feed_parse, SQL_FEED_PARSE)

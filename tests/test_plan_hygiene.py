@@ -564,3 +564,45 @@ def test_std_ellipse_single_agg_no_joins(spark):
     for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
               "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert k not in plan
+
+
+def test_knox_pairs_equi_join_not_nested_loop(spark):
+    # the 3x3 scatter turns the space-time pair hunt into a hash
+    # equi-join on cells; a nested-loop reappearing here means the
+    # distance predicate leaked into the join condition
+    from pyproj_spark.queries import q_knox_test
+    plan = _plan(q_knox_test(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_skyline_windows_not_dominance_self_join(spark):
+    # the O(n^2) NOT EXISTS definition lives in the ORACLE only; the
+    # Spark plan must be sort+window — zero joins of any kind
+    from pyproj_spark.queries import q_skyline
+    plan = _plan(q_skyline(spark, SF))
+    for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert k not in plan
+    assert "Window" in plan
+
+
+def test_solar_position_zero_exchanges(spark):
+    # per-row trig: nothing may shuffle before the projection
+    from pyproj_spark.queries import q_solar_position
+    plan = _plan(q_solar_position(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_bib_coupling_no_posting_self_join(spark):
+    # pairs come from per-dst array HOF expansion under the in-degree
+    # cap; the only joins allowed are the two small out-degree lookups
+    from pyproj_spark.queries_text import q_bib_coupling
+    plan = _plan(q_bib_coupling(spark, SF))
+    n_joins = sum(plan.count(k) for k in
+                  ("SortMergeJoin", "BroadcastHashJoin",
+                   "ShuffledHashJoin"))
+    assert n_joins <= 2
+    assert "CartesianProduct" not in plan
