@@ -92,6 +92,7 @@ def _interleaved() -> dict[str, tuple]:
         "quadrat_csr", "solar_position", "knox_test",
         "bib_coupling", "jsonld_extract", "meta_robots",
         "skyline", "cell_mad", "feed_parse",
+        "cost_distance", "harmonic_centrality", "idw_loocv",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

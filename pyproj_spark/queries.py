@@ -10160,3 +10160,274 @@ GROUP BY 1, 2, 3, 4
 """
 
 QUERIES["cell_mad"] = (q_cell_mad, SQL_CELL_MAD)
+
+
+def q_cost_distance(spark, sf_dir):
+    """Weighted cost-distance raster (the least-cost-surface half of
+    least-cost-path corridor analysis): accumulated traversal cost
+    from three fixed seed cells across a 32x32 cost surface built
+    from the doc-density raster (cost = 1 + capped count, an exact
+    integer), by k=8 Bellman-Ford rounds of 4-neighbor scatter-min
+    with step cost = cost(src) + cost(dst) (twice the standard
+    average-cost step — a constant factor that keeps every
+    accumulated cost integer). k fixed means both engines compute
+    the IDENTICAL k-hop relaxation whether or not it has converged —
+    determinism by construction, the dist_transform discipline.
+    Scale shape: the DENSITY aggregation is the corpus-scale stage
+    and stays distributed; the relaxation runs on the collected
+    raster (raster-sized, not corpus-sized — the kcore/redirects
+    driver-cutover pattern; a tiled raster would relax per-tile with
+    halo exchange, same algebra)."""
+    pts = _doc_points(spark, sf_dir)
+    gx = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 32)
+                 .cast("long"), F.lit(31))
+    gy = F.least(F.floor((F.col("lat") + 85.0) / 170.0 * 32)
+                 .cast("long"), F.lit(31))
+    dens = (pts.select(gx.alias("gx"), gy.alias("gy"))
+            .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n")))
+    cmap = {(int(r.gx), int(r.gy)): 1 + min(int(r.n), 20)
+            for r in dens.collect()}
+    cost = {(x, y): cmap.get((x, y), 1)
+            for x in range(32) for y in range(32)}
+    dist = {(4, 4): 0, (27, 20): 0, (16, 8): 0}
+    for _ in range(8):
+        nxt = dict(dist)
+        for (x, y), dd in dist.items():
+            for ox, oy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nx, ny = x + ox, y + oy
+                if 0 <= nx <= 31 and 0 <= ny <= 31:
+                    cand = dd + cost[(x, y)] + cost[(nx, ny)]
+                    if cand < nxt.get((nx, ny), cand + 1):
+                        nxt[(nx, ny)] = cand
+        dist = nxt
+    rows = [(x, y, dd) for (x, y), dd in sorted(dist.items())]
+    return spark.createDataFrame(rows, "gx long, gy long, d long")
+
+
+def _cost_distance_sql():
+    it = """
+r{o} AS MATERIALIZED (
+  SELECT gx, gy, min(d) AS d FROM (
+    SELECT gx, gy, d FROM r{i}
+    UNION ALL
+    SELECT r.gx + t.ox AS gx, r.gy + t.oy AS gy,
+           r.d + cs.c + cd.c AS d
+    FROM r{i} r
+    JOIN cost cs ON cs.gx = r.gx AND cs.gy = r.gy
+    CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) t(ox, oy)
+    JOIN cost cd ON cd.gx = r.gx + t.ox AND cd.gy = r.gy + t.oy
+    WHERE r.gx + t.ox BETWEEN 0 AND 31
+      AND r.gy + t.oy BETWEEN 0 AND 31) q
+  GROUP BY 1, 2
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(8))
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+dens AS (
+  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT), 31)
+             AS gx,
+         least(CAST(floor((lat + 85.0) / 170.0 * 32) AS BIGINT), 31)
+             AS gy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+lattice AS (
+  SELECT x.gx, y.gy
+  FROM (SELECT unnest(range(32)) AS gx) x,
+       (SELECT unnest(range(32)) AS gy) y
+),
+cost AS MATERIALIZED (
+  SELECT l.gx, l.gy,
+         1 + least(coalesce(d.n, 0), 20) AS c
+  FROM lattice l LEFT JOIN dens d ON d.gx = l.gx AND d.gy = l.gy
+),
+r0 AS MATERIALIZED (
+  SELECT * FROM (VALUES (CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+                         CAST(0 AS BIGINT)),
+                        (27, 20, 0), (16, 8, 0)) s(gx, gy, d)
+),
+{its}
+SELECT gx, gy, d FROM r8
+"""
+
+
+QUERIES["cost_distance"] = (q_cost_distance, _cost_distance_sql())
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality on the 97-host link graph by MIN-PLUS
+    POINTER DOUBLING: three rounds of d(u,v) = min over m of
+    d(u,m) + d(m,v) cover every shortest path up to 8 hops in
+    O(log diameter) self-joins — the APSP analogue of the
+    redirect-chain doubling (operators/redirects.py), and the reason
+    this works at graph scale where hop-by-hop BFS pays diameter
+    rounds. Centrality = sum of floor(1e6 / d) over reachable
+    non-self targets — exact integers, no float accumulation. The
+    oracle replays the identical three doublings."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    edges = (d.select((k % 97).alias("u"),
+                      ((k * 13 + 5) % 97).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    nodes = (edges.select(F.col("u").alias("n"))
+             .unionByName(edges.select(F.col("v").alias("n")))
+             .distinct())
+    dist = (edges.select("u", "v", F.lit(1).cast("long").alias("d"))
+            .unionByName(nodes.select(F.col("n").alias("u"),
+                                      F.col("n").alias("v"),
+                                      F.lit(0).cast("long").alias("d"))))
+    for _ in range(3):
+        comp = (dist.alias("a")
+                .join(dist.alias("b"), F.col("a.v") == F.col("b.u"))
+                .select(F.col("a.u").alias("u"),
+                        F.col("b.v").alias("v"),
+                        (F.col("a.d") + F.col("b.d")).alias("d")))
+        dist = (dist.unionByName(comp)
+                .groupBy("u", "v").agg(F.min("d").alias("d"))
+                .localCheckpoint(eager=False))
+    return (dist.filter(F.col("u") != F.col("v"))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("n_reach"),
+                 F.sum(F.floor(1000000 / F.col("d")).cast("long"))
+                 .alias("harmonic_u")))
+
+
+def _harmonic_sql():
+    it = """
+d{o} AS MATERIALIZED (
+  SELECT u, v, min(d) AS d FROM (
+    SELECT u, v, d FROM d{i}
+    UNION ALL
+    SELECT a.u, b.v, a.d + b.d AS d
+    FROM d{i} a JOIN d{i} b ON a.v = b.u) q
+  GROUP BY 1, 2
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(3))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id % 97 AS u, (doc_id * 13 + 5) % 97 AS v
+  FROM documents
+  WHERE doc_id % 97 <> (doc_id * 13 + 5) % 97
+),
+nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+d0 AS MATERIALIZED (
+  SELECT u, v, CAST(1 AS BIGINT) AS d FROM edges
+  UNION ALL
+  SELECT n, n, CAST(0 AS BIGINT) FROM nodes
+),
+{its}
+SELECT u, count(*) AS n_reach,
+       CAST(sum(CAST(floor(1000000 / d) AS BIGINT)) AS BIGINT)
+           AS harmonic_u
+FROM d3 WHERE u <> v GROUP BY u
+"""
+
+
+QUERIES["harmonic_centrality"] = (q_harmonic_centrality,
+                                  _harmonic_sql())
+
+
+def q_idw_loocv(spark, sf_dir):
+    """Leave-one-out cross-validation of inverse-distance-weighted
+    interpolation (the standard honesty check before trusting any
+    interpolated surface — predict each SAMPLE from its neighbors and
+    measure the error, Isaaks & Srivastava ch. 15): every md5-placed
+    doc point is predicted from the OTHER points within 3 degrees via
+    integer-unit IDW weights (round(1e9 / (d2 + 0.01)) — the
+    idw_raster discipline, so weight sums are aggregation-order-
+    independent), and absolute errors roll up per 15-degree cell.
+    Scale shape: candidate neighbors come from a 3x3 scatter of
+    3-degree cells + one equi-join (each ordered neighbor pair seen
+    exactly once since the right cell is unique) — never a points
+    self-join."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    hx = F.conv(F.substring(F.md5(i), 1, 8), 16, 10).cast("long")
+    hy = F.conv(F.substring(F.md5(F.concat(F.lit("y"), i)), 1, 8),
+                16, 10).cast("long")
+    hv = F.conv(F.substring(F.md5(F.concat(F.lit("v"), i)), 1, 8),
+                16, 10).cast("long")
+    pt = d.select(
+        F.col("doc_id"),
+        ((hx % 360000) / 1000.0 - 180.0).alias("x"),
+        ((hy % 170000) / 1000.0 - 85.0).alias("y"),
+        (hv % 1000).alias("v"))
+    pt = pt.withColumn("cx", F.floor((F.col("x") + 180.0) / 3)
+                       .cast("long")) \
+           .withColumn("cy", F.floor((F.col("y") + 85.0) / 3)
+                       .cast("long"))
+    d9 = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                   for dx in range(-1, 2) for dy in range(-1, 2)])
+    a = (pt.select("doc_id", "x", "y", "v", "cx", "cy",
+                   F.explode(d9).alias("k"))
+         .select(F.col("doc_id").alias("ia"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"), F.col("v").alias("va"),
+                 (F.col("cx") + F.col("k.dx")).alias("jcx"),
+                 (F.col("cy") + F.col("k.dy")).alias("jcy")))
+    b = pt.select(F.col("doc_id").alias("ib"), F.col("x").alias("xb"),
+                  F.col("y").alias("yb"), F.col("v").alias("vb"),
+                  F.col("cx").alias("jcx"), F.col("cy").alias("jcy"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    nb = (a.join(b, ["jcx", "jcy"])
+          .filter((F.col("ia") != F.col("ib")) & (d2 <= F.lit(9.0)))
+          .withColumn("w", F.round(F.lit(1e9) / (d2 + F.lit(0.01)), 0)
+                      .cast("long")))
+    pred = (nb.groupBy("ia", "xa", "ya", "va")
+            .agg(F.sum("w").alias("sw"),
+                 F.sum(F.col("w") * F.col("vb")).alias("swv")))
+    # integer-micro absolute error BEFORE the rollup: double sums are
+    # aggregation-order-dependent, exact-long sums are not
+    err = pred.select(
+        "ia", "xa", "ya",
+        F.round(F.abs(F.col("va").cast("double")
+                      - F.col("swv").cast("double")
+                      / F.col("sw").cast("double")) * 1e6, 0)
+        .cast("long").alias("ae_u"))
+    return (err.select(F.floor((F.col("xa") + 180.0) / 15).alias("rx"),
+                       F.floor((F.col("ya") + 85.0) / 15).alias("ry"),
+                       "ae_u")
+            .groupBy("rx", "ry")
+            .agg(F.count(F.lit(1)).alias("n_validated"),
+                 F.round(F.sum("ae_u").cast("double") / 1e6
+                         / F.count(F.lit(1)), 6).alias("mae")))
+
+
+SQL_IDW_LOOCV = """
+WITH pt AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 360000) / 1000.0 - 180.0 AS x,
+         (CAST(('0x' || substr(md5('y' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 170000) / 1000.0
+             - 85.0 AS y,
+         CAST(('0x' || substr(md5('v' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 1000 AS v
+  FROM documents
+),
+nb AS (
+  SELECT a.doc_id AS ia, a.x AS xa, a.y AS ya, a.v AS va,
+         CAST(round(1e9 / ((a.x - b.x) * (a.x - b.x)
+                           + (a.y - b.y) * (a.y - b.y) + 0.01), 0)
+              AS BIGINT) AS w,
+         b.v AS vb
+  FROM pt a JOIN pt b
+    ON a.doc_id <> b.doc_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9.0
+),
+pred AS (
+  SELECT ia, xa, ya, va,
+         CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(w * vb) AS BIGINT) AS swv
+  FROM nb GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(floor((xa + 180.0) / 15) AS BIGINT) AS rx,
+       CAST(floor((ya + 85.0) / 15) AS BIGINT) AS ry,
+       count(*) AS n_validated,
+       round(CAST(sum(CAST(round(abs(CAST(va AS DOUBLE)
+                 - CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE)) * 1e6, 0)
+                 AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS mae
+FROM pred GROUP BY 1, 2
+"""
+
+QUERIES["idw_loocv"] = (q_idw_loocv, SQL_IDW_LOOCV)
