@@ -93,6 +93,7 @@ def _interleaved() -> dict[str, tuple]:
         "bib_coupling", "jsonld_extract", "meta_robots",
         "skyline", "cell_mad", "feed_parse",
         "cost_distance", "harmonic_centrality", "idw_loocv",
+        "assortativity", "ndcg_eval", "pca_power",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

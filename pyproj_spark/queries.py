@@ -10431,3 +10431,248 @@ FROM pred GROUP BY 1, 2
 """
 
 QUERIES["idw_loocv"] = (q_idw_loocv, SQL_IDW_LOOCV)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the host link graph (Newman 2002):
+    Pearson correlation between the total degrees at the two ends of
+    every edge — positive means hubs link hubs (social-network
+    shape), negative means hubs link leaves (the web's actual shape,
+    and what a crawler's frontier balancer needs to know). Every
+    moment is an exact integer sum over edges; ONE final formula
+    divides them, so the statistic hashes after a single round. Scale
+    shape: two broadcast degree lookups + one hash agg — no pair
+    enumeration anywhere. The fixture routes 1-in-5 edges to seven
+    hub hosts (a degree-REGULAR graph has zero degree variance and an
+    undefined coefficient — the naive LCG fixture was exactly
+    that)."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    hub_v = F.when(k % 5 == 0, k % 7).otherwise((k * 23 + 7) % 89)
+    edges = (d.select((k % 89).alias("u"), hub_v.alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    deg = (edges.select(F.col("u").alias("n"))
+           .unionByName(edges.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    e = (edges
+         .join(F.broadcast(deg.select(F.col("n").alias("u"),
+                                      F.col("deg").alias("x"))), "u")
+         .join(F.broadcast(deg.select(F.col("n").alias("v"),
+                                      F.col("deg").alias("y"))), "v"))
+    agg = e.agg(F.count(F.lit(1)).alias("m"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"))
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((md * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (md * F.col("syy") - F.col("sy") * F.col("sy")))
+    return agg.select("m", "sx", "sy", "sxy",
+                      F.round(num / den, 6).alias("assortativity"))
+
+
+SQL_ASSORTATIVITY = """
+WITH edges AS (
+  SELECT DISTINCT doc_id % 89 AS u,
+         CASE WHEN doc_id % 5 = 0 THEN doc_id % 7
+              ELSE (doc_id * 23 + 7) % 89 END AS v
+  FROM documents
+  WHERE doc_id % 89 <> CASE WHEN doc_id % 5 = 0 THEN doc_id % 7
+                            ELSE (doc_id * 23 + 7) % 89 END
+),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY 1
+),
+e AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM edges
+  JOIN deg dx ON dx.n = edges.u
+  JOIN deg dy ON dy.n = edges.v
+),
+agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM e
+)
+SELECT m, sx, sy, sxy,
+       round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(m AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(m AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6)
+           AS assortativity
+FROM agg
+"""
+
+QUERIES["assortativity"] = (q_assortativity, SQL_ASSORTATIVITY)
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """nDCG@10 ranking evaluation (Jarvelin & Kekalainen 2002 — the
+    metric every retrieval stack reports next to the ROC-AUC already
+    gated as quality_auc): 20 synthetic queries rank candidate docs
+    by a deterministic score; graded relevance 0-3; DCG terms
+    gain / log2(rank+1) are quantized to integer nanos PER ROW before
+    the per-query sum (a 10-term double sum is aggregation-order-
+    dependent; a 10-term long sum is not), and the ideal ordering
+    re-ranks by relevance with the same quantization — so
+    nDCG = dcg_u / idcg_u divides two exact integers. Scale shape:
+    two key-partitioned top-10 windows, one agg."""
+    d = _t(spark, sf_dir, "documents")
+    cand = (d.select("doc_id",
+                     F.explode(F.array(*[F.lit(q) for q in range(20)]))
+                     .alias("qid"))
+            .filter((F.col("doc_id") + F.col("qid")) % 7 < 2)
+            .select("qid", "doc_id",
+                    ((F.col("doc_id") * 31 + F.col("qid") * 17) % 1000)
+                    .alias("score"),
+                    ((F.col("doc_id") * 13 + F.col("qid")) % 4)
+                    .alias("rel")))
+    wr = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    wi = Window.partitionBy("qid").orderBy(F.desc("rel"), "doc_id")
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0
+    ranked = (cand.withColumn("rnk", F.row_number().over(wr))
+              .filter(F.col("rnk") <= 10)
+              .withColumn("t", F.round(
+                  gain / F.log2(F.col("rnk").cast("double") + 1.0)
+                  * 1e9, 0).cast("long")))
+    ideal = (cand.withColumn("rnk", F.row_number().over(wi))
+             .filter(F.col("rnk") <= 10)
+             .withColumn("t", F.round(
+                 gain / F.log2(F.col("rnk").cast("double") + 1.0)
+                 * 1e9, 0).cast("long")))
+    dcg = ranked.groupBy("qid").agg(F.sum("t").alias("dcg_u"))
+    idcg = ideal.groupBy("qid").agg(F.sum("t").alias("idcg_u"))
+    return (dcg.join(idcg, "qid")
+            .select("qid", "dcg_u", "idcg_u",
+                    F.round(F.col("dcg_u").cast("double")
+                            / F.col("idcg_u").cast("double"), 6)
+                    .alias("ndcg10"))
+            .orderBy("qid"))
+
+
+SQL_NDCG = """
+WITH cand AS (
+  SELECT q.qid, d.doc_id,
+         (d.doc_id * 31 + q.qid * 17) % 1000 AS score,
+         (d.doc_id * 13 + q.qid) % 4 AS rel
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(20)) AS qid) q
+  WHERE (d.doc_id + q.qid) % 7 < 2
+),
+ranked AS (
+  SELECT qid, rel,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM cand
+),
+ideal AS (
+  SELECT qid, rel,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rel DESC, doc_id) AS rnk
+  FROM cand
+),
+dcg AS (
+  SELECT qid, CAST(sum(CAST(round((pow(2.0, rel) - 1.0)
+              / log2(CAST(rnk AS DOUBLE) + 1.0) * 1e9, 0) AS BIGINT))
+              AS BIGINT) AS dcg_u
+  FROM ranked WHERE rnk <= 10 GROUP BY 1
+),
+idcg AS (
+  SELECT qid, CAST(sum(CAST(round((pow(2.0, rel) - 1.0)
+              / log2(CAST(rnk AS DOUBLE) + 1.0) * 1e9, 0) AS BIGINT))
+              AS BIGINT) AS idcg_u
+  FROM ideal WHERE rnk <= 10 GROUP BY 1
+)
+SELECT dcg.qid, dcg_u, idcg_u,
+       round(CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE), 6)
+           AS ndcg10
+FROM dcg JOIN idcg ON idcg.qid = dcg.qid
+ORDER BY dcg.qid
+"""
+
+QUERIES["ndcg_eval"] = (q_ndcg_eval, SQL_NDCG)
+
+
+def q_pca_power(spark, sf_dir):
+    """Top principal direction of the embedding matrix by THREE power
+    iterations on X'X — in EXACT INTEGER algebra end to end:
+    embedding components quantize once to milli-units, the iterate to
+    micro-units, so the per-row dot product, the per-position
+    accumulation, and the max-|component| normalizer are all
+    order-independent long sums (a float PCA cannot be value-hash
+    gated; this one can, because both engines execute the identical
+    integer recurrence). Per pass: one broadcast-literal iterate, one
+    vec-keyed agg, one pos-keyed agg, a 64-row collect — the Lloyd's
+    k-means shape (operators/kmeans.py). At corpus scale the 1e3/1e6
+    quantization budget bounds |w| well inside int64 up to ~1e9 rows
+    per the docstring bound; rescale per round past that. Uncentered
+    (top right-singular vector of raw X), as documented."""
+    e = (_t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.posexplode("embedding")
+                 .alias("pos", "val"))
+         .select("vec_id", "pos",
+                 F.round(F.col("val").cast("double") * 1e3, 0)
+                 .cast("long").alias("val_u"))
+         .cache())
+    v_u = [125000] * 64  # 0.125 = 1/sqrt(64), exact in micro-units
+    for _ in range(3):
+        v_lit = F.array(*[F.lit(int(x)) for x in v_u])
+        dots = (e.withColumn(
+            "c", F.col("val_u")
+            * F.element_at(v_lit, F.col("pos").cast("int") + 1))
+            .groupBy("vec_id").agg(F.sum("c").alias("dot_u")))
+        w = (e.join(dots, "vec_id")
+             .groupBy("pos")
+             .agg(F.sum(F.col("val_u") * F.col("dot_u")).alias("w")))
+        rows = {int(r.pos): int(r.w) for r in w.collect()}
+        wv = [rows.get(p, 0) for p in range(64)]
+        m = max(abs(x) for x in wv) or 1
+        # half-away-from-zero like both engines' round(); Python's
+        # built-in round is banker's and would diverge on exact .5
+        v_u = [int(math.copysign(
+            math.floor(abs(float(x) / float(m) * 1e6) + 0.5), x))
+            for x in wv]
+    out = [(p, v_u[p]) for p in range(64)]
+    return spark.createDataFrame(out, "pos long, loading_micro long")
+
+
+def _pca_power_sql():
+    it = """
+d{o} AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(val_u * v.v_u) AS BIGINT) AS dot_u
+  FROM e JOIN v{i} v ON v.pos = e.pos GROUP BY 1
+),
+w{o} AS MATERIALIZED (
+  SELECT e.pos, CAST(sum(e.val_u * d.dot_u) AS BIGINT) AS w
+  FROM e JOIN d{o} d ON d.vec_id = e.vec_id GROUP BY 1
+),
+m{o} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{o}),
+v{o} AS MATERIALIZED (
+  SELECT pos, CAST(round(CAST(w AS DOUBLE)
+                         / CAST(m AS DOUBLE) * 1e6) AS BIGINT) AS v_u
+  FROM w{o} CROSS JOIN m{o}
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(3))
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, g.i - 1 AS pos,
+         CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1e3, 0)
+              AS BIGINT) AS val_u
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g
+),
+v0 AS MATERIALIZED (
+  SELECT unnest(range(64)) AS pos, CAST(125000 AS BIGINT) AS v_u
+),
+{its}
+SELECT pos, v_u AS loading_micro FROM v3 ORDER BY pos
+"""
+
+
+QUERIES["pca_power"] = (q_pca_power, _pca_power_sql())
