@@ -94,6 +94,8 @@ def _interleaved() -> dict[str, tuple]:
         "skyline", "cell_mad", "feed_parse",
         "cost_distance", "harmonic_centrality", "idw_loocv",
         "assortativity", "ndcg_eval", "pca_power",
+        "local_moran", "cusum_drift", "term_burstiness",
+        "quadkey_compact", "ks_interarrival", "gini_hosts",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

@@ -254,6 +254,20 @@ for _z in range(17, 26):
     _PROJECTED[31960 + _z] = (
         f"SIRGAS 2000 / UTM zone {_z}S", "SIRGAS2000",
         dict(proj="utm", zone=_z, south=True), "enu", 1.0)
+# SWEREF99 local projection zones (EPSG 3007-3018): the Swedish
+# municipal ladder replacing RT90 — tmerc, k_0 = 1 exactly,
+# x_0 = 150 000, central meridians on a 12..23.25-degree comb
+# (registry order is 12 00, 13 30, ..., then the quarter-degree
+# in-fill 14 15 ... 23 15). N,E axis order like SWEREF99 TM.
+for _i, (_nm, _cm) in enumerate([
+        ("12 00", 12.0), ("13 30", 13.5), ("15 00", 15.0),
+        ("16 30", 16.5), ("18 00", 18.0), ("14 15", 14.25),
+        ("15 45", 15.75), ("17 15", 17.25), ("18 45", 18.75),
+        ("20 15", 20.25), ("21 45", 21.75), ("23 15", 23.25)]):
+    _PROJECTED[3007 + _i] = (
+        f"SWEREF99 {_nm}", "SWEREF99",
+        dict(proj="tmerc", lat_0=0, lon_0=_cm, k_0=1.0,
+             x_0=150000, y_0=0), "neu", 1.0)
 
 _PROJECTED.update({
     # Dutch national grid — EPSG method 9809 double stereographic

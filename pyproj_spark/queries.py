@@ -10676,3 +10676,246 @@ SELECT pos, v_u AS loading_micro FROM v3 ORDER BY pos
 
 
 QUERIES["pca_power"] = (q_pca_power, _pca_power_sql())
+
+
+def q_local_moran(spark, sf_dir):
+    """Local Moran's I / LISA (Anselin 1995) — the per-cell
+    decomposition that says WHICH cells drive the global Moran's I
+    already gated as `moran`, completing the ESDA family (global
+    Moran, Geary's C, Getis-Ord Gi*, Ripley's K): rook-neighbor
+    binary weights on the full 36x17 quadrat lattice. Everything is
+    exact-integer until one final division: deviations live in
+    612ths (Z_i = 612*x_i - N, an integer), the spatial lag is a sum
+    of four neighbor Z's, and I_i = 612 * Z_i * lag_i / sum(Z_k^2).
+    Scale shape: density agg + 4-offset scatter equi-join on the
+    lattice — empty cells carry Z = -N and must participate (they
+    are where high-low outliers live), generated from a range cross,
+    never densified from data."""
+    pts = _doc_points(spark, sf_dir)
+    q = (pts.select(F.floor((F.col("lon") + 180.0) / 10).alias("qx"),
+                    F.floor((F.col("lat") + 85.0) / 10).alias("qy"))
+         .groupBy("qx", "qy").agg(F.count(F.lit(1)).alias("x")))
+    xs = spark.range(36).select(F.col("id").alias("qx"))
+    ys = spark.range(17).select(F.col("id").alias("qy"))
+    lat_ = xs.crossJoin(ys)
+    cells = (lat_.join(q, ["qx", "qy"], "left")
+             .select("qx", "qy",
+                     F.coalesce(F.col("x"), F.lit(0)).alias("x")))
+    tot = cells.agg(F.sum("x").alias("n_tot"))
+    # Z_i needs N, so attach the 1-row total by broadcast; m2 sum of
+    # Z^2 = sum((612 x - N)^2) computed after the attach
+    z = (cells.crossJoin(F.broadcast(
+        tot.select("n_tot")))
+        .select("qx", "qy",
+                (F.lit(612) * F.col("x") - F.col("n_tot")).alias("z")))
+    m2 = z.agg(F.sum(F.col("z") * F.col("z")).alias("m2"))
+    offs = F.array(F.struct(F.lit(1).alias("ox"), F.lit(0).alias("oy")),
+                   F.struct(F.lit(-1).alias("ox"), F.lit(0).alias("oy")),
+                   F.struct(F.lit(0).alias("ox"), F.lit(1).alias("oy")),
+                   F.struct(F.lit(0).alias("ox"), F.lit(-1).alias("oy")))
+    scat = (z.select("qx", "qy", "z", F.explode(offs).alias("k"))
+            .select((F.col("qx") + F.col("k.ox")).alias("qx"),
+                    (F.col("qy") + F.col("k.oy")).alias("qy"),
+                    F.col("z").alias("zn"))
+            .filter((F.col("qx") >= 0) & (F.col("qx") <= 35)
+                    & (F.col("qy") >= 0) & (F.col("qy") <= 16)))
+    lag = scat.groupBy("qx", "qy").agg(F.sum("zn").alias("lag"))
+    out = (z.join(lag, ["qx", "qy"])
+           .crossJoin(F.broadcast(m2)))
+    li = (F.lit(612.0) * (F.col("z") * F.col("lag")).cast("double")
+          / F.col("m2").cast("double"))
+    return out.select("qx", "qy", "z", "lag",
+                      F.round(li, 6).alias("local_i"))
+
+
+SQL_LOCAL_MORAN = f"""
+WITH pts AS ({_PTS_SQL}),
+q AS (
+  SELECT CAST(floor((lon + 180.0) / 10) AS BIGINT) AS qx,
+         CAST(floor((lat + 85.0) / 10) AS BIGINT) AS qy,
+         count(*) AS x
+  FROM pts GROUP BY 1, 2
+),
+lat_ AS (
+  SELECT a.qx, b.qy
+  FROM (SELECT unnest(range(36)) AS qx) a,
+       (SELECT unnest(range(17)) AS qy) b
+),
+cells AS MATERIALIZED (
+  SELECT l.qx, l.qy, coalesce(q.x, 0) AS x
+  FROM lat_ l LEFT JOIN q ON q.qx = l.qx AND q.qy = l.qy
+),
+tot AS (SELECT CAST(sum(x) AS BIGINT) AS n_tot FROM cells),
+z AS MATERIALIZED (
+  SELECT qx, qy, 612 * x - n_tot AS z FROM cells CROSS JOIN tot
+),
+m2 AS (SELECT CAST(sum(z * z) AS BIGINT) AS m2 FROM z),
+lag AS (
+  SELECT z.qx + t.ox AS qx, z.qy + t.oy AS qy,
+         CAST(sum(z.z) AS BIGINT) AS lag
+  FROM z CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) t(ox, oy)
+  WHERE z.qx + t.ox BETWEEN 0 AND 35
+    AND z.qy + t.oy BETWEEN 0 AND 16
+  GROUP BY 1, 2
+)
+SELECT z.qx, z.qy, z.z, lag.lag,
+       round(612.0 * CAST(z.z * lag.lag AS DOUBLE)
+             / CAST(m2 AS DOUBLE), 6) AS local_i
+FROM z JOIN lag ON lag.qx = z.qx AND lag.qy = z.qy
+CROSS JOIN m2
+"""
+
+QUERIES["local_moran"] = (q_local_moran, SQL_LOCAL_MORAN)
+
+
+def q_quadkey_compact(spark, sf_dir):
+    """Compacted quadkey cover (H3 compact / S2 CellUnion normalize,
+    in the Bing key space where parent == string prefix): the set of
+    occupied z=8 quadkeys is reduced bottom-up — any 4 siblings all
+    present collapse into their parent, three rounds, yielding the
+    minimal prefix-free cover of the occupancy set. Pure string/set
+    algebra on exact keys (groupBy prefix + count(DISTINCT last
+    digit) == 4), each round one hash agg + one anti-join of
+    collapsed children — no geometry, no floats anywhere. This is
+    the op that turns a 10^9-tile occupancy list into the compact
+    region index a tile server actually loads."""
+    from pyproj_spark.functions.tiles import quadkey, tile_xy_from_lonlat
+    pts = _doc_points(spark, sf_dir)
+    tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), 8)
+    cur = (pts.select(tx.alias("tx"), ty.alias("ty"))
+           .select(quadkey(F.col("tx"), F.col("ty"), 8).alias("qk"))
+           .distinct())
+    for _ in range(3):
+        pref = F.substring(F.col("qk"), 1, F.length("qk") - 1)
+        full = (cur.groupBy(pref.alias("parent"))
+                .agg(F.countDistinct(
+                    F.substring(F.col("qk"), -1, 1)).alias("k"))
+                .filter(F.col("k") == 4)
+                .select("parent"))
+        keep = (cur.join(
+            full,
+            F.substring(F.col("qk"), 1, F.length("qk") - 1)
+            == F.col("parent"), "left_anti"))
+        cur = (full.select(F.col("parent").alias("qk"))
+               .unionByName(keep))
+    return (cur.select("qk", F.length("qk").alias("level"))
+            .orderBy("qk"))
+
+
+def _quadkey_compact_sql() -> str:
+    digit = ("substr('0123', 1 + CAST(((ty >> {s}) & 1) * 2"
+             " + ((tx >> {s}) & 1) AS INT), 1)")
+    qk = " || ".join(digit.format(s=8 - 1 - i) for i in range(8))
+    it = """
+full{o} AS MATERIALIZED (
+  SELECT substr(qk, 1, length(qk) - 1) AS parent
+  FROM c{i} GROUP BY 1
+  HAVING count(DISTINCT substr(qk, length(qk), 1)) = 4
+),
+c{o} AS MATERIALIZED (
+  SELECT qk FROM c{i}
+  WHERE substr(qk, 1, length(qk) - 1) NOT IN
+        (SELECT parent FROM full{o})
+  UNION ALL
+  SELECT parent AS qk FROM full{o}
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(3))
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+t AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 256)
+                         AS BIGINT), 0), 255) AS tx,
+         least(greatest(CAST(floor((1.0 - ln(tan(pi()/4 +
+               radians(least(greatest(lat, -85.05112877980659),
+                             85.05112877980659)) / 2)) / pi()) / 2.0
+               * 256) AS BIGINT), 0), 255) AS ty
+  FROM pts
+),
+c0 AS MATERIALIZED (SELECT DISTINCT {qk} AS qk FROM t),
+{its}
+SELECT qk, length(qk) AS level FROM c3 ORDER BY qk
+"""
+
+
+QUERIES["quadkey_compact"] = (q_quadkey_compact, _quadkey_compact_sql())
+
+
+def q_ks_interarrival(spark, sf_dir):
+    """Kolmogorov-Smirnov goodness-of-fit of event inter-arrivals
+    against the exponential MLE (Massey 1951) per event type — "is
+    this stream Poisson or bursty", the third classical test in the
+    suite after the chi-square quadrat CSR and the Mann-Kendall
+    trend. D = max over order statistics of max(i/n - F(x_i),
+    F(x_i) - (i-1)/n). The CDF value per row quantizes to micro-units
+    BEFORE the max (F_u = round(F * 1e6)), so the max compares exact
+    integers scaled by n: D_num = max(i * 1e6 - n * F_u,
+    n * F_u - (i-1) * 1e6) and D = D_num / (n * 1e6) — the only
+    libm call (exp) is per-row and survives round-6 by the same ulp
+    budget every trig gate here uses. Scale shape: one lag window +
+    one rank window per type, one agg. Inter-arrivals are exact
+    MICROSECOND longs (epoch_us both sides — the timestamps carry
+    sub-second parts, and second-floor vs round diverges)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    wt = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+    dt = (ev.withColumn("prev", F.lag("t_us").over(wt))
+          .filter(F.col("prev").isNotNull())
+          .select("event_type",
+                  (F.col("t_us") - F.col("prev")).alias("dt")))
+    per = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy("dt")
+    d = (dt.withColumn("n", F.count(F.lit(1)).over(per))
+         .withColumn("sum_dt", F.sum("dt").over(per))
+         .withColumn("i", F.row_number().over(wr)))
+    lam = F.col("n").cast("double") / F.col("sum_dt").cast("double")
+    f_u = F.round((1.0 - F.exp(-lam * F.col("dt").cast("double")))
+                  * 1e6, 0).cast("long")
+    i_l = F.col("i").cast("long")
+    n_l = F.col("n").cast("long")
+    d = d.withColumn(
+        "d_num", F.greatest(
+            i_l * F.lit(1000000).cast("long") - n_l * f_u,
+            n_l * f_u - (i_l - 1) * F.lit(1000000).cast("long")))
+    return (d.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.max("sum_dt").alias("sum_dt"),
+                 F.max("d_num").alias("d_num"))
+            .select("event_type", "n", "sum_dt",
+                    F.round(F.col("d_num").cast("double")
+                            / (F.col("n").cast("double") * 1e6), 6)
+                    .alias("ks_d")))
+
+
+SQL_KS = """
+WITH dt AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts),
+               event_id)
+),
+d AS (
+  SELECT event_type, dt,
+         count(*) OVER p AS n,
+         CAST(sum(dt) OVER p AS BIGINT) AS sum_dt,
+         row_number() OVER (PARTITION BY event_type ORDER BY dt) AS i
+  FROM dt WHERE dt IS NOT NULL
+  WINDOW p AS (PARTITION BY event_type)
+),
+f AS (
+  SELECT event_type, n, sum_dt, i,
+         CAST(round((1.0 - exp(-(CAST(n AS DOUBLE)
+                                 / CAST(sum_dt AS DOUBLE))
+                               * CAST(dt AS DOUBLE))) * 1e6, 0)
+              AS BIGINT) AS f_u
+  FROM d
+)
+SELECT event_type, max(n) AS n, max(sum_dt) AS sum_dt,
+       round(CAST(max(greatest(i * 1000000 - n * f_u,
+                               n * f_u - (i - 1) * 1000000))
+                  AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1e6), 6)
+           AS ks_d
+FROM f GROUP BY event_type
+"""
+
+QUERIES["ks_interarrival"] = (q_ks_interarrival, SQL_KS)

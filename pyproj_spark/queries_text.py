@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pyproj_spark.operators import dedup, similarity, textstats
@@ -6118,3 +6119,176 @@ FROM ent GROUP BY 1
 """
 
 QUERIES_TEXT["feed_parse"] = (q_feed_parse, SQL_FEED_PARSE)
+
+
+def q_cusum_drift(spark, sf_dir):
+    """CUSUM change detection per host over its daily crawl byte
+    volume (Page 1954 — the sequential drift detector behind
+    "did this site suddenly bloat/empty"): the one-sided CUSUM
+    recurrence S_t = max(0, S_{t-1} + dev_t) looks sequential, but it
+    is EXACTLY P_t - min_{s<=t} P_s for the running prefix sum P of
+    deviations — two key-partitioned windows, no recursion, the same
+    identity that distributed pack_sequences. Deviations are exact
+    mean-removed integers in day-count units (dev = n_days*y - Y), so
+    every CUSUM value hashes unrounded. Output: per host the max
+    excursion and the day it peaks."""
+    d = _docs(spark, sf_dir)
+    daily = (d.select("source", (F.col("doc_id") % 30).alias("day"),
+                      "n_chars")
+             .groupBy("source", "day")
+             .agg(F.sum("n_chars").alias("y")))
+    per_host = Window.partitionBy("source")
+    daily = (daily
+             .withColumn("n_days", F.count(F.lit(1)).over(per_host))
+             .withColumn("ytot", F.sum("y").over(per_host))
+             .withColumn("dev", F.col("n_days") * F.col("y")
+                         - F.col("ytot")))
+    wo = (Window.partitionBy("source").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    # S_t = max(0, S_{t-1} + dev_t)  ==  P_t - min(0, P_1..P_t):
+    # the min must include BOTH the empty prefix (0) and the current
+    # P_t, else an all-negative run goes below zero
+    daily = (daily.withColumn("p", F.sum("dev").over(wo))
+             .withColumn("runmin",
+                         F.min(F.least(F.col("p"), F.lit(0))).over(wo))
+             .withColumn("cus", F.col("p") - F.col("runmin")))
+    # argmax with smallest-day tie-break folded into ONE scalar key
+    # (cus * 64 - day; day < 30 < 64): DuckDB's min_by/max_by take no
+    # struct keys, so both engines use the same encoding
+    return (daily.groupBy("source")
+            .agg(F.max("cus").alias("cus_max"),
+                 F.max_by("day", F.col("cus") * 64 - F.col("day"))
+                 .alias("peak_day")))
+
+
+SQL_CUSUM = """
+WITH daily AS (
+  SELECT source, doc_id % 30 AS day,
+         CAST(sum(n_chars) AS BIGINT) AS y
+  FROM documents GROUP BY 1, 2
+),
+dev AS (
+  SELECT source, day,
+         count(*) OVER w * y - CAST(sum(y) OVER w AS BIGINT) AS dev
+  FROM daily
+  WINDOW w AS (PARTITION BY source)
+),
+p AS (
+  SELECT source, day, dev,
+         CAST(sum(dev) OVER wo AS BIGINT) AS p
+  FROM dev
+  WINDOW wo AS (PARTITION BY source ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT source, day,
+         p - min(least(p, 0)) OVER wo AS cus
+  FROM p
+  WINDOW wo AS (PARTITION BY source ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT source, max(cus) AS cus_max,
+       max_by(day, cus * 64 - day) AS peak_day
+FROM c GROUP BY source
+"""
+
+QUERIES_TEXT["cusum_drift"] = (q_cusum_drift, SQL_CUSUM)
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Term burstiness: Fano factor (variance-to-mean ratio) of
+    within-document term frequency over the documents containing the
+    term (Church & Gale 1995 — content words arrive in bursts,
+    function words arrive Poisson; the signal behind stopword
+    induction and keyword weighting). Population variance from three
+    exact integer moments per term (df, sum tf, sum tf^2):
+    fano = (df*s2 - s1^2) / (df*s1) — one division at the end.
+    df >= 20 bounds the output to corpus-common terms. Scale shape:
+    one token explode + two hash aggs, the tfidf plan."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id",
+                     F.explode(F.filter(
+                         F.split(F.lower("text"), "[^a-z0-9]+"),
+                         lambda x: x != "")).alias("token")))
+    tf = (toks.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    m = (tf.groupBy("token")
+         .agg(F.count(F.lit(1)).alias("df"),
+              F.sum("tf").alias("s1"),
+              F.sum(F.col("tf") * F.col("tf")).alias("s2"))
+         .filter(F.col("df") >= 20))
+    fano = ((F.col("df") * F.col("s2") - F.col("s1") * F.col("s1"))
+            .cast("double")
+            / (F.col("df") * F.col("s1")).cast("double"))
+    return m.select("token", "df", "s1", "s2",
+                    F.round(fano, 6).alias("fano"))
+
+
+SQL_BURSTINESS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+m AS (
+  SELECT token, count(*) AS df,
+         CAST(sum(tf) AS BIGINT) AS s1,
+         CAST(sum(tf * tf) AS BIGINT) AS s2
+  FROM tf GROUP BY 1 HAVING count(*) >= 20
+)
+SELECT token, df, s1, s2,
+       round(CAST(df * s2 - s1 * s1 AS DOUBLE)
+             / CAST(df * s1 AS DOUBLE), 6) AS fano
+FROM m
+"""
+
+QUERIES_TEXT["term_burstiness"] = (q_term_burstiness, SQL_BURSTINESS)
+
+
+def q_gini_hosts(spark, sf_dir):
+    """Gini coefficient of the per-host page distribution (crawl
+    inequality: is the corpus a few mega-hosts or a long tail —
+    the number a data-mixing policy needs before reweighting).
+    Computed from the closed form over sorted counts,
+    G = (2 * sum(i * x_i) - (n + 1) * sum(x_i)) / (n * sum(x_i)),
+    which is exact-integer until one final division; host ties in
+    count break by host id so the rank assignment is deterministic.
+    Scale shape: one hash agg to counts (hosts << pages), one sort
+    window over hosts, one 1-row reduction."""
+    d = _docs(spark, sf_dir)
+    counts = (d.select((F.col("doc_id") % 101).alias("host"))
+              .groupBy("host").agg(F.count(F.lit(1)).alias("x")))
+    w = Window.orderBy("x", "host")
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("x").alias("sx"),
+                     F.sum(F.col("i") * F.col("x")).alias("six"))
+    g = ((F.lit(2.0) * F.col("six").cast("double")
+          - (F.col("n") + 1).cast("double") * F.col("sx").cast("double"))
+         / (F.col("n").cast("double") * F.col("sx").cast("double")))
+    return agg.select("n", "sx", "six", F.round(g, 6).alias("gini"))
+
+
+SQL_GINI = """
+WITH counts AS (
+  SELECT doc_id % 101 AS host, count(*) AS x
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, host) AS i FROM counts
+),
+agg AS (
+  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM ranked
+)
+SELECT n, sx, six,
+       round((2.0 * six - CAST(n + 1 AS DOUBLE) * sx)
+             / (CAST(n AS DOUBLE) * sx), 6) AS gini
+FROM agg
+"""
+
+QUERIES_TEXT["gini_hosts"] = (q_gini_hosts, SQL_GINI)

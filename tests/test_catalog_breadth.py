@@ -237,3 +237,34 @@ class TestRound5SessionAdditions:
         # equal-area sanity at the equator: x = a * lon_rad
         x, y = xy("ESRI:54008", "EPSG:4326", 0.0, 0.0)
         assert (x, y) == (0.0, 0.0)
+
+
+class TestSwerefLadder:
+    """SWEREF99 local zones 3007-3018 (the RT90-replacement comb)."""
+
+    def test_cm_easting_and_k0_ratio_vs_tm(self):
+        # at every zone's central meridian the easting IS the false
+        # easting, and because the local zones use k_0 = 1 while
+        # SWEREF99 TM uses 0.9996, the northing ratio at the shared
+        # 15-degree meridian is EXACTLY 0.9996 (both are k_0 * arc)
+        lat = 59.35
+        for code, cm in [(3007, 12.0), (3008, 13.5), (3009, 15.0),
+                         (3010, 16.5), (3011, 18.0), (3012, 14.25),
+                         (3013, 15.75), (3014, 17.25), (3015, 18.75),
+                         (3016, 20.25), (3017, 21.75), (3018, 23.25)]:
+            x, y = xy("EPSG:4619", f"EPSG:{code}", cm, lat)
+            assert x == pytest.approx(150000.0, abs=1e-6), code
+            assert 6_000_000 < y < 7_000_000, code
+        _, n_local = xy("EPSG:4619", "EPSG:3009", 15.0, lat)
+        _, n_tm = xy("EPSG:4619", "EPSG:3006", 15.0, lat)
+        assert n_tm / (n_local - 0.0) == pytest.approx(0.9996,
+                                                       abs=1e-12)
+
+    def test_axis_order_and_roundtrip(self):
+        from pyproj_spark import CRS
+        crs = CRS.from_epsg(3011)
+        assert "SWEREF99 18 00" == crs.name
+        x, y = xy("EPSG:4619", "EPSG:3011", 18.06, 59.33)
+        lon, lat = xy("EPSG:3011", "EPSG:4619", x, y)
+        assert lon == pytest.approx(18.06, abs=1e-9)
+        assert lat == pytest.approx(59.33, abs=1e-9)
