@@ -10919,3 +10919,95 @@ FROM f GROUP BY event_type
 """
 
 QUERIES["ks_interarrival"] = (q_ks_interarrival, SQL_KS)
+
+
+def q_geo_median(spark, sf_dir):
+    """Geometric median (1-median facility location) of the md5-
+    placed doc points by FIVE Weiszfeld iterations (Weiszfeld 1937)
+    — "where to put the depot", the robust companion to the mean
+    center already gated in cell_moments. Exactness scheme: points
+    and the iterate live in integer MILLI-degrees; per pass each
+    point's weight is round(1e6 / max(dist, 0.01)) (sqrt is IEEE-
+    correctly-rounded, so identical cross-engine; the floor bounds
+    the weight so w * x stays well inside int64 at both gate SFs —
+    rescale per decade of corpus growth), weighted sums are exact
+    longs, and the next iterate re-quantizes — the kmeans rounded-
+    pass discipline, so five passes replay bit-identically in SQL.
+    Scale shape per pass: one broadcast literal center + one 1-row
+    agg."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    hx = F.conv(F.substring(F.md5(i), 1, 8), 16, 10).cast("long")
+    hy = F.conv(F.substring(F.md5(F.concat(F.lit("y"), i)), 1, 8),
+                16, 10).cast("long")
+    pt = d.select((hx % 360000 - 180000).alias("x_m"),
+                  (hy % 170000 - 85000).alias("y_m")).cache()
+    c = pt.agg(F.floor(F.sum("x_m") / F.count(F.lit(1)))
+               .cast("long").alias("cx"),
+               F.floor(F.sum("y_m") / F.count(F.lit(1)))
+               .cast("long").alias("cy")).collect()[0]
+    cx, cy = int(c.cx), int(c.cy)
+    for _ in range(5):
+        dx = (F.col("x_m") - F.lit(cx)).cast("double") / 1e3
+        dy = (F.col("y_m") - F.lit(cy)).cast("double") / 1e3
+        dist = F.sqrt(dx * dx + dy * dy)
+        w = F.round(F.lit(1e6) / F.greatest(dist, F.lit(1e-2)), 0) \
+            .cast("long")
+        agg = pt.agg(F.sum(w).alias("sw"),
+                     F.sum(w * F.col("x_m")).alias("swx"),
+                     F.sum(w * F.col("y_m")).alias("swy")).collect()[0]
+        cx = int(math.floor(float(agg.swx) / float(agg.sw) + 0.5))
+        cy = int(math.floor(float(agg.swy) / float(agg.sw) + 0.5))
+    dxf = (F.col("x_m") - F.lit(cx)).cast("double") / 1e3
+    dyf = (F.col("y_m") - F.lit(cy)).cast("double") / 1e3
+    res = pt.agg(F.sum(F.round(F.sqrt(dxf * dxf + dyf * dyf) * 1e6, 0)
+                       .cast("long")).alias("total_dist_u"))
+    return res.select(F.lit(cx).alias("med_x_milli"),
+                      F.lit(cy).alias("med_y_milli"),
+                      "total_dist_u")
+
+
+def _geo_median_sql():
+    it = """
+c{o} AS MATERIALIZED (
+  SELECT CAST(floor(CAST(sum(w * x_m) AS DOUBLE)
+                    / CAST(sum(w) AS DOUBLE) + 0.5) AS BIGINT) AS cx,
+         CAST(floor(CAST(sum(w * y_m) AS DOUBLE)
+                    / CAST(sum(w) AS DOUBLE) + 0.5) AS BIGINT) AS cy
+  FROM (
+    SELECT x_m, y_m,
+           CAST(round(1e6 / greatest(sqrt(
+                pow(CAST(x_m - c.cx AS DOUBLE) / 1e3, 2)
+                + pow(CAST(y_m - c.cy AS DOUBLE) / 1e3, 2)), 1e-2),
+                0) AS BIGINT) AS w
+    FROM pt CROSS JOIN c{i} c) q
+)"""
+    its = ",".join(it.format(i=i, o=i + 1) for i in range(5))
+    return f"""
+WITH pt AS MATERIALIZED (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 360000 - 180000 AS x_m,
+         CAST(('0x' || substr(md5('y' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 170000
+             - 85000 AS y_m
+  FROM documents
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(floor(CAST(sum(x_m) AS DOUBLE) / count(*)) AS BIGINT)
+             AS cx,
+         CAST(floor(CAST(sum(y_m) AS DOUBLE) / count(*)) AS BIGINT)
+             AS cy
+  FROM pt
+),
+{its}
+SELECT c.cx AS med_x_milli, c.cy AS med_y_milli,
+       CAST(sum(CAST(round(sqrt(
+            pow(CAST(x_m - c.cx AS DOUBLE) / 1e3, 2)
+            + pow(CAST(y_m - c.cy AS DOUBLE) / 1e3, 2)) * 1e6, 0)
+            AS BIGINT)) AS BIGINT) AS total_dist_u
+FROM pt CROSS JOIN c5 c
+GROUP BY 1, 2
+"""
+
+
+QUERIES["geo_median"] = (q_geo_median, _geo_median_sql())

@@ -6292,3 +6292,92 @@ FROM agg
 """
 
 QUERIES_TEXT["gini_hosts"] = (q_gini_hosts, SQL_GINI)
+
+
+#: soundex letter->digit map for a..z (the US-English table)
+_SOUNDEX_MAP = "01230120022455012623010202"
+
+
+def q_soundex_blocking(spark, sf_dir):
+    """Phonetic blocking for entity resolution (the Soundex key of
+    Russell 1918, still the default blocking pass before pairwise ER
+    — sorted_neighborhood gates the windowed alternative): synthetic
+    surname-like author names get Spark's NATIVE soundex; the DuckDB
+    oracle re-implements the full US-English algorithm from scratch
+    (H/W-transparent merging, vowel separators, leading-code drop —
+    RE2 has no backreferences, so the run-collapse is seven per-digit
+    regexp passes), making this a cross-implementation conformance
+    gate like text_normalize's NFC row. Verified identical over the
+    whole 100-combo fixture space before gating. Blocks with >= 2
+    distinct names are the ER candidate sets."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    p1 = F.array(*[F.lit(x) for x in
+                   ["smi", "sch", "kra", "mey", "hof",
+                    "bau", "koe", "wag", "whi", "osw"]])
+    p2 = F.array(*[F.lit(x) for x in
+                   ["th", "midt", "mer", "er", "fmann",
+                    "mann", "hler", "ner", "tworth", "ald"]])
+    # independent indices (i mod 10, floor(i/10) mod 10) span all
+    # 100 combos; (i mod 10, 3i+1 mod 10) collapsed to 10 names
+    name = F.concat(
+        F.element_at(p1, (i % 10 + 1).cast("int")),
+        F.element_at(p2, (F.floor(i / 10).cast("long") % 10 + 1)
+                     .cast("int")))
+    t = d.select("doc_id", name.alias("name"),
+                 F.soundex(name).alias("sx"))
+    return (t.groupBy("sx")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("name").alias("n_names"),
+                 F.array_join(F.sort_array(F.collect_set("name")), ",")
+                 .alias("names"))
+            .filter(F.col("n_names") >= 2))
+
+
+def _soundex_sql_expr(col: str) -> str:
+    """Full US-English soundex of a lowercase a-z word, in DuckDB
+    SQL: H/W stripped from position 2+ (transparent to merging),
+    translate to digits, collapse runs per digit (no RE2 backrefs),
+    drop separators, drop the leading code iff the first letter has
+    one, pad to 4."""
+    rest = (f"substr({col}, 1, 1) || replace(replace(substr({col}, 2),"
+            " 'h', ''), 'w', '')")
+    digits = (f"translate({rest}, 'abcdefghijklmnopqrstuvwxyz',"
+              f" '{_SOUNDEX_MAP}')")
+    collapsed = digits
+    for d in "0123456":
+        collapsed = (f"regexp_replace({collapsed}, '{d}{d}+',"
+                     f" '{d}', 'g')")
+    stripped = f"replace({collapsed}, '0', '')"
+    first_code = (f"substr('{_SOUNDEX_MAP}',"
+                  f" ascii(substr({col}, 1, 1)) - 96, 1)")
+    dropped = (f"CASE WHEN {first_code} <> '0'"
+               f" THEN substr({stripped}, 2) ELSE {stripped} END")
+    return (f"upper(substr({col}, 1, 1))"
+            f" || substr({dropped} || '000', 1, 3)")
+
+
+def _soundex_blocking_sql() -> str:
+    return f"""
+WITH named AS (
+  SELECT doc_id,
+         (['smi','sch','kra','mey','hof','bau','koe','wag','whi',
+           'osw'])[doc_id % 10 + 1]
+         || (['th','midt','mer','er','fmann','mann','hler','ner',
+              'tworth','ald'])[CAST(floor(doc_id / 10) AS BIGINT)
+                               % 10 + 1] AS name
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, name, {_soundex_sql_expr('name')} AS sx FROM named
+)
+SELECT sx, count(*) AS n_docs,
+       count(DISTINCT name) AS n_names,
+       string_agg(DISTINCT name, ',' ORDER BY name) AS names
+FROM keyed GROUP BY sx
+HAVING count(DISTINCT name) >= 2
+"""
+
+
+QUERIES_TEXT["soundex_blocking"] = (q_soundex_blocking,
+                                    _soundex_blocking_sql())
