@@ -11011,3 +11011,76 @@ GROUP BY 1, 2
 
 
 QUERIES["geo_median"] = (q_geo_median, _geo_median_sql())
+
+
+def q_raster_upsample(spark, sf_dir):
+    """Bilinear 2x raster upsample (the inverse of the aggregation
+    pyramid already gated as raster_pyramid; what a tile server does
+    when a client overzooms past native resolution): each fine cell
+    (2gx+sx, 2gy+sy) samples the coarse density raster at quarter-
+    offset positions, so the bilinear weights are EXACTLY
+    {9, 3, 3, 1}/16 — kept as integer SIXTEENTHS end to end (value16
+    = 9a + 3b + 3c + d), zero floats in the whole query. Scale
+    shape: density agg, then each coarse cell scatters to the <= 16
+    fine cells it influences — one explode + one hash agg, never a
+    fine->coarse 4-way join."""
+    pts = _doc_points(spark, sf_dir)
+    gx = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 32)
+                 .cast("long"), F.lit(31))
+    gy = F.least(F.floor((F.col("lat") + 85.0) / 170.0 * 32)
+                 .cast("long"), F.lit(31))
+    dens = (pts.select(gx.alias("gx"), gy.alias("gy"))
+            .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n")))
+    # fine cell f = (fx, fy) at sample position ((fx+0.5)/2 - 0.5,
+    # ...) in coarse space: the 4 coarse neighbors contribute with
+    # sixteenth-weights; equivalently each coarse cell (gx, gy)
+    # contributes weight w(dx, dy) to fine cells 2gx-1+dx, dx in
+    # {0..3} — enumerate the 16 (offset, weight) pairs literally
+    contrib = []
+    for fdx in range(4):
+        for fdy in range(4):
+            wx = 3 if fdx in (1, 2) else 1
+            wy = 3 if fdy in (1, 2) else 1
+            contrib.append(F.struct(
+                F.lit(fdx - 1).alias("ox"), F.lit(fdy - 1).alias("oy"),
+                F.lit(wx * wy).alias("w")))
+    sc = (dens.select("gx", "gy", "n",
+                      F.explode(F.array(*contrib)).alias("k"))
+          .select((2 * F.col("gx") + F.col("k.ox")).alias("fx"),
+                  (2 * F.col("gy") + F.col("k.oy")).alias("fy"),
+                  (F.col("k.w") * F.col("n")).alias("wn"))
+          .filter((F.col("fx") >= 0) & (F.col("fx") <= 63)
+                  & (F.col("fy") >= 0) & (F.col("fy") <= 63)))
+    return (sc.groupBy("fx", "fy")
+            .agg(F.sum("wn").alias("value16"))
+            .filter(F.col("value16") > 0))
+
+
+SQL_RASTER_UPSAMPLE = f"""
+WITH pts AS ({_PTS_SQL}),
+dens AS (
+  SELECT least(CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT), 31)
+             AS gx,
+         least(CAST(floor((lat + 85.0) / 170.0 * 32) AS BIGINT), 31)
+             AS gy,
+         count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+offs AS (
+  SELECT a.fdx, b.fdy,
+         (CASE WHEN a.fdx IN (1, 2) THEN 3 ELSE 1 END)
+         * (CASE WHEN b.fdy IN (1, 2) THEN 3 ELSE 1 END) AS w
+  FROM (SELECT unnest(range(4)) AS fdx) a,
+       (SELECT unnest(range(4)) AS fdy) b
+)
+SELECT 2 * gx + fdx - 1 AS fx, 2 * gy + fdy - 1 AS fy,
+       CAST(sum(w * n) AS BIGINT) AS value16
+FROM dens CROSS JOIN offs
+WHERE 2 * gx + fdx - 1 BETWEEN 0 AND 63
+  AND 2 * gy + fdy - 1 BETWEEN 0 AND 63
+GROUP BY 1, 2
+HAVING sum(w * n) > 0
+ORDER BY 1, 2
+"""
+
+QUERIES["raster_upsample"] = (q_raster_upsample, SQL_RASTER_UPSAMPLE)

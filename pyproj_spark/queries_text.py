@@ -6381,3 +6381,133 @@ HAVING count(DISTINCT name) >= 2
 
 QUERIES_TEXT["soundex_blocking"] = (q_soundex_blocking,
                                     _soundex_blocking_sql())
+
+
+def q_hapax_ratio(spark, sf_dir):
+    """Hapax legomena analysis per source (the vocabulary-growth
+    diagnostic behind Good-Turing smoothing, already gated as
+    good_turing): fraction of a source's vocabulary seen exactly
+    once, plus dis legomena (exactly twice) — the two counts whose
+    ratio estimates unseen mass. All exact integers except two final
+    divisions. Scale shape: token explode -> (source, token) counts
+    -> per-source rollup, the tfidf plan."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("source",
+                     F.explode(F.filter(
+                         F.split(F.lower("text"), "[^a-z0-9]+"),
+                         lambda x: x != "")).alias("token")))
+    tf = (toks.groupBy("source", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    return (tf.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("vocab"),
+                 F.sum("tf").alias("tokens"),
+                 F.sum((F.col("tf") == 1).cast("long")).alias("hapax"),
+                 F.sum((F.col("tf") == 2).cast("long")).alias("dis"))
+            .select("source", "vocab", "tokens", "hapax", "dis",
+                    F.round(F.col("hapax").cast("double")
+                            / F.col("vocab").cast("double"), 6)
+                    .alias("hapax_frac"),
+                    F.round(F.col("hapax").cast("double")
+                            / F.col("tokens").cast("double"), 6)
+                    .alias("p_unseen")))
+
+
+SQL_HAPAX = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT source, count(*) AS vocab,
+       CAST(sum(tf) AS BIGINT) AS tokens,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax,
+       CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_frac,
+       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(tf) AS DOUBLE), 6) AS p_unseen
+FROM tf GROUP BY source
+"""
+
+QUERIES_TEXT["hapax_ratio"] = (q_hapax_ratio, SQL_HAPAX)
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law fit V = K * n^beta over per-source (tokens, vocab)
+    points (Heaps 1978 — vocabulary growth; beta ~ 0.5 for natural
+    text, ~1 for templated spam): ordinary least squares on
+    (ln n, ln V) with BOTH logs quantized to integer MICROS per row (nanos squared
+    overflow int64 in the moment sums)
+    before the sums (the ln call is per-row libm; the SUMS are exact
+    longs, so the regression replays bit-identically — the zipf_fit
+    discipline). One token pass, one tiny agg over sources."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("source",
+                     F.explode(F.filter(
+                         F.split(F.lower("text"), "[^a-z0-9]+"),
+                         lambda x: x != "")).alias("token")))
+    per = (toks.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.countDistinct("token").alias("v")))
+    ln_n = F.round(F.log(F.col("n").cast("double")) * 1e6, 0) \
+        .cast("long")
+    ln_v = F.round(F.log(F.col("v").cast("double")) * 1e6, 0) \
+        .cast("long")
+    pts = per.select(ln_n.alias("x"), ln_v.alias("y"))
+    agg = pts.agg(F.count(F.lit(1)).alias("m"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    md = F.col("m").cast("double")
+    beta = ((md * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (md * F.col("sxx").cast("double")
+               - F.col("sx").cast("double")
+               * F.col("sx").cast("double")))
+    lnk = (F.col("sy").cast("double") / md / 1e6
+           - beta * F.col("sx").cast("double") / md / 1e6)
+    return agg.select("m", F.round(beta, 6).alias("beta"),
+                      F.round(F.exp(lnk), 6).alias("k"))
+
+
+SQL_HEAPS = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+per AS (
+  SELECT source, count(*) AS n, count(DISTINCT token) AS v
+  FROM toks GROUP BY 1
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+  FROM per
+),
+agg AS (
+  SELECT count(*) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT m,
+       round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+           AS beta,
+       round(exp(CAST(sy AS DOUBLE) / m / 1e6
+                 - ((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(m AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx))
+                   * CAST(sx AS DOUBLE) / m / 1e6), 6) AS k
+FROM agg
+"""
+
+QUERIES_TEXT["heaps_fit"] = (q_heaps_fit, SQL_HEAPS)
