@@ -11084,3 +11084,173 @@ ORDER BY 1, 2
 """
 
 QUERIES["raster_upsample"] = (q_raster_upsample, SQL_RASTER_UPSAMPLE)
+
+
+def q_clark_evans(spark, sf_dir):
+    """Clark-Evans nearest-neighbor index (Clark & Evans 1954): the
+    ratio of the observed mean nearest-neighbor distance to the CSR
+    expectation 1/(2 sqrt(density)) — R < 1 clustered, R > 1
+    dispersed; together with quadrat_csr and ripley_k this completes
+    the classic point-pattern triad at three spatial scales. NN
+    candidates come from the 3x3 scatter of 3-degree cells (the knox
+    shape) and the statistic is computed over points whose NN lies
+    within that window — a documented, deterministic truncation both
+    engines share (points with no neighbor within 3 degrees are
+    counted and reported, not silently dropped). NN distances
+    quantize to integer micro-degrees before the sum."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    hx = F.conv(F.substring(F.md5(i), 1, 8), 16, 10).cast("long")
+    hy = F.conv(F.substring(F.md5(F.concat(F.lit("y"), i)), 1, 8),
+                16, 10).cast("long")
+    pt = d.select(
+        F.col("doc_id"),
+        ((hx % 360000) / 1000.0 - 180.0).alias("x"),
+        ((hy % 170000) / 1000.0 - 85.0).alias("y"))
+    pt = pt.withColumn("cx", F.floor((F.col("x") + 180.0) / 3)
+                       .cast("long")) \
+           .withColumn("cy", F.floor((F.col("y") + 85.0) / 3)
+                       .cast("long"))
+    d9 = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                   for dx in range(-1, 2) for dy in range(-1, 2)])
+    a = (pt.select("doc_id", "x", "y", "cx", "cy",
+                   F.explode(d9).alias("k"))
+         .select(F.col("doc_id").alias("ia"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"),
+                 (F.col("cx") + F.col("k.dx")).alias("jcx"),
+                 (F.col("cy") + F.col("k.dy")).alias("jcy")))
+    b = pt.select(F.col("doc_id").alias("ib"), F.col("x").alias("xb"),
+                  F.col("y").alias("yb"),
+                  F.col("cx").alias("jcx"), F.col("cy").alias("jcy"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    nn = (a.join(b, ["jcx", "jcy"])
+          .filter(F.col("ia") != F.col("ib"))
+          .groupBy("ia").agg(F.min(d2).alias("d2min")))
+    nn_u = F.round(F.sqrt(F.col("d2min")) * 1e6, 0).cast("long")
+    n_all = pt.count()
+    agg = nn.agg(F.count(F.lit(1)).alias("n_with_nn"),
+                 F.sum(nn_u).alias("sum_nn_u"))
+    area = 360.0 * 170.0
+    robs = (F.col("sum_nn_u").cast("double") / 1e6
+            / F.col("n_with_nn").cast("double"))
+    rexp = 0.5 / math.sqrt(n_all / area)
+    return agg.select(
+        F.lit(n_all).alias("n_points"), "n_with_nn", "sum_nn_u",
+        F.round(robs, 6).alias("r_obs"),
+        F.round(F.lit(rexp), 6).alias("r_exp"),
+        F.round(robs / F.lit(rexp), 6).alias("ce_index"))
+
+
+def _clark_evans_sql():
+    return """
+WITH pt AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 360000) / 1000.0 - 180.0 AS x,
+         (CAST(('0x' || substr(md5('y' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 170000) / 1000.0
+             - 85.0 AS y
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, x, y,
+         CAST(floor((x + 180.0) / 3) AS BIGINT) AS cx,
+         CAST(floor((y + 85.0) / 3) AS BIGINT) AS cy
+  FROM pt
+),
+nn AS (
+  SELECT a.doc_id AS ia,
+         min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+             AS d2min
+  FROM cells a JOIN cells b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.doc_id <> b.doc_id
+  GROUP BY 1
+),
+n_all AS (SELECT count(*) AS n FROM pt),
+agg AS (
+  SELECT count(*) AS n_with_nn,
+         CAST(sum(CAST(round(sqrt(d2min) * 1e6, 0) AS BIGINT))
+              AS BIGINT) AS sum_nn_u
+  FROM nn
+)
+SELECT n AS n_points, n_with_nn, sum_nn_u,
+       round(CAST(sum_nn_u AS DOUBLE) / 1e6 / n_with_nn, 6) AS r_obs,
+       round(0.5 / sqrt(n / (360.0 * 170.0)), 6) AS r_exp,
+       round((CAST(sum_nn_u AS DOUBLE) / 1e6 / n_with_nn)
+             / (0.5 / sqrt(n / (360.0 * 170.0))), 6) AS ce_index
+FROM agg CROSS JOIN n_all
+"""
+
+
+QUERIES["clark_evans"] = (q_clark_evans, _clark_evans_sql())
+
+
+def q_hill_alpha(spark, sf_dir):
+    """Hill estimator of the power-law tail exponent of the host
+    in-degree distribution (Hill 1975 — the MLE companion to the OLS
+    rank-frequency fit already gated as zipf_fit; Clauset-Shalizi-
+    Newman made it the standard): over the top-k order statistics,
+    alpha = 1 + k / sum(ln(x_i / x_min)). Logs quantize to integer
+    nanos per row before the sum (the zipf discipline), the tail is
+    the exact top-32 by (degree, host) rank — deterministic ties —
+    and x_min is the 33rd order statistic attached by a 1-row
+    broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    edges = (d.select((k % 149).alias("u"),
+                      (F.when(k % 3 == 0, k % 11)
+                       .otherwise((k * 29 + 5) % 149)).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    deg = edges.groupBy("v").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy(F.desc("x"), "v")
+    ranked = deg.withColumn("r", F.row_number().over(w))
+    xmin = (ranked.filter(F.col("r") == 33)
+            .select(F.col("x").alias("xmin")))
+    tail = ranked.filter(F.col("r") <= 32).crossJoin(F.broadcast(xmin))
+    ln_u = F.round(F.log(F.col("x").cast("double")
+                         / F.col("xmin").cast("double")) * 1e9, 0) \
+        .cast("long")
+    agg = tail.agg(F.count(F.lit(1)).alias("k_tail"),
+                   F.max("xmin").alias("x_min"),
+                   F.sum(ln_u).alias("sum_ln_u"))
+    alpha = (1.0 + F.col("k_tail").cast("double")
+             / (F.col("sum_ln_u").cast("double") / 1e9))
+    return agg.select("k_tail", "x_min", "sum_ln_u",
+                      F.round(alpha, 6).alias("alpha"))
+
+
+SQL_HILL = """
+WITH edges AS (
+  SELECT DISTINCT doc_id % 149 AS u,
+         CASE WHEN doc_id % 3 = 0 THEN doc_id % 11
+              ELSE (doc_id * 29 + 5) % 149 END AS v
+  FROM documents
+  WHERE doc_id % 149 <> CASE WHEN doc_id % 3 = 0 THEN doc_id % 11
+                             ELSE (doc_id * 29 + 5) % 149 END
+),
+deg AS (SELECT v, count(*) AS x FROM edges GROUP BY 1),
+ranked AS (
+  SELECT v, x, row_number() OVER (ORDER BY x DESC, v) AS r FROM deg
+),
+xmin AS (SELECT x AS xmin FROM ranked WHERE r = 33),
+tail AS (
+  SELECT ranked.x, xmin.xmin FROM ranked CROSS JOIN xmin
+  WHERE ranked.r <= 32
+),
+agg AS (
+  SELECT count(*) AS k_tail, max(xmin) AS x_min,
+         CAST(sum(CAST(round(ln(CAST(x AS DOUBLE)
+                                / CAST(xmin AS DOUBLE)) * 1e9, 0)
+                       AS BIGINT)) AS BIGINT) AS sum_ln_u
+  FROM tail
+)
+SELECT k_tail, x_min, sum_ln_u,
+       round(1.0 + CAST(k_tail AS DOUBLE)
+             / (CAST(sum_ln_u AS DOUBLE) / 1e9), 6) AS alpha
+FROM agg
+"""
+
+QUERIES["hill_alpha"] = (q_hill_alpha, SQL_HILL)

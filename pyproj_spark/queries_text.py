@@ -6511,3 +6511,53 @@ FROM agg
 """
 
 QUERIES_TEXT["heaps_fit"] = (q_heaps_fit, SQL_HEAPS)
+
+
+def q_lang_entropy(spark, sf_dir):
+    """Language-mix Shannon entropy per source (the multilingual-
+    balance diagnostic a data-mixing policy reads next to
+    domain_buckets): H = -sum p ln p over the source's language
+    distribution, each term quantized to integer nanos from exact
+    integer counts (p = c/n computed identically in both engines, the
+    SUM of terms exact), plus the majority language by deterministic
+    argmax. Two hash aggs, hosts << pages."""
+    d = _docs(spark, sf_dir)
+    cl = (d.groupBy("source", "lang")
+          .agg(F.count(F.lit(1)).alias("c")))
+    per = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    cl = (cl.withColumn("n", F.sum("c").over(per))
+          .withColumn("rk", F.row_number().over(wr)))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term_u = F.round(-p * F.log(p) * 1e9, 0).cast("long")
+    return (cl.groupBy("source")
+            .agg(F.max("n").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_langs"),
+                 F.max(F.when(F.col("rk") == 1, F.col("lang")))
+                 .alias("majority_lang"),
+                 F.sum(term_u).alias("h_nanos"))
+            .select("source", "n_docs", "n_langs", "majority_lang",
+                    F.round(F.col("h_nanos").cast("double") / 1e9, 6)
+                    .alias("entropy_nats")))
+
+
+SQL_LANG_ENTROPY = """
+WITH cl AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT source, lang, c,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang) AS rk
+  FROM cl
+)
+SELECT source, max(n) AS n_docs, count(*) AS n_langs,
+       max(CASE WHEN rk = 1 THEN lang END) AS majority_lang,
+       round(CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+                 * ln(CAST(c AS DOUBLE) / n) * 1e9, 0) AS BIGINT))
+             AS DOUBLE) / 1e9, 6) AS entropy_nats
+FROM t GROUP BY source
+"""
+
+QUERIES_TEXT["lang_entropy"] = (q_lang_entropy, SQL_LANG_ENTROPY)
