@@ -99,6 +99,7 @@ def _interleaved() -> dict[str, tuple]:
         "soundex_blocking", "geo_median",
         "hapax_ratio", "heaps_fit", "raster_upsample",
         "clark_evans", "hill_alpha", "lang_entropy",
+        "variogram", "toc_extract",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

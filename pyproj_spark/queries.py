@@ -11254,3 +11254,89 @@ FROM agg
 """
 
 QUERIES["hill_alpha"] = (q_hill_alpha, SQL_HILL)
+
+
+def q_variogram(spark, sf_dir):
+    """Empirical semivariogram (Matheron 1963 — the structure
+    function every kriging model is fit to; the missing piece of the
+    interpolation family next to idw_raster/idw_loocv/kde_raster):
+    gamma(h) = sum (v_i - v_j)^2 / 2n over point pairs binned by
+    separation, bins on squared distance (1, 4, 9 deg^2) so no sqrt
+    enters the binning. Values are exact integers, squared
+    differences are exact longs, one division per bin at the end.
+    Pair candidates from the knox 3x3 cell scatter — each qualifying
+    pair found exactly once, fan-out a constant 9x."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    hx = F.conv(F.substring(F.md5(i), 1, 8), 16, 10).cast("long")
+    hy = F.conv(F.substring(F.md5(F.concat(F.lit("y"), i)), 1, 8),
+                16, 10).cast("long")
+    hv = F.conv(F.substring(F.md5(F.concat(F.lit("v"), i)), 1, 8),
+                16, 10).cast("long")
+    pt = d.select(
+        F.col("doc_id"),
+        ((hx % 360000) / 1000.0 - 180.0).alias("x"),
+        ((hy % 170000) / 1000.0 - 85.0).alias("y"),
+        (hv % 1000).alias("v"))
+    pt = pt.withColumn("cx", F.floor((F.col("x") + 180.0) / 3)
+                       .cast("long")) \
+           .withColumn("cy", F.floor((F.col("y") + 85.0) / 3)
+                       .cast("long"))
+    d9 = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                   for dx in range(-1, 2) for dy in range(-1, 2)])
+    a = (pt.select("doc_id", "x", "y", "v", "cx", "cy",
+                   F.explode(d9).alias("k"))
+         .select(F.col("doc_id").alias("ia"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"), F.col("v").alias("va"),
+                 (F.col("cx") + F.col("k.dx")).alias("jcx"),
+                 (F.col("cy") + F.col("k.dy")).alias("jcy")))
+    b = pt.select(F.col("doc_id").alias("ib"), F.col("x").alias("xb"),
+                  F.col("y").alias("yb"), F.col("v").alias("vb"),
+                  F.col("cx").alias("jcx"), F.col("cy").alias("jcy"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    pairs = (a.join(b, ["jcx", "jcy"])
+             .filter((F.col("ia") < F.col("ib")) & (d2 <= F.lit(9.0)))
+             .select(F.when(d2 < 1.0, 1).when(d2 < 4.0, 2)
+                     .otherwise(3).alias("bin"),
+                     ((F.col("va") - F.col("vb"))
+                      * (F.col("va") - F.col("vb"))).alias("sq")))
+    return (pairs.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("sq").alias("sum_sq"))
+            .select("bin", "n_pairs", "sum_sq",
+                    F.round(F.col("sum_sq").cast("double")
+                            / (2.0 * F.col("n_pairs").cast("double")),
+                            6).alias("gamma"))
+            .orderBy("bin"))
+
+
+SQL_VARIOGRAM = """
+WITH pt AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 360000) / 1000.0 - 180.0 AS x,
+         (CAST(('0x' || substr(md5('y' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 170000) / 1000.0
+             - 85.0 AS y,
+         CAST(('0x' || substr(md5('v' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 1000 AS v
+  FROM documents
+),
+pairs AS (
+  SELECT CASE WHEN (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) < 1.0 THEN 1
+              WHEN (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) < 4.0 THEN 2
+              ELSE 3 END AS bin,
+         (a.v - b.v) * (a.v - b.v) AS sq
+  FROM pt a JOIN pt b
+    ON a.doc_id < b.doc_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 9.0
+)
+SELECT bin, count(*) AS n_pairs, CAST(sum(sq) AS BIGINT) AS sum_sq,
+       round(CAST(sum(sq) AS DOUBLE) / (2.0 * count(*)), 6) AS gamma
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["variogram"] = (q_variogram, SQL_VARIOGRAM)

@@ -6561,3 +6561,83 @@ FROM t GROUP BY source
 """
 
 QUERIES_TEXT["lang_entropy"] = (q_lang_entropy, SQL_LANG_ENTROPY)
+
+
+def q_toc_extract(spark, sf_dir):
+    """Heading-outline (table-of-contents) extraction and validation
+    (the accessibility/SEO audit pass: does the page's h1-h3 sequence
+    form a well-nested outline, i.e. no level ever jumps MORE than
+    one step deeper): deterministic page HTML (1-in-7 pages start at
+    h3 — broken), heading levels pulled with one regexp_extract_all,
+    adjacency checked with zip_with over shifted slices (argument
+    arrays evaluate once per ROW — the established guard against the
+    element_at-in-transform O(n^2) inlining trap). Per-source
+    rollup of outline health."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    body = F.concat(
+        F.lit("<h1>t</h1>"),
+        F.repeat(F.lit("<h2>s</h2><h3>p</h3>"),
+                 (i % 3 + 1).cast("int")))
+    html = F.when(i % 7 == 0,
+                  F.concat(F.lit("<h3>x</h3>"), body)).otherwise(body)
+    pages = d.select("doc_id", "source", html.alias("html"))
+    levels = F.expr(
+        "transform(regexp_extract_all(html, '<h([123])>', 1),"
+        " x -> cast(x AS int))")
+    pages = pages.withColumn("lv", levels)
+    nxt = F.slice(F.col("lv"), 2, F.size("lv") - 1)
+    prv = F.slice(F.col("lv"), 1, F.size("lv") - 1)
+    ok_steps = F.forall(
+        F.zip_with(nxt, prv, lambda n, p: n <= p + 1),
+        lambda b: b)
+    well = (F.element_at(F.col("lv"), 1) == 1) & ok_steps
+    per = pages.select(
+        "source",
+        F.size(F.filter(F.col("lv"), lambda x: x == 1)).alias("h1"),
+        F.size(F.filter(F.col("lv"), lambda x: x == 2)).alias("h2"),
+        F.size(F.filter(F.col("lv"), lambda x: x == 3)).alias("h3"),
+        well.cast("long").alias("ok"))
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum("h1").alias("n_h1"),
+                 F.sum("h2").alias("n_h2"),
+                 F.sum("h3").alias("n_h3"),
+                 F.sum("ok").alias("n_well_formed")))
+
+
+SQL_TOC = """
+WITH pages AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN '<h3>x</h3>' ELSE '' END
+         || '<h1>t</h1>'
+         || repeat('<h2>s</h2><h3>p</h3>', CAST(doc_id % 3 + 1 AS INT))
+             AS html
+  FROM documents
+),
+lv AS (
+  SELECT doc_id, source,
+         list_transform(regexp_extract_all(html, '<h([123])>', 1),
+                        x -> CAST(x AS INT)) AS l
+  FROM pages
+),
+checked AS (
+  SELECT doc_id, source,
+         len(list_filter(l, x -> x = 1)) AS h1,
+         len(list_filter(l, x -> x = 2)) AS h2,
+         len(list_filter(l, x -> x = 3)) AS h3,
+         CASE WHEN l[1] = 1 AND NOT EXISTS (
+                SELECT 1 FROM (SELECT unnest(range(1, len(l))) AS i)
+                WHERE l[i + 1] > l[i] + 1)
+              THEN 1 ELSE 0 END AS ok
+  FROM lv
+)
+SELECT source, count(*) AS n_pages,
+       CAST(sum(h1) AS BIGINT) AS n_h1,
+       CAST(sum(h2) AS BIGINT) AS n_h2,
+       CAST(sum(h3) AS BIGINT) AS n_h3,
+       CAST(sum(ok) AS BIGINT) AS n_well_formed
+FROM checked GROUP BY source
+"""
+
+QUERIES_TEXT["toc_extract"] = (q_toc_extract, SQL_TOC)
