@@ -606,3 +606,18 @@ def test_bib_coupling_no_posting_self_join(spark):
                    "ShuffledHashJoin"))
     assert n_joins <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_scatter_pair_family_equi_joins_only(spark):
+    # knox/idw_loocv/variogram/clark_evans all generate pair
+    # candidates via the 3x3 cell scatter: the join MUST be a hash/
+    # sort-merge equi-join on cells — a nested loop means the distance
+    # predicate leaked into the join condition
+    from pyproj_spark.queries import (q_clark_evans, q_idw_loocv,
+                                      q_variogram)
+    for q in (q_idw_loocv, q_variogram, q_clark_evans):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+                or "ShuffledHashJoin" in plan), q.__name__

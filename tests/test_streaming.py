@@ -501,3 +501,52 @@ def test_geofence_group_spanning_many_arrow_chunks(spark, tmp_path):
         assert got == expected
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """Streaming CUSUM over day-ordered micro-batches must equal the
+    batch prefix-sum identity over the same rows — integer state, so
+    trigger boundaries cannot change the excursion."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyproj_spark.streaming.cusum import streaming_cusum
+
+    # 6 hosts x 24 days, integer volumes with a mid-series drift
+    rows = spark.range(0, 6 * 24).select(
+        (F.col("id") % 6).cast("string").alias("source"),
+        F.floor(F.col("id") / 6).alias("day"),
+        (100 + (F.col("id") * 37 % 23)
+         + F.when(F.floor(F.col("id") / 6) >= 15,
+                  (F.col("id") % 6) * 9).otherwise(0)).alias("y"),
+        F.lit(110).alias("target"))
+    src = str(tmp_path / "src")
+    # write in day order so triggers consume days monotonically
+    for lo, hi in ((0, 8), (8, 16), (16, 24)):
+        (rows.filter((F.col("day") >= lo) & (F.col("day") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(rows.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_cusum(stream)
+    q = (out.writeStream.format("memory").queryName("cusum_stream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (spark.sql(
+        "select source, max(cus_max) as cus_max from cusum_stream "
+        "group by source").toPandas()
+        .set_index("source").sort_index())
+    # batch replay: P_t - min(0, P_1..P_t), max over t
+    wo = (Window.partitionBy("source").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    batch = (rows.withColumn("dev", F.col("y") - F.col("target"))
+             .withColumn("p", F.sum("dev").over(wo))
+             .withColumn("runmin",
+                         F.min(F.least(F.col("p"), F.lit(0))).over(wo))
+             .withColumn("cus", F.col("p") - F.col("runmin"))
+             .groupBy("source").agg(F.max("cus").alias("cus_max"))
+             .toPandas().set_index("source").sort_index())
+    assert list(got.index) == list(batch.index)
+    assert (got["cus_max"] == batch["cus_max"]).all()
