@@ -254,6 +254,15 @@ for _z in range(17, 26):
     _PROJECTED[31960 + _z] = (
         f"SIRGAS 2000 / UTM zone {_z}S", "SIRGAS2000",
         dict(proj="utm", zone=_z, south=True), "enu", 1.0)
+# Norway NTM zones 5-30 (EPSG 5105-5130): ETRS89 tmerc with k_0 = 1,
+# lat_0 = 58, x_0 = 100 000, y_0 = 1 000 000, central meridians at
+# zone + 0.5 degrees — the construction-survey ladder used where
+# UTM's 0.9996 scale error is out of tolerance.
+for _z in range(5, 31):
+    _PROJECTED[5100 + _z] = (
+        f"ETRS89 / NTM zone {_z}", "ETRS89",
+        dict(proj="tmerc", lat_0=58, lon_0=_z + 0.5, k_0=1.0,
+             x_0=100000, y_0=1000000), "neu", 1.0)
 # SWEREF99 local projection zones (EPSG 3007-3018): the Swedish
 # municipal ladder replacing RT90 — tmerc, k_0 = 1 exactly,
 # x_0 = 150 000, central meridians on a 12..23.25-degree comb

@@ -268,3 +268,34 @@ class TestSwerefLadder:
         lon, lat = xy("EPSG:3011", "EPSG:4619", x, y)
         assert lon == pytest.approx(18.06, abs=1e-9)
         assert lat == pytest.approx(59.33, abs=1e-9)
+
+
+class TestNorwayNTM:
+    """ETRS89 / NTM zones 5-30 (EPSG 5105-5130)."""
+
+    def test_projection_origin_is_exact(self):
+        # at (lon_0, lat_0) a tmerc with k_0=1 maps EXACTLY to the
+        # false origin: easting 100 000, northing 1 000 000
+        for z in (5, 12, 23, 30):
+            x, y = xy("EPSG:4258", f"EPSG:{5100 + z}", z + 0.5, 58.0)
+            assert x == pytest.approx(100000.0, abs=1e-7), z
+            assert y == pytest.approx(1000000.0, abs=1e-7), z
+
+    def test_k0_one_arc_matches_sweref_local(self):
+        # both ladders are tmerc with k_0 = 1 on GRS80, so the
+        # northing GROWTH along the central meridian between two
+        # latitudes is the same meridian arc in both — despite
+        # different lat_0 / false origins (NTM zone 14, CM 14.5;
+        # SWEREF99 14 15, CM 14.25 — the CM offset is irrelevant ON
+        # the CM)
+        _, n1 = xy("EPSG:4258", "EPSG:5114", 14.5, 59.0)
+        _, n0 = xy("EPSG:4258", "EPSG:5114", 14.5, 58.0)
+        _, s1 = xy("EPSG:4619", "EPSG:3012", 14.25, 59.0)
+        _, s0 = xy("EPSG:4619", "EPSG:3012", 14.25, 58.0)
+        assert (n1 - n0) == pytest.approx(s1 - s0, abs=1e-7)
+
+    def test_roundtrip(self):
+        x, y = xy("EPSG:4258", "EPSG:5110", 10.75, 59.91)
+        lon, lat = xy("EPSG:5110", "EPSG:4258", x, y)
+        assert lon == pytest.approx(10.75, abs=1e-9)
+        assert lat == pytest.approx(59.91, abs=1e-9)
