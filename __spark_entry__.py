@@ -100,6 +100,7 @@ def _interleaved() -> dict[str, tuple]:
         "hapax_ratio", "heaps_fit", "raster_upsample",
         "clark_evans", "hill_alpha", "lang_entropy",
         "variogram", "toc_extract",
+        "kendall_tau", "sitemap_discovery", "email_deobfuscate",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

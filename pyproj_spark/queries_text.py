@@ -6641,3 +6641,246 @@ FROM checked GROUP BY source
 """
 
 QUERIES_TEXT["toc_extract"] = (q_toc_extract, SQL_TOC)
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-a rank correlation between two retrieval scorers
+    (the eval-suite companion to quality_auc and ndcg_eval: do BM25ish
+    and TFIDFish agree on ORDER, not just on top-k): per query,
+    concordant minus discordant pairs over all candidate pairs —
+    exact integer pair counting, one division at the end. Scale
+    shape: candidates are the top-48 per query (a key-partitioned
+    window), so the pair
+    join is per-query quadratic in a CONSTANT, not in corpus size —
+    the zone_diameter cap pattern."""
+    d = _docs(spark, sf_dir)
+    cand = (d.select("doc_id",
+                     F.explode(F.array(*[F.lit(q) for q in range(12)]))
+                     .alias("qid"))
+            .filter((F.col("doc_id") + F.col("qid")) % 7 < 1)
+            .select("qid", "doc_id",
+                    ((F.col("doc_id") * 31 + F.col("qid") * 17) % 997)
+                    .alias("s1"),
+                    ((F.col("doc_id") * 13 + F.col("qid") * 5) % 991)
+                    .alias("s2")))
+    wr = Window.partitionBy("qid").orderBy(F.desc("s1"), "doc_id")
+    cand = (cand.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= 48).drop("rk"))
+    a = cand.select("qid", F.col("doc_id").alias("ia"),
+                    F.col("s1").alias("x1"), F.col("s2").alias("y1"))
+    b = cand.select("qid", F.col("doc_id").alias("ib"),
+                    F.col("s1").alias("x2"), F.col("s2").alias("y2"))
+    pairs = (a.join(b, "qid").filter(F.col("ia") < F.col("ib")))
+    sgn = (F.signum((F.col("x1") - F.col("x2")).cast("double"))
+           * F.signum((F.col("y1") - F.col("y2")).cast("double")))
+    return (pairs.groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(sgn.cast("long")).alias("s"))
+            .select("qid", "n_pairs", "s",
+                    F.round(F.col("s").cast("double")
+                            / F.col("n_pairs").cast("double"), 6)
+                    .alias("tau_a"))
+            .orderBy("qid"))
+
+
+SQL_KENDALL = """
+WITH cand0 AS (
+  SELECT q.qid, d.doc_id,
+         (d.doc_id * 31 + q.qid * 17) % 997 AS s1,
+         (d.doc_id * 13 + q.qid * 5) % 991 AS s2
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(12)) AS qid) q
+  WHERE (d.doc_id + q.qid) % 7 < 1
+),
+cand AS (
+  SELECT qid, doc_id, s1, s2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY s1 DESC, doc_id) AS rk
+    FROM cand0)
+  WHERE rk <= 48
+),
+pairs AS (
+  SELECT a.qid,
+         CAST(sign(a.s1 - b.s1) * sign(a.s2 - b.s2) AS BIGINT) AS c
+  FROM cand a JOIN cand b
+    ON a.qid = b.qid AND a.doc_id < b.doc_id
+)
+SELECT qid, count(*) AS n_pairs, CAST(sum(c) AS BIGINT) AS s,
+       round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS tau_a
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES_TEXT["kendall_tau"] = (q_kendall_tau, SQL_KENDALL)
+
+
+def q_sitemap_discovery(spark, sf_dir):
+    """Sitemap discovery through robots.txt (RFC 9309 section 2.3's
+    one cross-cutting directive: `Sitemap:` lines are outside any
+    user-agent group): synthetic per-host robots files advertise 0-2
+    sitemap URLs (1-in-5 hosts advertise none — the crawl must fall
+    back to /sitemap.xml probing); the directive extraction is one
+    regexp_extract_all over the file, and the discovered set joins
+    against the hosts' actual sitemap inventory to classify
+    advertised+present / advertised-but-missing / orphan. The
+    dangling-edge accounting every crawl scheduler runs."""
+    d = _docs(spark, sf_dir)
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+    hosts = d.select(host.alias("host")).distinct()
+    hid = F.regexp_extract("host", r"h(\d+)", 1).cast("long")
+    sm1 = F.concat(F.lit("Sitemap: https://"), F.col("host"),
+                   F.lit("/sitemap.xml\n"))
+    sm2 = F.concat(F.lit("Sitemap: https://"), F.col("host"),
+                   F.lit("/news-map.xml\n"))
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.when(hid % 5 == 0, F.lit(""))
+            .when(hid % 2 == 0, sm1)
+            .otherwise(F.concat(sm1, sm2))).alias("txt"))
+    adv = (robots.select(
+        "host",
+        F.explode(F.expr(
+            r"regexp_extract_all(txt, 'Sitemap: (\\S+)', 1)"))
+        .alias("url")))
+    # the hosts' REAL sitemap inventory: every host serves
+    # /sitemap.xml; only hosts with hid % 3 = 0 also serve news-map
+    inv = (hosts.select(
+        "host",
+        F.explode(F.when(
+            hid % 3 == 0,
+            F.array(F.concat(F.lit("https://"), F.col("host"),
+                             F.lit("/sitemap.xml")),
+                    F.concat(F.lit("https://"), F.col("host"),
+                             F.lit("/news-map.xml"))))
+            .otherwise(F.array(
+                F.concat(F.lit("https://"), F.col("host"),
+                         F.lit("/sitemap.xml"))))).alias("url")))
+    j = (adv.withColumn("a", F.lit(1))
+         .join(inv.withColumn("b", F.lit(1)),
+               ["host", "url"], "full_outer")
+         .select(F.when(F.col("a").isNotNull()
+                        & F.col("b").isNotNull(), "ok")
+                 .when(F.col("a").isNotNull(), "advertised_missing")
+                 .otherwise("orphan").alias("status")))
+    return (j.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("status"))
+
+
+SQL_SITEMAP_DISCOVERY = """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+         doc_id % 37 AS hid
+  FROM documents
+),
+adv AS (
+  SELECT host, 'https://' || host || '/sitemap.xml' AS url
+  FROM hosts WHERE hid % 5 <> 0
+  UNION ALL
+  SELECT host, 'https://' || host || '/news-map.xml'
+  FROM hosts WHERE hid % 5 <> 0 AND hid % 2 <> 0
+),
+inv AS (
+  SELECT host, 'https://' || host || '/sitemap.xml' AS url FROM hosts
+  UNION ALL
+  SELECT host, 'https://' || host || '/news-map.xml'
+  FROM hosts WHERE hid % 3 = 0
+)
+SELECT CASE WHEN a.url IS NOT NULL AND i.url IS NOT NULL THEN 'ok'
+            WHEN a.url IS NOT NULL THEN 'advertised_missing'
+            ELSE 'orphan' END AS status,
+       count(*) AS n
+FROM adv a FULL OUTER JOIN inv i
+  ON i.host = a.host AND i.url = a.url
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES_TEXT["sitemap_discovery"] = (q_sitemap_discovery,
+                                     SQL_SITEMAP_DISCOVERY)
+
+
+def q_email_deobfuscate(spark, sf_dir):
+    """Obfuscated-contact extraction (the PII pass spam scrapers
+    forced on the world: "user [at] host [dot] com" must count as an
+    email in a privacy audit): deterministic page text embeds plain,
+    [at]/[dot]-obfuscated, and (at)/(dot)-obfuscated addresses;
+    normalization is TWO ordered regexp_replace passes in the
+    Java/RE2 common subset, then the plain-email regex of
+    operators/pii.py counts both forms. Per-source totals prove the
+    deobfuscation found exactly the planted set."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    plain = F.concat(F.lit("contact u"), i.cast("string"),
+                     F.lit("@mail"), (i % 9).cast("string"),
+                     F.lit(".example.com now"))
+    obf1 = F.concat(F.lit("or u"), i.cast("string"),
+                    F.lit(" [at] mail"), (i % 9).cast("string"),
+                    F.lit(" [dot] example [dot] com"))
+    obf2 = F.concat(F.lit("or u"), i.cast("string"),
+                    F.lit(" (at) mail"), (i % 9).cast("string"),
+                    F.lit(" (dot) example (dot) com"))
+    txt = F.when(i % 3 == 0, F.concat(plain, F.lit(" "), obf1)) \
+        .when(i % 3 == 1, F.concat(plain, F.lit(" "), obf2)) \
+        .otherwise(plain)
+    pages = d.select("doc_id", "source", txt.alias("t"))
+    deob = F.regexp_replace(
+        F.regexp_replace("t", r"\s*[\[\(]at[\]\)]\s*", "@"),
+        r"\s*[\[\(]dot[\]\)]\s*", ".")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    pages = pages.withColumn("clean", deob)
+    n_raw = F.size(F.expr(
+        f"regexp_extract_all(t, '{email_re}', 0)"))
+    n_deob = F.size(F.expr(
+        f"regexp_extract_all(clean, '{email_re}', 0)"))
+    return (pages.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.sum(n_raw.cast("long")).alias("emails_raw"),
+                 F.sum(n_deob.cast("long")).alias("emails_deob"),
+                 F.sum((n_deob > n_raw).cast("long"))
+                 .alias("pages_obfuscated")))
+
+
+SQL_EMAIL_DEOB = """
+WITH pages AS (
+  SELECT doc_id, source,
+         'contact u' || CAST(doc_id AS VARCHAR) || '@mail'
+         || CAST(doc_id % 9 AS VARCHAR) || '.example.com now'
+         || CASE WHEN doc_id % 3 = 0 THEN
+              ' or u' || CAST(doc_id AS VARCHAR) || ' [at] mail'
+              || CAST(doc_id % 9 AS VARCHAR)
+              || ' [dot] example [dot] com'
+            WHEN doc_id % 3 = 1 THEN
+              ' or u' || CAST(doc_id AS VARCHAR) || ' (at) mail'
+              || CAST(doc_id % 9 AS VARCHAR)
+              || ' (dot) example (dot) com'
+            ELSE '' END AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, t,
+         regexp_replace(regexp_replace(t,
+             '\\s*[\\[\\(]at[\\]\\)]\\s*', '@', 'g'),
+             '\\s*[\\[\\(]dot[\\]\\)]\\s*', '.', 'g') AS clean
+  FROM pages
+),
+n AS (
+  SELECT source,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0))
+             AS n_raw,
+         len(regexp_extract_all(clean,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0))
+             AS n_deob
+  FROM c
+)
+SELECT source, count(*) AS n_pages,
+       CAST(sum(n_raw) AS BIGINT) AS emails_raw,
+       CAST(sum(n_deob) AS BIGINT) AS emails_deob,
+       CAST(sum(CASE WHEN n_deob > n_raw THEN 1 ELSE 0 END) AS BIGINT)
+           AS pages_obfuscated
+FROM n GROUP BY source
+"""
+
+QUERIES_TEXT["email_deobfuscate"] = (q_email_deobfuscate,
+                                     SQL_EMAIL_DEOB)
