@@ -101,6 +101,7 @@ def _interleaved() -> dict[str, tuple]:
         "clark_evans", "hill_alpha", "lang_entropy",
         "variogram", "toc_extract",
         "kendall_tau", "sitemap_discovery", "email_deobfuscate",
+        "benford", "two_prop_test", "dem_curvature",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

@@ -11340,3 +11340,209 @@ FROM pairs GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["variogram"] = (q_variogram, SQL_VARIOGRAM)
+
+
+def q_benford(spark, sf_dir):
+    """Benford's-law first-digit audit (Benford 1938; the forensic
+    data-quality screen next to dq_checks — fabricated or truncated
+    numeric columns fail it): observed first-significant-digit counts
+    of document lengths vs expected N * log10(1 + 1/d), expectation
+    quantized to integer micros per digit so the chi-square terms
+    divide exact integers by a shared deterministic double. One
+    string-prefix projection + one 9-group agg."""
+    d = _t(spark, sf_dir, "documents")
+    digit = F.substring(F.col("n_chars").cast("string"), 1, 1) \
+        .cast("long")
+    obs = (d.filter(F.col("n_chars") > 0)
+           .groupBy(digit.alias("digit"))
+           .agg(F.count(F.lit(1)).alias("obs")))
+    tot = obs.agg(F.sum("obs").alias("n"))
+    j = obs.crossJoin(F.broadcast(tot))
+    exp_u = F.round(F.col("n").cast("double")
+                    * F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+                    * 1e6, 0).cast("long")
+    j = j.withColumn("exp_u", exp_u)
+    chi = ((F.col("obs").cast("double")
+            - F.col("exp_u").cast("double") / 1e6)
+           * (F.col("obs").cast("double")
+              - F.col("exp_u").cast("double") / 1e6)
+           / (F.col("exp_u").cast("double") / 1e6))
+    return (j.select("digit", "obs", "exp_u",
+                     F.round(chi, 6).alias("chi2_term"))
+            .orderBy("digit"))
+
+
+SQL_BENFORD = """
+WITH obs AS (
+  SELECT CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT)
+             AS digit,
+         count(*) AS obs
+  FROM documents WHERE n_chars > 0
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
+j AS (
+  SELECT digit, obs, n,
+         CAST(round(CAST(n AS DOUBLE)
+                    * log10(1.0 + 1.0 / digit) * 1e6, 0) AS BIGINT)
+             AS exp_u
+  FROM obs CROSS JOIN tot
+)
+SELECT digit, obs, exp_u,
+       round((obs - CAST(exp_u AS DOUBLE) / 1e6)
+             * (obs - CAST(exp_u AS DOUBLE) / 1e6)
+             / (CAST(exp_u AS DOUBLE) / 1e6), 6) AS chi2_term
+FROM j ORDER BY digit
+"""
+
+QUERIES["benford"] = (q_benford, SQL_BENFORD)
+
+
+def q_two_prop_test(spark, sf_dir):
+    """Two-proportion z-test (the A/B-test readout): users split into
+    arms by user_id parity; success = the user ever purchased.
+    Wald z with pooled variance from FIVE exact integers (n, k per
+    arm + pooled), one closed form at the end — the experimentation
+    primitive next to quality_auc (offline) and burst_detect
+    (temporal). Per-user success first (one distinct), then one
+    1-row reduction."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg((F.sum((F.col("event_type") == "purchase")
+                            .cast("long")) >= 14).cast("long")
+                     .alias("converted"))
+                .withColumn("arm", (F.col("user_id") % 2).cast("long")))
+    agg = (per_user.groupBy("arm")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("converted").alias("k")))
+    a = agg.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1"))
+    b = agg.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n2"), F.col("k").alias("k2"))
+    j = a.crossJoin(b)
+    n1, k1 = F.col("n1").cast("double"), F.col("k1").cast("double")
+    n2, k2 = F.col("n2").cast("double"), F.col("k2").cast("double")
+    p1, p2 = k1 / n1, k2 / n2
+    pp = (k1 + k2) / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    return j.select("n1", "k1", "n2", "k2",
+                    F.round(p1 - p2, 6).alias("lift"),
+                    F.round(z, 6).alias("z"))
+
+
+SQL_TWO_PROP = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted,
+         user_id % 2 AS arm
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS k
+  FROM per_user GROUP BY arm
+),
+j AS (
+  SELECT a.n AS n1, a.k AS k1, b.n AS n2, b.k AS k2
+  FROM (SELECT n, k FROM agg WHERE arm = 0) a
+  CROSS JOIN (SELECT n, k FROM agg WHERE arm = 1) b
+)
+SELECT n1, k1, n2, k2,
+       round(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2, 6)
+           AS lift,
+       round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+             / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                    * (1.0 / n1 + 1.0 / n2)), 6) AS z
+FROM j
+"""
+
+QUERIES["two_prop_test"] = (q_two_prop_test, SQL_TWO_PROP)
+
+
+def q_dem_curvature(spark, sf_dir):
+    """Terrain curvature (Zevenbergen & Thorne 1987) over the density
+    DEM: per occupied cell the exact integer second differences —
+    d2x = z_w + z_e - 2z, d2y = z_s + z_n - 2z, the cross term
+    -z_nw + z_ne + z_sw - z_se, and the Laplacian d2x + d2y (the
+    convexity raster driving ridge/valley classification). Same
+    scatter-sum shape as dem_slope/terrain_tpi: each occupied cell
+    throws integer-weighted contributions (self weight -2 via the
+    (0,0) offset), one hash agg gathers, missing neighbors are
+    implicit zeros."""
+    pts = _doc_points(spark, sf_dir)
+    ras = (pts.select(F.floor(F.col("lon") / 6).cast("long").alias("gx"),
+                      F.floor(F.col("lat") / 6).cast("long").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("cnt")))
+    offs = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            wx2 = (1 if (abs(ox) == 1 and oy == 0) else
+                   (-2 if (ox == 0 and oy == 0) else 0))
+            wy2 = (1 if (abs(oy) == 1 and ox == 0) else
+                   (-2 if (ox == 0 and oy == 0) else 0))
+            wc = (-1 if (ox, oy) in ((-1, 1), (1, -1)) else
+                  (1 if (ox, oy) in ((1, 1), (-1, -1)) else 0))
+            if wx2 == 0 and wy2 == 0 and wc == 0:
+                continue
+            offs.append(F.struct(
+                F.lit(ox).alias("ox"), F.lit(oy).alias("oy"),
+                F.lit(wx2).alias("wx2"), F.lit(wy2).alias("wy2"),
+                F.lit(wc).alias("wc")))
+    sc = (ras.select("gx", "gy", "cnt",
+                     F.explode(F.array(*offs)).alias("o"))
+          .select((F.col("gx") - F.col("o.ox")).alias("tx"),
+                  (F.col("gy") - F.col("o.oy")).alias("ty"),
+                  (F.col("cnt") * F.col("o.wx2")).alias("c2x"),
+                  (F.col("cnt") * F.col("o.wy2")).alias("c2y"),
+                  (F.col("cnt") * F.col("o.wc")).alias("cc")))
+    curv = (sc.groupBy("tx", "ty")
+            .agg(F.sum("c2x").alias("d2x"), F.sum("c2y").alias("d2y"),
+                 F.sum("cc").alias("cross4")))
+    occupied = ras.select(F.col("gx").alias("tx"),
+                          F.col("gy").alias("ty"))
+    return (occupied.join(curv, ["tx", "ty"], "left")
+            .select("tx", "ty",
+                    F.coalesce("d2x", F.lit(0)).alias("d2x"),
+                    F.coalesce("d2y", F.lit(0)).alias("d2y"),
+                    F.coalesce("cross4", F.lit(0)).alias("cross4"))
+            .withColumn("laplacian", F.col("d2x") + F.col("d2y")))
+
+
+SQL_DEM_CURVATURE = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor(lon / 6) AS BIGINT) AS gx,
+         CAST(floor(lat / 6) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+offs AS (
+  SELECT * FROM (VALUES
+    (-1, 0, 1, 0, 0), (1, 0, 1, 0, 0),
+    (0, -1, 0, 1, 0), (0, 1, 0, 1, 0),
+    (0, 0, -2, -2, 0),
+    (-1, 1, 0, 0, -1), (1, -1, 0, 0, -1),
+    (1, 1, 0, 0, 1), (-1, -1, 0, 0, 1)
+  ) t(ox, oy, wx2, wy2, wc)
+),
+sc AS (
+  SELECT gx - ox AS tx, gy - oy AS ty,
+         cnt * wx2 AS c2x, cnt * wy2 AS c2y, cnt * wc AS cc
+  FROM ras CROSS JOIN offs
+),
+curv AS (
+  SELECT tx, ty, CAST(sum(c2x) AS BIGINT) AS d2x,
+         CAST(sum(c2y) AS BIGINT) AS d2y,
+         CAST(sum(cc) AS BIGINT) AS cross4
+  FROM sc GROUP BY 1, 2
+)
+SELECT r.gx AS tx, r.gy AS ty,
+       coalesce(c.d2x, 0) AS d2x, coalesce(c.d2y, 0) AS d2y,
+       coalesce(c.cross4, 0) AS cross4,
+       coalesce(c.d2x, 0) + coalesce(c.d2y, 0) AS laplacian
+FROM ras r LEFT JOIN curv c ON c.tx = r.gx AND c.ty = r.gy
+"""
+
+QUERIES["dem_curvature"] = (q_dem_curvature, SQL_DEM_CURVATURE)
