@@ -11546,3 +11546,250 @@ FROM ras r LEFT JOIN curv c ON c.tx = r.gx AND c.ty = r.gy
 """
 
 QUERIES["dem_curvature"] = (q_dem_curvature, SQL_DEM_CURVATURE)
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test per host (the randomness check on a
+    daily volume sequence — too FEW runs means regime persistence,
+    too many means oscillation; completes the nonparametric suite
+    with ks_interarrival and quadrat_csr): days flagged above/below
+    the host's median daily volume (exact lower median by
+    row_number), runs counted as flag-change islands (one lag
+    window), and the z-score from the exact integer triple
+    (n_plus, n_minus, runs) via the closed-form mean/variance.
+    Ties-on-median days are excluded, the textbook treatment."""
+    d = _t(spark, sf_dir, "documents")
+    # day decorrelated from source: doc_id % 30 shares residues with
+    # the source assignment and collapses to 3 days per host
+    daily = (d.select("source",
+                      (F.floor(F.col("doc_id") / 20).cast("long")
+                       % 30).alias("day"), "n_chars")
+             .groupBy("source", "day")
+             .agg(F.sum("n_chars").alias("y")))
+    wv = Window.partitionBy("source").orderBy("y", "day")
+    cnt = Window.partitionBy("source")
+    med = (daily.withColumn("rn", F.row_number().over(wv))
+           .withColumn("n", F.count(F.lit(1)).over(cnt))
+           .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+           .select("source", F.col("y").alias("med")))
+    t = (daily.join(med, "source")
+         .filter(F.col("y") != F.col("med"))
+         .select("source", "day",
+                 (F.col("y") > F.col("med")).cast("int").alias("f")))
+    wo = Window.partitionBy("source").orderBy("day")
+    t = t.withColumn("chg", F.when(
+        F.lag("f").over(wo).isNull()
+        | (F.lag("f").over(wo) != F.col("f")), 1).otherwise(0))
+    agg = (t.groupBy("source")
+           .agg(F.sum("chg").alias("runs"),
+                F.sum("f").alias("n_plus"),
+                F.sum(F.lit(1) - F.col("f")).alias("n_minus")))
+    np_, nm = F.col("n_plus").cast("double"), \
+        F.col("n_minus").cast("double")
+    n = np_ + nm
+    mu = 2.0 * np_ * nm / n + 1.0
+    var = (2.0 * np_ * nm * (2.0 * np_ * nm - n)
+           / (n * n * (n - 1.0)))
+    # guard BEFORE the division: ANSI mode evaluates the projection
+    # expression for every aggregated row, filter or not, and a
+    # 1-up/1-down host has variance exactly 0
+    z = F.when(var > 0,
+               (F.col("runs").cast("double") - mu) / F.sqrt(var))
+    return (agg.filter((F.col("n_plus") > 0) & (F.col("n_minus") > 0)
+                       & (2 * F.col("n_plus") * F.col("n_minus")
+                          > F.col("n_plus") + F.col("n_minus")))
+            .select("source", "runs", "n_plus", "n_minus",
+                    F.round(z, 6).alias("z")))
+
+
+SQL_RUNS_TEST = """
+WITH daily AS (
+  SELECT source, CAST(floor(doc_id / 20.0) AS BIGINT) % 30 AS day,
+         CAST(sum(n_chars) AS BIGINT) AS y
+  FROM documents GROUP BY 1, 2
+),
+med AS (
+  SELECT source, y AS med FROM (
+    SELECT source, y,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY y, day) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM daily)
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+),
+t AS (
+  SELECT d.source, d.day,
+         CASE WHEN d.y > m.med THEN 1 ELSE 0 END AS f
+  FROM daily d JOIN med m ON m.source = d.source
+  WHERE d.y <> m.med
+),
+runs AS (
+  SELECT source, day, f,
+         CASE WHEN lag(f) OVER w IS NULL
+                OR lag(f) OVER w <> f THEN 1 ELSE 0 END AS chg
+  FROM t
+  WINDOW w AS (PARTITION BY source ORDER BY day)
+),
+agg AS (
+  SELECT source, CAST(sum(chg) AS BIGINT) AS runs,
+         CAST(sum(f) AS BIGINT) AS n_plus,
+         CAST(sum(1 - f) AS BIGINT) AS n_minus
+  FROM runs GROUP BY source
+)
+SELECT source, runs, n_plus, n_minus,
+       round((runs - (2.0 * n_plus * n_minus
+                      / (n_plus + n_minus) + 1.0))
+             / sqrt(2.0 * n_plus * n_minus
+                    * (2.0 * n_plus * n_minus - (n_plus + n_minus))
+                    / (CAST(n_plus + n_minus AS DOUBLE)
+                       * (n_plus + n_minus)
+                       * (n_plus + n_minus - 1.0))), 6) AS z
+FROM agg WHERE n_plus > 0 AND n_minus > 0
+  AND 2 * n_plus * n_minus > n_plus + n_minus
+"""
+
+QUERIES["runs_test"] = (q_runs_test, SQL_RUNS_TEST)
+
+
+#: three fixed facility sites (lon, lat) — shared by both engines
+FACILITY_SITES = [(0, -120.0, 40.0), (1, 10.0, 50.0), (2, 115.0, -25.0)]
+
+
+def q_nearest_facility(spark, sf_dir):
+    """Nearest-facility (discrete Voronoi) assignment: every doc
+    point routes to its nearest of three fixed sites by squared
+    Euclidean degree distance (argmin folded into one min_by-free
+    least-chain so both engines break ties identically), then
+    per-site service-area stats with integer-micro distance sums —
+    the service-territory primitive under every fleet dispatcher.
+    Scale shape: 3 literal comparisons per row, zero joins, one
+    agg."""
+    pts = _doc_points(spark, sf_dir)
+    d2s = [((F.col("lon") - F.lit(sx)) * (F.col("lon") - F.lit(sx))
+            + (F.col("lat") - F.lit(sy)) * (F.col("lat") - F.lit(sy)))
+           for _, sx, sy in FACILITY_SITES]
+    best = F.least(*d2s)
+    site = (F.when(d2s[0] == best, 0)
+            .when(d2s[1] == best, 1).otherwise(2))
+    t = pts.select(site.alias("site"),
+                   F.round(F.sqrt(best) * 1e6, 0).cast("long")
+                   .alias("dist_u"))
+    return (t.groupBy("site")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("dist_u").alias("sum_dist_u"),
+                 F.max("dist_u").alias("max_dist_u"))
+            .orderBy("site"))
+
+
+def _nearest_facility_sql():
+    d2 = ["(lon - ({x})) * (lon - ({x})) + (lat - ({y})) "
+          "* (lat - ({y}))".format(x=x, y=y)
+          for _, x, y in FACILITY_SITES]
+    best = f"least({d2[0]}, {d2[1]}, {d2[2]})"
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+t AS (
+  SELECT CASE WHEN {d2[0]} = {best} THEN 0
+              WHEN {d2[1]} = {best} THEN 1 ELSE 2 END AS site,
+         CAST(round(sqrt({best}) * 1e6, 0) AS BIGINT) AS dist_u
+  FROM pts
+)
+SELECT site, count(*) AS n_points,
+       CAST(sum(dist_u) AS BIGINT) AS sum_dist_u,
+       max(dist_u) AS max_dist_u
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["nearest_facility"] = (q_nearest_facility,
+                               _nearest_facility_sql())
+
+
+def q_two_sfca(spark, sf_dir):
+    """Two-step floating catchment area accessibility (Luo & Wang
+    2003 — the standard spatial-accessibility measure in health
+    geography): step 1 gives each supply cell a ratio R_j = S_j /
+    (demand within its catchment); step 2 sums R_j over the supply
+    cells reachable from each demand cell. Catchment = the 3x3
+    neighborhood of 10-degree cells, both steps pure equi-join
+    scatters; R quantizes to integer nanos between the steps so the
+    final accessibility is an exact long sum. Supply = top-12 density
+    cells (count as capacity), demand = all points."""
+    pts = _doc_points(spark, sf_dir)
+    cell = pts.select(
+        F.floor((F.col("lon") + 180.0) / 10).alias("cx"),
+        F.floor((F.col("lat") + 85.0) / 10).alias("cy"))
+    dem = cell.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("d"))
+    sup = (dem.orderBy(F.col("d").desc(), "cx", "cy").limit(12)
+           .select(F.col("cx").alias("sx"), F.col("cy").alias("sy"),
+                   F.col("d").alias("s")))
+    d9 = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                   for dx in range(-1, 2) for dy in range(-1, 2)])
+    # step 1: demand reachable from each supply cell
+    reach = (sup.select("sx", "sy", "s", F.explode(d9).alias("k"))
+             .select("sx", "sy", "s",
+                     (F.col("sx") + F.col("k.dx")).alias("cx"),
+                     (F.col("sy") + F.col("k.dy")).alias("cy")))
+    r = (reach.join(dem, ["cx", "cy"])
+         .groupBy("sx", "sy", "s")
+         .agg(F.sum("d").alias("dem_in")))
+    r = r.select("sx", "sy",
+                 F.round(F.col("s").cast("double")
+                         / F.col("dem_in").cast("double") * 1e9, 0)
+                 .cast("long").alias("r_u"))
+    # step 2: accessibility of each demand cell = sum of reachable R
+    cover = (r.select("sx", "sy", "r_u", F.explode(d9).alias("k"))
+             .select((F.col("sx") + F.col("k.dx")).alias("cx"),
+                     (F.col("sy") + F.col("k.dy")).alias("cy"),
+                     F.col("r_u")))
+    acc = (dem.join(cover, ["cx", "cy"])
+           .groupBy("cx", "cy", "d")
+           .agg(F.sum("r_u").alias("acc_u"),
+                F.count(F.lit(1)).alias("n_sites")))
+    return acc.select("cx", "cy", "d", "n_sites", "acc_u",
+                      F.round(F.col("acc_u").cast("double") / 1e9, 6)
+                      .alias("accessibility"))
+
+
+SQL_TWO_SFCA = f"""
+WITH pts AS ({_PTS_SQL}),
+dem AS (
+  SELECT CAST(floor((lon + 180.0) / 10) AS BIGINT) AS cx,
+         CAST(floor((lat + 85.0) / 10) AS BIGINT) AS cy,
+         count(*) AS d
+  FROM pts GROUP BY 1, 2
+),
+sup AS (
+  SELECT cx AS sx, cy AS sy, d AS s FROM dem
+  ORDER BY d DESC, cx, cy LIMIT 12
+),
+offs AS (
+  SELECT a.dx, b.dy
+  FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+       (SELECT unnest([-1, 0, 1]) AS dy) b
+),
+r AS (
+  SELECT sx, sy,
+         CAST(round(CAST(max(s) AS DOUBLE)
+                    / CAST(sum(d) AS DOUBLE) * 1e9, 0) AS BIGINT)
+             AS r_u
+  FROM (
+    SELECT sup.sx, sup.sy, sup.s, dem.d
+    FROM sup CROSS JOIN offs
+    JOIN dem ON dem.cx = sup.sx + offs.dx
+            AND dem.cy = sup.sy + offs.dy) q
+  GROUP BY 1, 2
+),
+cover AS (
+  SELECT r.sx + offs.dx AS cx, r.sy + offs.dy AS cy, r.r_u
+  FROM r CROSS JOIN offs
+)
+SELECT dem.cx, dem.cy, dem.d, count(*) AS n_sites,
+       CAST(sum(cover.r_u) AS BIGINT) AS acc_u,
+       round(CAST(sum(cover.r_u) AS DOUBLE) / 1e9, 6)
+           AS accessibility
+FROM dem JOIN cover ON cover.cx = dem.cx AND cover.cy = dem.cy
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["two_sfca"] = (q_two_sfca, SQL_TWO_SFCA)

@@ -6133,8 +6133,11 @@ def q_cusum_drift(spark, sf_dir):
     every CUSUM value hashes unrounded. Output: per host the max
     excursion and the day it peaks."""
     d = _docs(spark, sf_dir)
-    daily = (d.select("source", (F.col("doc_id") % 30).alias("day"),
-                      "n_chars")
+    # day decorrelated from the source assignment (doc_id % 30 shares
+    # residues with source and collapses to 3 days per host)
+    daily = (d.select("source",
+                      (F.floor(F.col("doc_id") / 20).cast("long")
+                       % 30).alias("day"), "n_chars")
              .groupBy("source", "day")
              .agg(F.sum("n_chars").alias("y")))
     per_host = Window.partitionBy("source")
@@ -6163,7 +6166,7 @@ def q_cusum_drift(spark, sf_dir):
 
 SQL_CUSUM = """
 WITH daily AS (
-  SELECT source, doc_id % 30 AS day,
+  SELECT source, CAST(floor(doc_id / 20.0) AS BIGINT) % 30 AS day,
          CAST(sum(n_chars) AS BIGINT) AS y
   FROM documents GROUP BY 1, 2
 ),
