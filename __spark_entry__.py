@@ -103,6 +103,7 @@ def _interleaved() -> dict[str, tuple]:
         "kendall_tau", "sitemap_discovery", "email_deobfuscate",
         "benford", "two_prop_test", "dem_curvature",
         "runs_test", "nearest_facility", "two_sfca",
+        "raster_hist_eq", "chi2_features", "stylometry_delta",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

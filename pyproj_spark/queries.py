@@ -11793,3 +11793,71 @@ GROUP BY 1, 2, 3
 """
 
 QUERIES["two_sfca"] = (q_two_sfca, SQL_TWO_SFCA)
+
+
+def q_raster_hist_eq(spark, sf_dir):
+    """Histogram equalization of the density raster (the contrast
+    stretch every map-tile renderer applies before colorizing): the
+    classic remap out = floor((cdf(v) - cdf_min) * 255 / (n - 1 -
+    cdf_min)) computed ENTIRELY in exact integers — histogram of cell
+    values, one cumulative window over the (tiny) value domain, a
+    broadcast join back to cells. Never a per-pixel sort: the window
+    runs over DISTINCT VALUES (bounded by the value range), not over
+    cells."""
+    pts = _doc_points(spark, sf_dir)
+    # 16x16 grid: occupied-cell values must COLLIDE for a histogram
+    # to exist (a 64x64 grid at gate scale gives every cell v=1 — a
+    # single-value histogram and a zero denominator)
+    ras = (pts.select(F.floor((F.col("lon") + 180.0) / 360.0 * 16)
+                      .cast("long").alias("gx"),
+                      F.floor((F.col("lat") + 85.0) / 170.0 * 16)
+                      .cast("long").alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("v")))
+    hist = ras.groupBy("v").agg(F.count(F.lit(1)).alias("h"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.withColumn("cdf", F.sum("h").over(wv))
+    tot = cdf.agg(F.max("cdf").alias("n"),
+                  F.min("cdf").alias("cdf_min"))
+    remap = (cdf.crossJoin(F.broadcast(tot))
+             .select("v", F.floor(
+                 (F.col("cdf") - F.col("cdf_min")).cast("double")
+                 * 255.0
+                 / F.greatest(F.col("n") - F.col("cdf_min"),
+                              F.lit(1)).cast("double"))
+                 .cast("long").alias("eq")))
+    out = ras.join(F.broadcast(remap), "v")
+    return (out.groupBy("eq")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.min("v").alias("v_lo"), F.max("v").alias("v_hi"))
+            .orderBy("eq"))
+
+
+SQL_RASTER_HIST_EQ = f"""
+WITH pts AS ({_PTS_SQL}),
+ras AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT) AS gx,
+         CAST(floor((lat + 85.0) / 170.0 * 16) AS BIGINT) AS gy,
+         count(*) AS v
+  FROM pts GROUP BY 1, 2
+),
+hist AS (SELECT v, count(*) AS h FROM ras GROUP BY 1),
+cdf AS (
+  SELECT v, CAST(sum(h) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cdf
+  FROM hist
+),
+tot AS (SELECT max(cdf) AS n, min(cdf) AS cdf_min FROM cdf),
+remap AS (
+  SELECT v, CAST(floor(CAST(cdf - cdf_min AS DOUBLE) * 255.0
+                       / CAST(greatest(n - cdf_min, 1) AS DOUBLE))
+              AS BIGINT) AS eq
+  FROM cdf CROSS JOIN tot
+)
+SELECT remap.eq, count(*) AS n_cells,
+       min(ras.v) AS v_lo, max(ras.v) AS v_hi
+FROM ras JOIN remap ON remap.v = ras.v
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["raster_hist_eq"] = (q_raster_hist_eq, SQL_RASTER_HIST_EQ)

@@ -6887,3 +6887,186 @@ FROM n GROUP BY source
 
 QUERIES_TEXT["email_deobfuscate"] = (q_email_deobfuscate,
                                      SQL_EMAIL_DEOB)
+
+
+def q_chi2_features(spark, sf_dir):
+    """Chi-square feature selection (Yang & Pedersen 1997 — the
+    classic term-class association screen before training a text
+    classifier): per (token, lang) the 2x2 contingency chi-square
+    from FOUR exact document counts (a = docs of the class containing
+    the term, b = other docs containing it, c/d their complements),
+    chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)) with the numerator
+    and every marginal exact integers, one division per row. df >= 10
+    bounds output to informative terms; top-3 per lang by score with
+    token tie-break."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id", "lang",
+                     F.explode(F.array_distinct(F.filter(
+                         F.split(F.lower("text"), "[^a-z0-9]+"),
+                         lambda x: x != ""))).alias("token")))
+    n_docs = d.count()
+    cls = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_cls"))
+    tok_df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"))
+    a_t = (toks.groupBy("token", "lang")
+           .agg(F.count(F.lit(1)).alias("a")))
+    j = (a_t.join(F.broadcast(cls), "lang")
+         .join(tok_df.filter(F.col("df") >= 10), "token"))
+    n = F.lit(n_docs).cast("double")
+    a = F.col("a").cast("double")
+    b = (F.col("df") - F.col("a")).cast("double")
+    c = (F.col("n_cls") - F.col("a")).cast("double")
+    dd = (F.lit(n_docs) - F.col("df")
+          - (F.col("n_cls") - F.col("a"))).cast("double")
+    num = n * (a * dd - b * c) * (a * dd - b * c)
+    den = ((a + b) * (c + dd) * (a + c) * (b + dd))
+    chi2 = F.round(num / den, 6)
+    scored = j.select("lang", "token", "a", "df", chi2.alias("chi2"))
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), "token")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("lang", "rk", "token", "a", "df", "chi2"))
+
+
+SQL_CHI2_FEATURES = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+n_docs AS (SELECT count(*) AS n FROM documents),
+cls AS (SELECT lang, count(*) AS n_cls FROM documents GROUP BY 1),
+tok_df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+),
+a_t AS (SELECT token, lang, count(*) AS a FROM toks GROUP BY 1, 2),
+j AS (
+  SELECT a_t.lang, a_t.token, a_t.a, tok_df.df, cls.n_cls, n_docs.n
+  FROM a_t
+  JOIN cls ON cls.lang = a_t.lang
+  JOIN tok_df ON tok_df.token = a_t.token
+  CROSS JOIN n_docs
+  WHERE tok_df.df >= 10
+),
+scored AS (
+  SELECT lang, token, a, df,
+         round(CAST(n AS DOUBLE)
+               * (CAST(a AS DOUBLE) * (n - df - (n_cls - a))
+                  - CAST(df - a AS DOUBLE) * (n_cls - a))
+               * (CAST(a AS DOUBLE) * (n - df - (n_cls - a))
+                  - CAST(df - a AS DOUBLE) * (n_cls - a))
+               / (CAST(df AS DOUBLE) * (n - df)
+                  * n_cls * (n - n_cls)), 6) AS chi2
+  FROM j
+)
+SELECT lang, rk, token, a, df, chi2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY chi2 DESC, token) AS rk
+  FROM scored)
+WHERE rk <= 3
+"""
+
+QUERIES_TEXT["chi2_features"] = (q_chi2_features, SQL_CHI2_FEATURES)
+
+
+def q_stylometry_delta(spark, sf_dir):
+    """Burrows' Delta stylometry profile per source (Burrows 2002 —
+    the authorship-attribution baseline; here the per-site style
+    drift detector a template-removal pass reads): for the top-20
+    corpus words, each source's usage rate is z-scored against the
+    cross-source distribution, and Delta = mean |z|. Exactness: rates
+    in integer parts-per-million, means/variances from exact PPM
+    sums, per-term |z| quantized to integer micros before the final
+    mean — the engine's standard aggregation-order-independent
+    pipeline. Bounded by the 20-word profile everywhere."""
+    d = _docs(spark, sf_dir)
+    toks = (d.select("source",
+                     F.explode(F.filter(
+                         F.split(F.lower("text"), "[^a-z0-9]+"),
+                         lambda x: x != "")).alias("token")))
+    top = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(), "token").limit(20)
+           .select("token"))
+    per_src = (toks.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_tok")))
+    cnt = (toks.join(F.broadcast(top), "token")
+           .groupBy("source", "token")
+           .agg(F.count(F.lit(1)).alias("c")))
+    rate = (cnt.join(per_src, "source")
+            .select("source", "token",
+                    F.floor(F.col("c") * 1000000 / F.col("n_tok"))
+                    .cast("long").alias("ppm")))
+    stats = (rate.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("m"),
+                  F.sum("ppm").alias("s1"),
+                  F.sum(F.col("ppm") * F.col("ppm")).alias("s2")))
+    j = rate.join(F.broadcast(stats), "token")
+    m = F.col("m").cast("double")
+    mean = F.col("s1").cast("double") / m
+    var = F.col("s2").cast("double") / m - mean * mean
+    z_u = F.when(var > 0,
+                 F.round(F.abs((F.col("ppm").cast("double") - mean)
+                               / F.sqrt(var)) * 1e6, 0).cast("long"))
+    j = j.withColumn("z_u", z_u).filter(F.col("z_u").isNotNull())
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("z_u").alias("sum_z_u"))
+            .select("source", "n_terms", "sum_z_u",
+                    F.round(F.col("sum_z_u").cast("double") / 1e6
+                            / F.col("n_terms").cast("double"), 6)
+                    .alias("burrows_delta")))
+
+
+SQL_STYLOMETRY = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+top AS (
+  SELECT token FROM (SELECT token, count(*) AS n FROM toks GROUP BY 1)
+  ORDER BY n DESC, token LIMIT 20
+),
+per_src AS (SELECT source, count(*) AS n_tok FROM toks GROUP BY 1),
+cnt AS (
+  SELECT t.source, t.token, count(*) AS c
+  FROM toks t JOIN top ON top.token = t.token
+  GROUP BY 1, 2
+),
+rate AS (
+  SELECT cnt.source, cnt.token,
+         CAST(floor(cnt.c * 1000000.0 / per_src.n_tok) AS BIGINT)
+             AS ppm
+  FROM cnt JOIN per_src ON per_src.source = cnt.source
+),
+stats AS (
+  SELECT token, count(*) AS m, CAST(sum(ppm) AS BIGINT) AS s1,
+         CAST(sum(ppm * ppm) AS BIGINT) AS s2
+  FROM rate GROUP BY 1
+),
+z AS (
+  SELECT rate.source,
+         CASE WHEN CAST(s2 AS DOUBLE) / m
+                   - (CAST(s1 AS DOUBLE) / m)
+                     * (CAST(s1 AS DOUBLE) / m) > 0
+              THEN CAST(round(abs((ppm - CAST(s1 AS DOUBLE) / m)
+                   / sqrt(CAST(s2 AS DOUBLE) / m
+                          - (CAST(s1 AS DOUBLE) / m)
+                            * (CAST(s1 AS DOUBLE) / m))) * 1e6, 0)
+                   AS BIGINT)
+              END AS z_u
+  FROM rate JOIN stats ON stats.token = rate.token
+)
+SELECT source, count(*) AS n_terms,
+       CAST(sum(z_u) AS BIGINT) AS sum_z_u,
+       round(CAST(sum(z_u) AS DOUBLE) / 1e6 / count(*), 6)
+           AS burrows_delta
+FROM z WHERE z_u IS NOT NULL
+GROUP BY source
+"""
+
+QUERIES_TEXT["stylometry_delta"] = (q_stylometry_delta, SQL_STYLOMETRY)
