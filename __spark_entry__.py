@@ -104,6 +104,7 @@ def _interleaved() -> dict[str, tuple]:
         "benford", "two_prop_test", "dem_curvature",
         "runs_test", "nearest_facility", "two_sfca",
         "raster_hist_eq", "chi2_features", "stylometry_delta",
+        "cell_turnover", "coverage_curve",
         # ninth-session additions (newest first)
         "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
         "frechet", "watershed", "kde_raster", "flow_length",

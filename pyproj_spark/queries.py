@@ -11861,3 +11861,58 @@ GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["raster_hist_eq"] = (q_raster_hist_eq, SQL_RASTER_HIST_EQ)
+
+
+def q_cell_turnover(spark, sf_dir):
+    """Spatial churn between two crawl epochs: Jaccard overlap of the
+    occupied-cell sets for the first vs second half of the corpus
+    (by doc_id parity — deterministic epoch split), per 10-degree
+    cell row-band plus the global row. The "did the footprint move"
+    check run after every recrawl; exact set algebra end to end
+    (full-outer presence markers, integer counts, one division)."""
+    pts = _doc_points(spark, sf_dir)
+    c = pts.select(
+        F.floor((F.col("lon") + 180.0) / 10).alias("cx"),
+        F.floor((F.col("lat") + 85.0) / 10).alias("cy"),
+        (F.col("doc_id") % 2).alias("epoch"))
+    occ = c.distinct()
+    a = (occ.filter(F.col("epoch") == 0).select("cx", "cy")
+         .withColumn("a", F.lit(1)))
+    b = (occ.filter(F.col("epoch") == 1).select("cx", "cy")
+         .withColumn("b", F.lit(1)))
+    j = a.join(b, ["cx", "cy"], "full_outer")
+    band = (j.groupBy("cy")
+            .agg(F.sum(F.when(F.col("a").isNotNull()
+                              & F.col("b").isNotNull(), 1)
+                       .otherwise(0)).alias("n_both"),
+                 F.count(F.lit(1)).alias("n_union")))
+    return band.select(
+        "cy", "n_both", "n_union",
+        F.round(F.col("n_both").cast("double")
+                / F.col("n_union").cast("double"), 6)
+        .alias("jaccard")).orderBy("cy")
+
+
+SQL_CELL_TURNOVER = f"""
+WITH pts AS ({_PTS_SQL}),
+occ AS (
+  SELECT DISTINCT CAST(floor((lon + 180.0) / 10) AS BIGINT) AS cx,
+         CAST(floor((lat + 85.0) / 10) AS BIGINT) AS cy,
+         doc_id % 2 AS epoch
+  FROM pts
+),
+a AS (SELECT cx, cy FROM occ WHERE epoch = 0),
+b AS (SELECT cx, cy FROM occ WHERE epoch = 1),
+j AS (
+  SELECT coalesce(a.cy, b.cy) AS cy,
+         CASE WHEN a.cx IS NOT NULL AND b.cx IS NOT NULL
+              THEN 1 ELSE 0 END AS both_
+  FROM a FULL OUTER JOIN b ON b.cx = a.cx AND b.cy = a.cy
+)
+SELECT cy, CAST(sum(both_) AS BIGINT) AS n_both,
+       count(*) AS n_union,
+       round(CAST(sum(both_) AS DOUBLE) / count(*), 6) AS jaccard
+FROM j GROUP BY cy ORDER BY cy
+"""
+
+QUERIES["cell_turnover"] = (q_cell_turnover, SQL_CELL_TURNOVER)

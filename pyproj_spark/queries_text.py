@@ -7070,3 +7070,51 @@ GROUP BY source
 """
 
 QUERIES_TEXT["stylometry_delta"] = (q_stylometry_delta, SQL_STYLOMETRY)
+
+
+def q_coverage_curve(spark, sf_dir):
+    """Host concentration curve (the Lorenz-curve companion to
+    gini_hosts a data-mixing policy actually reads off: "the top k
+    hosts hold what fraction of the corpus"): hosts ranked by page
+    count descending, cumulative share at ranks 1..15 — one sort
+    window over HOSTS (hosts << pages, the gini discipline), exact
+    integer cumulative sums, one division per emitted rank."""
+    d = _docs(spark, sf_dir)
+    counts = (d.select((F.col("doc_id") % 101).alias("host"))
+              .groupBy("host").agg(F.count(F.lit(1)).alias("x")))
+    w = Window.orderBy(F.desc("x"), "host")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (counts.withColumn("rk", F.row_number().over(w))
+              .withColumn("cum", F.sum("x").over(wc)))
+    tot = counts.agg(F.sum("x").alias("n"))
+    return (ranked.filter(F.col("rk") <= 15)
+            .crossJoin(F.broadcast(tot))
+            .select("rk", F.col("host"), F.col("x"), "cum",
+                    F.round(F.col("cum").cast("double")
+                            / F.col("n").cast("double"), 6)
+                    .alias("cum_share"))
+            .orderBy("rk"))
+
+
+SQL_COVERAGE_CURVE = """
+WITH counts AS (
+  SELECT doc_id % 101 AS host, count(*) AS x
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT host, x,
+         row_number() OVER (ORDER BY x DESC, host) AS rk,
+         CAST(sum(x) OVER (ORDER BY x DESC, host
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM counts
+),
+tot AS (SELECT CAST(sum(x) AS BIGINT) AS n FROM counts)
+SELECT rk, host, x, cum,
+       round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cum_share
+FROM ranked CROSS JOIN tot
+WHERE rk <= 15 ORDER BY rk
+"""
+
+QUERIES_TEXT["coverage_curve"] = (q_coverage_curve,
+                                  SQL_COVERAGE_CURVE)
