@@ -144,20 +144,28 @@ def cell_of(lon: Column, lat: Column, level: int) -> Column:
     # re-embeds the (large) trig trees of i and j into every level's
     # state/d expression — the tree grows O(level^2) copies of them
     # and Catalyst analysis takes minutes by level 10. The Hilbert
-    # fold instead runs as ONE aggregate HOF: the lambda body holds a
-    # single copy of i and j, the per-level iteration happens at
-    # runtime. i, j < 2^20 so the double division for bit extraction
-    # is exact (shiftright needs a literal shift amount, the lambda's
-    # level variable is a Column).
+    # fold instead runs as ONE aggregate HOF: the per-level iteration
+    # happens at runtime. i, j < 2^20 so the double division for bit
+    # extraction is exact (shiftright needs a literal shift amount,
+    # the lambda's level variable is a Column).
+    #
+    # The i/j trees ride in the ACCUMULATOR struct rather than the
+    # lambda body: aggregate() is CodegenFallback (interpreted eval,
+    # no common-subexpression elimination), so a lambda that named
+    # the i/j Columns directly re-evaluated their whole trig subtrees
+    # at every fold step — measured ~400 us/row at level 10; carrying
+    # them as accumulator fields evaluates them once per row
+    # (~40 us/row, identical arithmetic; guide §1.2 per-task work).
     def _merge(acc, k):
         mask = F.pow(F.lit(2.0), k.cast("double")).cast("long")
-        ib = F.floor(i / mask).cast("long").bitwiseAND(F.lit(1))
-        jb = F.floor(j / mask).cast("long").bitwiseAND(F.lit(1))
+        ib = F.floor(acc["i"] / mask).cast("long").bitwiseAND(F.lit(1))
+        jb = F.floor(acc["j"] / mask).cast("long").bitwiseAND(F.lit(1))
         idx = (acc["st"] * 4 + ib * 2 + jb + 1).cast("int")
         return F.struct(
             F.element_at(nxt_lit, idx).cast("long").alias("st"),
             (F.shiftleft(acc["d"], 2)
-             + F.element_at(pos_lit, idx)).alias("d"))
+             + F.element_at(pos_lit, idx)).alias("d"),
+            acc["i"].alias("i"), acc["j"].alias("j"))
 
     if level == 0:
         d = F.lit(0).cast("long")
@@ -165,7 +173,8 @@ def cell_of(lon: Column, lat: Column, level: int) -> Column:
         acc = F.aggregate(
             F.sequence(F.lit(level - 1), F.lit(0), F.lit(-1)),
             F.struct(F.lit(0).cast("long").alias("st"),
-                     F.lit(0).cast("long").alias("d")),
+                     F.lit(0).cast("long").alias("d"),
+                     i.alias("i"), j.alias("j")),
             _merge)
         d = acc["d"]
     return (F.lit(level).cast("long") * F.lit(1 << 58).cast("long")

@@ -2,19 +2,28 @@
 
 DTW against a reference polyline — the route-conformance /
 trajectory-similarity measure that tolerates speed variation, which
-Hausdorff (set distance) and resampled-pointwise metrics do not. One
-applyInPandas DP per trajectory (the operators/hmm.py Viterbi shape:
-per-group dynamic programming is exactly what Arrow-batched Python is
-for — the DP recurrence is not expressible as a join/window plan
-without materializing the full i x j lattice as rows).
+Hausdorff (set distance) and resampled-pointwise metrics do not.
 
 All costs are EXACT int64: squared integer coordinate differences,
 min/plus recurrence — so an engine replaying the same recurrence gets
 bit-identical totals and the oracle can unroll the lattice in SQL.
 
+Execution shape (r6): tracks collapse to one array row per trajectory
+(``sort_array(collect_list(struct(seq, x, y)))`` — a regular hash
+aggregate with map-side partial aggregation), then ONE pandas-UDF
+crossing runs the DP for a whole Arrow batch of trajectories at once,
+vectorized across trajectories with numpy (per length bucket). The
+previous shape — ``groupBy().applyInPandas`` with one Python call and
+one pandas DataFrame per trajectory — paid ~1 ms of pure Python
+per-group overhead per trajectory, which dominated wall time when AQE
+coalesced the tiny post-shuffle stage to a single task (measured
+3.5 s -> sub-second at sf0.1; see OPTIMIZATION_r06.md). The DP
+arithmetic is unchanged: same int64 ops in the same order per
+(i, j) lattice step, so results are bit-identical.
+
 Scale shape: the shuffle is one hash partition by trajectory id; DP
-memory is O(len(ref)) per row. Reference polylines are driver
-literals (a route table would broadcast).
+memory is O(batch x len(ref)) per Arrow batch. Reference polylines
+are driver literals (a route table would broadcast).
 """
 
 from __future__ import annotations
@@ -23,6 +32,74 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _collect_tracks(tracks: DataFrame, user_col: str, seq_col: str,
+                    x_col: str, y_col: str) -> DataFrame:
+    """(user, xs array<long>, ys array<long>) — one row per trajectory,
+    vertices ordered by seq (sort_array on struct(seq, x, y): seq leads
+    the struct, so lexicographic struct order == seq order)."""
+    pts = F.array_sort(F.collect_list(F.struct(
+        F.col(seq_col).alias("s"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"))))
+    return (tracks.groupBy(user_col)
+            .agg(pts.alias("_pts"))
+            .select(user_col,
+                    F.col("_pts.x").alias("_xs"),
+                    F.col("_pts.y").alias("_ys")))
+
+
+def _lattice_batch(xs_s: pd.Series, ys_s: pd.Series, R: np.ndarray,
+                   frechet: bool) -> np.ndarray:
+    """Run the anchored 6x|R| lattice for a whole batch of
+    trajectories at once. Same per-step int64 arithmetic as the old
+    per-group loop; trajectories are bucketed by length so each bucket
+    is a dense (n_traj, L) matrix."""
+    m = len(R)
+    n = len(xs_s)
+    out = np.zeros(n, np.int64)
+    lens = np.fromiter((len(v) for v in xs_s), np.int64, count=n)
+    for L in np.unique(lens):
+        idx = np.flatnonzero(lens == L)
+        if L == 0:
+            continue
+        X = np.stack([np.asarray(xs_s.iat[i], np.int64) for i in idx])
+        Y = np.stack([np.asarray(ys_s.iat[i], np.int64) for i in idx])
+        prev = None
+        for i in range(L):
+            cost = ((X[:, i:i + 1] - R[:, 0]) ** 2
+                    + (Y[:, i:i + 1] - R[:, 1]) ** 2)
+            cur = np.empty_like(cost)
+            if frechet:
+                if prev is None:
+                    cur[:, 0] = cost[:, 0]
+                    for j in range(1, m):
+                        cur[:, j] = np.maximum(cost[:, j], cur[:, j - 1])
+                else:
+                    cur[:, 0] = np.maximum(cost[:, 0], prev[:, 0])
+                    for j in range(1, m):
+                        cur[:, j] = np.maximum(
+                            cost[:, j],
+                            np.minimum(np.minimum(prev[:, j],
+                                                  prev[:, j - 1]),
+                                       cur[:, j - 1]))
+            else:
+                if prev is None:
+                    cur[:, 0] = cost[:, 0]
+                    for j in range(1, m):
+                        cur[:, j] = cost[:, j] + cur[:, j - 1]
+                else:
+                    cur[:, 0] = cost[:, 0] + prev[:, 0]
+                    for j in range(1, m):
+                        cur[:, j] = cost[:, j] + np.minimum(
+                            np.minimum(prev[:, j], prev[:, j - 1]),
+                            cur[:, j - 1])
+            prev = cur
+        out[idx] = prev[:, -1]
+    return out
 
 
 def dtw_to_reference(tracks: DataFrame, ref: list[tuple[int, int]],
@@ -34,32 +111,15 @@ def dtw_to_reference(tracks: DataFrame, ref: list[tuple[int, int]],
     recurrence dp[i][j] = cost + min(up, left, diag) with both
     endpoints anchored. Returns (user, n_pts, dtw_cost)."""
     R = np.asarray(ref, dtype=np.int64)
-    m = len(R)
 
-    def _dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq_col)
-        xs = pdf[x_col].to_numpy(np.int64)
-        ys = pdf[y_col].to_numpy(np.int64)
-        prev = np.zeros(m, np.int64)
-        for i in range(len(xs)):
-            cost = (xs[i] - R[:, 0]) ** 2 + (ys[i] - R[:, 1]) ** 2
-            cur = np.empty(m, np.int64)
-            if i == 0:
-                cur[0] = cost[0]
-                for j in range(1, m):
-                    cur[j] = cost[j] + cur[j - 1]
-            else:
-                cur[0] = cost[0] + prev[0]
-                for j in range(1, m):
-                    cur[j] = cost[j] + min(prev[j], prev[j - 1],
-                                           cur[j - 1])
-            prev = cur
-        return pd.DataFrame({"user_id": [key[0]],
-                             "n_pts": [len(xs)],
-                             "dtw_cost": [int(prev[-1])]})
+    @pandas_udf("long")
+    def _dp(xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
+        return pd.Series(_lattice_batch(xs_s, ys_s, R, frechet=False))
 
-    return tracks.groupBy(user_col).applyInPandas(
-        _dp, "user_id long, n_pts int, dtw_cost long")
+    return (_collect_tracks(tracks, user_col, seq_col, x_col, y_col)
+            .select(F.col(user_col).alias("user_id"),
+                    F.size("_xs").cast("int").alias("n_pts"),
+                    _dp("_xs", "_ys").alias("dtw_cost")))
 
 
 def frechet_to_reference(tracks: DataFrame, ref: list[tuple[int, int]],
@@ -77,29 +137,12 @@ def frechet_to_reference(tracks: DataFrame, ref: list[tuple[int, int]],
     excursions). Exact int64 squared costs; returns
     (user, n_pts, frechet_sq)."""
     R = np.asarray(ref, dtype=np.int64)
-    m = len(R)
 
-    def _dp(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq_col)
-        xs = pdf[x_col].to_numpy(np.int64)
-        ys = pdf[y_col].to_numpy(np.int64)
-        prev = np.zeros(m, np.int64)
-        for i in range(len(xs)):
-            cost = (xs[i] - R[:, 0]) ** 2 + (ys[i] - R[:, 1]) ** 2
-            cur = np.empty(m, np.int64)
-            if i == 0:
-                cur[0] = cost[0]
-                for j in range(1, m):
-                    cur[j] = max(cost[j], cur[j - 1])
-            else:
-                cur[0] = max(cost[0], prev[0])
-                for j in range(1, m):
-                    cur[j] = max(cost[j], min(prev[j], prev[j - 1],
-                                              cur[j - 1]))
-            prev = cur
-        return pd.DataFrame({"user_id": [key[0]],
-                             "n_pts": [len(xs)],
-                             "frechet_sq": [int(prev[-1])]})
+    @pandas_udf("long")
+    def _dp(xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
+        return pd.Series(_lattice_batch(xs_s, ys_s, R, frechet=True))
 
-    return tracks.groupBy(user_col).applyInPandas(
-        _dp, "user_id long, n_pts int, frechet_sq long")
+    return (_collect_tracks(tracks, user_col, seq_col, x_col, y_col)
+            .select(F.col(user_col).alias("user_id"),
+                    F.size("_xs").cast("int").alias("n_pts"),
+                    _dp("_xs", "_ys").alias("frechet_sq")))

@@ -34,6 +34,16 @@ def extract_anchors(pages: DataFrame, normalize_crs: bool = True
                     ) -> DataFrame:
     """pages -> anchors. Columns: url, anchor_idx, anchor_text, x, y,
     src_crs, lon, lat (lon/lat always EPSG:4326 when normalize_crs)."""
+    # ONE full-text regex pass finds the anchors; the per-anchor fields
+    # then parse with substring+split instead of three more
+    # regexp_extract passes over each anchor (guide §1/§4: same bytes,
+    # ~2x cheaper per anchor — a matched anchor is exactly
+    # "@geo(<x>,<y>[,EPSG:<n>])", so splitting the inside on "," yields
+    # the same capture-group strings the regex would, and the casts are
+    # applied to identical text).
+    parts = F.split(F.substring(F.col("anchor_text"), 6,
+                                F.length("anchor_text") - F.lit(6)),
+                    ",")
     a = (
         pages
         .select(
@@ -44,15 +54,10 @@ def extract_anchors(pages: DataFrame, normalize_crs: bool = True
         )
         .select(
             "url", "anchor_idx", "anchor_text",
-            F.regexp_extract("anchor_text", ANCHOR_RE, 1)
-            .cast("double").alias("x"),
-            F.regexp_extract("anchor_text", ANCHOR_RE, 2)
-            .cast("double").alias("y"),
-            F.coalesce(
-                F.nullif(F.regexp_extract("anchor_text", ANCHOR_RE, 3),
-                         F.lit("")),
-                F.lit("EPSG:4326"),
-            ).alias("src_crs"),
+            F.get(parts, 0).cast("double").alias("x"),
+            F.get(parts, 1).cast("double").alias("y"),
+            F.coalesce(F.get(parts, 2),
+                       F.lit("EPSG:4326")).alias("src_crs"),
         )
     )
     if not normalize_crs:
@@ -70,32 +75,45 @@ def extract_anchors(pages: DataFrame, normalize_crs: bool = True
             .drop("_ll"))
 
 
+def _epsg_code(src_crs) -> "F.Column":
+    """Native int EPSG code from an 'AUTH:1234' string column — the
+    Arrow crossing then carries a 4-byte int instead of a ~9-byte
+    string that the Python worker would have to materialize as 5M
+    Python str objects per 2M pages (measured: the string column was
+    most of the ArrowEvalPython stage cost; guide §2.3 narrower
+    types / §4.1 fewer bytes across the boundary)."""
+    return F.split(src_crs, ":").getItem(1).cast("int")
+
+
 def normalize_to_4326(x, y, src_crs):
     """struct<x,y> pandas-UDF: transform mixed-CRS coordinate columns to
     EPSG:4326 lon/lat, batching per distinct src_crs inside each Arrow
-    batch (the per-worker kernel cache makes replans free)."""
+    batch (the per-worker kernel cache makes replans free). The CRS
+    column crosses the boundary as its native-extracted int EPSG code."""
     from pyspark.sql.functions import pandas_udf
 
     from pyproj_spark.crs.crs import CRS
     from pyproj_spark.plans.spec import TransformSpec, get_kernel
 
     @pandas_udf("struct<x:double,y:double>")
-    def _norm(xs: pd.Series, ys: pd.Series, crss: pd.Series) -> pd.DataFrame:
+    def _norm(xs: pd.Series, ys: pd.Series, codes: pd.Series
+              ) -> pd.DataFrame:
         xo = xs.to_numpy(dtype=np.float64).copy()
         yo = ys.to_numpy(dtype=np.float64).copy()
-        for crs, idx in crss.groupby(crss).groups.items():
-            if crs == "EPSG:4326":
+        cn = codes.to_numpy()
+        for code in np.unique(cn):
+            if code == 4326:
                 continue
-            ii = np.asarray(idx)
-            spec = TransformSpec(CRS.from_epsg(int(str(crs).split(":")[1]))
-                                 .srs, "EPSG:4326", always_xy=True)
+            ii = np.flatnonzero(cn == code)
+            spec = TransformSpec(CRS.from_epsg(int(code)).srs,
+                                 "EPSG:4326", always_xy=True)
             k = get_kernel(spec)
             xi, yi, _ = k(xo[ii], yo[ii])
             xo[ii] = xi
             yo[ii] = yi
         return pd.DataFrame({"x": xo, "y": yo})
 
-    return _norm(x, y, src_crs)
+    return _norm(x, y, _epsg_code(src_crs))
 
 
 def normalize_and_project(x, y, src_crs, target: str = "EPSG:3857"):
@@ -113,23 +131,24 @@ def normalize_and_project(x, y, src_crs, target: str = "EPSG:3857"):
     tgt_srs = CRS.from_user_input(target).srs
 
     @pandas_udf("struct<lon:double,lat:double,px:double,py:double>")
-    def _np2(xs: pd.Series, ys: pd.Series, crss: pd.Series) -> pd.DataFrame:
+    def _np2(xs: pd.Series, ys: pd.Series, codes: pd.Series
+             ) -> pd.DataFrame:
         lon = xs.to_numpy(dtype=np.float64).copy()
         lat = ys.to_numpy(dtype=np.float64).copy()
-        for crs, idx in crss.groupby(crss).groups.items():
-            if crs == "EPSG:4326":
+        cn = codes.to_numpy()
+        for code in np.unique(cn):
+            if code == 4326:
                 continue
-            ii = np.asarray(idx)
-            spec = TransformSpec(
-                CRS.from_epsg(int(str(crs).split(":")[1])).srs,
-                "EPSG:4326", always_xy=True)
+            ii = np.flatnonzero(cn == code)
+            spec = TransformSpec(CRS.from_epsg(int(code)).srs,
+                                 "EPSG:4326", always_xy=True)
             k = get_kernel(spec)
             lon[ii], lat[ii], _ = k(lon[ii], lat[ii])
         kt = get_kernel(TransformSpec("EPSG:4326", tgt_srs, always_xy=True))
         px, py, _ = kt(lon, lat)
         return pd.DataFrame({"lon": lon, "lat": lat, "px": px, "py": py})
 
-    return _np2(x, y, src_crs)
+    return _np2(x, y, _epsg_code(src_crs))
 
 
 def extract_anchors_py(text: str) -> list[tuple[str, float, float, str]]:

@@ -11,6 +11,9 @@ final agg because the partition keys match.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,8 +58,6 @@ def polygon_areas(points: DataFrame, poly_col: str = "poly_id",
     reference's values) once per polygon inside an Arrow batch via
     applyInPandas. The cheap all-Catalyst spherical twin for in-plan
     predicates is functions.transform.spherical_ring_area_m2."""
-    import pandas as pd
-
     from pyproj_spark.kernels.geod import Geod
 
     out_schema = f"{poly_col} long, area_m2 double, perimeter_m double"
@@ -89,9 +90,6 @@ def convex_hulls(df: DataFrame, group_col: str, lon_col: str = "lon",
     counter-clockwise order starting from the lexicographically
     smallest vertex; degenerate groups (< 3 distinct points) return
     their distinct points sorted."""
-    import numpy as np
-    import pandas as pd
-
     def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
         pts = sorted(set(zip(pdf[lon_col], pdf[lat_col])))
         g = pdf[group_col].iloc[0]
@@ -138,14 +136,14 @@ def simplify_lines(df: DataFrame, group_col: str = "user_id",
     what the unrolled-split DuckDB oracle checks. Output: the kept
     (group, seq) vertex rows.
     """
-    import numpy as np
-    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def _simplify(key, pdf):
-        pdf = pdf.sort_values(seq_col)
-        xs = pdf[x_col].to_numpy(dtype=np.float64)
-        ys = pdf[y_col].to_numpy(dtype=np.float64)
-        sq = pdf[seq_col].to_numpy()
+    # r6 shape: one array row per line (hash agg with map-side partial
+    # aggregation) + ONE pandas-UDF call per Arrow batch of lines —
+    # the old per-group applyInPandas paid ~1 ms of pandas machinery
+    # per line, which dominated wall time on AQE-coalesced tiny
+    # stages. The split recursion below is byte-identical arithmetic.
+    def _dp_keep(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
         n = len(xs)
         keep = np.zeros(n, dtype=bool)
         keep[0] = keep[n - 1] = True
@@ -167,13 +165,30 @@ def simplify_lines(df: DataFrame, group_col: str = "user_id",
                 keep[k] = True
                 stack.append((i0, k))
                 stack.append((k, i1))
-        return pd.DataFrame({group_col: pdf[group_col].iloc[:1].repeat(
-            int(keep.sum())).to_numpy(),
-            seq_col: sq[keep]})
+        return keep
 
-    out_schema = f"{group_col} long, {seq_col} long"
+    @pandas_udf("array<long>")
+    def _kept(seqs_s: pd.Series, xs_s: pd.Series,
+              ys_s: pd.Series) -> pd.Series:
+        out = []
+        for sq, xs, ys in zip(seqs_s, xs_s, ys_s):
+            xs = np.asarray(xs, np.float64)
+            ys = np.asarray(ys, np.float64)
+            keep = _dp_keep(xs, ys)
+            out.append(np.asarray(sq, np.int64)[keep])
+        return pd.Series(out)
+
+    pts = F.array_sort(F.collect_list(F.struct(
+        F.col(seq_col).cast("long").alias("s"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"))))
     return (df.select(group_col, seq_col, x_col, y_col)
-            .groupBy(group_col).applyInPandas(_simplify, out_schema))
+            .groupBy(group_col).agg(pts.alias("_p"))
+            .select(group_col,
+                    F.explode(_kept(F.col("_p.s"), F.col("_p.x"),
+                                    F.col("_p.y"))).alias(seq_col))
+            .select(F.col(group_col).cast("long").alias(group_col),
+                    F.col(seq_col).cast("long").alias(seq_col)))
 
 
 def resample_tracks(points: DataFrame, user_col: str = "user_id",

@@ -140,19 +140,34 @@ def pip_join(anchors: DataFrame, zones: DataFrame,
     """
     a = anchors.withColumn(
         "cell", cells.cell_of(F.col(lon_col), F.col(lat_col), res))
-    n_vertices = zones.select(
-        F.sum(F.size("ring")).alias("n")).first()["n"] or 0
+    # The size probe + ring collect + broadcast are ~3 driver round
+    # trips per call; a zones DIMENSION table is typically reused across
+    # many queries in a session, so the results are memoized on the
+    # DataFrame object itself (plan-side metadata, recomputed whenever
+    # the caller rebuilds the zones frame — never keyed on fact data).
+    cached = getattr(zones, "_pip_rings_cache", None)
+    if cached is not None:
+        n_vertices, rings_bc = cached
+    else:
+        n_vertices = zones.select(
+            F.sum(F.size("ring")).alias("n")).first()["n"] or 0
+        rings_bc = None
     if n_vertices > broadcast_max_vertices:
         zc = zones.select("zone_id", "ring",
                           F.explode("cells").alias("cell"))
         return _pip_join_struct(a.join(zc, "cell"), lon_col,
                                 lat_col).drop("cell")
-    rings = {
-        r["zone_id"]: (np.array([p["lon"] for p in r["ring"]]),
-                       np.array([p["lat"] for p in r["ring"]]))
-        for r in zones.select("zone_id", "ring").collect()}
-    sc = anchors.sparkSession.sparkContext
-    rings_bc = sc.broadcast(rings)
+    if rings_bc is None:
+        rings = {
+            r["zone_id"]: (np.array([p["lon"] for p in r["ring"]]),
+                           np.array([p["lat"] for p in r["ring"]]))
+            for r in zones.select("zone_id", "ring").collect()}
+        sc = anchors.sparkSession.sparkContext
+        rings_bc = sc.broadcast(rings)
+        try:
+            zones._pip_rings_cache = (n_vertices, rings_bc)
+        except AttributeError:  # pragma: no cover - exotic DF proxies
+            pass
     zc = zones.select("zone_id", F.explode("cells").alias("cell"))
     cand = a.join(F.broadcast(zc), "cell")
     hit = cand.filter(_make_pip_udf(rings_bc)(

@@ -71,7 +71,24 @@ def _zone_edges_sql() -> str:
             + ") AS e(zone_id, x1, y1, x2, y2)")
 
 
+_ZONES_DF_CACHE: dict = {}
+
+#: memo for driver-side pure functions of module constants (zone
+#: coverings etc.) — plan-side metadata, never derived from fact data
+_DRIVER_MEMO: dict = {}
+
+
 def _zones_df(spark):
+    """The 5-zone dimension table. Memoized per SparkSession: every
+    zone-joining query used to pay a fresh createDataFrame (py4j
+    serialization) plus pip_join's size-probe/collect round trips;
+    the table is a pure function of the PIP_ZONES module constants,
+    so one DataFrame per session serves them all (and pip_join's
+    on-DataFrame ring cache then hits across queries too)."""
+    key = spark.sparkContext.applicationId
+    hit = _ZONES_DF_CACHE.get(key)
+    if hit is not None:
+        return hit
     from pyproj_spark.sources.zones import ZONE_SCHEMA
     import numpy as np
     rows = []
@@ -82,7 +99,10 @@ def _zones_df(spark):
         rows.append((zid, f"z{zid}",
                      [{"lon": float(a), "lat": float(b)} for a, b in ring],
                      cov))
-    return spark.createDataFrame(rows, ZONE_SCHEMA)
+    df = spark.createDataFrame(rows, ZONE_SCHEMA)
+    _ZONES_DF_CACHE.clear()          # one live session at a time
+    _ZONES_DF_CACHE[key] = df
+    return df
 
 
 # ------------------------------------------------------------ geo queries
@@ -1804,7 +1824,12 @@ def q_pipeline_e2e(spark, sf_dir):
                              "content": [build_warc(
                                  pages, gzip_members=bool(wid % 2))]})
 
-    warcs = (d.groupBy(F.floor(F.col("doc_id") / 25).alias("warc_id"))
+    # explicit repartition on the group key: AQE would coalesce the
+    # tiny groupBy shuffle to one partition and serialize the gzip
+    # WARC build + parse on a single core (guide §2.5)
+    d = (d.withColumn("warc_id", F.floor(F.col("doc_id") / 25))
+         .repartition(spark.sparkContext.defaultParallelism, "warc_id"))
+    warcs = (d.groupBy("warc_id")
              .applyInPandas(_build, "warc_id long, content binary"))
     pages = warc_pages(warcs).select("url", "text")
     anchors = extract_anchors(pages, normalize_crs=True)
@@ -4142,12 +4167,18 @@ def q_s2_pip(spark, sf_dir):
     certain range leaked an outside point. Contrast with pip_join
     (geocell equality covering + pandas-UDF exact test)."""
     from pyproj_spark.functions import s2cell
-    zr = []
-    levels = set()
-    for zid, ring in PIP_ZONES.items():
-        for cid, certain in s2cell.covering_polygon_adaptive(ring, 8):
-            zr.append((zid, int(cid), int(certain)))
-            levels.add(cid >> 58)
+    # the adaptive coverings are a pure function of the PIP_ZONES
+    # module constants — ~1.3 s of driver-side numpy per call, so
+    # memoize (never keyed on fact data; recomputed per process)
+    if "s2pip_cov" not in _DRIVER_MEMO:
+        zr = []
+        levels = set()
+        for zid, ring in PIP_ZONES.items():
+            for cid, certain in s2cell.covering_polygon_adaptive(ring, 8):
+                zr.append((zid, int(cid), int(certain)))
+                levels.add(cid >> 58)
+        _DRIVER_MEMO["s2pip_cov"] = (zr, levels)
+    zr, levels = _DRIVER_MEMO["s2pip_cov"]
     pts = _doc_points(spark, sf_dir)
     cell = s2cell.cell_of(F.col("lon"), F.col("lat"), 8)
     # containment as an ANCESTOR EQUI-JOIN: the mixed-level covering
@@ -4161,8 +4192,11 @@ def q_s2_pip(spark, sf_dir):
     # 17 s at sf0.1 for 2.9k ranges); the equi-join hashes once per
     # ancestor level and runs the exact test only on hash matches
     # (17 -> ~2.5 s).
-    rdf = F.broadcast(spark.createDataFrame(
-        zr, "zone_id int, anc long, certain int"))
+    rkey = (spark.sparkContext.applicationId, "s2pip_rdf")
+    if _ZONES_DF_CACHE.get(rkey) is None:
+        _ZONES_DF_CACHE[rkey] = spark.createDataFrame(
+            zr, "zone_id int, anc long, certain int")
+    rdf = F.broadcast(_ZONES_DF_CACHE[rkey])
     anc = F.explode(F.array(*[
         s2cell.parent(F.col("cell"), lv) for lv in sorted(levels)]))
     cands = (pts.withColumn("cell", cell)
@@ -10779,27 +10813,47 @@ def q_quadkey_compact(spark, sf_dir):
     collapsed children — no geometry, no floats anywhere. This is
     the op that turns a 10^9-tile occupancy list into the compact
     region index a tile server actually loads."""
+    from pyspark.sql.functions import pandas_udf
+
     from pyproj_spark.functions.tiles import quadkey, tile_xy_from_lonlat
     pts = _doc_points(spark, sf_dir)
     tx, ty = tile_xy_from_lonlat(F.col("lon"), F.col("lat"), 8)
     cur = (pts.select(tx.alias("tx"), ty.alias("ty"))
            .select(quadkey(F.col("tx"), F.col("ty"), 8).alias("qk"))
            .distinct())
-    for _ in range(3):
-        pref = F.substring(F.col("qk"), 1, F.length("qk") - 1)
-        full = (cur.groupBy(pref.alias("parent"))
-                .agg(F.countDistinct(
-                    F.substring(F.col("qk"), -1, 1)).alias("k"))
-                .filter(F.col("k") == 4)
-                .select("parent"))
-        keep = (cur.join(
-            full,
-            F.substring(F.col("qk"), 1, F.length("qk") - 1)
-            == F.col("parent"), "left_anti"))
-        cur = (full.select(F.col("parent").alias("qk"))
-               .unionByName(keep))
-    return (cur.select("qk", F.length("qk").alias("level"))
-            .orderBy("qk"))
+
+    # r6 plan shape: the three sibling-collapse rounds only ever merge
+    # keys INSIDE their round-3 ancestor (a z=8 key's length-5 prefix),
+    # so the whole bottom-up compaction runs as ONE hash-agg on the
+    # 5-char prefix + a per-group set fold — 1 shuffle instead of the
+    # old 3 rounds x (agg + anti-join) chain (~12 tiny stages whose
+    # fixed overhead dominated at any scale where the occupied-tile
+    # set is small relative to the cluster; at 10^9 tiles the single
+    # agg also shuffles each key once instead of three times). The
+    # per-level collapse below replays the round semantics exactly:
+    # round r collapses length-(9-r) sibling quads iff all 4 are
+    # present; re-attempted collapses of leftover lengths are no-ops
+    # because rounds only remove length-L keys and add length-(L-1)
+    # keys, never new length-L siblings.
+    @pandas_udf("array<string>")
+    def _compact(groups: pd.Series) -> pd.Series:
+        out = []
+        for arr in groups:
+            keys = set(arr)
+            for lv in (8, 7, 6):
+                for p in {k[:-1] for k in keys if len(k) == lv}:
+                    ch = {p + d for d in "0123"}
+                    if ch <= keys:
+                        keys -= ch
+                        keys.add(p)
+            out.append(sorted(keys))
+        return pd.Series(out)
+
+    comp = (cur.groupBy(F.substring("qk", 1, 5).alias("p5"))
+            .agg(F.collect_set("qk").alias("ks"))
+            .select(F.explode(_compact("ks")).alias("qk")))
+    return comp.select("qk", F.length("qk").alias("level")) \
+        .orderBy("qk")
 
 
 def _quadkey_compact_sql() -> str:

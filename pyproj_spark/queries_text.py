@@ -20,6 +20,23 @@ from pyproj_spark.operators import dedup, similarity, textstats
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+def _spread(df):
+    """Scale-adaptive parallelism floor before a Python-heavy
+    mapInPandas chain (guide §2): the test tables are single-row-group
+    parquet, so the scan is one task and the whole encode+decode chain
+    would otherwise run on ONE core; at production scale the scan has
+    >= cores partitions and this is a no-op. Round-robin repartition of
+    the tiny key columns only — blobs are synthesized after the spread."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    try:  # cheap plan-time probe (~4 ms vs ~80 ms for .rdd)
+        few = len(df.inputFiles()) < n
+    except Exception:  # pragma: no cover - non-file sources
+        few = True
+    if few:
+        return df.repartition(n)
+    return df
+
+
 
 _NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), "
              "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
@@ -465,8 +482,8 @@ def q_image_meta(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import image_meta
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
 
     def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyproj_spark.kernels.jpeg import _exif_app1
@@ -528,8 +545,8 @@ def q_png_decode(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import png_stats
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
 
     def _png(d: int) -> bytes:
         w, h = d % 16 + 1, d % 12 + 1
@@ -602,8 +619,8 @@ def q_jpeg_decode(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import jpeg_stats
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
 
     def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyproj_spark.kernels.jpeg import encode_jpeg
@@ -669,8 +686,8 @@ def q_wav_features(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import wav_features
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
 
     def _wav(d: int) -> bytes:
         from pyproj_spark.kernels.riff import encode_wav
@@ -726,8 +743,8 @@ def q_frame_sample(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import video_frame_sample
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
 
     def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyproj_spark.kernels.jpeg import encode_jpeg
@@ -793,8 +810,8 @@ def q_image_resize(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import image_resize
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
 
     def _rgb(d: int, w: int, h: int) -> "np.ndarray":
         x, y = np.meshgrid(np.arange(w), np.arange(h))
@@ -1236,8 +1253,8 @@ def q_jpeg_progressive(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import jpeg_stats
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
 
     def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyproj_spark.kernels.jpeg import encode_jpeg_progressive
@@ -1323,7 +1340,15 @@ def q_warc_ingest(spark, sf_dir):
                              "content": [build_warc(
                                  pages, gzip_members=bool(wid % 2))]})
 
-    warcs = (docs.groupBy(F.floor(F.col("doc_id") / 20).alias("warc_id"))
+    # explicit repartition on the group key: AQE would coalesce the
+    # tiny groupBy shuffle to one partition and serialize the WARC
+    # build + parse chain on a single core (guide §2.5 — explicit
+    # user repartitions keep their partition count under AQE)
+    n_par = spark.sparkContext.defaultParallelism
+    docs = (docs.withColumn("warc_id",
+                            F.floor(F.col("doc_id") / 20))
+            .repartition(n_par, "warc_id"))
+    warcs = (docs.groupBy("warc_id")
              .applyInPandas(_build, "warc_id long, content binary"))
     pages = warc_pages(warcs)
     return pages.select(
@@ -3385,8 +3410,8 @@ def q_tone_detect(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import audio_tone_detect
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
     freqs = (500, 1000, 2000, 3000)
 
     def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4917,8 +4942,8 @@ def q_image_dhash(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import image_dhash
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
 
     W, H = 18, 12
 
@@ -5003,8 +5028,8 @@ def q_audio_fp(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import audio_fingerprint
 
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id")
+    docs = _spread(_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id"))
 
     def _wav(d: int) -> bytes:
         from pyproj_spark.kernels.riff import encode_wav

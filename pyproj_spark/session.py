@@ -16,8 +16,13 @@ from pyspark.sql import SparkSession
 
 #: Arrow batch size for pandas-UDF kernels. pyproj uses 64-point batches
 #: because its per-call overhead is one C call; ours is a JVM->Python
-#: Arrow round trip, so we want 10k-row batches.
-ARROW_BATCH_ROWS = 10_000
+#: Arrow round trip whose per-batch overhead dominates at small sizes —
+#: measured on the flagship pipeline (5M anchor rows): 10k-row batches
+#: 2.00 s, 65k 1.67 s, plateau beyond. Wide rows (binary payloads) are
+#: bounded by Spark 4's spark.sql.execution.arrow.maxBytesPerBatch
+#: (64 MB default), so the record cap can sit at the numeric-column
+#: optimum without risking batch blowup on multimodal blobs.
+ARROW_BATCH_ROWS = 65_536
 
 
 def default_parallelism() -> int:
