@@ -127,24 +127,41 @@ def _rnd(c: Column) -> Column:
 
 
 def hex_of(lon: Column, lat: Column, res: int) -> Column:
-    """Pure-Catalyst hex cell id (bit-identical to encode_np)."""
+    """Pure-Catalyst hex cell id (bit-identical to encode_np).
+
+    Expression shape (r6): the axial coords q/r are bound ONCE as HOF
+    lambda variables instead of being re-inlined as subtrees — the
+    cube-rounding repair references q/r ~20 times, and with lon/lat
+    themselves derived expressions the flat form ballooned to a
+    multi-thousand-node tree that cost ~2 s of driver-side
+    optimization PER ACTION on every hexcell query (and re-evaluated
+    the ln/tan chain per reference wherever eval fell back to
+    interpreted mode). Same arithmetic, same rounding convention —
+    only the binding structure changes."""
     s = F.lit(hex_size(res))
     latc = F.least(F.greatest(lat, F.lit(-MAX_LAT)), F.lit(MAX_LAT))
     x = F.lit(R) * F.radians(lon)
     y = F.lit(R) * F.log(F.tan(F.lit(math.pi / 4) + F.radians(latc) / 2))
-    q = (F.lit(SQ3 / 3.0) * x - y / F.lit(3.0)) / s
-    r = (F.lit(2.0 / 3.0) * y) / s
-    rx, rz = _rnd(q), _rnd(r)
-    ry = _rnd(-q - r)
-    dx = F.abs(rx - q)
-    dy = F.abs(ry - (-q - r))
-    dz = F.abs(rz - r)
-    qi = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
-    ri = F.when(~((dx > dy) & (dx > dz)) & (dz > dy), -qi - ry) \
-        .otherwise(rz)
-    return (F.shiftleft(F.lit(res).cast("long"), 58)
-            .bitwiseOR(F.shiftleft(qi.cast("long") + F.lit(OFF), 29))
-            .bitwiseOR(ri.cast("long") + F.lit(OFF)))
+    q0 = (F.lit(SQ3 / 3.0) * x - y / F.lit(3.0)) / s
+    r0 = (F.lit(2.0 / 3.0) * y) / s
+
+    def _cell(p):
+        q, r = p["q"], p["r"]
+        rx, rz = _rnd(q), _rnd(r)
+        ry = _rnd(-q - r)
+        dx = F.abs(rx - q)
+        dy = F.abs(ry - (-q - r))
+        dz = F.abs(rz - r)
+        qi = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+        ri = F.when(~((dx > dy) & (dx > dz)) & (dz > dy), -qi - ry) \
+            .otherwise(rz)
+        return (F.shiftleft(F.lit(res).cast("long"), 58)
+                .bitwiseOR(F.shiftleft(qi.cast("long") + F.lit(OFF), 29))
+                .bitwiseOR(ri.cast("long") + F.lit(OFF)))
+
+    return F.element_at(
+        F.transform(F.array(F.struct(q0.alias("q"), r0.alias("r"))),
+                    _cell), 1)
 
 
 def hex_sql(res: int, lon_expr: str = "lon", lat_expr: str = "lat"

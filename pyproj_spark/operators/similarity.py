@@ -352,7 +352,9 @@ def pq_train(embeddings: DataFrame, id_col: str = "vec_id",
     keyed = embeddings.select(
         F.posexplode(F.array(*[F.slice(v, m * PQ_SUB + 1, PQ_SUB)
                                for m in range(PQ_M)]))
-        .alias("_m", "sv")).cache()
+        .alias("_m", "sv"))
+    if iters > 1:  # a single Lloyd pass reads keyed exactly once —
+        keyed = keyed.cache()  # caching would only add a store pass
     try:
         first = (embeddings.select(id_col, v.alias("_v"))
                  .orderBy(id_col).limit(PQ_K).collect())
@@ -384,7 +386,8 @@ def pq_train(embeddings: DataFrame, id_col: str = "vec_id",
             cbs = nxt
         return cbs
     finally:
-        keyed.unpersist()
+        if iters > 1:
+            keyed.unpersist()
 
 
 def _sub_dists(sub: Column, cents: list, round_to: int = 6) -> Column:
@@ -401,11 +404,15 @@ def _sub_dists(sub: Column, cents: list, round_to: int = 6) -> Column:
 
 
 def pq_codes(df: DataFrame, codebooks: list, id_col: str,
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             extra_cols: tuple = ()) -> DataFrame:
     """Product-quantize each vector to PQ_M 0-based codebook indices
     (argmin rounded-d2 per subspace, first-index tie-break): 64
     doubles become 4 small ints — the 64x-compression ANN storage
-    layout. One map-side projection, no joins, no shuffle."""
+    layout. One map-side projection, no joins, no shuffle.
+    ``extra_cols`` pass through unchanged (e.g. the IVF cell id), so
+    callers don't re-join the source frame — and re-run its whole
+    assignment subtree — just to recover a column."""
     v = F.col(vec_col).cast("array<double>")
     cols = [F.col(id_col)]
     for m, cents in enumerate(codebooks):
@@ -413,6 +420,7 @@ def pq_codes(df: DataFrame, codebooks: list, id_col: str,
         d2s = _sub_dists(sub, cents)
         cols.append((F.array_position(d2s, F.array_min(d2s)) - 1)
                     .cast("int").alias(f"code{m}"))
+    cols.extend(F.col(c) for c in extra_cols)
     return df.select(*cols)
 
 
@@ -488,8 +496,7 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     e = with_cell_residual(embeddings, id_col)
     cbs = pq_train(e, id_col, "_r", iters)
-    ecodes = pq_codes(e, cbs, id_col, "_r").join(
-        e.select(id_col, "cell"), id_col)
+    ecodes = pq_codes(e, cbs, id_col, "_r", extra_cols=("cell",))
 
     # queries: top-nprobe cells by dot, then a residual PER cell
     qv = F.col(vec_col).cast("array<double>")

@@ -85,3 +85,23 @@ def guarded_broadcast(df: DataFrame,
     df = df.persist()
     n = df.limit(max_rows + 1).count()
     return F.broadcast(df) if n <= max_rows else df
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for a file-backed frame that
+    feeds per-row-expensive work (tokenize/explode chains, Python
+    stages). A single-row-group parquet file scans as ONE task, so
+    everything up to the first exchange runs on one core regardless of
+    cluster size (guide §2/§6: row-group count caps scan parallelism);
+    a round-robin repartition right after the scan spreads that work.
+    At production scale the scan has >= cores partitions (the probe is
+    a plan-time inputFiles() count, ~4 ms) and this is a no-op, so the
+    repartition never COLLAPSES parallelism."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few = len(df.inputFiles()) < n
+    except Exception:  # pragma: no cover - non-file sources
+        few = False
+    if few:
+        return df.repartition(n)
+    return df

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyproj_spark.functions import cells
 from pyproj_spark.functions.transform import haversine_m, transform_xy
 from pyproj_spark.operators.pip import pip_join
+from pyproj_spark.operators.skew import spread_small_scan as _spread
 
 # ---------------------------------------------------------------- helpers
 
@@ -4482,6 +4483,12 @@ def q_trend_cells(spark, sf_dir):
     t = (ev.select(hex_of(lon, lat, 2).alias("cell"),
                    F.floor(F.unix_timestamp("ts") / 86400).alias("day"))
          .groupBy("cell", "day").agg(F.count(F.lit(1)).alias("n")))
+    # pin the pair-explosion stage's parallelism: the (cell, day) table
+    # is a few KB, so AQE coalesces its shuffle to ONE partition and
+    # the days^2-per-cell pair expansion + sign aggregation runs on a
+    # single core; an explicit keyed repartition keeps its partition
+    # count under AQE (guide §2.5) and the partial agg spreads
+    t = t.repartition(spark.sparkContext.defaultParallelism, "cell")
     a = t.select(F.col("cell"), F.col("day").alias("di"),
                  F.col("n").alias("ni"))
     b = t.select(F.col("cell"), F.col("day").alias("dj"),
@@ -4586,6 +4593,9 @@ def q_theil_sen(spark, sf_dir):
     t = (ev.select(hex_of(lon, lat, 2).alias("cell"),
                    F.floor(F.unix_timestamp("ts") / 86400).alias("day"))
          .groupBy("cell", "day").agg(F.count(F.lit(1)).alias("n")))
+    # same parallelism pin as trend_cells: the exact-percentile pair
+    # stage must not collapse to one AQE-coalesced task (guide §2.5)
+    t = t.repartition(spark.sparkContext.defaultParallelism, "cell")
     a = t.select(F.col("cell"), F.col("day").alias("di"),
                  F.col("n").alias("ni"))
     b = t.select(F.col("cell"), F.col("day").alias("dj"),

@@ -20,21 +20,7 @@ from pyproj_spark.operators import dedup, similarity, textstats
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-def _spread(df):
-    """Scale-adaptive parallelism floor before a Python-heavy
-    mapInPandas chain (guide §2): the test tables are single-row-group
-    parquet, so the scan is one task and the whole encode+decode chain
-    would otherwise run on ONE core; at production scale the scan has
-    >= cores partitions and this is a no-op. Round-robin repartition of
-    the tiny key columns only — blobs are synthesized after the spread."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    try:  # cheap plan-time probe (~4 ms vs ~80 ms for .rdd)
-        few = len(df.inputFiles()) < n
-    except Exception:  # pragma: no cover - non-file sources
-        few = True
-    if few:
-        return df.repartition(n)
-    return df
+from pyproj_spark.operators.skew import spread_small_scan as _spread
 
 
 
@@ -168,7 +154,7 @@ FROM documents
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8,
+    return dedup.minhash_lsh_pairs(_spread(_docs(spark, sf_dir)), num_hashes=8,
                                    bands=4)
 
 
@@ -234,7 +220,7 @@ def q_dedup_clusters(spark, sf_dir):
     # components with O(members) edges per band (the oracle's
     # recursive CTE computes components from ITS all-pairs edges, so
     # the cluster table it checks is unchanged)
-    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8,
+    pairs = dedup.minhash_lsh_pairs(_spread(_docs(spark, sf_dir)), num_hashes=8,
                                     bands=4, star_only=True)
     return dedup_clusters(pairs)
 
@@ -482,8 +468,8 @@ def q_image_meta(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import image_meta
 
-    docs = _spread(_docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id"))
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
 
     def _blob(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyproj_spark.kernels.jpeg import _exif_app1
@@ -686,8 +672,8 @@ def q_wav_features(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import wav_features
 
-    docs = _spread(_docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id"))
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
 
     def _wav(d: int) -> bytes:
         from pyproj_spark.kernels.riff import encode_wav
@@ -1007,7 +993,7 @@ def q_repetition(spark, sf_dir):
     its own list/window machinery."""
     from pyproj_spark.operators.textstats import repetition_features
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     return repetition_features(docs)
 
 
@@ -1579,7 +1565,7 @@ def q_decontaminate(spark, sf_dir):
     >= 2 distinct shingles with it is flagged. The benchmark shingle
     set broadcasts; the only shuffle is the per-doc hit count."""
     from pyproj_spark.operators.dedup import decontaminate
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     bench = d.filter(F.col("doc_id") % 50 == 7)
     return decontaminate(d, bench)
 
@@ -1913,7 +1899,7 @@ def q_cm_heavy(spark, sf_dir):
     exact over-count behavior, not just the happy path."""
     from pyproj_spark.operators.lm import _tokens
     from pyproj_spark.operators.sketch import cm_topk
-    toks = _tokens(_docs(spark, sf_dir).select("text"), "text") \
+    toks = _tokens(_spread(_docs(spark, sf_dir)).select("text"), "text") \
         .select("token")
     return cm_topk(toks, "token", k=10)
 
@@ -2215,7 +2201,7 @@ def q_entropy(spark, sf_dir):
     contributions round to nano units and sum as exact longs, so the
     per-doc aggregation order cannot leak into the gate."""
     from pyproj_spark.operators.lm import _tokens
-    toks = _tokens(_docs(spark, sf_dir).select("doc_id", "text"),
+    toks = _tokens(_spread(_docs(spark, sf_dir)).select("doc_id", "text"),
                    "text").select("doc_id", "token")
     tf = (toks.groupBy("doc_id", "token")
           .agg(F.count(F.lit(1)).alias("c")))
@@ -2674,7 +2660,7 @@ def q_dup_spans(spark, sf_dir):
     broadcast-joined duplicate set, one per-doc window for the
     interval merge."""
     from pyspark.sql import Window
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     i = F.col("doc_id")
     shared1 = " ".join(f"alpha{j}" for j in range(25))
     shared2 = " ".join(f"beta{j}" for j in range(25))
@@ -2818,7 +2804,7 @@ def q_dup_spans_exact(spark, sf_dir):
     floor — the fidelity gap the fixed-n detector leaves.
     """
     from pyspark.sql import Window
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     n = _SPAN_N
     g = F.expr("doc_id div 2")
     h = F.expr("doc_id div 5")
@@ -2982,7 +2968,7 @@ def q_canonical_docs(spark, sf_dir):
     representative. Returns (rep, canonical_id, cluster_size,
     best_len)."""
     from pyproj_spark.operators.cc import connected_components
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
                                     star_only=True)
     comp = connected_components(pairs)
@@ -3632,7 +3618,7 @@ def q_bigram_lm(spark, sf_dir):
     shuffle); the corpus totals (T, V) are a 1-row aggregate joined by
     broadcast; per-doc accumulation sums round(logp·1e6) longs so the
     score is aggregation-order-independent."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
                     lambda t: t != F.lit(""))
     bigrams = F.zip_with(
@@ -3971,7 +3957,7 @@ def q_dsir_sample(spark, sf_dir):
     selection: no corpus-size state anywhere but the doc-keyed sum."""
     from pyproj_spark.operators.dsir import (bucket_log_ratios,
                                              dsir_weights, gumbel_topk)
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     ratios = bucket_log_ratios(docs, F.col("lang") == "en")
     w = dsir_weights(docs, ratios)
     return gumbel_topk(w, 150).select(
@@ -4388,7 +4374,7 @@ def q_symspell(spark, sf_dir):
     The oracle is covering-BLIND (raw a.id < b.id pair join with the
     same levenshtein filter), so hash equality proves the blocking
     misses no pair — the completeness theorem, certified on data."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir))
     i = F.col("doc_id")
     t0 = F.concat(F.lit("w"), (i % 40).cast("string"),
                   F.lit(" report "), (i % 7).cast("string"))
@@ -4835,11 +4821,14 @@ def q_ngram_novelty(spark, sf_dir):
     oracle differs only at birthday collisions, which is exactly
     the kind of sf0.1-only divergence the gate exists to catch.)"""
     from pyproj_spark.operators.dedup import ngram_shingles
-    docs = _docs(spark, sf_dir).withColumn(
-        "day", (F.col("doc_id") % 10).cast("long"))
+    docs = _spread(_docs(spark, sf_dir))
+    # day is a pure function of doc_id, so derive it from the shingle
+    # rows directly instead of joining the docs frame back on doc_id —
+    # that join shuffled every shingle row just to recover a value the
+    # row already determines (guide §2.4: remove shuffles outright)
     sh = (ngram_shingles(docs, n=3)
-          .join(docs.select("doc_id", "day"), "doc_id")
-          .select("day", "shingle_hash").distinct())
+          .select((F.col("doc_id") % 10).cast("long").alias("day"),
+                  "shingle_hash").distinct())
     first = (sh.groupBy("shingle_hash")
              .agg(F.min("day").alias("first_day")))
     per_day = sh.groupBy("day").agg(
@@ -5028,8 +5017,8 @@ def q_audio_fp(spark, sf_dir):
 
     from pyproj_spark.operators.multimodal import audio_fingerprint
 
-    docs = _spread(_docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "doc_id"))
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "doc_id")
 
     def _wav(d: int) -> bytes:
         from pyproj_spark.kernels.riff import encode_wav
