@@ -88,51 +88,27 @@ def _interleaved() -> dict[str, tuple]:
     merged = dict(QUERIES)
     merged.update(QUERIES_TEXT)
     new_this_round = [
-        # tenth-session additions (newest first)
-        "quadrat_csr", "solar_position", "knox_test",
-        "bib_coupling", "jsonld_extract", "meta_robots",
-        "skyline", "cell_mad", "feed_parse",
-        "cost_distance", "harmonic_centrality", "idw_loocv",
-        "assortativity", "ndcg_eval", "pca_power",
-        "local_moran", "cusum_drift", "term_burstiness",
-        "quadkey_compact", "ks_interarrival", "gini_hosts",
-        "soundex_blocking", "geo_median",
-        "hapax_ratio", "heaps_fit", "raster_upsample",
-        "clark_evans", "hill_alpha", "lang_entropy",
-        "variogram", "toc_extract",
-        "kendall_tau", "sitemap_discovery", "email_deobfuscate",
-        "benford", "two_prop_test", "dem_curvature",
-        "runs_test", "nearest_facility", "two_sfca",
-        "raster_hist_eq", "chi2_features", "stylometry_delta",
-        "cell_turnover", "coverage_curve",
-        # ninth-session additions (newest first)
-        "geary_c", "ripley_k", "salsa", "kneser_ney", "flow_accum",
-        "frechet", "watershed", "kde_raster", "flow_length",
-        "vw_filter", "good_turing", "rrf_fusion", "sorted_neighborhood",
-        "textrank", "pq_ann", "ivfpq",  # changed this session
-        "theil_sen", "terrain_tpi", "world_proj", "hammer_aitoff",
-        "focal_mode", "zone_diameter", "sinuosity", "std_ellipse",
-        "itrf_epoch",
-        "hillshade", "viewshed", "textrank", "posting_lists",
-        "url_templates", "kmv_sketch", "bot_score", "fetch_budget",
-        "geom_valid", "link_reciprocity", "concurrency",
-        "polyline_encode", "haar_raster", "gravity_flows",
-        "molodensky", "hilbert", "mime_sniff", "surt_dedup", "mojibake", "hreflang_cluster", "flow_dir",
-        "rect_join", "union_area", "speed_filter", "line_interp",
-        "cdc_chunks", "sitemap_parse", "readability", "rake_keywords",
-        "ngram_novelty", "dem_slope", "dtw_route", "jl_project",
-        "image_dhash", "range_join", "audio_fp", "quality_auc",
-        "symspell_pairs", "resample_track", "anchor_text",
-        "corpus_drift", "zonal_stats", "sph_centroid",
-        "rhumb_line", "dsir_sample", "gc_intersect", "sq8_ann",
-        "hmm_match", "pq_ann", "ivfpq", "colocate", "fertility",
-        "rd_grid", "gauss_kruger", "krovak_grid", "hll_pyramid", "geoip",
-        "vertical_shift", "nad27_stateplane",
-        # (semdedup/bpe_merges/bpe_segment/kcore/hop_distance/
-        # label_prop/shortest_path/hll_pyramid already driver-sampled
-        # in r4 — dropped from the priority head so every
-        # never-sampled query fits the ~50-query prefix window; they
-        # rotate back in via the least-recently-sampled ordering.)
+        # round-6 (optimization round): queries whose Spark-side
+        # implementation/plan CHANGED this round — no new queries, no
+        # oracle-SQL changes; these lead the sample so the driver
+        # verifies exactly the optimized surface (operator rewrites,
+        # parallelism floors, expression rebinding; see
+        # OPTIMIZATION_r06.md). Everything else rotates
+        # least-recently-sampled as before.
+        "dtw_route", "frechet", "hmm_match", "simplify",
+        "quadkey_compact", "s2cell", "s2_rollup", "s2_bbox", "s2_pip",
+        "hexcell", "cell_moments", "grid_dbscan", "dwell",
+        "hex_smooth", "od_matrix", "knn_hex", "theil_sen",
+        "trend_cells", "pip_join", "knn_zones", "polygon_area",
+        "clip_zones", "zone_fill", "zone_diameter",
+        "jpeg_decode", "jpeg_progressive", "png_decode",
+        "frame_sample", "image_resize", "image_dhash", "tone_detect",
+        "warc_ingest", "pipeline_e2e",
+        "symspell_pairs", "dup_spans_exact", "dup_spans",
+        "decontaminate", "cm_heavy", "canonical_docs",
+        "dedup_clusters", "bigram_lm", "dsir_sample", "repetition",
+        "minhash_lsh", "entropy", "ngram_novelty",
+        "ivfpq", "pq_ann",
     ]
     out: dict[str, tuple] = {n: merged[n] for n in new_this_round
                              if n in merged}
