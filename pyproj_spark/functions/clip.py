@@ -24,6 +24,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` once and feed it to ``fn`` as a HOF lambda
+    variable (the hexcell/s2cell r6 binding idiom). Chained clip
+    passes reference their input ~3x each (ring + two slices in
+    _edges); inlined, four passes balloon to ~3^4 copies of the
+    subject expression — a multi-hundred-KB plan whose interpreted
+    HOF evaluation repeats every copy per row. Bound, each pass's
+    tree appears (and evaluates) exactly once. Same arithmetic."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _edges(ring: Column) -> Column:
     """array<struct<p, q>> of consecutive ring edges (closing edge
     included): q-list is the ring rotated left by one."""
@@ -66,11 +77,13 @@ def _clip_half(ring: Column, axis: str, bound, keep_ge: bool) -> Column:
 
 
 def clip_to_rect(ring: Column, xmin, ymin, xmax, ymax) -> Column:
-    """Ring clipped to [xmin,xmax]x[ymin,ymax]; possibly empty."""
+    """Ring clipped to [xmin,xmax]x[ymin,ymax]; possibly empty.
+    Each pass's output is BOUND (evaluated once) before feeding the
+    next — identical float ops, linear instead of ~3^4 tree size."""
     r = _clip_half(ring, "x", xmin, True)
-    r = _clip_half(r, "x", xmax, False)
-    r = _clip_half(r, "y", ymin, True)
-    r = _clip_half(r, "y", ymax, False)
+    r = _bind(r, lambda rr: _clip_half(rr, "x", xmax, False))
+    r = _bind(r, lambda rr: _clip_half(rr, "y", ymin, True))
+    r = _bind(r, lambda rr: _clip_half(rr, "y", ymax, False))
     return r
 
 
@@ -178,8 +191,8 @@ def clip_to_triangle(ring: Column, x0, y0, x1, y1, x2, y2,
     """Ring clipped to the triangle (x0,y0)-(x1,y1)-(x2,y2) of
     orientation sign ``s`` (+1 CCW / -1 CW)."""
     r = _clip_half_line(ring, x0, y0, x1, y1, s)
-    r = _clip_half_line(r, x1, y1, x2, y2, s)
-    r = _clip_half_line(r, x2, y2, x0, y0, s)
+    r = _bind(r, lambda rr: _clip_half_line(rr, x1, y1, x2, y2, s))
+    r = _bind(r, lambda rr: _clip_half_line(rr, x2, y2, x0, y0, s))
     return r
 
 
@@ -206,7 +219,9 @@ def intersection_area2(subj: Column, clip: Column) -> Column:
             .when(cross2 < 0, F.lit(-1.0)).otherwise(F.lit(0.0))
         tri = clip_to_triangle(subj, c0["x"], c0["y"], ci["x"],
                                ci["y"], cj["x"], cj["y"], s)
-        return s * ring_area2(tri)
+        # bind the clipped triangle before the shoelace fold:
+        # ring_area2 references its argument 3x via _edges
+        return s * _bind(tri, ring_area2)
 
     terms = F.transform(F.sequence(F.lit(2), F.size(clip) - 1),
                         contrib)

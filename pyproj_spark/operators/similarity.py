@@ -564,16 +564,31 @@ def jl_project(embeddings: DataFrame, k: int = 16,
     one zip_with+aggregate per output component, one scan, no
     shuffle at all. Returns long-format (id, comp, p_micro)."""
     signs = jl_sign_matrix(k, dim, seed)
-    comps = F.array(*[
-        F.struct(
-            F.lit(i).alias("comp"),
-            F.aggregate(
-                F.zip_with(F.col(vec_col),
-                           F.array(*[F.lit(s) for s in signs[i]]),
-                           lambda e, s: F.round(e * 1e6).cast("long") * s),
-                F.lit(0).cast("long"), lambda acc, v: acc + v)
-            .alias("p_micro"))
-        for i in range(k)])
+    # quantize ONCE per row (bound as a HOF lambda variable), not once
+    # per output component: the round(e*1e6) chain is identical across
+    # the k folds, so inlining it k times cost k*dim interpreted ops
+    # per row for the same values. Sign arrays ship as single-parse
+    # F.expr literals (one py4j call each instead of dim lit() calls —
+    # plan construction is inside the benched query time). Same
+    # arithmetic: long(round(e*1e6)) * (+-1 int) summed in index order.
+    q_micro = F.transform(F.col(vec_col),
+                          lambda e: F.round(e * 1e6).cast("long"))
+
+    def _comps(qq):
+        return F.array(*[
+            F.struct(
+                F.lit(i).alias("comp"),
+                F.aggregate(
+                    F.zip_with(
+                        qq,
+                        F.expr("array(" + ",".join(
+                            str(s) for s in signs[i]) + ")"),
+                        lambda a, s: a * s),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v)
+                .alias("p_micro"))
+            for i in range(k)])
+
+    comps = F.element_at(F.transform(F.array(q_micro), _comps), 1)
     return (embeddings
             .select(id_col, F.explode(comps).alias("c"))
             .select(id_col, F.col("c.comp").alias("comp"),

@@ -3434,33 +3434,48 @@ def q_dq_checks(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     docs = _t(spark, sf_dir, "documents")
 
-    def check(name, viol, total):
-        return spark.createDataFrame(
-            [(name, viol, total)],
-            "check string, n_violations long, n_total long")
+    # ONE action instead of 7 sequential .count() driver jobs + 5
+    # createDataFrame RDD scans (each job paid ~0.2 s of fixed local
+    # latency): every check is a conditional aggregate, the per-table
+    # 1-row aggregates cross-join (all broadcast), and the 5 output
+    # rows explode from a literal struct array. Same counts, same
+    # rows — the anti-join count is sum(no-match) over a left join on
+    # the unique c_custkey (primary key), which is the same number.
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
-    orphans = (orders.join(
-        cust.select(F.col("c_custkey").alias("o_custkey")),
-        "o_custkey", "left_anti").count())
-    n_orders = orders.count()
-    n_li = li.count()
-    bad_price = li.filter(F.col("l_extendedprice") <= 0).count()
-    bad_disc = li.filter((F.col("l_discount") < 0)
-                         | (F.col("l_discount") > 1)).count()
-    n_docs = docs.count()
-    empty_docs = docs.filter(
-        F.col("text").isNull()
-        | (F.length(F.trim("text")) == 0)).count()
-    pts = _doc_points(spark, sf_dir)
-    bad_geo = pts.filter((F.abs("lon") > 180)
-                         | (F.abs("lat") > 90)).count()
-    out = check("orphan_orders", orphans, n_orders)
-    for row in (("nonpositive_price", bad_price, n_li),
-                ("discount_range", bad_disc, n_li),
-                ("empty_documents", empty_docs, n_docs),
-                ("geo_bounds", bad_geo, n_docs)):
-        out = out.unionByName(check(*row))
-    return out
+    o_agg = (orders.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"),
+                                F.lit(1).alias("_hit"))),
+        "o_custkey", "left")
+        .agg(cnt(F.col("_hit").isNull()).alias("orphans"),
+             F.count(F.lit(1)).alias("n_orders")))
+    li_agg = li.agg(
+        cnt(F.col("l_extendedprice") <= 0).alias("bad_price"),
+        cnt((F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1)).alias("bad_disc"),
+        F.count(F.lit(1)).alias("n_li"))
+    lon = (F.col("doc_id") * 7919 % 360000) / 1000.0 - 180.0
+    lat = (F.col("doc_id") * 104729 % 170000) / 1000.0 - 85.0
+    d_agg = docs.agg(
+        cnt(F.col("text").isNull()
+            | (F.length(F.trim("text")) == 0)).alias("empty_docs"),
+        cnt((F.abs(lon) > 180) | (F.abs(lat) > 90)).alias("bad_geo"),
+        F.count(F.lit(1)).alias("n_docs"))
+    combined = o_agg.crossJoin(li_agg).crossJoin(d_agg)
+
+    def row(name, viol, total):
+        return F.struct(F.lit(name).alias("check"),
+                        F.col(viol).alias("n_violations"),
+                        F.col(total).alias("n_total"))
+
+    rows = F.array(row("orphan_orders", "orphans", "n_orders"),
+                   row("nonpositive_price", "bad_price", "n_li"),
+                   row("discount_range", "bad_disc", "n_li"),
+                   row("empty_documents", "empty_docs", "n_docs"),
+                   row("geo_bounds", "bad_geo", "n_docs"))
+    return (combined.select(F.explode(rows).alias("r"))
+            .select("r.check", "r.n_violations", "r.n_total"))
 
 
 SQL_DQ_CHECKS = f"""
