@@ -74,10 +74,24 @@ def _plane_components_py(plane: int, dim: int) -> list:
     return out
 
 
+def _dlit(v) -> Column:
+    """Nested Python list of floats -> ONE single-parse literal array
+    expression. ``F.array(*[F.lit(x) ...])`` costs one py4j round trip
+    per element — a 4x16x16 codebook built that way is ~1k driver
+    calls INSIDE the timed query build. ``repr(float)`` round-trips
+    exactly and Spark's ``D`` suffix parses via Double.parseDouble
+    (correctly rounded), so the values are bit-identical to lit()."""
+    def fmt(x):
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(fmt(e) for e in x) + ")"
+        return repr(float(x)) + "D"
+    return F.expr(fmt(v))
+
+
 def _dot_const(vec: Column, comps: list) -> Column:
     """dot(vec, literal component vector) via zip_with+aggregate."""
-    arr = F.array(*[F.lit(c) for c in comps])
-    return F.aggregate(F.zip_with(vec, arr, lambda x, c: x * c),
+    return F.aggregate(F.zip_with(vec, _dlit(comps),
+                                  lambda x, c: x * c),
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -361,9 +375,7 @@ def pq_train(embeddings: DataFrame, id_col: str = "vec_id",
         cbs = [[[float(x) for x in r._v[m * PQ_SUB:(m + 1) * PQ_SUB]]
                 for r in first] for m in range(PQ_M)]
         for _ in range(iters):
-            allc = F.array(*[
-                F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                          for c in cb]) for cb in cbs])
+            allc = _dlit(cbs)
             dists = F.transform(
                 F.element_at(allc, F.col("_m") + 1),
                 lambda c: F.round(F.aggregate(
@@ -394,10 +406,8 @@ def _sub_dists(sub: Column, cents: list, round_to: int = 6) -> Column:
     """array of rounded squared distances to each centroid — the
     assign_clusters arithmetic, inlined so all PQ_M argmins run in
     ONE projection."""
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                     for c in cents])
     return F.transform(
-        carr,
+        _dlit(cents),
         lambda c: F.round(F.aggregate(
             F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x), round_to))
@@ -441,10 +451,8 @@ def pq_adc_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     qcols = [F.col(qid_col)]
     for m, cents in enumerate(cbs):
         sub = F.slice(qv, m * PQ_SUB + 1, PQ_SUB)
-        carr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                         for c in cents])
         tab = F.transform(
-            carr,
+            _dlit(cents),
             lambda c: F.round(F.aggregate(
                 F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, x: acc + x) * 1e9)
@@ -479,8 +487,7 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     index-build + search replays in SQL."""
     dim = PQ_M * PQ_SUB
     cents = [_plane_components_py(j, dim) for j in range(n_centroids)]
-    cent_arr = F.array(*[F.array(*[F.lit(c) for c in cc])
-                         for cc in cents])
+    cent_arr = _dlit(cents)
 
     def with_cell_residual(df, idc):
         v = F.col(vec_col).cast("array<double>")
