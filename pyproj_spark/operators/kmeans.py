@@ -31,8 +31,8 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
     array_position (first index wins ties — identical semantics to a
     K-way when-chain but with O(K·dim) smaller codegen: a chain of K
     separate fold expressions measured ~3x slower at K=8, dim=64)."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                      for c in centroids])
+    from pyproj_spark.operators.similarity import _dlit
+    cents = _dlit(centroids)  # one parse, not K*dim py4j lit() calls
     dists = F.transform(
         cents,
         lambda c: F.round(F.aggregate(

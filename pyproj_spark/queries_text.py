@@ -2382,17 +2382,25 @@ def q_pmi_pairs(spark, sf_dir):
     <=30-token set — never a corpus-wide token self-join."""
     from pyproj_spark.operators.lm import _tokens
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
     toks = _tokens(docs.select("doc_id", "text"), "text") \
         .select("doc_id", "token")
-    vocab = [r.token for r in
-             (toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-              .orderBy(F.col("c").desc(), "token").limit(30)
-              .collect())]
-    dt = (toks.filter(F.col("token").isin(vocab)).distinct())
-    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # ONE action instead of three: n_docs rides as a 1-row broadcast
+    # aggregate (was a separate .count() job), the top-30 vocabulary
+    # is a broadcast TakeOrdered semi-join (was a collect + isin
+    # literal — one more driver job), and the per-doc/per-token
+    # dedups fold into collect_set aggregations (each saves the
+    # standalone distinct exchange + one extra evaluation of the
+    # token pipeline). Same token sets, same counts, same pmi bits.
+    n1 = docs.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
+    vocab_df = (toks.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.col("c").desc(), "token").limit(30)
+                .select("token"))
+    dt = toks.join(F.broadcast(vocab_df), "token", "left_semi")
+    dfreq = dt.groupBy("token").agg(
+        F.size(F.collect_set("doc_id")).cast("long").alias("df"))
     per_doc = (dt.groupBy("doc_id")
-               .agg(F.array_sort(F.collect_list("token"))
+               .agg(F.array_sort(F.collect_set("token"))
                     .alias("ts")))
     ts = F.col("ts")
     pairs = F.flatten(F.transform(
@@ -2412,8 +2420,9 @@ def q_pmi_pairs(spark, sf_dir):
     d2 = dfreq.select(F.col("token").alias("w2"),
                       F.col("df").alias("df2"))
     return (cooc.join(F.broadcast(d1), "w1").join(F.broadcast(d2), "w2")
+            .crossJoin(F.broadcast(n1))
             .select("w1", "w2", "cooc",
-                    F.round(F.log(F.col("cooc") * F.lit(float(n_docs))
+                    F.round(F.log(F.col("cooc") * F.col("_nd")
                                   / (F.col("df1") * F.col("df2"))), 6)
                     .alias("pmi")))
 
@@ -3715,18 +3724,23 @@ def q_kneser_ney(spark, sf_dir):
     db = (d.select("doc_id", F.explode(bigrams).alias("b"))
           .select("doc_id", "b.w1", "b.w2"))
     bc = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    ctx = bc.groupBy("w1").agg(F.sum("cb").alias("c1"),
-                               F.count(F.lit(1)).alias("n1f"))
-    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    # context/continuation counts as WINDOWS over the one bigram-type
+    # table instead of three separate re-aggregations + joins: the
+    # old plan re-ran the tokenize+explode+count chain 5x (10 scans,
+    # zero exchange reuse); windows keyed on w1/w2 enrich bc in one
+    # evaluation. Same longs, same p formula, same rounding.
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    enr = (bc.withColumn("c1", F.sum("cb").over(w1w))
+           .withColumn("n1f", F.count(F.lit(1)).over(w1w))
+           .withColumn("n1p", F.count(F.lit(1)).over(w2w)))
     tot = bc.agg(F.count(F.lit(1)).alias("nbt"))
     p = (F.greatest(F.col("cb") - F.lit(0.75), F.lit(0.0))
          / F.col("c1")
          + (F.lit(0.75) * F.col("n1f") / F.col("c1"))
          * (F.col("n1p") / F.col("nbt")))
     return (db
-            .join(bc, ["w1", "w2"])
-            .join(ctx, "w1")
-            .join(cont, "w2")
+            .join(enr, ["w1", "w2"])
             .crossJoin(F.broadcast(tot))
             .select("doc_id",
                     F.round(F.log(p) * 1e6).cast("long").alias("lp"))
