@@ -56,6 +56,10 @@ def bucket_log_ratios(docs: DataFrame, is_target,
                   .agg(F.sum(F.when(F.col("_is_target"), 1)
                              .otherwise(0)).alias("ct"),
                        F.count("*").alias("cr")))
+    # materialize the FIXED-size (n_buckets-row) table once: it has
+    # two consumers (totals + the ratio projection) and each would
+    # otherwise re-run the whole corpus tokenize pass
+    per_bucket = per_bucket.localCheckpoint(eager=False)
     totals = per_bucket.agg(F.sum("ct").alias("tt"),
                             F.sum("cr").alias("tr"))
     b = F.lit(float(N_BUCKETS))

@@ -19,7 +19,8 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
+import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
+import pyarrow as pa  # module-level: arrow_udf resolves string hints here
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -86,21 +87,25 @@ def _epsg_code(src_crs) -> "F.Column":
 
 
 def normalize_to_4326(x, y, src_crs):
-    """struct<x,y> pandas-UDF: transform mixed-CRS coordinate columns to
+    """struct<x,y> Arrow-UDF: transform mixed-CRS coordinate columns to
     EPSG:4326 lon/lat, batching per distinct src_crs inside each Arrow
     batch (the per-worker kernel cache makes replans free). The CRS
-    column crosses the boundary as its native-extracted int EPSG code."""
-    from pyspark.sql.functions import pandas_udf
+    column crosses the boundary as its native-extracted int EPSG code.
+    r6: ``arrow_udf`` (pyarrow arrays in/out) skips the Arrow->pandas
+    Series materialization on both sides of the crossing — the numpy
+    kernel math is byte-identical (same float64 buffers)."""
+    from pyspark.sql.functions import arrow_udf
 
     from pyproj_spark.crs.crs import CRS
     from pyproj_spark.plans.spec import TransformSpec, get_kernel
 
-    @pandas_udf("struct<x:double,y:double>")
-    def _norm(xs: pd.Series, ys: pd.Series, codes: pd.Series
-              ) -> pd.DataFrame:
-        xo = xs.to_numpy(dtype=np.float64).copy()
-        yo = ys.to_numpy(dtype=np.float64).copy()
-        cn = codes.to_numpy()
+    @arrow_udf("struct<x:double,y:double>")
+    def _norm(xs: pa.Array, ys: pa.Array, codes: pa.Array) -> pa.Array:
+        xo = np.asarray(xs.to_numpy(zero_copy_only=False),
+                        dtype=np.float64).copy()
+        yo = np.asarray(ys.to_numpy(zero_copy_only=False),
+                        dtype=np.float64).copy()
+        cn = codes.to_numpy(zero_copy_only=False)
         for code in np.unique(cn):
             if code == 4326:
                 continue
@@ -111,7 +116,8 @@ def normalize_to_4326(x, y, src_crs):
             xi, yi, _ = k(xo[ii], yo[ii])
             xo[ii] = xi
             yo[ii] = yi
-        return pd.DataFrame({"x": xo, "y": yo})
+        return pa.StructArray.from_arrays(
+            [pa.array(xo), pa.array(yo)], names=["x", "y"])
 
     return _norm(x, y, _epsg_code(src_crs))
 
@@ -123,19 +129,23 @@ def normalize_and_project(x, y, src_crs, target: str = "EPSG:3857"):
     UDFs — halving Arrow traffic matters more than anything else in the
     hot path (each ArrowEvalPython node is a full serialize/deserialize
     of the anchor stream)."""
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import arrow_udf
 
     from pyproj_spark.crs.crs import CRS
     from pyproj_spark.plans.spec import TransformSpec, get_kernel
 
     tgt_srs = CRS.from_user_input(target).srs
 
-    @pandas_udf("struct<lon:double,lat:double,px:double,py:double>")
-    def _np2(xs: pd.Series, ys: pd.Series, codes: pd.Series
-             ) -> pd.DataFrame:
-        lon = xs.to_numpy(dtype=np.float64).copy()
-        lat = ys.to_numpy(dtype=np.float64).copy()
-        cn = codes.to_numpy()
+    # arrow_udf (Spark 4.1): pyarrow arrays in/out — no Arrow->pandas
+    # Series round trip; same numpy kernels on the same float64
+    # buffers, so the output bits are identical (oracle-gated).
+    @arrow_udf("struct<lon:double,lat:double,px:double,py:double>")
+    def _np2(xs: pa.Array, ys: pa.Array, codes: pa.Array) -> pa.Array:
+        lon = np.asarray(xs.to_numpy(zero_copy_only=False),
+                         dtype=np.float64).copy()
+        lat = np.asarray(ys.to_numpy(zero_copy_only=False),
+                         dtype=np.float64).copy()
+        cn = codes.to_numpy(zero_copy_only=False)
         for code in np.unique(cn):
             if code == 4326:
                 continue
@@ -146,7 +156,9 @@ def normalize_and_project(x, y, src_crs, target: str = "EPSG:3857"):
             lon[ii], lat[ii], _ = k(lon[ii], lat[ii])
         kt = get_kernel(TransformSpec("EPSG:4326", tgt_srs, always_xy=True))
         px, py, _ = kt(lon, lat)
-        return pd.DataFrame({"lon": lon, "lat": lat, "px": px, "py": py})
+        return pa.StructArray.from_arrays(
+            [pa.array(lon), pa.array(lat), pa.array(px), pa.array(py)],
+            names=["lon", "lat", "px", "py"])
 
     return _np2(x, y, _epsg_code(src_crs))
 
