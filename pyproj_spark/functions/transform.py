@@ -16,10 +16,11 @@ input columns directly — no UDF enters the plan at all
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pandas as pd  # noqa: F401 — kept for callers' type hints
+import pyarrow as pa
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf
 
 from pyproj_spark.crs.crs import CRS
 from pyproj_spark.plans.spec import TransformSpec, get_kernel
@@ -53,20 +54,26 @@ def transform_xy(crs_from, crs_to, x: Column, y: Column,
                         y.cast("double").alias("y"))
 
     if with_op_id:
-        @pandas_udf("struct<x:double,y:double,op_id:int>")
-        def _xf_op(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        @arrow_udf("struct<x:double,y:double,op_id:int>")
+        def _xf_op(xs: pa.Array, ys: pa.Array) -> pa.Array:
             k = get_kernel(spec)
-            xo, yo, _, ops = k.call_with_ops(xs.to_numpy(), ys.to_numpy())
-            return pd.DataFrame({"x": xo, "y": yo,
-                                 "op_id": ops.astype("int32")})
+            xo, yo, _, ops = k.call_with_ops(
+                xs.to_numpy(zero_copy_only=False),
+                ys.to_numpy(zero_copy_only=False))
+            return pa.StructArray.from_arrays(
+                [pa.array(xo), pa.array(yo),
+                 pa.array(ops.astype("int32"))],
+                names=["x", "y", "op_id"])
 
         return _xf_op(x, y)
 
-    @pandas_udf("struct<x:double,y:double>")
-    def _xf(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+    @arrow_udf("struct<x:double,y:double>")
+    def _xf(xs: pa.Array, ys: pa.Array) -> pa.Array:
         k = get_kernel(spec)
-        xo, yo, _ = k(xs.to_numpy(), ys.to_numpy())
-        return pd.DataFrame({"x": xo, "y": yo})
+        xo, yo, _ = k(xs.to_numpy(zero_copy_only=False),
+                      ys.to_numpy(zero_copy_only=False))
+        return pa.StructArray.from_arrays(
+            [pa.array(xo), pa.array(yo)], names=["x", "y"])
 
     return _xf(x, y)
 
@@ -90,12 +97,13 @@ def transform_xy_keyed(crs_from, crs_by_key: dict, key: Column,
                                    always_xy=always_xy)
              for k, v in crs_by_key.items()}
 
-    @pandas_udf("struct<x:double,y:double>")
-    def _xfk(keys: pd.Series, xs: pd.Series, ys: pd.Series
-             ) -> pd.DataFrame:
-        kn = keys.to_numpy()
-        xn = xs.to_numpy(dtype="float64")
-        yn = ys.to_numpy(dtype="float64")
+    @arrow_udf("struct<x:double,y:double>")
+    def _xfk(keys: pa.Array, xs: pa.Array, ys: pa.Array) -> pa.Array:
+        kn = keys.to_numpy(zero_copy_only=False)
+        xn = np.asarray(xs.to_numpy(zero_copy_only=False),
+                        dtype="float64")
+        yn = np.asarray(ys.to_numpy(zero_copy_only=False),
+                        dtype="float64")
         xo = np.full(len(xn), np.nan)
         yo = np.full(len(yn), np.nan)
         for kv, spec in specs.items():
@@ -104,7 +112,8 @@ def transform_xy_keyed(crs_from, crs_by_key: dict, key: Column,
                 kern = get_kernel(spec)
                 xm, ym, _ = kern(xn[m], yn[m])
                 xo[m], yo[m] = xm, ym
-        return pd.DataFrame({"x": xo, "y": yo})
+        return pa.StructArray.from_arrays(
+            [pa.array(xo), pa.array(yo)], names=["x", "y"])
 
     return _xfk(key, x, y)
 
@@ -120,11 +129,15 @@ def transform_xyz(crs_from, crs_to, x: Column, y: Column, z: Column,
                         y.cast("double").alias("y"),
                         z.cast("double").alias("z"))
 
-    @pandas_udf("struct<x:double,y:double,z:double>")
-    def _xf(xs: pd.Series, ys: pd.Series, zs: pd.Series) -> pd.DataFrame:
+    @arrow_udf("struct<x:double,y:double,z:double>")
+    def _xf(xs: pa.Array, ys: pa.Array, zs: pa.Array) -> pa.Array:
         k = get_kernel(spec)
-        xo, yo, zo = k(xs.to_numpy(), ys.to_numpy(), zs.to_numpy())
-        return pd.DataFrame({"x": xo, "y": yo, "z": zo})
+        xo, yo, zo = k(xs.to_numpy(zero_copy_only=False),
+                       ys.to_numpy(zero_copy_only=False),
+                       zs.to_numpy(zero_copy_only=False))
+        return pa.StructArray.from_arrays(
+            [pa.array(xo), pa.array(yo), pa.array(zo)],
+            names=["x", "y", "z"])
 
     return _xf(x, y, z)
 
@@ -144,16 +157,19 @@ def transform_pipeline(pipeline: str, x: Column, y: Column,
     from pyproj_spark.plans.pipeline import PipelineKernel
     PipelineKernel(pipeline)  # driver-side validation: raise HERE
 
-    @pandas_udf("struct<x:double,y:double,z:double>")
-    def _pl(xs: pd.Series, ys: pd.Series, zs: pd.Series) -> pd.DataFrame:
+    @arrow_udf("struct<x:double,y:double,z:double>")
+    def _pl(xs: pa.Array, ys: pa.Array, zs: pa.Array) -> pa.Array:
         k = _PIPELINE_CACHE.get(pipeline)
         if k is None:
             from pyproj_spark.plans.pipeline import PipelineKernel as PK
             k = _PIPELINE_CACHE[pipeline] = PK(pipeline)
-        xo, yo, zo = k(xs.to_numpy(dtype="float64"),
-                       ys.to_numpy(dtype="float64"),
-                       zs.to_numpy(dtype="float64"))
-        return pd.DataFrame({"x": xo, "y": yo, "z": zo})
+        xo, yo, zo = k(
+            np.asarray(xs.to_numpy(zero_copy_only=False), dtype="float64"),
+            np.asarray(ys.to_numpy(zero_copy_only=False), dtype="float64"),
+            np.asarray(zs.to_numpy(zero_copy_only=False), dtype="float64"))
+        return pa.StructArray.from_arrays(
+            [pa.array(xo), pa.array(yo), pa.array(zo)],
+            names=["x", "y", "z"])
 
     zc = F.lit(0.0) if z is None else z.cast("double")
     return _pl(x, y, zc)
@@ -175,18 +191,23 @@ def transform_itrf(frame_from: str, frame_to: str, x: Column, y: Column,
     ITRFTransformer(frame_from, frame_to)  # driver-side validation
     key = (frame_from, frame_to)
 
-    @pandas_udf("struct<x:double,y:double,z:double>")
-    def _itrf(xs: pd.Series, ys: pd.Series, zs: pd.Series,
-              ts: pd.Series) -> pd.DataFrame:
+    @arrow_udf("struct<x:double,y:double,z:double>")
+    def _itrf(xs: pa.Array, ys: pa.Array, zs: pa.Array,
+              ts: pa.Array) -> pa.Array:
         tr = _ITRF_CACHE.get(key)
         if tr is None:
             from pyproj_spark.kernels.itrf import ITRFTransformer as IT
             tr = _ITRF_CACHE[key] = IT(*key)
         xo, yo, zo, _ = tr.transform(
-            xs.to_numpy(dtype="float64"), ys.to_numpy(dtype="float64"),
-            zz=zs.to_numpy(dtype="float64"),
-            tt=ts.to_numpy(dtype="float64"))
-        return pd.DataFrame({"x": xo, "y": yo, "z": zo})
+            np.asarray(xs.to_numpy(zero_copy_only=False), dtype="float64"),
+            np.asarray(ys.to_numpy(zero_copy_only=False), dtype="float64"),
+            zz=np.asarray(zs.to_numpy(zero_copy_only=False),
+                          dtype="float64"),
+            tt=np.asarray(ts.to_numpy(zero_copy_only=False),
+                          dtype="float64"))
+        return pa.StructArray.from_arrays(
+            [pa.array(xo), pa.array(yo), pa.array(zo)],
+            names=["x", "y", "z"])
 
     return _itrf(x.cast("double"), y.cast("double"),
                  z.cast("double"), t.cast("double"))
@@ -198,14 +219,19 @@ def geod_inverse(ellps: str, lon1: Column, lat1: Column, lon2: Column,
     az21 is the back azimuth (pyproj default convention,
     ``pyproj/_geod.pyx:294-295``)."""
 
-    @pandas_udf("struct<az12:double,az21:double,dist:double>")
-    def _inv(a: pd.Series, b: pd.Series, c: pd.Series,
-             d: pd.Series) -> pd.DataFrame:
-        from pyproj_spark.kernels.geod import Geod
+    @arrow_udf("struct<az12:double,az21:double,dist:double>")
+    def _inv(a: pa.Array, b: pa.Array, c: pa.Array,
+             d: pa.Array) -> pa.Array:
         g = _geod_cache(ellps)
-        az12, az21, dist = g.inv(a.to_numpy(), b.to_numpy(),
-                                 c.to_numpy(), d.to_numpy())
-        return pd.DataFrame({"az12": az12, "az21": az21, "dist": dist})
+        az12, az21, dist = g.inv(a.to_numpy(zero_copy_only=False),
+                                 b.to_numpy(zero_copy_only=False),
+                                 c.to_numpy(zero_copy_only=False),
+                                 d.to_numpy(zero_copy_only=False))
+        return pa.StructArray.from_arrays(
+            [pa.array(np.asarray(az12, dtype="float64")),
+             pa.array(np.asarray(az21, dtype="float64")),
+             pa.array(np.asarray(dist, dtype="float64"))],
+            names=["az12", "az21", "dist"])
 
     return _inv(lon1, lat1, lon2, lat2)
 
@@ -214,13 +240,19 @@ def geod_forward(ellps: str, lon: Column, lat: Column, az: Column,
                  dist: Column) -> Column:
     """struct<lon,lat,backaz> — Karney direct as a pandas UDF."""
 
-    @pandas_udf("struct<lon:double,lat:double,backaz:double>")
-    def _fwd(a: pd.Series, b: pd.Series, c: pd.Series,
-             d: pd.Series) -> pd.DataFrame:
+    @arrow_udf("struct<lon:double,lat:double,backaz:double>")
+    def _fwd(a: pa.Array, b: pa.Array, c: pa.Array,
+             d: pa.Array) -> pa.Array:
         g = _geod_cache(ellps)
-        lo, la, baz = g.fwd(a.to_numpy(), b.to_numpy(), c.to_numpy(),
-                            d.to_numpy())
-        return pd.DataFrame({"lon": lo, "lat": la, "backaz": baz})
+        lo, la, baz = g.fwd(a.to_numpy(zero_copy_only=False),
+                            b.to_numpy(zero_copy_only=False),
+                            c.to_numpy(zero_copy_only=False),
+                            d.to_numpy(zero_copy_only=False))
+        return pa.StructArray.from_arrays(
+            [pa.array(np.asarray(lo, dtype="float64")),
+             pa.array(np.asarray(la, dtype="float64")),
+             pa.array(np.asarray(baz, dtype="float64"))],
+            names=["lon", "lat", "backaz"])
 
     return _fwd(lon, lat, az, dist)
 
@@ -230,13 +262,16 @@ def proj_factors(crs, lon: Column, lat: Column) -> Column:
     meridional scale, parallel scale, areal scale per point (reference
     ``pyproj/proj.py:204-278``)."""
 
-    @pandas_udf("struct<h:double,k:double,areal:double>")
-    def _fac(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+    @arrow_udf("struct<h:double,k:double,areal:double>")
+    def _fac(lo: pa.Array, la: pa.Array) -> pa.Array:
         from pyproj_spark.proj import Proj
-        f = Proj(crs).get_factors(lo.to_numpy(), la.to_numpy())
-        return pd.DataFrame({"h": f.meridional_scale,
-                             "k": f.parallel_scale,
-                             "areal": f.areal_scale})
+        f = Proj(crs).get_factors(lo.to_numpy(zero_copy_only=False),
+                                  la.to_numpy(zero_copy_only=False))
+        return pa.StructArray.from_arrays(
+            [pa.array(np.asarray(f.meridional_scale, dtype="float64")),
+             pa.array(np.asarray(f.parallel_scale, dtype="float64")),
+             pa.array(np.asarray(f.areal_scale, dtype="float64"))],
+            names=["h", "k", "areal"])
 
     return _fac(lon, lat)
 
