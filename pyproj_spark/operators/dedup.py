@@ -568,22 +568,32 @@ def symspell_pairs(df: DataFrame, id_col: str = "doc_id",
     token-level schemes cannot see).
 
     Returns (doc_a, doc_b, dist) with doc_a < doc_b, one row per pair.
-    """
-    keyed = df.select(
-        F.col(id_col), F.col(title_col),
-        F.explode(delete_neighborhood(F.col(title_col))).alias("k"))
+
+    r6 shape: blocking runs at the DISTINCT-TITLE level, then maps
+    back to doc pairs. Whether two docs pair depends only on their
+    titles, and real corpora duplicate titles heavily, so the
+    deletion-neighborhood self-join over distinct titles is strictly
+    smaller than the doc-level one (which also needed a doc-pair
+    dropDuplicates exchange — near-dup titles share MANY deletion
+    keys). Ordered title pairs (both directions + the (t,t) self
+    pair) make each a<b doc pair appear exactly once. Identical
+    output rows (regression-verified)."""
+    dt = df.select(F.col(title_col).alias("t")).distinct()
+    keyed = dt.select(
+        "t", F.explode(delete_neighborhood(F.col("t"))).alias("k"))
     a = keyed.alias("a")
     b = keyed.alias("b")
-    cand = (a.join(b, (F.col("a.k") == F.col("b.k"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("doc_a"),
-                    F.col(f"b.{id_col}").alias("doc_b"),
-                    F.col(f"a.{title_col}").alias("ta"),
-                    F.col(f"b.{title_col}").alias("tb"))
-            .dropDuplicates(["doc_a", "doc_b"]))
-    return (cand
-            .withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
-            .where(F.col("dist") <= 1)
+    tp = (a.join(b, F.col("a.k") == F.col("b.k"))
+          .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+          .distinct()
+          .withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
+          .where(F.col("dist") <= 1))
+    da = df.select(F.col(id_col).alias("doc_a"),
+                   F.col(title_col).alias("ta"))
+    db = df.select(F.col(id_col).alias("doc_b"),
+                   F.col(title_col).alias("tb"))
+    return (da.join(F.broadcast(tp), "ta").join(db, "tb")
+            .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", "dist"))
 
 

@@ -35,13 +35,19 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                 vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine for each query row. queries is broadcast
     (the query set is small by construction)."""
+    # norms hoisted to one pass per VECTOR (not per pair): same
+    # sqrt/product/round ops on the same values, ~3x fewer
+    # interpreted fold steps in the pair stage
     e = embeddings.select(F.col(id_col),
-                          F.col(vec_col).cast("array<double>").alias("_v"))
+                          F.col(vec_col).cast("array<double>").alias("_v")) \
+        .withColumn("_ne", _norm(F.col("_v")))
     q = queries.select(F.col(qid_col),
-                       F.col(vec_col).cast("array<double>").alias("_q"))
+                       F.col(vec_col).cast("array<double>").alias("_q")) \
+        .withColumn("_nq", _norm(F.col("_q")))
     cand = e.join(F.broadcast(q), F.col(id_col) != F.col(qid_col))
     cand = cand.withColumn(
-        "sim", F.round(cosine(F.col("_v"), F.col("_q")), 6))
+        "sim", F.round(_dot(F.col("_v"), F.col("_q"))
+                       / (F.col("_ne") * F.col("_nq")), 6))
     w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), id_col)
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -184,10 +190,14 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
               .filter(F.col("r") <= nprobe)
               .select(qid_col, "_q", (F.col("cidx") + 1).cast("int")
                       .alias("cell")))
-    cand = (e.join(F.broadcast(probes), "cell")
+    cand = (e.withColumn("_ne", _norm(F.col("_v")))
+            .join(F.broadcast(probes.withColumn("_nq",
+                                                _norm(F.col("_q")))),
+                  "cell")
             .filter(F.col(id_col) != F.col(qid_col))
-            .withColumn("sim", F.round(cosine(F.col("_v"),
-                                              F.col("_q")), 6)))
+            .withColumn("sim", F.round(
+                _dot(F.col("_v"), F.col("_q"))
+                / (F.col("_ne") * F.col("_nq")), 6)))
     w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), id_col)
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -203,14 +213,17 @@ def ann_topk_lsh(embeddings: DataFrame, k: int = 3, n_planes: int = 6,
                     dim=dim)
     a_side = b.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).cast("array<double>").alias("_va"),
-                      "bucket")
+                      "bucket") \
+        .withColumn("_na", _norm(F.col("_va")))
     b_side = b.select(F.col(id_col).alias("id_b"),
                       F.col(vec_col).cast("array<double>").alias("_vb"),
-                      "bucket")
+                      "bucket") \
+        .withColumn("_nb", _norm(F.col("_vb")))
     cand = (a_side.join(b_side, "bucket")
             .filter(F.col("id_a") != F.col("id_b"))
-            .withColumn("sim", F.round(cosine(F.col("_va"),
-                                              F.col("_vb")), 6)))
+            .withColumn("sim", F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")), 6)))
     w = Window.partitionBy("id_a").orderBy(F.desc("sim"), "id_b")
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

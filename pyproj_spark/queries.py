@@ -29,7 +29,10 @@ from pyproj_spark.operators.skew import spread_small_scan as _spread
 # ---------------------------------------------------------------- helpers
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # memoized source relation (pyproj_spark/io.py): plan-side only —
+    # every action still scans the parquet files
+    from pyproj_spark.io import read_parquet_cached
+    return read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
 
 
 #: deterministic point derivation from doc_id (same text in SQL below)
@@ -2975,7 +2978,7 @@ def q_dwell(spark, sf_dir):
     shuffle on user, one hash agg on the run id."""
     from pyspark.sql import Window
     from pyproj_spark.functions.hexcell import hex_of
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     minute = F.floor(F.unix_timestamp("ts") / 600)
     lon = ((F.col("user_id") % 36) * 10 - 180
            + (minute % 7) * 2.0)
@@ -3296,7 +3299,7 @@ def q_burst_detect(spark, sf_dir):
     (counts and squared counts), so the frame aggregation is exact
     and engine-identical; only the final z division is floating."""
     from pyspark.sql import Window
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     hour = (F.floor(F.unix_timestamp("ts") / 3600)).alias("hour")
     cnt = (ev.select("event_type", hour)
            .groupBy("event_type", "hour")
@@ -3354,7 +3357,7 @@ def q_hll_union(spark, sf_dir):
     Exact distincts ride along for comparison."""
     from pyproj_spark.operators.sketch import (hll_estimate,
                                                hll_registers)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     part = F.when(F.col("event_id") % 2 == 0, F.lit("a")) \
         .otherwise(F.lit("b"))
     regs = hll_registers(ev.withColumn("part", part),
@@ -3595,7 +3598,7 @@ def q_window_hll(spark, sf_dir):
     gets stored, because windows then merge into days/weeks with
     element-wise max (see hll_union). Exact distincts ride along."""
     from pyproj_spark.operators.sketch import hll_distinct
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     wnd = (F.floor(F.unix_timestamp("ts") / 21600)).alias("wnd")
     evw = ev.select(wnd, "user_id")
     est = hll_distinct(evw, "wnd", "user_id")
@@ -3676,7 +3679,7 @@ def q_event_paths(spark, sf_dir):
     (count desc, path asc) via distributed TakeOrdered before the
     k-row rank window."""
     from pyspark.sql import Window
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (ev.withColumn("e2", F.lead("event_type", 1).over(w))
            .withColumn("e3", F.lead("event_type", 2).over(w))
@@ -4290,7 +4293,7 @@ def q_od_matrix(spark, sf_dir):
     event_id keeps endpoint selection deterministic on both engines;
     one hash agg per stage, no window."""
     from pyproj_spark.functions.hexcell import hex_of
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     minute = F.floor(F.unix_timestamp("ts") / 600)
     lon = ((F.col("user_id") % 36) * 10 - 180 + (minute % 7) * 2.0)
     lat = ((F.col("user_id") % 17) * 8 - 60).cast("double")
@@ -4494,7 +4497,7 @@ def q_trend_cells(spark, sf_dir):
     day < day — pairs are bounded by days^2 per cell (a constant), not
     by corpus size."""
     from pyproj_spark.functions.hexcell import hex_of
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     minute = F.floor(F.unix_timestamp("ts") / 600)
     lon = ((F.col("user_id") % 36) * 10 - 180 + (minute % 7) * 2.0)
     lat = ((F.col("user_id") % 17) * 8 - 60).cast("double")
@@ -4604,7 +4607,7 @@ def q_theil_sen(spark, sf_dir):
     bounded by days^2 per cell (a constant), not corpus size; both
     medians are per-cell aggregations, no global sort."""
     from pyproj_spark.functions.hexcell import hex_of
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     minute = F.floor(F.unix_timestamp("ts") / 600)
     lon = ((F.col("user_id") % 36) * 10 - 180 + (minute % 7) * 2.0)
     lat = ((F.col("user_id") % 17) * 8 - 60).cast("double")

@@ -18,7 +18,14 @@ from pyproj_spark.operators import dedup, similarity, textstats
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # memoized source relation (pyproj_spark/io.py): plan-side only
+    from pyproj_spark.io import read_parquet_cached
+    return read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+
+
+def _tt(spark, sf_dir, name):
+    from pyproj_spark.io import read_parquet_cached
+    return read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
 
 from pyproj_spark.operators.skew import spread_small_scan as _spread
 
@@ -306,7 +313,7 @@ ORDER BY id_a, id_b
 
 
 def q_embedding_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tt(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10) \
                  .withColumnRenamed("vec_id", "qid")
     return similarity.cosine_topk(emb.filter(F.col("vec_id") < 1000),
@@ -341,7 +348,7 @@ def q_ivf_ann(spark, sf_dir):
     nprobe cells -> exact cosine re-rank inside the probed cells. The
     whole pipeline (centroids, quantization, probing, re-rank) is
     reproduced in DuckDB SQL and hash-checked."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tt(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10) \
                  .withColumnRenamed("vec_id", "qid")
     return similarity.ivf_topk(emb.filter(F.col("vec_id") < 500), queries,
@@ -407,7 +414,7 @@ def q_ann_lsh(spark, sf_dir):
     deterministic, so the full signature -> bucket -> re-rank pipeline
     is reproduced in DuckDB SQL and hash-checked (recall vs brute force
     is additionally measured in tests)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tt(spark, sf_dir, "embeddings")
     return similarity.ann_topk_lsh(emb.filter(F.col("vec_id") < 500),
                                    k=3, n_planes=4, dim=64)
 
@@ -1105,17 +1112,23 @@ def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (driver-mandated dedup
     family): all pairs above a cosine threshold, exact brute force over
     a bounded id range (the LSH path is `ann_lsh`)."""
-    from pyspark.sql import functions as FF
-    from pyproj_spark.operators.similarity import cosine
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    from pyproj_spark.operators.similarity import _dot, _norm
+    # norms hoisted to one pass per VECTOR (the semdedup convention):
+    # the pair stage then does one dot per pair instead of dot + two
+    # norms — same sqrt/product/round ops on the same values
+    emb = _tt(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < 300) \
         .select("vec_id", F.col("embedding").cast("array<double>")
-                .alias("v"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+                .alias("v")) \
+        .withColumn("n", _norm(F.col("v")))
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("v").alias("va"), F.col("n").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("v").alias("vb"), F.col("n").alias("nb"))
     pairs = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-             .withColumn("sim", F.round(cosine(F.col("va"),
-                                               F.col("vb")), 6))
+             .withColumn("sim", F.round(
+                 _dot(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb")), 6))
              .filter(F.col("sim") >= 0.30)
              .select("id_a", "id_b", "sim"))
     return pairs
@@ -1606,7 +1619,7 @@ def q_kmeans(spark, sf_dir):
     oracle (the SAME passes unrolled in SQL CTEs) replays every
     assignment bit-for-bit."""
     from pyproj_spark.operators.kmeans import kmeans
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _tt(spark, sf_dir, "embeddings") \
         .select("vec_id",
                 F.col("embedding").cast("array<double>").alias("v"))
     return kmeans(emb, k=8, iters=1)
@@ -1732,7 +1745,7 @@ def q_rrf_fusion(spark, sf_dir):
     exposure — and ties break on doc_id."""
     from pyproj_spark.operators.search import bm25_search
     b = bm25_search(_docs(spark, sf_dir), _BM25_QUERIES, top_k=10)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _tt(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < 1000)
     qv = emb.filter(F.col("vec_id").isin(1, 2, 3)) \
         .withColumnRenamed("vec_id", "qid")
@@ -2326,7 +2339,7 @@ def q_quantile_sketch(spark, sf_dir):
     sample — Spark's distributed TakeOrdered IS the sketch merge, and
     the integer index rule makes the estimate engine-identical."""
     from pyproj_spark.operators.sketch import bottomk_quantiles
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tt(spark, sf_dir, "events")
     return bottomk_quantiles(ev, "value", "event_id")
 
 
@@ -2468,7 +2481,7 @@ def q_markov_events(spark, sf_dir):
     as an exact integer count ratio — the navigation-model /
     next-action analytic over clickstream-shaped data."""
     from pyspark.sql import Window
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _tt(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (ev.withColumn("next_type",
                          F.lead("event_type").over(w))
@@ -3558,7 +3571,7 @@ def q_semdedup(spark, sf_dir):
     removed iff a lower-id representative has rounded cosine >= 0.30
     (canonical-minimum survivor, the `canonical_docs` convention)."""
     from pyproj_spark.operators.similarity import semdedup
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _tt(spark, sf_dir, "embeddings") \
         .select("vec_id",
                 F.col("embedding").cast("array<double>").alias("v"))
     return semdedup(emb, k=8, iters=1, threshold=0.30,
@@ -4043,9 +4056,9 @@ def q_sq8_ann(spark, sf_dir):
     stats agg is exact integers, so the oracle replays the WHOLE
     pipeline — stats, codes, scores, ranks — bit-for-bit in SQL."""
     from pyproj_spark.operators import similarity
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _tt(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < 1000)
-    queries = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (_tt(spark, sf_dir, "embeddings")
                .filter(F.col("vec_id") < 8)
                .withColumnRenamed("vec_id", "qid"))
     return similarity.sq8_topk(emb, queries, k=5)
@@ -4109,9 +4122,9 @@ def q_pq_ann(spark, sf_dir):
     hash-matches the ranking — the full train/encode/search pipeline
     cross-checked across engines."""
     from pyproj_spark.operators import similarity
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _tt(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < 1000)
-    queries = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (_tt(spark, sf_dir, "embeddings")
                .filter(F.col("vec_id") < 8)
                .withColumnRenamed("vec_id", "qid"))
     return similarity.pq_adc_topk(emb, queries, k=5)
@@ -4203,9 +4216,9 @@ def q_ivfpq(spark, sf_dir):
     training, and hash-matches the final ranking — the whole
     index build + search cross-checked across engines."""
     from pyproj_spark.operators import similarity
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    emb = _tt(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < 1000)
-    queries = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (_tt(spark, sf_dir, "embeddings")
                .filter(F.col("vec_id") < 8)
                .withColumnRenamed("vec_id", "qid"))
     return similarity.ivfpq_topk(emb, queries, k=5)
@@ -4908,7 +4921,7 @@ def q_jl_project(spark, sf_dir):
     from the shared md5-parity literals and replays the quantized
     fold index-wise."""
     from pyproj_spark.operators.similarity import jl_project
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tt(spark, sf_dir, "embeddings")
     return jl_project(emb, k=16, dim=64)
 
 
