@@ -9,7 +9,7 @@ input_hint) is tested against the reference extractor
 :func:`extract_anchors_py` below.
 
 Anchors in a projected source CRS are normalized to EPSG:4326 lon/lat by
-one pandas-UDF transform per distinct src_crs (grouped so each batch
+one Arrow-UDF transform per distinct src_crs (grouped so each batch
 runs ONE kernel — never per-row planning, cf. the 160ms-vs-6µs replan
 cost in the reference docs/advanced_examples.rst:13-44).
 """
