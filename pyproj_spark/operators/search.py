@@ -55,28 +55,36 @@ def bm25_search(df: DataFrame, queries: list[tuple[int, list[str]]],
     toks = _tokens(df.select(id_col, text_col), text_col) \
         .select(id_col, "token")
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    # corpus scalars: one lightweight agg job each. avgdl is derived
-    # from EXACT integer sum/count with a single double division so
-    # both engines (and Python) compute the identical double.
-    n_docs = df.count()
-    s, c = dl.agg(F.sum("dl"), F.count(F.lit(1))).collect()[0]
-    avgdl = s / c
+    # corpus scalars ride as 1-row broadcast aggregates instead of
+    # two driver jobs at build time (one of which re-ran the whole
+    # tokenize pass just to collect avgdl). avgdl is still an EXACT
+    # integer sum/count with a single double division, and b/avgdl is
+    # the same IEEE ops on the same values whether evaluated in the
+    # plan or on the driver — bit-identical scores (oracle-gated).
+    ndocs_1 = df.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
+    avgdl_1 = dl.agg((F.sum("dl") / F.count(F.lit(1)))
+                     .alias("_avgdl"))
 
     qtoks = toks.filter(F.col("token").isin(terms))
     tf = (qtoks.groupBy(id_col, "token")
           .agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = (qtoks.distinct().groupBy("token")
-             .agg(F.count(F.lit(1)).alias("df")))
-    idf = dfreq.select(
-        "token",
-        F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-              / (F.col("df") + 0.5)).alias("idf"))
+    # df(t) = number of docs containing t = row count of the per-doc
+    # tf table — same number as distinct(doc, token) counting, one
+    # less evaluation of the token pipeline and no distinct exchange
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = (dfreq.crossJoin(F.broadcast(ndocs_1))
+           .select(
+               "token",
+               F.log(1.0 + (F.col("_nd") - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5)).alias("idf")))
 
     denom = (F.col("tf")
-             + k1 * (1.0 - b + F.lit(b / float(avgdl)) * F.col("dl")))
+             + k1 * (1.0 - b + (F.lit(b) / F.col("_avgdl"))
+                     * F.col("dl")))
     term_score = F.col("idf") * F.col("tf") * (k1 + 1.0) / denom
     scored = (tf.join(F.broadcast(idf), "token")
               .join(dl, id_col)
+              .crossJoin(F.broadcast(avgdl_1))
               .join(F.broadcast(qdf), "token")
               .select("query_id", id_col,
                       F.round(term_score * 1e6).cast("long")
