@@ -29,11 +29,13 @@ are driver literals (a route table would broadcast).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pandas as pd  # noqa: F401 — kept for callers' type hints
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf
 
 
 def _collect_tracks(tracks: DataFrame, user_col: str, seq_col: str,
@@ -52,22 +54,39 @@ def _collect_tracks(tracks: DataFrame, user_col: str, seq_col: str,
                     F.col("_pts.y").alias("_ys")))
 
 
-def _lattice_batch(xs_s: pd.Series, ys_s: pd.Series, R: np.ndarray,
+def _flat(arr: pa.Array) -> tuple:
+    """(flat int64 values, starts, lens) of a list<int> Arrow column —
+    flatten() applies any slice offset, so the gather below is safe
+    for every batch shape."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lens = np.asarray(pc.list_value_length(arr), dtype=np.int64)
+    flat = np.asarray(arr.flatten(), dtype=np.int64)
+    starts = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    return flat, starts[:-1], lens
+
+
+def _lattice_batch(xs_a: pa.Array, ys_a: pa.Array, R: np.ndarray,
                    frechet: bool) -> np.ndarray:
     """Run the anchored 6x|R| lattice for a whole batch of
     trajectories at once. Same per-step int64 arithmetic as the old
     per-group loop; trajectories are bucketed by length so each bucket
-    is a dense (n_traj, L) matrix."""
+    is a dense (n_traj, L) matrix. r6: Arrow-native input — the
+    length-bucket matrices gather straight out of the flat Arrow
+    value buffer instead of stacking per-row pandas objects."""
+    xf, xstarts, lens = _flat(xs_a)
+    yf, ystarts, _ = _flat(ys_a)
     m = len(R)
-    n = len(xs_s)
+    n = len(lens)
     out = np.zeros(n, np.int64)
-    lens = np.fromiter((len(v) for v in xs_s), np.int64, count=n)
     for L in np.unique(lens):
         idx = np.flatnonzero(lens == L)
         if L == 0:
             continue
-        X = np.stack([np.asarray(xs_s.iat[i], np.int64) for i in idx])
-        Y = np.stack([np.asarray(ys_s.iat[i], np.int64) for i in idx])
+        g = np.arange(L, dtype=np.int64)
+        X = xf[xstarts[idx][:, None] + g]
+        Y = yf[ystarts[idx][:, None] + g]
         prev = None
         for i in range(L):
             cost = ((X[:, i:i + 1] - R[:, 0]) ** 2
@@ -112,9 +131,10 @@ def dtw_to_reference(tracks: DataFrame, ref: list[tuple[int, int]],
     endpoints anchored. Returns (user, n_pts, dtw_cost)."""
     R = np.asarray(ref, dtype=np.int64)
 
-    @pandas_udf("long")
-    def _dp(xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
-        return pd.Series(_lattice_batch(xs_s, ys_s, R, frechet=False))
+    @arrow_udf("long")
+    def _dp(xs_a: pa.Array, ys_a: pa.Array) -> pa.Array:
+        return pa.array(_lattice_batch(xs_a, ys_a, R, frechet=False),
+                        type=pa.int64())
 
     return (_collect_tracks(tracks, user_col, seq_col, x_col, y_col)
             .select(F.col(user_col).alias("user_id"),
@@ -138,9 +158,10 @@ def frechet_to_reference(tracks: DataFrame, ref: list[tuple[int, int]],
     (user, n_pts, frechet_sq)."""
     R = np.asarray(ref, dtype=np.int64)
 
-    @pandas_udf("long")
-    def _dp(xs_s: pd.Series, ys_s: pd.Series) -> pd.Series:
-        return pd.Series(_lattice_batch(xs_s, ys_s, R, frechet=True))
+    @arrow_udf("long")
+    def _dp(xs_a: pa.Array, ys_a: pa.Array) -> pa.Array:
+        return pa.array(_lattice_batch(xs_a, ys_a, R, frechet=True),
+                        type=pa.int64())
 
     return (_collect_tracks(tracks, user_col, seq_col, x_col, y_col)
             .select(F.col(user_col).alias("user_id"),
