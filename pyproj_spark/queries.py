@@ -4504,26 +4504,43 @@ def q_trend_cells(spark, sf_dir):
     t = (ev.select(hex_of(lon, lat, 2).alias("cell"),
                    F.floor(F.unix_timestamp("ts") / 86400).alias("day"))
          .groupBy("cell", "day").agg(F.count(F.lit(1)).alias("n")))
-    # pin the pair-explosion stage's parallelism: the (cell, day) table
-    # is a few KB, so AQE coalesces its shuffle to ONE partition and
-    # the days^2-per-cell pair expansion + sign aggregation runs on a
-    # single core; an explicit keyed repartition keeps its partition
-    # count under AQE (guide §2.5) and the partial agg spreads
-    t = t.repartition(spark.sparkContext.defaultParallelism, "cell")
-    a = t.select(F.col("cell"), F.col("day").alias("di"),
-                 F.col("n").alias("ni"))
-    b = t.select(F.col("cell"), F.col("day").alias("dj"),
-                 F.col("n").alias("nj"))
-    s = (a.join(b, "cell").filter(F.col("di") < F.col("dj"))
-         .groupBy("cell")
-         .agg(F.sum(F.signum(F.col("nj") - F.col("ni")).cast("long"))
-              .alias("s")))
-    ties = (t.groupBy("cell", "n").agg(F.count(F.lit(1)).alias("k"))
-            .groupBy("cell")
-            .agg(F.sum("k").alias("t_days"),
-                 F.sum(F.col("k") * (F.col("k") - 1)
-                       * (2 * F.col("k") + 5)).alias("tiesum")))
-    out = s.join(ties, "cell")
+    # ONE evaluation of the hex-encode + daily-count chain instead of
+    # three (the old pair self-join + separate tie aggregation each
+    # re-ran it, plus a join): per cell, collect the day-ordered
+    # (day, n) array — days are distinct within a cell, so the count
+    # is bounded by the day range, not the corpus — and derive S and
+    # the tie terms from array HOFs. Same exact integers: S sums
+    # sign(n_j - n_i) over day-ordered pairs, tiesum sums
+    # k(k-1)(2k+5) over per-value counts; cells with a single day
+    # produce S=0 and are dropped by the same t_days >= 2 filter that
+    # dropped them (via the inner join) before.
+    g = (t.groupBy("cell")
+         .agg(F.array_sort(F.collect_list(F.struct("day", "n")))
+              .alias("a"))
+         # day-ordered counts as a REAL column: element_at inside the
+         # pair lambdas would otherwise re-evaluate an inline
+         # transform(...) per lookup (the ngram_shingles trap)
+         .select("cell", F.transform(F.col("a"), lambda st: st["n"])
+                 .alias("ns")))
+    ns = F.col("ns")
+    sz = F.size(ns)
+    pair_sign = F.flatten(F.transform(
+        F.sequence(F.lit(0), sz - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, sz - 1),
+            lambda j: F.signum(F.element_at(ns, (j + 1).cast("int"))
+                               - F.element_at(ns, (i + 1).cast("int")))
+            .cast("long"))))
+    s_col = F.aggregate(pair_sign, F.lit(0).cast("long"),
+                        lambda acc, v: acc + v)
+    tiesum = F.aggregate(
+        F.transform(F.array_distinct(ns), lambda v: F.size(
+            F.filter(ns, lambda x: x == v)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, k: acc + k * (k - 1) * (2 * k + 5))
+    out = g.select("cell", s_col.alias("s"),
+                   sz.cast("long").alias("t_days"),
+                   tiesum.alias("tiesum"))
     td = F.col("t_days").cast("double")
     var_ = ((td * (td - F.lit(1.0)) * (F.lit(2.0) * td + F.lit(5.0))
              - F.col("tiesum").cast("double")) / F.lit(18.0))
